@@ -1,0 +1,47 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Sources and sinks (SURVEY §2.1).
+  *
+  * The reference stores Parquet under a path-by-convention lake
+  * (`processed/{state}/{species}/{domain}/[{season}/]{year}/file.parquet`,
+  * ref `src/etl/ingest_harvest_data.py:108-129`) and scans it back with a
+  * multi-file glob (`sql/load/load_population_stage.sql:20`).  Spark-first we
+  * make the path segments *real partition columns* (`partitionBy`), which buys
+  * Hive-style partition pruning on every downstream filter — at 100 TB the
+  * difference between scanning one `(state,species,year)` leaf and scanning
+  * the world.
+  */
+object Tables {
+  /** Fixture reader: one parquet file per table (TESTDATA.md). */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** Production-path reader: explicit schema (never inferred — SURVEY §1.2),
+    * so the scan skips footer merging across thousands of files. */
+  def tableWithSchema(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).parquet(path)
+
+  /** S6 — multi-file glob scan (ref `load_population_stage.sql:20`).
+    * `mergeSchema` tolerates drift across years the way DuckDB's
+    * `read_parquet(glob)` schema-unions. */
+  def globScan(spark: SparkSession, glob: String, mergeSchema: Boolean = false): DataFrame =
+    spark.read.option("mergeSchema", mergeSchema.toString).parquet(glob)
+
+  /** S7 — schema probe: footer-only, no data read
+    * (ref `bad_parquet.py:21-24` does `LIMIT 1`; the footer is cheaper). */
+  def probeSchema(spark: SparkSession, path: String): StructType =
+    spark.read.parquet(path).schema
+
+  /** S5 — partitioned Parquet sink (ref `ingest_harvest_data.py:108-129`).
+    * Partition values become directory keys → partition pruning for free. */
+  def writePartitioned(df: DataFrame, root: String, partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(root)
+
+  /** S9 — full-refresh sink: overwrite ≡ the reference's DELETE+INSERT
+    * (ref `load_population_stage.sql:1-20`). */
+  def writeFullRefresh(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").parquet(path)
+}

@@ -1,0 +1,74 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal columns — LLM-data north-star component (BASELINE.json).
+  *
+  * Images/audio/video travel as opaque `BINARY` columns plus typed metadata
+  * structs; the Spark-side plumbing (schema, partitioning, batch iteration)
+  * is real, while the codec itself is STUBBED (no image/audio libraries in
+  * this container) behind `FakeCodec` — a deterministic fake that derives
+  * "features" from the raw bytes, clearly marked for replacement.
+  *
+  * Scale notes: decode work is per-row CPU with no shuffle — `mapPartitions`
+  * over the binary column keeps it embarrassingly parallel; metadata-only
+  * operations stay in column expressions so Parquet scans prune the (large)
+  * binary column away entirely when only metadata is referenced.
+  */
+object Multimodal {
+
+  /** Attach a binary payload column (fixtures carry no real media, so the
+    * utf-8 bytes of a text column stand in as the opaque payload). */
+  def withBinaryPayload(df: DataFrame, from: String, as: String = "payload"): DataFrame =
+    df.withColumn(as, col(from).cast(BinaryType))
+
+  /** Metadata extraction as pure column expressions (codegen'd, prunable):
+    * byte length, leading-byte "magic", a coarse format guess. */
+  def payloadMeta(df: DataFrame, payload: String): DataFrame =
+    df.withColumn("n_bytes", length(col(payload)).cast(LongType))
+      .withColumn("magic", ascii(substring(col(payload).cast(StringType), 1, 1)).cast(LongType))
+      .withColumn("format",
+        when(col("n_bytes") % 3 === 0, "jpeg-like")
+          .when(col("n_bytes") % 3 === 1, "png-like")
+          .otherwise("wav-like"))
+
+  /** Decoded-media schema: what a real decoder would emit per payload. */
+  val decodedSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, false),
+    StructField("width", IntegerType, false),
+    StructField("height", IntegerType, false),
+    StructField("n_frames", IntegerType, false),
+    StructField("features", ArrayType(DoubleType, false), false)))
+
+  /** STUB decoder — deterministic fake in place of a real codec (***replace
+    * with an actual image/audio decoder when libraries are available***).
+    * Runs via `mapPartitions` so a real decoder drops in with zero plan
+    * changes: per-partition batch iteration, no driver involvement. */
+  def decodeStub(df: DataFrame, idCol: String, payload: String): DataFrame = {
+    val spark = df.sparkSession
+    val rdd = df.select(col(idCol).cast(LongType), col(payload)).rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        // FAKE: dimensions/frames derived from byte stats, features from a
+        // strided byte sample — stands in for decode→resize→embed.
+        val w = 64 + (bytes.length % 64)
+        val h = 64 + (bytes.headOption.map(_.toInt & 0x7f).getOrElse(0) % 64)
+        val frames = 1 + bytes.length % 8
+        val feats = bytes.indices.by(math.max(1, bytes.length / 8)).take(8)
+          .map(i => (bytes(i).toInt & 0xff) / 255.0).toArray
+        Row(id, w, h, frames, feats.toSeq)
+      }
+    }
+    spark.createDataFrame(rdd, decodedSchema)
+  }
+
+  /** Frame sampling: every `stride`-th byte of the payload (stands in for
+    * every-nth-frame extraction) — pure expressions, fully pushed down. */
+  def sampleChecksum(df: DataFrame, textCol: String, stride: Int): DataFrame =
+    df.withColumn("sample_checksum",
+      aggregate(sequence(lit(1), length(col(textCol)), lit(stride)), lit(0L),
+        (acc, i) => acc + ascii(col(textCol).substr(i, lit(1)))))
+}

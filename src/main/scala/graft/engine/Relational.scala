@@ -1,0 +1,63 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operators: filters, projections, explode, joins, aggregation,
+  * windows, top-k, set ops (SURVEY §2.2, §2.4–2.9).
+  *
+  * Scale notes (100 TB):
+  *  - joins against dimension tables take an explicit `broadcast()` hint so a
+  *    1000-executor plan never sort-merge-shuffles a 25-row table;
+  *  - `topK` is expressed as `orderBy().limit(k)` which Spark plans as
+  *    `TakeOrderedAndProject` — a per-partition heap + single driver merge,
+  *    never a global sort;
+  *  - aggregations are plain `groupBy().agg()` so Catalyst emits
+  *    partial (map-side) + final HashAggregate automatically.
+  */
+object Relational {
+
+  /** P1 — footer-row filter: drop rows whose first cell, trimmed+lowered, is
+    * "total" (ref `ingest_harvest_data.py:246`, `ingest_population_data.py:191`). */
+  def dropFooterRows(df: DataFrame, firstCol: String): DataFrame =
+    df.filter(lower(trim(col(firstCol))) =!= "total")
+
+  /** P3 — production gate: only numeric CSV lists survive
+    * (ref `load_population_production.sql:28`). */
+  def numericCsvOnly(c: Column): Column = trim(c).rlike("^[0-9 ,]+$")
+
+  /** G1+C10 — the reference's single most engine-like op: split a CSV string
+    * and explode to one row per GMU (ref `load_population_production.sql:18-29`).
+    * Catalyst plans this as `Generate` — fully pipelined, no shuffle. */
+  def explodeCsv(df: DataFrame, csvCol: String, as: String): DataFrame =
+    df.filter(numericCsvOnly(col(csvCol)))
+      .withColumn(as, explode(Clean.csvToIntArray(col(csvCol))))
+      .drop(csvCol)
+
+  /** O3 — top-k: plans as TakeOrderedAndProject (no global sort). */
+  def topK(df: DataFrame, k: Int, order: Column*): DataFrame =
+    df.orderBy(order: _*).limit(k)
+
+  /** W1 — rank rows within a partition; `tiebreak` must make the order total
+    * or the result is nondeterministic under retries. */
+  def rankWithin(df: DataFrame, partCols: Seq[String], order: Seq[Column],
+                 as: String = "rn"): DataFrame =
+    df.withColumn(as, row_number().over(
+      Window.partitionBy(partCols.map(col): _*).orderBy(order: _*)))
+
+  /** J1 — dimension join with an explicit broadcast hint (SURVEY §2.4): the
+    * implied population⋈harvest equi-join generalized. */
+  def joinDim(fact: DataFrame, dim: DataFrame, keys: Seq[String]): DataFrame =
+    fact.join(broadcast(dim), keys)
+
+  /** U1 — multi-page concatenation with a running row offset
+    * (ref `ingest_harvest_data.py:188-209`): union pages then re-number
+    * globally.  The window is partition-less by design (page assembly is
+    * bounded by one PDF, never 100 TB); callers at scale partition first. */
+  def unionWithOffsets(pages: Seq[DataFrame], pageCol: String, rowCol: String): DataFrame = {
+    val all = pages.reduce(_ unionByName _)
+    all.withColumn("global_row",
+      row_number().over(Window.orderBy(col(pageCol), col(rowCol))))
+  }
+}

@@ -1,0 +1,185 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Text-analysis and deduplication operators for LLM-data pipelines
+  * (BASELINE.json north_star; beyond the reference's own surface).
+  *
+  * Design rules for 100 TB:
+  *  - NEVER all-pairs.  Near-dup candidate generation is a band-key /
+  *    shingle-key EQUI-JOIN (shuffle on the key), with a document-frequency
+  *    cutoff so a stop-shingle can't create a quadratic bucket.
+  *  - all hashing is arithmetic over md5 — deterministic, engine-portable
+  *    (the DuckDB oracle reproduces every value bit-for-bit), and seedable.
+  *  - everything is `Column` expressions inside whole-stage codegen; the only
+  *    shuffles are the groupBys/joins that semantically need them.
+  */
+object Text {
+
+  /** Portable 60-bit token hash: first 15 hex chars of md5, as a long.
+    * (DuckDB mirror: `CAST('0x' || substr(md5(t),1,15) AS BIGINT)`.) */
+  def tokenHash(c: Column): Column = conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+
+  /** Whitespace tokens of trimmed text. */
+  def tokens(c: Column): Column = split(trim(c), " ")
+
+  /** Exact dedup key: hash of normalized text.  Exact dedup at scale is one
+    * hash-partitioned groupBy on this key. */
+  def exactKey(c: Column): Column = md5(lower(trim(c)))
+
+  /** Exact dedup: keep the smallest id per normalized-text group. */
+  def dedupExact(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(exactKey(col(textCol)).as("text_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("copies"))
+
+  // ---------------------------------------------------------------- MinHash
+  /** MinHash signature: k universal-ish hashes h_i(t) = (a_i·h + b_i) mod P
+    * over the document's DISTINCT tokens; signature_i = min over tokens.
+    * h is the 60-bit token hash reduced mod M first so a_i·h stays in int64
+    * (no ANSI overflow). */
+  val MinhashK = 16
+  val BandRows = 4           // 4 bands × 4 rows: P(candidate) = 1-(1-s^4)^4
+  private val M = 1000000007L
+  private val P = 2147483647L
+
+  def minhashSignature(textCol: Column): Column = {
+    val th = transform(array_distinct(tokens(textCol)), t => tokenHash(t) % M)
+    transform(sequence(lit(0), lit(MinhashK - 1)), i =>
+      array_min(transform(th, h => ((lit(2) * i + 1) * h + lit(7) + lit(13) * i) % P)))
+  }
+
+  /** (id, band, band_key) — the LSH bucketing relation.  Near-dup candidates
+    * are pairs sharing a (band, band_key): an equi-join, never a cross join. */
+  def minhashBands(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol).as("doc"), minhashSignature(col(textCol)).as("sig"))
+      .select(col("doc"), posexplode(transform(sequence(lit(0), lit(MinhashK / BandRows - 1)),
+        b => array_join(slice(col("sig"), b * BandRows + 1, lit(BandRows)).cast("array<string>"), "-"))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
+
+  /** LSH candidate pairs (doc_a < doc_b), deduped across bands. */
+  def minhashCandidates(bands: DataFrame): DataFrame = {
+    val a = bands.select(col("doc").as("doc_a"), col("band"), col("band_key"))
+    val b = bands.select(col("doc").as("doc_b"), col("band"), col("band_key"))
+    a.join(b, Seq("band", "band_key")).filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
+  /** Exact token-set Jaccard for verification of candidate pairs only. */
+  def verifiedPairs(df: DataFrame, textCol: String, idCol: String,
+                    candidates: DataFrame, threshold: Double): DataFrame = {
+    val toks = df.select(col(idCol).as("doc"), array_distinct(tokens(col(textCol))).as("toks"))
+    candidates
+      .join(toks.select(col("doc").as("doc_a"), col("toks").as("toks_a")), Seq("doc_a"))
+      .join(toks.select(col("doc").as("doc_b"), col("toks").as("toks_b")), Seq("doc_b"))
+      .withColumn("inter", size(array_intersect(col("toks_a"), col("toks_b"))))
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (size(col("toks_a")) + size(col("toks_b")) - col("inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  // ---------------------------------------------------------------- SimHash
+  /** 48-bit SimHash over token hashes: bit b of the fingerprint is set iff
+    * Σ_tokens (±1 by bit b of tokenHash) > 0.  Hamming-near fingerprints ≈
+    * near-dup documents; at scale, bucket by fingerprint bytes and compare
+    * within buckets. */
+  val SimhashBits = 48
+  def simhash(textCol: Column): Column = {
+    val th = transform(tokens(textCol), t => tokenHash(t))
+    val pw = typedlit((0 until SimhashBits).map(b => 1L << b))
+    // per-bit contributions are independent integer adds (associative), so the
+    // outer fold is order-free — the oracle mirrors it as a plain list_sum.
+    aggregate(sequence(lit(0), lit(SimhashBits - 1)), lit(0L), (acc, b) => {
+      val p = element_at(pw, b + 1)
+      acc + when(aggregate(th, lit(0L),
+        (s, h) => s + when(h.bitwiseAND(p) =!= 0, 1L).otherwise(-1L)) > 0, p).otherwise(0L)
+    })
+  }
+
+  // ------------------------------------------------------- n-gram shingles
+  /** w-token shingles (w=3): the unit for near-dup Jaccard. */
+  def shingles(textCol: Column, w: Int = 3): Column = {
+    val t = tokens(textCol)
+    // guard: sequence(1, n) DESCENDS for n < 1, so short docs need an
+    // explicit empty-array branch, not an empty sequence.
+    when(size(t) >= w,
+      transform(sequence(lit(1), size(t) - (w - 1)),
+        i => array_join(slice(t, i, lit(w)), " ")))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Distinct (doc, shingle) relation with a document-frequency cutoff: drop
+    * shingles appearing in more than `maxDf` docs — the skew guard that keeps
+    * the candidate join linear-ish at corpus scale. */
+  def shingleRelation(df: DataFrame, textCol: String, idCol: String, maxDf: Int): DataFrame = {
+    val rel = df.select(col(idCol).as("doc"), explode(array_distinct(shingles(col(textCol)))).as("sh"))
+    val dfCount = rel.groupBy("sh").agg(countDistinct("doc").as("df")).filter(col("df") <= maxDf)
+    rel.join(dfCount.select("sh"), Seq("sh"))
+  }
+
+  /** n-gram Jaccard near-dup pairs: candidates share ≥1 (rare) shingle; the
+    * shared-shingle count IS the intersection, so Jaccard falls out of the
+    * same groupBy — one join + one agg, no second pass over the corpus. */
+  def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
+                        maxDf: Int, threshold: Double): DataFrame = {
+    val rel = shingleRelation(df, textCol, idCol, maxDf)
+    val sizes = rel.groupBy("doc").agg(count(lit(1)).as("n"))
+    val pairs = rel.select(col("doc").as("doc_a"), col("sh"))
+      .join(rel.select(col("doc").as("doc_b"), col("sh")), Seq("sh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.select(col("doc").as("doc_a"), col("n").as("n_a")), Seq("doc_a"))
+      .join(sizes.select(col("doc").as("doc_b"), col("n").as("n_b")), Seq("doc_b"))
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (col("n_a") + col("n_b") - col("inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  // ---------------------------------------------------------- text analysis
+  /** Rolling polynomial fingerprint over tokens: fold (acc·31 + h(t)) mod M,
+    * seed 7 — an order-sensitive document fingerprint (unlike the set-based
+    * minhash). */
+  def fingerprint(textCol: Column): Column =
+    aggregate(tokens(textCol), lit(7L), (acc, t) => (acc * 31 + tokenHash(t) % M) % M)
+
+  val EnStopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
+  private val TechWords: Seq[String] = Seq("spark", "data", "query", "stream", "batch")
+
+  /** Language-ID heuristic: score token overlap against per-class lexicons
+    * (n-gram-frequency heuristics degenerate to lexicon hits on whitespace
+    * token text).  Deterministic tie-break order: en > tech > unknown. */
+  def langIdHeuristic(textCol: Column): Column = {
+    val t = tokens(textCol)
+    val en = size(filter(t, x => x.isin(EnStopwords: _*)))
+    val tech = size(filter(t, x => x.isin(TechWords: _*)))
+    when(en > tech, "en").when(tech > en, "tech").otherwise("unknown")
+  }
+
+  /** Quality scoring: length, token count, type-token ratio, stopword ratio,
+    * and a bounded composite score — all exact rational arithmetic so the
+    * oracle matches bit-for-bit. */
+  def qualityColumns(textCol: Column): Seq[(String, Column)] = {
+    val t = tokens(textCol)
+    val nTok = size(t).cast(LongType)
+    val nDistinct = size(array_distinct(t)).cast(LongType)
+    val nStop = size(filter(t, x => x.isin(EnStopwords: _*))).cast(LongType)
+    val ttr = nDistinct.cast("double") / nTok
+    val stopRatio = nStop.cast("double") / nTok
+    val score = round(ttr * 0.5 + (lit(1.0) - stopRatio) * 0.3 +
+      least(lit(1.0), nTok.cast("double") / 50.0) * 0.2, 6)
+    Seq("n_chars_actual" -> length(textCol).cast(LongType), "n_tokens" -> nTok,
+      "n_distinct" -> nDistinct, "ttr" -> round(ttr, 6),
+      "stopword_ratio" -> round(stopRatio, 6), "quality_score" -> score)
+  }
+
+  /** Token counting: whitespace tokens + a BPE-ish regex segmentation
+    * (letter runs | single digits | other non-space marks). */
+  def tokenCounts(textCol: Column): Seq[(String, Column)] = Seq(
+    "ws_tokens" -> size(tokens(textCol)).cast(LongType),
+    "bpe_tokens" -> regexp_count(textCol, lit("[a-z]+|[0-9]|[^a-z0-9 ]")).cast(LongType))
+}
