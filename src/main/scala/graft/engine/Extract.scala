@@ -54,13 +54,17 @@ object Extract {
       .groupBy("page", "row", "column")
       .agg(array_join(transform(array_sort(collect_list(
         struct(col("word_pos"), col("word")))), s => s.getField("word")), " ").as("text"))
-    // densify: every row carries cells 1..max(col) with "" for absent.
-    val maxCol = cellText.agg(max("column")).first().getInt(0)
+    // densify: every row carries cells 1..max(col) with "" for absent.  The
+    // table-global width travels as a broadcast 1-row frame (no eager driver
+    // action mid-pipeline, and an empty blocks input yields 0 rows instead of
+    // an NPE — the null max never meets a sequence()).
+    val maxCol = broadcast(cellText.agg(max("column").as("__max_col")))
     cellText.groupBy("page", "row")
       .agg(map_from_arrays(collect_list(col("column")), collect_list(col("text"))).as("m"))
+      .crossJoin(maxCol)
       .withColumn("cells",
-        transform(sequence(lit(1), lit(maxCol)), i => coalesce(element_at(col("m"), i), lit(""))))
-      .drop("m")
+        transform(sequence(lit(1), col("__max_col")), i => coalesce(element_at(col("m"), i), lit(""))))
+      .drop("m", "__max_col")
   }
 
   /** Multi-page concatenation with running row offsets

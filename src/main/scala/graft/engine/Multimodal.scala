@@ -66,9 +66,14 @@ object Multimodal {
   }
 
   /** Frame sampling: every `stride`-th byte of the payload (stands in for
-    * every-nth-frame extraction) — pure expressions, fully pushed down. */
+    * every-nth-frame extraction) — pure expressions, fully pushed down.
+    * Empty/null text guard: `sequence(1, 0)` DESCENDS rather than producing
+    * an empty range (the same hazard Text.shingles guards), so short inputs
+    * take an explicit zero branch. */
   def sampleChecksum(df: DataFrame, textCol: String, stride: Int): DataFrame =
     df.withColumn("sample_checksum",
-      aggregate(sequence(lit(1), length(col(textCol)), lit(stride)), lit(0L),
-        (acc, i) => acc + ascii(col(textCol).substr(i, lit(1)))))
+      when(length(col(textCol)) >= 1,
+        aggregate(sequence(lit(1), length(col(textCol)), lit(stride)), lit(0L),
+          (acc, i) => acc + ascii(col(textCol).substr(i, lit(1)))))
+        .otherwise(lit(0L)))
 }

@@ -51,6 +51,24 @@ object Relational {
   def joinDim(fact: DataFrame, dim: DataFrame, keys: Seq[String]): DataFrame =
     fact.join(broadcast(dim), keys)
 
+  /** Sessionization: assign a per-user session id from event-time gaps
+    * greater than `gapMicros` — the batch form of the Structured Streaming
+    * `mapGroupsWithState` session pattern.  One shuffle on `userCol`; the
+    * lag and running-sum windows share the same partitioning, so Catalyst
+    * reuses a single exchange.  At 100 TB this is the scalable shape:
+    * state never leaves the executor owning the user's partition. */
+  def sessionize(df: DataFrame, userCol: String, tsCol: String, idCol: String,
+                 gapMicros: Long): DataFrame = {
+    val w = Window.partitionBy(userCol).orderBy(col(tsCol), col(idCol))
+    val us = unix_micros(col(tsCol))
+    val prev = lag(us, 1).over(w)
+    df.withColumn("__new_s",
+        when(prev.isNull || (us - prev) > gapMicros, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("__new_s")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("__new_s")
+  }
+
   /** U1 — multi-page concatenation with a running row offset
     * (ref `ingest_harvest_data.py:188-209`): union pages then re-number
     * globally.  The window is partition-less by design (page assembly is

@@ -24,35 +24,70 @@ import org.apache.spark.sql.functions._
   */
 object Upsert {
 
-  /** Deterministic within-batch last-wins: keep one row per key, preferring
-    * the greatest `orderCol` (DuckDB applies conflicting rows sequentially;
-    * we pick an explicit total order instead — SURVEY §7.4.1). */
-  def dedupLastWins(df: DataFrame, keys: Seq[String], orderCol: String): DataFrame =
+  /** Deterministic within-batch last-wins: keep one row per key under an
+    * explicit total order (DuckDB applies conflicting rows sequentially;
+    * we pick an explicit order instead — SURVEY §7.4.1).  Callers should pass
+    * enough order columns that ties are identical rows, or the survivor is
+    * nondeterministic under retries. */
+  def dedupLastWins(df: DataFrame, keys: Seq[String],
+                    order: Seq[org.apache.spark.sql.Column]): DataFrame =
     df.withColumn("__rn", row_number().over(
-        Window.partitionBy(keys.map(col): _*).orderBy(col(orderCol).desc)))
+        Window.partitionBy(keys.map(col): _*).orderBy(order: _*)))
       .filter(col("__rn") === 1).drop("__rn")
+
+  def dedupLastWins(df: DataFrame, keys: Seq[String], orderCol: String): DataFrame =
+    dedupLastWins(df, keys, Seq(col(orderCol).desc))
 
   def upsert(existing: DataFrame, incoming: DataFrame, keys: Seq[String],
              updateCols: Seq[String], preserveCols: Seq[String]): DataFrame = {
+    // Presence flags, not value-level coalesce: EXCLUDED.col wins on conflict
+    // even when the incoming value is NULL (ON CONFLICT DO UPDATE semantics,
+    // ref `load_population_production.sql:30-32`); symmetrically a NULL
+    // existing preserveCol stays NULL rather than adopting the incoming value.
     val e = existing.select((keys ++ updateCols ++ preserveCols).map(col): _*)
+      .withColumn("__e_present", lit(true))
     val i = incoming.select((keys ++ updateCols ++ preserveCols).map(col): _*)
+      .withColumn("__i_present", lit(true))
     val joined = e.alias("e").join(i.alias("i"),
       keys.map(k => col(s"e.$k") <=> col(s"i.$k")).reduce(_ && _), "full_outer")
+    val iPresent = col("i.__i_present").isNotNull
+    val ePresent = col("e.__e_present").isNotNull
     val keyCols      = keys.map(k => coalesce(col(s"e.$k"), col(s"i.$k")).as(k))
-    val updated      = updateCols.map(c => coalesce(col(s"i.$c"), col(s"e.$c")).as(c))
-    val preserved    = preserveCols.map(c => coalesce(col(s"e.$c"), col(s"i.$c")).as(c))
+    val updated      = updateCols.map(c => when(iPresent, col(s"i.$c")).otherwise(col(s"e.$c")).as(c))
+    val preserved    = preserveCols.map(c => when(ePresent, col(s"e.$c")).otherwise(col(s"i.$c")).as(c))
     joined.select(keyCols ++ updated ++ preserved: _*)
   }
 
   /** Scale path: only rewrite lake partitions the incoming batch touches.
-    * `partCol` is a partition column of the lake (e.g. `year`). */
+    * `partCol` is a partition column of the lake (e.g. `year`).
+    *
+    * The merged frame is staged to a sibling temp directory first — Spark
+    * refuses to overwrite a path that is simultaneously being read
+    * (`Cannot overwrite a path that is also being read from`), and staging
+    * also keeps the lake consistent if the job dies mid-write.  The
+    * session-global `partitionOverwriteMode` is restored afterwards. */
   def upsertPartitioned(spark: org.apache.spark.sql.SparkSession, lakeRoot: String,
                         incoming: DataFrame, keys: Seq[String], updateCols: Seq[String],
                         preserveCols: Seq[String], partCol: String): Unit = {
     val touched = incoming.select(partCol).distinct().collect().map(_.get(0))
     val existing = spark.read.parquet(lakeRoot).filter(col(partCol).isin(touched: _*))
     val merged = upsert(existing, incoming, keys, updateCols, preserveCols)
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    merged.write.mode("overwrite").partitionBy(partCol).parquet(lakeRoot)
+    val staging = lakeRoot.stripSuffix("/") + "__upsert_staging"
+    merged.write.mode("overwrite").parquet(staging)
+    val confKey = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(confKey)
+    try {
+      spark.conf.set(confKey, "dynamic")
+      spark.read.parquet(staging)
+        .write.mode("overwrite").partitionBy(partCol).parquet(lakeRoot)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(confKey, v)
+        case None    => spark.conf.unset(confKey)
+      }
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(staging), spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+    }
   }
 }

@@ -1,0 +1,596 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.engine._
+import graft.streaming.Streaming
+
+/** One registered operator query: the Spark plan builder plus (where the
+  * semantics are SQL-expressible) a DuckDB oracle producing the identical
+  * result on the same parquet fixtures.  Queries without an oracle get the
+  * driver's weaker rows-only check and are covered by ScalaTest instead. */
+final case class QueryDef(name: String,
+                          fn: (SparkSession, String) => DataFrame,
+                          oracle: Option[String])
+
+/** The operator catalog: every SURVEY §2 row expressed as a named query over
+  * the driver fixtures (TESTDATA.md), plus the flagship analytics the
+  * reference implies but never built.
+  *
+  * Cross-engine hash-stability rules (apply to every oracle pair):
+  *  - sums of doubles go through DECIMAL(38,6) (exact accumulation —
+  *    double addition is not associative, and Spark's partial aggregation
+  *    order is nondeterministic) and come back as DOUBLE;
+  *  - integer sums are CAST to BIGINT on the DuckDB side (its SUM(int)
+  *    returns HUGEINT);
+  *  - element-wise double math (products, divisions) is fine: IEEE ops on
+  *    identical operands agree across engines;
+  *  - every result is totally ordered; ascending nullable sort columns say
+  *    NULLS FIRST in the oracle (DuckDB defaults to NULLS LAST, Spark to
+  *    nulls-first);
+  *  - row_number()/rank outputs are CAST to INT in DuckDB (Spark emits int).
+  */
+object Catalog {
+
+  import Fixtures.{table => t, _}
+
+  // ---------------------------------------------------------------- helpers
+
+  /** Exact sum of a double column via decimal accumulation (see rules). */
+  private def dsum(c: Column): Column =
+    sum(c.cast(DecimalType(38, 6))).cast(DoubleType)
+
+  private def lsum(c: Column): Column = sum(c).cast(LongType)
+
+  // ------------------------------------------------- flagship (entry + J1/A1/W1/O3)
+
+  /** The north-star analytics the reference gestures at
+    * (`planning/rough-idea.md:7`): fact⋈dims join, aggregation, ranking.
+    * `nation` takes an explicit broadcast (25 rows — never shuffle it). */
+  def flagshipRevenue(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer"); val n = t(s, dir, "nation")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(countDistinct("o_orderkey").as("n_orders"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("n_name")
+  }
+
+  private val flagshipSql =
+    """SELECT n_name,
+         COUNT(DISTINCT o_orderkey) AS n_orders,
+         CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+         COUNT(*) AS n_items
+       FROM lineitem
+       JOIN orders ON l_orderkey = o_orderkey
+       JOIN customer ON o_custkey = c_custkey
+       JOIN nation ON c_nationkey = n_nationkey
+       GROUP BY n_name ORDER BY n_name"""
+
+  // -------------------------------------------------------------- relational
+
+  val relational: Seq[QueryDef] = Seq(
+
+    QueryDef("q_flagship_revenue", flagshipRevenue, Some(flagshipSql)),
+
+    // A1 — TPC-H Q1-shaped hash aggregation (partial+final HashAggregate).
+    QueryDef("q1_lineitem_agg",
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_price"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+          (dsum(col("l_discount")) / count(lit(1))).as("avg_disc"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price,
+           CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS avg_disc,
+           COUNT(*) AS n_rows
+         FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // A1 — distinct aggregation.
+    QueryDef("q_agg_distinct",
+      (s, dir) => t(s, dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(countDistinct("c_nationkey").as("n_nations"),
+          count(lit(1)).as("n_cust"),
+          dsum(col("c_acctbal")).as("sum_bal"))
+        .orderBy("c_mktsegment"),
+      Some("""SELECT c_mktsegment,
+           COUNT(DISTINCT c_nationkey) AS n_nations, COUNT(*) AS n_cust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS sum_bal
+         FROM customer GROUP BY 1 ORDER BY 1""")),
+
+    // A1 generalization — ROLLUP grouping sets.
+    QueryDef("q_rollup",
+      (s, dir) => t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+          col("n"), col("qty"))
+        .orderBy("flag", "status"),
+      Some("""SELECT COALESCE(l_returnflag, 'ALL') AS flag, COALESCE(l_linestatus, 'ALL') AS status,
+           COUNT(*) AS n, CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS qty
+         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) ORDER BY 1, 2""")),
+
+    // W1 — rank within partition (top 3 customers per nation).
+    QueryDef("q_window_topk_per_group",
+      (s, dir) => {
+        val cn = t(s, dir, "customer").join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        Relational.rankWithin(cn, Seq("n_name"),
+            Seq(col("c_acctbal").desc, col("c_custkey")), "rn")
+          .filter(col("rn") <= 3)
+          .select("n_name", "c_name", "c_acctbal", "rn")
+          .orderBy("n_name", "rn")
+      },
+      Some("""SELECT n_name, c_name, c_acctbal, CAST(rn AS INT) AS rn FROM (
+           SELECT n_name, c_name, c_acctbal,
+             row_number() OVER (PARTITION BY n_name ORDER BY c_acctbal DESC, c_custkey) AS rn
+           FROM customer JOIN nation ON c_nationkey = n_nationkey)
+         WHERE rn <= 3 ORDER BY n_name, rn""")),
+
+    // O3 — top-k (plans as TakeOrderedAndProject, not a global sort).
+    QueryDef("q_topk_orders",
+      (s, dir) => Relational.topK(
+        t(s, dir, "orders").select("o_orderkey", "o_totalprice"),
+        10, col("o_totalprice").desc, col("o_orderkey")),
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""")),
+
+    // U1+O1 — multi-page union with running row offsets.
+    QueryDef("q_union_offsets",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        def page(status: String, p: Int) = o.filter(col("o_orderstatus") === status)
+          .select(lit(p).as("page"),
+            row_number().over(Window.orderBy("o_orderkey")).as("page_row"),
+            col("o_orderkey"))
+        Relational.unionWithOffsets(Seq(page("O", 1), page("F", 2)), "page", "page_row")
+          .select("global_row", "page", "page_row", "o_orderkey")
+          .orderBy("global_row")
+      },
+      Some("""WITH p1 AS (SELECT CAST(1 AS INT) AS page,
+             CAST(row_number() OVER (ORDER BY o_orderkey) AS INT) AS page_row, o_orderkey
+           FROM orders WHERE o_orderstatus = 'O'),
+         p2 AS (SELECT CAST(2 AS INT), CAST(row_number() OVER (ORDER BY o_orderkey) AS INT), o_orderkey
+           FROM orders WHERE o_orderstatus = 'F'),
+         u AS (SELECT * FROM p1 UNION ALL SELECT * FROM p2)
+         SELECT CAST(row_number() OVER (ORDER BY page, page_row) AS INT) AS global_row,
+           page, page_row, o_orderkey
+         FROM u ORDER BY global_row""")),
+
+    // J1 variants — semi and anti joins.
+    QueryDef("q_semi_join",
+      (s, dir) => t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n_with_orders"))
+        .orderBy("c_mktsegment"),
+      Some("""SELECT c_mktsegment, COUNT(*) AS n_with_orders FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         GROUP BY 1 ORDER BY 1""")),
+
+    // (filtered to big-ticket orders so the anti side is non-empty at every SF)
+    QueryDef("q_anti_join",
+      (s, dir) => t(s, dir, "customer")
+        .join(t(s, dir, "orders").filter(col("o_totalprice") > 400000.0),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n_no_big_orders"))
+        .orderBy("c_mktsegment"),
+      Some("""SELECT c_mktsegment, COUNT(*) AS n_no_big_orders FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+         GROUP BY 1 ORDER BY 1""")),
+
+    // Event-time tumbling window aggregation (batch form; same expression
+    // streams — see graft.streaming.Streaming).
+    QueryDef("q_events_tumbling",
+      (s, dir) => events(s, dir)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .select(col("window.start").as("bucket"), col("event_type"), col("n"), col("sum_value"))
+        .orderBy("bucket", "event_type"),
+      Some("""SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket, event_type,
+           COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // Semi-structured extraction from the events.props JSON strings.
+    QueryDef("q_events_json",
+      (s, dir) => events(s, dir)
+        .select(col("event_type"),
+          regexp_extract(col("props"), "\"k\": ([0-9]+)", 1).try_cast(LongType).as("kv"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), lsum(col("kv")).as("sum_k"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(TRY_CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS sum_k
+         FROM events GROUP BY 1 ORDER BY 1""")),
+
+    // Gap-based sessionization (batch form of mapGroupsWithState sessions).
+    QueryDef("q_sessionize",
+      (s, dir) => Relational.sessionize(events(s, dir),
+          "user_id", "ts", "event_id", 1800L * 1000000L)
+        .groupBy("user_id")
+        .agg(max(col("session_id")).as("n_sessions"), count(lit(1)).as("n_events"))
+        .orderBy("user_id"),
+      Some("""WITH m AS (SELECT user_id,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         SELECT user_id, CAST(SUM(new_s) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+         FROM m GROUP BY 1 ORDER BY 1""")),
+
+    // W1 frame spec — rolling 3-row sum per user (decimal-exact accumulation).
+    QueryDef("q_rolling_sum",
+      (s, dir) => events(s, dir)
+        .select(col("event_id"), col("user_id"),
+          sum(col("value").cast(DecimalType(18, 2)))
+            .over(Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+              .rowsBetween(-2, 0))
+            .cast(DoubleType).as("roll_sum"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id
+             ORDER BY ts, event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS roll_sum
+         FROM events ORDER BY event_id"""))
+  )
+
+  // ---------------------------------------------------- reference pipeline ops
+
+  val referencePipeline: Seq[QueryDef] = Seq(
+
+    // P1+C11 — footer-row filter.
+    QueryDef("q_p1_footer_filter",
+      (s, dir) => {
+        val withFooter = t(s, dir, "documents").select(
+          when(col("doc_id") % 10 === 0, " Total ")
+            .when(col("doc_id") % 10 === 1, "TOTAL")
+            .otherwise(col("source")).as("first_cell"))
+        Relational.dropFooterRows(withFooter, "first_cell")
+          .groupBy("first_cell").agg(count(lit(1)).as("n")).orderBy("first_cell")
+      },
+      Some("""WITH d AS (SELECT CASE WHEN doc_id % 10 = 0 THEN ' Total '
+             WHEN doc_id % 10 = 1 THEN 'TOTAL' ELSE source END AS first_cell FROM documents)
+         SELECT first_cell, COUNT(*) AS n FROM d
+         WHERE lower(trim(first_cell)) <> 'total' GROUP BY 1 ORDER BY 1""")),
+
+    // P2+P4 — non-null key filter + explicit projection.
+    QueryDef("q_p2_p4_project",
+      (s, dir) => stage(s, dir)
+        .filter(col("herd_name").isNotNull)
+        .groupBy("species")
+        .agg(count(lit(1)).as("n"), lsum(col("post_hunt_estimate")).as("total_estimate"))
+        .orderBy("species"),
+      Some(s"""WITH $stageSql
+         SELECT species, COUNT(*) AS n, CAST(SUM(post_hunt_estimate) AS BIGINT) AS total_estimate
+         FROM stage WHERE herd_name IS NOT NULL GROUP BY 1 ORDER BY 1""")),
+
+    // P3 — the production regex gate.
+    QueryDef("q_p3_regex_gate",
+      (s, dir) => stage(s, dir)
+        .filter(Relational.numericCsvOnly(col("gmu_list")))
+        .groupBy("state", "species").agg(count(lit(1)).as("n"))
+        .orderBy("state", "species"),
+      Some(s"""WITH $stageSql
+         SELECT state, species, COUNT(*) AS n FROM stage
+         WHERE regexp_matches(trim(gmu_list), '^[0-9 ,]+$$') GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // G1+C10 — the reference's core stage→production explode, full rows.
+    QueryDef("q_g1_explode_production",
+      (s, dir) => production(s, dir)
+        .orderBy(col("state"), col("species"), col("year"), col("unit"),
+          col("post_hunt_estimate"), col("male_female_ratio"), col("herd_name").asc_nulls_first),
+      Some(s"""WITH $productionSql
+         SELECT state, species, herd_name, post_hunt_estimate, male_female_ratio, year, unit
+         FROM production
+         ORDER BY state, species, year, unit, post_hunt_estimate, male_female_ratio, herd_name NULLS FIRST""")),
+
+    // S10 — keyed upsert: update estimate+ratio, preserve herd_name.
+    QueryDef("q_s10_upsert",
+      (s, dir) => {
+        val dd = dedupedProduction(s, dir)
+        val existing = dd.filter(col("year") <= 2021)
+        val incoming = dd.filter(col("year") >= 2021)
+          .withColumn("post_hunt_estimate", col("post_hunt_estimate") + 1000)
+          .withColumn("male_female_ratio", col("male_female_ratio") * 2.0)
+          .withColumn("herd_name", concat(lit("NEW_"), coalesce(col("herd_name"), lit("X"))))
+        Upsert.upsert(existing, incoming, prodKeys,
+            Seq("post_hunt_estimate", "male_female_ratio"), Seq("herd_name"))
+          .orderBy("state", "species", "year", "unit")
+      },
+      Some(s"""WITH $dedupedSql,
+         e AS (SELECT * FROM deduped WHERE year <= 2021),
+         i AS (SELECT state, species, year, unit,
+                 post_hunt_estimate + 1000 AS post_hunt_estimate,
+                 male_female_ratio * 2.0 AS male_female_ratio,
+                 'NEW_' || COALESCE(herd_name, 'X') AS herd_name
+               FROM deduped WHERE year >= 2021)
+         SELECT COALESCE(e.state, i.state) AS state,
+                COALESCE(e.species, i.species) AS species,
+                COALESCE(e.year, i.year) AS year,
+                COALESCE(e.unit, i.unit) AS unit,
+                CASE WHEN i.unit IS NOT NULL THEN i.post_hunt_estimate ELSE e.post_hunt_estimate END AS post_hunt_estimate,
+                CASE WHEN i.unit IS NOT NULL THEN i.male_female_ratio ELSE e.male_female_ratio END AS male_female_ratio,
+                CASE WHEN e.unit IS NOT NULL THEN e.herd_name ELSE i.herd_name END AS herd_name
+         FROM e FULL OUTER JOIN i
+           ON e.state = i.state AND e.species = i.species AND e.year = i.year AND e.unit = i.unit
+         ORDER BY 1, 2, 3, 4""")),
+
+    // S10 at scale — dynamic-partition-overwrite upsert of a parquet lake,
+    // rewriting only the years the incoming batch touches.
+    QueryDef("q_s10_upsert_partitioned",
+      (s, dir) => {
+        val lake = Files.createTempDirectory("graft_lake").toString
+        val dd = dedupedProduction(s, dir)
+        dd.write.mode("overwrite").partitionBy("year").parquet(lake)
+        val incoming = dd.filter(col("year") >= 2022)
+          .withColumn("post_hunt_estimate", col("post_hunt_estimate") + 1000)
+          .withColumn("male_female_ratio", col("male_female_ratio") * 2.0)
+          .withColumn("herd_name", concat(lit("NEW_"), coalesce(col("herd_name"), lit("X"))))
+        Upsert.upsertPartitioned(s, lake, incoming, prodKeys,
+          Seq("post_hunt_estimate", "male_female_ratio"), Seq("herd_name"), "year")
+        s.read.parquet(lake)
+          .select(prodCols.map(col): _*)
+          .orderBy("state", "species", "year", "unit")
+      },
+      Some(s"""WITH $dedupedSql,
+         e AS (SELECT * FROM deduped WHERE year >= 2022),
+         i AS (SELECT state, species, year, unit,
+                 post_hunt_estimate + 1000 AS post_hunt_estimate,
+                 male_female_ratio * 2.0 AS male_female_ratio,
+                 'NEW_' || COALESCE(herd_name, 'X') AS herd_name
+               FROM deduped WHERE year >= 2022),
+         merged AS (
+           SELECT COALESCE(e.state, i.state) AS state,
+                  COALESCE(e.species, i.species) AS species,
+                  CASE WHEN e.unit IS NOT NULL THEN e.herd_name ELSE i.herd_name END AS herd_name,
+                  CASE WHEN i.unit IS NOT NULL THEN i.post_hunt_estimate ELSE e.post_hunt_estimate END AS post_hunt_estimate,
+                  CASE WHEN i.unit IS NOT NULL THEN i.male_female_ratio ELSE e.male_female_ratio END AS male_female_ratio,
+                  COALESCE(e.year, i.year) AS year,
+                  COALESCE(e.unit, i.unit) AS unit
+           FROM e FULL OUTER JOIN i
+             ON e.state = i.state AND e.species = i.species AND e.year = i.year AND e.unit = i.unit)
+         SELECT state, species, herd_name, post_hunt_estimate, male_female_ratio, year, unit FROM (
+           SELECT * FROM (SELECT state, species, herd_name, post_hunt_estimate, male_female_ratio, year, unit
+                          FROM deduped WHERE year <= 2021)
+           UNION ALL SELECT * FROM merged)
+         ORDER BY state, species, year, unit""")),
+
+    // S5+S6+S9 — partitioned sink, glob scan back, full-refresh overwrite.
+    QueryDef("q_s5_s9_roundtrip",
+      (s, dir) => {
+        val lake = Files.createTempDirectory("graft_lake_rt").toString
+        Tables.writePartitioned(production(s, dir), lake, Seq("species", "year"))
+        Tables.globScan(s, lake)
+          .groupBy("species", "year")
+          .agg(count(lit(1)).as("n"), lsum(col("post_hunt_estimate")).as("total_estimate"))
+          .orderBy("species", "year")
+      },
+      Some(s"""WITH $productionSql
+         SELECT species, year, COUNT(*) AS n, CAST(SUM(post_hunt_estimate) AS BIGINT) AS total_estimate
+         FROM production GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // S7 — footer-only schema probe.
+    QueryDef("q_s7_schema_probe",
+      (s, dir) => {
+        val names = Tables.probeSchema(s, s"$dir/lineitem.parquet").fieldNames.sorted.toIndexedSeq
+        import s.implicits._
+        names.toDF("col_name").orderBy("col_name")
+      },
+      Some("""SELECT column_name AS col_name FROM (DESCRIBE SELECT * FROM lineitem) ORDER BY 1""")),
+
+    // ST1 — Structured Streaming file-source catch-up (Trigger.AvailableNow),
+    // then a batch aggregate over the caught-up copy.
+    QueryDef("q_st1_streaming_catchup",
+      (s, dir) => {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val schema = t(s, dir, "events").schema // ts arrives as long nanos
+        val base = Files.createTempDirectory("graft_st1").toString
+        Streaming.catchUp(s, s"$dir/events*.parquet", schema, s"$base/cp", s"$base/out")
+        s.read.schema(schema).parquet(s"$base/out")
+          .groupBy("event_type").agg(count(lit(1)).as("n")).orderBy("event_type")
+      },
+      Some("""SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1 ORDER BY 1""")),
+
+    // Q1 — schema-presence audit (footer-only reads).
+    QueryDef("q_q1_schema_audit",
+      (s, dir) => Quality.schemaAudit(s,
+          Seq(s"$dir/documents.parquet", s"$dir/embeddings.parquet"), "text")
+        .select(regexp_extract(col("path"), "([^/]+)$", 1).as("file"),
+          col("required_col"), col("status"))
+        .orderBy("file"),
+      Some("""SELECT * FROM (VALUES ('documents.parquet', 'text', 'ok'),
+           ('embeddings.parquet', 'text', 'missing')) AS t(file, required_col, status)
+         ORDER BY file""")),
+
+    // Q3 — missing-column validation.
+    QueryDef("q_q3_validate_columns",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val required = Seq("doc_id", "text", "lang", "quality_score")
+        import s.implicits._
+        required.map(c => (c, if (d.columns.contains(c)) "present" else "missing"))
+          .toDF("required_col", "status").orderBy("required_col")
+      },
+      Some("""SELECT r.required_col,
+           CASE WHEN d.column_name IS NULL THEN 'missing' ELSE 'present' END AS status
+         FROM (VALUES ('doc_id'), ('text'), ('lang'), ('quality_score')) AS r(required_col)
+         LEFT JOIN (DESCRIBE SELECT * FROM documents) AS d ON d.column_name = r.required_col
+         ORDER BY 1""")),
+
+    // S4 — Textract block→table reconstruction over blocks synthesized from
+    // `orders` (rows-only check here; exact-grid semantics are covered by
+    // ExtractSpec on a recorded fixture).
+    QueryDef("q_s4_extract_blocks",
+      (s, dir) => {
+        val o = t(s, dir, "orders").select(col("o_orderkey").as("k"),
+          col("o_orderpriority").as("w1t"), col("o_orderstatus").as("w2t"))
+        val noRel = lit(null).cast("array<struct<Type:string,Ids:array<string>>>")
+        def word(idPrefix: String, textCol: String) = o.select(
+          concat(lit(idPrefix), col("k")).as("Id"), lit("WORD").as("BlockType"),
+          col(textCol).as("Text"), lit(null).cast(IntegerType).as("Page"),
+          lit(null).cast(IntegerType).as("RowIndex"), lit(null).cast(IntegerType).as("ColumnIndex"),
+          noRel.as("Relationships"))
+        val cells = o.select(concat(lit("c_"), col("k")).as("Id"), lit("CELL").as("BlockType"),
+          lit(null).cast(StringType).as("Text"),
+          (col("k") % 4 + 1).cast(IntegerType).as("Page"),
+          (floor(col("k") / 4) % 250 + 1).cast(IntegerType).as("RowIndex"),
+          (floor(col("k") / 1000) % 5 + 1).cast(IntegerType).as("ColumnIndex"),
+          array(struct(lit("CHILD").as("Type"),
+            array(concat(lit("w1_"), col("k")), concat(lit("w2_"), col("k"))).as("Ids"))).as("Relationships"))
+        val blocks = word("w1_", "w1t").unionByName(word("w2_", "w2t")).unionByName(cells)
+        Extract.reconstructTable(blocks)
+          .select(col("global_row"), col("page"), col("row"),
+            concat_ws("|", col("cells")).as("cells_joined"))
+          .orderBy("global_row")
+      },
+      None)
+  )
+
+  // ------------------------------------------------------------ cleaning (C1-C13)
+
+  val cleaning: Seq[QueryDef] = Seq(
+
+    QueryDef("q_c1_c2_header_norms",
+      (s, dir) => t(s, dir, "part").select(col("p_type")).distinct()
+        .select(col("p_type"),
+          Clean.normalizeHeaderHarvestCol(col("p_type")).as("harvest_norm"),
+          Clean.normalizeHeaderPopulationCol(col("p_type")).as("population_norm"))
+        .orderBy("p_type"),
+      Some("""SELECT p_type,
+           regexp_replace(replace(lower(p_type), ' ', '_'), '[^a-z0-9_]', '', 'g') AS harvest_norm,
+           replace(replace(lower(p_type), ' ', '_'), '/', '_per_') AS population_norm
+         FROM (SELECT DISTINCT p_type FROM part) ORDER BY p_type""")),
+
+    QueryDef("q_c3_rename_defaults",
+      (s, dir) => {
+        val df = t(s, dir, "part").select(
+          (col("p_partkey") % 20).as("bulls"), (col("p_partkey") % 10).as("cows"))
+        Clean.renameWithDefaults(df, Clean.SpeciesSexMaps("elk"))
+          .agg(lsum(col("adult_male")).as("adult_male_total"),
+            lsum(col("adult_female")).as("adult_female_total"),
+            lsum(col("young")).as("young_total"),
+            count(lit(1)).as("n"))
+      },
+      Some("""SELECT CAST(SUM(p_partkey % 20) AS BIGINT) AS adult_male_total,
+           CAST(SUM(p_partkey % 10) AS BIGINT) AS adult_female_total,
+           CAST(0 AS BIGINT) AS young_total, COUNT(*) AS n
+         FROM part""")),
+
+    QueryDef("q_c4_rename_regex",
+      (s, dir) => {
+        val st = stage(s, dir)
+          .withColumnRenamed("gmu_list", "game_management_unites_involved_in_2024")
+        Clean.renameByPattern(st, Clean.GmuHeaderPatterns, "gmu_list")
+          .filter(Relational.numericCsvOnly(col("gmu_list")))
+          .agg(count(lit(1)).as("n_valid"))
+      },
+      Some(s"""WITH $stageSql
+         SELECT COUNT(*) AS n_valid FROM stage
+         WHERE regexp_matches(trim(gmu_list), '^[0-9 ,]+$$')""")),
+
+    QueryDef("q_c5_coalesce_variants",
+      (s, dir) => {
+        val st = stage(s, dir)
+          .withColumnRenamed("male_female_ratio", "bull_cow_ratio_(per_100)")
+        Clean.coalesceFirstPresent(st,
+            Seq("bull_cow_ratio_(per_100)", "bull_per_cow_ratio_(per_100)", "male_female_ratio"),
+            "male_female_ratio")
+          .groupBy("state")
+          .agg(dsum(col("male_female_ratio")).as("sum_ratio"), count(lit(1)).as("n"))
+          .orderBy("state")
+      },
+      Some(s"""WITH $stageSql
+         SELECT state, CAST(SUM(CAST(male_female_ratio AS DECIMAL(38,6))) AS DOUBLE) AS sum_ratio,
+           COUNT(*) AS n
+         FROM stage GROUP BY 1 ORDER BY 1""")),
+
+    QueryDef("q_c6_metadata_lits",
+      (s, dir) => Clean.withMetadata(t(s, dir, "documents"),
+          "state" -> "co", "species" -> "elk", "season" -> "archery", "load_year" -> 2024)
+        .groupBy("state", "species", "season", "load_year")
+        .agg(count(lit(1)).as("n")),
+      Some("""SELECT 'co' AS state, 'elk' AS species, 'archery' AS season,
+           CAST(2024 AS INT) AS load_year, COUNT(*) AS n FROM documents""")),
+
+    QueryDef("q_c7_coerce_numeric",
+      (s, dir) => {
+        val pk = col("p_partkey")
+        t(s, dir, "part").select(
+            when(pk % 5 === 0, concat(lit("1,"), (pk % 900 + 100).cast(StringType)))
+              .when(pk % 5 === 1, lit("n/a"))
+              .when(pk % 5 === 2, concat(lit(" "), (pk % 50).cast(StringType), lit(" ")))
+              .when(pk % 5 === 3, concat((pk % 1000).cast(StringType), lit(","), (pk % 900 + 100).cast(StringType)))
+              .otherwise(lit("")).as("raw"))
+          .select(Clean.coerceNumeric(col("raw")).as("v"))
+          .groupBy("v").agg(count(lit(1)).as("n"))
+          .orderBy(col("v").asc_nulls_first)
+      },
+      Some("""WITH d AS (SELECT CASE CAST(p_partkey % 5 AS INT)
+             WHEN 0 THEN '1,' || CAST(p_partkey % 900 + 100 AS VARCHAR)
+             WHEN 1 THEN 'n/a'
+             WHEN 2 THEN ' ' || CAST(p_partkey % 50 AS VARCHAR) || ' '
+             WHEN 3 THEN CAST(p_partkey % 1000 AS VARCHAR) || ',' || CAST(p_partkey % 900 + 100 AS VARCHAR)
+             ELSE '' END AS raw FROM part)
+         SELECT TRY_CAST(replace(raw, ',', '') AS BIGINT) AS v, COUNT(*) AS n
+         FROM d GROUP BY 1 ORDER BY 1 NULLS FIRST""")),
+
+    QueryDef("q_c8_unit_normalize",
+      (s, dir) => {
+        val pk = col("p_partkey")
+        val u = when(pk % 6 === 0, "07").when(pk % 6 === 1, "12a")
+          .when(pk % 6 === 2, "0").when(pk % 6 === 3, "000")
+          .when(pk % 6 === 4, concat(lit(" "), (pk % 90).cast(StringType), lit(" ")))
+          .otherwise((pk % 90).cast(StringType))
+        t(s, dir, "part").select(Clean.normalizeUnit(u).as("unit"))
+          .groupBy("unit").agg(count(lit(1)).as("n"))
+          .orderBy(col("unit").asc_nulls_first)
+      },
+      Some("""WITH d AS (SELECT CASE CAST(p_partkey % 6 AS INT)
+             WHEN 0 THEN '07' WHEN 1 THEN '12a' WHEN 2 THEN '0' WHEN 3 THEN '000'
+             WHEN 4 THEN ' ' || CAST(p_partkey % 90 AS VARCHAR) || ' '
+             ELSE CAST(p_partkey % 90 AS VARCHAR) END AS u FROM part)
+         SELECT CASE WHEN regexp_matches(trim(u), '^[0-9]+$') THEN CAST(trim(u) AS INTEGER) END AS unit,
+           COUNT(*) AS n
+         FROM d GROUP BY 1 ORDER BY 1 NULLS FIRST""")),
+
+    QueryDef("q_c9_herd_from_dau",
+      (s, dir) => stage(s, dir)
+        .select(coalesce(col("herd_name"),
+          Clean.herdNameFromDau(col("post_hunt_estimate") % 30)).as("herd"))
+        .groupBy("herd").agg(count(lit(1)).as("n")).orderBy("herd"),
+      Some(s"""WITH $stageSql
+         SELECT COALESCE(herd_name, 'DAU_' || CAST(post_hunt_estimate % 30 AS VARCHAR)) AS herd,
+           COUNT(*) AS n
+         FROM stage GROUP BY 1 ORDER BY 1""")),
+
+    QueryDef("q_c13_extract_year",
+      (s, dir) => {
+        val pk = col("p_partkey")
+        val fname = concat(lit("co_elk_population_"),
+          (lit(2018) + pk % 6).cast(StringType), lit(".pdf"))
+        t(s, dir, "part").select(Clean.extractYear(fname).as("yr"))
+          .groupBy("yr").agg(count(lit(1)).as("n")).orderBy("yr")
+      },
+      Some("""WITH d AS (SELECT 'co_elk_population_' || CAST(2018 + p_partkey % 6 AS VARCHAR) || '.pdf' AS f FROM part)
+         SELECT TRY_CAST(regexp_extract(f, '([0-9]{4})', 1) AS INT) AS yr, COUNT(*) AS n
+         FROM d GROUP BY 1 ORDER BY 1"""))
+  )
+
+  /** Full catalog: relational + reference pipeline + cleaning + LLM-data. */
+  val all: Seq[QueryDef] =
+    relational ++ referencePipeline ++ cleaning ++ TextCatalog.all
+}

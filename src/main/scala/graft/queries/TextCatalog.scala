@@ -1,0 +1,287 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.engine.{Multimodal, Text, Vector}
+
+/** LLM-data-pipeline operators over the `documents`/`embeddings` fixtures
+  * (BASELINE.json north_star): dedup (exact, MinHash-LSH, SimHash, n-gram
+  * Jaccard), similarity search (brute-force + LSH-bucketed ANN), multimodal
+  * plumbing, text analysis.
+  *
+  * Every hash here is arithmetic over md5 so the DuckDB oracle reproduces
+  * values bit-for-bit (`Text.tokenHash` ≡ `CAST('0x' || substr(md5(t),1,15)
+  * AS BIGINT)`), and every similarity fold runs left-to-right in index order
+  * (`aggregate`/`zip_with` ≡ DuckDB `list_reduce`/`list_transform`).  The
+  * near-dup candidate generation is ALWAYS a band-key/shingle-key equi-join —
+  * no all-pairs cross join anywhere (the 100 TB rule).
+  */
+object TextCatalog {
+
+  // ------------------------------------------------------- SQL mirror helpers
+
+  private val M = 1000000007L
+  private val P = 2147483647L
+  private def th(x: String): String = s"(CAST('0x' || substr(md5($x), 1, 15) AS BIGINT))"
+  private val toks = "str_split(trim(text), ' ')"
+  private val stopList = "['the', 'a', 'of', 'and', 'to', 'in']"
+  private val techList = "['spark', 'data', 'query', 'stream', 'batch']"
+
+  /** Left-fold dot product of two DOUBLE[] expressions (≡ Vector.dot). */
+  private def dotSql(a: String, b: String, dims: Int): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, ${dims + 1}), i -> $a[i] * $b[i])), (acc, x) -> acc + x)"
+
+  private def cosSql(a: String, b: String, dims: Int): String =
+    s"round(${dotSql(a, b, dims)} / (sqrt(${dotSql(a, a, dims)}) * sqrt(${dotSql(b, b, dims)})), 6)"
+
+  /** MinHash bands CTE fragment (`bk(doc, band, band_key)`), ≡
+    * Text.minhashBands with k=16, 4 bands × 4 rows. */
+  private val bandsSql: String =
+    s"""sigs AS (SELECT doc_id AS doc,
+         list_transform(range(0, ${Text.MinhashK}), i ->
+           list_min(list_transform(list_distinct($toks),
+             t -> ((2*i + 1) * (${th("t")} % $M) + 7 + 13*i) % $P))) AS sig
+       FROM documents),
+       bx AS (SELECT doc, unnest(range(0, ${Text.MinhashK / Text.BandRows})) AS band, sig FROM sigs),
+       bk AS (SELECT doc, CAST(band AS INT) AS band,
+         array_to_string(list_transform(list_slice(sig, band*${Text.BandRows} + 1, band*${Text.BandRows} + ${Text.BandRows}), v -> CAST(v AS VARCHAR)), '-') AS band_key
+       FROM bx)"""
+
+  /** Hyperplane-LSH bucket CTE fragment (`b(vec_id, dv, bucket)`) for
+    * `planes` hyperplanes over 64-dim embeddings, ≡ Vector.lshBucket. */
+  private def lshSql(planes: Int, dims: Int): String = {
+    val ws = (0 until planes).map { p =>
+      (0 until dims).map(i => new java.math.BigDecimal(Vector.planeWeight(p, i)).toPlainString)
+        .mkString(s"CAST([", ", ", s"] AS DOUBLE[]) AS w$p")
+    }.mkString(",\n           ")
+    val bucket = (0 until planes).map { p =>
+      s"(CASE WHEN ${dotSql("dv", s"w$p", dims)} >= 0 THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    }.mkString(" + ")
+    s"""w AS (SELECT $ws),
+       v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv FROM embeddings),
+       b AS (SELECT vec_id, dv, $bucket AS bucket FROM v, w)"""
+  }
+
+  // ---------------------------------------------------------------- queries
+
+  import Fixtures.{table => t}
+
+  val textAnalysis: Seq[QueryDef] = Seq(
+
+    QueryDef("q_text_quality",
+      (s, dir) => {
+        val cols = Text.qualityColumns(col("text"))
+        t(s, dir, "documents")
+          .select(col("doc_id") +: cols.map { case (n, c) => c.as(n) }: _*)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH q AS (SELECT doc_id, text, $toks AS t FROM documents),
+         m AS (SELECT doc_id,
+             CAST(length(text) AS BIGINT) AS n_chars_actual,
+             CAST(len(t) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct,
+             CAST(len(list_filter(t, x -> list_contains($stopList, x))) AS BIGINT) AS n_stop
+           FROM q)
+         SELECT doc_id, n_chars_actual, n_tokens, n_distinct,
+           round(CAST(n_distinct AS DOUBLE) / n_tokens, 6) AS ttr,
+           round(CAST(n_stop AS DOUBLE) / n_tokens, 6) AS stopword_ratio,
+           round((CAST(n_distinct AS DOUBLE) / n_tokens) * 0.5
+             + (1.0 - CAST(n_stop AS DOUBLE) / n_tokens) * 0.3
+             + least(1.0, CAST(n_tokens AS DOUBLE) / 50.0) * 0.2, 6) AS quality_score
+         FROM m ORDER BY doc_id""")),
+
+    QueryDef("q_token_counts",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id") +: Text.tokenCounts(col("text")).map { case (n, c) => c.as(n) }: _*)
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id,
+           CAST(len($toks) AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9 ]')) AS BIGINT) AS bpe_tokens
+         FROM documents ORDER BY doc_id""")),
+
+    QueryDef("q_lang_id",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("lang"), Text.langIdHeuristic(col("text")).as("lid"))
+        .groupBy("lang", "lid").agg(count(lit(1)).as("n"))
+        .orderBy("lang", "lid"),
+      Some(s"""WITH q AS (SELECT lang, $toks AS t FROM documents),
+         m AS (SELECT lang,
+             len(list_filter(t, x -> list_contains($stopList, x))) AS en,
+             len(list_filter(t, x -> list_contains($techList, x))) AS tech
+           FROM q)
+         SELECT lang, CASE WHEN en > tech THEN 'en' WHEN tech > en THEN 'tech' ELSE 'unknown' END AS lid,
+           COUNT(*) AS n
+         FROM m GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    QueryDef("q_fingerprint",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id,
+           list_reduce(list_prepend(CAST(7 AS BIGINT), list_transform($toks, t -> ${th("t")} % $M)),
+             (acc, h) -> (acc * 31 + h) % $M) AS fp
+         FROM documents ORDER BY doc_id"""))
+  )
+
+  val dedup: Seq[QueryDef] = Seq(
+
+    QueryDef("q_dedup_exact",
+      (s, dir) => Text.dedupExact(t(s, dir, "documents"), "text", "doc_id")
+        .orderBy("text_hash"),
+      Some("""SELECT md5(lower(trim(text))) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS copies
+         FROM documents GROUP BY 1 ORDER BY 1""")),
+
+    QueryDef("q_minhash_bands",
+      (s, dir) => Text.minhashBands(t(s, dir, "documents"), "text", "doc_id")
+        .orderBy("doc", "band"),
+      Some(s"""WITH $bandsSql
+         SELECT doc, band, band_key FROM bk ORDER BY doc, band""")),
+
+    QueryDef("q_minhash_candidates",
+      (s, dir) => Text.minhashCandidates(
+          Text.minhashBands(t(s, dir, "documents"), "text", "doc_id"))
+        .orderBy("doc_a", "doc_b"),
+      Some(s"""WITH $bandsSql
+         SELECT DISTINCT a.doc AS doc_a, b2.doc AS doc_b
+         FROM bk a JOIN bk b2 ON a.band = b2.band AND a.band_key = b2.band_key AND a.doc < b2.doc
+         ORDER BY 1, 2""")),
+
+    QueryDef("q_near_dup_jaccard",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        Text.verifiedPairs(d, "text", "doc_id",
+            Text.minhashCandidates(Text.minhashBands(d, "text", "doc_id")), 0.2)
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""WITH $bandsSql,
+         cand AS (SELECT DISTINCT a.doc AS doc_a, b2.doc AS doc_b
+           FROM bk a JOIN bk b2 ON a.band = b2.band AND a.band_key = b2.band_key AND a.doc < b2.doc),
+         tk AS (SELECT doc_id AS doc, list_distinct($toks) AS tk FROM documents)
+         SELECT c.doc_a, c.doc_b,
+           round(CAST(len(list_intersect(ta.tk, tb.tk)) AS DOUBLE)
+             / (len(ta.tk) + len(tb.tk) - len(list_intersect(ta.tk, tb.tk))), 6) AS jaccard
+         FROM cand c JOIN tk ta ON ta.doc = c.doc_a JOIN tk tb ON tb.doc = c.doc_b
+         WHERE round(CAST(len(list_intersect(ta.tk, tb.tk)) AS DOUBLE)
+             / (len(ta.tk) + len(tb.tk) - len(list_intersect(ta.tk, tb.tk))), 6) >= 0.2
+         ORDER BY doc_a, doc_b""")),
+
+    QueryDef("q_simhash",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"), Text.simhash(col("text")).as("simhash"))
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id,
+           CAST(list_sum(list_transform(range(0, ${Text.SimhashBits}), b ->
+             CASE WHEN list_sum(list_transform($toks,
+                 t -> CASE WHEN (${th("t")} & (CAST(1 AS BIGINT) << b)) <> 0 THEN 1 ELSE -1 END)) > 0
+               THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS simhash
+         FROM documents ORDER BY doc_id""")),
+
+    QueryDef("q_ngram_jaccard",
+      (s, dir) => Text.ngramJaccardPairs(t(s, dir, "documents"), "text", "doc_id",
+          maxDf = 20, threshold = 0.1)
+        .orderBy("doc_a", "doc_b"),
+      Some(s"""WITH tok AS (SELECT doc_id AS doc, $toks AS t FROM documents),
+         sh0 AS (SELECT doc, unnest(list_distinct(
+             CASE WHEN len(t) >= 3 THEN list_transform(range(1, len(t) - 1),
+                 i -> array_to_string(list_slice(t, i, i + 2), ' '))
+               ELSE [] END)) AS sh
+           FROM tok),
+         keep AS (SELECT sh FROM sh0 GROUP BY sh HAVING COUNT(DISTINCT doc) <= 20),
+         rel AS (SELECT s0.doc, s0.sh FROM sh0 s0 JOIN keep k ON s0.sh = k.sh),
+         sizes AS (SELECT doc, COUNT(*) AS n FROM rel GROUP BY doc),
+         pairs AS (SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS inter
+           FROM rel a JOIN rel b ON a.sh = b.sh AND a.doc < b.doc GROUP BY 1, 2)
+         SELECT doc_a, doc_b,
+           round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) AS jaccard
+         FROM pairs JOIN sizes sa ON sa.doc = doc_a JOIN sizes sb ON sb.doc = doc_b
+         WHERE round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) >= 0.1
+         ORDER BY doc_a, doc_b"""))
+  )
+
+  val similarity: Seq[QueryDef] = Seq(
+
+    // Exact cosine top-k of a small broadcast query set vs the corpus.
+    QueryDef("q_cosine_brute_topk",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        Vector.bruteForceTopK(e.filter(col("vec_id") < 10), e, 5)
+          .orderBy("q_id", "rank")
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS q_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+           FROM embeddings WHERE vec_id < 10),
+         c AS (SELECT vec_id AS c_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+           FROM embeddings),
+         sc AS (SELECT q_id, c_id, ${cosSql("qv", "cv", 64)} AS cos
+           FROM c, q WHERE q_id <> c_id),
+         r AS (SELECT q_id, c_id, cos,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rank
+           FROM sc)
+         SELECT q_id, CAST(rank AS INT) AS rank, c_id, cos FROM r
+         WHERE rank <= 5 ORDER BY q_id, rank""")),
+
+    // LSH bucket assignment (the ANN scale path's partitioning key).
+    QueryDef("q_lsh_buckets",
+      (s, dir) => t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          Vector.lshBucket(Vector.asDouble(col("embedding")), 4, 64).as("bucket"))
+        .orderBy("vec_id"),
+      Some(s"""WITH ${lshSql(4, 64)}
+         SELECT vec_id, CAST(bucket AS BIGINT) AS bucket FROM b ORDER BY vec_id""")),
+
+    // ANN: equi-join on bucket, exact cosine re-rank within buckets only.
+    QueryDef("q_lsh_topk",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        Vector.lshTopK(e.filter(col("vec_id") < 50), e, 3, 4, 64)
+          .orderBy("q_id", "rank")
+      },
+      Some(s"""WITH ${lshSql(4, 64)},
+         q AS (SELECT vec_id AS q_id, dv AS qv, bucket FROM b WHERE vec_id < 50),
+         c AS (SELECT vec_id AS c_id, dv AS cv, bucket FROM b),
+         sc AS (SELECT q_id, q.bucket AS bucket, c_id, ${cosSql("qv", "cv", 64)} AS cos
+           FROM q JOIN c ON q.bucket = c.bucket AND q_id <> c_id),
+         r AS (SELECT q_id, bucket, c_id, cos,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rank
+           FROM sc)
+         SELECT q_id, CAST(bucket AS BIGINT) AS bucket, CAST(rank AS INT) AS rank, c_id, cos
+         FROM r WHERE rank <= 3 ORDER BY q_id, rank"""))
+  )
+
+  val multimodal: Seq[QueryDef] = Seq(
+
+    QueryDef("q_multimodal_meta",
+      (s, dir) => Multimodal.payloadMeta(
+          Multimodal.withBinaryPayload(t(s, dir, "documents"), "text"), "payload")
+        .select("doc_id", "n_bytes", "magic", "format")
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS magic,
+           CASE CAST(octet_length(encode(text)) % 3 AS INT)
+             WHEN 0 THEN 'jpeg-like' WHEN 1 THEN 'png-like' ELSE 'wav-like' END AS format
+         FROM documents ORDER BY doc_id""")),
+
+    QueryDef("q_sample_checksum",
+      (s, dir) => Multimodal.sampleChecksum(t(s, dir, "documents"), "text", 7)
+        .select(col("doc_id"), col("sample_checksum"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+           CAST(CASE WHEN length(text) >= 1
+             THEN list_sum(list_transform(range(1, length(text) + 1, 7), i -> ascii(substr(text, i, 1))))
+             ELSE 0 END AS BIGINT) AS sample_checksum
+         FROM documents ORDER BY doc_id""")),
+
+    // STUB decoder plumbing (mapPartitions over binary payloads) —
+    // rows-only check; the fake codec is deterministic per byte content.
+    QueryDef("q_decode_stub",
+      (s, dir) => Multimodal.decodeStub(
+          Multimodal.withBinaryPayload(t(s, dir, "documents"), "text"),
+          "doc_id", "payload")
+        .select(col("doc_id"), col("width"), col("height"), col("n_frames"))
+        .orderBy("doc_id"),
+      None)
+  )
+
+  val all: Seq[QueryDef] = textAnalysis ++ dedup ++ similarity ++ multimodal
+}

@@ -1,0 +1,52 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.StructType
+
+/** ST1 — incremental file-source catch-up (SURVEY §2.10).
+  *
+  * The reference hand-rolls incremental ingestion: list S3, skip files whose
+  * processed key already exists, process the rest
+  * (ref `src/etl/ingest_harvest_data.py:42-64,349-379`, and the
+  * `# TODO: Trigger on S3 put.` at `:11`).  Structured Streaming's file
+  * source IS that loop, made durable: the checkpoint's file-source log
+  * replaces the per-file head-object existence probe, and
+  * `Trigger.AvailableNow` reproduces batch catch-up (process everything new,
+  * then stop).  At scale the checkpoint read is O(new files), not O(lake).
+  */
+object Streaming {
+
+  /** Catch up on all unprocessed files matching `glob`, append them to
+    * `outDir` as parquet, and record progress in `checkpointDir`.  Running
+    * twice with the same checkpoint processes nothing the second time —
+    * the reference's idempotency check (S2), without per-file probes. */
+  def catchUp(spark: SparkSession, glob: String, schema: StructType,
+              checkpointDir: String, outDir: String): Unit = {
+    val q = spark.readStream.schema(schema).parquet(glob)
+      .writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Event-time tumbling aggregation — the same expression serves batch and
+    * stream (`window()` is engine-agnostic in Spark). */
+  def tumblingCounts(df: DataFrame, tsCol: String, duration: String,
+                     keys: Seq[String]): DataFrame =
+    df.groupBy(window(col(tsCol), duration) +: keys.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("bucket") +: keys.map(col) :+ col("n"): _*)
+
+  /** Streaming variant with a watermark bounding state: late data beyond
+    * `watermark` is dropped and closed windows are evicted from the store. */
+  def streamingTumbling(stream: DataFrame, tsCol: String, duration: String,
+                        watermark: String, keys: Seq[String]): DataFrame =
+    stream.withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), duration) +: keys.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("bucket") +: keys.map(col) :+ col("n"): _*)
+}
