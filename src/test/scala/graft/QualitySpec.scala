@@ -1,0 +1,44 @@
+package graft
+
+import graft.engine.{Multimodal, Quality}
+
+class QualitySpec extends SparkFunSuite {
+  import spark.implicits._
+
+  test("Q3 validateColumns: Right when all present, Left listing each missing") {
+    val df = Seq((1, "x")).toDF("id", "v")
+    assert(Quality.validateColumns(df, Seq("id", "v")).isRight)
+    Quality.validateColumns(df, Seq("id", "nope", "also_nope")) match {
+      case Left(warnings) => assert(warnings.length === 2)
+      case Right(_) => fail("expected Left")
+    }
+  }
+
+  test("Q2 runTolerant continues past failures and reports both sides") {
+    val (ok, failed) = Quality.runTolerant(Seq(
+      "good" -> (() => 42),
+      "bad" -> (() => throw new RuntimeException("boom")),
+      "alsogood" -> (() => 7)))
+    assert(ok.map(_._1) === List("good", "alsogood"))
+    assert(failed.map(_._1) === List("bad"))
+  }
+
+  test("multimodal sampleChecksum: empty and null text yield 0 (sequence guard)") {
+    val df = Seq(Some("abc"), Some(""), None).toDF("text")
+    val got = Multimodal.sampleChecksum(df, "text", 2).collect()
+      .map(_.getAs[Long]("sample_checksum"))
+    assert(got(0) === ('a'.toLong + 'c'.toLong)) // indices 1, 3
+    assert(got(1) === 0L)
+    assert(got(2) === 0L)
+  }
+
+  test("multimodal decodeStub is deterministic and schema-complete") {
+    val df = Multimodal.withBinaryPayload(
+      Seq((1L, "hello world"), (2L, "")).toDF("doc_id", "text"), "text")
+    val out = Multimodal.decodeStub(df, "doc_id", "payload").orderBy("doc_id").collect()
+    assert(out.length === 2)
+    assert(out(0).getAs[Int]("width") >= 64 && out(0).getAs[Int]("n_frames") >= 1)
+    val again = Multimodal.decodeStub(df, "doc_id", "payload").orderBy("doc_id").collect()
+    assert(out.map(_.toString).toSeq === again.map(_.toString).toSeq)
+  }
+}

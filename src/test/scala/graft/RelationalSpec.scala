@@ -1,0 +1,76 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+
+import graft.engine.Relational
+
+class RelationalSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  test("P1 footer filter drops 'total' rows case/space-insensitively") {
+    val df = Seq(" Total ", "TOTAL", "total", "12", "Totals").toDF("first")
+    val got = Relational.dropFooterRows(df, "first").collect().map(_.getString(0))
+    assert(got.toSet === Set("12", "Totals"))
+  }
+
+  test("P3 numeric CSV gate") {
+    val df = Seq("7, 8, 9", "7;8", "see map", " 14 ", "").toDF("g")
+    val got = df.filter(Relational.numericCsvOnly($"g")).collect().map(_.getString(0))
+    assert(got.toSet === Set("7, 8, 9", " 14 "))
+  }
+
+  test("G1 explode: output rows = sum of list sizes over surviving rows") {
+    val df = Seq(("a", "1,2,3"), ("b", "4"), ("c", "bad;"), ("d", "5, 6")).toDF("id", "g")
+    val out = Relational.explodeCsv(df, "g", "unit")
+    assert(out.count() === 6)
+    assert(out.columns.toSeq === Seq("id", "unit"))
+    assert(out.filter($"id" === "d").collect().map(_.getInt(1)).toSet === Set(5, 6))
+  }
+
+  test("property: explode row count equals total element count of valid rows") {
+    val xs = Gen.listOfN(100, Gen.nonEmptyListOf(Gen.choose(0, 999))).sample.get
+    val rows = xs.zipWithIndex.map { case (l, i) => (i, l.mkString(",")) }
+    val expected = rows.map(_._2.split(",").length).sum
+    assert(Relational.explodeCsv(rows.toDF("id", "g"), "g", "u").count() === expected)
+  }
+
+  test("O3 topK returns k rows in order") {
+    val df = (1 to 100).map(i => (i.toLong, (i * 37 % 100).toDouble)).toDF("id", "v")
+    val got = Relational.topK(df, 5, $"v".desc, $"id").collect()
+    assert(got.length === 5)
+    val vs = got.map(_.getDouble(1)).toSeq
+    assert(vs === vs.sorted.reverse)
+  }
+
+  test("U1 unionWithOffsets numbers rows globally in (page, row) order") {
+    val p1 = Seq((1, 1, "a"), (1, 2, "b")).toDF("page", "row", "v")
+    val p2 = Seq((2, 1, "c")).toDF("page", "row", "v")
+    val got = Relational.unionWithOffsets(Seq(p1, p2), "page", "row")
+      .orderBy("global_row").collect()
+    assert(got.map(r => (r.getAs[Int]("global_row"), r.getAs[String]("v"))).toSeq
+      === Seq((1, "a"), (2, "b"), (3, "c")))
+  }
+
+  test("sessionize: gap larger than threshold starts a new session") {
+    def ts(min: Int) = Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
+    val df = Seq(
+      (1L, ts(0), 1L), (1L, ts(10), 2L), (1L, ts(50), 3L), // 40-min gap → new session
+      (2L, ts(5), 4L)
+    ).toDF("user_id", "ts", "event_id")
+    val out = Relational.sessionize(df, "user_id", "ts", "event_id", 30L * 60 * 1000000)
+    val u1 = out.filter($"user_id" === 1).orderBy("event_id")
+      .select("session_id").collect().map(_.getLong(0)).toSeq
+    assert(u1 === Seq(1L, 1L, 2L))
+    assert(out.filter($"user_id" === 2).head().getAs[Long]("session_id") === 1L)
+  }
+
+  test("rankWithin assigns dense per-partition row numbers") {
+    val df = Seq(("a", 3), ("a", 1), ("a", 2), ("b", 9)).toDF("g", "v")
+    val got = Relational.rankWithin(df, Seq("g"), Seq($"v".desc), "rn")
+      .filter($"rn" === 1).collect()
+    assert(got.map(r => (r.getString(0), r.getInt(1))).toSet === Set(("a", 3), ("b", 9)))
+  }
+}

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.engine.Text
+
+class TextSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  test("shingles: short docs yield empty arrays, not descending sequences") {
+    val df = Seq("one two", "", "a b c d").toDF("text")
+    val got = df.select(Text.shingles($"text").as("sh")).collect().map(_.getSeq[String](0))
+    assert(got(0) === Seq())
+    assert(got(1) === Seq())
+    assert(got(2) === Seq("a b c", "b c d"))
+  }
+
+  test("exact dedup groups identical normalized text and keeps the min id") {
+    val df = Seq((1L, "Hello World"), (2L, "  hello world  "), (3L, "other"))
+      .toDF("doc_id", "text")
+    val out = Text.dedupExact(df, "text", "doc_id").orderBy("keep_id").collect()
+    assert(out.length === 2)
+    assert(out(0).getAs[Long]("keep_id") === 1L && out(0).getAs[Long]("copies") === 2L)
+  }
+
+  test("minhash: identical docs share every band; disjoint docs share none") {
+    val df = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "zz yy xx ww vv uu")).toDF("doc_id", "text")
+    val cands = Text.minhashCandidates(Text.minhashBands(df, "text", "doc_id")).collect()
+    assert(cands.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 2L)))
+  }
+
+  test("verifiedPairs computes exact token-set jaccard on candidates only") {
+    val df = Seq((1L, "a b c d"), (2L, "a b c e"), (3L, "x y")).toDF("doc_id", "text")
+    val cands = Seq((1L, 2L), (1L, 3L)).toDF("doc_a", "doc_b")
+    val got = Text.verifiedPairs(df, "text", "doc_id", cands, 0.5).collect()
+    assert(got.length === 1) // (1,2): jaccard 3/5 = 0.6; (1,3): 0
+    assert(got.head.getAs[Double]("jaccard") === 0.6)
+  }
+
+  test("ngram jaccard: df cutoff suppresses stop-shingles") {
+    // 'c c c' appears in every doc → with maxDf=2 it cannot generate candidates
+    val df = Seq((1L, "c c c a b"), (2L, "c c c d e"), (3L, "c c c f g")).toDF("doc_id", "text")
+    val strict = Text.ngramJaccardPairs(df, "text", "doc_id", maxDf = 2, threshold = 0.0)
+    assert(strict.count() === 0)
+    val loose = Text.ngramJaccardPairs(df, "text", "doc_id", maxDf = 3, threshold = 0.0)
+    assert(loose.count() === 3) // all pairs share the common shingle
+  }
+
+  test("simhash: identical docs get identical fingerprints, bounded to 48 bits") {
+    val df = Seq((1L, "spark data query"), (2L, "spark data query"), (3L, "totally different words"))
+      .toDF("doc_id", "text")
+    val fp = df.select($"doc_id", Text.simhash($"text").as("f")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) === fp(2L))
+    assert(fp(1L) !== fp(3L))
+    fp.values.foreach(v => assert(v >= 0 && v < (1L << 48)))
+  }
+
+  test("fingerprint is order-sensitive (unlike minhash)") {
+    val df = Seq((1L, "a b"), (2L, "b a")).toDF("doc_id", "text")
+    val fp = df.select(Text.fingerprint($"text").as("f")).collect().map(_.getLong(0))
+    assert(fp(0) !== fp(1))
+  }
+
+  test("quality columns: ratios bounded, token counts exact") {
+    val r = Seq("the the data").toDF("text")
+      .select(Text.qualityColumns($"text").map { case (n, c) => c.as(n) }: _*).head()
+    assert(r.getAs[Long]("n_tokens") === 3L)
+    assert(r.getAs[Long]("n_distinct") === 2L)
+    assert(r.getAs[Double]("stopword_ratio") === 0.666667)
+    val q = r.getAs[Double]("quality_score")
+    assert(q > 0.0 && q <= 1.0)
+  }
+
+  test("langIdHeuristic: lexicon majority with deterministic tie-break") {
+    val got = Seq("the a of x", "spark data y", "zz").toDF("text")
+      .select(Text.langIdHeuristic($"text").as("l")).collect().map(_.getString(0))
+    assert(got.toSeq === Seq("en", "tech", "unknown"))
+  }
+}

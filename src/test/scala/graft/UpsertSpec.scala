@@ -1,0 +1,92 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.engine.Upsert
+
+/** S10 — upsert semantics vs the reference's ON CONFLICT DO UPDATE
+  * (`load_population_production.sql:30-32`). */
+class UpsertSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  private val keys = Seq("state", "year")
+
+  private def existing = Seq(
+    ("co", 2020, 100L, Option("old_herd")),
+    ("co", 2021, 200L, None),
+    ("wy", 2020, 300L, Option("wy_herd"))
+  ).toDF("state", "year", "estimate", "herd")
+
+  test("upsert: update cols take incoming, preserve cols keep existing, inserts pass through") {
+    val incoming = Seq(
+      ("co", 2020, 111L, Option("new_herd")), // conflict: estimate updates, herd preserved
+      ("mt", 2022, 400L, Option("mt_herd"))   // insert
+    ).toDF("state", "year", "estimate", "herd")
+    val out = Upsert.upsert(existing, incoming, keys, Seq("estimate"), Seq("herd"))
+      .orderBy("state", "year").collect()
+    assert(out.length === 4)
+    val co2020 = out.find(r => r.getString(0) == "co" && r.getInt(1) == 2020).get
+    assert(co2020.getLong(2) === 111L)          // EXCLUDED wins
+    assert(co2020.getString(3) === "old_herd")  // preserved
+    val mt = out.find(r => r.getString(0) == "mt").get
+    assert(mt.getLong(2) === 400L && mt.getString(3) === "mt_herd") // insert keeps incoming herd
+  }
+
+  test("upsert: incoming NULL overwrites on conflict (EXCLUDED semantics, not coalesce)") {
+    val incoming = Seq(("co", 2020, Option.empty[Long], Option("x")))
+      .toDF("state", "year", "estimate", "herd")
+    val out = Upsert.upsert(existing, incoming, keys, Seq("estimate"), Seq("herd"))
+    val co2020 = out.filter($"state" === "co" && $"year" === 2020).head()
+    assert(co2020.isNullAt(out.columns.indexOf("estimate"))) // NULL won
+  }
+
+  test("upsert: NULL existing preserve-col stays NULL on conflict") {
+    val incoming = Seq(("co", 2021, 999L, Option("should_not_win")))
+      .toDF("state", "year", "estimate", "herd")
+    val out = Upsert.upsert(existing, incoming, keys, Seq("estimate"), Seq("herd"))
+    val co2021 = out.filter($"state" === "co" && $"year" === 2021).head()
+    assert(co2021.getLong(out.columns.indexOf("estimate")) === 999L)
+    assert(co2021.isNullAt(out.columns.indexOf("herd"))) // not updated on conflict
+  }
+
+  test("upsert is idempotent: upsert(upsert(t, d), d) == upsert(t, d)") {
+    val incoming = Seq(("co", 2020, 111L, Option("h")), ("mt", 2022, 4L, None))
+      .toDF("state", "year", "estimate", "herd")
+    val once = Upsert.upsert(existing, incoming, keys, Seq("estimate"), Seq("herd"))
+    val twice = Upsert.upsert(once, incoming, keys, Seq("estimate"), Seq("herd"))
+    assert(once.exceptAll(twice).isEmpty && twice.exceptAll(once).isEmpty)
+  }
+
+  test("dedupLastWins keeps exactly one row per key under the given order") {
+    val df = Seq(("co", 2020, 1L), ("co", 2020, 9L), ("co", 2021, 5L))
+      .toDF("state", "year", "estimate")
+    val out = Upsert.dedupLastWins(df, Seq("state", "year"), "estimate")
+      .orderBy("year").collect()
+    assert(out.map(_.getLong(2)).toSeq === Seq(9L, 5L))
+  }
+
+  test("upsertPartitioned rewrites only touched partitions (staging-path regression)") {
+    val lake = Files.createTempDirectory("upsert_lake").toString
+    existing.write.mode("overwrite").partitionBy("year").parquet(lake)
+    val untouched2021 = spark.read.parquet(lake).filter($"year" === 2021)
+      .select("state", "estimate", "herd", "year").collect().toSeq
+    val incoming = Seq(("co", 2020, 777L, Option("ignored")))
+      .toDF("state", "year", "estimate", "herd")
+    // this previously threw 'Cannot overwrite a path that is also being read from'
+    Upsert.upsertPartitioned(spark, lake, incoming, keys, Seq("estimate"), Seq("herd"), "year")
+    val after = spark.read.parquet(lake)
+    assert(after.filter($"state" === "co" && $"year" === 2020).head()
+      .getLong(after.columns.indexOf("estimate")) === 777L)
+    // untouched partition bit-identical
+    val after2021 = after.filter($"year" === 2021)
+      .select("state", "estimate", "herd", "year").collect().toSeq
+    assert(after2021 === untouched2021)
+    // conf restored to its pre-call value (the STATIC default)
+    assert(spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      .forall(_.equalsIgnoreCase("static")))
+    // staging dir cleaned up
+    assert(!new java.io.File(lake.stripSuffix("/") + "__upsert_staging").exists())
+  }
+}

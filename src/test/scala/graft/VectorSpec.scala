@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.engine.Vector
+
+class VectorSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  test("cosine: identical vectors 1.0, orthogonal 0.0, opposite -1.0") {
+    val df = Seq(
+      (Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0, 3.0), 1.0),
+      (Seq(1.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0), 0.0),
+      (Seq(1.0, 1.0, 0.0), Seq(-1.0, -1.0, 0.0), -1.0)
+    ).toDF("a", "b", "expected")
+    df.select(Vector.cosine($"a", $"b").as("c"), $"expected").collect().foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-9)
+    }
+  }
+
+  test("bruteForceTopK ranks by cosine desc with id tie-break and excludes self") {
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.9f, 0.1f)),
+      (2L, Seq(0.0f, 1.0f)), (3L, Seq(1.0f, 0.05f))
+    ).toDF("vec_id", "embedding")
+    val got = Vector.bruteForceTopK(vecs.filter($"vec_id" === 0), vecs, 2).collect()
+    assert(got.map(_.getAs[Long]("c_id")).toSeq === Seq(3L, 1L)) // nearest first
+    assert(got.map(_.getAs[Int]("rank")).toSeq === Seq(1, 2))
+    assert(!got.map(_.getAs[Long]("c_id")).contains(0L))
+  }
+
+  test("lshBucket: deterministic, bounded by 2^planes, identical vectors collide") {
+    val vecs = Seq((0L, Seq.fill(8)(0.5f)), (1L, Seq.fill(8)(0.5f)),
+      (2L, Seq.tabulate(8)(i => if (i % 2 == 0) 1.0f else -1.0f))).toDF("vec_id", "embedding")
+    val got = vecs.select($"vec_id",
+      Vector.lshBucket(Vector.asDouble($"embedding"), 4, 8).as("b")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(0L) === got(1L))
+    got.values.foreach(b => assert(b >= 0 && b < 16))
+    val again = vecs.select(Vector.lshBucket(Vector.asDouble($"embedding"), 4, 8).as("b"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(again === Seq(got(0L), got(1L), got(2L)))
+  }
+
+  test("lshTopK only pairs within a bucket and re-ranks exactly") {
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.01f)), (1L, Seq(1.0f, 0.02f)), (2L, Seq(1.0f, 0.03f))
+    ).toDF("vec_id", "embedding")
+    val got = Vector.lshTopK(vecs.filter($"vec_id" === 0), vecs, 5, 4, 2).collect()
+    // all three share a half-space under the deterministic planes → same bucket
+    assert(got.map(_.getAs[Long]("c_id")).toSet.subsetOf(Set(1L, 2L)))
+    got.foreach(r => assert(r.getAs[Double]("cos") > 0.99))
+  }
+
+  test("planeWeight is exactly representable (oracle-reproducible) and in [-1, 1)") {
+    for (p <- 0 until 8; i <- 0 until 64) {
+      val w = Vector.planeWeight(p, i)
+      assert(w >= -1.0 && w < 1.0)
+      assert(w * 1024.0 === math.rint(w * 1024.0)) // integer/1024 exactly
+    }
+  }
+}
