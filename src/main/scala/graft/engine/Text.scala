@@ -36,28 +36,51 @@ object Text {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("copies"))
 
   // ---------------------------------------------------------------- MinHash
-  /** MinHash signature: k universal-ish hashes h_i(t) = (a_i·h + b_i) mod P
-    * over the document's DISTINCT tokens; signature_i = min over tokens.
-    * h is the 60-bit token hash reduced mod M first so a_i·h stays in int64
-    * (no ANSI overflow). */
+  /** MinHash signature over the document's DISTINCT w-token SHINGLES
+    * (shingle→minhash→band — the standard near-dup pipeline): k
+    * universal-ish hashes h_i(t) = (a_i·h + b_i) mod P; signature_i = min
+    * over shingles.  Shingles, not unigrams: over a small shared vocabulary
+    * unigram sets of unrelated documents converge (every doc contains most
+    * words) and LSH degenerates to all-pairs; the w-gram space is |V|^w, so
+    * only genuinely overlapping text collides.  h is the 60-bit shingle hash
+    * reduced mod M first so a_i·h stays in int64 (no ANSI overflow). */
   val MinhashK = 16
   val BandRows = 4           // 4 bands × 4 rows: P(candidate) = 1-(1-s^4)^4
   private val M = 1000000007L
   private val P = 2147483647L
 
-  def minhashSignature(textCol: Column): Column = {
-    val th = transform(array_distinct(tokens(textCol)), t => tokenHash(t) % M)
+  /** Signature from a pre-hashed (mod M) shingle array — pure arithmetic,
+    * k passes over materialized longs. */
+  def minhashSignatureOf(th: Column): Column =
     transform(sequence(lit(0), lit(MinhashK - 1)), i =>
       array_min(transform(th, h => ((lit(2) * i + 1) * h + lit(7) + lit(13) * i) % P)))
-  }
+
+  def minhashSignature(textCol: Column): Column =
+    minhashSignatureOf(transform(array_distinct(shingles(textCol)), t => tokenHash(t) % M))
 
   /** (id, band, band_key) — the LSH bucketing relation.  Near-dup candidates
-    * are pairs sharing a (band, band_key): an equi-join, never a cross join. */
-  def minhashBands(df: DataFrame, textCol: String, idCol: String): DataFrame =
-    df.select(col(idCol).as("doc"), minhashSignature(col(textCol)).as("sig"))
-      .select(col("doc"), posexplode(transform(sequence(lit(0), lit(MinhashK / BandRows - 1)),
-        b => array_join(slice(col("sig"), b * BandRows + 1, lit(BandRows)).cast("array<string>"), "-"))))
+    * are pairs sharing a (band, band_key): an equi-join, never a cross join.
+    * Documents too short to shingle have no signature and can't be near-dups;
+    * they are excluded (an empty shingle set would hash every short doc into
+    * one degenerate all-null bucket). */
+  def minhashBands(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    // Fully relational shape — NOT nested array lambdas: CollapseProject
+    // re-inlines lambda-captured projections, and a k×|shingles| nested
+    // lambda tree explodes whole-stage codegen (observed: minutes of Janino
+    // on what should be a 2-second stage).  Instead: explode shingles (one
+    // Generate), hash once per (doc, shingle) row, then k parallel MIN
+    // aggregates — partial aggregation map-side, exactly one shuffle on doc.
+    val nBands = MinhashK / BandRows
+    val rel = shingleRows(df, textCol, idCol)
+      .select(col("doc"), (tokenHash(col("__sh")) % M).as("__h"))
+    val sigCols = (0 until MinhashK).map(i =>
+      min((col("__h") * (2 * i + 1) + (7 + 13 * i)) % P).as(s"__s$i"))
+    val sig = rel.groupBy("doc").agg(sigCols.head, sigCols.tail: _*)
+    val bandKey = (b: Int) => concat_ws("-",
+      (0 until BandRows).map(r => col(s"__s${b * BandRows + r}").cast("string")): _*)
+    sig.select(col("doc"), posexplode(array((0 until nBands).map(bandKey): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
+  }
 
   /** LSH candidate pairs (doc_a < doc_b), deduped across bands. */
   def minhashCandidates(bands: DataFrame): DataFrame = {
@@ -67,10 +90,13 @@ object Text {
       .select("doc_a", "doc_b").distinct()
   }
 
-  /** Exact token-set Jaccard for verification of candidate pairs only. */
+  /** Exact shingle-set Jaccard for verification of candidate pairs only —
+    * the same unit the signatures estimate, so the LSH recall bound applies. */
   def verifiedPairs(df: DataFrame, textCol: String, idCol: String,
                     candidates: DataFrame, threshold: Double): DataFrame = {
-    val toks = df.select(col(idCol).as("doc"), array_distinct(tokens(col(textCol))).as("toks"))
+    val toks = df.select(col(idCol).as("doc"), tokens(col(textCol)).as("__t"))
+      .repartition(col("doc"))
+      .select(col("doc"), array_distinct(shinglesOf(col("__t"))).as("toks"))
     candidates
       .join(toks.select(col("doc").as("doc_a"), col("toks").as("toks_a")), Seq("doc_a"))
       .join(toks.select(col("doc").as("doc_b"), col("toks").as("toks_b")), Seq("doc_b"))
@@ -87,8 +113,10 @@ object Text {
     * near-dup documents; at scale, bucket by fingerprint bytes and compare
     * within buckets. */
   val SimhashBits = 48
-  def simhash(textCol: Column): Column = {
-    val th = transform(tokens(textCol), t => tokenHash(t))
+
+  /** SimHash from a pre-materialized token-hash array (hot-path form: md5
+    * once per token, then 48 pure-arithmetic passes). */
+  def simhashOf(th: Column): Column = {
     val pw = typedlit((0 until SimhashBits).map(b => 1L << b))
     // per-bit contributions are independent integer adds (associative), so the
     // outer fold is order-free — the oracle mirrors it as a plain list_sum.
@@ -99,23 +127,60 @@ object Text {
     })
   }
 
+  def simhash(textCol: Column): Column =
+    simhashOf(transform(tokens(textCol), t => tokenHash(t)))
+
+  /** Relational SimHash over a whole frame (the hot-path form — same
+    * explode/aggregate shape as minhashBands, for the same codegen reason):
+    * one row per token, 48 conditional-sum aggregates, one shuffle. */
+  def simhashRelational(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val rel = df.select(col(idCol).as(idCol), tokens(col(textCol)).as("__t"))
+      .repartition(col(idCol))
+      .select(col(idCol), explode(col("__t")).as("__tk"))
+      .select(col(idCol), tokenHash(col("__tk")).as("__h"))
+    val bitAggs = (0 until SimhashBits).map(b =>
+      sum(when(col("__h").bitwiseAND(lit(1L << b)) =!= 0, 1).otherwise(-1)).as(s"__b$b"))
+    rel.groupBy(idCol).agg(bitAggs.head, bitAggs.tail: _*)
+      .select(col(idCol), (0 until SimhashBits).map(b =>
+        when(col(s"__b$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _).as("simhash"))
+  }
+
+  /** Distinct (doc, shingle) rows.  Two deliberate physical choices:
+    * (1) the token array materializes BELOW a repartition-by-doc exchange —
+    * higher-order functions are CodegenFallback (interpreted), and
+    * CollapseProject would otherwise re-inline the split() into the shingle
+    * lambda, re-splitting the text once per shingle index; the exchange is a
+    * barrier collapse can't cross, so shingling runs over an in-memory
+    * array; (2) repartitioning happens on the GROUP key while rows are still
+    * one-per-doc, so the downstream groupBy/window reuses the exchange and
+    * a single-file input still fans out to every core. */
+  def shingleRows(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.filter(size(tokens(col(textCol))) >= 3)
+      .select(col(idCol).as("doc"), tokens(col(textCol)).as("__t"))
+      .repartition(col("doc"))
+      .select(col("doc"), explode(array_distinct(shinglesOf(col("__t")))).as("__sh"))
+
   // ------------------------------------------------------- n-gram shingles
-  /** w-token shingles (w=3): the unit for near-dup Jaccard. */
-  def shingles(textCol: Column, w: Int = 3): Column = {
-    val t = tokens(textCol)
+  /** w-token shingles over a pre-materialized token array.  Callers on hot
+    * paths should project `tokens(text)` into a column first: Spark inlines
+    * lambda-captured expressions, so shingling straight off the text column
+    * re-splits the string once per shingle index. */
+  def shinglesOf(t: Column, w: Int = 3): Column =
     // guard: sequence(1, n) DESCENDS for n < 1, so short docs need an
     // explicit empty-array branch, not an empty sequence.
     when(size(t) >= w,
       transform(sequence(lit(1), size(t) - (w - 1)),
         i => array_join(slice(t, i, lit(w)), " ")))
       .otherwise(array().cast("array<string>"))
-  }
+
+  /** w-token shingles (w=3): the unit for near-dup Jaccard. */
+  def shingles(textCol: Column, w: Int = 3): Column = shinglesOf(tokens(textCol), w)
 
   /** Distinct (doc, shingle) relation with a document-frequency cutoff: drop
     * shingles appearing in more than `maxDf` docs — the skew guard that keeps
     * the candidate join linear-ish at corpus scale. */
   def shingleRelation(df: DataFrame, textCol: String, idCol: String, maxDf: Int): DataFrame = {
-    val rel = df.select(col(idCol).as("doc"), explode(array_distinct(shingles(col(textCol)))).as("sh"))
+    val rel = shingleRows(df, textCol, idCol).withColumnRenamed("__sh", "sh")
     val dfCount = rel.groupBy("sh").agg(countDistinct("doc").as("df")).filter(col("df") <= maxDf)
     rel.join(dfCount.select("sh"), Seq("sh"))
   }

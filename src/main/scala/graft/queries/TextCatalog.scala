@@ -36,13 +36,18 @@ object TextCatalog {
     s"round(${dotSql(a, b, dims)} / (sqrt(${dotSql(a, a, dims)}) * sqrt(${dotSql(b, b, dims)})), 6)"
 
   /** MinHash bands CTE fragment (`bk(doc, band, band_key)`), ≡
-    * Text.minhashBands with k=16, 4 bands × 4 rows. */
+    * Text.minhashBands: shingle→minhash→band with k=16, 4 bands × 4 rows;
+    * docs too short to shingle are excluded. */
   private val bandsSql: String =
-    s"""sigs AS (SELECT doc_id AS doc,
+    s"""tokd AS (SELECT doc_id AS doc, $toks AS t FROM documents WHERE len($toks) >= 3),
+       shd AS (SELECT doc, t, list_transform(range(1, len(t) - 1),
+           i -> array_to_string(list_slice(t, i, i + 2), ' ')) AS sh
+         FROM tokd),
+       sigs AS (SELECT doc,
          list_transform(range(0, ${Text.MinhashK}), i ->
-           list_min(list_transform(list_distinct($toks),
-             t -> ((2*i + 1) * (${th("t")} % $M) + 7 + 13*i) % $P))) AS sig
-       FROM documents),
+           list_min(list_transform(list_distinct(sh),
+             s -> ((2*i + 1) * (${th("s")} % $M) + 7 + 13*i) % $P))) AS sig
+       FROM shd),
        bx AS (SELECT doc, unnest(range(0, ${Text.MinhashK / Text.BandRows})) AS band, sig FROM sigs),
        bk AS (SELECT doc, CAST(band AS INT) AS band,
          array_to_string(list_transform(list_slice(sig, band*${Text.BandRows} + 1, band*${Text.BandRows} + ${Text.BandRows}), v -> CAST(v AS VARCHAR)), '-') AS band_key
@@ -157,7 +162,7 @@ object TextCatalog {
       Some(s"""WITH $bandsSql,
          cand AS (SELECT DISTINCT a.doc AS doc_a, b2.doc AS doc_b
            FROM bk a JOIN bk b2 ON a.band = b2.band AND a.band_key = b2.band_key AND a.doc < b2.doc),
-         tk AS (SELECT doc_id AS doc, list_distinct($toks) AS tk FROM documents)
+         tk AS (SELECT doc, list_distinct(sh) AS tk FROM shd)
          SELECT c.doc_a, c.doc_b,
            round(CAST(len(list_intersect(ta.tk, tb.tk)) AS DOUBLE)
              / (len(ta.tk) + len(tb.tk) - len(list_intersect(ta.tk, tb.tk))), 6) AS jaccard
@@ -167,8 +172,7 @@ object TextCatalog {
          ORDER BY doc_a, doc_b""")),
 
     QueryDef("q_simhash",
-      (s, dir) => t(s, dir, "documents")
-        .select(col("doc_id"), Text.simhash(col("text")).as("simhash"))
+      (s, dir) => Text.simhashRelational(t(s, dir, "documents"), "text", "doc_id")
         .orderBy("doc_id"),
       Some(s"""SELECT doc_id,
            CAST(list_sum(list_transform(range(0, ${Text.SimhashBits}), b ->

@@ -30,12 +30,13 @@ class TextSpec extends SparkFunSuite {
     assert(cands.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 2L)))
   }
 
-  test("verifiedPairs computes exact token-set jaccard on candidates only") {
+  test("verifiedPairs computes exact shingle-set jaccard on candidates only") {
     val df = Seq((1L, "a b c d"), (2L, "a b c e"), (3L, "x y")).toDF("doc_id", "text")
     val cands = Seq((1L, 2L), (1L, 3L)).toDF("doc_a", "doc_b")
-    val got = Text.verifiedPairs(df, "text", "doc_id", cands, 0.5).collect()
-    assert(got.length === 1) // (1,2): jaccard 3/5 = 0.6; (1,3): 0
-    assert(got.head.getAs[Double]("jaccard") === 0.6)
+    val got = Text.verifiedPairs(df, "text", "doc_id", cands, 0.3).collect()
+    // (1,2): shingles {abc,bcd} vs {abc,bce} → 1/3; (1,3): no shingles → 0
+    assert(got.length === 1)
+    assert(got.head.getAs[Double]("jaccard") === 0.333333)
   }
 
   test("ngram jaccard: df cutoff suppresses stop-shingles") {
