@@ -71,6 +71,23 @@ object Vector {
     }.reduce(_ + _)
   }
 
+  /** Embedding-cosine near-duplicate pairs: candidates share an LSH bucket
+    * (equi-join — near-identical vectors land in the same half-space for
+    * every hyperplane), exact cosine filters within buckets.  The all-pairs
+    * O(N²) comparison never happens; at 100 TB recall is tuned by lowering
+    * `planes` (bigger buckets) or multi-probing adjacent buckets. */
+  def cosineNearDupPairs(corpus: DataFrame, threshold: Double,
+                         planes: Int = 4, dims: Int = 64): DataFrame = {
+    val v = corpus.select(col("vec_id"), asDouble(col("embedding")).as("dv"))
+      .withColumn("bucket", lshBucket(col("dv"), planes, dims))
+    val a = v.select(col("vec_id").as("id_a"), col("dv").as("va"), col("bucket"))
+    val b = v.select(col("vec_id").as("id_b"), col("dv").as("vb"), col("bucket"))
+    a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
+      .withColumn("cos", cosine(col("va"), col("vb")))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+  }
+
   /** ANN: equi-join on LSH bucket, exact cosine re-rank within buckets. */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               planes: Int = 8, dims: Int = 64): DataFrame = {

@@ -233,6 +233,24 @@ object Catalog {
          SELECT user_id, CAST(SUM(new_s) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
          FROM m GROUP BY 1 ORDER BY 1""")),
 
+    // Same sessions via mapGroupsWithState custom state (the streaming-native
+    // form; Spark runs the state function per group on batch inputs too).
+    QueryDef("q_stateful_sessions",
+      (s, dir) => {
+        import s.implicits._
+        val evts = events(s, dir)
+          .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_id"))
+          .as[graft.streaming.SessionEvent]
+        Streaming.statefulSessionCounts(evts, 1800L * 1000000L).toDF().orderBy("user_id")
+      },
+      Some("""WITH m AS (SELECT user_id,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         SELECT user_id, CAST(SUM(new_s) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+         FROM m GROUP BY 1 ORDER BY 1""")),
+
     // W1 frame spec — rolling 3-row sum per user (decimal-exact accumulation).
     QueryDef("q_rolling_sum",
       (s, dir) => events(s, dir)
@@ -382,6 +400,31 @@ object Catalog {
       Some(s"""WITH $productionSql
          SELECT species, year, COUNT(*) AS n, CAST(SUM(post_hunt_estimate) AS BIGINT) AS total_estimate
          FROM production GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // S8 — DDL (CREATE TABLE IF NOT EXISTS) + SQL INSERT + catalog read-back,
+    // the Spark form of the reference's sql/create + sql/load scripts
+    // (`load_duckdb_schema.py:6-26`, `load_population_stage.sql`).
+    QueryDef("q_s8_ddl",
+      (s, dir) => {
+        val loc = Files.createTempDirectory("graft_ddl").toString
+        s.sql("DROP TABLE IF EXISTS population_production_t")
+        s.sql(s"""CREATE TABLE IF NOT EXISTS population_production_t (
+             state STRING, species STRING, herd_name STRING,
+             post_hunt_estimate BIGINT, male_female_ratio DOUBLE,
+             year INT, unit INT)
+           USING parquet LOCATION '$loc'""")
+        production(s, dir).createOrReplaceTempView("prod_src")
+        s.sql("""INSERT OVERWRITE TABLE population_production_t
+           SELECT state, species, herd_name, post_hunt_estimate, male_female_ratio, year, unit
+           FROM prod_src""")
+        s.table("population_production_t")
+          .groupBy("species")
+          .agg(count(lit(1)).as("n_rows"), lsum(col("unit")).as("unit_sum"))
+          .orderBy("species")
+      },
+      Some(s"""WITH $productionSql
+         SELECT species, COUNT(*) AS n_rows, CAST(SUM(unit) AS BIGINT) AS unit_sum
+         FROM production GROUP BY 1 ORDER BY 1""")),
 
     // S7 — footer-only schema probe.
     QueryDef("q_s7_schema_probe",

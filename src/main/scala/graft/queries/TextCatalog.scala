@@ -233,6 +233,18 @@ object TextCatalog {
       Some(s"""WITH ${lshSql(4, 64)}
          SELECT vec_id, CAST(bucket AS BIGINT) AS bucket FROM b ORDER BY vec_id""")),
 
+    // Embedding-cosine near-dup: LSH-bucketed candidate pairs, exact cosine
+    // threshold — never an all-pairs cross join.
+    QueryDef("q_dedup_embed_cosine",
+      (s, dir) => Vector.cosineNearDupPairs(t(s, dir, "embeddings"), 0.35, 4, 64)
+        .orderBy("id_a", "id_b"),
+      Some(s"""WITH ${lshSql(4, 64)},
+         pa AS (SELECT vec_id AS id_a, dv AS va, bucket FROM b),
+         pb AS (SELECT vec_id AS id_b, dv AS vb, bucket FROM b),
+         sc AS (SELECT id_a, id_b, ${cosSql("va", "vb", 64)} AS cos
+           FROM pa JOIN pb ON pa.bucket = pb.bucket AND id_a < id_b)
+         SELECT id_a, id_b, cos FROM sc WHERE cos >= 0.35 ORDER BY id_a, id_b""")),
+
     // ANN: equi-join on bucket, exact cosine re-rank within buckets only.
     QueryDef("q_lsh_topk",
       (s, dir) => {

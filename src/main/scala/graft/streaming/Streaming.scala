@@ -1,9 +1,14 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, Trigger}
 import org.apache.spark.sql.types.StructType
+
+/** Typed rows for the stateful sessionizer. */
+case class SessionEvent(user_id: Long, ts_us: Long, event_id: Long)
+case class SessionState(lastTsUs: Long, nSessions: Long, nEvents: Long)
+case class SessionCounts(user_id: Long, n_sessions: Long, n_events: Long)
 
 /** ST1 — incremental file-source catch-up (SURVEY §2.10).
   *
@@ -40,6 +45,29 @@ object Streaming {
     df.groupBy(window(col(tsCol), duration) +: keys.map(col): _*)
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("bucket") +: keys.map(col) :+ col("n"): _*)
+
+  /** Custom per-key state via `mapGroupsWithState` — the streaming form of
+    * Relational.sessionize (gap-based sessions).  State per user is three
+    * longs regardless of history length, so a billion-user stream holds
+    * O(users) state, partitioned by the group key across executors.  Works
+    * on batch Datasets too (Spark runs the state function per group). */
+  def statefulSessionCounts(events: Dataset[SessionEvent],
+                            gapMicros: Long): Dataset[SessionCounts] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[SessionState, SessionCounts](GroupStateTimeout.NoTimeout) {
+        (user: Long, evts: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          val prev = state.getOption.getOrElse(SessionState(Long.MinValue, 0L, 0L))
+          // micro-batches deliver groups unordered; impose event-time order
+          val sorted = evts.toSeq.sortBy(e => (e.ts_us, e.event_id))
+          val next = sorted.foldLeft(prev) { (st, e) =>
+            val newSession = st.lastTsUs == Long.MinValue || (e.ts_us - st.lastTsUs) > gapMicros
+            SessionState(e.ts_us, st.nSessions + (if (newSession) 1 else 0), st.nEvents + 1)
+          }
+          state.update(next)
+          SessionCounts(user, next.nSessions, next.nEvents)
+      }
+  }
 
   /** Streaming variant with a watermark bounding state: late data beyond
     * `watermark` is dropped and closed windows are evicted from the store. */

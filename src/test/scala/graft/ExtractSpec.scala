@@ -63,6 +63,21 @@ class ExtractSpec extends SparkFunSuite {
     assert(Extract.reconstructTable(df(Nil)).count() === 0)
   }
 
+  test("parseBlocks reads recorded Textract JSON and reconstructs the grid") {
+    val dir = java.nio.file.Files.createTempDirectory("blocks_json")
+    val json = Seq(
+      """{"Id":"w1","BlockType":"WORD","Text":"Unit"}""",
+      """{"Id":"w2","BlockType":"WORD","Text":"12"}""",
+      """{"Id":"c1","BlockType":"CELL","Page":1,"RowIndex":1,"ColumnIndex":1,"Relationships":[{"Type":"CHILD","Ids":["w1"]}]}""",
+      """{"Id":"c2","BlockType":"CELL","Page":1,"RowIndex":1,"ColumnIndex":2,"Relationships":[{"Type":"CHILD","Ids":["w2"]}]}""")
+    java.nio.file.Files.write(dir.resolve("blocks.json"),
+      json.mkString("\n").getBytes("UTF-8"))
+    val blocks = Extract.parseBlocks(spark, dir.toString)
+    val grid = Extract.reconstructTable(blocks).collect()
+    assert(grid.length === 1)
+    assert(grid.head.getAs[Seq[String]]("cells") === Seq("Unit", "12"))
+  }
+
   test("unknown child ids resolve to empty words (left join, not inner)") {
     val blocks = df(Seq(cell("c1", 1, 1, 1, Seq("missing_word"))))
     val grid = Extract.reconstructTable(blocks).collect()

@@ -43,6 +43,41 @@ class StreamingSpec extends SparkFunSuite {
       === Seq(("view", 2L), ("click", 1L), ("view", 1L)))
   }
 
+  test("statefulSessionCounts carries state across micro-batches (mapGroupsWithState)") {
+    val base = Files.createTempDirectory("st1_state").toString
+    import spark.implicits._
+    // two files → two micro-batches with maxFilesPerTrigger=1; user 1's
+    // session must NOT reset at the batch boundary (10:00 → 10:10 same
+    // session), and the 40-min gap within batch 2 must open a new one.
+    Seq((1L, 600_000_000L, 1L), (1L, 1_200_000_000L, 2L))
+      .toDF("user_id", "ts_us", "event_id").write.parquet(s"$base/src/f1")
+    Seq((1L, 1_800_000_000L, 3L), (1L, 4_500_000_000L, 4L), (2L, 0L, 5L))
+      .toDF("user_id", "ts_us", "event_id").write.parquet(s"$base/src/f2")
+    val schema = spark.read.parquet(s"$base/src/f1").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/src/*")
+      .as[graft.streaming.SessionEvent]
+    val q = Streaming.statefulSessionCounts(stream, 1800L * 1000000L)
+      .writeStream.format("memory").queryName("sessions_mem")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val last = spark.table("sessions_mem")
+      .groupBy("user_id").agg(max("n_sessions").as("s"), max("n_events").as("e"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(last(1L) === ((2L, 4L))) // one session spanning the batch seam + one after the gap
+    assert(last(2L) === ((1L, 1L)))
+  }
+
+  test("statefulSessionCounts on a batch Dataset matches the window-function sessionizer") {
+    import spark.implicits._
+    val micros = Seq((1L, 0L, 1L), (1L, 100_000_000L, 2L), (1L, 4_000_000_000L, 3L),
+      (2L, 0L, 4L), (3L, 0L, 5L), (3L, 1_900_000_000L, 6L))
+    val ds = micros.toDF("user_id", "ts_us", "event_id").as[graft.streaming.SessionEvent]
+    val stateful = Streaming.statefulSessionCounts(ds, 1800L * 1000000L)
+      .collect().map(s => s.user_id -> ((s.n_sessions, s.n_events))).toMap
+    assert(stateful === Map(1L -> ((2L, 3L)), 2L -> ((1L, 1L)), 3L -> ((2L, 2L))))
+  }
+
   test("streamingTumbling aggregates a stream with a watermark (memory sink)") {
     val base = Files.createTempDirectory("st1_stream").toString
     Seq((ts(1), "view"), (ts(2), "view"), (ts(61), "click"))
