@@ -29,10 +29,13 @@ object Profile {
     time("candidates")(Text.minhashCandidates(Text.minhashBands(d, "text", "doc_id")).count())
     time("simhash")(Text.simhashRelational(d, "text", "doc_id").count())
     time("ngram jaccard")(Text.ngramJaccardPairs(d, "text", "doc_id", 20, 0.1).count())
-    time("md5 only")(d.select(Text.exactKey(col("text")).as("k")).agg(count("k")).count())
     time("dedup exact")(Text.dedupExact(d, "text", "doc_id").count())
-    time("dedup exact again")(Text.dedupExact(d, "text", "doc_id").count())
-    Text.dedupExact(d, "text", "doc_id").explain("formatted")
+    if (sys.env.contains("GRAFT_EXPLAIN")) {
+      System.err.println("=== flagship revenue ===")
+      graft.queries.Catalog.flagshipRevenue(spark, sfDir).explain("formatted")
+      System.err.println("=== g1 explode production ===")
+      graft.queries.Fixtures.production(spark, sfDir).explain("formatted")
+    }
     spark.stop()
   }
 }
