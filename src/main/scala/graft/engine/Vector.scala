@@ -39,13 +39,24 @@ object Vector {
   def cosine(a: Column, b: Column): Column =
     round(dot(a, b) / (sqrt(norm2(a)) * sqrt(norm2(b))), 6)
 
+  /** Dot product via the native codegen'd Catalyst expression
+    * (graft.functions.DotProduct) — bit-identical to [[dot]] (same
+    * index-order accumulation), but runs inside whole-stage codegen instead
+    * of the interpreted higher-order-function path.  Requires `graft_dot`
+    * registered in the session (GraftFunctions.ensureRegistered). */
+  def dotNative(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+
+  def cosineNative(a: Column, b: Column): Column =
+    round(dotNative(a, b) / (sqrt(dotNative(a, a)) * sqrt(dotNative(b, b))), 6)
+
   /** Exact top-k neighbors for each query vector (queries must be small enough
     * to broadcast — they are the "probe" side). */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(corpus.sparkSession)
     val q = broadcast(queries.select(col("vec_id").as("q_id"), asDouble(col("embedding")).as("qv")))
     val c = corpus.select(col("vec_id").as("c_id"), asDouble(col("embedding")).as("cv"))
     val scored = c.join(q, col("q_id") =!= col("c_id"))
-      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("cos", cosineNative(col("qv"), col("cv")))
     scored
       .withColumn("rank", row_number().over(
         Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))))
@@ -80,10 +91,11 @@ object Vector {
                          planes: Int = 4, dims: Int = 64): DataFrame = {
     val v = corpus.select(col("vec_id"), asDouble(col("embedding")).as("dv"))
       .withColumn("bucket", lshBucket(col("dv"), planes, dims))
+    graft.functions.GraftFunctions.ensureRegistered(corpus.sparkSession)
     val a = v.select(col("vec_id").as("id_a"), col("dv").as("va"), col("bucket"))
     val b = v.select(col("vec_id").as("id_b"), col("dv").as("vb"), col("bucket"))
     a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
-      .withColumn("cos", cosine(col("va"), col("vb")))
+      .withColumn("cos", cosineNative(col("va"), col("vb")))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
   }
@@ -96,8 +108,9 @@ object Vector {
       .withColumn("bucket", lshBucket(col("qv"), planes, dims)))
     val c = corpus.select(col("vec_id").as("c_id"), asDouble(col("embedding")).as("cv"))
       .withColumn("bucket", lshBucket(col("cv"), planes, dims))
+    graft.functions.GraftFunctions.ensureRegistered(corpus.sparkSession)
     q.join(c, Seq("bucket")).filter(col("q_id") =!= col("c_id"))
-      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("cos", cosineNative(col("qv"), col("cv")))
       .withColumn("rank", row_number().over(
         Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))))
       .filter(col("rank") <= k)

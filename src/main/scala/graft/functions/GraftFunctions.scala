@@ -1,0 +1,32 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Registration surface for graft's native Catalyst expressions.
+  *
+  * Two entry points:
+  *  - `GraftExtensions` for session construction time
+  *    (`SparkSession.builder.withExtensions(new GraftExtensions)`, or
+  *    `spark.sql.extensions=graft.functions.GraftExtensions`) — makes
+  *    `graft_dot` available to pure-SQL users;
+  *  - `ensureRegistered(spark)` for programmatic use against an existing
+  *    session (idempotent) — the engine's frame-level operators call it
+  *    through `df.sparkSession`, so callers need no setup.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      DotProduct.info,
+      (children: Seq[Expression]) => DotProduct(children(0), children(1))))
+}
+
+object GraftFunctions {
+  def ensureRegistered(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_dot",
+      (children: Seq[Expression]) => DotProduct(children(0), children(1)),
+      "built-in")
+}

@@ -52,6 +52,35 @@ class VectorSpec extends SparkFunSuite {
     got.foreach(r => assert(r.getAs[Double]("cos") > 0.99))
   }
 
+  test("DotProduct expression: codegen result is bit-identical to the fold form") {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val vecs = (0 until 50).map { i =>
+      (i.toLong, Seq.tabulate(64)(j => ((i * 31 + j * 17) % 97 - 48) / 7.0),
+        Seq.tabulate(64)(j => ((i * 13 + j * 29) % 89 - 44) / 11.0))
+    }.toDF("id", "a", "b")
+    val both = vecs.select(
+      Vector.dot($"a", $"b").as("fold"),
+      Vector.dotNative($"a", $"b").as("native")).collect()
+    both.foreach { r =>
+      // exact equality: both accumulate left-to-right in index order
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0))
+        === java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+  }
+
+  test("graft_dot is callable from SQL after registration") {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val got = spark.sql(
+      "SELECT graft_dot(array(1.0d, 2.0d, 3.0d), array(4.0d, 5.0d, 6.0d)) AS d")
+      .head().getDouble(0)
+    assert(got === 32.0)
+    // null array → null; mismatched lengths → common prefix
+    assert(spark.sql("SELECT graft_dot(CAST(NULL AS ARRAY<DOUBLE>), array(1.0d))")
+      .head().isNullAt(0))
+    assert(spark.sql("SELECT graft_dot(array(2.0d, 9.0d), array(3.0d))")
+      .head().getDouble(0) === 6.0)
+  }
+
   test("planeWeight is exactly representable (oracle-reproducible) and in [-1, 1)") {
     for (p <- 0 until 8; i <- 0 until 64) {
       val w = Vector.planeWeight(p, i)
