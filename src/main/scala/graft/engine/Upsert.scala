@@ -69,6 +69,13 @@ object Upsert {
   def upsertPartitioned(spark: org.apache.spark.sql.SparkSession, lakeRoot: String,
                         incoming: DataFrame, keys: Seq[String], updateCols: Seq[String],
                         preserveCols: Seq[String], partCol: String): Unit = {
+    // bootstrap: no lake yet → the incoming batch IS the lake
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(lakeRoot), spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(lakeRoot))) {
+      incoming.write.mode("overwrite").partitionBy(partCol).parquet(lakeRoot)
+      return
+    }
     val touched = incoming.select(partCol).distinct().collect().map(_.get(0))
     val existing = spark.read.parquet(lakeRoot).filter(col(partCol).isin(touched: _*))
     val merged = upsert(existing, incoming, keys, updateCols, preserveCols)

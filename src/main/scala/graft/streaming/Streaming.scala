@@ -46,6 +46,27 @@ object Streaming {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("bucket") +: keys.map(col) :+ col("n"): _*)
 
+  /** Streaming keyed upsert into a partitioned parquet lake: each
+    * micro-batch is deduped (last-wins) and merged via
+    * `Upsert.upsertPartitioned` — the streaming form of the reference's
+    * ON CONFLICT hydration (`load_population_production.sql:30-32`), with
+    * the checkpoint providing exactly-once batch tracking.  Only lake
+    * partitions touched by the batch are rewritten. */
+  def upsertSink(stream: DataFrame, lakeRoot: String, checkpointDir: String,
+                 keys: Seq[String], updateCols: Seq[String], preserveCols: Seq[String],
+                 partCol: String, orderCol: String): Unit = {
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val deduped = graft.engine.Upsert.dedupLastWins(batch, keys, orderCol)
+        graft.engine.Upsert.upsertPartitioned(batch.sparkSession, lakeRoot,
+          deduped, keys, updateCols, preserveCols, partCol)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Custom per-key state via `mapGroupsWithState` — the streaming form of
     * Relational.sessionize (gap-based sessions).  State per user is three
     * longs regardless of history length, so a billion-user stream holds

@@ -78,6 +78,29 @@ class StreamingSpec extends SparkFunSuite {
     assert(stateful === Map(1L -> ((2L, 3L)), 2L -> ((1L, 1L)), 3L -> ((2L, 2L))))
   }
 
+  test("upsertSink merges each micro-batch into the lake (streaming ON CONFLICT)") {
+    val base = Files.createTempDirectory("st1_upsert").toString
+    import spark.implicits._
+    // batch 1 bootstraps the lake; batch 2 updates one key, inserts another
+    Seq(("co", 2020, 100L, "old", 1L), ("co", 2021, 200L, "keep", 1L))
+      .toDF("state", "year", "estimate", "herd", "seq").write.parquet(s"$base/src/f1")
+    Seq(("co", 2020, 999L, "new", 2L), ("wy", 2020, 300L, "wy", 2L))
+      .toDF("state", "year", "estimate", "herd", "seq").write.parquet(s"$base/src/f2")
+    val schema = spark.read.parquet(s"$base/src/f1").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/src/*")
+    Streaming.upsertSink(stream, s"$base/lake", s"$base/cp",
+      keys = Seq("state", "year"), updateCols = Seq("estimate", "seq"),
+      preserveCols = Seq("herd"), partCol = "year", orderCol = "seq")
+    val lake = spark.read.parquet(s"$base/lake")
+      .select("state", "year", "estimate", "herd").orderBy("state", "year")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getString(3)))
+    assert(lake.toSeq === Seq(
+      ("co", 2020, 999L, "old"),  // updated estimate, preserved herd
+      ("co", 2021, 200L, "keep"), // untouched
+      ("wy", 2020, 300L, "wy")))  // inserted
+  }
+
   test("streamingTumbling aggregates a stream with a watermark (memory sink)") {
     val base = Files.createTempDirectory("st1_stream").toString
     Seq((ts(1), "view"), (ts(2), "view"), (ts(61), "click"))
