@@ -44,4 +44,24 @@ object Tables {
     * (ref `load_population_stage.sql:1-20`). */
   def writeFullRefresh(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)
+
+  /** Bucketed catalog table: rows hash-partitioned into `n` buckets on
+    * `bucketCol` at write time, sorted within buckets.  Two tables bucketed
+    * the same way join WITHOUT a shuffle — at 100 TB this turns the
+    * recurring fact⋈fact join's exchange (the single largest cost in a
+    * repeated pipeline) into a metadata property paid once at ingest. */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String, n: Int): Unit = {
+    val spark = df.sparkSession
+    // idempotent across sessions: the in-memory catalog forgets tables on
+    // restart but their warehouse directories persist, and CREATE TABLE
+    // refuses a pre-existing location — drop both.
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = spark.sessionState.catalog.defaultTablePath(
+      org.apache.spark.sql.catalyst.TableIdentifier(table))
+    val fs = org.apache.hadoop.fs.FileSystem.get(loc, spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(loc), true)
+    df.write.mode("overwrite")
+      .bucketBy(n, bucketCol).sortBy(bucketCol)
+      .format("parquet").saveAsTable(table)
+  }
 }

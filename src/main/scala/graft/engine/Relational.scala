@@ -51,6 +51,21 @@ object Relational {
   def joinDim(fact: DataFrame, dim: DataFrame, keys: Seq[String]): DataFrame =
     fact.join(broadcast(dim), keys)
 
+  /** Two-stage salted aggregation for skewed keys: stage 1 groups by
+    * (key, salt) so a hot key spreads over `saltBuckets` reducers; stage 2
+    * combines partials per key.  Identical results to a direct groupBy for
+    * algebraic aggregates (sum/count), because addition reassociates.  The
+    * salt is a deterministic hash of `spreadCol` (a high-cardinality column),
+    * not a random number — results stay stable under retries. */
+  def saltedSum(df: DataFrame, keys: Seq[String], valueCol: Column,
+                spreadCol: Column, saltBuckets: Int,
+                as: String): DataFrame =
+    df.withColumn("__salt", pmod(hash(spreadCol), lit(saltBuckets)))
+      .groupBy((keys :+ "__salt").map(col): _*)
+      .agg(sum(valueCol).as("__partial"), count(lit(1)).as("__pn"))
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("__partial")).as(as), sum(col("__pn")).cast("long").as("n"))
+
   /** Sessionization: assign a per-user session id from event-time gaps
     * greater than `gapMicros` — the batch form of the Structured Streaming
     * `mapGroupsWithState` session pattern.  One shuffle on `userCol`; the

@@ -100,6 +100,43 @@ object Vector {
       .select("id_a", "id_b", "cos")
   }
 
+  /** IVF-style ANN: a coarse quantizer of `nlist` centroid vectors partitions
+    * the corpus into inverted lists (each vector joins its nearest centroid's
+    * list); a query probes only its `nprobe` nearest lists and re-ranks
+    * exactly inside them.  Corpus-side work is a broadcast of `nlist` small
+    * vectors + one shuffle on `list_id` — at 100 TB the inverted lists are
+    * the partitioning, and recall tunes with `nprobe` instead of re-hashing.
+    *
+    * Centroids here are the first `nlist` corpus vectors by id — a
+    * deterministic stand-in for trained k-means centroids (training is
+    * iterative and seed-dependent, which would break the DuckDB oracle);
+    * swapping in trained centroids changes no plan shape. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(corpus.sparkSession)
+    val cents = broadcast(corpus.filter(col("vec_id") < nlist)
+      .select(col("vec_id").as("cent_id"), asDouble(col("embedding")).as("cw")))
+    val c = corpus.select(col("vec_id").as("c_id"), asDouble(col("embedding")).as("cv"))
+    val lists = c.crossJoin(cents)
+      .withColumn("__rn", row_number().over(Window.partitionBy("c_id")
+        .orderBy(cosineNative(col("cv"), col("cw")).desc, col("cent_id"))))
+      .filter(col("__rn") === 1)
+      .select(col("c_id"), col("cv"), col("cent_id").as("list_id"))
+    val probes = queries
+      .select(col("vec_id").as("q_id"), asDouble(col("embedding")).as("qv"))
+      .crossJoin(cents)
+      .withColumn("__rn", row_number().over(Window.partitionBy("q_id")
+        .orderBy(cosineNative(col("qv"), col("cw")).desc, col("cent_id"))))
+      .filter(col("__rn") <= nprobe)
+      .select(col("q_id"), col("qv"), col("cent_id").as("list_id"))
+    probes.join(lists, Seq("list_id")).filter(col("q_id") =!= col("c_id"))
+      .withColumn("cos", cosineNative(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "c_id", "cos")
+  }
+
   /** ANN: equi-join on LSH bucket, exact cosine re-rank within buckets. */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               planes: Int = 8, dims: Int = 64): DataFrame = {

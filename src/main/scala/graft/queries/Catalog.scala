@@ -194,6 +194,39 @@ object Catalog {
          WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
          GROUP BY 1 ORDER BY 1""")),
 
+    // A1 at skew — two-stage salted aggregation: 600k rows over 3 hot keys
+    // spread across 16 salt buckets before combining.  Algebraic aggregates
+    // reassociate, so the result is identical to the direct groupBy oracle.
+    QueryDef("q_salted_agg",
+      (s, dir) => Relational.saltedSum(t(s, dir, "lineitem"), Seq("l_returnflag"),
+          col("l_quantity").cast(DecimalType(38, 6)), col("l_orderkey"), 16, "__sq")
+        .select(col("l_returnflag"), col("__sq").cast(DoubleType).as("sum_qty"), col("n"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n
+         FROM lineitem GROUP BY 1 ORDER BY 1""")),
+
+    // J1 at scale — bucketed co-located join: both sides hash-bucketed on the
+    // join key at write time, so the recurring join needs no exchange
+    // (shuffle-free plan asserted in IoSpec).
+    QueryDef("q_bucketed_join",
+      (s, dir) => {
+        Tables.writeBucketed(t(s, dir, "orders")
+          .select("o_orderkey", "o_custkey", "o_totalprice"), "orders_b", "o_custkey", 8)
+        Tables.writeBucketed(t(s, dir, "customer")
+          .select("c_custkey", "c_mktsegment"), "customer_b", "c_custkey", 8)
+        s.table("orders_b")
+          .join(s.table("customer_b"), col("o_custkey") === col("c_custkey"))
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_price"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY 1 ORDER BY 1""")),
+
     // Event-time tumbling window aggregation (batch form; same expression
     // streams — see graft.streaming.Streaming).
     QueryDef("q_events_tumbling",

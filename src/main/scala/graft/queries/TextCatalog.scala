@@ -264,6 +264,39 @@ object TextCatalog {
          FROM r WHERE rank <= 3 ORDER BY q_id, rank"""))
   )
 
+  private val ivfSql: String = {
+    val cosQC = cosSql("qq.qv", "cents.cw", 64)
+    val cosCC = cosSql("c.cv", "cents.cw", 64)
+    s"""cents AS (SELECT vec_id AS cent_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cw
+         FROM embeddings WHERE vec_id < 16),
+       c AS (SELECT vec_id AS c_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv FROM embeddings),
+       asg AS (SELECT c_id, cv, cent_id,
+           row_number() OVER (PARTITION BY c_id ORDER BY $cosCC DESC, cent_id) AS rn
+         FROM c, cents),
+       lists AS (SELECT c_id, cv, cent_id AS list_id FROM asg WHERE rn = 1),
+       qq AS (SELECT vec_id AS q_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+         FROM embeddings WHERE vec_id < 30),
+       qp AS (SELECT q_id, qv, cent_id,
+           row_number() OVER (PARTITION BY q_id ORDER BY $cosQC DESC, cent_id) AS rn
+         FROM qq, cents),
+       probes AS (SELECT q_id, qv, cent_id AS list_id FROM qp WHERE rn <= 4),
+       sc AS (SELECT q_id, c_id, ${cosSql("qv", "cv", 64)} AS cos
+         FROM probes JOIN lists USING (list_id) WHERE q_id <> c_id),
+       r AS (SELECT q_id, c_id, cos,
+           row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rank FROM sc)"""
+  }
+
+  val ivf: Seq[QueryDef] = Seq(
+    QueryDef("q_ivf_topk",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        Vector.ivfTopK(e.filter(col("vec_id") < 30), e, 3, 16, 4)
+          .orderBy("q_id", "rank")
+      },
+      Some(s"""WITH $ivfSql
+         SELECT q_id, CAST(rank AS INT) AS rank, c_id, cos FROM r
+         WHERE rank <= 3 ORDER BY q_id, rank""")))
+
   val multimodal: Seq[QueryDef] = Seq(
 
     QueryDef("q_multimodal_meta",
@@ -299,5 +332,5 @@ object TextCatalog {
       None)
   )
 
-  val all: Seq[QueryDef] = textAnalysis ++ dedup ++ similarity ++ multimodal
+  val all: Seq[QueryDef] = textAnalysis ++ dedup ++ similarity ++ ivf ++ multimodal
 }
