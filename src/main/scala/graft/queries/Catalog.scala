@@ -540,6 +540,75 @@ object Catalog {
 
   val cleaning: Seq[QueryDef] = Seq(
 
+    // The reference's whole harvest transform as ONE composed pipeline
+    // (ref `ingest_harvest_data.py:234-294`): messy headers → C1 normalize →
+    // P1 footer filter → C8 unit normalize + P2 key filter → C3 species
+    // rename with default-0 → C7 coercion → C6 metadata → aggregate.
+    QueryDef("q_harvest_pipeline",
+      (s, dir) => {
+        val pk = col("p_partkey")
+        val raw = t(s, dir, "part").select(
+          when(pk % 7 === 0, " Total ").when(pk % 7 === 1, "12a")
+            .when(pk % 7 === 2, "07").when(pk % 7 === 3, "000")
+            .otherwise((pk % 200).cast(StringType)).as("Unit"),
+          (pk % 40).cast(StringType).as("Bulls"),
+          when(pk % 5 === 0, "n/a")
+            .otherwise(concat(lit("1,"), (pk % 900 + 100).cast(StringType))).as("Cows"),
+          when(pk % 4 === 0, "n/a")
+            .when(pk % 4 === 1, concat(lit(" "), (pk % 60).cast(StringType), lit(" ")))
+            .otherwise((pk % 500).cast(StringType)).as("Total Harvest"),
+          (pk % 80).cast(StringType).as("Total Hunters"),
+          (pk % 100).cast(StringType).as("Percent Success"))
+        val normed = Clean.normalizeHeaders(raw, Clean.normalizeHeaderHarvest)
+        val noFooter = Relational.dropFooterRows(normed, "unit")
+        val keyed = noFooter.withColumn("unit", Clean.normalizeUnit(col("unit")))
+          .filter(col("unit").isNotNull)
+        val renamed = Clean.renameWithDefaults(keyed, Clean.SpeciesSexMaps("elk"), lit(0L))
+        val coerced = Seq("adult_male", "adult_female", "total_harvest",
+            "total_hunters", "percent_success")
+          .foldLeft(renamed)((d, c) => d.withColumn(c, Clean.coerceNumeric(col(c))))
+        Clean.withMetadata(coerced, "state" -> "co", "species" -> "elk", "season" -> "archery")
+          .groupBy("state", "species", "season", "unit")
+          .agg(count(lit(1)).as("n"),
+            lsum(col("adult_male")).as("adult_male_sum"),
+            lsum(col("adult_female")).as("adult_female_sum"),
+            lsum(col("young")).as("young_sum"),
+            lsum(col("total_harvest")).as("total_harvest_sum"),
+            lsum(col("total_hunters")).as("total_hunters_sum"),
+            lsum(col("percent_success")).as("percent_success_sum"))
+          .orderBy("unit")
+      },
+      Some("""WITH raw AS (SELECT
+           CASE CAST(p_partkey % 7 AS INT) WHEN 0 THEN ' Total ' WHEN 1 THEN '12a'
+             WHEN 2 THEN '07' WHEN 3 THEN '000' ELSE CAST(p_partkey % 200 AS VARCHAR) END AS unit_raw,
+           CAST(p_partkey % 40 AS VARCHAR) AS bulls_raw,
+           CASE WHEN p_partkey % 5 = 0 THEN 'n/a'
+             ELSE '1,' || CAST(p_partkey % 900 + 100 AS VARCHAR) END AS cows_raw,
+           CASE CAST(p_partkey % 4 AS INT) WHEN 0 THEN 'n/a'
+             WHEN 1 THEN ' ' || CAST(p_partkey % 60 AS VARCHAR) || ' '
+             ELSE CAST(p_partkey % 500 AS VARCHAR) END AS th_raw,
+           CAST(p_partkey % 80 AS VARCHAR) AS hunters_raw,
+           CAST(p_partkey % 100 AS VARCHAR) AS ps_raw
+           FROM part),
+         flt AS (SELECT * FROM raw WHERE lower(trim(unit_raw)) <> 'total'),
+         norm AS (SELECT
+           CASE WHEN regexp_matches(trim(unit_raw), '^[0-9]+$') THEN CAST(trim(unit_raw) AS INTEGER) END AS unit,
+           TRY_CAST(replace(bulls_raw, ',', '') AS BIGINT) AS adult_male,
+           TRY_CAST(replace(cows_raw, ',', '') AS BIGINT) AS adult_female,
+           CAST(0 AS BIGINT) AS young,
+           TRY_CAST(replace(th_raw, ',', '') AS BIGINT) AS total_harvest,
+           TRY_CAST(replace(hunters_raw, ',', '') AS BIGINT) AS total_hunters,
+           TRY_CAST(replace(ps_raw, ',', '') AS BIGINT) AS percent_success
+           FROM flt)
+         SELECT 'co' AS state, 'elk' AS species, 'archery' AS season, unit, COUNT(*) AS n,
+           CAST(SUM(adult_male) AS BIGINT) AS adult_male_sum,
+           CAST(SUM(adult_female) AS BIGINT) AS adult_female_sum,
+           CAST(SUM(young) AS BIGINT) AS young_sum,
+           CAST(SUM(total_harvest) AS BIGINT) AS total_harvest_sum,
+           CAST(SUM(total_hunters) AS BIGINT) AS total_hunters_sum,
+           CAST(SUM(percent_success) AS BIGINT) AS percent_success_sum
+         FROM norm WHERE unit IS NOT NULL GROUP BY unit ORDER BY unit""")),
+
     QueryDef("q_c1_c2_header_norms",
       (s, dir) => t(s, dir, "part").select(col("p_type")).distinct()
         .select(col("p_type"),
