@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.engine.Vector
+
+/** Driver-contract smoke: what the harness checks, checked here first. */
+class EntrySpec extends SparkFunSuite {
+  import spark.implicits._
+
+  test("entry (flagship) returns rows on sf0.001 and the expected columns") {
+    val df = SparkEntry.entry(spark)
+    assert(df.columns.toSeq === Seq("n_name", "n_orders", "revenue", "n_items"))
+    assert(df.count() > 0)
+  }
+
+  test("every query has a distinct name; every oracle key is a registered query") {
+    val names = queries.Catalog.all.map(_.name)
+    assert(names.distinct.size === names.size)
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+    assert(SparkEntry.queries.size >= 55)
+  }
+
+  test("ivfTopK finds neighbors from the query's own cluster") {
+    // two tight clusters; centroid stand-ins are the first 2 vectors (one in
+    // each cluster) so probing nprobe=1 stays within the right cluster.
+    def v(base: Double, i: Int) = Seq.tabulate(8)(j =>
+      (base + (if (j == i % 8) 0.01f else 0f)).toFloat)
+    val vecs = (Seq((0L, v(1.0, 0)), (1L, v(-1.0, 1))) ++
+      (2L to 9L).map(i => (i, v(if (i % 2 == 0) 1.0 else -1.0, i.toInt))))
+      .toDF("vec_id", "embedding")
+    val got = Vector.ivfTopK(vecs.filter($"vec_id" === 2), vecs, 3, nlist = 2, nprobe = 1)
+      .collect()
+    assert(got.nonEmpty)
+    got.foreach(r => assert(r.getAs[Long]("c_id") % 2 === 0,
+      "neighbors must come from the even (same-direction) cluster"))
+  }
+}
