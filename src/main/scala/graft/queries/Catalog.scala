@@ -508,8 +508,9 @@ object Catalog {
          ORDER BY 1""")),
 
     // S4 — Textract block→table reconstruction over blocks synthesized from
-    // `orders` (rows-only check here; exact-grid semantics are covered by
-    // ExtractSpec on a recorded fixture).
+    // `orders`.  The orderkey→(page,row,col) mapping is injective for keys
+    // below 2·500000·… so cells never collide and the grid is deterministic;
+    // the oracle mirrors the densify (cols 1..max, "" fill) relationally.
     QueryDef("q_s4_extract_blocks",
       (s, dir) => {
         val o = t(s, dir, "orders").select(col("o_orderkey").as("k"),
@@ -522,9 +523,9 @@ object Catalog {
           noRel.as("Relationships"))
         val cells = o.select(concat(lit("c_"), col("k")).as("Id"), lit("CELL").as("BlockType"),
           lit(null).cast(StringType).as("Text"),
-          (col("k") % 4 + 1).cast(IntegerType).as("Page"),
-          (floor(col("k") / 4) % 250 + 1).cast(IntegerType).as("RowIndex"),
-          (floor(col("k") / 1000) % 5 + 1).cast(IntegerType).as("ColumnIndex"),
+          (col("k") % 2 + 1).cast(IntegerType).as("Page"),
+          (floor(col("k") / 2) % 500000 + 1).cast(IntegerType).as("RowIndex"),
+          (floor(col("k") / 1000) % 3 + 1).cast(IntegerType).as("ColumnIndex"),
           array(struct(lit("CHILD").as("Type"),
             array(concat(lit("w1_"), col("k")), concat(lit("w2_"), col("k"))).as("Ids"))).as("Relationships"))
         val blocks = word("w1_", "w1t").unionByName(word("w2_", "w2t")).unionByName(cells)
@@ -533,7 +534,23 @@ object Catalog {
             concat_ws("|", col("cells")).as("cells_joined"))
           .orderBy("global_row")
       },
-      None)
+      Some("""WITH c0 AS (SELECT
+           CAST(o_orderkey % 2 + 1 AS INT) AS page,
+           CAST(FLOOR(o_orderkey / 2) % 500000 + 1 AS INT) AS rownum,
+           CAST(FLOOR(o_orderkey / 1000) % 3 + 1 AS INT) AS colnum,
+           o_orderpriority || ' ' || o_orderstatus AS t
+           FROM orders),
+         mc AS (SELECT MAX(colnum) AS m FROM c0),
+         cols AS (SELECT CAST(unnest(range(1, m + 1)) AS INT) AS colnum FROM mc),
+         pr AS (SELECT DISTINCT page, rownum FROM c0),
+         g AS (SELECT pr.page, pr.rownum, cols.colnum FROM pr, cols),
+         f AS (SELECT g.page, g.rownum, g.colnum, COALESCE(c0.t, '') AS t
+           FROM g LEFT JOIN c0 ON c0.page = g.page AND c0.rownum = g.rownum AND c0.colnum = g.colnum),
+         rws AS (SELECT page, rownum, array_to_string(list(t ORDER BY colnum), '|') AS cells_joined
+           FROM f GROUP BY 1, 2)
+         SELECT CAST(row_number() OVER (ORDER BY page, rownum) AS INT) AS global_row,
+           page, rownum AS row, cells_joined
+         FROM rws ORDER BY global_row"""))
   )
 
   // ------------------------------------------------------------ cleaning (C1-C13)
