@@ -239,6 +239,22 @@ object Catalog {
            COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""")),
 
+    // Sliding event-time windows (1h window, 30m slide): each event lands in
+    // two overlapping windows — ≡ the union of two offset tumbling
+    // bucketings, which is exactly the DuckDB mirror.
+    QueryDef("q_events_sliding",
+      (s, dir) => events(s, dir)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("bucket"), col("event_type"), col("n"))
+        .orderBy("bucket", "event_type"),
+      Some("""WITH b AS (
+           SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket, event_type FROM events
+           UNION ALL
+           SELECT time_bucket(INTERVAL '1 hour', ts, INTERVAL '30 minutes') AS bucket, event_type FROM events)
+         SELECT bucket, event_type, COUNT(*) AS n
+         FROM b GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     // Semi-structured extraction from the events.props JSON strings.
     QueryDef("q_events_json",
       (s, dir) => events(s, dir)
