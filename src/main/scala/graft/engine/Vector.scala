@@ -71,11 +71,14 @@ object Vector {
   def planeWeight(p: Int, i: Int): Double =
     (((1103515245L * (p * 64 + i) + 12345L) % 2048L) - 1024L) / 1024.0
 
-  /** Bucket id from the signs of `planes` hyperplane projections. */
+  /** Bucket id from the signs of `planes` hyperplane projections.  Each
+    * projection is a native codegen'd dot (graft_dot must be registered in
+    * the analyzing session — frame-level callers ensure this); identical
+    * values to the fold form, so the DuckDB oracle is unaffected. */
   def lshBucket(v: Column, planes: Int, dims: Int): Column = {
     val proj = (0 until planes).map { p =>
       val w = typedlit((0 until dims).map(i => planeWeight(p, i)))
-      aggregate(zip_with(v, w, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+      dotNative(v, w)
     }
     proj.zipWithIndex.map { case (d, p) =>
       when(d >= 0, lit(1L << p)).otherwise(lit(0L))
@@ -89,9 +92,9 @@ object Vector {
     * `planes` (bigger buckets) or multi-probing adjacent buckets. */
   def cosineNearDupPairs(corpus: DataFrame, threshold: Double,
                          planes: Int = 4, dims: Int = 64): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(corpus.sparkSession)
     val v = corpus.select(col("vec_id"), asDouble(col("embedding")).as("dv"))
       .withColumn("bucket", lshBucket(col("dv"), planes, dims))
-    graft.functions.GraftFunctions.ensureRegistered(corpus.sparkSession)
     val a = v.select(col("vec_id").as("id_a"), col("dv").as("va"), col("bucket"))
     val b = v.select(col("vec_id").as("id_b"), col("dv").as("vb"), col("bucket"))
     a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
@@ -140,12 +143,12 @@ object Vector {
   /** ANN: equi-join on LSH bucket, exact cosine re-rank within buckets. */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               planes: Int = 8, dims: Int = 64): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(corpus.sparkSession)
     val q = broadcast(queries.select(col("vec_id").as("q_id"),
       asDouble(col("embedding")).as("qv"))
       .withColumn("bucket", lshBucket(col("qv"), planes, dims)))
     val c = corpus.select(col("vec_id").as("c_id"), asDouble(col("embedding")).as("cv"))
       .withColumn("bucket", lshBucket(col("cv"), planes, dims))
-    graft.functions.GraftFunctions.ensureRegistered(corpus.sparkSession)
     q.join(c, Seq("bucket")).filter(col("q_id") =!= col("c_id"))
       .withColumn("cos", cosineNative(col("qv"), col("cv")))
       .withColumn("rank", row_number().over(

@@ -226,10 +226,13 @@ object TextCatalog {
 
     // LSH bucket assignment (the ANN scale path's partitioning key).
     QueryDef("q_lsh_buckets",
-      (s, dir) => t(s, dir, "embeddings")
-        .select(col("vec_id"),
-          Vector.lshBucket(Vector.asDouble(col("embedding")), 4, 64).as("bucket"))
-        .orderBy("vec_id"),
+      (s, dir) => {
+        graft.functions.GraftFunctions.ensureRegistered(s)
+        t(s, dir, "embeddings")
+          .select(col("vec_id"),
+            Vector.lshBucket(Vector.asDouble(col("embedding")), 4, 64).as("bucket"))
+          .orderBy("vec_id")
+      },
       Some(s"""WITH ${lshSql(4, 64)}
          SELECT vec_id, CAST(bucket AS BIGINT) AS bucket FROM b ORDER BY vec_id""")),
 

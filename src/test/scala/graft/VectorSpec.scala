@@ -30,6 +30,7 @@ class VectorSpec extends SparkFunSuite {
   }
 
   test("lshBucket: deterministic, bounded by 2^planes, identical vectors collide") {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
     val vecs = Seq((0L, Seq.fill(8)(0.5f)), (1L, Seq.fill(8)(0.5f)),
       (2L, Seq.tabulate(8)(i => if (i % 2 == 0) 1.0f else -1.0f))).toDF("vec_id", "embedding")
     val got = vecs.select($"vec_id",
