@@ -282,6 +282,26 @@ object Catalog {
          SELECT user_id, CAST(SUM(new_s) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
          FROM m GROUP BY 1 ORDER BY 1""")),
 
+    // Native session windows: Spark's gap-close session_window (a session
+    // ends after 30 min of inactivity; start = first event).  New-session
+    // boundary is diff >= gap — window ends are exclusive.
+    QueryDef("q_session_window",
+      (s, dir) => events(s, dir)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("user_id"), col("session_window.start").as("session_start"), col("n"))
+        .orderBy("user_id", "session_start"),
+      Some("""WITH m AS (SELECT user_id, epoch_us(ts) AS us,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         sx AS (SELECT user_id, us,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING) AS sid
+           FROM m)
+         SELECT user_id, make_timestamp(MIN(us)) AS session_start, COUNT(*) AS n
+         FROM sx GROUP BY user_id, sid ORDER BY user_id, session_start""")),
+
     // Same sessions via mapGroupsWithState custom state (the streaming-native
     // form; Spark runs the state function per group on batch inputs too).
     QueryDef("q_stateful_sessions",
