@@ -101,4 +101,31 @@ object Clean {
     * (ref `ingest_harvest_data.py:355`). */
   def extractYear(c: Column): Column =
     regexp_extract(c, "(\\d{4})", 1).try_cast(IntegerType)
+
+  /** C14 — state abbreviation → full-name lookup
+    * (ref `ingest_harvest_data.py:20-33,327-330`). */
+  val StateMap: Map[String, String] = Map(
+    "ak" -> "alaska", "az" -> "arizona", "ca" -> "california",
+    "co" -> "colorado", "id" -> "idaho", "mt" -> "montana",
+    "nm" -> "new_mexico", "nv" -> "nevada", "or" -> "oregon",
+    "ut" -> "utah", "wa" -> "washington", "wy" -> "wyoming")
+
+  /** Driver-side form: unknown state raises, mirroring the reference's
+    * `ValueError(f"State '{state}' not supported yet.")`. */
+  def stateFullName(abbrev: String): String =
+    StateMap.getOrElse(abbrev.toLowerCase,
+      throw new IllegalArgumentException(s"State '$abbrev' not supported yet."))
+
+  /** Column form: a literal-map lookup (codegen'd, no UDF).  With
+    * `strict = true` an unknown abbreviation fails the job at execution with
+    * the reference's message (`raise_error`); with `strict = false` it maps
+    * to NULL (the tolerant-pipeline variant). */
+  def stateFullNameCol(c: Column, strict: Boolean = true): Column = {
+    val looked = element_at(typedlit(StateMap), lower(c))
+    if (strict)
+      when(looked.isNull,
+        raise_error(concat(lit("State '"), c, lit("' not supported yet."))))
+        .otherwise(looked)
+    else looked
+  }
 }

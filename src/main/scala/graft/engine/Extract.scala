@@ -1,7 +1,6 @@
 package graft.engine
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** S4 — table reconstruction from recorded Textract-style block JSON
@@ -68,11 +67,12 @@ object Extract {
   }
 
   /** Multi-page concatenation with running row offsets
-    * (ref `ingest_harvest_data.py:188-209`): global row number over
-    * (page, row) — returns one frame in reading order. */
+    * (ref `ingest_harvest_data.py:188-209`): two-stage global row numbers —
+    * per-page ranks plus broadcast per-page offsets
+    * (Relational.withGlobalRowOffsets), so a million-page corpus never
+    * funnels through a single partition-less window task. */
   def concatPages(cells: DataFrame): DataFrame =
-    cells.withColumn("global_row",
-        row_number().over(Window.orderBy(col("page"), col("row"))))
+    Relational.withGlobalRowOffsets(cells, "page", "row")
       .select("global_row", "page", "row", "cells")
 
   /** Full S4: blocks → ordered dense grid. */

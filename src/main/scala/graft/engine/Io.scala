@@ -45,6 +45,24 @@ object Tables {
   def writeFullRefresh(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)
 
+  /** S11 — S3 credential plumbing (ref `src/db/load_duckdb_data.py:8-20`):
+    * the reference copies boto-session credentials into DuckDB's httpfs S3
+    * settings; the Spark equivalent is `fs.s3a.*` Hadoop configuration on
+    * the active context, after which `spark.read.parquet("s3a://…")` and
+    * every sink here work against object storage unchanged.  Pure
+    * configuration — nothing in this build environment can reach S3, so the
+    * helper is compile-checked and conf-asserted (IoSpec) only. */
+  def withS3A(spark: SparkSession, accessKey: String, secretKey: String,
+              endpoint: Option[String] = None,
+              region: Option[String] = None): SparkSession = {
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("fs.s3a.access.key", accessKey)
+    hc.set("fs.s3a.secret.key", secretKey)
+    endpoint.foreach(hc.set("fs.s3a.endpoint", _))
+    region.foreach(hc.set("fs.s3a.endpoint.region", _))
+    spark
+  }
+
   /** Bucketed catalog table: rows hash-partitioned into `n` buckets on
     * `bucketCol` at write time, sorted within buckets.  Two tables bucketed
     * the same way join WITHOUT a shuffle — at 100 TB this turns the

@@ -84,13 +84,38 @@ object Relational {
       .drop("__new_s")
   }
 
+  /** Two-stage global row numbering — the scale-safe replacement for a
+    * partition-less `row_number().over(Window.orderBy(page, row))` (which
+    * funnels every row through ONE task):
+    *
+    *   stage 1: per-page row_number, shuffled by `pageCol` — every page
+    *            numbers its rows in parallel;
+    *   stage 2: per-page cumulative offsets derived from per-page COUNTs via
+    *            a triangular self-join over the counts frame (rows = #pages,
+    *            never #rows) and broadcast back onto the data.
+    *
+    * `global_row = offset(page) + row_number within page` is identical to the
+    * single-window form whenever (pageCol, rowCol) is unique — and the plan
+    * has no partition-less Window (asserted by RelationalSpec at the two
+    * registered call sites).  At 100 TB the only single-point work left is
+    * the #pages-row offsets frame. */
+  def withGlobalRowOffsets(df: DataFrame, pageCol: String, rowCol: String): DataFrame = {
+    val counts = df.groupBy(pageCol).agg(count(lit(1)).as("__n"))
+    val offsets = counts.alias("a")
+      .join(counts.alias("b"), col(s"b.$pageCol") < col(s"a.$pageCol"), "left")
+      .groupBy(col(s"a.$pageCol").as(pageCol))
+      .agg(coalesce(sum(col("b.__n")), lit(0L)).as("__off"))
+    df.join(broadcast(offsets), pageCol)
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(pageCol).orderBy(col(rowCol))))
+      .withColumn("global_row", (col("__off") + col("__rn")).cast("int"))
+      .drop("__off", "__rn")
+  }
+
   /** U1 — multi-page concatenation with a running row offset
     * (ref `ingest_harvest_data.py:188-209`): union pages then re-number
-    * globally.  The window is partition-less by design (page assembly is
-    * bounded by one PDF, never 100 TB); callers at scale partition first. */
-  def unionWithOffsets(pages: Seq[DataFrame], pageCol: String, rowCol: String): DataFrame = {
-    val all = pages.reduce(_ unionByName _)
-    all.withColumn("global_row",
-      row_number().over(Window.orderBy(col(pageCol), col(rowCol))))
-  }
+    * globally via [[withGlobalRowOffsets]] — no partition-less window, so the
+    * union scales past one PDF to the whole corpus. */
+  def unionWithOffsets(pages: Seq[DataFrame], pageCol: String, rowCol: String): DataFrame =
+    withGlobalRowOffsets(pages.reduce(_ unionByName _), pageCol, rowCol)
 }

@@ -63,9 +63,13 @@ object Upsert {
     *
     * The merged frame is staged to a sibling temp directory first — Spark
     * refuses to overwrite a path that is simultaneously being read
-    * (`Cannot overwrite a path that is also being read from`), and staging
-    * also keeps the lake consistent if the job dies mid-write.  The
-    * session-global `partitionOverwriteMode` is restored afterwards. */
+    * (`Cannot overwrite a path that is also being read from`).  NOTE:
+    * dynamic partition overwrite is NOT atomic across partitions — a crash
+    * mid-overwrite can leave some touched partitions new and some old
+    * (re-running the same batch converges, which is what the streaming
+    * upsertSink's checkpointed retries do); a table format with a
+    * transaction log is the fix where partial visibility is unacceptable.
+    * The session-global `partitionOverwriteMode` is restored afterwards. */
   def upsertPartitioned(spark: org.apache.spark.sql.SparkSession, lakeRoot: String,
                         incoming: DataFrame, keys: Seq[String], updateCols: Seq[String],
                         preserveCols: Seq[String], partCol: String): Unit = {
@@ -79,7 +83,11 @@ object Upsert {
     val touched = incoming.select(partCol).distinct().collect().map(_.get(0))
     val existing = spark.read.parquet(lakeRoot).filter(col(partCol).isin(touched: _*))
     val merged = upsert(existing, incoming, keys, updateCols, preserveCols)
-    val staging = lakeRoot.stripSuffix("/") + "__upsert_staging"
+    // unique per-invocation staging path: two concurrent upserts into the
+    // same lake (e.g. overlapping streaming restarts) must not overwrite each
+    // other's staging data or delete each other's files in the finally block.
+    val staging = lakeRoot.stripSuffix("/") + "__upsert_staging_" +
+      java.util.UUID.randomUUID().toString
     merged.write.mode("overwrite").parquet(staging)
     val confKey = "spark.sql.sources.partitionOverwriteMode"
     val prev = spark.conf.getOption(confKey)

@@ -1,9 +1,10 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
 /** Codegen'd dot product over two `ARRAY<DOUBLE>` columns.
   *
@@ -29,7 +30,18 @@ case class DotProduct(left: Expression, right: Expression)
 
   // No ExpectsInputTypes: AbstractDataType is private[sql] to Spark, so no
   // implicit coercion is requested — callers pass ARRAY<DOUBLE>
-  // (Vector.asDouble widens float arrays exactly).
+  // (Vector.asDouble widens float arrays exactly).  Anything else is
+  // rejected at analysis: without this check an ARRAY<FLOAT>/ARRAY<INT>
+  // argument from a pure-SQL `graft_dot` call would reach getDouble on an
+  // UnsafeArrayData of the wrong element width and return garbage.
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_dot requires two ARRAY<DOUBLE> arguments, got ${l.sql} and ${r.sql}")
+    }
+
   override def dataType: DataType = DoubleType
 
   override def prettyName: String = "graft_dot"

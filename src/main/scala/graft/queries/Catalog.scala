@@ -151,15 +151,22 @@ object Catalog {
       Some("""SELECT o_orderkey, o_totalprice FROM orders
          ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""")),
 
-    // U1+O1 — multi-page union with running row offsets.
+    // U1+O1 — multi-page union with running row offsets.  page_row is ranked
+    // WITHIN each page (one window partitioned by page, all pages in
+    // parallel) and the global offsets come from the two-stage
+    // unionWithOffsets — no partition-less window anywhere in the plan
+    // (asserted by RelationalSpec).
     QueryDef("q_union_offsets",
       (s, dir) => {
-        val o = t(s, dir, "orders")
-        def page(status: String, p: Int) = o.filter(col("o_orderstatus") === status)
-          .select(lit(p).as("page"),
-            row_number().over(Window.orderBy("o_orderkey")).as("page_row"),
-            col("o_orderkey"))
-        Relational.unionWithOffsets(Seq(page("O", 1), page("F", 2)), "page", "page_row")
+        val paged = t(s, dir, "orders")
+          .filter(col("o_orderstatus").isin("O", "F"))
+          .select(when(col("o_orderstatus") === "O", 1).otherwise(2)
+            .cast(IntegerType).as("page"), col("o_orderkey"))
+        val withRow = Relational.rankWithin(paged, Seq("page"),
+          Seq(col("o_orderkey")), "page_row")
+        Relational.unionWithOffsets(
+            Seq(withRow.filter(col("page") === 1), withRow.filter(col("page") === 2)),
+            "page", "page_row")
           .select("global_row", "page", "page_row", "o_orderkey")
           .orderBy("global_row")
       },
@@ -544,9 +551,10 @@ object Catalog {
          ORDER BY 1""")),
 
     // S4 — Textract block→table reconstruction over blocks synthesized from
-    // `orders`.  The orderkey→(page,row,col) mapping is injective for keys
-    // below 2·500000·… so cells never collide and the grid is deterministic;
-    // the oracle mirrors the densify (cols 1..max, "" fill) relationally.
+    // `orders`.  The orderkey→(page,row,col) mapping is injective at EVERY
+    // scale factor: (page, row) = (k%2+1, floor(k/2)+1) is a bijection on k,
+    // so cells never collide and the grid is deterministic; the oracle
+    // mirrors the densify (cols 1..max, "" fill) relationally.
     QueryDef("q_s4_extract_blocks",
       (s, dir) => {
         val o = t(s, dir, "orders").select(col("o_orderkey").as("k"),
@@ -560,7 +568,7 @@ object Catalog {
         val cells = o.select(concat(lit("c_"), col("k")).as("Id"), lit("CELL").as("BlockType"),
           lit(null).cast(StringType).as("Text"),
           (col("k") % 2 + 1).cast(IntegerType).as("Page"),
-          (floor(col("k") / 2) % 500000 + 1).cast(IntegerType).as("RowIndex"),
+          (floor(col("k") / 2) + 1).cast(IntegerType).as("RowIndex"),
           (floor(col("k") / 1000) % 3 + 1).cast(IntegerType).as("ColumnIndex"),
           array(struct(lit("CHILD").as("Type"),
             array(concat(lit("w1_"), col("k")), concat(lit("w2_"), col("k"))).as("Ids"))).as("Relationships"))
@@ -572,7 +580,7 @@ object Catalog {
       },
       Some("""WITH c0 AS (SELECT
            CAST(o_orderkey % 2 + 1 AS INT) AS page,
-           CAST(FLOOR(o_orderkey / 2) % 500000 + 1 AS INT) AS rownum,
+           CAST(FLOOR(o_orderkey / 2) + 1 AS INT) AS rownum,
            CAST(FLOOR(o_orderkey / 1000) % 3 + 1 AS INT) AS colnum,
            o_orderpriority || ' ' || o_orderstatus AS t
            FROM orders),
@@ -785,7 +793,34 @@ object Catalog {
       },
       Some("""WITH d AS (SELECT 'co_elk_population_' || CAST(2018 + p_partkey % 6 AS VARCHAR) || '.pdf' AS f FROM part)
          SELECT TRY_CAST(regexp_extract(f, '([0-9]{4})', 1) AS INT) AS yr, COUNT(*) AS n
-         FROM d GROUP BY 1 ORDER BY 1"""))
+         FROM d GROUP BY 1 ORDER BY 1""")),
+
+    // C14 — STATE_MAP lookup (ref `ingest_harvest_data.py:20-33,327-330`):
+    // literal-map lookup as a codegen'd expression; the tolerant (NULL) form
+    // is registered so the oracle can see the unknown-state branch ('zz'
+    // rows map to NULL); the strict raise_error form is spec-covered.
+    QueryDef("q_c14_state_map",
+      (s, dir) => {
+        val k = col("c_custkey")
+        val abbrevs = Clean.StateMap.keys.toSeq.sorted
+        val ab = when(k % 25 === 0, "zz")
+          .otherwise(element_at(typedlit(abbrevs), (k % 12).cast(IntegerType) + 1))
+        t(s, dir, "customer").select(ab.as("abbrev"))
+          .select(col("abbrev"),
+            Clean.stateFullNameCol(col("abbrev"), strict = false).as("full_state"))
+          .groupBy("abbrev", "full_state").agg(count(lit(1)).as("n"))
+          .orderBy("abbrev")
+      },
+      Some("""WITH d AS (SELECT CASE WHEN c_custkey % 25 = 0 THEN 'zz'
+             ELSE (['ak','az','ca','co','id','mt','nm','nv','or','ut','wa','wy'])[CAST(c_custkey % 12 AS INT) + 1] END AS abbrev
+           FROM customer)
+         SELECT abbrev,
+           CASE abbrev WHEN 'ak' THEN 'alaska' WHEN 'az' THEN 'arizona' WHEN 'ca' THEN 'california'
+             WHEN 'co' THEN 'colorado' WHEN 'id' THEN 'idaho' WHEN 'mt' THEN 'montana'
+             WHEN 'nm' THEN 'new_mexico' WHEN 'nv' THEN 'nevada' WHEN 'or' THEN 'oregon'
+             WHEN 'ut' THEN 'utah' WHEN 'wa' THEN 'washington' WHEN 'wy' THEN 'wyoming' END AS full_state,
+           COUNT(*) AS n
+         FROM d GROUP BY 1, 2 ORDER BY 1"""))
   )
 
   /** Full catalog: relational + reference pipeline + cleaning + LLM-data. */

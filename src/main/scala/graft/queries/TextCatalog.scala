@@ -324,15 +324,28 @@ object TextCatalog {
              ELSE 0 END AS BIGINT) AS sample_checksum
          FROM documents ORDER BY doc_id""")),
 
-    // STUB decoder plumbing (mapPartitions over binary payloads) —
-    // rows-only check; the fake codec is deterministic per byte content.
+    // STUB decoder plumbing (mapPartitions over binary payloads).  The fake
+    // codec is deterministic byte math (width/height/frames from length and
+    // first byte — Multimodal.decodeStub), so the oracle can mirror it
+    // exactly: the mapPartitions slot stays as the real-codec drop-in point
+    // while its stand-in output is still hash-checked, not rows-only.
+    // Fixture text is ASCII, so first byte ≡ ascii(first char) (already
+    // relied on by q_multimodal_meta's magic column).
     QueryDef("q_decode_stub",
       (s, dir) => Multimodal.decodeStub(
           Multimodal.withBinaryPayload(t(s, dir, "documents"), "text"),
           "doc_id", "payload")
         .select(col("doc_id"), col("width"), col("height"), col("n_frames"))
         .orderBy("doc_id"),
-      None)
+      Some("""WITH m AS (SELECT doc_id,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n,
+             CASE WHEN length(text) = 0 THEN 0 ELSE ascii(substr(text, 1, 1)) END AS b0
+           FROM documents)
+         SELECT doc_id,
+           CAST(64 + n % 64 AS INT) AS width,
+           CAST(64 + (b0 % 128) % 64 AS INT) AS height,
+           CAST(1 + n % 8 AS INT) AS n_frames
+         FROM m ORDER BY doc_id"""))
   )
 
   val all: Seq[QueryDef] = textAnalysis ++ dedup ++ similarity ++ ivf ++ multimodal

@@ -94,6 +94,26 @@ class CleanSpec extends SparkFunSuite {
     assert(got === 2023)
   }
 
+  test("C14 STATE_MAP: known abbrevs map case-insensitively, unknown raises the reference error") {
+    assert(Clean.stateFullName("CO") === "colorado")
+    assert(Clean.stateFullName("wy") === "wyoming")
+    val e = intercept[IllegalArgumentException](Clean.stateFullName("tx"))
+    assert(e.getMessage === "State 'tx' not supported yet.")
+  }
+
+  test("C14 column form: strict raises at execution, tolerant yields NULL") {
+    val ok = Seq("CO", "nm").toDF("st")
+      .select(Clean.stateFullNameCol($"st").as("f")).collect().map(_.getString(0))
+    assert(ok.toSeq === Seq("colorado", "new_mexico"))
+    val err = intercept[Throwable](
+      Seq("tx").toDF("st").select(Clean.stateFullNameCol($"st")).collect())
+    def msgs(t: Throwable): String =
+      if (t == null) "" else t.getMessage + " | " + msgs(t.getCause)
+    assert(msgs(err).contains("not supported yet"))
+    assert(Seq("tx").toDF("st")
+      .select(Clean.stateFullNameCol($"st", strict = false)).head().isNullAt(0))
+  }
+
   test("property: coerceNumeric is null iff comma-stripped input is not a valid integral") {
     // batch the samples into one plan — per-sample Spark jobs would dominate.
     val longs = Gen.listOfN(200, Gen.long).sample.get

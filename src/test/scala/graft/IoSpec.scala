@@ -41,4 +41,29 @@ class IoSpec extends SparkFunSuite {
     Seq((1, "x")).toDF("a", "b").write.parquet(dir)
     assert(Tables.probeSchema(spark, dir).fieldNames.toSet === Set("a", "b"))
   }
+
+  test("a filter on a partition column prunes the scan to one of four partitions") {
+    val root = java.nio.file.Files.createTempDirectory("prune").toString
+    val df = (1 to 1000).map(i => (i, 2020 + i % 4, s"v$i")).toDF("id", "year", "v")
+    Tables.writePartitioned(df, root, Seq("year"))
+    val q = Tables.globScan(spark, root).filter(col("year") === 2021).select("id")
+    val scan = q.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    assert(scan.partitionFilters.nonEmpty, "partition filter was not pushed to the scan")
+    // Hive-style pruning: the year=2021 directory is the ONLY one listed.
+    val dirs = scan.relation.location.listFiles(scan.partitionFilters, Nil)
+    assert(dirs.length === 1, s"expected 1 pruned partition, scanned ${dirs.length}")
+    assert(q.count() === 250)
+  }
+
+  test("S11 withS3A sets fs.s3a credentials on the hadoop conf") {
+    Tables.withS3A(spark, "AKIDEXAMPLE", "secretEXAMPLE",
+      endpoint = Some("http://localhost:9000"), region = Some("us-west-2"))
+    val hc = spark.sparkContext.hadoopConfiguration
+    assert(hc.get("fs.s3a.access.key") === "AKIDEXAMPLE")
+    assert(hc.get("fs.s3a.secret.key") === "secretEXAMPLE")
+    assert(hc.get("fs.s3a.endpoint") === "http://localhost:9000")
+    assert(hc.get("fs.s3a.endpoint.region") === "us-west-2")
+  }
 }

@@ -54,6 +54,28 @@ class RelationalSpec extends SparkFunSuite {
       === Seq((1, "a"), (2, "b"), (3, "c")))
   }
 
+  test("U1 two-stage offsets match single-window numbering on uneven pages") {
+    val pages = Seq(
+      Seq((3, 1, "g"), (3, 2, "h")).toDF("page", "row", "v"),
+      Seq((1, 1, "a"), (1, 2, "b"), (1, 3, "c")).toDF("page", "row", "v"),
+      Seq((2, 7, "f"), (2, 4, "e")).toDF("page", "row", "v"))
+    val got = Relational.unionWithOffsets(pages, "page", "row")
+      .orderBy("global_row").collect()
+      .map(r => (r.getAs[Int]("global_row"), r.getAs[String]("v"))).toSeq
+    assert(got === Seq((1, "a"), (2, "b"), (3, "c"), (4, "e"), (5, "f"), (6, "g"), (7, "h")))
+  }
+
+  test("registered offset queries plan no partition-less Window") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    for (name <- Seq("q_union_offsets", "q_s4_extract_blocks")) {
+      val df = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+      val windows = df.queryExecution.sparkPlan.collect { case w: WindowExec => w }
+      assert(windows.nonEmpty, s"$name: expected at least one Window")
+      windows.foreach(w =>
+        assert(w.partitionSpec.nonEmpty, s"$name plans a partition-less window"))
+    }
+  }
+
   test("sessionize: gap larger than threshold starts a new session") {
     def ts(min: Int) = Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
     val df = Seq(
