@@ -117,22 +117,59 @@ object Vector {
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               nlist: Int = 16, nprobe: Int = 4): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(corpus.sparkSession)
-    val cents = broadcast(corpus.filter(col("vec_id") < nlist)
-      .select(col("vec_id").as("cent_id"), asDouble(col("embedding")).as("cw")))
+    // The coarse quantizer is BOUNDED (nlist vectors): collect it once and
+    // unroll the centroids into literal expressions, so nearest-list
+    // assignment is a per-row argmax — ZERO exchange of the corpus (the old
+    // form crossJoined 16× the corpus through a row_number window).  Ranking
+    // by (cos, -cent_id) structs under array_max reproduces the previous
+    // `ORDER BY cos DESC, cent_id` tie-break exactly, and the cosines are the
+    // same graft_dot arithmetic, so the DuckDB oracle is unaffected.
+    val centVecs: Seq[(Int, Seq[Double])] =
+      corpus.filter(col("vec_id") < nlist)
+        .select(col("vec_id").cast("int").as("cent_id"), asDouble(col("embedding")).as("cw"))
+        .orderBy("cent_id").collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1))).toIndexedSeq
+    def scoredCents(v: Column): Column = array(centVecs.map { case (id, w) =>
+      struct(cosineNative(v, typedlit(w)).as("cos"), lit(-id).as("nid"))
+    }: _*)
     val c = corpus.select(col("vec_id").as("c_id"), asDouble(col("embedding")).as("cv"))
-    val lists = c.crossJoin(cents)
-      .withColumn("__rn", row_number().over(Window.partitionBy("c_id")
-        .orderBy(cosineNative(col("cv"), col("cw")).desc, col("cent_id"))))
-      .filter(col("__rn") === 1)
-      .select(col("c_id"), col("cv"), col("cent_id").as("list_id"))
+    val lists = c.withColumn("list_id", -array_max(scoredCents(col("cv"))).getField("nid"))
+    // probe side: top-nprobe lists per query, still per-row (sort the small
+    // scored array, take the best nprobe, explode) — queries are the bounded
+    // broadcast side, so the list join ships ONLY probe rows to the lists.
     val probes = queries
       .select(col("vec_id").as("q_id"), asDouble(col("embedding")).as("qv"))
-      .crossJoin(cents)
-      .withColumn("__rn", row_number().over(Window.partitionBy("q_id")
-        .orderBy(cosineNative(col("qv"), col("cw")).desc, col("cent_id"))))
-      .filter(col("__rn") <= nprobe)
-      .select(col("q_id"), col("qv"), col("cent_id").as("list_id"))
-    probes.join(lists, Seq("list_id")).filter(col("q_id") =!= col("c_id"))
+      .withColumn("list_id", explode(transform(
+        slice(reverse(array_sort(scoredCents(col("qv")))), 1, nprobe),
+        s => -s.getField("nid"))))
+    broadcast(probes).join(lists, Seq("list_id")).filter(col("q_id") =!= col("c_id"))
+      .withColumn("cos", cosineNative(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "c_id", "cos")
+  }
+
+  /** Multi-probe LSH ANN — the recall knob documented at the top of this
+    * file, exercised: each query probes its own bucket PLUS the `planes`
+    * buckets at Hamming distance 1 (one hyperplane sign flipped — where
+    * near-neighbors that straddle a single hyperplane land).  Candidate
+    * generation stays an equi-join on the exploded probe keys; the probe
+    * buckets of one query are all distinct and every corpus vector lives in
+    * exactly one bucket, so no (q_id, c_id) pair is generated twice.  At
+    * 100 TB this trades a (planes+1)× bounded fanout of the SMALL query side
+    * for recall, instead of lowering `planes` (which would grow every
+    * bucket). */
+  def lshTopKMultiProbe(queries: DataFrame, corpus: DataFrame, k: Int,
+                        planes: Int = 4, dims: Int = 64): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(corpus.sparkSession)
+    val q0 = queries.select(col("vec_id").as("q_id"), asDouble(col("embedding")).as("qv"))
+      .withColumn("__b", lshBucket(col("qv"), planes, dims))
+    val probeCols = col("__b") +: (0 until planes).map(p => col("__b").bitwiseXOR(lit(1L << p)))
+    val q = broadcast(q0.withColumn("bucket", explode(array(probeCols: _*))).drop("__b"))
+    val c = corpus.select(col("vec_id").as("c_id"), asDouble(col("embedding")).as("cv"))
+      .withColumn("bucket", lshBucket(col("cv"), planes, dims))
+    q.join(c, Seq("bucket")).filter(col("q_id") =!= col("c_id"))
       .withColumn("cos", cosineNative(col("qv"), col("cv")))
       .withColumn("rank", row_number().over(
         Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))))

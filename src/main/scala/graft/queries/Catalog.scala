@@ -289,6 +289,21 @@ object Catalog {
          SELECT user_id, CAST(SUM(new_s) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
          FROM m GROUP BY 1 ORDER BY 1""")),
 
+    // Same session counts via secondary sort (repartition + in-partition
+    // sort + streaming fold): the bounded-memory form — no per-user
+    // materialization, O(1) running state — sharing q_sessionize's oracle.
+    QueryDef("q_sessionize_fold",
+      (s, dir) => Streaming.sortedSessionCounts(events(s, dir),
+          "user_id", "ts", "event_id", 1800L * 1000000L)
+        .toDF().orderBy("user_id"),
+      Some("""WITH m AS (SELECT user_id,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         SELECT user_id, CAST(SUM(new_s) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+         FROM m GROUP BY 1 ORDER BY 1""")),
+
     // Native session windows: Spark's gap-close session_window (a session
     // ends after 30 min of inactivity; start = first event).  New-session
     // boundary is diff >= gap — window ends are exclusive.
@@ -391,6 +406,30 @@ object Catalog {
          SELECT state, species, herd_name, post_hunt_estimate, male_female_ratio, year, unit
          FROM production
          ORDER BY state, species, year, unit, post_hunt_estimate, male_female_ratio, herd_name NULLS FIRST""")),
+
+    // J1 reference-shaped — the population⋈harvest equi-join the reference's
+    // schema implies but never built (`create_population_production.sql:9`;
+    // the stated north-star question "success rate per GMU vs herd size",
+    // `planning/rough-idea.md:7`).  Both sides are facts keyed on
+    // (state, species, year, unit): they shuffle once on the same composite
+    // key, so the join is co-partitioned — the bucketed form of this exact
+    // join is proven shuffle-free in q_bucketed_join.
+    QueryDef("q_pop_harvest_join",
+      (s, dir) => production(s, dir)
+        .join(harvest(s, dir), prodKeys)
+        .groupBy("unit")
+        .agg(count(lit(1)).as("n_herds"),
+          lsum(col("post_hunt_estimate")).as("herd_size"),
+          round(lsum(col("total_harvest")).cast(DoubleType)
+            / lsum(col("total_hunters")), 6).as("success_rate"))
+        .orderBy("unit"),
+      Some(s"""WITH $productionSql,
+         $harvestSql
+         SELECT unit, COUNT(*) AS n_herds,
+           CAST(SUM(post_hunt_estimate) AS BIGINT) AS herd_size,
+           round(CAST(SUM(total_harvest) AS DOUBLE) / CAST(SUM(total_hunters) AS DOUBLE), 6) AS success_rate
+         FROM production JOIN harvest USING (state, species, year, unit)
+         GROUP BY unit ORDER BY unit""")),
 
     // S10 — keyed upsert: update estimate+ratio, preserve herd_name.
     QueryDef("q_s10_upsert",

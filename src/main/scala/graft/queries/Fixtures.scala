@@ -94,6 +94,37 @@ object Fixtures {
              unnest(CAST(str_split(gmu_list, ',') AS INTEGER[])) AS unit
       FROM stage WHERE regexp_matches(trim(gmu_list), '^[0-9 ,]+$'))"""
 
+  /** Harvest analog over `customer` — deliberately the SAME key recipe as
+    * [[stage]]/[[production]] (state from c_mktsegment, species/year/unit
+    * from c_custkey mods), so the reference's implied population⋈harvest
+    * equi-join on (state, species, year, unit)
+    * (`sql/create/create_population_production.sql:9`,
+    * `planning/rough-idea.md:7`) finds dense matches at every SF.
+    * Aggregated to one row per key (the PK of a real harvest table). */
+  def harvest(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "customer").select(
+      col("c_mktsegment").as("state"),
+      when(k % 3 === 0, "elk").when(k % 3 === 1, "deer")
+        .otherwise("pronghorn").as("species"),
+      (lit(2020) + k % 4).cast(IntegerType).as("year"),
+      (k % 100).cast(IntegerType).as("unit"),
+      (k % 500).cast(LongType).as("th"),
+      (k % 80 + 1).cast(LongType).as("hu"))
+    .groupBy("state", "species", "year", "unit")
+    .agg(sum(col("th")).cast(LongType).as("total_harvest"),
+      sum(col("hu")).cast(LongType).as("total_hunters"))
+
+  /** DuckDB mirror of [[harvest]]; a `WITH`-clause fragment. */
+  val harvestSql: String =
+    """harvest AS (SELECT
+      c_mktsegment AS state,
+      CASE CAST(c_custkey % 3 AS INT) WHEN 0 THEN 'elk' WHEN 1 THEN 'deer' ELSE 'pronghorn' END AS species,
+      CAST(2020 + c_custkey % 4 AS INT) AS year,
+      CAST(c_custkey % 100 AS INT) AS unit,
+      CAST(SUM(c_custkey % 500) AS BIGINT) AS total_harvest,
+      CAST(SUM(c_custkey % 80 + 1) AS BIGINT) AS total_hunters
+    FROM customer GROUP BY 1, 2, 3, 4)"""
+
   val prodKeys: Seq[String] = Seq("state", "species", "year", "unit")
   val prodCols: Seq[String] =
     Seq("state", "species", "herd_name", "post_hunt_estimate", "male_female_ratio", "year", "unit")

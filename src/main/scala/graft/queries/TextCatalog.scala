@@ -264,6 +264,29 @@ object TextCatalog {
              row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rank
            FROM sc)
          SELECT q_id, CAST(bucket AS BIGINT) AS bucket, CAST(rank AS INT) AS rank, c_id, cos
+         FROM r WHERE rank <= 3 ORDER BY q_id, rank""")),
+
+    // Multi-probe ANN: each query also probes the `planes` buckets at
+    // Hamming distance 1 — the documented recall knob, still equi-join-only
+    // (VectorSpec asserts recall ≥ the single-bucket variant).
+    QueryDef("q_lsh_topk_multiprobe",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        Vector.lshTopKMultiProbe(e.filter(col("vec_id") < 50), e, 3, 4, 64)
+          .orderBy("q_id", "rank")
+      },
+      Some(s"""WITH ${lshSql(4, 64)},
+         q AS (SELECT vec_id AS q_id, dv AS qv, bucket FROM b WHERE vec_id < 50),
+         pr AS (SELECT q_id, qv, unnest([bucket,
+             xor(bucket, CAST(1 AS BIGINT)), xor(bucket, CAST(2 AS BIGINT)),
+             xor(bucket, CAST(4 AS BIGINT)), xor(bucket, CAST(8 AS BIGINT))]) AS pb FROM q),
+         c AS (SELECT vec_id AS c_id, dv AS cv, bucket FROM b),
+         sc AS (SELECT q_id, c_id, ${cosSql("qv", "cv", 64)} AS cos
+           FROM pr JOIN c ON pr.pb = c.bucket AND q_id <> c_id),
+         r AS (SELECT q_id, c_id, cos,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rank
+           FROM sc)
+         SELECT q_id, CAST(rank AS INT) AS rank, c_id, cos
          FROM r WHERE rank <= 3 ORDER BY q_id, rank"""))
   )
 

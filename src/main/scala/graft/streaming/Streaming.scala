@@ -68,10 +68,21 @@ object Streaming {
   }
 
   /** Custom per-key state via `mapGroupsWithState` — the streaming form of
-    * Relational.sessionize (gap-based sessions).  State per user is three
-    * longs regardless of history length, so a billion-user stream holds
+    * Relational.sessionize (gap-based sessions).  PERSISTED state per user is
+    * three longs regardless of history length, so a billion-user stream holds
     * O(users) state, partitioned by the group key across executors.  Works
-    * on batch Datasets too (Spark runs the state function per group). */
+    * on batch Datasets too (Spark runs the state function per group).
+    *
+    * Two documented bounds (not silent assumptions):
+    *  - groups arrive UNORDERED within a micro-batch, so each batch is
+    *    sorted per user (`evts.toSeq.sortBy`) — one user's batch must fit in
+    *    executor memory.  [[sortedSessionCounts]] is the bounded-memory
+    *    batch form (secondary sort, nothing materialized);
+    *  - only `lastTsUs` crosses batches: an event older than the previous
+    *    batch's last timestamp would be folded as if in order.  Callers
+    *    needing late-data tolerance must bound lateness upstream with
+    *    `withWatermark` (see [[streamingTumbling]]) or buffer within an
+    *    allowed-lateness window keyed by it. */
   def statefulSessionCounts(events: Dataset[SessionEvent],
                             gapMicros: Long): Dataset[SessionCounts] = {
     import events.sparkSession.implicits._
@@ -88,6 +99,56 @@ object Streaming {
           state.update(next)
           SessionCounts(user, next.nSessions, next.nEvents)
       }
+  }
+
+  /** Bounded-memory batch sessionization via SECONDARY SORT: repartition by
+    * user, sort within partitions by (user, ts, id), then one streaming fold
+    * over each partition's iterator emitting a user's counts at its group
+    * boundary.  No user's events are ever materialized as a collection —
+    * running state is four longs — so a pathological single user with
+    * billions of events streams through one task at O(1) memory (the spill
+    * happens in Spark's sort machinery, which is built for it). */
+  def sortedSessionCounts(df: org.apache.spark.sql.DataFrame, userCol: String,
+                          tsCol: String, idCol: String,
+                          gapMicros: Long): Dataset[SessionCounts] = {
+    import df.sparkSession.implicits._
+    val sorted = df.select(col(userCol).cast("long").as("u"),
+        unix_micros(col(tsCol)).as("t"), col(idCol).cast("long").as("i"))
+      .repartition(col("u"))
+      .sortWithinPartitions("u", "t", "i")
+      .as[(Long, Long, Long)]
+    sorted.mapPartitions { it =>
+      new Iterator[SessionCounts] {
+        private var pending: Option[SessionCounts] = None
+        private var exhausted = false
+        private var haveUser = false
+        private var curUser, lastTs, nSess, nEv = 0L
+        private def advance(): Unit =
+          while (pending.isEmpty && !exhausted) {
+            if (it.hasNext) {
+              val (u, ts, _) = it.next()
+              if (haveUser && u != curUser) {
+                pending = Some(SessionCounts(curUser, nSess, nEv))
+                haveUser = false
+              }
+              if (!haveUser) {
+                haveUser = true; curUser = u; lastTs = Long.MinValue
+                nSess = 0L; nEv = 0L
+              }
+              if (lastTs == Long.MinValue || ts - lastTs > gapMicros) nSess += 1
+              nEv += 1
+              lastTs = ts
+            } else {
+              exhausted = true
+              if (haveUser) pending = Some(SessionCounts(curUser, nSess, nEv))
+            }
+          }
+        def hasNext: Boolean = { advance(); pending.nonEmpty }
+        def next(): SessionCounts = {
+          advance(); val r = pending.get; pending = None; r
+        }
+      }
+    }
   }
 
   /** Streaming variant with a watermark bounding state: late data beyond

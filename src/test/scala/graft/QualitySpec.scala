@@ -23,6 +23,31 @@ class QualitySpec extends SparkFunSuite {
     assert(failed.map(_._1) === List("bad"))
   }
 
+  test("Q1 schemaAudit distributes footer reads over 120+ files") {
+    val base = java.nio.file.Files.createTempDirectory("audit").toString
+    // two 60-part datasets: one with the required column, one without
+    (1 to 600).map(i => (i.toLong, s"t$i")).toDF("id", "text")
+      .repartition(60).write.parquet(s"$base/with")
+    (1 to 600).map(i => (i.toLong, i)).toDF("id", "other")
+      .repartition(60).write.parquet(s"$base/without")
+    def parts(d: String): Seq[String] = new java.io.File(d).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).toSeq
+    val files = parts(s"$base/with") ++ parts(s"$base/without") :+ s"$base/nonexistent"
+    assert(files.length >= 121)
+    val got = Quality.schemaAudit(spark, files, "text").collect()
+      .map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(got.size === files.length)
+    parts(s"$base/with").foreach(p => assert(got(p) === "ok", p))
+    parts(s"$base/without").foreach(p => assert(got(p) === "missing", p))
+    assert(got(s"$base/nonexistent") === "missing")
+    // directory paths probe a part-file footer
+    val dirAudit = Quality.schemaAudit(spark,
+      Seq(s"$base/with", s"$base/without"), "text").collect()
+      .map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(dirAudit(s"$base/with") === "ok")
+    assert(dirAudit(s"$base/without") === "missing")
+  }
+
   test("multimodal sampleChecksum: empty and null text yield 0 (sequence guard)") {
     val df = Seq(Some("abc"), Some(""), None).toDF("text")
     val got = Multimodal.sampleChecksum(df, "text", 2).collect()

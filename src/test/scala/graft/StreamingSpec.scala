@@ -78,6 +78,31 @@ class StreamingSpec extends SparkFunSuite {
     assert(stateful === Map(1L -> ((2L, 3L)), 2L -> ((1L, 1L)), 3L -> ((2L, 2L))))
   }
 
+  test("sortedSessionCounts streams a skewed user without materializing the group") {
+    import spark.implicits._
+    // user 1: 50k events in 1-min steps with a >30-min gap every 1000th
+    // event; user 2: a single event.  The secondary-sort fold must match the
+    // window-function sessionizer exactly.
+    val skew = (0 until 50000).map { i =>
+      val gaps = i / 1000 // completed gaps before event i
+      (1L, Timestamp.valueOf("2024-01-01 00:00:00").getTime * 1000L
+        + i * 60_000_000L + gaps * 3600_000_000L, i.toLong)
+    } :+ ((2L, 0L, 99999L))
+    val df = skew.toDF("user_id", "us", "event_id")
+      .withColumn("ts", timestamp_micros($"us")).drop("us")
+    val got = Streaming.sortedSessionCounts(df, "user_id", "ts", "event_id",
+        1800L * 1000000L)
+      .collect().map(s => s.user_id -> ((s.n_sessions, s.n_events))).toMap
+    val expected = graft.engine.Relational.sessionize(df, "user_id", "ts", "event_id",
+        1800L * 1000000L)
+      .groupBy("user_id")
+      .agg(max("session_id").as("s"), count(lit(1)).as("e"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === expected)
+    assert(got(1L)._1 === 50L) // 49 completed gaps + the initial session
+    assert(got(1L)._2 === 50000L)
+  }
+
   test("upsertSink merges each micro-batch into the lake (streaming ON CONFLICT)") {
     val base = Files.createTempDirectory("st1_upsert").toString
     import spark.implicits._

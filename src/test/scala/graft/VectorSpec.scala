@@ -82,6 +82,55 @@ class VectorSpec extends SparkFunSuite {
       .head().getDouble(0) === 6.0)
   }
 
+  test("ivfTopK assigns lists per-row: exactly one shuffle (the rank window)") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // EnsureRequirements only inserts exchanges in the executed plan, and
+    // AQE would hide them behind an AdaptiveSparkPlanExec leaf — turn it off
+    // for the assertion.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val out = Vector.ivfTopK(e.filter($"vec_id" < 30), e, 3, 16, 4)
+      val shuffles = out.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => s
+      }
+      // old form: crossJoin(16×corpus) through a row_number window → multiple
+      // corpus-sized exchanges; new form: broadcast probes ⋈ per-row-assigned
+      // lists, so the only exchange left is the per-query rank window.
+      assert(shuffles.length === 1,
+        s"expected 1 shuffle (rank window), got ${shuffles.length}")
+      assert(out.count() > 0)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("multi-probe LSH recall ≥ single-bucket recall vs brute-force truth") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter($"vec_id" < 20)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select("q_id", "c_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = pairs(Vector.bruteForceTopK(q, e, 3))
+    val single = pairs(Vector.lshTopK(q, e, 3, 4, 64).select("q_id", "c_id"))
+    val multi = pairs(Vector.lshTopKMultiProbe(q, e, 3, 4, 64))
+    val recallSingle = (truth intersect single).size
+    val recallMulti = (truth intersect multi).size
+    // the multi-probe CANDIDATE set is a superset, and top-k over a superset
+    // under the same (cos desc, c_id) order can only improve agreement with
+    // the global top-k — so recall is monotone (the result ROWS need not be
+    // a superset: a better flipped-bucket neighbor may displace one).
+    assert(recallMulti >= recallSingle,
+      s"multi-probe recall $recallMulti < single-bucket $recallSingle")
+    // per-query best cosine is monotone too — assert it pointwise
+    def best(df: org.apache.spark.sql.DataFrame) = df
+      .filter($"rank" === 1).collect()
+      .map(r => r.getAs[Long]("q_id") -> r.getAs[Double]("cos")).toMap
+    val bs = best(Vector.lshTopK(q, e, 3, 4, 64).select("q_id", "rank", "cos"))
+    val bm = best(Vector.lshTopKMultiProbe(q, e, 3, 4, 64))
+    bs.foreach { case (qid, c) =>
+      assert(bm.getOrElse(qid, Double.MinValue) >= c,
+        s"query $qid: multi-probe best ${bm.get(qid)} < single best $c")
+    }
+  }
+
   test("planeWeight is exactly representable (oracle-reproducible) and in [-1, 1)") {
     for (p <- 0 until 8; i <- 0 until 64) {
       val w = Vector.planeWeight(p, i)
