@@ -205,6 +205,75 @@ object Text {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  // ------------------------------------------------- global dedup clusters
+  /** Connected components over the near-dup candidate graph — turns pairwise
+    * candidates into GLOBAL dedup clusters (every doc → the min doc id of
+    * its component, the canonical survivor).  Iterative min-label
+    * propagation: each round is `labels ∪ (edges ⋈ labels)` → `groupBy min`,
+    * all equi-joins/aggs on the node key, converging in O(component
+    * diameter) rounds.  Near-dup clusters are small and dense (diameter
+    * 2–3), so `maxIters = 10` is generous; the driver loop runs a bounded
+    * count-action per round for the fixpoint test (each action is fully
+    * distributed — this is the standard label-propagation shape; large-star/
+    * small-star halves the round count at web scale with the same
+    * primitives).  Deterministic: the fixpoint is the component-wise min,
+    * independent of iteration order. */
+  def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
+                          maxIters: Int = 10): DataFrame = {
+    val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct().cache()
+    var labels = sym.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node")).cache()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val viaNbr = sym.join(labels.withColumnRenamed("node", "dst"), "dst")
+        .select(col("src").as("node"), col("label"))
+      val next = labels.unionByName(viaNbr)
+        .groupBy("node").agg(min("label").as("label")).cache()
+      val changed = next.alias("n").join(labels.alias("o"), Seq("node"))
+        .filter(col("n.label") =!= col("o.label")).limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    sym.unpersist()
+    labels
+  }
+
+  // ------------------------------------------------------------ PII scrub
+  /** PII scrubbing patterns — deliberately basic regex constructs (char
+    * classes, bounded repeats) that behave identically under Java regex
+    * (Spark) and RE2 (DuckDB oracle). */
+  val EmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val PhoneRe = "\\+?[0-9][0-9 ()-]{6,}[0-9]"
+  val LongNumRe = "[0-9]{5,}"
+
+  /** Replace emails / phone-like runs / long digit runs with typed
+    * placeholder tokens, in that order (emails first so their digits are
+    * gone before the phone pass).  A pure regexp_replace chain: codegen'd,
+    * per-row, streaming-safe — the shape a 100 TB pre-training scrub pass
+    * needs (no shuffle, no state). */
+  def scrubPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>"),
+      LongNumRe, "<NUM>")
+
+  // ------------------------------------------------- deterministic sampling
+  /** Deterministic, engine-portable sampling predicate: md5-hash the key,
+    * keep `permille`/1000 of rows.  Unlike `df.sample` (seed + partition
+    * dependent — not reproducible under AQE re-planning or retries), this is
+    * a pure function of the KEY: stable across runs, engines, and cluster
+    * layouts, and stratifies per group by construction when grouped
+    * downstream.  The sampling unit is whatever the key identifies (doc,
+    * user, …), so correlated rows stay together. */
+  def sampleHash(key: Column, permille: Int): Column =
+    (tokenHash(key.cast("string")) % 1000) < permille
+
   // ---------------------------------------------------------- text analysis
   /** Rolling polynomial fingerprint over tokens: fold (acc·31 + h(t)) mod M,
     * seed 7 — an order-sensitive document fingerprint (unlike the set-based

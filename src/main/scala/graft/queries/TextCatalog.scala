@@ -126,7 +126,85 @@ object TextCatalog {
       Some(s"""SELECT doc_id,
            list_reduce(list_prepend(CAST(7 AS BIGINT), list_transform($toks, t -> ${th("t")} % $M)),
              (acc, h) -> (acc * 31 + h) % $M) AS fp
-         FROM documents ORDER BY doc_id"""))
+         FROM documents ORDER BY doc_id""")),
+
+    // TF-IDF-style term salience: tf × (N/df) with a RATIONAL idf surrogate —
+    // ln() is libm-dependent (not bit-portable across engines), while
+    // products/quotients of identical doubles are IEEE-exact; the plan shape
+    // (explode → tf agg ⋈ df agg ⋈ broadcast N → per-doc top-1 window) is the
+    // standard tf-idf pipeline either way.
+    QueryDef("q_tfidf_top_term",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val rel = d.select(col("doc_id"), Text.tokens(col("text")).as("__t"))
+          .repartition(col("doc_id"))
+          .select(col("doc_id"), explode(col("__t")).as("term"))
+        val tf = rel.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val dfreq = rel.distinct().groupBy("term").agg(count(lit(1)).as("df"))
+        val nDocs = broadcast(d.agg(countDistinct("doc_id").as("__n")))
+        tf.join(dfreq, "term").crossJoin(nDocs)
+          .withColumn("score", round(col("tf").cast("double") * col("__n") / col("df"), 6))
+          .withColumn("rn", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+              .orderBy(col("score").desc, col("term"))))
+          .filter(col("rn") === 1)
+          .select("doc_id", "term", "tf", "df", "score")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH rel AS (SELECT doc_id, unnest($toks) AS term FROM documents),
+         tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM rel GROUP BY 1, 2),
+         dfreq AS (SELECT term, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, term FROM rel) GROUP BY 1),
+         nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+         sc AS (SELECT doc_id, term, tf, df,
+             round(CAST(tf AS DOUBLE) * n / df, 6) AS score
+           FROM tf JOIN dfreq USING (term), nd),
+         r AS (SELECT doc_id, term, tf, df, score,
+             row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rn FROM sc)
+         SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, score
+         FROM r WHERE rn = 1 ORDER BY doc_id""")),
+
+    // PII scrubbing: deterministic synthetic PII appended per doc_id mod,
+    // scrubbed by the regexp_replace chain; the full scrubbed string is
+    // compared, so any divergence in the replacement logic fails the hash.
+    QueryDef("q_pii_scrub",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val pii = concat(col("text"),
+          when(col("doc_id") % 3 === 0, " contact: user.name+tag@example-mail.com").otherwise(""),
+          when(col("doc_id") % 4 === 0, " call +1 (303) 555-0142").otherwise(""),
+          when(col("doc_id") % 5 === 0, " zip 80301").otherwise(""))
+        d.select(col("doc_id"), Text.scrubPii(pii).as("scrubbed"))
+          .withColumn("n_email", regexp_count(col("scrubbed"), lit("<EMAIL>")).cast(LongType))
+          .withColumn("n_phone", regexp_count(col("scrubbed"), lit("<PHONE>")).cast(LongType))
+          .withColumn("n_num", regexp_count(col("scrubbed"), lit("<NUM>")).cast(LongType))
+          .orderBy("doc_id")
+      },
+      Some("""WITH p AS (SELECT doc_id, text
+           || CASE WHEN doc_id % 3 = 0 THEN ' contact: user.name+tag@example-mail.com' ELSE '' END
+           || CASE WHEN doc_id % 4 = 0 THEN ' call +1 (303) 555-0142' ELSE '' END
+           || CASE WHEN doc_id % 5 = 0 THEN ' zip 80301' ELSE '' END AS t
+           FROM documents),
+         s AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(t,
+             '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+             '\+?[0-9][0-9 ()-]{6,}[0-9]', '<PHONE>', 'g'),
+             '[0-9]{5,}', '<NUM>', 'g') AS scrubbed
+           FROM p)
+         SELECT doc_id, scrubbed,
+           CAST(len(regexp_extract_all(scrubbed, '<EMAIL>')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(scrubbed, '<PHONE>')) AS BIGINT) AS n_phone,
+           CAST(len(regexp_extract_all(scrubbed, '<NUM>')) AS BIGINT) AS n_num
+         FROM s ORDER BY doc_id""")),
+
+    // Deterministic stratified sampling: md5-keyed keep-predicate (portable,
+    // retry/AQE-stable, unlike df.sample) — per-lang sampled counts.
+    QueryDef("q_sample_stratified",
+      (s, dir) => t(s, dir, "documents")
+        .filter(Text.sampleHash(col("doc_id"), 300))
+        .groupBy("lang").agg(count(lit(1)).as("n_sampled"))
+        .orderBy("lang"),
+      Some("""SELECT lang, COUNT(*) AS n_sampled FROM documents
+         WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000 < 300
+         GROUP BY 1 ORDER BY 1"""))
   )
 
   val dedup: Seq[QueryDef] = Seq(

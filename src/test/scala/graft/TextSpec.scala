@@ -79,4 +79,38 @@ class TextSpec extends SparkFunSuite {
       .select(Text.langIdHeuristic($"text").as("l")).collect().map(_.getString(0))
     assert(got.toSeq === Seq("en", "tech", "unknown"))
   }
+
+  test("connectedComponents: min label propagates across chains, components stay separate") {
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (4L, 5L), (7L, 6L)).toDF("a", "b")
+    val got = Text.connectedComponents(edges, "a", "b").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // chain 1-2-3-4-5 needs multiple propagation rounds to reach 5
+    assert(Seq(1L, 2L, 3L, 4L, 5L).forall(n => got(n) === 1L))
+    assert(got(6L) === 6L && got(7L) === 6L)
+    assert(got.size === 7)
+  }
+
+  test("scrubPii replaces emails, phones, and long digit runs in order") {
+    val df = Seq(
+      "mail me at a.b+c@ex-ample.org now",
+      "call +1 (303) 555-0142 today",
+      "zip 80301 and card 4111111111111111",
+      "clean text stays").toDF("t")
+    val got = df.select(Text.scrubPii($"t").as("s")).collect().map(_.getString(0))
+    assert(got(0) === "mail me at <EMAIL> now")
+    assert(got(1) === "call <PHONE> today")
+    assert(got(2) === "zip <NUM> and card <PHONE>") // 16 digits match the phone run first
+    assert(got(3) === "clean text stays")
+  }
+
+  test("sampleHash is deterministic, key-stable, and near the target rate") {
+    val df = (1L to 2000L).toDF("id")
+    val once = df.filter(Text.sampleHash($"id", 300)).collect().map(_.getLong(0)).toSet
+    val again = df.filter(Text.sampleHash($"id", 300)).collect().map(_.getLong(0)).toSet
+    assert(once === again)
+    assert(once.size > 480 && once.size < 720) // ~30% of 2000
+    // monotone in permille: the 300-permille sample is a subset of the 500 one
+    val bigger = df.filter(Text.sampleHash($"id", 500)).collect().map(_.getLong(0)).toSet
+    assert(once.subsetOf(bigger))
+  }
 }
