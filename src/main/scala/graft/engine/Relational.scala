@@ -84,6 +84,45 @@ object Relational {
       .drop("__new_s")
   }
 
+  /** As-of join — for each left row, the MOST RECENT right row with
+    * `right.ts <= left.ts` on the same key (ties at equal ts match the right
+    * row) — the time-series join Spark has no native operator for (DuckDB
+    * spells it `ASOF JOIN`, which is exactly the oracle used).
+    *
+    * Spark-first composition instead of a custom SparkPlan: tag and UNION
+    * both sides, then one window per key ordered by (ts, tag) carrying the
+    * last non-null right attributes forward (`last(ignoreNulls)` over an
+    * unbounded-preceding row frame), keep the left rows.  ONE shuffle on the
+    * key for any number of right columns — versus the naive
+    * join-then-filter-then-rank which shuffles both sides AND explodes
+    * matches quadratically per key.  The frame is running (not full-window),
+    * so state per key during execution is the last-seen right row: skew-safe.
+    *
+    * `right` must be unique per (keys, ts) — pre-dedup with
+    * `Upsert.dedupLastWins` otherwise (equal-ts right duplicates would make
+    * the winner window-order-dependent). */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               tsCol: String, rightCols: Seq[String],
+               prefix: String = "r_"): DataFrame = {
+    val leftOnly = left.columns.toSeq.filterNot((keys :+ tsCol).contains)
+    val l = rightCols.foldLeft(left.withColumn("__tag", lit(1))) { (d, c) =>
+      d.withColumn(prefix + c, lit(null).cast(right.schema(c).dataType))
+    }
+    val r0 = right.select((keys :+ tsCol).map(col) ++
+      rightCols.map(c => col(c).as(prefix + c)): _*).withColumn("__tag", lit(0))
+    val r = leftOnly.foldLeft(r0) { (d, c) =>
+      d.withColumn(c, lit(null).cast(left.schema(c).dataType))
+    }
+    val u = l.unionByName(r.select(l.columns.map(col): _*))
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol), col("__tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rightCols.foldLeft(u) { (d, c) =>
+        d.withColumn(prefix + c, last(col(prefix + c), ignoreNulls = true).over(w))
+      }
+      .filter(col("__tag") === 1).drop("__tag")
+  }
+
   /** Two-stage global row numbering — the scale-safe replacement for a
     * partition-less `row_number().over(Window.orderBy(page, row))` (which
     * funnels every row through ONE task):

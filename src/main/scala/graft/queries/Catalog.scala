@@ -342,6 +342,52 @@ object Catalog {
          SELECT user_id, CAST(SUM(new_s) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
          FROM m GROUP BY 1 ORDER BY 1""")),
 
+    // As-of join — each click matched to the user's most recent purchase at
+    // or before it (DuckDB validates with its native ASOF LEFT JOIN).  One
+    // shuffle on user_id via the tag-union-window composition in
+    // Relational.asofJoin; the right side is deduped per (user, ts) so the
+    // match is deterministic.
+    QueryDef("q_asof_join",
+      (s, dir) => {
+        val ev = events(s, dir)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select("user_id", "ts", "event_id")
+        val purchases = Upsert.dedupLastWins(
+          ev.filter(col("event_type") === "purchase")
+            .select(col("user_id"), col("ts"), col("event_id").as("p_id"), col("value")),
+          Seq("user_id", "ts"), Seq(col("p_id").desc))
+        Relational.asofJoin(clicks, purchases, Seq("user_id"), "ts", Seq("p_id", "value"))
+          .select(col("event_id"), col("user_id"), col("r_p_id"), col("r_value"))
+          .orderBy("event_id")
+      },
+      Some("""WITH l AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+         r0 AS (SELECT user_id, ts, event_id AS p_id, value FROM events WHERE event_type = 'purchase'),
+         r AS (SELECT user_id, ts, p_id, value FROM (
+             SELECT *, row_number() OVER (PARTITION BY user_id, ts ORDER BY p_id DESC) AS rn FROM r0)
+           WHERE rn = 1)
+         SELECT l.event_id, l.user_id, r.p_id AS r_p_id, r.value AS r_value
+         FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+         ORDER BY l.event_id""")),
+
+    // A1c — exact continuous percentiles (Spark `percentile` ≡ DuckDB
+    // `quantile_cont`: both interpolate at rank p·(n−1) over the sorted
+    // values; quantities are small integers so quartiles land on duplicate
+    // runs and interpolation is exact).
+    QueryDef("q_percentiles",
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(percentile(col("l_quantity"), lit(0.25)).as("p25"),
+          percentile(col("l_quantity"), lit(0.5)).as("p50"),
+          percentile(col("l_quantity"), lit(0.75)).as("p75"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.25) AS p25,
+           quantile_cont(l_quantity, 0.5) AS p50,
+           quantile_cont(l_quantity, 0.75) AS p75,
+           COUNT(*) AS n
+         FROM lineitem GROUP BY 1 ORDER BY 1""")),
+
     // W1 frame spec — rolling 3-row sum per user (decimal-exact accumulation).
     QueryDef("q_rolling_sum",
       (s, dir) => events(s, dir)

@@ -76,6 +76,22 @@ class RelationalSpec extends SparkFunSuite {
     }
   }
 
+  test("asofJoin matches the most recent right row at or before each left ts") {
+    val l = Seq((1L, 10L, 100L), (1L, 5L, 101L), (1L, 2L, 103L), (2L, 7L, 102L))
+      .toDF("k", "ts", "lid")
+    val r = Seq((1L, 5L, 201L, 1.5), (1L, 8L, 202L, 2.5), (2L, 9L, 203L, 3.5))
+      .toDF("k", "ts", "rid", "v")
+    val got = Relational.asofJoin(l, r, Seq("k"), "ts", Seq("rid", "v"))
+      .orderBy("lid").collect()
+      .map(row => row.getAs[Long]("lid") ->
+        (if (row.isNullAt(row.fieldIndex("r_rid"))) None
+         else Some((row.getAs[Long]("r_rid"), row.getAs[Double]("r_v"))))).toMap
+    assert(got(100L) === Some((202L, 2.5))) // ts 10 → latest right at 8
+    assert(got(101L) === Some((201L, 1.5))) // equal ts matches (>= semantics)
+    assert(got(103L) === None)              // before any right row
+    assert(got(102L) === None)              // right exists only AFTER left ts
+  }
+
   test("sessionize: gap larger than threshold starts a new session") {
     def ts(min: Int) = Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
     val df = Seq(
