@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Opinionated session factory: the engine's recommended Spark configuration
+  * for local runs and cluster deployment, with the native function
+  * extensions (`graft_dot`) installed for pure-SQL users.
+  *
+  * Sizing rules behind the defaults (100 TB, ~1000-executor frame of
+  * reference):
+  *  - `spark.sql.shuffle.partitions` ≈ 2–3× total executor cores, then let
+  *    AQE COALESCE per stage: oversized-then-coalesced beats undersized (a
+  *    too-small fixed value spills; AQE merges partitions but never splits
+  *    a non-skewed one).
+  *  - `spark.sql.files.maxPartitionBytes` 128 MiB keeps scan tasks at the
+  *    object-store-friendly request unit, and bounds a task's working set
+  *    when a whole partition materializes (sorts, hash maps).
+  *  - AQE skew-join ON: splits oversized post-shuffle partitions of
+  *    sort-merge joins at runtime — complementing the engine's own static
+  *    guards (salted aggregation, shingle DF cutoff, LSH plane count),
+  *    which cover the aggregation/candidate-join skew AQE cannot touch.
+  *  - UTC session timezone: event-time windows must not depend on the
+  *    submitting host's locale.
+  */
+object GraftSession {
+
+  /** The conf pairs [[builder]] applies — exposed for inspection/tests. */
+  val recommendedConf: Seq[(String, String)] = Seq(
+    "spark.sql.extensions" -> "graft.functions.GraftExtensions",
+    "spark.sql.adaptive.enabled" -> "true",
+    "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+    "spark.sql.adaptive.skewJoin.enabled" -> "true",
+    "spark.sql.files.maxPartitionBytes" -> (128L * 1024 * 1024).toString,
+    "spark.sql.session.timeZone" -> "UTC")
+
+  def builder(master: String, shufflePartitions: Int): SparkSession.Builder =
+    recommendedConf.foldLeft(
+      SparkSession.builder()
+        .master(master)
+        .config("spark.sql.shuffle.partitions", shufflePartitions.toString)) {
+      case (b, (k, v)) => b.config(k, v)
+    }
+}

@@ -548,6 +548,58 @@ object Catalog {
            UNION ALL SELECT * FROM merged)
          ORDER BY state, species, year, unit""")),
 
+    // ST4 — STREAMING lake upsert: the same merge as q_s10_upsert, but
+    // driven through Structured Streaming (two source files → two
+    // checkpointed micro-batches via maxFilesPerTrigger=1; batch 1
+    // bootstraps the lake, batch 2 merges with EXCLUDED-wins/preserve
+    // semantics into only the touched partitions).  The final lake must
+    // equal the batch upsert bit-for-bit, so it shares q_s10_upsert's
+    // oracle.  File mtimes are pinned so batch order is deterministic.
+    QueryDef("q_st4_streaming_upsert",
+      (s, dir) => {
+        val base = Files.createTempDirectory("graft_st4").toString
+        val dd = dedupedProduction(s, dir)
+        val existing = dd.filter(col("year") <= 2021)
+        val incoming = dd.filter(col("year") >= 2021)
+          .withColumn("post_hunt_estimate", col("post_hunt_estimate") + 1000)
+          .withColumn("male_female_ratio", col("male_female_ratio") * 2.0)
+          .withColumn("herd_name", concat(lit("NEW_"), coalesce(col("herd_name"), lit("X"))))
+        existing.coalesce(1).write.parquet(s"$base/src/f1")
+        incoming.coalesce(1).write.parquet(s"$base/src/f2")
+        def pin(sub: String, mtime: Long): Unit =
+          new java.io.File(s"$base/src/$sub").listFiles()
+            .filter(_.getName.endsWith(".parquet"))
+            .foreach(_.setLastModified(mtime))
+        val now = System.currentTimeMillis()
+        pin("f1", now - 120000); pin("f2", now)
+        val schema = s.read.parquet(s"$base/src/f1").schema
+        val stream = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$base/src/*")
+        Streaming.upsertSink(stream, s"$base/lake", s"$base/cp", prodKeys,
+          Seq("post_hunt_estimate", "male_female_ratio"), Seq("herd_name"),
+          partCol = "year", orderCol = "post_hunt_estimate")
+        s.read.parquet(s"$base/lake")
+          .select(prodCols.map(col): _*)
+          .orderBy("state", "species", "year", "unit")
+      },
+      Some(s"""WITH $dedupedSql,
+         e AS (SELECT * FROM deduped WHERE year <= 2021),
+         i AS (SELECT state, species, year, unit,
+                 post_hunt_estimate + 1000 AS post_hunt_estimate,
+                 male_female_ratio * 2.0 AS male_female_ratio,
+                 'NEW_' || COALESCE(herd_name, 'X') AS herd_name
+               FROM deduped WHERE year >= 2021)
+         SELECT COALESCE(e.state, i.state) AS state,
+                COALESCE(e.species, i.species) AS species,
+                CASE WHEN e.unit IS NOT NULL THEN e.herd_name ELSE i.herd_name END AS herd_name,
+                CASE WHEN i.unit IS NOT NULL THEN i.post_hunt_estimate ELSE e.post_hunt_estimate END AS post_hunt_estimate,
+                CASE WHEN i.unit IS NOT NULL THEN i.male_female_ratio ELSE e.male_female_ratio END AS male_female_ratio,
+                COALESCE(e.year, i.year) AS year,
+                COALESCE(e.unit, i.unit) AS unit
+         FROM e FULL OUTER JOIN i
+           ON e.state = i.state AND e.species = i.species AND e.year = i.year AND e.unit = i.unit
+         ORDER BY state, species, year, unit""")),
+
     // S5+S6+S9 — partitioned sink, glob scan back, full-refresh overwrite.
     QueryDef("q_s5_s9_roundtrip",
       (s, dir) => {
@@ -561,6 +613,28 @@ object Catalog {
       Some(s"""WITH $productionSql
          SELECT species, year, COUNT(*) AS n, CAST(SUM(post_hunt_estimate) AS BIGINT) AS total_estimate
          FROM production GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // S6 depth — schema drift across lake generations: old years lack a
+    // column that newer years carry (the reference's PDFs drift headers the
+    // same way); `mergeSchema` unions the footers and the missing column
+    // reads as NULL, exactly like DuckDB's read_parquet(..., union_by_name).
+    QueryDef("q_s6_schema_drift",
+      (s, dir) => {
+        val base = Files.createTempDirectory("graft_drift").toString
+        val p = production(s, dir)
+        p.filter(col("year") <= 2021).drop("male_female_ratio")
+          .write.parquet(s"$base/y_old")
+        p.filter(col("year") >= 2022).write.parquet(s"$base/y_new")
+        Tables.globScan(s, s"$base/*", mergeSchema = true)
+          .groupBy("year")
+          .agg(count(lit(1)).as("n"),
+            count(col("male_female_ratio")).as("n_with_ratio"))
+          .orderBy("year")
+      },
+      Some(s"""WITH $productionSql
+         SELECT year, COUNT(*) AS n,
+           COUNT(CASE WHEN year >= 2022 THEN male_female_ratio END) AS n_with_ratio
+         FROM production GROUP BY 1 ORDER BY 1""")),
 
     // S8 — DDL (CREATE TABLE IF NOT EXISTS) + SQL INSERT + catalog read-back,
     // the Spark form of the reference's sql/create + sql/load scripts

@@ -57,6 +57,16 @@ class IoSpec extends SparkFunSuite {
     assert(q.count() === 250)
   }
 
+  test("GraftSession recommends AQE + skew handling + extensions") {
+    val conf = GraftSession.recommendedConf.toMap
+    assert(conf("spark.sql.adaptive.enabled") === "true")
+    assert(conf("spark.sql.adaptive.skewJoin.enabled") === "true")
+    assert(conf("spark.sql.extensions") === "graft.functions.GraftExtensions")
+    assert(conf("spark.sql.files.maxPartitionBytes").toLong === 128L * 1024 * 1024)
+    // builder applies them without erroring (shared test session stays live)
+    assert(GraftSession.builder("local[1]", 4) != null)
+  }
+
   test("S11 withS3A sets fs.s3a credentials on the hadoop conf") {
     Tables.withS3A(spark, "AKIDEXAMPLE", "secretEXAMPLE",
       endpoint = Some("http://localhost:9000"), region = Some("us-west-2"))
