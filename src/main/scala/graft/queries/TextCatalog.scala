@@ -140,7 +140,11 @@ object TextCatalog {
           .repartition(col("doc_id"))
           .select(col("doc_id"), explode(col("__t")).as("term"))
         val tf = rel.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-        val dfreq = rel.distinct().groupBy("term").agg(count(lit(1)).as("df"))
+        // df derived FROM tf (one (doc,term) row each) instead of a second
+        // pass over the corpus: both branches hang off the same
+        // repartition-by-doc exchange, which Spark replays as a
+        // ReusedExchange — the 100 TB scan and shuffle happen once.
+        val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
         val nDocs = broadcast(d.agg(countDistinct("doc_id").as("__n")))
         tf.join(dfreq, "term").crossJoin(nDocs)
           .withColumn("score", round(col("tf").cast("double") * col("__n") / col("df"), 6))
