@@ -45,6 +45,30 @@ object Tables {
   def writeFullRefresh(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)
 
+  /** Lake compaction: rewrite `path` into ≈`targetBytes`-sized files.
+    * Small-file proliferation is the classic incremental-lake failure mode —
+    * every micro-batch leaves a few files until listing and task scheduling
+    * dominate query time; at 100 TB compaction is a scheduled maintenance
+    * op, not a luxury.  Sizes the rewrite from the CURRENT byte count
+    * (ceil(bytes/target) output files), stages to a sibling directory, then
+    * swaps.  The swap is delete+rename — NOT atomic: a reader racing it can
+    * miss the path; run it in the same scheduler slot as the writers it
+    * compacts, or use a transactional table format where isolation matters.
+    * Returns the output file count. */
+  def compact(spark: SparkSession, path: String,
+              targetBytes: Long = 128L * 1024 * 1024): Int = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(p).getLength
+    val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    val tmp = new org.apache.hadoop.fs.Path(
+      path.stripSuffix("/") + "__compact_" + java.util.UUID.randomUUID())
+    spark.read.parquet(path).repartition(n).write.parquet(tmp.toString)
+    fs.delete(p, true)
+    fs.rename(tmp, p)
+    n
+  }
+
   /** S11 — S3 credential plumbing (ref `src/db/load_duckdb_data.py:8-20`):
     * the reference copies boto-session credentials into DuckDB's httpfs S3
     * settings; the Spark equivalent is `fs.s3a.*` Hadoop configuration on

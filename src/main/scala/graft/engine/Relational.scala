@@ -123,6 +123,36 @@ object Relational {
       .filter(col("__tag") === 1).drop("__tag")
   }
 
+  /** Range join via time-binning — matched pairs of (left, right) rows on
+    * the same key with `right.ts ∈ [left.ts − windowMicros, left.ts]`
+    * (inclusive).  The non-equi predicate alone would force Spark into a
+    * nested-loop/cartesian per key; binning event time into window-width
+    * buckets turns it into an EQUI-join: a right row lives in exactly one
+    * bin, a left row probes its own bin and the previous one (2× bounded
+    * fanout of the left side), and the exact range predicate filters the
+    * candidates.  Shuffles on (key, bin) — at 100 TB this is the same
+    * bucketed-candidate shape as the LSH joins: linear in matches, never
+    * quadratic in rows.  Right columns arrive `prefix`-renamed. */
+  def rangeJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                lTs: String, rTs: String, windowMicros: Long,
+                prefix: String = "r_"): DataFrame = {
+    // exact integer bin: (us - us mod w) / w — the numerator is an exact
+    // multiple of w, so the double division is exact (a bare floor(us / w)
+    // can misplace a boundary timestamp by one bin).
+    def binOf(us: Column): Column =
+      ((us - pmod(us, lit(windowMicros))) / windowMicros).cast("long")
+    val lus = unix_micros(col(lTs))
+    val l = left.withColumn("__bin",
+      explode(array(binOf(lus) - 1, binOf(lus))))
+    val rCols = right.columns.filterNot(keys.contains).toSeq
+    val r = rCols.foldLeft(right)((d, c) => d.withColumnRenamed(c, prefix + c))
+      .withColumn("__bin", binOf(unix_micros(col(prefix + rTs))))
+    l.join(r, keys :+ "__bin")
+      .filter(unix_micros(col(prefix + rTs))
+        .between(lus - windowMicros, lus))
+      .drop("__bin")
+  }
+
   /** Two-stage global row numbering — the scale-safe replacement for a
     * partition-less `row_number().over(Window.orderBy(page, row))` (which
     * funnels every row through ONE task):

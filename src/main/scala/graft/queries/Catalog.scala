@@ -369,6 +369,31 @@ object Catalog {
          FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
          ORDER BY l.event_id""")),
 
+    // Range join — purchases within the hour BEFORE each click, per user:
+    // the binned equi-join form of a non-equi time predicate (bin = 1h of
+    // event time; left probes 2 bins; exact BETWEEN filters candidates).
+    // The naive spelling is a per-key nested loop — quadratic on hot users.
+    QueryDef("q_range_join",
+      (s, dir) => {
+        val ev = events(s, dir)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select("user_id", "ts", "event_id")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select("user_id", "ts", "value")
+        Relational.rangeJoin(clicks, purchases, Seq("user_id"),
+            "ts", "ts", 3600L * 1000000L)
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_pairs"), dsum(col("r_value")).as("sum_value"))
+          .orderBy("user_id")
+      },
+      Some("""WITH l AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+         r AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'),
+         p AS (SELECT l.user_id, r.value FROM l JOIN r ON l.user_id = r.user_id
+               AND r.ts BETWEEN l.ts - INTERVAL 1 HOUR AND l.ts)
+         SELECT user_id, COUNT(*) AS n_pairs,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+         FROM p GROUP BY 1 ORDER BY 1""")),
+
     // A1c — exact continuous percentiles (Spark `percentile` ≡ DuckDB
     // `quantile_cont`: both interpolate at rank p·(n−1) over the sorted
     // values; quantities are small integers so quartiles land on duplicate

@@ -57,6 +57,19 @@ class IoSpec extends SparkFunSuite {
     assert(q.count() === 250)
   }
 
+  test("compact rewrites a many-file dataset preserving contents") {
+    val dir = java.nio.file.Files.createTempDirectory("compact").toString + "/t"
+    val df = (1L to 10000L).map(i => (i, s"v$i")).toDF("id", "v")
+    df.repartition(40).write.parquet(dir)
+    def parts = new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(parts === 40)
+    val n = Tables.compact(spark, dir, targetBytes = 1024L * 1024 * 1024)
+    assert(n === 1 && parts === 1)
+    val back = spark.read.parquet(dir)
+    assert(back.count() === 10000)
+    assert(back.agg(sum("id")).head().getLong(0) === 10000L * 10001 / 2)
+  }
+
   test("GraftSession recommends AQE + skew handling + extensions") {
     val conf = GraftSession.recommendedConf.toMap
     assert(conf("spark.sql.adaptive.enabled") === "true")

@@ -92,6 +92,41 @@ class RelationalSpec extends SparkFunSuite {
     assert(got(102L) === None)              // right exists only AFTER left ts
   }
 
+  test("rangeJoin pairs rows within the window, inclusive bounds, across bin edges") {
+    val w = 3600L * 1000000L
+    def withTs(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("ts", timestamp_micros($"us")).drop("us")
+    val l = withTs(Seq((1L, 10L * w + 500000L, 100L), (2L, 5L * w, 101L))
+      .toDF("k", "us", "lid"))
+    val r = withTs(Seq(
+      (1L, 10L * w + 500000L, 1.0), // equal ts → included
+      (1L, 9L * w + 600000L, 2.0),  // within window, PREVIOUS bin → included
+      (1L, 9L * w + 400000L, 3.0),  // older than window start → excluded
+      (1L, 10L * w + 900000L, 4.0), // after the click → excluded
+      (2L, 4L * w, 5.0)             // exactly window start (lts - w) → included
+    ).toDF("k", "us", "v"))
+    val got = Relational.rangeJoin(l, r, Seq("k"), "ts", "ts", w)
+      .select("lid", "r_v").collect().map(x => (x.getLong(0), x.getDouble(1))).toSet
+    assert(got === Set((100L, 1.0), (100L, 2.0), (101L, 5.0)))
+  }
+
+  test("property: asofJoin agrees with a naive per-row scan on random data") {
+    val rnd = new scala.util.Random(42)
+    val ls = (0 until 300).map(i => (rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong, i.toLong))
+    val rs = (0 until 200).map(i => (rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong * 7 % 1000, i.toLong))
+      .groupBy(t => (t._1, t._2)).map(_._2.maxBy(_._3)).toSeq // unique (k, ts)
+    val lDf = ls.toDF("k", "ts", "lid")
+    val rDf = rs.toDF("k", "ts", "rid")
+    val got = Relational.asofJoin(lDf, rDf, Seq("k"), "ts", Seq("rid"))
+      .collect().map(r => r.getAs[Long]("lid") ->
+        (if (r.isNullAt(r.fieldIndex("r_rid"))) -1L else r.getAs[Long]("r_rid"))).toMap
+    ls.foreach { case (k, ts, lid) =>
+      val naive = rs.filter(r => r._1 == k && r._2 <= ts)
+        .sortBy(r => (r._2, r._3)).lastOption.map(_._3).getOrElse(-1L)
+      assert(got(lid) === naive, s"left $lid (k=$k, ts=$ts)")
+    }
+  }
+
   test("sessionize: gap larger than threshold starts a new session") {
     def ts(min: Int) = Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
     val df = Seq(
