@@ -708,6 +708,33 @@ object Catalog {
       },
       Some("""SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1 ORDER BY 1""")),
 
+    // ST5 — streaming dedup across micro-batches: the source contains every
+    // event TWICE (two identical files → two checkpointed batches);
+    // dropDuplicates state must discard the replayed copies, so per-type
+    // counts equal the original table's — which is exactly the oracle.
+    QueryDef("q_st5_stream_dedup",
+      (s, dir) => {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val base = Files.createTempDirectory("graft_st5").toString
+        val raw = t(s, dir, "events")
+        raw.write.parquet(s"$base/src/f1")
+        raw.write.parquet(s"$base/src/f2")
+        val schema = s.read.parquet(s"$base/src/f1").schema
+        val stream = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$base/src/*")
+        val q = Streaming.dedupStream(stream, Seq("event_id"))
+          .writeStream.format("parquet")
+          .option("path", s"$base/out")
+          .option("checkpointLocation", s"$base/cp")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.read.schema(schema).parquet(s"$base/out")
+          .groupBy("event_type").agg(count(lit(1)).as("n"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1 ORDER BY 1""")),
+
     // Q1 — schema-presence audit (footer-only reads).
     QueryDef("q_q1_schema_audit",
       (s, dir) => Quality.schemaAudit(s,

@@ -151,6 +151,17 @@ object Streaming {
     }
   }
 
+  /** ST5 — exactly-once duplicate elimination across micro-batches
+    * (`dropDuplicates` over the key): the cure for at-least-once sources and
+    * replayed files — one state row per key, held forever (EXACT, but
+    * unbounded state).  Where an event-time column exists, bound the store
+    * with `withWatermark(ts, horizon)` +
+    * `dropDuplicatesWithinWatermark(keys)` instead: state older than the
+    * horizon is evicted, at the cost of not deduplicating replays that
+    * arrive later than it. */
+  def dedupStream(stream: DataFrame, keys: Seq[String]): DataFrame =
+    stream.dropDuplicates(keys)
+
   /** Streaming variant with a watermark bounding state: late data beyond
     * `watermark` is dropped and closed windows are evicted from the store. */
   def streamingTumbling(stream: DataFrame, tsCol: String, duration: String,

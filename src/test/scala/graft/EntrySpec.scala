@@ -21,6 +21,18 @@ class EntrySpec extends SparkFunSuite {
     assert(SparkEntry.queries.size >= 55)
   }
 
+  test("EVERY registered query carries an oracle (zero rows-only entries)") {
+    assert(SparkEntry.oracleSql.keySet === SparkEntry.queries.keySet)
+  }
+
+  test("every oracle declares a total ORDER BY (hash compare is order-sensitive)") {
+    // single-row global aggregates are inherently ordered
+    val singleRow = Set("q_c3_rename_defaults", "q_c4_rename_regex", "q_c6_metadata_lits")
+    SparkEntry.oracleSql.filterNot(kv => singleRow(kv._1)).foreach { case (name, sql) =>
+      assert(sql.toUpperCase.contains("ORDER BY"), s"$name oracle lacks ORDER BY")
+    }
+  }
+
   test("ivfTopK finds neighbors from the query's own cluster") {
     // two tight clusters; centroid stand-ins are the first 2 vectors (one in
     // each cluster) so probing nprobe=1 stays within the right cluster.
