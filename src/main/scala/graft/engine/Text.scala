@@ -145,6 +145,36 @@ object Text {
         when(col(s"__b$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _).as("simhash"))
   }
 
+  /** SimHash near-dup pairs — the bucketed comparison the [[simhashOf]]
+    * scaladoc promises: split the 48-bit fingerprint into `SimhashBands`
+    * 12-bit bands; two documents within Hamming distance `maxHamming ≤
+    * SimhashBands − 1` must agree on at least one whole band (pigeonhole),
+    * so candidate generation is an EQUI-join on (band index, band value) —
+    * never all-pairs — and the exact `bit_count(a XOR b)` filter runs on
+    * candidates only.  Same plan family as minhashCandidates: explode 4
+    * band rows per doc, self-join, distinct, verify. */
+  val SimhashBands = 4
+  def simhashNearDupPairs(df: DataFrame, textCol: String, idCol: String,
+                          maxHamming: Int): DataFrame = {
+    val bandBits = SimhashBits / SimhashBands
+    val sims = simhashRelational(df, textCol, idCol)
+      .select(col(idCol).as("doc"), col("simhash"))
+    val bands = sims.select(col("doc"), col("simhash"),
+      posexplode(array((0 until SimhashBands).map(b =>
+        shiftright(col("simhash"), b * bandBits)
+          .bitwiseAND(lit((1L << bandBits) - 1))): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_val")
+    val a = bands.select(col("doc").as("doc_a"), col("simhash").as("sim_a"),
+      col("band"), col("band_val"))
+    val b = bands.select(col("doc").as("doc_b"), col("simhash").as("sim_b"),
+      col("band"), col("band_val"))
+    a.join(b, Seq("band", "band_val")).filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "sim_a", "sim_b").distinct()
+      .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
   /** Distinct (doc, shingle) rows.  Two deliberate physical choices:
     * (1) the token array materializes BELOW a repartition-by-doc exchange —
     * higher-order functions are CodegenFallback (interpreted), and

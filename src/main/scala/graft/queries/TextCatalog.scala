@@ -28,6 +28,13 @@ object TextCatalog {
   private val stopList = "['the', 'a', 'of', 'and', 'to', 'in']"
   private val techList = "['spark', 'data', 'query', 'stream', 'batch']"
 
+  /** 48-bit SimHash of `text` as a DuckDB expression (≡ Text.simhashOf). */
+  private val simhashSqlExpr: String =
+    s"""CAST(list_sum(list_transform(range(0, ${Text.SimhashBits}), b ->
+       CASE WHEN list_sum(list_transform($toks,
+           t -> CASE WHEN (${th("t")} & (CAST(1 AS BIGINT) << b)) <> 0 THEN 1 ELSE -1 END)) > 0
+         THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)) AS BIGINT)"""
+
   /** Left-fold dot product of two DOUBLE[] expressions (≡ Vector.dot). */
   private def dotSql(a: String, b: String, dims: Int): String =
     s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, ${dims + 1}), i -> $a[i] * $b[i])), (acc, x) -> acc + x)"
@@ -256,12 +263,27 @@ object TextCatalog {
     QueryDef("q_simhash",
       (s, dir) => Text.simhashRelational(t(s, dir, "documents"), "text", "doc_id")
         .orderBy("doc_id"),
-      Some(s"""SELECT doc_id,
-           CAST(list_sum(list_transform(range(0, ${Text.SimhashBits}), b ->
-             CASE WHEN list_sum(list_transform($toks,
-                 t -> CASE WHEN (${th("t")} & (CAST(1 AS BIGINT) << b)) <> 0 THEN 1 ELSE -1 END)) > 0
-               THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS simhash
+      Some(s"""SELECT doc_id, $simhashSqlExpr AS simhash
          FROM documents ORDER BY doc_id""")),
+
+    // SimHash near-dup pairs: 12-bit band equi-join candidates (pigeonhole:
+    // hamming ≤ bands−1 ⇒ some band agrees), bit_count(XOR) verify — the
+    // bucketed comparison the SimHash scaladoc promises, exercised.
+    QueryDef("q_simhash_near_dup",
+      (s, dir) => Text.simhashNearDupPairs(t(s, dir, "documents"), "text", "doc_id",
+          maxHamming = 3)
+        .orderBy("doc_a", "doc_b"),
+      Some(s"""WITH sim AS (SELECT doc_id AS doc, $simhashSqlExpr AS simhash FROM documents),
+         bands AS (SELECT doc, simhash, rb.band,
+             (simhash >> (rb.band * 12)) & 4095 AS band_val
+           FROM sim, (SELECT CAST(unnest(range(0, 4)) AS INT) AS band) rb),
+         cand AS (SELECT DISTINCT a.doc AS doc_a, b2.doc AS doc_b,
+             a.simhash AS sim_a, b2.simhash AS sim_b
+           FROM bands a JOIN bands b2
+             ON a.band = b2.band AND a.band_val = b2.band_val AND a.doc < b2.doc)
+         SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS INT) AS hamming
+         FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 3
+         ORDER BY doc_a, doc_b""")),
 
     QueryDef("q_ngram_jaccard",
       (s, dir) => Text.ngramJaccardPairs(t(s, dir, "documents"), "text", "doc_id",

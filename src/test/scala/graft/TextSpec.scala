@@ -113,4 +113,15 @@ class TextSpec extends SparkFunSuite {
     val bigger = df.filter(Text.sampleHash($"id", 500)).collect().map(_.getLong(0)).toSet
     assert(once.subsetOf(bigger))
   }
+
+  test("simhashNearDupPairs: identical docs pair at hamming 0, unrelated docs do not pair") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "completely different words about spark query planning internals")
+    ).toDF("doc_id", "text")
+    val got = Text.simhashNearDupPairs(df, "text", "doc_id", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.toSeq === Seq((1L, 2L, 0)))
+  }
 }
