@@ -44,6 +44,23 @@ object Quality {
     spark.createDataFrame(rows, auditSchema)
   }
 
+  /** Column profile — per-column row/present/distinct counts in ONE pass
+    * over the data (all aggregates in a single `agg`, then `stack` unpivots
+    * the 1-row result).  The profiling query every ingest runs before
+    * trusting a new feed; one-pass matters at 100 TB where per-column
+    * passes would multiply the scan cost. */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val aggs = cols.flatMap(c => Seq(
+      count(col(c)).as(s"__cnt_$c"), countDistinct(col(c)).as(s"__ndv_$c"))) :+
+      count(lit(1)).as("__n")
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    row.select(expr(
+      s"stack(${cols.size}, " +
+        cols.map(c => s"'$c', __n, __cnt_$c, __ndv_$c").mkString(", ") +
+        ") as (col_name, n_rows, n_present, n_distinct)"))
+  }
+
   /** Q3 — missing-column validation (ref `ingest_harvest_data.py:264-265`,
     * `ingest_population_data.py:241,259-261`): warnings, not failures. */
   def validateColumns(df: DataFrame, required: Seq[String]): Either[List[String], DataFrame] = {

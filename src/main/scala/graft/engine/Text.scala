@@ -58,6 +58,19 @@ object Text {
   def minhashSignature(textCol: Column): Column =
     minhashSignatureOf(transform(array_distinct(shingles(textCol)), t => tokenHash(t) % M))
 
+  /** One row per doc with its k minhash signature components as columns
+    * `__s0..__s{k-1}` — the relational signature shape (see [[minhashBands]]
+    * for why this is NOT nested array lambdas): explode shingles (one
+    * Generate), hash once per (doc, shingle) row, then k parallel MIN
+    * aggregates — partial aggregation map-side, exactly one shuffle on doc. */
+  def minhashSignatures(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val rel = shingleRows(df, textCol, idCol)
+      .select(col("doc"), (tokenHash(col("__sh")) % M).as("__h"))
+    val sigCols = (0 until MinhashK).map(i =>
+      min((col("__h") * (2 * i + 1) + (7 + 13 * i)) % P).as(s"__s$i"))
+    rel.groupBy("doc").agg(sigCols.head, sigCols.tail: _*)
+  }
+
   /** (id, band, band_key) — the LSH bucketing relation.  Near-dup candidates
     * are pairs sharing a (band, band_key): an equi-join, never a cross join.
     * Documents too short to shingle have no signature and can't be near-dups;
@@ -67,20 +80,22 @@ object Text {
     // Fully relational shape — NOT nested array lambdas: CollapseProject
     // re-inlines lambda-captured projections, and a k×|shingles| nested
     // lambda tree explodes whole-stage codegen (observed: minutes of Janino
-    // on what should be a 2-second stage).  Instead: explode shingles (one
-    // Generate), hash once per (doc, shingle) row, then k parallel MIN
-    // aggregates — partial aggregation map-side, exactly one shuffle on doc.
+    // on what should be a 2-second stage).
     val nBands = MinhashK / BandRows
-    val rel = shingleRows(df, textCol, idCol)
-      .select(col("doc"), (tokenHash(col("__sh")) % M).as("__h"))
-    val sigCols = (0 until MinhashK).map(i =>
-      min((col("__h") * (2 * i + 1) + (7 + 13 * i)) % P).as(s"__s$i"))
-    val sig = rel.groupBy("doc").agg(sigCols.head, sigCols.tail: _*)
+    val sig = minhashSignatures(df, textCol, idCol)
     val bandKey = (b: Int) => concat_ws("-",
       (0 until BandRows).map(r => col(s"__s${b * BandRows + r}").cast("string")): _*)
     sig.select(col("doc"), posexplode(array((0 until nBands).map(bandKey): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
   }
+
+  /** Estimated Jaccard of a candidate pair from signature agreement —
+    * the fraction of the k minhash components that coincide (the unbiased
+    * sketch estimator the LSH banding thresholds are derived from). */
+  def minhashEstimate(sigA: String => Column, sigB: String => Column): Column =
+    round((0 until MinhashK).map(i =>
+      when(sigA(s"__s$i") === sigB(s"__s$i"), 1).otherwise(0))
+      .reduce(_ + _).cast("double") / MinhashK, 6)
 
   /** LSH candidate pairs (doc_a < doc_b), deduped across bands. */
   def minhashCandidates(bands: DataFrame): DataFrame = {
@@ -303,6 +318,16 @@ object Text {
     * user, …), so correlated rows stay together. */
   def sampleHash(key: Column, permille: Int): Column =
     (tokenHash(key.cast("string")) % 1000) < permille
+
+  /** Deterministic train/val/test assignment from the same md5 key space:
+    * permille bands [0, trainPm) → train, [trainPm, trainPm+valPm) → val,
+    * rest → test.  Key-stable, so a document keeps its split across reruns
+    * and incremental loads — the property that prevents train/test
+    * contamination when the corpus grows. */
+  def splitLabel(key: Column, trainPm: Int = 800, valPm: Int = 100): Column = {
+    val h = tokenHash(key.cast("string")) % 1000
+    when(h < trainPm, "train").when(h < trainPm + valPm, "val").otherwise("test")
+  }
 
   // ---------------------------------------------------------- text analysis
   /** Rolling polynomial fingerprint over tokens: fold (acc·31 + h(t)) mod M,

@@ -746,6 +746,21 @@ object Catalog {
            ('embeddings.parquet', 'text', 'missing')) AS t(file, required_col, status)
          ORDER BY file""")),
 
+    // Column profile — per-column row/present/distinct counts in one pass
+    // (single agg + stack unpivot), the trust-a-new-feed audit.
+    QueryDef("q_profile_columns",
+      (s, dir) => Quality.profile(stage(s, dir),
+          Seq("state", "species", "herd_name", "year"))
+        .orderBy("col_name"),
+      Some(s"""WITH $stageSql
+         SELECT * FROM (
+           SELECT 'state' AS col_name, COUNT(*) AS n_rows, COUNT(state) AS n_present,
+             COUNT(DISTINCT state) AS n_distinct FROM stage
+           UNION ALL SELECT 'species', COUNT(*), COUNT(species), COUNT(DISTINCT species) FROM stage
+           UNION ALL SELECT 'herd_name', COUNT(*), COUNT(herd_name), COUNT(DISTINCT herd_name) FROM stage
+           UNION ALL SELECT 'year', COUNT(*), COUNT(year), COUNT(DISTINCT year) FROM stage)
+         ORDER BY col_name""")),
+
     // Q3 — missing-column validation.
     QueryDef("q_q3_validate_columns",
       (s, dir) => {

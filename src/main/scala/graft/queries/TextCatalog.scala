@@ -215,7 +215,48 @@ object TextCatalog {
         .orderBy("lang"),
       Some("""SELECT lang, COUNT(*) AS n_sampled FROM documents
          WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000 < 300
-         GROUP BY 1 ORDER BY 1"""))
+         GROUP BY 1 ORDER BY 1""")),
+
+    // Key-stable train/val/test split (80/10/10 permille bands of the same
+    // md5 key space): a doc keeps its split across reruns and corpus growth
+    // — the anti-contamination property df.randomSplit does not have.
+    QueryDef("q_train_val_split",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("lang"), Text.splitLabel(col("doc_id")).as("split"))
+        .groupBy("lang", "split").agg(count(lit(1)).as("n"))
+        .orderBy("lang", "split"),
+      Some("""WITH d AS (SELECT lang,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000 AS h
+           FROM documents)
+         SELECT lang,
+           CASE WHEN h < 800 THEN 'train' WHEN h < 900 THEN 'val' ELSE 'test' END AS split,
+           COUNT(*) AS n
+         FROM d GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // Sketch-estimated Jaccard for every LSH candidate pair: the fraction of
+    // agreeing minhash components — the estimator the banding thresholds
+    // are derived from, computed WITHOUT touching the shingle sets again.
+    QueryDef("q_minhash_estimate",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val sigs = Text.minhashSignatures(d, "text", "doc_id")
+        val cand = Text.minhashCandidates(Text.minhashBands(d, "text", "doc_id"))
+        val sa = sigs.toDF(sigs.columns.map(c => if (c == "doc") "doc_a" else s"a_$c").toIndexedSeq: _*)
+        val sb = sigs.toDF(sigs.columns.map(c => if (c == "doc") "doc_b" else s"b_$c").toIndexedSeq: _*)
+        cand.join(sa, "doc_a").join(sb, "doc_b")
+          .withColumn("est_jaccard",
+            Text.minhashEstimate(c => col(s"a_$c"), c => col(s"b_$c")))
+          .select("doc_a", "doc_b", "est_jaccard")
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""WITH $bandsSql,
+         cand AS (SELECT DISTINCT a.doc AS doc_a, b2.doc AS doc_b
+           FROM bk a JOIN bk b2 ON a.band = b2.band AND a.band_key = b2.band_key AND a.doc < b2.doc)
+         SELECT c.doc_a, c.doc_b,
+           round(CAST(len(list_filter(range(1, ${Text.MinhashK} + 1),
+             i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / ${Text.MinhashK}, 6) AS est_jaccard
+         FROM cand c JOIN sigs sa ON sa.doc = c.doc_a JOIN sigs sb ON sb.doc = c.doc_b
+         ORDER BY doc_a, doc_b"""))
   )
 
   val dedup: Seq[QueryDef] = Seq(
