@@ -735,6 +735,47 @@ object Catalog {
       },
       Some("""SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1 ORDER BY 1""")),
 
+    // ST6 — stream-stream interval join: clicks ⋈ purchases as TWO streams
+    // with watermarks and a time-bound join condition.  Spark buffers each
+    // side's state only within the watermark horizon — the streaming form
+    // of Relational.rangeJoin — and the final result must equal the batch
+    // binned range join bit-for-bit, so it SHARES q_range_join's oracle.
+    QueryDef("q_st6_stream_stream_join",
+      (s, dir) => {
+        val base = Files.createTempDirectory("graft_st6").toString
+        val ev = events(s, dir)
+        ev.filter(col("event_type") === "click")
+          .select("user_id", "ts", "event_id").write.parquet(s"$base/clicks")
+        ev.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user_id"), col("ts").as("p_ts"),
+            col("value")).write.parquet(s"$base/purchases")
+        val cSchema = s.read.parquet(s"$base/clicks").schema
+        val pSchema = s.read.parquet(s"$base/purchases").schema
+        val clicks = s.readStream.schema(cSchema).parquet(s"$base/clicks")
+          .withWatermark("ts", "2 hours")
+        val purchases = s.readStream.schema(pSchema).parquet(s"$base/purchases")
+          .withWatermark("p_ts", "2 hours")
+        val joined = clicks.join(purchases, expr(
+          "user_id = p_user_id AND p_ts BETWEEN ts - INTERVAL 1 HOUR AND ts"))
+        val q = joined.writeStream.format("parquet")
+          .option("path", s"$base/out")
+          .option("checkpointLocation", s"$base/cp")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.read.parquet(s"$base/out")
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_pairs"), dsum(col("value")).as("sum_value"))
+          .orderBy("user_id")
+      },
+      Some("""WITH l AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+         r AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'),
+         p AS (SELECT l.user_id, r.value FROM l JOIN r ON l.user_id = r.user_id
+               AND r.ts BETWEEN l.ts - INTERVAL 1 HOUR AND l.ts)
+         SELECT user_id, COUNT(*) AS n_pairs,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+         FROM p GROUP BY 1 ORDER BY 1""")),
+
     // Q1 — schema-presence audit (footer-only reads).
     QueryDef("q_q1_schema_audit",
       (s, dir) => Quality.schemaAudit(s,
