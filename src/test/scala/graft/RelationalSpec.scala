@@ -110,6 +110,24 @@ class RelationalSpec extends SparkFunSuite {
     assert(got === Set((100L, 1.0), (100L, 2.0), (101L, 5.0)))
   }
 
+  test("property: rangeJoin agrees with a naive quadratic filter on random data") {
+    val rnd = new scala.util.Random(7)
+    val w = 100L * 1000000L // 100 s window
+    val ls = (0 until 200).map(i => (rnd.nextInt(4).toLong, rnd.nextInt(500).toLong * 1000000L, i.toLong))
+    val rs = (0 until 200).map(i => (rnd.nextInt(4).toLong, rnd.nextInt(500).toLong * 1000000L, i.toLong))
+    def df(xs: Seq[(Long, Long, Long)], id: String) = xs.toDF("k", "us", id)
+      .withColumn("ts", timestamp_micros($"us")).drop("us")
+    val got = Relational.rangeJoin(df(ls, "lid"), df(rs, "rid"), Seq("k"), "ts", "ts", w)
+      .select("lid", "r_rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = (for {
+      (lk, lus, lid) <- ls
+      (rk, rus, rid) <- rs
+      if lk == rk && rus >= lus - w && rus <= lus
+    } yield (lid, rid)).toSet
+    assert(got === naive)
+    assert(naive.nonEmpty) // the generator must actually exercise matches
+  }
+
   test("property: asofJoin agrees with a naive per-row scan on random data") {
     val rnd = new scala.util.Random(42)
     val ls = (0 until 300).map(i => (rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong, i.toLong))
