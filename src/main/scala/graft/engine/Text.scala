@@ -230,6 +230,32 @@ object Text {
     rel.join(dfCount.select("sh"), Seq("sh"))
   }
 
+  /** Benchmark decontamination — find TRAINING docs that overlap an
+    * evaluation/benchmark set (id-predicate `isBenchmarkId`) above a Jaccard
+    * threshold.  The asymmetric form of [[ngramJaccardPairs]]: the benchmark
+    * side is small by nature (an eval suite), so its shingle relation is
+    * BROADCAST and the corpus stream hash-joins against it — the corpus is
+    * never shuffled for candidate generation; only matched pairs reach the
+    * aggregate.  The DF cutoff still guards against stop-shingles. */
+  def contaminationPairs(df: DataFrame, textCol: String, idCol: String,
+                         isBenchmarkId: Column => Column,
+                         maxDf: Int, threshold: Double): DataFrame = {
+    val rel = shingleRelation(df, textCol, idCol, maxDf)
+    val sizes = rel.groupBy("doc").agg(count(lit(1)).as("n"))
+    val bench = broadcast(rel.filter(isBenchmarkId(col("doc")))
+      .select(col("doc").as("bench_doc"), col("sh")))
+    val train = rel.filter(!isBenchmarkId(col("doc")))
+      .select(col("doc").as("train_doc"), col("sh"))
+    train.join(bench, "sh")
+      .groupBy("bench_doc", "train_doc").agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc").as("bench_doc"), col("n").as("n_bench")), "bench_doc")
+      .join(sizes.select(col("doc").as("train_doc"), col("n").as("n_train")), "train_doc")
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (col("n_bench") + col("n_train") - col("inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("bench_doc", "train_doc", "jaccard")
+  }
+
   /** n-gram Jaccard near-dup pairs: candidates share ≥1 (rare) shingle; the
     * shared-shingle count IS the intersection, so Jaccard falls out of the
     * same groupBy — one join + one agg, no second pass over the corpus. */

@@ -267,6 +267,48 @@ object TextCatalog {
       Some("""SELECT md5(lower(trim(text))) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS copies
          FROM documents GROUP BY 1 ORDER BY 1""")),
 
+    // The dedup OUTPUT (not just group stats): survivors selected by a
+    // left-semi join on the keep ids — the shape that actually emits the
+    // deduplicated corpus downstream.
+    QueryDef("q_dedup_keep",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val keep = Text.dedupExact(d, "text", "doc_id")
+          .select(col("keep_id").as("doc_id"))
+        d.join(keep, Seq("doc_id"), "left_semi")
+          .groupBy("lang").agg(count(lit(1)).as("n_kept"))
+          .orderBy("lang")
+      },
+      Some("""WITH k AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(lower(trim(text))))
+         SELECT lang, COUNT(*) AS n_kept FROM documents
+         WHERE doc_id IN (SELECT doc_id FROM k) GROUP BY 1 ORDER BY 1""")),
+
+    // Benchmark decontamination: training docs overlapping the (broadcast)
+    // benchmark slice above a Jaccard threshold — the corpus is never
+    // shuffled for candidate generation.
+    QueryDef("q_contamination",
+      (s, dir) => Text.contaminationPairs(t(s, dir, "documents"), "text", "doc_id",
+          id => id % 50 === 0, maxDf = 20, threshold = 0.05)
+        .orderBy("bench_doc", "train_doc"),
+      Some(s"""WITH tok AS (SELECT doc_id AS doc, $toks AS t FROM documents),
+         sh0 AS (SELECT doc, unnest(list_distinct(
+             CASE WHEN len(t) >= 3 THEN list_transform(range(1, len(t) - 1),
+                 i -> array_to_string(list_slice(t, i, i + 2), ' '))
+               ELSE [] END)) AS sh
+           FROM tok),
+         keep AS (SELECT sh FROM sh0 GROUP BY sh HAVING COUNT(DISTINCT doc) <= 20),
+         rel AS (SELECT s0.doc, s0.sh FROM sh0 s0 JOIN keep k ON s0.sh = k.sh),
+         sizes AS (SELECT doc, COUNT(*) AS n FROM rel GROUP BY doc),
+         bench AS (SELECT doc AS bench_doc, sh FROM rel WHERE doc % 50 = 0),
+         train AS (SELECT doc AS train_doc, sh FROM rel WHERE doc % 50 <> 0),
+         pairs AS (SELECT bench_doc, train_doc, COUNT(*) AS inter
+           FROM train JOIN bench USING (sh) GROUP BY 1, 2)
+         SELECT bench_doc, train_doc,
+           round(CAST(inter AS DOUBLE) / (sb.n + st.n - inter), 6) AS jaccard
+         FROM pairs JOIN sizes sb ON sb.doc = bench_doc JOIN sizes st ON st.doc = train_doc
+         WHERE round(CAST(inter AS DOUBLE) / (sb.n + st.n - inter), 6) >= 0.05
+         ORDER BY bench_doc, train_doc""")),
+
     QueryDef("q_minhash_bands",
       (s, dir) => Text.minhashBands(t(s, dir, "documents"), "text", "doc_id")
         .orderBy("doc", "band"),
