@@ -150,6 +150,25 @@ object Vector {
       .select("q_id", "rank", "c_id", "cos")
   }
 
+  /** Symmetric int8 quantization of an embedding vector — the storage layout
+    * that makes a 100 TB float32 embedding lake a 25 TB one: per-vector
+    * scale `s = max|x| / 127`, codes `floor(x/s + 0.5)` (explicit half-up —
+    * `round()` half-even/half-up behavior differs across engines, `floor`
+    * does not).  Dequantization error is bounded by `s/2` per component;
+    * [[quantError]] audits the actual max error.  Codes stay `ARRAY<INT>`
+    * here (a wire format would pack them into BINARY — same plan shape). */
+  def quantScale(v: Column): Column =
+    array_max(transform(v, x => abs(x))) / 127.0
+
+  def quantCodes(v: Column, scale: Column): Column =
+    when(scale === 0.0, transform(v, _ => lit(0)))
+      .otherwise(transform(v, x => floor(x / scale + 0.5).cast("int")))
+
+  /** Max per-component dequantization error |x − code·s| of a quantized
+    * vector (element-wise double arithmetic — oracle-exact). */
+  def quantError(v: Column, codes: Column, scale: Column): Column =
+    array_max(zip_with(v, codes, (x, c) => abs(x - c.cast("double") * scale)))
+
   /** Multi-probe LSH ANN — the recall knob documented at the top of this
     * file, exercised: each query probes its own bucket PLUS the `planes`
     * buckets at Hamming distance 1 (one hyperplane sign flipped — where

@@ -217,6 +217,16 @@ object TextCatalog {
          WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000 < 300
          GROUP BY 1 ORDER BY 1""")),
 
+    // Binned document-length distribution — the histogram every corpus
+    // intake report starts with (50-char buckets).
+    QueryDef("q_doc_length_hist",
+      (s, dir) => t(s, dir, "documents")
+        .groupBy((floor(length(col("text")) / 50) * 50).cast(LongType).as("len_bucket"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("len_bucket"),
+      Some("""SELECT CAST(FLOOR(length(text) / 50) * 50 AS BIGINT) AS len_bucket, COUNT(*) AS n
+         FROM documents GROUP BY 1 ORDER BY 1""")),
+
     // Key-stable train/val/test split (80/10/10 permille bands of the same
     // md5 key space): a doc keeps its split across reruns and corpus growth
     // — the anti-contamination property df.randomSplit does not have.
@@ -511,6 +521,34 @@ object TextCatalog {
          WHERE rank <= 3 ORDER BY q_id, rank""")))
 
   val multimodal: Seq[QueryDef] = Seq(
+
+    // Int8 embedding quantization: per-vector scale + codes + the actual
+    // max dequantization error, which must respect the s/2 bound (the
+    // oracle recomputes all three with identical arithmetic).
+    QueryDef("q_embed_quantize",
+      (s, dir) => {
+        val v = Vector.asDouble(col("embedding"))
+        t(s, dir, "embeddings")
+          .withColumn("scale", Vector.quantScale(v))
+          .withColumn("codes", Vector.quantCodes(v, col("scale")))
+          .select(col("vec_id"), round(col("scale"), 6).as("scale_r"),
+            aggregate(col("codes"), lit(0L), (a, c) => a + c).as("code_sum"),
+            round(Vector.quantError(v, col("codes"), col("scale")), 6).as("max_err"))
+          .orderBy("vec_id")
+      },
+      Some("""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+           FROM embeddings),
+         q AS (SELECT vec_id, dv,
+             list_max(list_transform(dv, x -> abs(x))) / 127.0 AS scale FROM v),
+         c AS (SELECT vec_id, dv, scale,
+             CASE WHEN scale = 0 THEN list_transform(dv, x -> 0)
+               ELSE list_transform(dv, x -> CAST(floor(x / scale + 0.5) AS INT)) END AS codes
+           FROM q)
+         SELECT vec_id, round(scale, 6) AS scale_r,
+           CAST(list_sum(codes) AS BIGINT) AS code_sum,
+           round(list_max(list_transform(range(1, len(dv) + 1),
+             i -> abs(dv[i] - CAST(codes[i] AS DOUBLE) * scale))), 6) AS max_err
+         FROM c ORDER BY vec_id""")),
 
     QueryDef("q_multimodal_meta",
       (s, dir) => Multimodal.payloadMeta(

@@ -131,6 +131,27 @@ class VectorSpec extends SparkFunSuite {
     }
   }
 
+  test("int8 quantization: error bounded by scale/2, zero vector maps to zero codes") {
+    val df = Seq(
+      (1L, Seq(0.5f, -1.0f, 0.25f, 0.0f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f, 0.0f)),
+      (3L, Seq(100.0f, -50.0f, 0.1f, 99.9f))).toDF("vec_id", "embedding")
+    val v = Vector.asDouble($"embedding")
+    val got = df.withColumn("scale", Vector.quantScale(v))
+      .withColumn("codes", Vector.quantCodes(v, $"scale"))
+      .withColumn("err", Vector.quantError(v, $"codes", $"scale"))
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Double]("scale"), r.getSeq[Int](r.fieldIndex("codes")),
+          r.getAs[Double]("err")))).toMap
+    val (s1, c1, e1) = got(1L)
+    assert(c1(1) === -127) // max-magnitude component hits the int8 edge
+    assert(e1 <= s1 / 2 + 1e-12)
+    val (_, c2, e2) = got(2L)
+    assert(c2.forall(_ === 0) && e2 === 0.0)
+    val (s3, c3, e3) = got(3L)
+    assert(c3.max <= 127 && c3.min >= -127 && e3 <= s3 / 2 + 1e-12)
+  }
+
   test("planeWeight is exactly representable (oracle-reproducible) and in [-1, 1)") {
     for (p <- 0 until 8; i <- 0 until 64) {
       val w = Vector.planeWeight(p, i)
