@@ -58,6 +58,30 @@ object Upsert {
     joined.select(keyCols ++ updated ++ preserved: _*)
   }
 
+  /** Type-2 history upsert (SCD2) — the audit-trail form of S10: instead of
+    * overwriting a changed row, CLOSE the open version (`valid_to = batchTs`)
+    * and APPEND the incoming one as the new open version
+    * (`valid_from = batchTs, valid_to = NULL`).  Rows whose key is absent
+    * from the batch stay open; already-closed history is immutable.
+    * Three key-wise branches (semi/anti joins + union) — every join is on
+    * the same key set, so at 100 TB the whole merge co-partitions on one
+    * shuffle per side, and the append-mostly output suits a partitioned
+    * lake (partition history by a time column of `valid_from`). */
+  def scd2(existing: DataFrame, incoming: DataFrame, keys: Seq[String],
+           valueCols: Seq[String], batchTs: Long): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    val inKeys = incoming.select(keys.map(col): _*).distinct()
+    val open = existing.filter(col("valid_to").isNull)
+    val closedHistory = existing.filter(col("valid_to").isNotNull)
+    val toClose = open.join(inKeys, keys, "left_semi")
+      .withColumn("valid_to", lit(batchTs))
+    val stayOpen = open.join(inKeys, keys, "left_anti")
+    val fresh = incoming.select((keys ++ valueCols).map(col): _*)
+      .withColumn("valid_from", lit(batchTs))
+      .withColumn("valid_to", lit(null).cast(LongType))
+    closedHistory.unionByName(toClose).unionByName(stayOpen).unionByName(fresh)
+  }
+
   /** Scale path: only rewrite lake partitions the incoming batch touches.
     * `partCol` is a partition column of the lake (e.g. `year`).
     *

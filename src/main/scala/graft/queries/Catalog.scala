@@ -274,6 +274,24 @@ object Catalog {
            CAST(SUM(TRY_CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS sum_k
          FROM events GROUP BY 1 ORDER BY 1""")),
 
+    // Typed semi-structured extraction: from_json with an explicit schema
+    // (the production path — regexp_extract in q_events_json is the
+    // schemaless fallback); DuckDB mirrors via json_extract_string.
+    QueryDef("q_events_json_typed",
+      (s, dir) => events(s, dir)
+        .select(col("event_type"),
+          from_json(col("props"),
+            StructType(Seq(StructField("k", LongType)))).getField("k").as("kv"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), lsum(col("kv")).as("sum_k"),
+          max(col("kv")).as("max_k"))
+        .orderBy("event_type"),
+      Some("""WITH d AS (SELECT event_type,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS kv FROM events)
+         SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(kv) AS BIGINT) AS sum_k, MAX(kv) AS max_k
+         FROM d GROUP BY 1 ORDER BY 1""")),
+
     // Gap-based sessionization (batch form of mapGroupsWithState sessions).
     QueryDef("q_sessionize",
       (s, dir) => Relational.sessionize(events(s, dir),
@@ -532,6 +550,49 @@ object Catalog {
          FROM e FULL OUTER JOIN i
            ON e.state = i.state AND e.species = i.species AND e.year = i.year AND e.unit = i.unit
          ORDER BY 1, 2, 3, 4""")),
+
+    // S10 type-2 variant — SCD2 history upsert: the 2022+ batch closes the
+    // open versions of its keys (valid_to = 100) and appends new open
+    // versions; untouched keys stay open, closed history is immutable.
+    QueryDef("q_scd2_upsert",
+      (s, dir) => {
+        val dd = dedupedProduction(s, dir)
+        val existing = dd
+          .withColumn("valid_from", lit(0L))
+          .withColumn("valid_to", lit(null).cast(LongType))
+        val incoming = dd.filter(col("year") >= 2022)
+          .withColumn("post_hunt_estimate", col("post_hunt_estimate") + 1000)
+          .withColumn("male_female_ratio", col("male_female_ratio") * 2.0)
+        Upsert.scd2(existing, incoming, prodKeys,
+            Seq("herd_name", "post_hunt_estimate", "male_female_ratio"), 100L)
+          .select(col("state"), col("species"), col("year"), col("unit"),
+            col("herd_name"), col("post_hunt_estimate"), col("male_female_ratio"),
+            col("valid_from"), col("valid_to"))
+          .orderBy("state", "species", "year", "unit", "valid_from")
+      },
+      Some(s"""WITH $dedupedSql,
+         e AS (SELECT state, species, year, unit, herd_name, post_hunt_estimate, male_female_ratio,
+                 CAST(0 AS BIGINT) AS valid_from, CAST(NULL AS BIGINT) AS valid_to
+               FROM deduped),
+         i AS (SELECT state, species, year, unit, herd_name,
+                 post_hunt_estimate + 1000 AS post_hunt_estimate,
+                 male_female_ratio * 2.0 AS male_female_ratio
+               FROM deduped WHERE year >= 2022),
+         closed AS (SELECT e.state, e.species, e.year, e.unit, e.herd_name,
+                 e.post_hunt_estimate, e.male_female_ratio, e.valid_from,
+                 CAST(100 AS BIGINT) AS valid_to
+               FROM e WHERE EXISTS (SELECT 1 FROM i WHERE i.state = e.state
+                 AND i.species = e.species AND i.year = e.year AND i.unit = e.unit)),
+         stay AS (SELECT e.* FROM e WHERE NOT EXISTS (SELECT 1 FROM i WHERE i.state = e.state
+                 AND i.species = e.species AND i.year = e.year AND i.unit = e.unit)),
+         fresh AS (SELECT state, species, year, unit, herd_name, post_hunt_estimate,
+                 male_female_ratio, CAST(100 AS BIGINT) AS valid_from,
+                 CAST(NULL AS BIGINT) AS valid_to
+               FROM i)
+         SELECT state, species, year, unit, herd_name, post_hunt_estimate, male_female_ratio,
+           valid_from, valid_to
+         FROM (SELECT * FROM closed UNION ALL SELECT * FROM stay UNION ALL SELECT * FROM fresh)
+         ORDER BY state, species, year, unit, valid_from""")),
 
     // S10 at scale — dynamic-partition-overwrite upsert of a parquet lake,
     // rewriting only the years the incoming batch touches.

@@ -89,4 +89,22 @@ class UpsertSpec extends SparkFunSuite {
     // staging dir cleaned up
     assert(!new java.io.File(lake.stripSuffix("/") + "__upsert_staging").exists())
   }
+
+  test("scd2 closes open versions of updated keys, appends new, keeps history immutable") {
+    val existing = Seq(
+      ("co", 1, "old-a", 0L, Some(50L)),            // closed history row
+      ("co", 1, "cur-a", 50L, None: Option[Long]),  // open, key arrives in batch
+      ("wy", 2, "cur-b", 0L, None: Option[Long])    // open, untouched
+    ).toDF("state", "unit", "herd", "valid_from", "valid_to")
+    val incoming = Seq(("co", 1, "new-a")).toDF("state", "unit", "herd")
+    val out = Upsert.scd2(existing, incoming, Seq("state", "unit"), Seq("herd"), 100L)
+      .orderBy("state", "unit", "valid_from").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4)))
+    assert(out.toSeq === Seq(
+      ("co", 1, "old-a", 0L, 50L),    // immutable
+      ("co", 1, "cur-a", 50L, 100L),  // closed by the batch
+      ("co", 1, "new-a", 100L, -1L),  // new open version
+      ("wy", 2, "cur-b", 0L, -1L)))   // still open
+  }
 }
