@@ -65,6 +65,19 @@ class RelationalSpec extends SparkFunSuite {
     assert(got === Seq((1, "a"), (2, "b"), (3, "c"), (4, "e"), (5, "f"), (6, "g"), (7, "h")))
   }
 
+  test("property: two-stage offsets equal naive global (page, row) numbering") {
+    val rnd = new scala.util.Random(3)
+    val rows = (0 until 500).map(i => (rnd.nextInt(7) + 1, i, s"v$i"))
+    val byPage = rows.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (p, rs) => rs.toDF("page", "row", "v") }
+    val got = Relational.unionWithOffsets(byPage, "page", "row")
+      .orderBy("global_row").collect()
+      .map(r => (r.getAs[Int]("global_row"), r.getAs[String]("v"))).toSeq
+    val expected = rows.sortBy(t => (t._1, t._2)).zipWithIndex
+      .map { case ((_, _, v), i) => (i + 1, v) }
+    assert(got === expected)
+  }
+
   test("registered offset queries plan no partition-less Window") {
     import org.apache.spark.sql.execution.window.WindowExec
     for (name <- Seq("q_union_offsets", "q_s4_extract_blocks")) {

@@ -152,6 +152,21 @@ class VectorSpec extends SparkFunSuite {
     assert(c3.max <= 127 && c3.min >= -127 && e3 <= s3 / 2 + 1e-12)
   }
 
+  test("property: quantization error bound and int8 range hold on random vectors") {
+    val rnd = new scala.util.Random(11)
+    val vecs = (0 until 100).map(i =>
+      (i.toLong, Seq.fill(16)((rnd.nextDouble() * 2 - 1).toFloat))).toDF("vec_id", "embedding")
+    val v = Vector.asDouble($"embedding")
+    val rows = vecs.withColumn("scale", Vector.quantScale(v))
+      .withColumn("codes", Vector.quantCodes(v, $"scale"))
+      .withColumn("err", Vector.quantError(v, $"codes", $"scale"))
+      .select("scale", "err", "codes").collect()
+    rows.foreach { r =>
+      assert(r.getDouble(1) <= r.getDouble(0) / 2 + 1e-12)
+      assert(r.getSeq[Int](2).forall(c => c >= -127 && c <= 127))
+    }
+  }
+
   test("planeWeight is exactly representable (oracle-reproducible) and in [-1, 1)") {
     for (p <- 0 until 8; i <- 0 until 64) {
       val w = Vector.planeWeight(p, i)
