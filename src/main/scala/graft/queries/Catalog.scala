@@ -126,6 +126,34 @@ object Catalog {
            COUNT(*) AS n, CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS qty
          FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) ORDER BY 1, 2""")),
 
+    // A1 generalization — full CUBE grouping sets (rollup's superset).
+    QueryDef("q_cube",
+      (s, dir) => t(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+          col("n"), col("qty"))
+        .orderBy("flag", "status"),
+      Some("""SELECT COALESCE(l_returnflag, 'ALL') AS flag, COALESCE(l_linestatus, 'ALL') AS status,
+           COUNT(*) AS n, CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS qty
+         FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus) ORDER BY 1, 2""")),
+
+    // Reshaping — pivot with an EXPLICIT value list (the scale rule: an
+    // unlisted pivot forces a distinct-values collect on the driver first).
+    QueryDef("q_pivot",
+      (s, dir) => production(s, dir)
+        .groupBy("year")
+        .pivot("species", Seq("deer", "elk", "pronghorn"))
+        .agg(lsum(col("post_hunt_estimate")))
+        .orderBy("year"),
+      Some(s"""WITH $productionSql
+         SELECT year,
+           CAST(SUM(CASE WHEN species = 'deer' THEN post_hunt_estimate END) AS BIGINT) AS deer,
+           CAST(SUM(CASE WHEN species = 'elk' THEN post_hunt_estimate END) AS BIGINT) AS elk,
+           CAST(SUM(CASE WHEN species = 'pronghorn' THEN post_hunt_estimate END) AS BIGINT) AS pronghorn
+         FROM production GROUP BY year ORDER BY year""")),
+
     // W1 — rank within partition (top 3 customers per nation).
     QueryDef("q_window_topk_per_group",
       (s, dir) => {
