@@ -154,6 +154,45 @@ object Catalog {
            CAST(SUM(CASE WHEN species = 'pronghorn' THEN post_hunt_estimate END) AS BIGINT) AS pronghorn
          FROM production GROUP BY year ORDER BY year""")),
 
+    // Reshaping inverse — unpivot (melt) the per-sex harvest measures back
+    // to (measure, value) rows; `stack` is the codegen'd Generate form.
+    QueryDef("q_unpivot",
+      (s, dir) => {
+        val pk = col("p_partkey")
+        t(s, dir, "part").select(pk.as("id"),
+            (pk % 20).as("adult_male"), (pk % 10).as("adult_female"), (pk % 5).as("young"))
+          .select(col("id"), expr(
+            "stack(3, 'adult_male', adult_male, 'adult_female', adult_female, 'young', young) AS (measure, value)"))
+          .groupBy("measure").agg(lsum(col("value")).as("total"), count(lit(1)).as("n"))
+          .orderBy("measure")
+      },
+      Some("""WITH u AS (
+           SELECT 'adult_male' AS measure, p_partkey % 20 AS value FROM part
+           UNION ALL SELECT 'adult_female', p_partkey % 10 FROM part
+           UNION ALL SELECT 'young', p_partkey % 5 FROM part)
+         SELECT measure, CAST(SUM(value) AS BIGINT) AS total, COUNT(*) AS n
+         FROM u GROUP BY 1 ORDER BY 1""")),
+
+    // Set operations — INTERSECT/EXCEPT (distinct semantics both engines):
+    // customers in both segments' big-spender sets, and only in the first.
+    QueryDef("q_setops",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val big = o.filter(col("o_totalprice") > 150000.0).select("o_custkey")
+        val urgent = o.filter(col("o_orderpriority") === "1-URGENT").select("o_custkey")
+        val both = big.intersect(urgent).withColumn("set_op", lit("both"))
+        val onlyBig = big.except(urgent).withColumn("set_op", lit("only_big"))
+        both.unionByName(onlyBig)
+          .groupBy("set_op").agg(count(lit(1)).as("n"))
+          .orderBy("set_op")
+      },
+      Some("""WITH big AS (SELECT o_custkey FROM orders WHERE o_totalprice > 150000.0),
+         urgent AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+         u AS (SELECT 'both' AS set_op, o_custkey FROM (SELECT * FROM big INTERSECT SELECT * FROM urgent)
+           UNION ALL
+           SELECT 'only_big', o_custkey FROM (SELECT * FROM big EXCEPT SELECT * FROM urgent))
+         SELECT set_op, COUNT(*) AS n FROM u GROUP BY 1 ORDER BY 1""")),
+
     // W1 — rank within partition (top 3 customers per nation).
     QueryDef("q_window_topk_per_group",
       (s, dir) => {

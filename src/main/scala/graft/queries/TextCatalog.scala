@@ -293,6 +293,32 @@ object TextCatalog {
          SELECT lang, COUNT(*) AS n_kept FROM documents
          WHERE doc_id IN (SELECT doc_id FROM k) GROUP BY 1 ORDER BY 1""")),
 
+    // Edit-distance verification of LSH candidates: levenshtein on the
+    // bounded candidate pairs only (both engines implement the identical
+    // Wagner-Fischer distance) — the character-level complement of the
+    // shingle-set Jaccard verify, and the generalized form of the
+    // reference's typo tolerance (C4's 'unites').
+    QueryDef("q_near_dup_edit",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val cand = Text.minhashCandidates(Text.minhashBands(d, "text", "doc_id"))
+        val texts = d.select(col("doc_id"), col("text"))
+        cand
+          .join(texts.select(col("doc_id").as("doc_a"), col("text").as("ta")), "doc_a")
+          .join(texts.select(col("doc_id").as("doc_b"), col("text").as("tb")), "doc_b")
+          .select(col("doc_a"), col("doc_b"),
+            levenshtein(col("ta"), col("tb")).as("edit_dist"))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""WITH $bandsSql,
+         cand AS (SELECT DISTINCT a.doc AS doc_a, b2.doc AS doc_b
+           FROM bk a JOIN bk b2 ON a.band = b2.band AND a.band_key = b2.band_key AND a.doc < b2.doc)
+         SELECT c.doc_a, c.doc_b,
+           CAST(levenshtein(da.text, db.text) AS INT) AS edit_dist
+         FROM cand c JOIN documents da ON da.doc_id = c.doc_a
+           JOIN documents db ON db.doc_id = c.doc_b
+         ORDER BY doc_a, doc_b""")),
+
     // Benchmark decontamination: training docs overlapping the (broadcast)
     // benchmark slice above a Jaccard threshold — the corpus is never
     // shuffled for candidate generation.
