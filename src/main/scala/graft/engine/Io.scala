@@ -64,8 +64,13 @@ object Tables {
     val tmp = new org.apache.hadoop.fs.Path(
       path.stripSuffix("/") + "__compact_" + java.util.UUID.randomUUID())
     spark.read.parquet(path).repartition(n).write.parquet(tmp.toString)
-    fs.delete(p, true)
-    fs.rename(tmp, p)
+    // check both steps: a false return from rename after a successful delete
+    // would otherwise lose the canonical path silently (data survives under
+    // the staging dir — say so in the error).
+    if (!fs.delete(p, true))
+      throw new java.io.IOException(s"compact: failed to delete $path; rewrite staged at $tmp")
+    if (!fs.rename(tmp, p))
+      throw new java.io.IOException(s"compact: failed to rename $tmp to $path; data intact at $tmp")
     n
   }
 

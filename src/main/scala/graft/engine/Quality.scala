@@ -21,21 +21,31 @@ object Quality {
     * DISTRIBUTED over executors and each task reads only the parquet FOOTER
     * (`ParquetFileReader.readFooter`, no data pages) — a 100 TB lake with
     * 10⁶ files audits as one metadata op per file across the cluster instead
-    * of a sequential driver loop.  A path that is a directory probes its
-    * first part-file (all parts of one write share a schema); unreadable
-    * paths report `missing`. */
+    * of a sequential driver loop.  A directory path descends (recursively,
+    * so Hive-partitioned `root/k=v/part.parquet` layouts work) to its first
+    * part-file — all parts of one write share a schema.  Unreadable paths
+    * report `missing`.  CAVEAT (inherent to footer-only reads): Hive-style
+    * PARTITION columns live in directory names, not footers — auditing for
+    * a partition column reports `missing`; use the catalog/`spark.read`
+    * schema for those. */
   def schemaAudit(spark: SparkSession, paths: Seq[String], requiredCol: String): DataFrame = {
     val conf = new SerializableConfiguration(spark.sparkContext.hadoopConfiguration)
     val slices = math.max(1, math.min(paths.size, spark.sparkContext.defaultParallelism))
     val rows = spark.sparkContext.parallelize(paths, slices).map { p =>
+      def firstParquet(fs: org.apache.hadoop.fs.FileSystem, path: Path): Option[Path] = {
+        val st = fs.getFileStatus(path)
+        if (!st.isDirectory) Some(path)
+        else fs.listStatus(path).sortBy(_.getPath.getName).iterator.flatMap { c =>
+          if (c.isDirectory) firstParquet(fs, c.getPath)
+          else if (c.getPath.getName.endsWith(".parquet")) Iterator.single(c.getPath)
+          else Iterator.empty
+        }.nextOption()
+      }
       val has = Try {
         val path = new Path(p)
         val fs = path.getFileSystem(conf.value)
-        val file =
-          if (fs.getFileStatus(path).isDirectory)
-            fs.listStatus(path).map(_.getPath)
-              .filter(f => f.getName.endsWith(".parquet")).minBy(_.getName)
-          else path
+        val file = firstParquet(fs, path).getOrElse(
+          throw new java.io.FileNotFoundException(p))
         ParquetFileReader.readFooter(conf.value, file, ParquetMetadataConverter.NO_FILTER)
           .getFileMetaData.getSchema.containsField(requiredCol)
       }.getOrElse(false)

@@ -104,23 +104,30 @@ object Relational {
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                tsCol: String, rightCols: Seq[String],
                prefix: String = "r_"): DataFrame = {
+    // The right attributes travel as ONE struct: `last(ignoreNulls)` must
+    // skip only "no right row yet", never a NULL VALUE inside the matched
+    // row — per-column carries would resurrect older rows' values for
+    // columns that are NULL on the matched row (and mix columns across
+    // different right rows).
+    val rStructType = org.apache.spark.sql.types.StructType(
+      rightCols.map(c => right.schema(c)))
     val leftOnly = left.columns.toSeq.filterNot((keys :+ tsCol).contains)
-    val l = rightCols.foldLeft(left.withColumn("__tag", lit(1))) { (d, c) =>
-      d.withColumn(prefix + c, lit(null).cast(right.schema(c).dataType))
-    }
-    val r0 = right.select((keys :+ tsCol).map(col) ++
-      rightCols.map(c => col(c).as(prefix + c)): _*).withColumn("__tag", lit(0))
-    val r = leftOnly.foldLeft(r0) { (d, c) =>
-      d.withColumn(c, lit(null).cast(left.schema(c).dataType))
-    }
+    val l = left.withColumn("__tag", lit(1))
+      .withColumn("__r", lit(null).cast(rStructType))
+    val r = leftOnly.foldLeft(
+        right.select((keys :+ tsCol).map(col) :+
+          struct(rightCols.map(col): _*).as("__r"): _*)
+          .withColumn("__tag", lit(0))) { (d, c) =>
+        d.withColumn(c, lit(null).cast(left.schema(c).dataType))
+      }
     val u = l.unionByName(r.select(l.columns.map(col): _*))
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(tsCol), col("__tag"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    rightCols.foldLeft(u) { (d, c) =>
-        d.withColumn(prefix + c, last(col(prefix + c), ignoreNulls = true).over(w))
-      }
-      .filter(col("__tag") === 1).drop("__tag")
+    u.withColumn("__r", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__tag") === 1)
+      .select(left.columns.map(col) ++
+        rightCols.map(c => col("__r").getField(c).as(prefix + c)): _*)
   }
 
   /** Range join via time-binning — matched pairs of (left, right) rows on
@@ -159,26 +166,36 @@ object Relational {
     *
     *   stage 1: per-page row_number, shuffled by `pageCol` — every page
     *            numbers its rows in parallel;
-    *   stage 2: per-page cumulative offsets derived from per-page COUNTs via
-    *            a triangular self-join over the counts frame (rows = #pages,
-    *            never #rows) and broadcast back onto the data.
+    *   stage 2: per-page cumulative offsets folded on the DRIVER from the
+    *            per-page COUNTs (rows = #pages, bounded metadata — never
+    *            #rows) and broadcast-joined back onto the data.
     *
-    * `global_row = offset(page) + row_number within page` is identical to the
-    * single-window form whenever (pageCol, rowCol) is unique — and the plan
-    * has no partition-less Window (asserted by RelationalSpec at the two
-    * registered call sites).  At 100 TB the only single-point work left is
-    * the #pages-row offsets frame. */
+    * `global_row = offset(page) + row_number within page` is identical to
+    * the single-window form whenever (pageCol, rowCol) is unique — NULL
+    * pages sort first (Spark's ascending default) and are kept via the
+    * null-safe join.  The plan has no partition-less Window (asserted by
+    * RelationalSpec at the two registered call sites), global_row is LONG
+    * (an INT would wrap past 2^31 rows at corpus scale), and the one eager
+    * action collects #pages count rows, nothing data-sized. */
   def withGlobalRowOffsets(df: DataFrame, pageCol: String, rowCol: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val spark = df.sparkSession
     val counts = df.groupBy(pageCol).agg(count(lit(1)).as("__n"))
-    val offsets = counts.alias("a")
-      .join(counts.alias("b"), col(s"b.$pageCol") < col(s"a.$pageCol"), "left")
-      .groupBy(col(s"a.$pageCol").as(pageCol))
-      .agg(coalesce(sum(col("b.__n")), lit(0L)).as("__off"))
-    df.join(broadcast(offsets), pageCol)
+      .orderBy(col(pageCol)).collect()
+    var acc = 0L
+    val offsetRows = counts.map { r =>
+      val o = acc; acc += r.getLong(1); Row(r.get(0), o)
+    }.toIndexedSeq
+    val offsets = spark.createDataFrame(
+      spark.sparkContext.parallelize(offsetRows, 1),
+      StructType(Seq(df.schema(pageCol).copy(name = "__pg"),
+        StructField("__off", LongType, false))))
+    df.join(broadcast(offsets), df(pageCol) <=> offsets("__pg"))
       .withColumn("__rn", row_number().over(
         Window.partitionBy(pageCol).orderBy(col(rowCol))))
-      .withColumn("global_row", (col("__off") + col("__rn")).cast("int"))
-      .drop("__off", "__rn")
+      .withColumn("global_row", (col("__off") + col("__rn")).cast("long"))
+      .drop("__pg", "__off", "__rn")
   }
 
   /** U1 — multi-page concatenation with a running row offset

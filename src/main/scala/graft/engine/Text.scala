@@ -171,6 +171,11 @@ object Text {
   val SimhashBands = 4
   def simhashNearDupPairs(df: DataFrame, textCol: String, idCol: String,
                           maxHamming: Int): DataFrame = {
+    // the pigeonhole guarantee (some band agrees) only holds below the band
+    // count — a larger threshold would silently miss qualifying pairs
+    require(maxHamming <= SimhashBands - 1,
+      s"maxHamming=$maxHamming needs > $SimhashBands bands for full recall " +
+        s"(pigeonhole: hamming <= bands-1)")
     val bandBits = SimhashBits / SimhashBands
     val sims = simhashRelational(df, textCol, idCol)
       .select(col(idCol).as("doc"), col("simhash"))
@@ -288,7 +293,12 @@ object Text {
     * distributed — this is the standard label-propagation shape; large-star/
     * small-star halves the round count at web scale with the same
     * primitives).  Deterministic: the fixpoint is the component-wise min,
-    * independent of iteration order. */
+    * independent of iteration order.  THROWS IllegalStateException if the
+    * fixpoint is not reached within `maxIters` — returning unconverged
+    * labels would silently split clusters (raise `maxIters` for graphs of
+    * larger diameter).  The returned frame stays cache()d (it feeds
+    * multiple downstream actions); callers owning the lifecycle may
+    * `.unpersist()` it when done. */
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
                           maxIters: Int = 10): DataFrame = {
     val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
@@ -311,6 +321,10 @@ object Text {
       i += 1
     }
     sym.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents: no fixpoint after $maxIters iterations — " +
+          "component diameter exceeds the bound; raise maxIters")
     labels
   }
 

@@ -243,7 +243,7 @@ object Catalog {
          p2 AS (SELECT CAST(2 AS INT), CAST(row_number() OVER (ORDER BY o_orderkey) AS INT), o_orderkey
            FROM orders WHERE o_orderstatus = 'F'),
          u AS (SELECT * FROM p1 UNION ALL SELECT * FROM p2)
-         SELECT CAST(row_number() OVER (ORDER BY page, page_row) AS INT) AS global_row,
+         SELECT CAST(row_number() OVER (ORDER BY page, page_row) AS BIGINT) AS global_row,
            page, page_row, o_orderkey
          FROM u ORDER BY global_row""")),
 
@@ -987,7 +987,7 @@ object Catalog {
            FROM g LEFT JOIN c0 ON c0.page = g.page AND c0.rownum = g.rownum AND c0.colnum = g.colnum),
          rws AS (SELECT page, rownum, array_to_string(list(t ORDER BY colnum), '|') AS cells_joined
            FROM f GROUP BY 1, 2)
-         SELECT CAST(row_number() OVER (ORDER BY page, rownum) AS INT) AS global_row,
+         SELECT CAST(row_number() OVER (ORDER BY page, rownum) AS BIGINT) AS global_row,
            page, rownum AS row, cells_joined
          FROM rws ORDER BY global_row"""))
   )

@@ -47,7 +47,7 @@ class ExtractSpec extends SparkFunSuite {
       cell("c3", 2, 1, 1, Seq("c"))
     ))
     val grid = Extract.reconstructTable(blocks).orderBy("global_row").collect()
-    assert(grid.map(_.getAs[Int]("global_row")).toSeq === Seq(1, 2, 3))
+    assert(grid.map(_.getAs[Long]("global_row")).toSeq === Seq(1L, 2L, 3L))
     assert(grid.map(_.getAs[Seq[String]]("cells").head).toSeq === Seq("p1r1", "p1r2", "p2r1"))
     assert(grid.map(r => (r.getAs[Int]("page"), r.getAs[Int]("row"))).toSeq
       === Seq((1, 1), (1, 2), (2, 1)))

@@ -46,6 +46,17 @@ class QualitySpec extends SparkFunSuite {
       .map(r => r.getString(0) -> r.getString(2)).toMap
     assert(dirAudit(s"$base/with") === "ok")
     assert(dirAudit(s"$base/without") === "missing")
+    // Hive-partitioned layout: the probe descends into k=v subdirectories;
+    // data columns are found, partition columns are NOT in footers
+    // (documented caveat of footer-only audits)
+    (1 to 100).map(i => (i.toLong, s"t$i", i % 3)).toDF("id", "text", "part")
+      .write.partitionBy("part").parquet(s"$base/hive")
+    val hive = Quality.schemaAudit(spark,
+        Seq(s"$base/hive", s"$base/hive", s"$base/hive"), "text")
+      .collect().map(_.getString(2))
+    assert(hive.forall(_ === "ok"))
+    assert(Quality.schemaAudit(spark, Seq(s"$base/hive"), "part")
+      .head().getString(2) === "missing")
   }
 
   test("multimodal sampleChecksum: empty and null text yield 0 (sequence guard)") {

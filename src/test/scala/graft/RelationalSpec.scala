@@ -50,8 +50,8 @@ class RelationalSpec extends SparkFunSuite {
     val p2 = Seq((2, 1, "c")).toDF("page", "row", "v")
     val got = Relational.unionWithOffsets(Seq(p1, p2), "page", "row")
       .orderBy("global_row").collect()
-    assert(got.map(r => (r.getAs[Int]("global_row"), r.getAs[String]("v"))).toSeq
-      === Seq((1, "a"), (2, "b"), (3, "c")))
+    assert(got.map(r => (r.getAs[Long]("global_row"), r.getAs[String]("v"))).toSeq
+      === Seq((1L, "a"), (2L, "b"), (3L, "c")))
   }
 
   test("U1 two-stage offsets match single-window numbering on uneven pages") {
@@ -61,8 +61,8 @@ class RelationalSpec extends SparkFunSuite {
       Seq((2, 7, "f"), (2, 4, "e")).toDF("page", "row", "v"))
     val got = Relational.unionWithOffsets(pages, "page", "row")
       .orderBy("global_row").collect()
-      .map(r => (r.getAs[Int]("global_row"), r.getAs[String]("v"))).toSeq
-    assert(got === Seq((1, "a"), (2, "b"), (3, "c"), (4, "e"), (5, "f"), (6, "g"), (7, "h")))
+      .map(r => (r.getAs[Long]("global_row"), r.getAs[String]("v"))).toSeq
+    assert(got === Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "e"), (5L, "f"), (6L, "g"), (7L, "h")))
   }
 
   test("property: two-stage offsets equal naive global (page, row) numbering") {
@@ -72,9 +72,9 @@ class RelationalSpec extends SparkFunSuite {
       .map { case (p, rs) => rs.toDF("page", "row", "v") }
     val got = Relational.unionWithOffsets(byPage, "page", "row")
       .orderBy("global_row").collect()
-      .map(r => (r.getAs[Int]("global_row"), r.getAs[String]("v"))).toSeq
+      .map(r => (r.getAs[Long]("global_row"), r.getAs[String]("v"))).toSeq
     val expected = rows.sortBy(t => (t._1, t._2)).zipWithIndex
-      .map { case ((_, _, v), i) => (i + 1, v) }
+      .map { case ((_, _, v), i) => ((i + 1).toLong, v) }
     assert(got === expected)
   }
 
@@ -103,6 +103,18 @@ class RelationalSpec extends SparkFunSuite {
     assert(got(101L) === Some((201L, 1.5))) // equal ts matches (>= semantics)
     assert(got(103L) === None)              // before any right row
     assert(got(102L) === None)              // right exists only AFTER left ts
+  }
+
+  test("asofJoin keeps the matched row's NULL values (no cross-row column mixing)") {
+    // right ts=2 row has v = NULL: the match must return (rid=20, v=NULL),
+    // NOT resurrect v=5.0 from the older ts=1 row.
+    val l = Seq((1L, 3L, 100L)).toDF("k", "ts", "lid")
+    val r = Seq((1L, 1L, 10L, Some(5.0)), (1L, 2L, 20L, None: Option[Double]))
+      .toDF("k", "ts", "rid", "v")
+    val row = Relational.asofJoin(l, r, Seq("k"), "ts", Seq("rid", "v")).head()
+    assert(row.getAs[Long]("r_rid") === 20L)
+    assert(row.isNullAt(row.fieldIndex("r_v")),
+      "NULL on the matched right row must stay NULL")
   }
 
   test("rangeJoin pairs rows within the window, inclusive bounds, across bin edges") {
