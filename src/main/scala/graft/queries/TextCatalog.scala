@@ -217,6 +217,31 @@ object TextCatalog {
          WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000 < 300
          GROUP BY 1 ORDER BY 1""")),
 
+    // Repetition ratio — 1 − distinct/total bigrams: the boilerplate/spam
+    // signal quality filters threshold on (repetitious docs score high).
+    // Pure rational arithmetic (oracle-exact); the token array materializes
+    // below a repartition exchange per the CodegenFallback discipline.
+    QueryDef("q_repetition",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"), Text.tokens(col("text")).as("__t"))
+        .repartition(col("doc_id"))
+        .select(col("doc_id"), Text.shinglesOf(col("__t"), 2).as("bg"))
+        .select(col("doc_id"),
+          size(col("bg")).cast(LongType).as("n_bigrams"),
+          when(size(col("bg")) > 0,
+            round(lit(1.0) - size(array_distinct(col("bg"))).cast("double") / size(col("bg")), 6))
+            .otherwise(0.0).as("rep_ratio"))
+        .orderBy("doc_id"),
+      Some(s"""WITH tok AS (SELECT doc_id, $toks AS t FROM documents),
+         bg AS (SELECT doc_id, CASE WHEN len(t) >= 2 THEN list_transform(range(1, len(t)),
+             i -> array_to_string(list_slice(t, i, i + 1), ' ')) ELSE [] END AS b
+           FROM tok)
+         SELECT doc_id, CAST(len(b) AS BIGINT) AS n_bigrams,
+           CASE WHEN len(b) > 0
+             THEN round(1.0 - CAST(len(list_distinct(b)) AS DOUBLE) / len(b), 6)
+             ELSE 0.0 END AS rep_ratio
+         FROM bg ORDER BY doc_id""")),
+
     // Binned document-length distribution — the histogram every corpus
     // intake report starts with (50-char buckets).
     QueryDef("q_doc_length_hist",
