@@ -10,9 +10,7 @@ object Explain {
   def main(args: Array[String]): Unit = {
     val name = args(0)
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.001"
-    val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
+    val spark = GraftSession.builder("local[4]", 4)
       // AQE performs exchange reuse at RUNTIME; disable to make reuse and
       // exchange placement visible in the static plan.
       .config("spark.sql.adaptive.enabled",

@@ -31,7 +31,11 @@ object GraftSession {
     "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
     "spark.sql.adaptive.skewJoin.enabled" -> "true",
     "spark.sql.files.maxPartitionBytes" -> (128L * 1024 * 1024).toString,
-    "spark.sql.session.timeZone" -> "UTC")
+    "spark.sql.session.timeZone" -> "UTC",
+    // TIMESTAMP(NANOS) parquet (the events fixture) read as long nanos —
+    // set ONCE here, not inside query closures, so no query's result
+    // depends on which queries ran before it in the same session.
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true")
 
   def builder(master: String, shufflePartitions: Int): SparkSession.Builder =
     recommendedConf.foldLeft(

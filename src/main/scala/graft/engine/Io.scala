@@ -51,8 +51,13 @@ object Tables {
     * dominate query time; at 100 TB compaction is a scheduled maintenance
     * op, not a luxury.  Sizes the rewrite from the CURRENT byte count
     * (ceil(bytes/target) output files), stages to a sibling directory, then
-    * swaps.  The swap is delete+rename — NOT atomic: a reader racing it can
-    * miss the path; run it in the same scheduler slot as the writers it
+    * swaps via rename-aside: old → backup, staging → canonical, delete
+    * backup.  Renames are metadata ops; a crash between any two steps
+    * leaves EITHER the old or the new data at a live path (old at the
+    * backup path, new at staging or canonical) — never a window where the
+    * data exists only as deleted blocks.  Still not an atomic swap for
+    * concurrent READERS (a racing lister can catch the gap between the two
+    * renames): run it in the same scheduler slot as the writers it
     * compacts, or use a transactional table format where isolation matters.
     * Returns the output file count. */
   def compact(spark: SparkSession, path: String,
@@ -61,16 +66,23 @@ object Tables {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val bytes = fs.getContentSummary(p).getLength
     val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    val suffix = java.util.UUID.randomUUID().toString
     val tmp = new org.apache.hadoop.fs.Path(
-      path.stripSuffix("/") + "__compact_" + java.util.UUID.randomUUID())
+      path.stripSuffix("/") + "__compact_" + suffix)
+    val bak = new org.apache.hadoop.fs.Path(
+      path.stripSuffix("/") + "__precompact_" + suffix)
     spark.read.parquet(path).repartition(n).write.parquet(tmp.toString)
-    // check both steps: a false return from rename after a successful delete
-    // would otherwise lose the canonical path silently (data survives under
-    // the staging dir — say so in the error).
-    if (!fs.delete(p, true))
-      throw new java.io.IOException(s"compact: failed to delete $path; rewrite staged at $tmp")
+    // rename old ASIDE first (not delete): failure at any step below leaves
+    // the previous data recoverable at a named path — say where in the error.
+    if (!fs.rename(p, bak))
+      throw new java.io.IOException(
+        s"compact: failed to move $path aside to $bak; original intact, rewrite staged at $tmp")
     if (!fs.rename(tmp, p))
-      throw new java.io.IOException(s"compact: failed to rename $tmp to $path; data intact at $tmp")
+      throw new java.io.IOException(
+        s"compact: failed to rename $tmp to $path; original preserved at $bak")
+    if (!fs.delete(bak, true))
+      throw new java.io.IOException(
+        s"compact: swap complete but failed to delete backup $bak; remove it manually")
     n
   }
 

@@ -61,13 +61,20 @@ object Quality {
     * passes would multiply the scan cost. */
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions._
+    require(cols.nonEmpty, "profile: need at least one column (stack(0, ...) is invalid SQL)")
+    // Generated SQL interpolates raw column names — quote every identifier
+    // (backticks, with backticks doubled) and escape the label literal, so
+    // names with spaces/dots/quotes survive parsing and alias resolution.
+    def bq(name: String): String = "`" + name.replace("`", "``") + "`"
+    def sq(s: String): String = "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
     val aggs = cols.flatMap(c => Seq(
-      count(col(c)).as(s"__cnt_$c"), countDistinct(col(c)).as(s"__ndv_$c"))) :+
+      count(df(c)).as(s"__cnt_$c"),          // df(c): literal lookup — col(c)
+      countDistinct(df(c)).as(s"__ndv_$c"))) :+ // would parse dots as fields
       count(lit(1)).as("__n")
     val row = df.agg(aggs.head, aggs.tail: _*)
     row.select(expr(
       s"stack(${cols.size}, " +
-        cols.map(c => s"'$c', __n, __cnt_$c, __ndv_$c").mkString(", ") +
+        cols.map(c => s"${sq(c)}, __n, ${bq(s"__cnt_$c")}, ${bq(s"__ndv_$c")}").mkString(", ") +
         ") as (col_name, n_rows, n_present, n_distinct)"))
   }
 

@@ -100,10 +100,14 @@ object Relational {
     *
     * `right` must be unique per (keys, ts) — pre-dedup with
     * `Upsert.dedupLastWins` otherwise (equal-ts right duplicates would make
-    * the winner window-order-dependent). */
-  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+    * the winner window-order-dependent).  Right rows with a NULL timestamp
+    * are DROPPED before the union: ASOF semantics (`r.ts <= l.ts`) can never
+    * match them, but Spark's ascending sort would place them FIRST in the
+    * window and carry their struct into every left row of the key. */
+  def asofJoin(left: DataFrame, right0: DataFrame, keys: Seq[String],
                tsCol: String, rightCols: Seq[String],
                prefix: String = "r_"): DataFrame = {
+    val right = right0.filter(col(tsCol).isNotNull)
     // The right attributes travel as ONE struct: `last(ignoreNulls)` must
     // skip only "no right row yet", never a NULL VALUE inside the matched
     // row — per-column carries would resurrect older rows' values for
@@ -196,6 +200,26 @@ object Relational {
         Window.partitionBy(pageCol).orderBy(col(rowCol))))
       .withColumn("global_row", (col("__off") + col("__rn")).cast("long"))
       .drop("__pg", "__off", "__rn")
+  }
+
+  /** Gaps-and-islands: consecutive-day activity streaks per user.  The
+    * classic island key `day − row_number()` (constant within a consecutive
+    * run) makes streak detection two partitioned windows/aggregations on the
+    * user key — one shuffle, reused across both stages; no self-join, no
+    * per-user materialization.  Day binning is exact integer arithmetic
+    * (`(us − us mod D)/D`, never `floor(us/D)` — a double division can
+    * misbin a boundary timestamp). */
+  def dailyStreaks(df: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val D = 86400000000L
+    val us = unix_micros(col(tsCol))
+    val day = ((us - pmod(us, lit(D))) / D).cast("long")
+    val days = df.select(col(userCol).as("user"), day.as("day")).distinct()
+    val w = Window.partitionBy("user").orderBy("day")
+    days.withColumn("grp", col("day") - row_number().over(w))
+      .groupBy("user", "grp").agg(count(lit(1)).as("len"))
+      .groupBy("user")
+      .agg(count(lit(1)).as("n_streaks"), max("len").as("max_streak"),
+        sum("len").cast("long").as("n_days"))
   }
 
   /** U1 — multi-page concatenation with a running row offset

@@ -411,4 +411,72 @@ object Text {
   def tokenCounts(textCol: Column): Seq[(String, Column)] = Seq(
     "ws_tokens" -> size(tokens(textCol)).cast(LongType),
     "bpe_tokens" -> regexp_count(textCol, lit("[a-z]+|[0-9]|[^a-z0-9 ]")).cast(LongType))
+
+  // ------------------------------------------------- segment-level dedup
+  /** One row per (doc, fixed-`words`-token segment) — sub-document dedup
+    * granularity (the C4/RefinedWeb paragraph-dedup shape).  Real corpora
+    * segment on structural separators (`\n\n`); the fixtures carry none, so
+    * the registered query uses fixed word windows — the relational machinery
+    * downstream (frequency count + equi-join back) is identical either way.
+    * Same physical discipline as [[shingleRows]]: the token array
+    * materializes below a repartition-by-doc exchange so the transform
+    * lambda runs over an in-memory array, and the exchange key matches the
+    * downstream groupBy. */
+  def segmentRows(df: DataFrame, textCol: String, idCol: String,
+                  words: Int): DataFrame = {
+    val t = col("__t")
+    val nSeg = ceil(size(t).cast("double") / words).cast(LongType)
+    df.select(col(idCol).as("doc"), tokens(col(textCol)).as("__t"))
+      .repartition(col("doc"))
+      .select(col("doc"), explode(
+        when(size(t) > 0, transform(sequence(lit(0L), nSeg - 1),
+          i => array_join(slice(t, (i * words + 1).cast("int"), lit(words)), " ")))
+          .otherwise(array().cast("array<string>"))).as("segment"))
+  }
+
+  /** Per-document segment-dedup stats: how many of a doc's segments also
+    * occur in at least one OTHER document.  Segment frequency is one
+    * hash-partitioned groupBy; the join back is an equi-join on the segment
+    * string — never all-pairs.  At 100 TB the segment relation is the same
+    * scale-shape as the shingle relation (linear in corpus tokens). */
+  def segmentDedupStats(df: DataFrame, textCol: String, idCol: String,
+                        words: Int): DataFrame = {
+    val seg = segmentRows(df, textCol, idCol, words)
+    val freq = seg.groupBy("segment").agg(countDistinct("doc").as("__ndocs"))
+    seg.join(freq, Seq("segment"))
+      .groupBy("doc")
+      .agg(count(lit(1)).as("n_segments"),
+        sum(when(col("__ndocs") > 1, 1L).otherwise(0L)).as("n_dup_segments"))
+  }
+
+  // ------------------------------------------------- text normalization
+  /** Normalization pass for scraped text: strip markup tags, collapse
+    * whitespace runs, trim, casefold.  A pure per-row expression chain — no
+    * shuffle, no state: the shape of a 100 TB cleanup pass (plans entirely
+    * inside one WholeStageCodegen span).  Tags become spaces (not empty
+    * strings) so `<br>` between words can't weld tokens together. */
+  def normalizeMarkup(c: Column): Column =
+    lower(trim(regexp_replace(regexp_replace(c, "<[^>]*>", " "), "\\s+", " ")))
+
+  /** Adjacent-token bigrams via zip_with over offset slices — NOT
+    * `sequence(1, n-1)` indexing, which DESCENDS for n < 2 (the
+    * [[shinglesOf]] guard, avoided structurally here: both slices are empty
+    * for single-token docs, so zip_with yields an empty array). */
+  def bigramsOf(t: Column): Column =
+    zip_with(slice(t, lit(1), greatest(size(t) - 1, lit(0))),
+      slice(t, lit(2), greatest(size(t) - 1, lit(0))),
+      (a, b) => concat(a, lit(" "), b))
+
+  /** Corpus-level top-k bigram counts (deterministic tie-break on the
+    * bigram string).  Explode is pipelined (Generate, no shuffle); the count
+    * is one hash aggregation with map-side partials; top-k plans as
+    * TakeOrderedAndProject — a per-partition heap, never a global sort. */
+  def topBigrams(df: DataFrame, textCol: String, k: Int): DataFrame =
+    // no repartition barrier here: bigramsOf references the token array from
+    // plain slice/size args (not per-element lambdas), so CollapseProject
+    // re-inlining the split costs a constant few splits per ROW — unlike the
+    // per-shingle-index re-split shingleRows guards against.
+    df.select(explode(bigramsOf(tokens(col(textCol)))).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram")).limit(k)
 }

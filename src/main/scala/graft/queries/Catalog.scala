@@ -827,7 +827,6 @@ object Catalog {
     // then a batch aggregate over the caught-up copy.
     QueryDef("q_st1_streaming_catchup",
       (s, dir) => {
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         val schema = t(s, dir, "events").schema // ts arrives as long nanos
         val base = Files.createTempDirectory("graft_st1").toString
         Streaming.catchUp(s, s"$dir/events*.parquet", schema, s"$base/cp", s"$base/out")
@@ -842,7 +841,6 @@ object Catalog {
     // counts equal the original table's — which is exactly the oracle.
     QueryDef("q_st5_stream_dedup",
       (s, dir) => {
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         val base = Files.createTempDirectory("graft_st5").toString
         val raw = t(s, dir, "events")
         raw.write.parquet(s"$base/src/f1")
@@ -1218,7 +1216,180 @@ object Catalog {
          FROM d GROUP BY 1, 2 ORDER BY 1"""))
   )
 
-  /** Full catalog: relational + reference pipeline + cleaning + LLM-data. */
+  // ------------------------------------------------- windowed analytics (r5)
+
+  val windowedAnalytics: Seq[QueryDef] = Seq(
+
+    // A1d — GROUPING SETS with grouping_id: the general form rollup/cube
+    // specialize (Catalyst expands all sets into one Expand + single hash
+    // aggregate — one pass over the fact table regardless of set count).
+    QueryDef("q_grouping_sets",
+      (s, dir) => t(s, dir, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")),
+            Seq(col("l_returnflag"), col("l_linestatus"))),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().cast(IntegerType).as("gid"),
+          count(lit(1)).as("n"), lsum(col("l_quantity")).as("sum_qty"))
+        .select("gid", "l_returnflag", "l_linestatus", "n", "sum_qty")
+        .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first),
+      Some("""SELECT CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid,
+           l_returnflag, l_linestatus,
+           COUNT(*) AS n, CAST(SUM(l_quantity) AS BIGINT) AS sum_qty
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+         ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")),
+
+    // W1b — ntile sharding WITHIN source groups (a partitioned window — the
+    // global form would funnel the corpus through one task; hash-based
+    // assignment in q_train_val_split is the truly shuffle-free shape).
+    QueryDef("q_ntile_shards",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          ntile(4).over(Window.partitionBy("source").orderBy("doc_id")).as("shard"))
+        .groupBy("source", "shard")
+        .agg(count(lit(1)).as("n"), min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+        .orderBy("source", "shard"),
+      Some("""WITH s AS (SELECT source, doc_id,
+             CAST(ntile(4) OVER (PARTITION BY source ORDER BY doc_id) AS INT) AS shard
+           FROM documents)
+         SELECT source, shard, COUNT(*) AS n,
+           MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+         FROM s GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // W1c — percent_rank + cume_dist: exact rationals ((rank−1)/(n−1),
+    // peers/n) of identical integer operands — bit-stable across engines.
+    QueryDef("q_percent_rank",
+      (s, dir) => {
+        val w = Window.partitionBy("c_mktsegment").orderBy(col("c_acctbal"), col("c_custkey"))
+        t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"),
+            percent_rank().over(w).as("pr"), cume_dist().over(w).as("cd"))
+          .filter(col("c_custkey") % 20 === 0)
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_mktsegment,
+           percent_rank() OVER w AS pr, cume_dist() OVER w AS cd
+         FROM customer
+         WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+         QUALIFY c_custkey % 20 = 0
+         ORDER BY c_custkey""")),
+
+    // W1d — lag: per-user inter-event gaps, aggregated exactly (integer µs
+    // sums — no floating average, which would be accumulation-order-
+    // dependent).  One shuffle on user_id; the window and the groupBy share
+    // the partitioning, so Catalyst reuses the exchange.
+    QueryDef("q_lag_lead",
+      (s, dir) => {
+        val ev = events(s, dir)
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val us = unix_micros(col("ts"))
+        ev.select(col("user_id"), (us - lag(us, 1).over(w)).as("gap_us"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"), count(col("gap_us")).as("n_gaps"),
+            lsum(col("gap_us")).as("sum_gap_us"),
+            min(col("gap_us")).as("min_gap_us"), max(col("gap_us")).as("max_gap_us"))
+          .orderBy("user_id")
+      },
+      Some("""WITH g AS (
+           SELECT user_id,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+           FROM events)
+         SELECT user_id, COUNT(*) AS n_events, COUNT(gap_us) AS n_gaps,
+           CAST(SUM(gap_us) AS BIGINT) AS sum_gap_us,
+           MIN(gap_us) AS min_gap_us, MAX(gap_us) AS max_gap_us
+         FROM g GROUP BY 1 ORDER BY 1""")),
+
+    // W1e — gaps-and-islands (consecutive-day streaks) via the island key
+    // `day − row_number()`: see Relational.dailyStreaks.
+    QueryDef("q_streaks",
+      (s, dir) => Relational.dailyStreaks(events(s, dir), "user_id", "ts")
+        .withColumnRenamed("user", "user_id")
+        .orderBy("user_id"),
+      Some("""WITH d AS (SELECT DISTINCT user_id,
+             CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day FROM events),
+         i AS (SELECT user_id, day,
+             day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day) AS BIGINT) AS grp
+           FROM d),
+         st AS (SELECT user_id, grp, COUNT(*) AS len FROM i GROUP BY 1, 2)
+         SELECT user_id, COUNT(*) AS n_streaks, MAX(len) AS max_streak,
+           CAST(SUM(len) AS BIGINT) AS n_days
+         FROM st GROUP BY 1 ORDER BY 1""")),
+
+    // W1f — event-time RANGE frame (count of the user's events in the
+    // preceding hour): a range frame over integer µs — unlike the ROWS
+    // frame in q_rolling_sum, the frame width is a TIME interval, and equal
+    // timestamps are peers (included) in both engines.
+    QueryDef("q_range_frame",
+      (s, dir) => {
+        val ev = events(s, dir)
+        val w = Window.partitionBy("user_id").orderBy(unix_micros(col("ts")))
+          .rangeBetween(-3600000000L, 0)
+        ev.select(col("event_id"), col("user_id"),
+            count(lit(1)).over(w).as("n_last_hour"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id,
+           CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_last_hour
+         FROM events ORDER BY event_id""")),
+
+    // A1e — mode (most frequent value) with a DETERMINISTIC tie-break:
+    // neither engine's native mode() pins ties, so both sides spell it as
+    // count + rank — the only portable (and retry-stable) definition.
+    QueryDef("q_mode_per_user",
+      (s, dir) => {
+        val counts = events(s, dir).groupBy("user_id", "event_type")
+          .agg(count(lit(1)).as("n"))
+        counts.withColumn("rn", row_number().over(
+            Window.partitionBy("user_id").orderBy(col("n").desc, col("event_type"))))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("event_type").as("mode_type"), col("n"))
+          .orderBy("user_id")
+      },
+      Some("""WITH c AS (SELECT user_id, event_type, COUNT(*) AS n FROM events GROUP BY 1, 2),
+         r AS (SELECT user_id, event_type, n,
+             CAST(row_number() OVER (PARTITION BY user_id ORDER BY n DESC, event_type) AS INT) AS rn
+           FROM c)
+         SELECT user_id, event_type AS mode_type, n FROM r WHERE rn = 1 ORDER BY user_id""")),
+
+    // A1f — correlation from EXACT moments: one pass collecting decimal-
+    // exact sums (n, Σx, Σy, Σxy, Σx², Σy²), then the closed-form corr as
+    // element-wise double math on the exact sums.  Native corr() accumulates
+    // co-moments in doubles whose partial-aggregation order is
+    // nondeterministic — this form is bit-stable AND still single-pass
+    // (the estimator a 100 TB feature-drift monitor wants).
+    QueryDef("q_corr_moments",
+      (s, dir) => {
+        val hr = hour(col("ts")).cast(DoubleType)
+        events(s, dir).groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            dsum(col("value")).as("sx"), dsum(hr).as("sy"),
+            dsum(col("value") * hr).as("sxy"),
+            dsum(col("value") * col("value")).as("sx2"),
+            dsum(hr * hr).as("sy2"))
+          .select(col("event_type"), col("n"),
+            ((col("n") * col("sxy") - col("sx") * col("sy")) /
+              sqrt((col("n") * col("sx2") - col("sx") * col("sx")) *
+                (col("n") * col("sy2") - col("sy") * col("sy")))).as("corr_vh"))
+          .orderBy("event_type")
+      },
+      Some("""WITH m AS (
+           SELECT event_type, COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(CAST(hour(ts) AS DOUBLE) AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(value * CAST(hour(ts) AS DOUBLE) AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(value * value AS DECIMAL(38,6))) AS DOUBLE) AS sx2,
+             CAST(SUM(CAST(CAST(hour(ts) AS DOUBLE) * CAST(hour(ts) AS DOUBLE) AS DECIMAL(38,6))) AS DOUBLE) AS sy2
+           FROM events GROUP BY 1)
+         SELECT event_type, n,
+           (n * sxy - sx * sy) / sqrt((n * sx2 - sx * sx) * (n * sy2 - sy * sy)) AS corr_vh
+         FROM m ORDER BY event_type"""))
+  )
+
+  /** Full catalog: relational + reference pipeline + cleaning + windowed
+    * analytics + LLM-data. */
   val all: Seq[QueryDef] =
-    relational ++ referencePipeline ++ cleaning ++ TextCatalog.all
+    relational ++ referencePipeline ++ cleaning ++ windowedAnalytics ++ TextCatalog.all
 }

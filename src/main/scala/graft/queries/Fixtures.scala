@@ -33,11 +33,12 @@ object Fixtures {
     * rejects outright ([PARQUET_TYPE_ILLEGAL]); read the nanos as longs and
     * rebuild a microsecond timestamp.  Fixture values are µs-precision, so
     * `div 1000` is lossless — and integer division, since a double round-trip
-    * would corrupt: 1.7e18 ns exceeds 2^53. */
-  def events(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    * would corrupt: 1.7e18 ns exceeds 2^53.  Requires
+    * `spark.sql.legacy.parquet.nanosAsLong=true`, set at session
+    * construction (GraftSession.recommendedConf; mirrored by Verify/Bench/
+    * test builders) — NOT here, so no query mutates the shared session. */
+  def events(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
 
   private val k = col("c_custkey")
 

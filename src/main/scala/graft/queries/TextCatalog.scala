@@ -647,5 +647,68 @@ object TextCatalog {
          FROM m ORDER BY doc_id"""))
   )
 
-  val all: Seq[QueryDef] = textAnalysis ++ dedup ++ similarity ++ ivf ++ multimodal
+  // ------------------------------------------- segments & n-grams (round 5)
+
+  val segments: Seq[QueryDef] = Seq(
+
+    // Sub-document (paragraph-granularity) dedup: fixed 20-word segments
+    // (the fixtures carry no '\n\n' separators), segment frequency by
+    // hash-partitioned groupBy, equi-join back — the C4/RefinedWeb
+    // paragraph-dedup shape, linear in corpus tokens.
+    QueryDef("q_segment_dedup",
+      (s, dir) => Text.segmentDedupStats(t(s, dir, "documents"), "text", "doc_id", 20)
+        .withColumnRenamed("doc", "doc_id")
+        .orderBy("doc_id"),
+      Some("""WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS wds FROM documents),
+         seg AS (SELECT doc_id,
+             unnest(list_transform(range(0, CAST(ceil(len(wds) / 20.0) AS BIGINT)),
+               i -> array_to_string(wds[i*20+1 : i*20+20], ' '))) AS segment
+           FROM w),
+         f AS (SELECT segment, COUNT(DISTINCT doc_id) AS ndocs FROM seg GROUP BY 1)
+         SELECT s.doc_id, COUNT(*) AS n_segments,
+           CAST(SUM(CASE WHEN f.ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_segments
+         FROM seg s JOIN f ON s.segment = f.segment
+         GROUP BY 1 ORDER BY 1""")),
+
+    // Markup-strip + whitespace-collapse + casefold normalization: tags are
+    // SYNTHESIZED deterministically (wrap + bold every ' table ') so the
+    // strip pass has real work, and the `roundtrip` flag asserts in-band
+    // that normalize(htmlize(text)) == text for every row.  Pure per-row
+    // expression chain — the no-shuffle shape of a corpus cleanup pass.
+    QueryDef("q_normalize_text",
+      (s, dir) => {
+        val html = concat(lit("<p>"),
+          expr("replace(text, ' table ', ' <b>table</b> ')"), lit("</p>"))
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("text"), Text.normalizeMarkup(html).as("norm"))
+          .select(col("doc_id"), md5(col("norm")).as("norm_md5"),
+            length(col("norm")).cast(LongType).as("n_chars"),
+            when(col("norm") === col("text"), 1).otherwise(0).as("roundtrip"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH h AS (SELECT doc_id,
+             '<p>' || replace(text, ' table ', ' <b>table</b> ') || '</p>' AS html
+           FROM documents),
+         n AS (SELECT doc_id,
+             lower(trim(regexp_replace(regexp_replace(html, '<[^>]*>', ' ', 'g'), '\s+', ' ', 'g'))) AS norm
+           FROM h)
+         SELECT n.doc_id, md5(n.norm) AS norm_md5,
+           CAST(length(n.norm) AS BIGINT) AS n_chars,
+           CASE WHEN n.norm = d.text THEN 1 ELSE 0 END AS roundtrip
+         FROM n JOIN documents d ON n.doc_id = d.doc_id
+         ORDER BY n.doc_id""")),
+
+    // Corpus-level top-k bigrams: Generate (pipelined) → one hash agg with
+    // map-side partials → TakeOrderedAndProject.  Deterministic tie-break
+    // on the bigram string.
+    QueryDef("q_top_bigrams",
+      (s, dir) => Text.topBigrams(t(s, dir, "documents"), "text", 20),
+      Some("""WITH w AS (SELECT string_split(trim(text), ' ') AS wds FROM documents),
+         b AS (SELECT unnest(list_transform(range(1, len(wds)), i -> wds[i] || ' ' || wds[i+1])) AS bigram FROM w)
+         SELECT bigram, COUNT(*) AS n FROM b GROUP BY 1
+         ORDER BY n DESC, bigram LIMIT 20"""))
+  )
+
+  val all: Seq[QueryDef] =
+    textAnalysis ++ dedup ++ similarity ++ ivf ++ multimodal ++ segments
 }

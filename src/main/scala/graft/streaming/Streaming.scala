@@ -112,6 +112,18 @@ object Streaming {
                           tsCol: String, idCol: String,
                           gapMicros: Long): Dataset[SessionCounts] = {
     import df.sparkSession.implicits._
+    // The encoder is (Long, Long, Long) non-nullable: a string key would
+    // cast("long") to NULL silently (merging users / NPE downstream) — fail
+    // fast on the schema instead.
+    Seq(userCol, idCol).foreach { c =>
+      import org.apache.spark.sql.types._
+      val ok = df.schema(c).dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }
+      require(ok, s"sortedSessionCounts: column '$c' must be an integral type, " +
+        s"got ${df.schema(c).dataType.simpleString}")
+    }
     val sorted = df.select(col(userCol).cast("long").as("u"),
         unix_micros(col(tsCol)).as("t"), col(idCol).cast("long").as("i"))
       .repartition(col("u"))
