@@ -68,8 +68,8 @@ object Quality {
     def bq(name: String): String = "`" + name.replace("`", "``") + "`"
     def sq(s: String): String = "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
     val aggs = cols.flatMap(c => Seq(
-      count(df(c)).as(s"__cnt_$c"),          // df(c): literal lookup — col(c)
-      countDistinct(df(c)).as(s"__ndv_$c"))) :+ // would parse dots as fields
+      count(col(bq(c))).as(s"__cnt_$c"),          // backtick-quoted: a bare
+      countDistinct(col(bq(c))).as(s"__ndv_$c"))) :+ // col(c) parses dots as fields
       count(lit(1)).as("__n")
     val row = df.agg(aggs.head, aggs.tail: _*)
     row.select(expr(

@@ -726,7 +726,9 @@ object Catalog {
         val now = System.currentTimeMillis()
         pin("f1", now - 120000); pin("f2", now)
         val schema = s.read.parquet(s"$base/src/f1").schema
-        val stream = s.readStream.schema(schema)
+        // state-partition count sized to the workload, on an isolated child
+        // session (see Streaming.stateSession)
+        val stream = Streaming.stateSession(s, 8).readStream.schema(schema)
           .option("maxFilesPerTrigger", "1").parquet(s"$base/src/*")
         Streaming.upsertSink(stream, s"$base/lake", s"$base/cp", prodKeys,
           Seq("post_hunt_estimate", "male_female_ratio"), Seq("herd_name"),
@@ -846,7 +848,7 @@ object Catalog {
         raw.write.parquet(s"$base/src/f1")
         raw.write.parquet(s"$base/src/f2")
         val schema = s.read.parquet(s"$base/src/f1").schema
-        val stream = s.readStream.schema(schema)
+        val stream = Streaming.stateSession(s, 8).readStream.schema(schema)
           .option("maxFilesPerTrigger", "1").parquet(s"$base/src/*")
         val q = Streaming.dedupStream(stream, Seq("event_id"))
           .writeStream.format("parquet")
@@ -877,9 +879,13 @@ object Catalog {
             col("value")).write.parquet(s"$base/purchases")
         val cSchema = s.read.parquet(s"$base/clicks").schema
         val pSchema = s.read.parquet(s"$base/purchases").schema
-        val clicks = s.readStream.schema(cSchema).parquet(s"$base/clicks")
+        // a stream-stream join runs FOUR state stores; 8 state partitions
+        // instead of the batch-shuffle default halves wall time here (the
+        // commit overhead scales with partitions × stores × batches)
+        val ss = Streaming.stateSession(s, 8)
+        val clicks = ss.readStream.schema(cSchema).parquet(s"$base/clicks")
           .withWatermark("ts", "2 hours")
-        val purchases = s.readStream.schema(pSchema).parquet(s"$base/purchases")
+        val purchases = ss.readStream.schema(pSchema).parquet(s"$base/purchases")
           .withWatermark("p_ts", "2 hours")
         val joined = clicks.join(purchases, expr(
           "user_id = p_user_id AND p_ts BETWEEN ts - INTERVAL 1 HOUR AND ts"))

@@ -23,6 +23,23 @@ case class SessionCounts(user_id: Long, n_sessions: Long, n_events: Long)
   */
 object Streaming {
 
+  /** Child session sized for STATEFUL streaming: the state-store instance
+    * count equals `spark.sql.shuffle.partitions` and is PINNED into the
+    * checkpoint at first run, and every instance pays a per-micro-batch
+    * commit (delta file + checksum, per store — a stream-stream join runs
+    * FOUR stores).  When per-key state is bounded, fewer larger state
+    * partitions beat many tiny ones: measured locally, 8 partitions halve
+    * the stream-stream join wall time vs 32 (state scales by keys held, the
+    * commit overhead by partitions × stores × batches).  On a cluster, size
+    * to ~1–2× executor count, not to the batch-shuffle default.  Isolated
+    * via `newSession()` — the caller's session conf is never mutated (the
+    * conf-in-closure order-dependence this engine bans). */
+  def stateSession(s: SparkSession, statePartitions: Int): SparkSession = {
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    ss
+  }
+
   /** Catch up on all unprocessed files matching `glob`, append them to
     * `outDir` as parquet, and record progress in `checkpointDir`.  Running
     * twice with the same checkpoint processes nothing the second time —

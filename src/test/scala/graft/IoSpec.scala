@@ -68,6 +68,10 @@ class IoSpec extends SparkFunSuite {
     val back = spark.read.parquet(dir)
     assert(back.count() === 10000)
     assert(back.agg(sum("id")).head().getLong(0) === 10000L * 10001 / 2)
+    // rename-aside swap cleans up after itself: no staging or backup dirs
+    val leftovers = new java.io.File(dir).getParentFile.listFiles()
+      .map(_.getName).filter(n => n.contains("__compact_") || n.contains("__precompact_"))
+    assert(leftovers.isEmpty, s"leftover swap dirs: ${leftovers.mkString(", ")}")
   }
 
   test("GraftSession recommends AQE + skew handling + extensions") {

@@ -59,6 +59,17 @@ class QualitySpec extends SparkFunSuite {
       .head().getString(2) === "missing")
   }
 
+  test("profile quotes hostile column names and rejects an empty column list") {
+    val df = Seq((1, "a", 2.0), (2, "b", 3.0), (2, null, 4.0))
+      .toDF("the key", "weird.name", "it's")
+    val got = Quality.profile(df, Seq("the key", "weird.name", "it's"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got("the key") === ((3L, 3L, 2L)))
+    assert(got("weird.name") === ((3L, 2L, 2L)))   // null not counted present
+    assert(got("it's") === ((3L, 3L, 3L)))
+    intercept[IllegalArgumentException] { Quality.profile(df, Seq.empty) }
+  }
+
   test("multimodal sampleChecksum: empty and null text yield 0 (sequence guard)") {
     val df = Seq(Some("abc"), Some(""), None).toDF("text")
     val got = Multimodal.sampleChecksum(df, "text", 2).collect()

@@ -189,4 +189,34 @@ class RelationalSpec extends SparkFunSuite {
       .filter($"rn" === 1).collect()
     assert(got.map(r => (r.getString(0), r.getInt(1))).toSet === Set(("a", 3), ("b", 9)))
   }
+
+  test("asofJoin drops NULL-timestamp right rows instead of carrying them forward") {
+    // a NULL-ts right row sorts FIRST under Spark's ascending default; were
+    // it kept, its struct would match every left row of the key — ASOF
+    // semantics (r.ts <= l.ts) can never match a NULL ts.
+    val l = Seq((1L, 5L, 100L)).toDF("k", "ts", "lid")
+    val r = Seq((1L, Some(3L), 10L), (1L, None: Option[Long], 99L))
+      .toDF("k", "ts", "rid")
+    val row = Relational.asofJoin(l, r, Seq("k"), "ts", Seq("rid")).head()
+    assert(row.getAs[Long]("r_rid") === 10L,
+      "the NULL-ts right row must never be the match")
+    // and with ONLY null-ts right rows, the left row matches nothing
+    val rOnlyNull = Seq((1L, None: Option[Long], 99L)).toDF("k", "ts", "rid")
+    val row2 = Relational.asofJoin(l, rOnlyNull, Seq("k"), "ts", Seq("rid")).head()
+    assert(row2.isNullAt(row2.fieldIndex("r_rid")))
+  }
+
+  test("dailyStreaks: consecutive days form one streak, gaps split them") {
+    def ts(day: Int) = Timestamp.valueOf(f"2024-01-$day%02d 10:00:00")
+    val df = Seq(
+      (1L, ts(1)), (1L, ts(1)), (1L, ts(2)), (1L, ts(3)), // dup day collapses
+      (1L, ts(7)), (1L, ts(8)),                           // second streak
+      (2L, ts(5))
+    ).toDF("user_id", "ts")
+    val got = Relational.dailyStreaks(df, "user_id", "ts")
+      .collect().map(r => r.getAs[Long]("user") ->
+        (r.getAs[Long]("n_streaks"), r.getAs[Long]("max_streak"), r.getAs[Long]("n_days"))).toMap
+    assert(got(1L) === ((2L, 3L, 5L)))
+    assert(got(2L) === ((1L, 1L, 1L)))
+  }
 }

@@ -126,6 +126,22 @@ class StreamingSpec extends SparkFunSuite {
       ("wy", 2020, 300L, "wy")))  // inserted
   }
 
+  test("sortedSessionCounts fails fast on a non-integral key column") {
+    val df = Seq(("u1", ts(0), 1L)).toDF("user_id", "ts", "event_id")
+    val e = intercept[IllegalArgumentException] {
+      Streaming.sortedSessionCounts(df, "user_id", "ts", "event_id", 1L)
+    }
+    assert(e.getMessage.contains("integral"))
+  }
+
+  test("stateSession isolates its conf from the parent session") {
+    val parentBefore = spark.conf.get("spark.sql.shuffle.partitions")
+    val ss = Streaming.stateSession(spark, 7)
+    assert(ss.conf.get("spark.sql.shuffle.partitions") === "7")
+    assert(spark.conf.get("spark.sql.shuffle.partitions") === parentBefore,
+      "tuning the child must not leak into the shared session")
+  }
+
   test("streamingTumbling aggregates a stream with a watermark (memory sink)") {
     val base = Files.createTempDirectory("st1_stream").toString
     Seq((ts(1), "view"), (ts(2), "view"), (ts(61), "click"))

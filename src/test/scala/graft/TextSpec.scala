@@ -114,6 +114,46 @@ class TextSpec extends SparkFunSuite {
     assert(once.subsetOf(bigger))
   }
 
+  test("bigramsOf: adjacent pairs; single-token and empty docs yield empty arrays") {
+    val df = Seq("a b c", "solo", "").toDF("text")
+    val got = df.select(Text.bigramsOf(Text.tokens($"text")).as("b"))
+      .collect().map(_.getSeq[String](0))
+    assert(got(0) === Seq("a b", "b c"))
+    assert(got(1) === Seq())
+    assert(got(2) === Seq())
+  }
+
+  test("topBigrams counts corpus-wide with deterministic tie-break") {
+    val df = Seq("x y x y", "x y z", "z q").toDF("text")
+    val got = Text.topBigrams(df, "text", 3).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got.head === ("x y", 3L))
+    // ties (count 1) break on the bigram string ascending
+    assert(got.tail === got.tail.sortBy(identity))
+  }
+
+  test("segmentDedupStats flags only segments shared across documents") {
+    val rep = (1 to 20).map(i => s"w$i").mkString(" ")        // exactly one 20-word segment
+    val uniq = (21 to 40).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, rep + " " + uniq), (2L, rep), (3L, "tail " + uniq))
+      .toDF("doc_id", "text")
+    val got = Text.segmentDedupStats(df, "text", "doc_id", 20)
+      .collect().map(r => r.getAs[Long]("doc") ->
+        (r.getAs[Long]("n_segments"), r.getAs[Long]("n_dup_segments"))).toMap
+    assert(got(1L) === ((2L, 1L)))  // [rep] shared with doc 2; [uniq] not (doc 3 shifts it)
+    assert(got(2L) === ((1L, 1L)))
+    assert(got(3L) === ((2L, 0L)))  // "tail …" offsets the window → both segments unique
+  }
+
+  test("normalizeMarkup strips tags, collapses whitespace, casefolds") {
+    val df = Seq("<p>Hello  <b>World</b></p>", "no markup here", "<br>x<br>y")
+      .toDF("text")
+    val got = df.select(Text.normalizeMarkup($"text").as("n")).collect().map(_.getString(0))
+    assert(got(0) === "hello world")
+    assert(got(1) === "no markup here")
+    assert(got(2) === "x y", "tags must become spaces, not weld tokens")
+  }
+
   test("simhashNearDupPairs: identical docs pair at hamming 0, unrelated docs do not pair") {
     val df = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again"),
