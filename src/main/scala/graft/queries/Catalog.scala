@@ -1360,6 +1360,33 @@ object Catalog {
            FROM c)
          SELECT user_id, event_type AS mode_type, n FROM r WHERE rn = 1 ORDER BY user_id""")),
 
+    // W1h — LOCF forward-fill (gap-fill): carry the last non-NULL
+    // observation forward per user in event-time order — the classic
+    // sensor/feature-table repair.  `last(ignoreNulls)` over a RUNNING row
+    // frame holds one value of state per key during execution (same
+    // skew-safe shape as asofJoin's carry window); NULLs are synthesized
+    // deterministically (click rows) so the fill has real work, and values
+    // are copied, not computed — bit-exact across engines.
+    QueryDef("q_forward_fill",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        events(s, dir)
+          .select(col("event_id"), col("user_id"), col("ts"),
+            when(col("event_type") === "click", lit(null).cast(DoubleType))
+              .otherwise(col("value")).as("v"))
+          .select(col("event_id"), col("user_id"),
+            last(col("v"), ignoreNulls = true).over(w).as("filled"))
+          .orderBy("event_id")
+      },
+      Some("""WITH g AS (SELECT event_id, user_id, ts, event_type,
+             CASE WHEN event_type = 'click' THEN NULL ELSE value END AS v
+           FROM events)
+         SELECT event_id, user_id,
+           last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+         FROM g ORDER BY event_id""")),
+
     // A1f — correlation from EXACT moments: one pass collecting decimal-
     // exact sums (n, Σx, Σy, Σxy, Σx², Σy²), then the closed-form corr as
     // element-wise double math on the exact sums.  Native corr() accumulates

@@ -206,6 +206,18 @@ class RelationalSpec extends SparkFunSuite {
     assert(row2.isNullAt(row2.fieldIndex("r_rid")))
   }
 
+  test("approx_count_distinct tracks exact distinct within its error bound") {
+    // the HLL++ sketch is the 100 TB cardinality path (mergeable, O(1)
+    // memory per group); it has NO cross-engine oracle — DuckDB's
+    // approx_count_distinct is a different HLL — so the contract is an
+    // error-bound spec, not a hash match.
+    val df = (1 to 5000).map(i => i % 700).toDF("v")
+    val exact = df.distinct().count()
+    val approx = df.agg(approx_count_distinct($"v", 0.02)).head().getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.1,
+      s"approx $approx vs exact $exact")
+  }
+
   test("dailyStreaks: consecutive days form one streak, gaps split them") {
     def ts(day: Int) = Timestamp.valueOf(f"2024-01-$day%02d 10:00:00")
     val df = Seq(
