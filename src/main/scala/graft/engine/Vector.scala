@@ -46,8 +46,14 @@ object Vector {
     * registered in the session (GraftFunctions.ensureRegistered). */
   def dotNative(a: Column, b: Column): Column = call_function("graft_dot", a, b)
 
+  /** Cosine via the FUSED native expression (graft.functions.CosineSim):
+    * one pass over both arrays instead of the three the composed
+    * dot/sqrt-norm form walks — the inner loop of every LSH/IVF re-rank.
+    * Bit-identical to the composed form (each accumulator sums in index
+    * order exactly as a standalone dot would; VectorSpec asserts parity),
+    * so the DuckDB oracles are unaffected. */
   def cosineNative(a: Column, b: Column): Column =
-    round(dotNative(a, b) / (sqrt(dotNative(a, a)) * sqrt(dotNative(b, b))), 6)
+    round(call_function("graft_cos", a, b), 6)
 
   /** Exact top-k neighbors for each query vector (queries must be small enough
     * to broadcast — they are the "probe" side). */

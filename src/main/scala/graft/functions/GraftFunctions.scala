@@ -16,17 +16,27 @@ import org.apache.spark.sql.catalyst.expressions.Expression
   *    through `df.sparkSession`, so callers need no setup.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       DotProduct.info,
       (children: Seq[Expression]) => DotProduct(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_cos"),
+      CosineSim.info,
+      (children: Seq[Expression]) => CosineSim(children(0), children(1))))
+  }
 }
 
 object GraftFunctions {
-  def ensureRegistered(spark: SparkSession): Unit =
+  def ensureRegistered(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot",
       (children: Seq[Expression]) => DotProduct(children(0), children(1)),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_cos",
+      (children: Seq[Expression]) => CosineSim(children(0), children(1)),
+      "built-in")
+  }
 }

@@ -78,9 +78,19 @@ class RelationalSpec extends SparkFunSuite {
     assert(got === expected)
   }
 
-  test("registered offset queries plan no partition-less Window") {
+  test("every registered window-family query plans ONLY partitioned Windows") {
+    // The catalog-wide 100 TB invariant: a partition-less Window funnels the
+    // whole input through ONE task.  Every lazily-constructed registered
+    // query that uses window functions is asserted here (eager queries —
+    // streaming/upsert — are excluded from the walk, not from the rule;
+    // their windows come from the same audited helpers).
     import org.apache.spark.sql.execution.window.WindowExec
-    for (name <- Seq("q_union_offsets", "q_s4_extract_blocks")) {
+    val windowQueries = Seq(
+      "q_union_offsets", "q_s4_extract_blocks", "q_window_topk_per_group",
+      "q_rolling_sum", "q_percent_rank", "q_ntile_shards", "q_lag_lead",
+      "q_streaks", "q_range_frame", "q_mode_per_user", "q_forward_fill",
+      "q_sessionize", "q_tfidf_top_term")
+    for (name <- windowQueries) {
       val df = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
       val windows = df.queryExecution.sparkPlan.collect { case w: WindowExec => w }
       assert(windows.nonEmpty, s"$name: expected at least one Window")

@@ -69,6 +69,30 @@ class VectorSpec extends SparkFunSuite {
     }
   }
 
+  test("CosineSim fused expression is bit-identical to the three-dot composed form") {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val vecs = (0 until 50).map { i =>
+      (i.toLong, Seq.tabulate(64)(j => ((i * 31 + j * 17) % 97 - 48) / 7.0),
+        Seq.tabulate(64)(j => ((i * 13 + j * 29) % 89 - 44) / 11.0))
+    }.toDF("id", "a", "b")
+    val both = vecs.select(
+      (Vector.dotNative($"a", $"b") /
+        (sqrt(Vector.dotNative($"a", $"a")) * sqrt(Vector.dotNative($"b", $"b")))).as("composed"),
+      call_function("graft_cos", $"a", $"b").as("fused")).collect()
+    both.foreach { r =>
+      // fusing the loops reorders no additions: exact equality required
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0))
+        === java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+    // SQL surface + edge cases: null array → null, zero norm → NaN
+    assert(spark.sql("SELECT graft_cos(array(1.0d, 0.0d), array(1.0d, 0.0d))")
+      .head().getDouble(0) === 1.0)
+    assert(spark.sql("SELECT graft_cos(CAST(NULL AS ARRAY<DOUBLE>), array(1.0d))")
+      .head().isNullAt(0))
+    assert(spark.sql("SELECT graft_cos(array(0.0d), array(1.0d))")
+      .head().getDouble(0).isNaN)
+  }
+
   test("graft_dot is callable from SQL after registration") {
     graft.functions.GraftFunctions.ensureRegistered(spark)
     val got = spark.sql(
