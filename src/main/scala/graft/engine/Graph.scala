@@ -1,0 +1,69 @@
+package graft.engine
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph operators over edge DataFrames.
+  *
+  * The one a training-data pipeline cannot skip: CONNECTED COMPONENTS over
+  * the near-duplicate pair graph.  MinHash/SimHash emit PAIRS; dedup
+  * decisions need CLUSTERS (duplicate relations are transitive in practice:
+  * A≈B, B≈C ⇒ keep one of {A,B,C}).  Keeping one doc per *pair* instead of
+  * per *component* over-deletes — a doc in two pairs would be dropped twice
+  * and its cluster could lose every member.
+  *
+  * Scale notes (100 TB):
+  *  - Each iteration is one shuffle join (edges ⋈ labels on dst) + one
+  *    hash aggregation (min label per src) — the same primitives as every
+  *    other operator here; nothing driver-side but the convergence check.
+  *  - Iteration count = max component DIAMETER.  Near-dup components are
+  *    dense blobs of mutual duplicates (diameter 2–3), so propagation
+  *    converges in a handful of rounds; for adversarially long path graphs
+  *    use the large-star/small-star contraction (Kiveris et al., "Connected
+  *    Components in MapReduce and Beyond", SoCC'14) — O(log² n) rounds from
+  *    the same join/agg primitives.
+  *  - `localCheckpoint` after each round truncates lineage: without it the
+  *    plan doubles per iteration and Catalyst analysis time, not the data,
+  *    becomes the bottleneck.  (On a cluster prefer reliable `checkpoint`
+  *    to survive executor loss; local mode has no such failure domain.)
+  */
+object Graph {
+
+  /** Label every vertex of the undirected graph `edges` with the MINIMUM
+    * vertex id reachable from it (its connected component's canonical id).
+    *
+    * Returns `(id, label)` — one row per distinct endpoint.  Vertices not
+    * present in any edge are by definition their own singleton component
+    * and are not emitted (union them in trivially if needed).
+    *
+    * Deterministic: min-label propagation has a unique fixpoint, whatever
+    * the partitioning or join order. */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
+                          maxIter: Int = 25): DataFrame = {
+    val sym = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+      .distinct()
+      .localCheckpoint() // reused every round — compute the distinct once
+    var labels = sym.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val nbrMin = sym.join(labels.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(col("src").as("id")).agg(min("label").as("__nbr"))
+      // every vertex has ≥1 neighbor (it came from an edge) — inner join
+      val next = labels.join(nbrMin, "id")
+        .select(col("id"), least(col("label"), col("__nbr")).as("label"),
+          (col("__nbr") < col("label")).as("__chg"))
+        .localCheckpoint()
+      converged = next.filter(col("__chg")).isEmpty
+      labels = next.drop("__chg")
+      i += 1
+    }
+    require(converged, s"connectedComponents: no fixpoint after $maxIter rounds " +
+      "(component diameter exceeds maxIter — raise it, or switch to " +
+      "large-star/small-star contraction for path-shaped graphs)")
+    labels
+  }
+}

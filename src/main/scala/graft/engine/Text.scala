@@ -281,53 +281,6 @@ object Text {
       .select("doc_a", "doc_b", "jaccard")
   }
 
-  // ------------------------------------------------- global dedup clusters
-  /** Connected components over the near-dup candidate graph — turns pairwise
-    * candidates into GLOBAL dedup clusters (every doc → the min doc id of
-    * its component, the canonical survivor).  Iterative min-label
-    * propagation: each round is `labels ∪ (edges ⋈ labels)` → `groupBy min`,
-    * all equi-joins/aggs on the node key, converging in O(component
-    * diameter) rounds.  Near-dup clusters are small and dense (diameter
-    * 2–3), so `maxIters = 10` is generous; the driver loop runs a bounded
-    * count-action per round for the fixpoint test (each action is fully
-    * distributed — this is the standard label-propagation shape; large-star/
-    * small-star halves the round count at web scale with the same
-    * primitives).  Deterministic: the fixpoint is the component-wise min,
-    * independent of iteration order.  THROWS IllegalStateException if the
-    * fixpoint is not reached within `maxIters` — returning unconverged
-    * labels would silently split clusters (raise `maxIters` for graphs of
-    * larger diameter).  The returned frame stays cache()d (it feeds
-    * multiple downstream actions); callers owning the lifecycle may
-    * `.unpersist()` it when done. */
-  def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
-                          maxIters: Int = 10): DataFrame = {
-    val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .unionByName(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .distinct().cache()
-    var labels = sym.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node")).cache()
-    var converged = false
-    var i = 0
-    while (!converged && i < maxIters) {
-      val viaNbr = sym.join(labels.withColumnRenamed("node", "dst"), "dst")
-        .select(col("src").as("node"), col("label"))
-      val next = labels.unionByName(viaNbr)
-        .groupBy("node").agg(min("label").as("label")).cache()
-      val changed = next.alias("n").join(labels.alias("o"), Seq("node"))
-        .filter(col("n.label") =!= col("o.label")).limit(1).count()
-      labels.unpersist()
-      labels = next
-      converged = changed == 0
-      i += 1
-    }
-    sym.unpersist()
-    if (!converged)
-      throw new IllegalStateException(
-        s"connectedComponents: no fixpoint after $maxIters iterations — " +
-          "component diameter exceeds the bound; raise maxIters")
-    labels
-  }
-
   // ------------------------------------------------------------ PII scrub
   /** PII scrubbing patterns — deliberately basic regex constructs (char
     * classes, bounded repeats) that behave identically under Java regex
@@ -367,6 +320,78 @@ object Text {
   def splitLabel(key: Column, trainPm: Int = 800, valPm: Int = 100): Column = {
     val h = tokenHash(key.cast("string")) % 1000
     when(h < trainPm, "train").when(h < trainPm + valPm, "val").otherwise("test")
+  }
+
+  /** [[sampleHash]] with a per-ROW rate: the mixture-weighting primitive.
+    * Join a (group → permille) dim — broadcast, it's tiny — and keep each
+    * row iff its key hash lands under ITS group's rate.  This is how a
+    * 100 TB pretraining mix is re-weighted (up/down-sample sources toward
+    * target proportions) in one scan with zero shuffles: the only join is
+    * a broadcast hash join, the predicate is per-row arithmetic. */
+  def mixtureKeep(key: Column, permille: Column): Column =
+    (tokenHash(key.cast("string")) % 1000) < permille
+
+  // ------------------------------------------------- sequence packing
+  /** Concat-and-chunk sequence packing (the GPT-pretraining layout): within
+    * each `groupCol` stream, documents are concatenated in `orderCol` order
+    * and the token stream is cut into fixed `budget`-token training
+    * sequences; each document reports the chunk span it lands in.
+    *
+    * One partitioned window (running token sum) — the pack ids are pure
+    * integer arithmetic on it (`x − x mod B)/B`, never a double `floor`
+    * division, which can misbin near chunk boundaries).  Shuffles once on
+    * the group key; at 100 TB the "group" is a shard/source so streams pack
+    * independently and no global order is imposed (a GLOBAL concat order
+    * would funnel the corpus through one task — the partition-less-window
+    * anti-pattern this engine bans).
+    *
+    * A zero-token document is reported at the chunk where its (empty) span
+    * starts, with `n_chunks` 1 — deterministic, and callers filtering empty
+    * docs upstream (the usual quality gate) never see the case. */
+  def packChunks(df: DataFrame, groupCol: String, orderCol: String,
+                 tokCount: Column, budget: Int): DataFrame = {
+    val w = Window.partitionBy(groupCol).orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val B = lit(budget.toLong)
+    def chunkOf(x: Column): Column = ((x - pmod(x, B)) / B).cast(LongType)
+    df.select(col(groupCol), col(orderCol), tokCount.cast(LongType).as("n_tokens"))
+      .withColumn("__end", sum("n_tokens").over(w))
+      .withColumn("__start", col("__end") - col("n_tokens"))
+      .select(col(groupCol), col(orderCol), col("n_tokens"),
+        chunkOf(col("__start")).as("first_chunk"),
+        chunkOf(greatest(col("__end") - 1, col("__start"))).as("last_chunk"))
+      .withColumn("n_chunks", col("last_chunk") - col("first_chunk") + 1)
+  }
+
+  /** Sliding-window token chunking with overlap (the RAG / context-window
+    * layout, complement of [[packChunks]]): each document yields chunks of
+    * `window` tokens whose starts step by `stride` (< `window` ⇒ adjacent
+    * chunks overlap by `window − stride` tokens, preserving cross-boundary
+    * context).  Chunk count `1 + ceil(max(n−window, 0) / stride)` in pure
+    * integer arithmetic; a zero-token document yields one empty chunk so no
+    * document silently disappears from the chunk index.
+    *
+    * Embarrassingly parallel — one Generate per row, NO shuffle, NO window
+    * function: chunk positions derive from each row alone, so the operator
+    * scales with the scan.  Output rows are (id, chunk_id, start_tok,
+    * n_tok, chunk_hash): the hash (md5 of the space-joined slice) is what
+    * downstream chunk-level dedup/indexes key on; callers wanting the text
+    * re-slice it from the tokens at write time. */
+  def chunkOverlap(df: DataFrame, textCol: String, idCol: String,
+                   window: Int, stride: Int): DataFrame = {
+    require(window >= 1 && stride >= 1, s"window/stride must be >= 1")
+    val S = lit(stride.toLong)
+    val over = greatest(size(tokens(col(textCol))).cast(LongType) - window, lit(0L))
+    // exact integer ceil-div: the numerator is a multiple of S by construction
+    val k = lit(1L) + ((over + stride - 1 - pmod(over + stride - 1, S)) / S).cast(LongType)
+    val chunkToks = expr(s"slice(__t, __start + 1, $window)")
+    df.select(col(idCol), tokens(col(textCol)).as("__t"), k.as("__k"))
+      .select(col(idCol), col("__t"),
+        explode(expr("sequence(0L, __k - 1)")).as("chunk_id"))
+      .withColumn("__start", col("chunk_id") * S)
+      .select(col(idCol), col("chunk_id"), col("__start").as("start_tok"),
+        size(chunkToks).cast(LongType).as("n_tok"),
+        md5(concat_ws(" ", chunkToks)).as("chunk_hash"))
   }
 
   // ---------------------------------------------------------- text analysis

@@ -1,9 +1,11 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.engine.{Multimodal, Text, Vector}
+import graft.engine.{Graph, Multimodal, Relational, Text, Vector}
 
 /** LLM-data-pipeline operators over the `documents`/`embeddings` fixtures
   * (BASELINE.json north_star): dedup (exact, MinHash-LSH, SimHash, n-gram
@@ -23,6 +25,7 @@ object TextCatalog {
 
   private val M = 1000000007L
   private val P = 2147483647L
+  private def lsum(c: Column): Column = sum(c).cast(LongType)
   private def th(x: String): String = s"(CAST('0x' || substr(md5($x), 1, 15) AS BIGINT))"
   private val toks = "str_split(trim(text), ' ')"
   private val stopList = "['the', 'a', 'of', 'and', 'to', 'in']"
@@ -709,6 +712,230 @@ object TextCatalog {
          ORDER BY n DESC, bigram LIMIT 20"""))
   )
 
+  // ------------------------------------- corpus assembly ops (round 5b)
+
+  val corpus: Seq[QueryDef] = Seq(
+
+    // Near-dup CLUSTERS: connected components over the verified pair graph
+    // (min-label propagation; Graph.connectedComponents) — the transitive-
+    // closure step that turns MinHash pairs into keep/drop decisions.
+    // Keeping one doc per PAIR over-deletes (A≈B, B≈C drops B twice and can
+    // empty the cluster); per-COMPONENT canonical selection is the form
+    // every production dedup pipeline ships.  Oracle: the same fixpoint via
+    // a recursive reachability CTE.
+    QueryDef("q_dedup_clusters",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val pairs = Text.verifiedPairs(d, "text", "doc_id",
+            Text.minhashCandidates(Text.minhashBands(d, "text", "doc_id")), 0.2)
+          .select("doc_a", "doc_b")
+        val lab = Graph.connectedComponents(pairs, "doc_a", "doc_b")
+        val sizes = lab.groupBy("label").agg(count(lit(1)).as("cluster_size"))
+        lab.join(sizes, "label")
+          .select(col("id").as("doc_id"), col("label").as("cluster"),
+            when(col("id") === col("label"), 1).otherwise(0).as("is_canonical"),
+            col("cluster_size"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE $bandsSql,
+         cand AS (SELECT DISTINCT a.doc AS doc_a, b2.doc AS doc_b
+           FROM bk a JOIN bk b2 ON a.band = b2.band AND a.band_key = b2.band_key AND a.doc < b2.doc),
+         tk AS (SELECT doc, list_distinct(sh) AS tk FROM shd),
+         pairs AS (SELECT c.doc_a, c.doc_b
+           FROM cand c JOIN tk ta ON ta.doc = c.doc_a JOIN tk tb ON tb.doc = c.doc_b
+           WHERE round(CAST(len(list_intersect(ta.tk, tb.tk)) AS DOUBLE)
+               / (len(ta.tk) + len(tb.tk) - len(list_intersect(ta.tk, tb.tk))), 6) >= 0.2),
+         e AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+           UNION SELECT doc_b, doc_a FROM pairs),
+         reach AS (SELECT src AS id, dst AS r FROM e
+           UNION SELECT reach.id, e.dst FROM reach JOIN e ON reach.r = e.src),
+         lab AS (SELECT id, LEAST(id, MIN(r)) AS cluster FROM reach GROUP BY id),
+         cs AS (SELECT cluster, COUNT(*) AS cluster_size FROM lab GROUP BY 1)
+         SELECT lab.id AS doc_id, lab.cluster,
+           CASE WHEN lab.id = lab.cluster THEN 1 ELSE 0 END AS is_canonical,
+           cs.cluster_size
+         FROM lab JOIN cs USING (cluster) ORDER BY doc_id""")),
+
+    // Concat-and-chunk sequence packing (GPT-pretraining layout): per-source
+    // running token sum → fixed 64-token chunk spans, integer-exact.
+    QueryDef("q_pack_chunks",
+      (s, dir) => Text.packChunks(t(s, dir, "documents"), "source", "doc_id",
+          size(Text.tokens(col("text"))), budget = 64)
+        .orderBy("source", "doc_id"),
+      Some(s"""WITH tk AS (SELECT source, doc_id,
+             CAST(len($toks) AS BIGINT) AS n_tokens FROM documents),
+         c AS (SELECT source, doc_id, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS e
+           FROM tk)
+         SELECT source, doc_id, n_tokens,
+           (e - n_tokens) // 64 AS first_chunk,
+           GREATEST(e - 1, e - n_tokens) // 64 AS last_chunk,
+           GREATEST(e - 1, e - n_tokens) // 64 - (e - n_tokens) // 64 + 1 AS n_chunks
+         FROM c ORDER BY source, doc_id""")),
+
+    // Mixture re-weighting: per-language target rates (a tiny broadcast dim)
+    // applied through the key-hash keep predicate — one scan, zero shuffles
+    // before the final count.  The pretraining-mix re-weighting shape.
+    QueryDef("q_mixture_sample",
+      (s, dir) => {
+        val rates = s.createDataFrame(Seq(
+          ("en", 900), ("de", 600), ("es", 400), ("fr", 300), ("zh", 200)))
+          .toDF("lang", "pm")
+        t(s, dir, "documents")
+          .join(broadcast(rates), Seq("lang"))
+          .filter(Text.mixtureKeep(col("doc_id"), col("pm")))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_kept"), lsum(col("n_chars")).as("chars_kept"))
+          .orderBy("lang")
+      },
+      Some(s"""WITH r(lang, pm) AS (VALUES ('en', 900), ('de', 600), ('es', 400), ('fr', 300), ('zh', 200))
+         SELECT d.lang, COUNT(*) AS n_kept, CAST(SUM(d.n_chars) AS BIGINT) AS chars_kept
+         FROM documents d JOIN r ON d.lang = r.lang
+         WHERE ${th("CAST(doc_id AS VARCHAR)")} % 1000 < r.pm
+         GROUP BY 1 ORDER BY 1""")),
+
+    // Fixed-k deterministic per-group sample: row_number over the md5-hex
+    // key order inside each source — a reproducible "k exemplars per
+    // source" pull (eyeball sets, eval slices) that no seed-based sample
+    // gives under AQE/retries.  One shuffle on the group key; k rows kept
+    // per group at the window, so nothing downstream sees the full corpus.
+    QueryDef("q_sample_fixed_k",
+      (s, dir) => {
+        val h = substring(md5(col("doc_id").cast("string")), 1, 15)
+        t(s, dir, "documents")
+          .select(col("source"), col("doc_id"),
+            row_number().over(Window.partitionBy("source").orderBy(h, col("doc_id"))).as("rn"))
+          .filter(col("rn") <= 3)
+          .orderBy("source", "rn")
+      },
+      Some("""WITH r AS (SELECT source, doc_id,
+             CAST(row_number() OVER (PARTITION BY source
+               ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 15), doc_id) AS INT) AS rn
+           FROM documents)
+         SELECT source, doc_id, rn FROM r WHERE rn <= 3 ORDER BY source, rn""")),
+
+    // Sliding-window chunking with overlap (window 32, stride 24 → 8-token
+    // overlap): the RAG/context-window layout.  Shuffle-free — one Generate
+    // per doc, chunk spans from per-row arithmetic alone.
+    QueryDef("q_chunk_overlap",
+      (s, dir) => Text.chunkOverlap(t(s, dir, "documents"), "text", "doc_id",
+          window = 32, stride = 24)
+        .orderBy("doc_id", "chunk_id"),
+      Some(s"""WITH d AS (SELECT doc_id, $toks AS t FROM documents),
+         k AS (SELECT doc_id, t,
+             1 + (GREATEST(len(t) - 32, 0) + 23) // 24 AS k FROM d),
+         c AS (SELECT doc_id, t, unnest(range(0, k)) AS chunk_id FROM k)
+         SELECT doc_id, chunk_id, CAST(chunk_id * 24 AS BIGINT) AS start_tok,
+           CAST(len(list_slice(t, chunk_id * 24 + 1, chunk_id * 24 + 32)) AS BIGINT) AS n_tok,
+           md5(array_to_string(list_slice(t, chunk_id * 24 + 1, chunk_id * 24 + 32), ' ')) AS chunk_hash
+         FROM c ORDER BY doc_id, chunk_id""")),
+
+    // Leakage-safe train/val/test split: the split unit is the near-dup
+    // CLUSTER, not the document — near-duplicates land in the SAME split by
+    // construction, so eval can't score memorized training text.  Docs in no
+    // cluster split by their own id (the degenerate singleton cluster).
+    QueryDef("q_split_leakage_safe",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val pairs = Text.verifiedPairs(d, "text", "doc_id",
+            Text.minhashCandidates(Text.minhashBands(d, "text", "doc_id")), 0.2)
+          .select("doc_a", "doc_b")
+        val lab = Graph.connectedComponents(pairs, "doc_a", "doc_b")
+          .withColumnRenamed("id", "doc_id")
+        d.join(lab, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("label").isNotNull.as("in_cluster"),
+            Text.splitLabel(coalesce(col("label"), col("doc_id"))).as("split"))
+          .groupBy("split", "in_cluster").agg(count(lit(1)).as("n_docs"))
+          .orderBy("split", "in_cluster")
+      },
+      Some(s"""WITH RECURSIVE $bandsSql,
+         cand AS (SELECT DISTINCT a.doc AS doc_a, b2.doc AS doc_b
+           FROM bk a JOIN bk b2 ON a.band = b2.band AND a.band_key = b2.band_key AND a.doc < b2.doc),
+         tk AS (SELECT doc, list_distinct(sh) AS tk FROM shd),
+         pairs AS (SELECT c.doc_a, c.doc_b
+           FROM cand c JOIN tk ta ON ta.doc = c.doc_a JOIN tk tb ON tb.doc = c.doc_b
+           WHERE round(CAST(len(list_intersect(ta.tk, tb.tk)) AS DOUBLE)
+               / (len(ta.tk) + len(tb.tk) - len(list_intersect(ta.tk, tb.tk))), 6) >= 0.2),
+         e AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+           UNION SELECT doc_b, doc_a FROM pairs),
+         reach AS (SELECT src AS id, dst AS r FROM e
+           UNION SELECT reach.id, e.dst FROM reach JOIN e ON reach.r = e.src),
+         lab AS (SELECT id, LEAST(id, MIN(r)) AS label FROM reach GROUP BY id),
+         u AS (SELECT d.doc_id, lab.label IS NOT NULL AS in_cluster,
+             ${th("CAST(COALESCE(lab.label, d.doc_id) AS VARCHAR)")} % 1000 AS h
+           FROM documents d LEFT JOIN lab ON lab.id = d.doc_id)
+         SELECT CASE WHEN h < 800 THEN 'train' WHEN h < 900 THEN 'val' ELSE 'test' END AS split,
+           in_cluster, COUNT(*) AS n_docs
+         FROM u GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // Deterministic global training order (the corpus "shuffle"): hash-shard
+    // then order within shards by the padded (hash, id) key; global position
+    // via two-stage offsets — per-shard row_number + broadcast shard offsets,
+    // NEVER a partition-less window.  Key-stable: a document keeps its
+    // position across reruns, and the order is as good as random for
+    // curriculum purposes (md5 is uncorrelated with content).
+    QueryDef("q_shuffle_order",
+      (s, dir) => {
+        val h = Text.tokenHash(col("doc_id").cast("string"))
+        val keyed = t(s, dir, "documents").select(col("doc_id"),
+          pmod(h, lit(8)).cast("int").as("shard"),
+          concat(lpad(conv(h, 10, 16), 16, "0"), lit("-"),
+            lpad(col("doc_id").cast("string"), 12, "0")).as("__k"))
+        Relational.withGlobalRowOffsets(keyed, "shard", "__k")
+          .select(col("doc_id"), col("shard"), col("global_row"))
+          .orderBy("global_row")
+      },
+      Some(s"""WITH h AS (SELECT doc_id, ${th("CAST(doc_id AS VARCHAR)")} AS hv FROM documents)
+         SELECT doc_id, CAST(hv % 8 AS INT) AS shard,
+           row_number() OVER (ORDER BY hv % 8, hv, doc_id) AS global_row
+         FROM h ORDER BY global_row""")),
+
+    // Incremental dedup: a NEW batch (doc_id ≡ 0 mod 3) deduped against the
+    // EXISTING corpus (the rest) — the production shape for growing corpora:
+    // exact drop via anti-join on the text hash, near-dup drop via the
+    // batch-side×index-side band equi-join + Jaccard verify.  No batch×batch
+    // comparison (in-batch dups are the separate q_dedup_* path).
+    QueryDef("q_dedup_incremental",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val isBatch = pmod(col("doc_id"), lit(3)) === 0
+        val batch = d.filter(isBatch)
+        val indexKeys = d.filter(!isBatch)
+          .select(Text.exactKey(col("text")).as("__xk")).distinct()
+        val exactKept = batch.withColumn("__xk", Text.exactKey(col("text")))
+          .join(indexKeys, Seq("__xk"), "left_anti")
+        val bands = Text.minhashBands(d, "text", "doc_id")
+        val cand = bands.filter(pmod(col("doc"), lit(3)) === 0)
+          .select(col("doc").as("doc_a"), col("band"), col("band_key"))
+          .join(bands.filter(pmod(col("doc"), lit(3)) =!= 0)
+            .select(col("doc").as("doc_b"), col("band"), col("band_key")),
+            Seq("band", "band_key"))
+          .select("doc_a", "doc_b").distinct()
+        val nearDup = Text.verifiedPairs(d, "text", "doc_id", cand, 0.2)
+          .select(col("doc_a").as("doc_id")).distinct()
+        exactKept.join(nearDup, Seq("doc_id"), "left_anti")
+          .groupBy("lang").agg(count(lit(1)).as("n_new"))
+          .orderBy("lang")
+      },
+      Some(s"""WITH $bandsSql,
+         bidx AS (SELECT DISTINCT md5(lower(trim(text))) AS k FROM documents WHERE doc_id % 3 <> 0),
+         ex AS (SELECT d.doc_id, d.lang FROM documents d
+           WHERE d.doc_id % 3 = 0
+             AND md5(lower(trim(d.text))) NOT IN (SELECT k FROM bidx)),
+         cand AS (SELECT DISTINCT a.doc AS doc_a, b2.doc AS doc_b
+           FROM bk a JOIN bk b2 ON a.band = b2.band AND a.band_key = b2.band_key
+           WHERE a.doc % 3 = 0 AND b2.doc % 3 <> 0),
+         tk AS (SELECT doc, list_distinct(sh) AS tk FROM shd),
+         nd AS (SELECT DISTINCT c.doc_a
+           FROM cand c JOIN tk ta ON ta.doc = c.doc_a JOIN tk tb ON tb.doc = c.doc_b
+           WHERE round(CAST(len(list_intersect(ta.tk, tb.tk)) AS DOUBLE)
+               / (len(ta.tk) + len(tb.tk) - len(list_intersect(ta.tk, tb.tk))), 6) >= 0.2)
+         SELECT lang, COUNT(*) AS n_new FROM ex
+         WHERE doc_id NOT IN (SELECT doc_a FROM nd)
+         GROUP BY 1 ORDER BY 1"""))
+  )
+
   val all: Seq[QueryDef] =
-    textAnalysis ++ dedup ++ similarity ++ ivf ++ multimodal ++ segments
+    textAnalysis ++ dedup ++ similarity ++ ivf ++ multimodal ++ segments ++ corpus
 }

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.engine.{Graph, Text}
+
+class GraphSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  private def components(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Graph.connectedComponents(edges.toDF("src", "dst"), "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("connectedComponents labels every vertex with its component minimum") {
+    // two components {1,2,3,4} (a triangle plus a pendant) and {10,11}
+    val got = components(Seq((2L, 3L), (3L, 4L), (2L, 4L), (4L, 1L), (11L, 10L)))
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("connectedComponents converges on a path graph (worst-case diameter)") {
+    // 0-1-2-...-9: min-label propagation needs ~diameter rounds
+    val got = components((0L until 9L).map(i => (i, i + 1)))
+    assert(got === (0L to 9L).map(_ -> 0L).toMap)
+  }
+
+  test("connectedComponents fails loudly when maxIter is below the diameter") {
+    val edges = (0L until 9L).map(i => (i, i + 1)).toDF("src", "dst")
+    val e = intercept[IllegalArgumentException] {
+      Graph.connectedComponents(edges, "src", "dst", maxIter = 2).collect()
+    }
+    assert(e.getMessage.contains("no fixpoint"))
+  }
+
+  test("connectedComponents is direction-insensitive and self-loop-safe") {
+    val got = components(Seq((5L, 3L), (3L, 5L), (5L, 5L), (7L, 8L)))
+    assert(got === Map(3L -> 3L, 5L -> 3L, 7L -> 7L, 8L -> 7L))
+  }
+
+  test("packChunks: spans are exact at chunk boundaries, per-group independent") {
+    // budget 10; group a: docs of 4,6,3 tokens → ends 4,10,13.
+    //  doc1 [0,4) → chunk 0..0; doc2 [4,10) → last token index 9 → 0..0
+    //  (ends exactly at the boundary — must NOT claim chunk 1);
+    //  doc3 [10,13) → 1..1.  group b: 25 tokens → chunks 0..2, n=3.
+    val df = Seq(
+      ("a", 1L, 4L), ("a", 2L, 6L), ("a", 3L, 3L), ("b", 1L, 25L)
+    ).toDF("g", "i", "nt")
+    val got = Text.packChunks(df, "g", "i", col("nt"), budget = 10)
+      .orderBy("g", "i")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(got.toSeq === Seq(
+      ("a", 1L, 0L, 0L, 1L), ("a", 2L, 0L, 0L, 1L), ("a", 3L, 1L, 1L, 1L),
+      ("b", 1L, 0L, 2L, 3L)))
+  }
+
+  test("packChunks: zero-token doc sits at its span start with one chunk") {
+    val df = Seq(("a", 1L, 10L), ("a", 2L, 0L), ("a", 3L, 1L)).toDF("g", "i", "nt")
+    val got = Text.packChunks(df, "g", "i", col("nt"), budget = 10)
+      .orderBy("i").collect().map(r => (r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(got.toSeq === Seq((0L, 0L, 1L), (1L, 1L, 1L), (1L, 1L, 1L)))
+  }
+
+  test("mixtureKeep honors per-row rates: 0 keeps nothing, 1000 keeps all") {
+    val df = (1L to 200L).map(i => (i, if (i % 2 == 0) 1000 else 0)).toDF("k", "pm")
+    val kept = df.filter(Text.mixtureKeep($"k", $"pm")).collect().map(_.getLong(0))
+    assert(kept.forall(_ % 2 == 0) && kept.length === 100)
+  }
+}

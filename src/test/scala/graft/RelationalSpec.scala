@@ -89,7 +89,8 @@ class RelationalSpec extends SparkFunSuite {
       "q_union_offsets", "q_s4_extract_blocks", "q_window_topk_per_group",
       "q_rolling_sum", "q_percent_rank", "q_ntile_shards", "q_lag_lead",
       "q_streaks", "q_range_frame", "q_mode_per_user", "q_forward_fill",
-      "q_sessionize", "q_tfidf_top_term")
+      "q_sessionize", "q_tfidf_top_term",
+      "q_pack_chunks", "q_sample_fixed_k", "q_shuffle_order")
     for (name <- windowQueries) {
       val df = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
       val windows = df.queryExecution.sparkPlan.collect { case w: WindowExec => w }

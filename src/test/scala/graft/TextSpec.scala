@@ -80,16 +80,6 @@ class TextSpec extends SparkFunSuite {
     assert(got.toSeq === Seq("en", "tech", "unknown"))
   }
 
-  test("connectedComponents: min label propagates across chains, components stay separate") {
-    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (4L, 5L), (7L, 6L)).toDF("a", "b")
-    val got = Text.connectedComponents(edges, "a", "b").collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    // chain 1-2-3-4-5 needs multiple propagation rounds to reach 5
-    assert(Seq(1L, 2L, 3L, 4L, 5L).forall(n => got(n) === 1L))
-    assert(got(6L) === 6L && got(7L) === 6L)
-    assert(got.size === 7)
-  }
-
   test("scrubPii replaces emails, phones, and long digit runs in order") {
     val df = Seq(
       "mail me at a.b+c@ex-ample.org now",
@@ -163,5 +153,28 @@ class TextSpec extends SparkFunSuite {
     val got = Text.simhashNearDupPairs(df, "text", "doc_id", maxHamming = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
     assert(got.toSeq === Seq((1L, 2L, 0)))
+  }
+  test("chunkOverlap: overlapping spans, tail chunk short, empty doc yields one empty chunk") {
+    // 10 tokens, window 4, stride 3 -> k = 1 + ceil(6/3) = 3 chunks
+    val ten = (1 to 10).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, ten), (2L, "a b"), (3L, "")).toDF("doc_id", "text")
+    val got = Text.chunkOverlap(df, "text", "doc_id", window = 4, stride = 3)
+      .orderBy("doc_id", "chunk_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq(
+      (1L, 0L, 0L, 4L), (1L, 1L, 3L, 4L), (1L, 2L, 6L, 4L),
+      (2L, 0L, 0L, 2L), (3L, 0L, 0L, 1L)))
+    // overlap check: chunk 1 of doc 1 starts inside chunk 0's span (3 < 4)
+  }
+
+  test("chunkOverlap: exact-fit doc emits exactly one chunk, hash keys the slice") {
+    val df = Seq((1L, "a b c d"), (2L, "a b c d e")).toDF("doc_id", "text")
+    val got = Text.chunkOverlap(df, "text", "doc_id", window = 4, stride = 4)
+      .orderBy("doc_id", "chunk_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(4)))
+    assert(got.count(_._1 == 1L) === 1, "n == window must not spawn an empty tail chunk")
+    assert(got.count(_._1 == 2L) === 2)
+    // doc 1 chunk 0 and doc 2 chunk 0 cover identical tokens -> identical hash
+    assert(got(0)._3 === got(1)._3)
   }
 }
