@@ -86,6 +86,28 @@ object Tables {
     n
   }
 
+  /** Sort-ordered lake write (data-skipping layout): range-partition on
+    * `sortCols` then sort within partitions before writing.  Every parquet
+    * file/row-group then covers a NARROW, pairwise-DISJOINT slice of the
+    * sort-key space, so its footer min/max statistics let a point or range
+    * filter skip whole files without reading a data page — at 100 TB the
+    * difference between touching ~1/n of the lake and all of it for the
+    * lake's dominant access key.  (The single-column analogue of Z-ordering;
+    * compose with `writePartitioned` — partition prune on the coarse key,
+    * stat-skip on the fine one.)  `repartitionByRange` samples the key
+    * distribution, so file sizes stay balanced under skew — unlike hash
+    * bucketing, which preserves collision skew, and unlike a global sort,
+    * which this is NOT (no total order across files is promised, only
+    * disjoint ranges — exactly what stats-skipping needs).  IoSpec asserts
+    * the disjointness from the written footers. */
+  def writeSorted(df: DataFrame, path: String, nFiles: Int,
+                  sortCols: Seq[String]): Unit = {
+    val cols = sortCols.map(org.apache.spark.sql.functions.col)
+    df.repartitionByRange(nFiles, cols: _*)
+      .sortWithinPartitions(cols: _*)
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** S11 — S3 credential plumbing (ref `src/db/load_duckdb_data.py:8-20`):
     * the reference copies boto-session credentials into DuckDB's httpfs S3
     * settings; the Spark equivalent is `fs.s3a.*` Hadoop configuration on

@@ -78,6 +78,35 @@ object Quality {
         ") as (col_name, n_rows, n_present, n_distinct)"))
   }
 
+  /** Robust per-group outlier stats via median/MAD (median absolute
+    * deviation) — the quality gate that survives the heavy-tailed length
+    * distributions real corpora have, where mean/stddev gates are dragged
+    * by the very outliers they're meant to catch.  A row is an outlier when
+    * `|x − median| > k·MAD` (k≈3 ≙ z≈2 under normality).
+    *
+    * Two exact-percentile passes over the data (median, then MAD — MAD
+    * needs the median first; that sequencing is inherent to the exact
+    * statistic), each a hash aggregation on the group key; the per-group
+    * medians are a |groups|-row frame broadcast back, so no data-sized
+    * shuffle beyond the two aggs.  At 100 TB swap `percentile` for
+    * `percentile_approx` to collapse to sketch aggregations — same shape,
+    * one fewer decimal of precision. */
+  def robustOutliers(df: DataFrame, groupCol: String, valueCol: String,
+                     k: Double = 3.0): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val v = col(valueCol).cast("double")
+    val med = df.groupBy(groupCol).agg(percentile(v, lit(0.5)).as("med"))
+    val withMed = df.join(broadcast(med), Seq(groupCol))
+    val mad = withMed.groupBy(groupCol)
+      .agg(percentile(abs(v - col("med")), lit(0.5)).as("mad"))
+    withMed.join(broadcast(mad), Seq(groupCol))
+      .groupBy(groupCol)
+      .agg(min("med").as("med"), min("mad").as("mad"),   // constant per group
+        count(lit(1)).as("n"),
+        sum(when(abs(v - col("med")) > lit(k) * col("mad"), 1L).otherwise(0L))
+          .cast("long").as("n_outliers"))
+  }
+
   /** Q3 — missing-column validation (ref `ingest_harvest_data.py:264-265`,
     * `ingest_population_data.py:241,259-261`): warnings, not failures. */
   def validateColumns(df: DataFrame, required: Seq[String]): Either[List[String], DataFrame] = {

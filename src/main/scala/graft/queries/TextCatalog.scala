@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.engine.{Graph, Multimodal, Relational, Text, Vector}
+import graft.engine.{Graph, Multimodal, Quality, Relational, Text, Vector}
 
 /** LLM-data-pipeline operators over the `documents`/`embeddings` fixtures
   * (BASELINE.json north_star): dedup (exact, MinHash-LSH, SimHash, n-gram
@@ -933,7 +933,58 @@ object TextCatalog {
                / (len(ta.tk) + len(tb.tk) - len(list_intersect(ta.tk, tb.tk))), 6) >= 0.2)
          SELECT lang, COUNT(*) AS n_new FROM ex
          WHERE doc_id NOT IN (SELECT doc_a FROM nd)
-         GROUP BY 1 ORDER BY 1"""))
+         GROUP BY 1 ORDER BY 1""")),
+
+    // Cross-source vocabulary overlap matrix: Jaccard of the distinct-token
+    // sets of every source pair.  The (source, token) relation has at most
+    // ONE row per source per token, so the token self-join fans out to at
+    // most |sources| rows per key — bounded, never quadratic in the corpus.
+    // The mix-design diagnostic (how much does source B add over A?).
+    QueryDef("q_vocab_overlap",
+      (s, dir) => {
+        val vt = t(s, dir, "documents")
+          .select(col("source"), explode(Text.tokens(col("text"))).as("tok"))
+          .distinct()
+        val sizes = vt.groupBy("source").agg(count(lit(1)).as("n"))
+        val ov = vt.select(col("source").as("source_a"), col("tok"))
+          .join(vt.select(col("source").as("source_b"), col("tok")), Seq("tok"))
+          .filter(col("source_a") < col("source_b"))
+          .groupBy("source_a", "source_b").agg(count(lit(1)).as("inter"))
+        ov.join(broadcast(sizes.select(col("source").as("source_a"), col("n").as("__na"))), Seq("source_a"))
+          .join(broadcast(sizes.select(col("source").as("source_b"), col("n").as("__nb"))), Seq("source_b"))
+          .select(col("source_a"), col("source_b"), col("inter"),
+            round(col("inter").cast("double") / (col("__na") + col("__nb") - col("inter")), 6).as("jaccard"))
+          .orderBy("source_a", "source_b")
+      },
+      Some(s"""WITH vt AS (SELECT DISTINCT source, tok FROM
+             (SELECT source, unnest($toks) AS tok FROM documents)),
+         sz AS (SELECT source, COUNT(*) AS n FROM vt GROUP BY 1),
+         ov AS (SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS inter
+           FROM vt a JOIN vt b ON a.tok = b.tok AND a.source < b.source GROUP BY 1, 2)
+         SELECT ov.source_a, ov.source_b, ov.inter,
+           round(CAST(ov.inter AS DOUBLE) / (sa.n + sb.n - ov.inter), 6) AS jaccard
+         FROM ov JOIN sz sa ON sa.source = ov.source_a
+                 JOIN sz sb ON sb.source = ov.source_b
+         ORDER BY 1, 2""")),
+
+    // Robust per-source length outliers (median/MAD): the heavy-tail-proof
+    // quality gate.  Exact percentiles here; percentile_approx at corpus
+    // scale (same plan shape, sketch aggregation).
+    QueryDef("q_outlier_mad",
+      (s, dir) => Quality.robustOutliers(t(s, dir, "documents"), "source", "n_chars")
+        .select(col("source"), round(col("med"), 6).as("med"),
+          round(col("mad"), 6).as("mad"), col("n"), col("n_outliers"))
+        .orderBy("source"),
+      Some("""WITH m AS (SELECT source, quantile_cont(CAST(n_chars AS DOUBLE), 0.5) AS med
+           FROM documents GROUP BY 1),
+         d2 AS (SELECT d.source, CAST(d.n_chars AS DOUBLE) AS v, m.med
+           FROM documents d JOIN m USING (source)),
+         md AS (SELECT source, quantile_cont(abs(v - med), 0.5) AS mad FROM d2 GROUP BY 1),
+         j AS (SELECT d2.source, d2.v, d2.med, md.mad FROM d2 JOIN md USING (source))
+         SELECT source, round(med, 6) AS med, round(mad, 6) AS mad,
+           COUNT(*) AS n,
+           CAST(SUM(CASE WHEN abs(v - med) > 3 * mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+         FROM j GROUP BY source, med, mad ORDER BY source"""))
   )
 
   val all: Seq[QueryDef] =

@@ -59,6 +59,28 @@ class GraphSpec extends SparkFunSuite {
     assert(got.toSeq === Seq((0L, 0L, 1L), (1L, 1L, 1L), (1L, 1L, 1L)))
   }
 
+  test("cluster-based split never separates a verified near-dup pair") {
+    // three near-identical docs (one cluster), one unrelated doc
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, base), (2L, base + " extra"), (3L, "zz " + base),
+      (4L, (100 to 140).map(i => s"other$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val pairs = Text.verifiedPairs(docs, "text", "doc_id",
+      Text.minhashCandidates(Text.minhashBands(docs, "text", "doc_id")), 0.2)
+    assert(pairs.count() >= 2, "fixture must actually form a cluster")
+    val lab = Graph.connectedComponents(pairs.select("doc_a", "doc_b"), "doc_a", "doc_b")
+      .withColumnRenamed("id", "doc_id")
+    val split = docs.join(lab, Seq("doc_id"), "left")
+      .select($"doc_id",
+        Text.splitLabel(coalesce($"label", $"doc_id")).as("split"))
+    val straddlers = pairs
+      .join(split.select($"doc_id".as("doc_a"), $"split".as("sa")), "doc_a")
+      .join(split.select($"doc_id".as("doc_b"), $"split".as("sb")), "doc_b")
+      .filter($"sa" =!= $"sb")
+    assert(straddlers.isEmpty, "a near-dup pair straddles train/eval")
+  }
+
   test("mixtureKeep honors per-row rates: 0 keeps nothing, 1000 keeps all") {
     val df = (1L to 200L).map(i => (i, if (i % 2 == 0) 1000 else 0)).toDF("k", "pm")
     val kept = df.filter(Text.mixtureKeep($"k", $"pm")).collect().map(_.getLong(0))

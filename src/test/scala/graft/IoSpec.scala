@@ -85,6 +85,35 @@ class IoSpec extends SparkFunSuite {
     assert(q.count() === 250)
   }
 
+  test("runtime bloom filter prunes the fact scan when the join key is not a partition key") {
+    // DPP's sibling for NON-partition join keys: a selective dim filter
+    // builds a bloom filter at runtime and pushes might_contain onto the
+    // fact scan — at 100 TB this is row-group/page skipping on arbitrary
+    // keys, the shuffle-side complement of writeSorted's file skipping.
+    val root = java.nio.file.Files.createTempDirectory("bloom").toString
+    (1 to 100000).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+      .write.parquet(s"$root/fact")
+    (1 to 1000).map(i => (i.toLong, if (i % 100 == 0) "keep" else "drop"))
+      .toDF("k", "tag").write.parquet(s"$root/dim")
+    // size thresholds assume production-scale inputs; lower them on an
+    // isolated child session so the KB-sized fixture qualifies
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    ss.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "1GB")
+    ss.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    // the rule only fires for (probable) shuffle joins — a broadcast join
+    // gets no bloom filter; at fixture scale force the shuffle path the
+    // production-sized fact⋈fact join would take anyway
+    ss.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val fact = ss.read.parquet(s"$root/fact")
+    val dim = ss.read.parquet(s"$root/dim").filter(col("tag") === "keep")
+    val q = fact.join(dim, Seq("k")).select("v")
+    val opt = q.queryExecution.optimizedPlan.toString
+    assert(opt.contains("bloom_filter_agg") || opt.contains("might_contain"),
+      s"expected a runtime bloom filter in the optimized plan:\n$opt")
+    assert(q.count() === 10)
+  }
+
   test("compact rewrites a many-file dataset preserving contents") {
     val dir = java.nio.file.Files.createTempDirectory("compact").toString + "/t"
     val df = (1L to 10000L).map(i => (i, s"v$i")).toDF("id", "v")
@@ -100,6 +129,34 @@ class IoSpec extends SparkFunSuite {
     val leftovers = new java.io.File(dir).getParentFile.listFiles()
       .map(_.getName).filter(n => n.contains("__compact_") || n.contains("__precompact_"))
     assert(leftovers.isEmpty, s"leftover swap dirs: ${leftovers.mkString(", ")}")
+  }
+
+  test("writeSorted produces files with pairwise-disjoint sort-key ranges (stat skipping)") {
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.format.converter.ParquetMetadataConverter
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Files.createTempDirectory("sorted").toString + "/t"
+    // shuffled key order on the way in: the writer must impose the layout
+    val df = (1L to 20000L).map(i => (i * 7919 % 20000, s"v$i")).toDF("k", "v")
+    Tables.writeSorted(df, dir, nFiles = 4, sortCols = Seq("k"))
+    val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(files.length === 4)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val ranges = files.toSeq.map { f =>
+      val footer = ParquetFileReader.readFooter(conf, new Path(f.toString),
+        ParquetMetadataConverter.NO_FILTER)
+      val stats = footer.getBlocks.asScala.map(_.getColumns.asScala
+        .find(_.getPath.toDotString == "k").get.getStatistics)
+      (stats.map(_.genericGetMin.asInstanceOf[Long]).min,
+        stats.map(_.genericGetMax.asInstanceOf[Long]).max)
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, aMax), (bMin, _)) =>
+        assert(aMax < bMin, s"file key ranges overlap: $ranges")
+      case _ =>
+    }
+    assert(spark.read.parquet(dir).count() === 20000)
   }
 
   test("GraftSession recommends AQE + skew handling + extensions") {

@@ -88,4 +88,19 @@ class QualitySpec extends SparkFunSuite {
     val again = Multimodal.decodeStub(df, "doc_id", "payload").orderBy("doc_id").collect()
     assert(out.map(_.toString).toSeq === again.map(_.toString).toSeq)
   }
+
+  test("robustOutliers: MAD ignores the outlier that drags mean/stddev") {
+    // group a: 9 values near 10 plus one at 1000.  median 10, MAD 1 —
+    // only the 1000 exceeds |x-med| > 3*MAD.  (A stddev gate computed on
+    // the same data would be ~313, hiding everything but the 1000 too —
+    // but shift it to 300 and stddev misses it while MAD still fires.)
+    val a = Seq(8.0, 9.0, 9.0, 10.0, 10.0, 10.0, 11.0, 11.0, 12.0, 1000.0)
+    val b = Seq(5.0, 5.0, 5.0, 5.0) // zero MAD: any deviation is an outlier
+    val df = (a.map(("a", _)) ++ b.map(("b", _))).toDF("g", "v")
+    val got = graft.engine.Quality.robustOutliers(df, "g", "v", k = 3.0)
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getLong(4)))
+    assert(got(0) === (("a", 10.0, 1.0, 1L)))
+    assert(got(1) === (("b", 5.0, 0.0, 0L)))
+  }
 }
