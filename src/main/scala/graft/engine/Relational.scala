@@ -222,6 +222,28 @@ object Relational {
         sum("len").cast("long").as("n_days"))
   }
 
+  /** Snapshot diff — classify every key across two lake generations as
+    * added / removed / changed / unchanged (the regression gate between
+    * pipeline runs: "this rebuild touched 0.1% of rows" vs "silently
+    * rewrote everything").  Each side reduces to (key, md5-signature of the
+    * compared columns) BEFORE the join, so the full-outer join shuffles two
+    * narrow relations, not two copies of the lake — at 100 TB the diff
+    * costs two scans plus a key-width shuffle.  Signature columns are
+    * null-safed with sentinel separators so (NULL, "x") ≠ ("x", NULL). */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, keys: Seq[String],
+                   compareCols: Seq[String]): DataFrame = {
+    def sig(df: DataFrame): Column = md5(concat_ws("\u0001",
+      compareCols.map(c => coalesce(df(c).cast("string"), lit("\u0002"))): _*))
+    val o = oldDf.select(keys.map(oldDf(_)) :+ sig(oldDf).as("__old_sig"): _*)
+    val n = newDf.select(keys.map(newDf(_)) :+ sig(newDf).as("__new_sig"): _*)
+    o.join(n, keys, "full_outer")
+      .select(keys.map(col) :+
+        when(col("__old_sig").isNull, "added")
+          .when(col("__new_sig").isNull, "removed")
+          .when(col("__old_sig") =!= col("__new_sig"), "changed")
+          .otherwise("unchanged").as("status"): _*)
+  }
+
   /** U1 — multi-page concatenation with a running row offset
     * (ref `ingest_harvest_data.py:188-209`): union pages then re-number
     * globally via [[withGlobalRowOffsets]] — no partition-less window, so the

@@ -331,6 +331,25 @@ object Text {
   def mixtureKeep(key: Column, permille: Column): Column =
     (tokenHash(key.cast("string")) % 1000) < permille
 
+  /** Deterministic per-group token-budget cut: within each group, take
+    * documents in md5-key order until the cumulative token count would
+    * exceed `budget`.  The budget-capped complement of [[mixtureKeep]]:
+    * rates target PROPORTIONS, budgets target absolute per-source token
+    * counts (the way pretraining mixes are actually specified).  Key-order
+    * = hash-order, so the cut is an unbiased sample, stable across reruns
+    * and corpus growth (a doc already inside the budget stays inside as
+    * long as no earlier-hashed doc appears).  One partitioned window —
+    * shuffles once on the group key. */
+  def takeTokenBudget(df: DataFrame, groupCol: String, keyCol: String,
+                      tokCount: Column, budget: Long): DataFrame = {
+    val hk = substring(md5(col(keyCol).cast("string")), 1, 15)
+    val w = Window.partitionBy(groupCol).orderBy(hk, col(keyCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(groupCol), col(keyCol), tokCount.cast(LongType).as("n_tokens"))
+      .withColumn("cum_tokens", sum("n_tokens").over(w))
+      .filter(col("cum_tokens") <= budget)
+  }
+
   // ------------------------------------------------- sequence packing
   /** Concat-and-chunk sequence packing (the GPT-pretraining layout): within
     * each `groupCol` stream, documents are concatenated in `orderCol` order

@@ -218,4 +218,38 @@ object Vector {
       .filter(col("rank") <= k)
       .select("q_id", "bucket", "rank", "c_id", "cos")
   }
+
+  /** Per-group per-dimension centroid as a RELATION `(grp, dim, v)` — the
+    * corpus-summary shape (cluster/source/label prototypes).  Explode once,
+    * aggregate with DECIMAL(38,6)-quantized sums so the mean is independent
+    * of accumulation order (a plain double sum over a shuffle is not —
+    * floating-point addition is non-associative, and partition order is
+    * nondeterministic); the deliberate 1e-6 quantization is the price of a
+    * bit-reproducible statistic, same trade as the corr-from-moments query.
+    * One shuffle on (grp, dim); dims are bounded (64 here), so the exploded
+    * relation is dims× the row count with perfect partial aggregation. */
+  def centroidRelation(df: DataFrame, groupCol: String, vecCol: String): DataFrame =
+    df.select(col(groupCol).as("grp"), posexplode(asDouble(col(vecCol))))
+      .select(col("grp"), col("pos").as("dim"), col("col").as("v"))
+      .groupBy("grp", "dim")
+      .agg((sum(col("v").cast("decimal(38,6)")).cast("double") /
+        count(lit(1))).as("v"))
+
+  /** Pairwise cosine similarity between group centroids (drift / coverage
+    * diagnostic: how far apart do sources or label clusters sit in
+    * embedding space?).  The centroid relation self-joins on `dim` — the
+    * fan-out per key is |groups|, never the corpus — and the three moments
+    * are decimal-quantized sums, so the cosine is exactly reproducible. */
+  def centroidCosines(cent: DataFrame): DataFrame = {
+    def dsum(c: Column) = sum(c.cast("decimal(38,6)")).cast("double")
+    val a = cent.select(col("grp").as("grp_a"), col("dim"), col("v").as("__va"))
+    val b = cent.select(col("grp").as("grp_b"), col("dim"), col("v").as("__vb"))
+    a.join(b, Seq("dim")).filter(col("grp_a") < col("grp_b"))
+      .groupBy("grp_a", "grp_b")
+      .agg(dsum(col("__va") * col("__vb")).as("__sxy"),
+        dsum(col("__va") * col("__va")).as("__sx2"),
+        dsum(col("__vb") * col("__vb")).as("__sy2"))
+      .select(col("grp_a"), col("grp_b"),
+        round(col("__sxy") / sqrt(col("__sx2") * col("__sy2")), 6).as("cos_sim"))
+  }
 }

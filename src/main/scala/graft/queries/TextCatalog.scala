@@ -984,7 +984,76 @@ object TextCatalog {
          SELECT source, round(med, 6) AS med, round(mad, 6) AS mad,
            COUNT(*) AS n,
            CAST(SUM(CASE WHEN abs(v - med) > 3 * mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
-         FROM j GROUP BY source, med, mad ORDER BY source"""))
+         FROM j GROUP BY source, med, mad ORDER BY source""")),
+
+    // Per-source token BUDGET cut (absolute counts, vs q_mixture_sample's
+    // proportional rates): docs taken in hash order until the source's
+    // 2000-token budget fills — the way pretraining mixes are specified.
+    QueryDef("q_token_budget",
+      (s, dir) => Text.takeTokenBudget(t(s, dir, "documents"), "source", "doc_id",
+          size(Text.tokens(col("text"))), budget = 2000)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), lsum(col("n_tokens")).as("n_tokens"))
+        .orderBy("source"),
+      Some(s"""WITH tk AS (SELECT source, doc_id,
+             CAST(len($toks) AS BIGINT) AS nt,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS hk
+           FROM documents),
+         r AS (SELECT source, nt,
+             SUM(nt) OVER (PARTITION BY source ORDER BY hk, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM tk)
+         SELECT source, COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS n_tokens
+         FROM r WHERE cum <= 2000 GROUP BY 1 ORDER BY 1""")),
+
+    // Snapshot diff between two lake generations (regression gate between
+    // pipeline runs): old = docs with id%7≠0, new = docs with id%11≠0 and
+    // text revised for id%5=0 — classify every key, count per status.
+    QueryDef("q_snapshot_diff",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val oldSnap = d.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+        val newSnap = d.filter(pmod(col("doc_id"), lit(11)) =!= 0)
+          .withColumn("text", when(pmod(col("doc_id"), lit(5)) === 0,
+            concat(col("text"), lit(" v2"))).otherwise(col("text")))
+        Relational.snapshotDiff(oldSnap, newSnap, Seq("doc_id"), Seq("text", "lang"))
+          .groupBy("status").agg(count(lit(1)).as("n"))
+          .orderBy("status")
+      },
+      Some("""WITH o AS (SELECT doc_id, md5(concat_ws(chr(1), text, lang)) AS sig
+           FROM documents WHERE doc_id % 7 <> 0),
+         nw AS (SELECT doc_id, md5(concat_ws(chr(1),
+             CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END, lang)) AS sig
+           FROM documents WHERE doc_id % 11 <> 0),
+         j AS (SELECT o.sig AS osig, nw.sig AS nsig
+           FROM o FULL OUTER JOIN nw ON o.doc_id = nw.doc_id)
+         SELECT CASE WHEN osig IS NULL THEN 'added'
+             WHEN nsig IS NULL THEN 'removed'
+             WHEN osig <> nsig THEN 'changed'
+             ELSE 'unchanged' END AS status, COUNT(*) AS n
+         FROM j GROUP BY 1 ORDER BY 1""")),
+
+    // Label-centroid pairwise cosines (embedding-space drift/coverage
+    // diagnostic).  Decimal-quantized sums make the statistic independent
+    // of accumulation order — bit-reproducible across engines and runs.
+    QueryDef("q_centroid_dist",
+      (s, dir) => Vector.centroidCosines(
+          Vector.centroidRelation(t(s, dir, "embeddings"), "label", "embedding"))
+        .select(col("grp_a").as("label_a"), col("grp_b").as("label_b"), col("cos_sim"))
+        .orderBy("label_a", "label_b"),
+      Some("""WITH ex AS (SELECT label AS grp, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS v
+             FROM embeddings, unnest(range(1, 65)) AS t(i)),
+         c AS (SELECT grp, dim,
+             CAST(SUM(CAST(v AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS v
+           FROM ex GROUP BY 1, 2),
+         p AS (SELECT a.grp AS grp_a, b.grp AS grp_b,
+             CAST(SUM(CAST(a.v * b.v AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(a.v * a.v AS DECIMAL(38,6))) AS DOUBLE) AS sx2,
+             CAST(SUM(CAST(b.v * b.v AS DECIMAL(38,6))) AS DOUBLE) AS sy2
+           FROM c a JOIN c b ON a.dim = b.dim AND a.grp < b.grp GROUP BY 1, 2)
+         SELECT grp_a AS label_a, grp_b AS label_b,
+           round(sxy / sqrt(sx2 * sy2), 6) AS cos_sim
+         FROM p ORDER BY 1, 2"""))
   )
 
   val all: Seq[QueryDef] =

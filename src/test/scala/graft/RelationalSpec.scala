@@ -242,4 +242,29 @@ class RelationalSpec extends SparkFunSuite {
     assert(got(1L) === ((2L, 3L, 5L)))
     assert(got(2L) === ((1L, 1L, 1L)))
   }
+
+  test("snapshotDiff classifies keys and distinguishes NULL from empty string") {
+    val o = Seq((1L, Option("a"), "x"), (2L, Option("b"), "y"),
+      (3L, Option.empty[String], "z"), (4L, Option("d"), "w"))
+      .toDF("k", "c1", "c2")
+    val n = Seq((1L, Option("a"), "x"), (2L, Option("B"), "y"),
+      (3L, Option(""), "z"), (5L, Option("e"), "v"))
+      .toDF("k", "c1", "c2")
+    val got = Relational.snapshotDiff(o, n, Seq("k"), Seq("c1", "c2"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "changed", // NULL vs "" must differ — sentinel, not coalesce-to-""
+      4L -> "removed", 5L -> "added"))
+  }
+
+  test("takeTokenBudget keeps a hash-order prefix, monotone in the budget") {
+    val df = (1L to 10L).map(i => ("s", i, "t " * 9 + "t")).toDF("g", "id", "text")
+    def kept(b: Long) = graft.engine.Text.takeTokenBudget(
+        df, "g", "id", size(graft.engine.Text.tokens(col("text"))), b)
+      .collect().map(_.getLong(1)).toSet
+    val k35 = kept(35); val k45 = kept(45)
+    assert(k35.size === 3 && k45.size === 4, "10-token docs fill 35/45 budgets with 3/4 docs")
+    assert(k35.subsetOf(k45), "a doc inside a budget stays inside a larger one")
+    assert(kept(5).isEmpty && kept(1000) === (1L to 10L).toSet)
+  }
 }
