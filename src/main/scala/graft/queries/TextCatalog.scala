@@ -1053,7 +1053,46 @@ object TextCatalog {
            FROM c a JOIN c b ON a.dim = b.dim AND a.grp < b.grp GROUP BY 1, 2)
          SELECT grp_a AS label_a, grp_b AS label_b,
            round(sxy / sqrt(sx2 * sy2), 6) AS cos_sim
-         FROM p ORDER BY 1, 2"""))
+         FROM p ORDER BY 1, 2""")),
+
+    // END-TO-END corpus pipeline (the LLM-side flagship): quality gate →
+    // exact-dedup survivors → mixture re-weight → sequence packing, one
+    // lazy plan.  Composition is the point: every stage is an engine op
+    // proven green on its own query; the whole chain still pushes the
+    // 2-column projection to the scan and shuffles only where a stage
+    // semantically must (dedup groupBy, packing window).  n_sequences per
+    // source = final chunk index + 1 (the packing window's running sum),
+    // ≡ ceil(total_tokens / 64) — the oracle states it arithmetically.
+    QueryDef("q_corpus_pipeline",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val q = d.filter(size(Text.tokens(col("text"))) >= 5)
+        val keep = Text.dedupExact(q, "text", "doc_id")
+          .select(col("keep_id").as("doc_id"))
+        val rates = s.createDataFrame(Seq(
+          ("en", 900), ("de", 600), ("es", 400), ("fr", 300), ("zh", 200)))
+          .toDF("lang", "pm")
+        val m = q.join(keep, Seq("doc_id"), "left_semi")
+          .join(broadcast(rates), Seq("lang"))
+          .filter(Text.mixtureKeep(col("doc_id"), col("pm")))
+        Text.packChunks(m, "source", "doc_id",
+            size(Text.tokens(col("text"))), budget = 64)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), lsum(col("n_tokens")).as("n_tokens"),
+            (max("last_chunk") + 1).cast(LongType).as("n_sequences"))
+          .orderBy("source")
+      },
+      Some(s"""WITH base AS (SELECT doc_id, source, lang, text,
+             CAST(len($toks) AS BIGINT) AS nt FROM documents),
+         q AS (SELECT * FROM base WHERE nt >= 5),
+         k AS (SELECT MIN(doc_id) AS doc_id FROM q GROUP BY md5(lower(trim(text)))),
+         r(lang, pm) AS (VALUES ('en', 900), ('de', 600), ('es', 400), ('fr', 300), ('zh', 200)),
+         m AS (SELECT q.* FROM q JOIN r ON q.lang = r.lang
+           WHERE q.doc_id IN (SELECT doc_id FROM k)
+             AND ${th("CAST(doc_id AS VARCHAR)")} % 1000 < r.pm)
+         SELECT source, COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS n_tokens,
+           (SUM(nt) - 1) // 64 + 1 AS n_sequences
+         FROM m GROUP BY 1 ORDER BY 1"""))
   )
 
   val all: Seq[QueryDef] =
