@@ -58,12 +58,28 @@ object Graph {
           (col("__nbr") < col("label")).as("__chg"))
         .localCheckpoint()
       converged = next.filter(col("__chg")).isEmpty
+      // `next` is self-contained after its checkpoint: free the superseded
+      // round's blocks NOW — waiting for GC-driven ContextCleaner would grow
+      // storage O(rounds × |V|) on a large graph
+      freeCheckpoint(labels)
       labels = next.drop("__chg")
       i += 1
     }
+    freeCheckpoint(sym)
     require(converged, s"connectedComponents: no fixpoint after $maxIter rounds " +
       "(component diameter exceeds maxIter — raise it, or switch to " +
       "large-star/small-star contraction for path-shaped graphs)")
     labels
   }
+
+  /** Free the persisted blocks behind a localCheckpoint'd frame (or a
+    * projection of one) immediately.  `Dataset.unpersist` only clears
+    * CacheManager entries; a checkpoint's blocks belong to the underlying
+    * RDD and otherwise live until GC-driven ContextCleaner notices. */
+  private def freeCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }

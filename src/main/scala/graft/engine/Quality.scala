@@ -95,15 +95,17 @@ object Quality {
                      k: Double = 3.0): DataFrame = {
     import org.apache.spark.sql.functions._
     val v = col(valueCol).cast("double")
-    val med = df.groupBy(groupCol).agg(percentile(v, lit(0.5)).as("med"))
+    // __-prefixed internals: a caller's own "med"/"mad" column must not
+    // collide with the intermediates (AMBIGUOUS_REFERENCE on the join)
+    val med = df.groupBy(groupCol).agg(percentile(v, lit(0.5)).as("__med"))
     val withMed = df.join(broadcast(med), Seq(groupCol))
     val mad = withMed.groupBy(groupCol)
-      .agg(percentile(abs(v - col("med")), lit(0.5)).as("mad"))
+      .agg(percentile(abs(v - col("__med")), lit(0.5)).as("__mad"))
     withMed.join(broadcast(mad), Seq(groupCol))
       .groupBy(groupCol)
-      .agg(min("med").as("med"), min("mad").as("mad"),   // constant per group
+      .agg(min("__med").as("med"), min("__mad").as("mad"), // constant per group
         count(lit(1)).as("n"),
-        sum(when(abs(v - col("med")) > lit(k) * col("mad"), 1L).otherwise(0L))
+        sum(when(abs(v - col("__med")) > lit(k) * col("__mad"), 1L).otherwise(0L))
           .cast("long").as("n_outliers"))
   }
 

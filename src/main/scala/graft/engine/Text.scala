@@ -26,6 +26,13 @@ object Text {
   /** Whitespace tokens of trimmed text. */
   def tokens(c: Column): Column = split(trim(c), " ")
 
+  /** Deterministic hash-ORDER key: the first 15 md5 hex chars of the
+    * stringified key (60 bits — the same prefix [[tokenHash]] parses, kept
+    * as hex so it sorts lexicographically ≡ numerically at fixed width).
+    * The single audited definition of the "order by hash" idiom used by
+    * fixed-k sampling and token-budget cuts. */
+  def hashOrderKey(c: Column): Column = substring(md5(c.cast("string")), 1, 15)
+
   /** Exact dedup key: hash of normalized text.  Exact dedup at scale is one
     * hash-partitioned groupBy on this key. */
   def exactKey(c: Column): Column = md5(lower(trim(c)))
@@ -342,8 +349,8 @@ object Text {
     * shuffles once on the group key. */
   def takeTokenBudget(df: DataFrame, groupCol: String, keyCol: String,
                       tokCount: Column, budget: Long): DataFrame = {
-    val hk = substring(md5(col(keyCol).cast("string")), 1, 15)
-    val w = Window.partitionBy(groupCol).orderBy(hk, col(keyCol))
+    val w = Window.partitionBy(groupCol)
+      .orderBy(hashOrderKey(col(keyCol)), col(keyCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.select(col(groupCol), col(keyCol), tokCount.cast(LongType).as("n_tokens"))
       .withColumn("cum_tokens", sum("n_tokens").over(w))

@@ -45,7 +45,7 @@ object Catalog {
   private def dsum(c: Column): Column =
     sum(c.cast(DecimalType(38, 6))).cast(DoubleType)
 
-  private def lsum(c: Column): Column = sum(c).cast(LongType)
+  private[queries] def lsum(c: Column): Column = sum(c).cast(LongType)
 
   // ------------------------------------------------- flagship (entry + J1/A1/W1/O3)
 

@@ -34,11 +34,16 @@ object Fixtures {
     * rebuild a microsecond timestamp.  Fixture values are µs-precision, so
     * `div 1000` is lossless — and integer division, since a double round-trip
     * would corrupt: 1.7e18 ns exceeds 2^53.  Requires
-    * `spark.sql.legacy.parquet.nanosAsLong=true`, set at session
-    * construction (GraftSession.recommendedConf; mirrored by Verify/Bench/
-    * test builders) — NOT here, so no query mutates the shared session. */
-  def events(s: SparkSession, dir: String): DataFrame =
+    * `spark.sql.legacy.parquet.nanosAsLong=true` — set at session
+    * construction (GraftSession.recommendedConf, so `newSession()` children
+    * inherit it) and, for externally-built sessions, set idempotently here:
+    * this is the single choke point reading the nanos fixture, and it only
+    * ever sets the one value, so there is no query-order dependence. */
+  def events(s: SparkSession, dir: String): DataFrame = {
+    if (!s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     table(s, dir, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
 
   private val k = col("c_custkey")
 

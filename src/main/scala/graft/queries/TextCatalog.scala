@@ -25,7 +25,7 @@ object TextCatalog {
 
   private val M = 1000000007L
   private val P = 2147483647L
-  private def lsum(c: Column): Column = sum(c).cast(LongType)
+  private def lsum(c: Column): Column = Catalog.lsum(c)
   private def th(x: String): String = s"(CAST('0x' || substr(md5($x), 1, 15) AS BIGINT))"
   private val toks = "str_split(trim(text), ' ')"
   private val stopList = "['the', 'a', 'of', 'and', 'to', 'in']"
@@ -714,6 +714,35 @@ object TextCatalog {
 
   // ------------------------------------- corpus assembly ops (round 5b)
 
+  /** Shared near-dup cluster pipeline: bands → band-bucket candidates →
+    * shingle-Jaccard verify (≥ 0.2) → min-label components.  ONE definition
+    * of the cluster semantics for q_dedup_clusters AND q_split_leakage_safe
+    * — a threshold or band-scheme change edits exactly here (and its SQL
+    * mirror [[componentsSql]]). */
+  private def nearDupComponents(d: org.apache.spark.sql.DataFrame) = {
+    val pairs = Text.verifiedPairs(d, "text", "doc_id",
+        Text.minhashCandidates(Text.minhashBands(d, "text", "doc_id")), 0.2)
+      .select("doc_a", "doc_b")
+    Graph.connectedComponents(pairs, "doc_a", "doc_b")
+  }
+
+  /** Recursive-CTE mirror of [[nearDupComponents]] — yields `lab(id,
+    * label)`; prepend `WITH RECURSIVE`. */
+  private val componentsSql: String =
+    s"""$bandsSql,
+       cand AS (SELECT DISTINCT a.doc AS doc_a, b2.doc AS doc_b
+         FROM bk a JOIN bk b2 ON a.band = b2.band AND a.band_key = b2.band_key AND a.doc < b2.doc),
+       tk AS (SELECT doc, list_distinct(sh) AS tk FROM shd),
+       pairs AS (SELECT c.doc_a, c.doc_b
+         FROM cand c JOIN tk ta ON ta.doc = c.doc_a JOIN tk tb ON tb.doc = c.doc_b
+         WHERE round(CAST(len(list_intersect(ta.tk, tb.tk)) AS DOUBLE)
+             / (len(ta.tk) + len(tb.tk) - len(list_intersect(ta.tk, tb.tk))), 6) >= 0.2),
+       e AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         UNION SELECT doc_b, doc_a FROM pairs),
+       reach AS (SELECT src AS id, dst AS r FROM e
+         UNION SELECT reach.id, e.dst FROM reach JOIN e ON reach.r = e.src),
+       lab AS (SELECT id, LEAST(id, MIN(r)) AS label FROM reach GROUP BY id)"""
+
   val corpus: Seq[QueryDef] = Seq(
 
     // Near-dup CLUSTERS: connected components over the verified pair graph
@@ -725,11 +754,7 @@ object TextCatalog {
     // a recursive reachability CTE.
     QueryDef("q_dedup_clusters",
       (s, dir) => {
-        val d = t(s, dir, "documents")
-        val pairs = Text.verifiedPairs(d, "text", "doc_id",
-            Text.minhashCandidates(Text.minhashBands(d, "text", "doc_id")), 0.2)
-          .select("doc_a", "doc_b")
-        val lab = Graph.connectedComponents(pairs, "doc_a", "doc_b")
+        val lab = nearDupComponents(t(s, dir, "documents"))
         val sizes = lab.groupBy("label").agg(count(lit(1)).as("cluster_size"))
         lab.join(sizes, "label")
           .select(col("id").as("doc_id"), col("label").as("cluster"),
@@ -737,24 +762,12 @@ object TextCatalog {
             col("cluster_size"))
           .orderBy("doc_id")
       },
-      Some(s"""WITH RECURSIVE $bandsSql,
-         cand AS (SELECT DISTINCT a.doc AS doc_a, b2.doc AS doc_b
-           FROM bk a JOIN bk b2 ON a.band = b2.band AND a.band_key = b2.band_key AND a.doc < b2.doc),
-         tk AS (SELECT doc, list_distinct(sh) AS tk FROM shd),
-         pairs AS (SELECT c.doc_a, c.doc_b
-           FROM cand c JOIN tk ta ON ta.doc = c.doc_a JOIN tk tb ON tb.doc = c.doc_b
-           WHERE round(CAST(len(list_intersect(ta.tk, tb.tk)) AS DOUBLE)
-               / (len(ta.tk) + len(tb.tk) - len(list_intersect(ta.tk, tb.tk))), 6) >= 0.2),
-         e AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
-           UNION SELECT doc_b, doc_a FROM pairs),
-         reach AS (SELECT src AS id, dst AS r FROM e
-           UNION SELECT reach.id, e.dst FROM reach JOIN e ON reach.r = e.src),
-         lab AS (SELECT id, LEAST(id, MIN(r)) AS cluster FROM reach GROUP BY id),
-         cs AS (SELECT cluster, COUNT(*) AS cluster_size FROM lab GROUP BY 1)
-         SELECT lab.id AS doc_id, lab.cluster,
-           CASE WHEN lab.id = lab.cluster THEN 1 ELSE 0 END AS is_canonical,
+      Some(s"""WITH RECURSIVE $componentsSql,
+         cs AS (SELECT label, COUNT(*) AS cluster_size FROM lab GROUP BY 1)
+         SELECT lab.id AS doc_id, lab.label AS cluster,
+           CASE WHEN lab.id = lab.label THEN 1 ELSE 0 END AS is_canonical,
            cs.cluster_size
-         FROM lab JOIN cs USING (cluster) ORDER BY doc_id""")),
+         FROM lab JOIN cs USING (label) ORDER BY doc_id""")),
 
     // Concat-and-chunk sequence packing (GPT-pretraining layout): per-source
     // running token sum → fixed 64-token chunk spans, integer-exact.
@@ -802,7 +815,7 @@ object TextCatalog {
     // per group at the window, so nothing downstream sees the full corpus.
     QueryDef("q_sample_fixed_k",
       (s, dir) => {
-        val h = substring(md5(col("doc_id").cast("string")), 1, 15)
+        val h = Text.hashOrderKey(col("doc_id"))
         t(s, dir, "documents")
           .select(col("source"), col("doc_id"),
             row_number().over(Window.partitionBy("source").orderBy(h, col("doc_id"))).as("rn"))
@@ -838,30 +851,14 @@ object TextCatalog {
     QueryDef("q_split_leakage_safe",
       (s, dir) => {
         val d = t(s, dir, "documents")
-        val pairs = Text.verifiedPairs(d, "text", "doc_id",
-            Text.minhashCandidates(Text.minhashBands(d, "text", "doc_id")), 0.2)
-          .select("doc_a", "doc_b")
-        val lab = Graph.connectedComponents(pairs, "doc_a", "doc_b")
-          .withColumnRenamed("id", "doc_id")
+        val lab = nearDupComponents(d).withColumnRenamed("id", "doc_id")
         d.join(lab, Seq("doc_id"), "left")
           .select(col("doc_id"), col("label").isNotNull.as("in_cluster"),
             Text.splitLabel(coalesce(col("label"), col("doc_id"))).as("split"))
           .groupBy("split", "in_cluster").agg(count(lit(1)).as("n_docs"))
           .orderBy("split", "in_cluster")
       },
-      Some(s"""WITH RECURSIVE $bandsSql,
-         cand AS (SELECT DISTINCT a.doc AS doc_a, b2.doc AS doc_b
-           FROM bk a JOIN bk b2 ON a.band = b2.band AND a.band_key = b2.band_key AND a.doc < b2.doc),
-         tk AS (SELECT doc, list_distinct(sh) AS tk FROM shd),
-         pairs AS (SELECT c.doc_a, c.doc_b
-           FROM cand c JOIN tk ta ON ta.doc = c.doc_a JOIN tk tb ON tb.doc = c.doc_b
-           WHERE round(CAST(len(list_intersect(ta.tk, tb.tk)) AS DOUBLE)
-               / (len(ta.tk) + len(tb.tk) - len(list_intersect(ta.tk, tb.tk))), 6) >= 0.2),
-         e AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
-           UNION SELECT doc_b, doc_a FROM pairs),
-         reach AS (SELECT src AS id, dst AS r FROM e
-           UNION SELECT reach.id, e.dst FROM reach JOIN e ON reach.r = e.src),
-         lab AS (SELECT id, LEAST(id, MIN(r)) AS label FROM reach GROUP BY id),
+      Some(s"""WITH RECURSIVE $componentsSql,
          u AS (SELECT d.doc_id, lab.label IS NOT NULL AS in_cluster,
              ${th("CAST(COALESCE(lab.label, d.doc_id) AS VARCHAR)")} % 1000 AS h
            FROM documents d LEFT JOIN lab ON lab.id = d.doc_id)

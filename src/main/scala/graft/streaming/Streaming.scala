@@ -136,10 +136,13 @@ object Streaming {
       import org.apache.spark.sql.types._
       val ok = df.schema(c).dataType match {
         case ByteType | ShortType | IntegerType | LongType => true
+        // integer-surrogate keys often arrive as DECIMAL(p,0) via JDBC/Hive;
+        // p <= 18 fits a long, so the cast below stays exact
+        case d: DecimalType if d.scale == 0 && d.precision <= 18 => true
         case _ => false
       }
-      require(ok, s"sortedSessionCounts: column '$c' must be an integral type, " +
-        s"got ${df.schema(c).dataType.simpleString}")
+      require(ok, s"sortedSessionCounts: column '$c' must be an integral type " +
+        s"(or DECIMAL(<=18,0)), got ${df.schema(c).dataType.simpleString}")
     }
     val sorted = df.select(col(userCol).cast("long").as("u"),
         unix_micros(col(tsCol)).as("t"), col(idCol).cast("long").as("i"))

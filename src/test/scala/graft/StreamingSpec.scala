@@ -134,6 +134,16 @@ class StreamingSpec extends SparkFunSuite {
     assert(e.getMessage.contains("integral"))
   }
 
+  test("sortedSessionCounts accepts DECIMAL(p,0) surrogate keys (exact long cast)") {
+    val df = Seq((1L, ts(0), 10L), (1L, ts(1), 11L))
+      .toDF("user_id", "ts", "event_id")
+      .withColumn("user_id", col("user_id").cast("decimal(10,0)"))
+      .withColumn("event_id", col("event_id").cast("decimal(18,0)"))
+    val got = Streaming.sortedSessionCounts(df, "user_id", "ts", "event_id", 60_000_000L)
+      .collect()
+    assert(got.length === 1 && got.head.n_events === 2L)
+  }
+
   test("stateSession isolates its conf from the parent session") {
     val parentBefore = spark.conf.get("spark.sql.shuffle.partitions")
     val ss = Streaming.stateSession(spark, 7)
