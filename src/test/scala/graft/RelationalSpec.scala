@@ -100,6 +100,36 @@ class RelationalSpec extends SparkFunSuite {
     }
   }
 
+  test("no join-bearing registered query plans a cartesian or unbounded nested loop") {
+    // The catalog-wide no-all-pairs invariant: every candidate generation
+    // and join must be key-based (hash/sort-merge/broadcast-hash) — a
+    // CartesianProduct or a non-broadcast nested loop is the O(N²) shape
+    // that dies at 100 TB.  q_cosine_brute_topk is the one DOCUMENTED
+    // broadcast-nested-loop baseline (bounded broadcast query side); it is
+    // asserted separately to stay broadcast, never cartesian.
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    val joinQueries = Seq(
+      "q_flagship_revenue", "q_semi_join", "q_anti_join", "q_bucketed_join",
+      "q_pop_harvest_join", "q_range_join", "q_asof_join",
+      "q_minhash_candidates", "q_near_dup_jaccard", "q_ngram_jaccard",
+      "q_dedup_incremental", "q_vocab_overlap", "q_contamination",
+      "q_simhash_near_dup", "q_corpus_pipeline", "q_centroid_dist",
+      "q_lsh_topk", "q_ivf_topk", "q_outlier_mad", "q_snapshot_diff",
+      "q_mixture_sample", "q_dedup_embed_cosine", "q_near_dup_edit")
+    for (name <- joinQueries) {
+      val plan = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+        .queryExecution.sparkPlan
+      assert(plan.collect { case c: CartesianProductExec => c }.isEmpty,
+        s"$name plans a CartesianProduct")
+      assert(plan.collect { case b: BroadcastNestedLoopJoinExec => b }.isEmpty,
+        s"$name plans a nested-loop join")
+    }
+    val brute = SparkEntry.queries("q_cosine_brute_topk")(spark, "/root/testdata/sf0.001")
+      .queryExecution.sparkPlan
+    assert(brute.collect { case c: CartesianProductExec => c }.isEmpty,
+      "brute-force baseline must broadcast its bounded query side, not go cartesian")
+  }
+
   test("asofJoin matches the most recent right row at or before each left ts") {
     val l = Seq((1L, 10L, 100L), (1L, 5L, 101L), (1L, 2L, 103L), (2L, 7L, 102L))
       .toDF("k", "ts", "lid")
