@@ -85,6 +85,39 @@ class IoSpec extends SparkFunSuite {
     assert(q.count() === 250)
   }
 
+  test("AQE splits a skewed join partition at runtime (OptimizeSkewedJoin)") {
+    // The runtime half of the skew story (saltedSum is the static half):
+    // one key owning most of a side must not pin the join to one straggler
+    // task — AQE re-plans the oversized partition into parallel splits.
+    // Thresholds assume production sizes; scale them down so the KB fixture
+    // crosses them, on an isolated child session.
+    val root = java.nio.file.Files.createTempDirectory("skew").toString
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.adaptive.enabled", "true")
+    ss.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    ss.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    ss.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32KB")
+    ss.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+    ss.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    ss.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    // 50k rows on ONE hot key + a sprinkle of others, vs a small right side
+    (1 to 50000).map(i => (if (i % 50 == 0) i.toLong % 7 else 0L, s"pad-$i-${"x" * 40}"))
+      .toDF("k", "v").write.parquet(s"$root/fact")
+    (0L to 6L).map(k => (k, s"dim$k")).toDF("k", "tag")
+      .write.parquet(s"$root/dim")
+    // max(v) keeps the fat pad column flowing through the join shuffle —
+    // column pruning would otherwise shrink the skewed partition below the
+    // size threshold
+    val q = ss.read.parquet(s"$root/fact")
+      .join(ss.read.parquet(s"$root/dim"), Seq("k"))
+      .groupBy("tag").agg(count(lit(1)).as("n"), max("v"))
+    q.collect() // AQE decides while executing
+    val finalPlan = q.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("skew=true"),
+      s"expected the sort-merge join to be marked skew=true after AQE:\n$finalPlan")
+  }
+
   test("runtime bloom filter prunes the fact scan when the join key is not a partition key") {
     // DPP's sibling for NON-partition join keys: a selective dim filter
     // builds a bloom filter at runtime and pushes might_contain onto the
