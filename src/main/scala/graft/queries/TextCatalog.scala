@@ -769,6 +769,29 @@ object TextCatalog {
            cs.cluster_size
          FROM lab JOIN cs USING (label) ORDER BY doc_id""")),
 
+    // Canonical-by-QUALITY selection per near-dup cluster (the production
+    // dedup policy: keep the longest/best member, not the smallest id) —
+    // a partitioned rank over the cluster label, deterministic tie-break.
+    QueryDef("q_dedup_best",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val lab = nearDupComponents(d).withColumnRenamed("id", "doc_id")
+        d.join(lab, "doc_id")
+          .select(col("doc_id"), col("label").as("cluster"), col("n_chars"),
+            row_number().over(Window.partitionBy("label")
+              .orderBy(col("n_chars").desc, col("doc_id"))).as("rk"))
+          .filter(col("rk") === 1)
+          .select(col("cluster"), col("doc_id").as("keep_id"), col("n_chars"))
+          .orderBy("cluster")
+      },
+      Some(s"""WITH RECURSIVE $componentsSql,
+         j AS (SELECT lab.label AS cluster, d.doc_id, d.n_chars,
+             CAST(row_number() OVER (PARTITION BY lab.label
+               ORDER BY d.n_chars DESC, d.doc_id) AS INT) AS rk
+           FROM lab JOIN documents d ON d.doc_id = lab.id)
+         SELECT cluster, doc_id AS keep_id, n_chars
+         FROM j WHERE rk = 1 ORDER BY cluster""")),
+
     // Concat-and-chunk sequence packing (GPT-pretraining layout): per-source
     // running token sum → fixed 64-token chunk spans, integer-exact.
     QueryDef("q_pack_chunks",
