@@ -130,6 +130,37 @@ class RelationalSpec extends SparkFunSuite {
       "brute-force baseline must broadcast its bounded query side, not go cartesian")
   }
 
+  test("corpus pipeline scan is pruned to the 4 referenced columns") {
+    // The flagship composition claim, checked: chaining gate → dedup →
+    // mixture → packing must still push column pruning to the parquet scan
+    // (n_chars never read).  Guards against a future stage accidentally
+    // widening the scan with a select-star.
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val plan = SparkEntry.queries("q_corpus_pipeline")(spark, "/root/testdata/sf0.001")
+      .queryExecution.sparkPlan
+    val scans = plan.collect { case s: FileSourceScanExec => s }
+    assert(scans.nonEmpty)
+    scans.foreach { s =>
+      val cols = s.requiredSchema.fieldNames.toSet
+      assert(cols.subsetOf(Set("doc_id", "source", "lang", "text")),
+        s"corpus pipeline scan reads unnecessary columns: $cols")
+    }
+  }
+
+  test("mixture sampling plans no exchange before the final aggregation") {
+    // The zero-shuffle claim, checked: the broadcast rate join + per-row
+    // hash predicate must not introduce an exchange; the only ones allowed
+    // are the aggregation's own partial→final exchange and the presentation
+    // sort.
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val plan = SparkEntry.queries("q_mixture_sample")(spark, "/root/testdata/sf0.001")
+      .queryExecution.sparkPlan
+    val firstAgg = plan.collect { case a: BaseAggregateExec => a }.last // partial agg, deepest
+    assert(firstAgg.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+      "no shuffle may occur below the map-side partial aggregation")
+  }
+
   test("asofJoin matches the most recent right row at or before each left ts") {
     val l = Seq((1L, 10L, 100L), (1L, 5L, 101L), (1L, 2L, 103L), (2L, 7L, 102L))
       .toDF("k", "ts", "lid")
