@@ -13,17 +13,22 @@ class IoSpec extends SparkFunSuite {
     val right = (1L to 200L).map(i => (i, i * 2)).toDF("k2", "rv")
     Tables.writeBucketed(left, "spec_left_b", "k", 4)
     Tables.writeBucketed(right, "spec_right_b", "k2", 4)
-    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    try {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
-      val joined = spark.table("spec_left_b")
-        .join(spark.table("spec_right_b"), col("k") === col("k2"))
-      assert(joined.count() === 200)
-      val shuffles = joined.queryExecution.executedPlan.collect {
-        case e: ShuffleExchangeExec => e
-      }
-      assert(shuffles.isEmpty, "bucketed join must not shuffle either side")
-    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+    // AQE must be OFF for the assert to be real: with it on, executedPlan
+    // is an AdaptiveSparkPlanExec wrapper whose inner plan collect() cannot
+    // see, and the isEmpty assert passes vacuously
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.adaptive.enabled", "false")
+    ss.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
+    val joined = ss.table("spec_left_b")
+      .join(ss.table("spec_right_b"), col("k") === col("k2"))
+    assert(joined.count() === 200)
+    val shuffles = joined.queryExecution.executedPlan.collect {
+      case e: ShuffleExchangeExec => e
+    }
+    assert(joined.queryExecution.executedPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }.nonEmpty, "expected the sort-merge path (guards assert from vacuity)")
+    assert(shuffles.isEmpty, "bucketed join must not shuffle either side")
   }
 
   test("saltedSum equals the direct aggregation") {
