@@ -3,6 +3,7 @@ package graft.engine
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 /** Relational operators: filters, projections, explode, joins, aggregation,
   * windows, top-k, set ops (SURVEY §2.2, §2.4–2.9).
@@ -250,4 +251,87 @@ object Relational {
     * union scales past one PDF to the whole corpus. */
   def unionWithOffsets(pages: Seq[DataFrame], pageCol: String, rowCol: String): DataFrame =
     withGlobalRowOffsets(pages.reduce(_ unionByName _), pageCol, rowCol)
+
+  /** Skew-salted equi-join: when a handful of join-key values carry most of
+    * the big side (a `WHERE type = 'click'`-shaped key with 5 distinct
+    * values over 10¹¹ rows), a plain shuffle join sends each hot key to ONE
+    * reducer.  Salting splits every hot key `nSalts` ways: the big side gets
+    * a deterministic salt from `saltFrom` (any well-distributed column —
+    * row id, hash of the row), the small side is replicated once per salt
+    * value, and the join runs on (keys, salt).  The result is EXACTLY the
+    * plain join (every big row still meets its one small match, whichever
+    * replica shares its salt) — only the partitioning changes, max reducer
+    * load drops nSalts×.  Complements AQE's skew splitting ([[GraftSession]]
+    * enables that too): salting works even when one KEY GROUP must not be
+    * split-and-recombined, e.g. under a downstream co-partitioning
+    * requirement.  Small side grows nSalts× — keep it broadcast-sized or
+    * keep nSalts modest. */
+  def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
+                 saltFrom: Column, nSalts: Int): DataFrame = {
+    require(nSalts > 0, s"saltedJoin: nSalts must be positive, got $nSalts")
+    val b = big.withColumn("__salt", pmod(hash(saltFrom), lit(nSalts)))
+    val s = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(nSalts - 1))))
+    b.join(s, keys :+ "__salt").drop("__salt")
+  }
+
+  /** Time-series resample + gap-fill: bucket events to a fixed grain per
+    * key, densify each key's range onto a complete time grid, and
+    * forward-fill (LOCF) the holes.  The missing-interval repair every
+    * metrics/feature pipeline needs before windowed math — a gap otherwise
+    * silently shortens averages.
+    *
+    * Scale shape: the aggregation shuffles once on (key, bucket); the grid
+    * is generated from the per-key [min, max] BOUNDS frame (|keys| rows, not
+    * data-sized) via `sequence`+`explode`, so no driver loop and no
+    * cross join; the LOCF window is per-key with a running frame (state =
+    * last non-null value, skew-safe).  Callers bound grid blowup by grain
+    * choice: a key spanning years at 1-second grain is the caller's bug.
+    *
+    * Returns (key, bucket, filled value, is_gap). */
+  def resampleLocf(df: DataFrame, keyCol: String, tsCol: String,
+                   agg: Column, grain: String, step: String): DataFrame = {
+    val bucketed = df
+      .groupBy(col(keyCol), date_trunc(grain, col(tsCol)).as("bucket"))
+      .agg(agg.as("__v"))
+    val bounds = bucketed.groupBy(keyCol)
+      .agg(min("bucket").as("__lo"), max("bucket").as("__hi"))
+    val grid = bounds.select(col(keyCol),
+      explode(sequence(col("__lo"), col("__hi"),
+        expr(s"interval $step"))).as("bucket"))
+    val w = Window.partitionBy(keyCol).orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(bucketed, Seq(keyCol, "bucket"), "left")
+      .select(col(keyCol), col("bucket"),
+        last(col("__v"), ignoreNulls = true).over(w).as("value_filled"),
+        col("__v").isNull.as("is_gap"))
+  }
+
+  /** Mergeable partial-aggregate state — the incremental-rollup pattern: at
+    * 100 TB you never re-scan history to refresh a serving aggregate; each
+    * ingest batch (shard) reduces to constant-size state per (key, shard),
+    * and the rollup is a merge of states.  Everything in the state is
+    * re-aggregatable (count→sum, sum→sum, min→min, max→max; avg is DERIVED
+    * at merge, never stored — stored averages don't merge).  Sums
+    * accumulate in DECIMAL(38,6): double addition is order-sensitive and
+    * both the shard partials and the merge would otherwise depend on
+    * partition layout. */
+  def partialAggState(df: DataFrame, keys: Seq[String], shardCol: Column,
+                      valueCol: Column): DataFrame =
+    df.groupBy(keys.map(col) :+ shardCol.as("shard"): _*)
+      .agg(count(valueCol).as("n"),
+        sum(valueCol.cast(DecimalType(38, 6))).as("sum"),
+        min(valueCol).as("min"), max(valueCol).as("max"))
+
+  /** Merge [[partialAggState]] shards to the final per-key rollup —
+    * identical to aggregating the raw data directly (the invariant the
+    * registered query's oracle checks). */
+  def mergeAggState(partials: DataFrame, keys: Seq[String]): DataFrame =
+    partials.groupBy(keys.map(col): _*)
+      .agg(sum("n").cast("long").as("n"),
+        sum("sum").cast(DoubleType).as("sum"),
+        min("min").as("min"), max("max").as("max"),
+        // double/long division (NOT decimal division — engines disagree on
+        // result scale there); identical operands → identical IEEE result
+        (sum("sum").cast(DoubleType) / sum("n")).as("avg"))
 }

@@ -357,6 +357,36 @@ object Text {
       .filter(col("cum_tokens") <= budget)
   }
 
+  /** Deterministic weighted sample (Efraimidis–Spirakis A-ES): each row gets
+    * key `u^(1/w)` for a per-row uniform `u`; the global top-k by key IS a
+    * weighted sample without replacement — a doc with twice the weight has
+    * twice the odds, yet selection is one `TakeOrderedAndProject` (per-
+    * partition heap + driver merge of k rows: constant memory at any corpus
+    * size, no pre-shuffle, no rejection loop).
+    *
+    * The uniform comes from a multiplicative hash of the INTEGER id
+    * (Knuth's 2654435761 mod 2³²) — pure BIGINT arithmetic, so Spark and
+    * any SQL oracle derive bit-identical `u` (no engine RNG, no float
+    * parsing of hex digests); +0.5 keeps u strictly inside (0,1) so
+    * `ln(u)` is finite.  Rank by `ln(u)/w` descending, which orders like
+    * `u^(1/w)` (monotone for w>0: ln u < 0).  The key itself is NOT
+    * returned: `ln` is not correctly-rounded-guaranteed across engines, so
+    * emitting it would make cross-engine hashes flap in the last ulp —
+    * selection and ORDER only depend on it through comparisons, where a
+    * sub-ulp discrepancy cannot realistically flip distinct keys. */
+  def sampleWeighted(df: DataFrame, idCol: String, weightCol: Column,
+                     k: Int): DataFrame = {
+    // pre-mod by the constant keeps the product < 2^63: Java would wrap
+    // silently on overflow but a SQL oracle's BIGINT errors — keep both
+    // engines inside exact range at any id magnitude
+    val u = ((col(idCol).cast(LongType) % lit(2654435761L)) * lit(2654435761L)
+      % lit(4294967296L) + lit(0.5)) / lit(4294967296.0)
+    df.withColumn("__aes", log(u) / weightCol)
+      .orderBy(col("__aes").desc, col(idCol))
+      .limit(k)
+      .drop("__aes")
+  }
+
   // ------------------------------------------------- sequence packing
   /** Concat-and-chunk sequence packing (the GPT-pretraining layout): within
     * each `groupCol` stream, documents are concatenated in `orderCol` order

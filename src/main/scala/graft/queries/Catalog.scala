@@ -510,7 +510,91 @@ object Catalog {
       Some("""SELECT event_id, user_id,
            CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id
              ORDER BY ts, event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS roll_sum
-         FROM events ORDER BY event_id"""))
+         FROM events ORDER BY event_id""")),
+
+    // J1 at skew — salted equi-join: 5 distinct event_type values over the
+    // whole fact table is the worst join-key skew shape (each key = one
+    // reducer in a plain shuffle join).  Salting the fact 8 ways and
+    // replicating the 5-row dim restores parallelism; the result is
+    // salt-invariant, so the oracle is the PLAIN join.
+    QueryDef("q_salted_join",
+      (s, dir) => {
+        import s.implicits._
+        val dim = Seq(("click", 1.5), ("view", 1.0), ("purchase", 5.0),
+          ("signup", 2.0), ("error", 0.5)).toDF("event_type", "weight")
+        Relational.saltedJoin(events(s, dir), dim, Seq("event_type"),
+            col("event_id"), 8)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            dsum(col("value") * col("weight")).as("weighted_value"))
+          .orderBy("event_type")
+      },
+      Some("""WITH dim(event_type, weight) AS (VALUES
+           ('click', 1.5), ('view', 1.0), ('purchase', 5.0),
+           ('signup', 2.0), ('error', 0.5))
+         SELECT e.event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(e.value * d.weight AS DECIMAL(38,6))) AS DOUBLE) AS weighted_value
+         FROM events e JOIN dim d ON e.event_type = d.event_type
+         GROUP BY 1 ORDER BY 1""")),
+
+    // Time-series resample + LOCF gap-fill: per-user daily buckets densified
+    // onto each user's [min, max] day grid from a bounds frame (no driver
+    // loop, no cross join), holes forward-filled by a running per-key
+    // window.  The missing-interval repair that precedes any windowed
+    // feature math.
+    QueryDef("q_resample_gapfill",
+      (s, dir) => Relational.resampleLocf(
+          events(s, dir).filter(col("event_type") === "purchase"),
+          "user_id", "ts", dsum(col("value")), "DAY", "1 day")
+        .select(col("user_id"), col("bucket"), col("value_filled"),
+          col("is_gap").cast("int").as("is_gap"))
+        .orderBy("user_id", "bucket"),
+      Some("""WITH b AS (SELECT user_id, date_trunc('day', ts) AS bucket,
+             CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS v
+           FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+         r AS (SELECT user_id, MIN(bucket) AS lo, MAX(bucket) AS hi FROM b GROUP BY 1),
+         g AS (SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS bucket FROM r)
+         SELECT g.user_id, g.bucket,
+           last_value(b.v IGNORE NULLS) OVER (PARTITION BY g.user_id ORDER BY g.bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled,
+           CAST(b.v IS NULL AS INT) AS is_gap
+         FROM g LEFT JOIN b ON g.user_id = b.user_id AND g.bucket = b.bucket
+         ORDER BY 1, 2""")),
+
+    // Incremental-rollup maintenance — mergeable partial aggregates: reduce
+    // each monthly shard to constant-size state (n/sum/min/max), then merge
+    // states to the serving rollup.  Equal by algebra to aggregating the
+    // raw data directly — which is exactly what the oracle does; at 100 TB
+    // the merge touches |shards|×|keys| state rows, never history.
+    QueryDef("q_partial_agg_merge",
+      (s, dir) => Relational.mergeAggState(
+          Relational.partialAggState(t(s, dir, "lineitem"), Seq("l_returnflag"),
+            date_trunc("MONTH", col("l_shipdate")), col("l_quantity")),
+          Seq("l_returnflag"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, COUNT(l_quantity) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS "sum",
+           MIN(l_quantity) AS "min", MAX(l_quantity) AS "max",
+           CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / COUNT(l_quantity) AS "avg"
+         FROM lineitem GROUP BY 1 ORDER BY 1""")),
+
+    // Semi-structured VARIANT path (Spark 4 parse_json/variant_get — the
+    // binary-encoded, shredding-capable open format; beats from_json when
+    // the schema is open-ended because paths are extracted lazily without
+    // materializing a full struct).  DuckDB mirrors via its JSON type.
+    QueryDef("q_variant_extract",
+      (s, dir) => events(s, dir)
+        .select(col("event_type"),
+          variant_get(parse_json(col("props")), "$.k", "bigint").as("kv"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), lsum(col("kv")).as("sum_k"),
+          min(col("kv")).as("min_k"), max(col("kv")).as("max_k"))
+        .orderBy("event_type"),
+      Some("""WITH d AS (SELECT event_type,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS kv FROM events)
+         SELECT event_type, COUNT(*) AS n, CAST(SUM(kv) AS BIGINT) AS sum_k,
+           MIN(kv) AS min_k, MAX(kv) AS max_k
+         FROM d GROUP BY 1 ORDER BY 1"""))
   )
 
   // ---------------------------------------------------- reference pipeline ops

@@ -538,7 +538,52 @@ object TextCatalog {
              row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rank
            FROM sc)
          SELECT q_id, CAST(rank AS INT) AS rank, c_id, cos
-         FROM r WHERE rank <= 3 ORDER BY q_id, rank"""))
+         FROM r WHERE rank <= 3 ORDER BY q_id, rank""")),
+
+    // Metadata-FILTERED vector search: the predicate (here lang='en' via a
+    // doc⋈embedding key join) restricts the CANDIDATE side before bucketing,
+    // so top-k is exact-k over the eligible set — post-filtering an
+    // unfiltered ANN result can silently return < k.  Still equi-join-only;
+    // at 100 TB the filter also prunes the signature computation itself.
+    QueryDef("q_ann_filtered",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val en = t(s, dir, "documents").filter(col("lang") === "en")
+          .select(col("doc_id"))
+        val cands = e.join(en, col("vec_id") === col("doc_id")).drop("doc_id")
+        Vector.lshTopK(e.filter(col("vec_id") < 20), cands, 3, 4, 64)
+          .orderBy("q_id", "rank")
+      },
+      Some(s"""WITH ${lshSql(4, 64)},
+         q AS (SELECT vec_id AS q_id, dv AS qv, bucket FROM b WHERE vec_id < 20),
+         c AS (SELECT vec_id AS c_id, dv AS cv, bucket FROM b
+           JOIN documents ON vec_id = doc_id AND lang = 'en'),
+         sc AS (SELECT q_id, q.bucket AS bucket, c_id, ${cosSql("qv", "cv", 64)} AS cos
+           FROM q JOIN c ON q.bucket = c.bucket AND q_id <> c_id),
+         r AS (SELECT q_id, bucket, c_id, cos,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rank
+           FROM sc)
+         SELECT q_id, CAST(bucket AS BIGINT) AS bucket, CAST(rank AS INT) AS rank, c_id, cos
+         FROM r WHERE rank <= 3 ORDER BY q_id, rank""")),
+
+    // Inverted index (term → sorted posting list): the IR-side product of a
+    // corpus engine.  One distinct (doc, term) relation, one groupBy term —
+    // posting state is bounded by each term's df; the df floor keeps
+    // degenerate stop-terms from dominating the dump (at 100 TB postings
+    // for head terms shard by doc-range and delta-encode; the relation
+    // shape is the same).
+    QueryDef("q_inverted_index",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"), explode(Text.tokens(col("text"))).as("term"))
+        .distinct()
+        .groupBy("term")
+        .agg(count(lit(1)).as("df"),
+          sort_array(collect_set(col("doc_id"))).as("postings"))
+        .filter(col("df") >= 25)
+        .orderBy("term"),
+      Some(s"""WITH rel AS (SELECT DISTINCT doc_id, unnest($toks) AS term FROM documents)
+         SELECT term, COUNT(*) AS df, list_sort(list(doc_id)) AS postings
+         FROM rel GROUP BY term HAVING COUNT(*) >= 25 ORDER BY term"""))
   )
 
   private val ivfSql: String = {
@@ -850,6 +895,25 @@ object TextCatalog {
                ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 15), doc_id) AS INT) AS rn
            FROM documents)
          SELECT source, doc_id, rn FROM r WHERE rn <= 3 ORDER BY source, rn""")),
+
+    // Weighted sample without replacement (A-ES): top-k by u^(1/w) with a
+    // multiplicative-hash uniform — pure BIGINT arithmetic both engines
+    // compute identically, ranked by ln(u)/w.  Selection is one
+    // TakeOrderedAndProject (per-partition heap, k rows to the driver);
+    // longer docs (w = n_chars) are proportionally likelier.  The rank key
+    // itself is never emitted: ln differs across engines in the last ulp,
+    // comparisons don't care but hashes would.
+    QueryDef("q_sample_weighted",
+      (s, dir) => Text.sampleWeighted(
+          t(s, dir, "documents").select("doc_id", "n_chars"),
+          "doc_id", col("n_chars"), 25)
+        .orderBy("doc_id"),
+      Some("""WITH u AS (SELECT doc_id, n_chars,
+             ((doc_id % 2654435761) * 2654435761 % 4294967296 + 0.5) / 4294967296.0 AS uu
+           FROM documents),
+         s AS (SELECT doc_id, n_chars FROM u
+           ORDER BY ln(uu) / n_chars DESC, doc_id LIMIT 25)
+         SELECT doc_id, n_chars FROM s ORDER BY doc_id""")),
 
     // Sliding-window chunking with overlap (window 32, stride 24 → 8-token
     // overlap): the RAG/context-window layout.  Shuffle-free — one Generate

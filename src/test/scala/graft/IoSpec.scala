@@ -197,6 +197,42 @@ class IoSpec extends SparkFunSuite {
     assert(spark.read.parquet(dir).count() === 20000)
   }
 
+  test("writeZOrder: a 2-D box query overlaps fewer files than the 1-D sorted layout") {
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.format.converter.ParquetMetadataConverter
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import scala.jdk.CollectionConverters._
+    val base = java.nio.file.Files.createTempDirectory("zorder").toString
+    // full 128×128 grid, shuffled in: the writers must impose the layout
+    val df = (0L until 16384L).map(i => (i * 6037 % 16384))
+      .map(z => (z % 128, z / 128)).toDF("a", "b")
+    Tables.writeZOrder(df, s"$base/z", nFiles = 16, "a", "b", bits = 7)
+    Tables.writeSorted(df, s"$base/s", nFiles = 16, sortCols = Seq("a"))
+    val conf = spark.sparkContext.hadoopConfiguration
+    // files whose (a, b) bounding box meets the box a,b ∈ [0, 31]²
+    def overlapping(dir: String): Int =
+      new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet"))
+        .count { f =>
+          val footer = ParquetFileReader.readFooter(conf, new Path(f.toString),
+            ParquetMetadataConverter.NO_FILTER)
+          def range(name: String): (Long, Long) = {
+            val st = footer.getBlocks.asScala.map(_.getColumns.asScala
+              .find(_.getPath.toDotString == name).get.getStatistics)
+            (st.map(_.genericGetMin.asInstanceOf[Long]).min,
+              st.map(_.genericGetMax.asInstanceOf[Long]).max)
+          }
+          val (aMin, aMax) = range("a"); val (bMin, bMax) = range("b")
+          aMin <= 31 && aMax >= 0 && bMin <= 31 && bMax >= 0
+        }
+    val zHit = overlapping(s"$base/z"); val sHit = overlapping(s"$base/s")
+    // 1-D sort on `a`: files are a-narrow but b-FULL-WIDTH -> every file
+    // whose a-range meets [0,31] matches (~4 of 16).  Z-order: the box is
+    // one Morton quadrant -> ~1 file (2 at a sampled range boundary).
+    assert(zHit < sHit, s"z-order ($zHit files) should beat 1-D sort ($sHit)")
+    assert(zHit <= 3, s"box should live in at most a few z-contiguous files, hit $zHit")
+    assert(spark.read.parquet(s"$base/z").count() === 16384)
+  }
+
   test("GraftSession recommends AQE + skew handling + extensions") {
     val conf = GraftSession.recommendedConf.toMap
     assert(conf("spark.sql.adaptive.enabled") === "true")

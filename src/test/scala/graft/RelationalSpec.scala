@@ -343,4 +343,55 @@ class RelationalSpec extends SparkFunSuite {
     assert(k35.subsetOf(k45), "a doc inside a budget stays inside a larger one")
     assert(kept(5).isEmpty && kept(1000) === (1L to 10L).toSet)
   }
+
+  test("saltedJoin equals the plain join at any salt count (incl. 1)") {
+    val big = (1L to 1000L).map(i => (s"k${i % 3}", i)).toDF("k", "v")
+    val small = Seq(("k0", 10L), ("k1", 20L), ("k2", 30L), ("k9", 99L)).toDF("k", "w")
+    val plain = big.join(small, Seq("k")).select("k", "v", "w")
+    for (n <- Seq(1, 8)) {
+      val salted = Relational.saltedJoin(big, small, Seq("k"), col("v"), n)
+        .select("k", "v", "w")
+      assert(salted.count() === plain.count(), s"nSalts=$n changed cardinality")
+      assert(salted.except(plain).count() === 0 &&
+        plain.except(salted).count() === 0, s"nSalts=$n changed content")
+    }
+  }
+
+  test("resampleLocf densifies each key's day grid and forward-fills gaps") {
+    val df = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 08:00:00"), 1.0),
+      (1L, Timestamp.valueOf("2024-01-01 09:00:00"), 2.0), // same bucket, sums
+      (1L, Timestamp.valueOf("2024-01-04 12:00:00"), 4.0), // 2-day hole before
+      (2L, Timestamp.valueOf("2024-01-02 00:00:00"), 7.0)  // single-day key
+    ).toDF("k", "ts", "x")
+    val out = Relational.resampleLocf(df, "k", "ts", sum(col("x")), "DAY", "1 day")
+      .orderBy("k", "bucket").collect()
+    assert(out.length === 5, "key 1 spans 4 grid days, key 2 spans 1")
+    val k1 = out.filter(_.getLong(0) == 1L)
+    assert(k1.map(_.getDouble(2)).toSeq === Seq(3.0, 3.0, 3.0, 4.0),
+      "gap days carry the last observed value")
+    assert(k1.map(_.getBoolean(3)).toSeq === Seq(false, true, true, false),
+      "only the hole days are flagged as gaps")
+  }
+
+  test("mergeAggState over any sharding equals the direct aggregation") {
+    val df = (1L to 500L)
+      .map(i => (s"g${i % 3}", i % 7, (i % 13).toDouble)).toDF("g", "sh", "x")
+    val direct = df.groupBy("g")
+      .agg(count("x").as("n"),
+        sum(col("x").cast("decimal(38,6)")).cast("double").as("sum"),
+        min("x").as("min"), max("x").as("max"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    for (shard <- Seq(col("sh"), lit(0))) { // many shards and the degenerate one
+      val merged = Relational.mergeAggState(
+        Relational.partialAggState(df, Seq("g"), shard, col("x")), Seq("g"))
+      merged.collect().foreach { r =>
+        val (n, s, mn, mx) = direct(r.getString(0))
+        assert(r.getLong(1) === n && r.getDouble(2) === s)
+        assert(r.getDouble(3) === mn && r.getDouble(4) === mx)
+        assert(r.getDouble(5) === s / n, "avg derived at merge, not stored")
+      }
+    }
+  }
 }

@@ -177,4 +177,24 @@ class TextSpec extends SparkFunSuite {
     // doc 1 chunk 0 and doc 2 chunk 0 cover identical tokens -> identical hash
     assert(got(0)._3 === got(1)._3)
   }
+
+  test("sampleWeighted: deterministic, exactly k rows, identity when k >= n") {
+    val df = (1L to 100L).map(i => (i, (i % 10 + 1).toDouble)).toDF("id", "w")
+    def pick(k: Int) = Text.sampleWeighted(df, "id", col("w"), k)
+      .collect().map(_.getLong(0)).toSet
+    val a = pick(10)
+    assert(a.size === 10 && a === pick(10), "same data, same k -> same sample")
+    assert(pick(500) === (1L to 100L).toSet, "k >= n keeps everything")
+  }
+
+  test("sampleWeighted: an overwhelming weight is always selected, zero-ish never") {
+    // ln(u)/w -> 0- as w grows: the heavy row ranks first for any u
+    val df = ((1L to 50L).map(i => (i, 1.0)) :+ (99L, 1e12)).toDF("id", "w")
+    assert(Text.sampleWeighted(df, "id", col("w"), 5)
+      .collect().map(_.getLong(0)).contains(99L))
+    // and a near-zero weight drives the key to -inf: never beats real rows
+    val df2 = ((1L to 50L).map(i => (i, 1.0)) :+ (99L, 1e-12)).toDF("id", "w")
+    assert(!Text.sampleWeighted(df2, "id", col("w"), 25)
+      .collect().map(_.getLong(0)).contains(99L))
+  }
 }
