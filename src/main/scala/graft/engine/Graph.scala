@@ -72,6 +72,57 @@ object Graph {
     labels
   }
 
+  /** Fixed-iteration PageRank over a directed edge list — the canonical
+    * "importance over a link graph" statistic (source authority for corpus
+    * weighting, hub detection in citation/reference graphs).  Fixed
+    * iteration count, not convergence-tested: the registered query's oracle
+    * unrolls the same number of rounds, and rank deltas past a few rounds
+    * are far below any decision threshold.
+    *
+    * Deterministic cross-engine by construction: per-node contribution
+    * `rank/outdeg` is an element-wise double division (identical IEEE
+    * result on identical operands), the per-destination SUM accumulates in
+    * DECIMAL(38,12) (double addition is order-sensitive; Spark's partial
+    * aggregation order is not deterministic), and the damping update is
+    * again element-wise.  Dangling nodes (no out-edges) leak their mass —
+    * the standard simplification; redistribute explicitly if mass
+    * conservation matters.
+    *
+    * Each round: one shuffle join (edges ⋈ ranks on src) + one hash
+    * aggregation on dst + one left join back onto the node set — linear in
+    * |E| per round, same primitives as [[connectedComponents]], with the
+    * same localCheckpoint lineage discipline. */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               iters: Int = 3, damping: Double = 0.85): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct().localCheckpoint()
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct().localCheckpoint()
+    val out = e.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("outdeg")).localCheckpoint()
+    val n = nodes.count()
+    val base = (1.0 - damping) / n
+    var ranks = nodes.select(col("id"), lit(1.0 / n).as("rank"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val contribs = e.join(ranks.withColumnRenamed("id", "src"), "src")
+        .join(out.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"),
+          (col("rank") / col("outdeg")).cast(DecimalType(38, 12)).as("__c"))
+      val sums = contribs.groupBy("id")
+        .agg(sum("__c").cast(DoubleType).as("__s"))
+      val next = nodes.join(sums, Seq("id"), "left")
+        .select(col("id"),
+          (lit(base) + lit(damping) * coalesce(col("__s"), lit(0.0))).as("rank"))
+        .localCheckpoint()
+      freeCheckpoint(ranks)
+      ranks = next
+    }
+    freeCheckpoint(e); freeCheckpoint(nodes); freeCheckpoint(out)
+    ranks
+  }
+
   /** Free the persisted blocks behind a localCheckpoint'd frame (or a
     * projection of one) immediately.  `Dataset.unpersist` only clears
     * CacheManager entries; a checkpoint's blocks belong to the underlying

@@ -109,6 +109,31 @@ object Quality {
           .cast("long").as("n_outliers"))
   }
 
+  /** Expectation suite — declarative data-quality rules evaluated in ONE
+    * pass (the Deequ/dbt-test shape): each rule is a (name, boolean
+    * predicate Column); the result is one row per rule with total / pass /
+    * violation counts.  All rules compile into a single `agg`, so N rules
+    * cost one scan — at 100 TB a per-rule pass would multiply the scan N×.
+    * NULL predicate results count as violations (a rule that cannot
+    * evaluate did not pass — the conservative read for gate decisions). */
+  def expectations(df: DataFrame, rules: Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(rules.nonEmpty, "expectations: need at least one rule")
+    val aggs = rules.zipWithIndex.flatMap { case ((_, pred), i) =>
+      Seq(sum(when(coalesce(pred, lit(false)), 1L).otherwise(0L)).as(s"__p_$i"))
+    } :+ count(lit(1)).as("__n")
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    // unpivot the 1-row aggregate to (rule, n_rows, n_pass, n_violations);
+    // label literals escaped, so rule names are free-form text
+    def sq(s: String): String = "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    row.select(expr(
+      s"stack(${rules.size}, " +
+        rules.zipWithIndex.map { case ((name, _), i) =>
+          s"${sq(name)}, __n, __p_$i" }.mkString(", ") +
+        ") as (rule, n_rows, n_pass)"))
+      .withColumn("n_violations", col("n_rows") - col("n_pass"))
+  }
+
   /** Q3 — missing-column validation (ref `ingest_harvest_data.py:264-265`,
     * `ingest_population_data.py:241,259-261`): warnings, not failures. */
   def validateColumns(df: DataFrame, required: Seq[String]): Either[List[String], DataFrame] = {

@@ -1033,6 +1033,64 @@ object Catalog {
          LEFT JOIN (DESCRIBE SELECT * FROM documents) AS d ON d.column_name = r.required_col
          ORDER BY 1""")),
 
+    // Expectation suite — N declarative quality rules in ONE scan (single
+    // agg + stack unpivot; NULL predicate counts as a violation).  The
+    // Deequ/dbt-test gate every feed runs before promotion.
+    QueryDef("q_expectations",
+      (s, dir) => Quality.expectations(t(s, dir, "lineitem"), Seq(
+          "discount_bounds" -> col("l_discount").between(0.0, 0.1),
+          "flag_domain" -> col("l_returnflag").isin("A", "N", "R"),
+          "price_positive" -> (col("l_extendedprice") > 0),
+          "qty_in_range" -> col("l_quantity").between(1, 50),
+          "shipdate_not_null" -> col("l_shipdate").isNotNull))
+        .orderBy("rule"),
+      Some("""WITH a AS (SELECT COUNT(*) AS n,
+             CAST(SUM(CASE WHEN l_discount BETWEEN 0.0 AND 0.1 THEN 1 ELSE 0 END) AS BIGINT) AS p0,
+             CAST(SUM(CASE WHEN l_returnflag IN ('A','N','R') THEN 1 ELSE 0 END) AS BIGINT) AS p1,
+             CAST(SUM(CASE WHEN l_extendedprice > 0 THEN 1 ELSE 0 END) AS BIGINT) AS p2,
+             CAST(SUM(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 1 ELSE 0 END) AS BIGINT) AS p3,
+             CAST(SUM(CASE WHEN l_shipdate IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS p4
+           FROM lineitem)
+         SELECT * FROM (
+           SELECT 'discount_bounds' AS rule, n AS n_rows, p0 AS n_pass, n - p0 AS n_violations FROM a
+           UNION ALL SELECT 'flag_domain', n, p1, n - p1 FROM a
+           UNION ALL SELECT 'price_positive', n, p2, n - p2 FROM a
+           UNION ALL SELECT 'qty_in_range', n, p3, n - p3 FROM a
+           UNION ALL SELECT 'shipdate_not_null', n, p4, n - p4 FROM a)
+         ORDER BY rule""")),
+
+    // Fixed-iteration PageRank over a deterministic link graph derived from
+    // lineitem (order-node → part-node, deduped).  Decimal-accumulated
+    // contribution sums + element-wise IEEE updates ⇒ bit-identical ranks
+    // in both engines; the oracle unrolls the same 3 rounds.
+    QueryDef("q_pagerank",
+      (s, dir) => Graph.pageRank(
+          t(s, dir, "lineitem").select((col("l_orderkey") % 100).as("src"),
+            (col("l_partkey") % 100).as("dst")),
+          "src", "dst", iters = 3)
+        .orderBy("id"),
+      Some("""WITH e AS (SELECT DISTINCT l_orderkey % 100 AS src, l_partkey % 100 AS dst FROM lineitem),
+         nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+         outd AS (SELECT src AS id, COUNT(*) AS outdeg FROM e GROUP BY 1),
+         nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+         r0 AS (SELECT id, CAST(1 AS DOUBLE) / (SELECT n FROM nn) AS rank FROM nodes),
+         s1 AS (SELECT e.dst AS id, CAST(SUM(CAST(r.rank / o.outdeg AS DECIMAL(38,12))) AS DOUBLE) AS s
+           FROM e JOIN r0 r ON e.src = r.id JOIN outd o ON o.id = e.src GROUP BY e.dst),
+         r1 AS (SELECT nodes.id, (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
+             + CAST(0.85 AS DOUBLE) * COALESCE(s1.s, CAST(0 AS DOUBLE)) AS rank
+           FROM nodes LEFT JOIN s1 ON s1.id = nodes.id),
+         s2 AS (SELECT e.dst AS id, CAST(SUM(CAST(r.rank / o.outdeg AS DECIMAL(38,12))) AS DOUBLE) AS s
+           FROM e JOIN r1 r ON e.src = r.id JOIN outd o ON o.id = e.src GROUP BY e.dst),
+         r2 AS (SELECT nodes.id, (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
+             + CAST(0.85 AS DOUBLE) * COALESCE(s2.s, CAST(0 AS DOUBLE)) AS rank
+           FROM nodes LEFT JOIN s2 ON s2.id = nodes.id),
+         s3 AS (SELECT e.dst AS id, CAST(SUM(CAST(r.rank / o.outdeg AS DECIMAL(38,12))) AS DOUBLE) AS s
+           FROM e JOIN r2 r ON e.src = r.id JOIN outd o ON o.id = e.src GROUP BY e.dst),
+         r3 AS (SELECT nodes.id, (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
+             + CAST(0.85 AS DOUBLE) * COALESCE(s3.s, CAST(0 AS DOUBLE)) AS rank
+           FROM nodes LEFT JOIN s3 ON s3.id = nodes.id)
+         SELECT id, rank FROM r3 ORDER BY id""")),
+
     // S4 — Textract block→table reconstruction over blocks synthesized from
     // `orders`.  The orderkey→(page,row,col) mapping is injective at EVERY
     // scale factor: (page, row) = (k%2+1, floor(k/2)+1) is a bijection on k,

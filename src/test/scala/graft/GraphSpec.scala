@@ -86,4 +86,32 @@ class GraphSpec extends SparkFunSuite {
     val kept = df.filter(Text.mixtureKeep($"k", $"pm")).collect().map(_.getLong(0))
     assert(kept.forall(_ % 2 == 0) && kept.length === 100)
   }
+
+  test("pageRank on a star graph matches the hand-computed fixpoint shape") {
+    // 1→0, 2→0, 3→0: every leaf has outdeg 1 and no in-links, so after the
+    // first round each leaf sits at base = 0.15/4 and the hub at
+    // base + 0.85 · 3·base — exact doubles, same expression here.
+    val edges = Seq((1L, 0L), (2L, 0L), (3L, 0L)).toDF("s", "d")
+    val got = Graph.pageRank(edges, "s", "d", iters = 3)
+      .orderBy("id").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val base = (1.0 - 0.85) / 4
+    assert(got(1L) === base && got(2L) === base && got(3L) === base)
+    // the DECIMAL(38,12) accumulator rounds each leaf's base
+    // (0.0375000000000000006…) to exactly 0.0375, so the contribution sum
+    // is the exact literal 0.1125 — not the binary-double 3·base
+    assert(got(0L) === base + 0.85 * 0.1125,
+      "hub rank = damped sum of decimal-quantized leaf contributions")
+    assert(got(0L) > got(1L), "in-links must raise rank")
+  }
+
+  test("pageRank is deterministic and mass never exceeds 1 (dangling leak only)") {
+    val edges = (1L to 60L).map(i => (i % 10, (i * 7) % 13)).toDF("s", "d")
+    def run() = Graph.pageRank(edges, "s", "d", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val a = run()
+    assert(a === run(), "same graph, same ranks, bit-identical")
+    val total = a.values.sum
+    assert(total > 0 && total <= 1.0 + 1e-9,
+      s"rank mass bounded by 1 (dangling nodes leak, never create): $total")
+  }
 }

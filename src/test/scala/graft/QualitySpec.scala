@@ -103,4 +103,20 @@ class QualitySpec extends SparkFunSuite {
     assert(got(0) === (("a", 10.0, 1.0, 1L)))
     assert(got(1) === (("b", 5.0, 0.0, 0L)))
   }
+
+  test("expectations: one pass, per-rule counts, NULL predicate = violation") {
+    import org.apache.spark.sql.functions._
+    val df = Seq[(java.lang.Long, String)]((1L, "a"), (5L, "b"), (null, "a"))
+      .toDF("v", "g")
+    val got = Quality.expectations(df, Seq(
+        "v_small" -> (col("v") < 3),        // NULL v -> violation
+        "g's domain" -> col("g").isin("a"), // quote in the rule name survives
+        "always" -> lit(true)))
+      .orderBy("rule").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got(0) === (("always", 3L, 3L, 0L)))
+    assert(got(1) === (("g's domain", 3L, 2L, 1L)))
+    assert(got(2) === (("v_small", 3L, 1L, 2L)), "NULL comparison counts as failed")
+    intercept[IllegalArgumentException](Quality.expectations(df, Seq.empty))
+  }
 }

@@ -167,7 +167,14 @@ class RelationalSpec extends SparkFunSuite {
       "q_pack_chunks" -> 2,
       "q_chunk_overlap" -> 1,     // presentation sort ONLY: op is shuffle-free
       "q_sessionize" -> 2,
-      "q_topk_orders" -> 0)       // TakeOrderedAndProject
+      "q_topk_orders" -> 0,       // TakeOrderedAndProject
+      "q_salted_join" -> 2,       // dim broadcasts even replicated: agg + sort
+      "q_resample_gapfill" -> 4,  // bucket agg + bounds agg + grid join + LOCF/sort
+      "q_partial_agg_merge" -> 3, // shard partials + merge + sort
+      "q_variant_extract" -> 2,
+      "q_sample_weighted" -> 0,   // A-ES top-k is TakeOrderedAndProject twice
+      "q_expectations" -> 1,      // one agg for N rules; stack is free
+      "q_inverted_index" -> 3)    // distinct + term agg + sort
     for ((name, budget) <- budgets) {
       val n = SparkEntry.queries(name)(ss, "/root/testdata/sf0.001")
         .queryExecution.executedPlan
