@@ -135,9 +135,7 @@ object Vector {
         .select(col("vec_id").cast("int").as("cent_id"), asDouble(col("embedding")).as("cw"))
         .orderBy("cent_id").collect()
         .map(r => (r.getInt(0), r.getSeq[Double](1))).toIndexedSeq
-    def scoredCents(v: Column): Column = array(centVecs.map { case (id, w) =>
-      struct(cosineNative(v, typedlit(w)).as("cos"), lit(-id).as("nid"))
-    }: _*)
+    def scoredCents(v: Column): Column = scoredCentArray(v, centVecs)
     val c = corpus.select(col("vec_id").as("c_id"), asDouble(col("embedding")).as("cv"))
     val lists = c.withColumn("list_id", -array_max(scoredCents(col("cv"))).getField("nid"))
     // probe side: top-nprobe lists per query, still per-row (sort the small
@@ -154,6 +152,66 @@ object Vector {
         Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))))
       .filter(col("rank") <= k)
       .select("q_id", "rank", "c_id", "cos")
+  }
+
+  /** `(cos, -cent_id)` structs per centroid — `array_max` over it reproduces
+    * `ORDER BY cos DESC, cent_id ASC LIMIT 1` as a per-row expression: the
+    * zero-exchange nearest-centroid argmax shared by [[ivfTopK]] and
+    * [[kmeansAssign]]. */
+  private def scoredCentArray(v: Column, cents: Seq[(Int, Seq[Double])]): Column =
+    array(cents.map { case (id, w) =>
+      struct(cosineNative(v, typedlit(w)).as("cos"), lit(-id).as("nid"))
+    }: _*)
+
+  /** Lloyd k-means refinement of the IVF coarse quantizer ([[ivfTopK]]'s
+    * Scaladoc leaves "trained centroids" as the upgrade path — this is the
+    * trainer).  `rounds − 1` re-estimation steps: assign each vector to its
+    * nearest (cosine, ties → lowest id) centroid, recompute per-list
+    * per-dimension means, re-assign.  Returns the final `(c_id, list_id)`
+    * assignment.
+    *
+    * Deterministic cross-engine: assignment compares the same 6-dp-rounded
+    * cosines the DuckDB mirror computes (the [[ivfTopK]] parity pattern);
+    * means accumulate per-dimension in DECIMAL(38,12) then divide as
+    * double/long — both engines land on bit-identical centroids, so
+    * assignments never drift.
+    *
+    * Scale shape: each round is ONE scan with a per-row argmax over the
+    * broadcast (collected, k×dims ≤ a few MB) centroid literals + one
+    * hash aggregation on (list, dim) — no corpus-sized shuffle, no
+    * crossJoin; the only driver state is the k×dims means frame.  Initial
+    * centroids are the first k corpus vectors by id, so every round-1 list
+    * contains at least its own seed vector (no empty-list repair needed for
+    * `rounds = 2`; deeper loops `require` non-emptiness loudly rather than
+    * silently dropping a list). */
+  def kmeansAssign(corpus: DataFrame, k: Int = 8, rounds: Int = 2): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    graft.functions.GraftFunctions.ensureRegistered(corpus.sparkSession)
+    val c = corpus.select(col("vec_id").as("c_id"), asDouble(col("embedding")).as("cv"))
+    var cents: Seq[(Int, Seq[Double])] =
+      corpus.filter(col("vec_id") < k)
+        .select(col("vec_id").cast("int").as("cent_id"), asDouble(col("embedding")).as("cw"))
+        .orderBy("cent_id").collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1))).toIndexedSeq
+    def assigned = c.withColumn("list_id",
+      -array_max(scoredCentArray(col("cv"), cents)).getField("nid"))
+    for (_ <- 2 to rounds) {
+      val means = assigned
+        .select(col("list_id"), posexplode(col("cv")).as(Seq("dim", "val")))
+        .groupBy("list_id", "dim")
+        .agg((sum(col("val").cast(DecimalType(38, 12))).cast(DoubleType)
+          / count(lit(1))).as("m"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (lid, rows) =>
+          (lid, rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq)
+        }.toSeq.sortBy(_._1)
+      require(means.size == cents.size,
+        s"kmeansAssign: ${cents.size - means.size} empty list(s) after a round — " +
+          "re-seed or lower k (silently dropping lists would skew the quantizer)")
+      cents = means
+    }
+    assigned.select(col("c_id"), col("list_id").cast("int").as("list_id"))
   }
 
   /** Symmetric int8 quantization of an embedding vector — the storage layout

@@ -617,7 +617,38 @@ object TextCatalog {
       },
       Some(s"""WITH $ivfSql
          SELECT q_id, CAST(rank AS INT) AS rank, c_id, cos FROM r
-         WHERE rank <= 3 ORDER BY q_id, rank""")))
+         WHERE rank <= 3 ORDER BY q_id, rank""")),
+
+    // Lloyd k-means training for the IVF quantizer (one re-estimation
+    // round): assign → decimal-exact per-dim means → re-assign.  Both
+    // engines compute bit-identical centroids, so the 500 final
+    // assignments hash-match; the corpus never shuffles (argmax over
+    // broadcast centroid literals + one (list, dim) aggregation per round).
+    QueryDef("q_kmeans_refine",
+      (s, dir) => Vector.kmeansAssign(t(s, dir, "embeddings"), k = 8, rounds = 2)
+        .orderBy("c_id"),
+      Some(s"""WITH c0 AS (SELECT vec_id AS cent_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cw
+           FROM embeddings WHERE vec_id < 8),
+         c AS (SELECT vec_id AS c_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv FROM embeddings),
+         a1 AS (SELECT c_id, cv, cent_id,
+             row_number() OVER (PARTITION BY c_id
+               ORDER BY ${cosSql("c.cv", "c0.cw", 64)} DESC, cent_id) AS rn
+           FROM c, c0),
+         l1 AS (SELECT c_id, cv, cent_id AS list_id FROM a1 WHERE rn = 1),
+         rel AS (SELECT list_id, CAST(i AS INT) AS dim, cv[CAST(i AS INT)] AS val
+           FROM l1, range(1, 65) tt(i)),
+         m1 AS (SELECT list_id, dim,
+             CAST(SUM(CAST(val AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS m
+           FROM rel GROUP BY 1, 2),
+         mw AS (SELECT list_id, list(m ORDER BY dim) AS w FROM m1 GROUP BY 1),
+         a2 AS (SELECT c.c_id, mw.list_id,
+             row_number() OVER (PARTITION BY c.c_id
+               ORDER BY ${cosSql("c.cv", "mw.w", 64)} DESC, mw.list_id) AS rn
+           FROM c, mw)
+         SELECT c_id, CAST(list_id AS INT) AS list_id FROM a2 WHERE rn = 1
+         ORDER BY c_id""")))
 
   val multimodal: Seq[QueryDef] = Seq(
 

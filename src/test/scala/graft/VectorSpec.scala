@@ -198,4 +198,34 @@ class VectorSpec extends SparkFunSuite {
       assert(w * 1024.0 === math.rint(w * 1024.0)) // integer/1024 exactly
     }
   }
+
+  test("kmeansAssign: total, deterministic, improves the quantizer it refines") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val n = e.count()
+    def asgMap(rounds: Int) = Vector.kmeansAssign(e, k = 8, rounds = rounds)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val seeded = asgMap(1)  // coarse quantizer (ivfTopK's stand-in)
+    val refined = asgMap(2) // one Lloyd round
+    assert(refined.size === n && refined === asgMap(2), "total + deterministic")
+    assert(refined.values.toSet.subsetOf((0 until 8).toSet))
+    assert(refined.values.toSet.size === 8, "no list starves after refinement")
+    // mean cosine-to-own-centroid must not get worse: recompute both
+    // objectives from the assignments with plain double math (test-side
+    // metric only — ranking gaps far exceed double noise here)
+    def objective(asg: Map[Long, Int]): Double = {
+      val vecs = e.collect().map(r =>
+        r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
+      def cos(a: Seq[Double], b: Seq[Double]) = {
+        val d = a.zip(b).map { case (x, y) => x * y }.sum
+        d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+      }
+      val cents = asg.groupBy(_._2).map { case (lid, m) =>
+        val members = m.keys.map(vecs).toSeq
+        lid -> members.transpose.map(xs => xs.sum / xs.size).toSeq
+      }
+      asg.map { case (id, lid) => cos(vecs(id), cents(lid)) }.sum / asg.size
+    }
+    assert(objective(refined) >= objective(seeded) - 1e-9,
+      "a Lloyd round must not worsen mean cosine to own centroid")
+  }
 }
