@@ -45,8 +45,18 @@ object Streaming {
     * twice with the same checkpoint processes nothing the second time —
     * the reference's idempotency check (S2), without per-file probes. */
   def catchUp(spark: SparkSession, glob: String, schema: StructType,
-              checkpointDir: String, outDir: String): Unit = {
-    val q = spark.readStream.schema(schema).parquet(glob)
+              checkpointDir: String, outDir: String,
+              maxFilesPerTrigger: Option[Int] = None): Unit = {
+    // Backpressure knob: a month-long backlog must not become ONE giant
+    // micro-batch (a single all-or-nothing shuffle + a commit holding the
+    // whole backlog's state).  `maxFilesPerTrigger` caps each batch; with
+    // AvailableNow the stream still drains the full backlog, one bounded
+    // batch at a time, each durably committed — a crash mid-backfill
+    // resumes at the last commit instead of re-reading everything.
+    val src = spark.readStream.schema(schema)
+    val limited = maxFilesPerTrigger
+      .fold(src)(n => src.option("maxFilesPerTrigger", n.toString))
+    val q = limited.parquet(glob)
       .writeStream.format("parquet")
       .option("path", outDir)
       .option("checkpointLocation", checkpointDir)

@@ -34,6 +34,22 @@ class StreamingSpec extends SparkFunSuite {
     assert(spark.read.schema(schema).parquet(out).count() === 3)
   }
 
+  test("catchUp with maxFilesPerTrigger drains a backlog in bounded batches") {
+    val base = Files.createTempDirectory("st1_throttle").toString
+    val src = s"$base/src"; val out = s"$base/out"; val cp = s"$base/cp"
+    for (i <- 1 to 4)
+      Seq((i.toLong, s"v$i")).toDF("id", "v").write.mode("append").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    Streaming.catchUp(spark, src, schema, cp, out, maxFilesPerTrigger = Some(1))
+    assert(spark.read.schema(schema).parquet(out).count() === 4,
+      "AvailableNow must still drain the whole backlog")
+    // each committed micro-batch leaves one file in commits/: 1 file per
+    // trigger -> at least 4 commits (vs exactly 1 for the unthrottled run)
+    val commits = new java.io.File(s"$cp/commits").listFiles()
+      .count(f => f.getName.forall(_.isDigit))
+    assert(commits >= 4, s"expected >= 4 bounded micro-batches, saw $commits")
+  }
+
   test("tumblingCounts buckets by event time") {
     val df = Seq((ts(1), "view"), (ts(2), "view"), (ts(61), "view"), (ts(61), "click"))
       .toDF("ts", "event_type")
