@@ -72,6 +72,46 @@ object Graph {
     labels
   }
 
+  /** Transitive ancestor closure of a FOREST (child→parent edges): every
+    * (node, ancestor, depth ≥ 1) pair — the hierarchy flatten behind
+    * org-chart / category-tree / region-rollup queries, i.e. the engine's
+    * answer to SQL's `WITH RECURSIVE` (which is exactly the DuckDB oracle).
+    *
+    * Frontier iteration: round d extends each depth-d pair by one parent
+    * hop (an equi-join on the CURRENT FRONTIER only, never the accumulated
+    * closure), so total work is O(|closure|) and rounds = forest height.
+    * Results accumulate as a lazy union of per-depth frames, each
+    * localCheckpoint'd (same lineage discipline as the other loops here).
+    * A cycle would never drain the frontier: `require` fails loudly at
+    * `maxDepth` instead of silently truncating ancestry. */
+  def ancestorClosure(edges: DataFrame, childCol: String, parentCol: String,
+                      maxDepth: Int = 30): DataFrame = {
+    val e = edges.select(col(childCol).as("node"), col(parentCol).as("anc"))
+      .distinct().localCheckpoint()
+    var frontier = e.withColumn("depth", lit(1)).localCheckpoint()
+    val layers = scala.collection.mutable.ListBuffer[DataFrame](frontier)
+    var d = 1
+    while (!frontier.isEmpty && d < maxDepth) {
+      val next = frontier
+        .join(e.select(col("node").as("anc"), col("anc").as("__up")), "anc")
+        .select(col("node"), col("__up").as("anc"),
+          (col("depth") + 1).as("depth"))
+        .localCheckpoint()
+      // superseded frontiers stay persisted — they ARE the result layers;
+      // only the working set advances
+      frontier = next
+      if (!next.isEmpty) layers += next
+      d += 1
+    }
+    require(frontier.isEmpty, s"ancestorClosure: frontier alive after $maxDepth " +
+      "hops — cycle in the 'forest', or raise maxDepth for a deeper tree")
+    // materialize the union BEFORE freeing the frames it reads from
+    val out = layers.reduce(_ unionByName _).localCheckpoint()
+    layers.foreach(freeCheckpoint)
+    freeCheckpoint(e)
+    out
+  }
+
   /** Fixed-iteration PageRank over a directed edge list — the canonical
     * "importance over a link graph" statistic (source authority for corpus
     * weighting, hub detection in citation/reference graphs).  Fixed

@@ -1091,6 +1091,26 @@ object Catalog {
            FROM nodes LEFT JOIN s3 ON s3.id = nodes.id)
          SELECT id, rank FROM r3 ORDER BY id""")),
 
+    // Hierarchy flatten — transitive ancestor closure over a synthesized
+    // forest (parent = child div 10: the decimal-digit tree, height
+    // log₁₀ N so depth grows with SF).  Frontier iteration joins only the
+    // current depth layer; the oracle is SQL's native WITH RECURSIVE.
+    QueryDef("q_ancestors",
+      (s, dir) => Graph.ancestorClosure(
+          t(s, dir, "customer").filter(col("c_custkey") >= 10)
+            .select(col("c_custkey").as("child"),
+              expr("c_custkey div 10").as("parent")),
+          "child", "parent")
+        .orderBy("node", "depth"),
+      Some("""WITH RECURSIVE e AS (SELECT c_custkey AS c, c_custkey // 10 AS p
+           FROM customer WHERE c_custkey >= 10),
+         anc AS (
+           SELECT c AS node, p AS anc, 1 AS depth FROM e
+           UNION ALL
+           SELECT a.node, e.p, a.depth + 1 FROM anc a JOIN e ON a.anc = e.c)
+         SELECT node, anc, CAST(depth AS INT) AS depth FROM anc
+         ORDER BY node, depth""")),
+
     // S4 — Textract block→table reconstruction over blocks synthesized from
     // `orders`.  The orderkey→(page,row,col) mapping is injective at EVERY
     // scale factor: (page, row) = (k%2+1, floor(k/2)+1) is a bijection on k,

@@ -204,6 +204,18 @@ object Streaming {
   def dedupStream(stream: DataFrame, keys: Seq[String]): DataFrame =
     stream.dropDuplicates(keys)
 
+  /** The bounded-state form [[dedupStream]]'s Scaladoc prescribes: watermark
+    * on `tsCol` + `dropDuplicatesWithinWatermark` — duplicates arriving
+    * within `horizon` of the first sighting collapse, state older than the
+    * horizon is EVICTED.  At 100 TB/day this is the only sustainable dedup
+    * store (exact dedup state grows with distinct keys forever; replay
+    * storms are always near-in-time, so a horizon covering the source's
+    * redelivery window loses nothing in practice). */
+  def dedupStreamBounded(stream: DataFrame, keys: Seq[String], tsCol: String,
+                         horizon: String): DataFrame =
+    stream.withWatermark(tsCol, horizon)
+      .dropDuplicatesWithinWatermark(keys)
+
   /** Streaming variant with a watermark bounding state: late data beyond
     * `watermark` is dropped and closed windows are evicted from the store. */
   def streamingTumbling(stream: DataFrame, tsCol: String, duration: String,

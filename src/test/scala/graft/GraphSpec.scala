@@ -87,6 +87,19 @@ class GraphSpec extends SparkFunSuite {
     assert(kept.forall(_ % 2 == 0) && kept.length === 100)
   }
 
+  test("ancestorClosure flattens a forest with exact depths; cycles fail loudly") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 3L)).toDF("c", "p")
+    val got = Graph.ancestorClosure(edges, "c", "p")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got === Set(
+      (1L, 2L, 1), (1L, 3L, 2), (1L, 4L, 3),
+      (2L, 3L, 1), (2L, 4L, 2),
+      (3L, 4L, 1),
+      (10L, 3L, 1), (10L, 4L, 2)))
+    val cyc = Seq((1L, 2L), (2L, 1L)).toDF("c", "p")
+    intercept[IllegalArgumentException](Graph.ancestorClosure(cyc, "c", "p", maxDepth = 8))
+  }
+
   test("pageRank on a star graph matches the hand-computed fixpoint shape") {
     // 1→0, 2→0, 3→0: every leaf has outdeg 1 and no in-links, so after the
     // first round each leaf sits at base = 0.15/4 and the hub at

@@ -182,4 +182,20 @@ class StreamingSpec extends SparkFunSuite {
     assert(got.map(r => (r.getAs[String]("event_type"), r.getAs[Long]("n"))).toSeq
       === Seq(("view", 2L), ("click", 1L)))
   }
+
+  test("dedupStreamBounded collapses in-horizon replays (watermark-bounded state)") {
+    val base = Files.createTempDirectory("st5_bounded").toString
+    // key 1 delivered twice (a replay within the horizon), key 2 once
+    Seq((1L, ts(1), "a"), (1L, ts(2), "a-replay"), (2L, ts(3), "b"))
+      .toDF("k", "ts", "v").write.parquet(s"$base/src")
+    val schema = spark.read.parquet(s"$base/src").schema
+    val stream = spark.readStream.schema(schema).parquet(s"$base/src")
+    val q = Streaming.dedupStreamBounded(stream, Seq("k"), "ts", "1 hour")
+      .writeStream.format("memory").queryName("st5_bounded_mem")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("st5_bounded_mem").orderBy("k").collect()
+    assert(got.map(_.getLong(0)).toSeq === Seq(1L, 2L),
+      "one survivor per key; the in-horizon replay is suppressed")
+  }
 }
