@@ -25,6 +25,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_cos"),
       CosineSim.info,
       (children: Seq[Expression]) => CosineSim(children(0), children(1))))
+    // analysis-time guardrail: ban the partition-less ordered Window
+    // engine-wide (graft.plans.PlanGuardrails — conf-gated escape hatch)
+    ext.injectCheckRule(spark => graft.plans.PlanGuardrails.check(spark))
   }
 }
 
