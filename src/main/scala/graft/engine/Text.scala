@@ -309,6 +309,14 @@ object Text {
       LongNumRe, "<NUM>")
 
   // ------------------------------------------------- deterministic sampling
+  /** Registrable host of a URL-ish string — the web-curation group key
+    * (per-domain quotas, blocklists, crawl-politeness accounting all key on
+    * it).  Pure regex capture, shuffle-free; yields "" for non-URLs, which
+    * groups the un-parseable remainder into one visible bucket instead of
+    * dropping it. */
+  def urlHost(c: Column): Column =
+    regexp_extract(c, "^[a-z][a-z0-9+.-]*://([^/:?#]+)", 1)
+
   /** Deterministic, engine-portable sampling predicate: md5-hash the key,
     * keep `permille`/1000 of rows.  Unlike `df.sample` (seed + partition
     * dependent — not reproducible under AQE re-planning or retries), this is

@@ -992,6 +992,40 @@ object Catalog {
            CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
          FROM p GROUP BY 1 ORDER BY 1""")),
 
+    // ST7 — stream-static enrichment: streaming facts ⋈ broadcast static
+    // dim, stateless (no store, no watermark); unmatched facts survive as
+    // NULL-enriched rows.  Aggregated over the enriched sink; oracle = the
+    // equivalent batch left join.
+    QueryDef("q_st7_stream_enrich",
+      (s, dir) => {
+        import s.implicits._
+        val base = Files.createTempDirectory("graft_st7").toString
+        val schema = t(s, dir, "events").schema // ts arrives as long nanos
+        val dim = Seq(("click", 1.5), ("view", 1.0), ("purchase", 5.0),
+          ("signup", 2.0)).toDF("event_type", "weight") // 'error' missing → NULL weight
+        val stream = s.readStream.schema(schema).parquet(s"$dir/events*.parquet")
+        val q = Streaming.enrichStream(stream, dim, Seq("event_type"))
+          .writeStream.format("parquet")
+          .option("path", s"$base/out")
+          .option("checkpointLocation", s"$base/cp")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.read.parquet(s"$base/out")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"),
+            count(col("weight")).as("n_enriched"),
+            dsum(col("value") * coalesce(col("weight"), lit(0.0))).as("weighted_sum"))
+          .orderBy("event_type")
+      },
+      Some("""WITH dim(event_type, weight) AS (VALUES
+           ('click', 1.5), ('view', 1.0), ('purchase', 5.0), ('signup', 2.0))
+         SELECT e.event_type, COUNT(*) AS n_events,
+           COUNT(d.weight) AS n_enriched,
+           CAST(SUM(CAST(e.value * COALESCE(d.weight, 0.0) AS DECIMAL(38,6))) AS DOUBLE) AS weighted_sum
+         FROM events e LEFT JOIN dim d ON e.event_type = d.event_type
+         GROUP BY 1 ORDER BY 1""")),
+
     // Q1 — schema-presence audit (footer-only reads).
     QueryDef("q_q1_schema_audit",
       (s, dir) => Quality.schemaAudit(s,

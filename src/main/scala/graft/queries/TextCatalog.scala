@@ -129,6 +129,31 @@ object TextCatalog {
            COUNT(*) AS n
          FROM m GROUP BY 1, 2 ORDER BY 1, 2""")),
 
+    // Per-domain corpus accounting: extract the registrable host from a
+    // synthesized URL column (source-derived, so domains are dense at every
+    // SF, plus an un-parseable bucket) and aggregate docs/chars per host —
+    // the quota/blocklist grouping of web-corpus curation.
+    QueryDef("q_url_domains",
+      (s, dir) => {
+        val url = when(col("doc_id") % 11 === 0, lit("not a url"))
+          .otherwise(concat(lit("https://"), col("source"),
+            (col("doc_id") % 3).cast("string"), lit(".example.org/p/"),
+            col("doc_id").cast("string")))
+        t(s, dir, "documents")
+          .select(Text.urlHost(url).as("host"), col("n_chars"))
+          .groupBy("host")
+          .agg(count(lit(1)).as("n_docs"), lsum(col("n_chars")).as("n_chars"))
+          .orderBy("host")
+      },
+      Some("""WITH u AS (SELECT CASE WHEN doc_id % 11 = 0 THEN 'not a url'
+             ELSE 'https://' || source || CAST(doc_id % 3 AS VARCHAR)
+               || '.example.org/p/' || CAST(doc_id AS VARCHAR) END AS url,
+             n_chars
+           FROM documents)
+         SELECT regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1) AS host,
+           COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS n_chars
+         FROM u GROUP BY 1 ORDER BY 1""")),
+
     QueryDef("q_fingerprint",
       (s, dir) => t(s, dir, "documents")
         .select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))

@@ -216,6 +216,16 @@ object Streaming {
     stream.withWatermark(tsCol, horizon)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** ST7 — stream-static enrichment: join a streaming fact to a STATIC
+    * reference frame by broadcast.  Stateless — no store, no watermark: the
+    * static side is (re)resolved per micro-batch, so a small dim can even
+    * be swapped under the running query (classic reference-data join).
+    * Left join: an unmatched fact row must flow through enriched-with-NULL,
+    * not vanish (dropping telemetry because a lookup table lags is the
+    * reference-data bug this guards against). */
+  def enrichStream(stream: DataFrame, dim: DataFrame, keys: Seq[String]): DataFrame =
+    stream.join(broadcast(dim), keys, "left")
+
   /** Streaming variant with a watermark bounding state: late data beyond
     * `watermark` is dropped and closed windows are evicted from the store. */
   def streamingTumbling(stream: DataFrame, tsCol: String, duration: String,
