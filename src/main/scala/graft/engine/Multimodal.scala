@@ -76,4 +76,25 @@ object Multimodal {
         aggregate(sequence(lit(1), length(col(textCol)), lit(stride)), lit(0L),
           (acc, i) => acc + ascii(col(textCol).substr(i, lit(1)))))
         .otherwise(lit(0L)))
+
+  /** Every-`stride`-th-frame explode: one output ROW per sampled frame with
+    * a per-frame signature — the batch shape a video pipeline hands to the
+    * embedding stage (decode is the stub; the row-per-frame plumbing,
+    * explode fanout, and downstream schema are the real thing).  Frame
+    * count mirrors [[decodeStub]]'s fake (1 + len % 8); the signature
+    * probes a deterministic byte per frame.  Pure column expressions —
+    * shuffle-free, prunable, and empty payloads take the explicit
+    * zero-frame guard rather than feeding `pmod(_, 0)`. */
+  def sampleFrames(df: DataFrame, idCol: String, textCol: String,
+                   stride: Int): DataFrame = {
+    val len = length(col(textCol))
+    df.withColumn("n_frames", (lit(1) + len % 8).cast(IntegerType))
+      .withColumn("frame_idx",
+        explode(sequence(lit(0), col("n_frames") - 1, lit(stride))))
+      .withColumn("frame_sig",
+        when(len >= 1,
+          ascii(col(textCol).substr(pmod(col("frame_idx") * 7, len) + 1, lit(1))))
+          .otherwise(lit(0)).cast(LongType))
+      .select(col(idCol), col("n_frames"), col("frame_idx"), col("frame_sig"))
+  }
 }

@@ -594,7 +594,27 @@ object Catalog {
              CAST(json_extract_string(props, '$.k') AS BIGINT) AS kv FROM events)
          SELECT event_type, COUNT(*) AS n, CAST(SUM(kv) AS BIGINT) AS sum_k,
            MIN(kv) AS min_k, MAX(kv) AS max_k
-         FROM d GROUP BY 1 ORDER BY 1"""))
+         FROM d GROUP BY 1 ORDER BY 1""")),
+
+    // J1f — NULL-safe equi-join (`<=>` ≡ IS NOT DISTINCT FROM): NULL keys
+    // MATCH each other instead of silently joining to nothing — the
+    // semantics entity-resolution on dirty keys needs (a plain `=` join
+    // drops every NULL-keyed row from both sides without a trace).  Still
+    // hash-joinable: null-safe equality is an equi-join key for Spark.
+    QueryDef("q_null_safe_join",
+      (s, dir) => {
+        val a = stage(s, dir).select(col("herd_name"), col("year").as("ya"))
+        val b = stage(s, dir).select(col("herd_name").as("hb"), col("year").as("yb"))
+        a.join(b, col("herd_name") <=> col("hb"))
+          .groupBy("herd_name")
+          .agg(count(lit(1)).as("n_pairs"), lsum(col("ya") + col("yb")).as("sum_years"))
+          .orderBy(col("herd_name").asc_nulls_first)
+      },
+      Some(s"""WITH $stageSql
+         SELECT a.herd_name, COUNT(*) AS n_pairs,
+           CAST(SUM(a.year + b.year) AS BIGINT) AS sum_years
+         FROM stage a JOIN stage b ON a.herd_name IS NOT DISTINCT FROM b.herd_name
+         GROUP BY 1 ORDER BY 1 NULLS FIRST"""))
   )
 
   // ---------------------------------------------------- reference pipeline ops

@@ -727,6 +727,23 @@ object TextCatalog {
              ELSE 0 END AS BIGINT) AS sample_checksum
          FROM documents ORDER BY doc_id""")),
 
+    // Frame-sampling explode: one row per every-2nd sampled frame with a
+    // per-frame byte-probe signature — the row-per-frame fanout a video
+    // pipeline feeds to embedding; decode itself stays the stub, the
+    // explode shape and schema are real.  Shuffle-free Generate.
+    QueryDef("q_frame_sample",
+      (s, dir) => Multimodal.sampleFrames(t(s, dir, "documents"), "doc_id", "text", 2)
+        .orderBy("doc_id", "frame_idx"),
+      Some("""WITH f AS (SELECT doc_id, text,
+             CAST(1 + length(text) % 8 AS INT) AS n_frames FROM documents),
+         x AS (SELECT doc_id, n_frames, text,
+             CAST(unnest(range(0, n_frames, 2)) AS INT) AS frame_idx FROM f)
+         SELECT doc_id, n_frames, frame_idx,
+           CAST(CASE WHEN length(text) >= 1
+             THEN ascii(substr(text, (frame_idx * 7) % length(text) + 1, 1))
+             ELSE 0 END AS BIGINT) AS frame_sig
+         FROM x ORDER BY doc_id, frame_idx""")),
+
     // STUB decoder plumbing (mapPartitions over binary payloads).  The fake
     // codec is deterministic byte math (width/height/frames from length and
     // first byte — Multimodal.decodeStub), so the oracle can mirror it
