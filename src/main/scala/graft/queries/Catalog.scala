@@ -596,6 +596,30 @@ object Catalog {
            MIN(kv) AS min_k, MAX(kv) AS max_k
          FROM d GROUP BY 1 ORDER BY 1""")),
 
+    // IVM — incremental join maintenance: refresh a materialized
+    // orders⋈customer with three delta-sized joins (ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB)
+    // instead of re-joining the snapshots; the oracle is the full
+    // recomputed join, which the incremental result must equal exactly.
+    QueryDef("q_incremental_join",
+      (s, dir) => {
+        val o = t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+        val c = t(s, dir, "customer").select("c_custkey", "c_mktsegment")
+          .withColumnRenamed("c_custkey", "o_custkey")
+        val (oldO, dO) = (o.filter(col("o_orderkey") % 10 =!= 0),
+          o.filter(col("o_orderkey") % 10 === 0))
+        val (oldC, dC) = (c.filter(col("o_custkey") % 7 =!= 0),
+          c.filter(col("o_custkey") % 7 === 0))
+        val oldJoin = oldO.join(oldC, Seq("o_custkey"))
+        Relational.incrementalJoin(oldJoin, oldO, dO, oldC, dC, Seq("o_custkey"))
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY 1 ORDER BY 1""")),
+
     // J1f — NULL-safe equi-join (`<=>` ≡ IS NOT DISTINCT FROM): NULL keys
     // MATCH each other instead of silently joining to nothing — the
     // semantics entity-resolution on dirty keys needs (a plain `=` join

@@ -351,6 +351,18 @@ class RelationalSpec extends SparkFunSuite {
     assert(kept(5).isEmpty && kept(1000) === (1L to 10L).toSet)
   }
 
+  test("incrementalJoin equals the full recomputed join (append-only IVM)") {
+    val a = (1L to 100L).map(i => (i % 11, i)).toDF("k", "va")
+    val b = (1L to 40L).map(i => (i % 11, i * 10)).toDF("k", "vb")
+    val (a0, da) = (a.filter($"va" % 3 =!= 0), a.filter($"va" % 3 === 0))
+    val (b0, db) = (b.filter($"vb" % 40 =!= 0), b.filter($"vb" % 40 === 0))
+    val inc = Relational.incrementalJoin(
+      a0.join(b0, Seq("k")), a0, da, b0, db, Seq("k"))
+    val full = a.join(b, Seq("k"))
+    assert(inc.count() === full.count(), "multiset cardinality must match")
+    assert(inc.except(full).isEmpty && full.except(inc).isEmpty)
+  }
+
   test("saltedJoin equals the plain join at any salt count (incl. 1)") {
     val big = (1L to 1000L).map(i => (s"k${i % 3}", i)).toDF("k", "v")
     val small = Seq(("k0", 10L), ("k1", 20L), ("k2", 30L), ("k9", 99L)).toDF("k", "w")
