@@ -3,7 +3,7 @@ package graft.engine
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DecimalType, LongType}
 
 /** Text-analysis and deduplication operators for LLM-data pipelines
   * (BASELINE.json north_star; beyond the reference's own surface).
@@ -309,6 +309,34 @@ object Text {
       LongNumRe, "<NUM>")
 
   // ------------------------------------------------- deterministic sampling
+  /** Shannon entropy (bits/char) of each document's character distribution
+    * — the compression-proxy quality signal: keyboard mashing and
+    * single-char runs sit at the extremes of the entropy range while
+    * natural text clusters in the middle, making this the cheap gibberish
+    * gate that needs no language model.
+    *
+    * Cross-engine determinism: `p = n/total` is BIGINT/BIGINT → exact
+    * double in both engines; each `−p·log2 p` term is rounded to 9 dp
+    * BEFORE the sum (libm `log2` may differ in the last ulp across
+    * engines — at 9 dp a flip needs the value within ~1e-17 of a grid
+    * boundary), and the rounded terms accumulate in DECIMAL(38,9), so the
+    * sum is order-independent and exact.  Two aggregations on the doc key
+    * (char histogram, then the entropy sum) — shuffle-bounded by distinct
+    * (doc, char) pairs, never corpus text size. */
+  def charEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val freq = df
+      .select(col(idCol), explode(split(col(textCol), "")).as("ch"))
+      .filter(col("ch") =!= "")
+      .groupBy(idCol, "ch").agg(count(lit(1)).as("n"))
+    val tot = freq.groupBy(idCol).agg(sum("n").cast(LongType).as("__total"))
+    val p = col("n") / col("__total")
+    freq.join(tot, idCol)
+      .withColumn("__term", round(-p * log2(p), 9))
+      .groupBy(idCol)
+      .agg(sum(col("__term").cast(DecimalType(38, 9)))
+        .cast("double").as("entropy_bits"))
+  }
+
   /** Registrable host of a URL-ish string — the web-curation group key
     * (per-domain quotas, blocklists, crawl-politeness accounting all key on
     * it).  Pure regex capture, shuffle-free; yields "" for non-URLs, which

@@ -84,6 +84,22 @@ object TextCatalog {
 
   val textAnalysis: Seq[QueryDef] = Seq(
 
+    // Shannon char entropy — the compression-proxy gibberish gate.  Terms
+    // rounded to 9 dp before a decimal-exact sum, so both engines land on
+    // the identical double (see Text.charEntropy).
+    QueryDef("q_char_entropy",
+      (s, dir) => Text.charEntropy(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some("""WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
+         f AS (SELECT doc_id, ch, COUNT(*) AS n FROM ch WHERE ch <> '' GROUP BY 1, 2),
+         tt AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS total FROM f GROUP BY 1),
+         terms AS (SELECT f.doc_id,
+             round(-(f.n / tt.total) * log2(f.n / tt.total), 9) AS term
+           FROM f JOIN tt ON f.doc_id = tt.doc_id)
+         SELECT doc_id,
+           CAST(SUM(CAST(term AS DECIMAL(38,9))) AS DOUBLE) AS entropy_bits
+         FROM terms GROUP BY 1 ORDER BY 1""")),
+
     QueryDef("q_text_quality",
       (s, dir) => {
         val cols = Text.qualityColumns(col("text"))
