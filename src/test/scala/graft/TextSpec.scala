@@ -178,6 +178,22 @@ class TextSpec extends SparkFunSuite {
     assert(got(0)._3 === got(1)._3)
   }
 
+  test("charEntropy: closed-form values for uniform and single-char texts") {
+    val df = Seq((1L, "aabb"), (2L, "aaaa"), (3L, "abcd")).toDF("id", "text")
+    val got = Text.charEntropy(df, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(1L) === 1.0, "two equiprobable symbols = 1 bit")
+    assert(got(2L) === 0.0, "a single repeated symbol carries no information")
+    assert(got(3L) === 2.0, "four equiprobable symbols = 2 bits")
+  }
+
+  test("urlHost extracts the host and groups non-URLs into the empty bucket") {
+    val df = Seq("https://a.example.org/p/1", "ftp://x.y:21/f",
+      "not a url", "https://bare").toDF("u")
+    val got = df.select(Text.urlHost(col("u")).as("h")).collect().map(_.getString(0))
+    assert(got.toSeq === Seq("a.example.org", "x.y", "", "bare"))
+  }
+
   test("sampleWeighted: deterministic, exactly k rows, identity when k >= n") {
     val df = (1L to 100L).map(i => (i, (i % 10 + 1).toDouble)).toDF("id", "w")
     def pick(k: Int) = Text.sampleWeighted(df, "id", col("w"), k)
