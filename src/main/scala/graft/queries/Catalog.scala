@@ -596,6 +596,27 @@ object Catalog {
            MIN(kv) AS min_k, MAX(kv) AS max_k
          FROM d GROUP BY 1 ORDER BY 1""")),
 
+    // Typed Aggregator UDAF — the custom-aggregation surface: a weighted
+    // mean whose partial states are decimal sums (merge-order independent
+    // under any partitioning/AQE/retry), quantized exactly as Catalyst's
+    // double→DECIMAL(38,6) cast so the SQL oracle reproduces it.
+    QueryDef("q_typed_udaf",
+      (s, dir) => {
+        val wmean = udaf(new graft.functions.WeightedMean(),
+          org.apache.spark.sql.Encoders.product[(Double, Double)])
+        val w = ((col("c_custkey") % 10) + 1).cast(DoubleType)
+        t(s, dir, "customer")
+          .groupBy("c_mktsegment")
+          .agg(wmean(col("c_acctbal"), w).as("wmean_bal"),
+            count(lit(1)).as("n"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment,
+           CAST(SUM(CAST(c_acctbal * (c_custkey % 10 + 1) AS DECIMAL(38,6))) AS DOUBLE)
+             / CAST(SUM(CAST(c_custkey % 10 + 1 AS DECIMAL(38,6))) AS DOUBLE) AS wmean_bal,
+           COUNT(*) AS n
+         FROM customer GROUP BY 1 ORDER BY 1""")),
+
     // IVM — incremental join maintenance: refresh a materialized
     // orders⋈customer with three delta-sized joins (ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB)
     // instead of re-joining the snapshots; the oracle is the full
