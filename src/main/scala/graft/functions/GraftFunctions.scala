@@ -28,6 +28,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // analysis-time guardrail: ban the partition-less ordered Window
     // engine-wide (graft.plans.PlanGuardrails — conf-gated escape hatch)
     ext.injectCheckRule(spark => graft.plans.PlanGuardrails.check(spark))
+    // whole-operator extension: per-key bounded-heap top-k
+    // (graft.plans.TopKPerKey — logical node + strategy + physical exec)
+    ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
   }
 }
 

@@ -596,6 +596,23 @@ object Catalog {
            MIN(kv) AS min_k, MAX(kv) AS max_k
          FROM d GROUP BY 1 ORDER BY 1""")),
 
+    // Custom whole-operator plan — per-key bounded-heap top-k
+    // (TopKPerKeyPlan → Strategy → Exec, injected via extensions): one
+    // pass, O(keys×k) state, NO per-partition sort — the window-rank
+    // equivalent (and the DuckDB oracle) sorts every group in full.
+    QueryDef("q_custom_topk",
+      (s, dir) => graft.plans.TopKPerKey(
+          t(s, dir, "customer").select("c_mktsegment", "c_custkey", "c_acctbal"),
+          Seq("c_mktsegment"),
+          Seq(col("c_acctbal").desc, col("c_custkey").asc), 3)
+        .orderBy(col("c_mktsegment"), col("c_acctbal").desc, col("c_custkey")),
+      Some("""SELECT c_mktsegment, c_custkey, c_acctbal FROM (
+           SELECT c_mktsegment, c_custkey, c_acctbal,
+             row_number() OVER (PARTITION BY c_mktsegment
+               ORDER BY c_acctbal DESC, c_custkey) AS rn
+           FROM customer)
+         WHERE rn <= 3 ORDER BY c_mktsegment, c_acctbal DESC, c_custkey""")),
+
     // Typed Aggregator UDAF — the custom-aggregation surface: a weighted
     // mean whose partial states are decimal sums (merge-order independent
     // under any partitioning/AQE/retry), quantized exactly as Catalyst's

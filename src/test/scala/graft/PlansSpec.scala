@@ -28,6 +28,31 @@ class PlansSpec extends SparkFunSuite {
         .queryExecution.analyzed)
   }
 
+  test("TopKPerKey equals the window-rank filter and plans a heap, not a sort") {
+    import org.apache.spark.sql.execution.SortExec
+    val df = (1L to 2000L)
+      .map(i => (s"g${i % 7}", i, (i * 37 % 1000).toDouble)).toDF("g", "id", "x")
+    val got = graft.plans.TopKPerKey(df, Seq("g"), Seq($"x".desc, $"id".asc), 5)
+    val exp = df.withColumn("rn", row_number().over(
+        W.partitionBy("g").orderBy($"x".desc, $"id".asc)))
+      .filter($"rn" <= 5).drop("rn")
+    val gotSet = got.collect().map(_.toString).toSet
+    assert(gotSet.size === 35 && gotSet === exp.collect().map(_.toString).toSet,
+      "bounded-heap result must equal the full-sort window form")
+    val plan = got.queryExecution.sparkPlan
+    assert(plan.collect { case e: graft.plans.TopKPerKeyExec => e }.nonEmpty,
+      "the custom exec must actually plan")
+    assert(plan.collect { case s: SortExec => s }.isEmpty,
+      "no sort anywhere: that is the point of the operator")
+  }
+
+  test("TopKPerKey truncates each key independently and keeps whole rows intact") {
+    val df = Seq(("a", 1L, 9.0), ("a", 2L, 8.0), ("b", 3L, 1.0)).toDF("g", "id", "x")
+    val got = graft.plans.TopKPerKey(df, Seq("g"), Seq($"x".desc, $"id".asc), 1)
+      .orderBy("g").collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq === Seq(("a", 1L, 9.0), ("b", 3L, 1.0)))
+  }
+
   test("guardrail honors the conf escape hatch for knowingly-bounded inputs") {
     val df = Seq((1L, "a")).toDF("k", "v")
     val bad = df.withColumn("rn", row_number().over(W.orderBy("k")))
