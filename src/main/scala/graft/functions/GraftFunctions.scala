@@ -31,6 +31,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // whole-operator extension: per-key bounded-heap top-k
     // (graft.plans.TopKPerKey — logical node + strategy + physical exec)
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
+    // optimizer rewrite: Project(Filter(row_number <= k, Window)) with the
+    // rank dropped → the heap operator, automatically (conf-gated)
+    ext.injectOptimizerRule(_ => graft.plans.RewriteRankFilterToTopK)
   }
 }
 

@@ -53,6 +53,43 @@ class PlansSpec extends SparkFunSuite {
     assert(got.toSeq === Seq(("a", 1L, 9.0), ("b", 3L, 1.0)))
   }
 
+  test("optimizer rule rewrites dropped-rank rn<=k windows to the heap operator") {
+    val ss = spark.newSession().asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    ss.experimental.extraOptimizations = Seq(graft.plans.RewriteRankFilterToTopK)
+    ss.experimental.extraStrategies = Seq(graft.plans.TopKPerKeyStrategy)
+    import ss.implicits._
+    val df = (1L to 500L).map(i => (s"g${i % 5}", i, (i * 13 % 97).toDouble))
+      .toDF("g", "id", "x")
+    def query = df.withColumn("rn", row_number().over(
+        W.partitionBy("g").orderBy($"x".desc, $"id")))
+      .filter($"rn" <= 4).drop("rn")
+
+    def heapNodes(q: org.apache.spark.sql.DataFrame) =
+      q.queryExecution.sparkPlan.collect { case e: graft.plans.TopKPerKeyExec => e }
+    assert(heapNodes(query).nonEmpty,
+      "rank-dropped filter must re-plan onto the heap operator")
+    val rewritten = query.collect().map(_.toString).toSet
+
+    // conf gate off: same query, stock window plan — and the ROWS agree
+    ss.conf.set(graft.plans.RewriteRankFilterToTopK.ConfKey, "false")
+    val stock = query
+    assert(heapNodes(stock).isEmpty, "conf off must restore the window plan")
+    assert(stock.collect().map(_.toString).toSet === rewritten,
+      "rewrite must be row-for-row equivalent")
+    ss.conf.set(graft.plans.RewriteRankFilterToTopK.ConfKey, "true")
+
+    // a query that KEEPS the rank column must never rewrite
+    val keepsRank = df.withColumn("rn", row_number().over(
+        W.partitionBy("g").orderBy($"x".desc, $"id")))
+      .filter($"rn" <= 4)
+    assert(heapNodes(keepsRank).isEmpty, "surviving rank blocks the rewrite")
+
+    // dedupLastWins (rn = 1, dropped) is the k = 1 instance
+    val dedup = graft.engine.Upsert.dedupLastWins(df, Seq("g"), Seq($"x".desc, $"id".asc))
+    assert(heapNodes(dedup).nonEmpty, "last-wins dedup must ride the heap too")
+    assert(dedup.collect().length === 5)
+  }
+
   test("guardrail honors the conf escape hatch for knowingly-bounded inputs") {
     val df = Seq((1L, "a")).toDF("k", "v")
     val bad = df.withColumn("rn", row_number().over(W.orderBy("k")))
