@@ -50,6 +50,7 @@ object Bench {
     "q_tfidf_top_term",         // corpus-wide TF-IDF
     "q_corpus_pipeline",        // end-to-end corpus assembly
     "q_sessionize",             // sessionization
+    "q_custom_topk",            // custom heap operator
     "q_st6_stream_stream_join") // streaming join
 
   def main(args: Array[String]): Unit = {

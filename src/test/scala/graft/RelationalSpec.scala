@@ -174,7 +174,8 @@ class RelationalSpec extends SparkFunSuite {
       "q_variant_extract" -> 2,
       "q_sample_weighted" -> 0,   // A-ES top-k is TakeOrderedAndProject twice
       "q_expectations" -> 1,      // one agg for N rules; stack is free
-      "q_inverted_index" -> 3)    // distinct + term agg + sort
+      "q_inverted_index" -> 3,    // distinct + term agg + sort
+      "q_custom_topk" -> 2)       // key exchange + presentation sort, NO group sort
     for ((name, budget) <- budgets) {
       val n = SparkEntry.queries(name)(ss, "/root/testdata/sf0.001")
         .queryExecution.executedPlan
