@@ -109,6 +109,28 @@ object Quality {
           .cast("long").as("n_outliers"))
   }
 
+  /** Winsorization — clip each value to its GROUP's [lo, hi] exact
+    * quantiles: the standard outlier treatment when rows must be kept (a
+    * MAD gate drops them; winsorizing caps them), e.g. before computing
+    * means that a single fat-finger value would drag.  Same scale shape as
+    * [[robustOutliers]]: one exact-percentile aggregation on the group key,
+    * per-group bounds broadcast back, then a per-row element-wise clip —
+    * no second data-sized shuffle.  Exact `percentile` ≡ DuckDB
+    * `quantile_cont`; swap for `percentile_approx` at corpus scale. */
+  def winsorize(df: DataFrame, groupCol: String, valueCol: String,
+                lo: Double, hi: Double): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(lo >= 0 && hi <= 1 && lo < hi, s"winsorize: need 0 <= lo < hi <= 1, got [$lo, $hi]")
+    val v = col(valueCol).cast("double")
+    val bounds = df.groupBy(groupCol).agg(
+      percentile(v, lit(lo)).as("__lo"), percentile(v, lit(hi)).as("__hi"))
+    df.join(broadcast(bounds), Seq(groupCol))
+      .withColumn(s"${valueCol}_w",
+        when(v < col("__lo"), col("__lo"))
+          .when(v > col("__hi"), col("__hi")).otherwise(v))
+      .drop("__lo", "__hi")
+  }
+
   /** Expectation suite — declarative data-quality rules evaluated in ONE
     * pass (the Deequ/dbt-test shape): each rule is a (name, boolean
     * predicate Column); the result is one row per rule with total / pass /

@@ -596,6 +596,62 @@ object Catalog {
            MIN(kv) AS min_k, MAX(kv) AS max_k
          FROM d GROUP BY 1 ORDER BY 1""")),
 
+    // Winsorized aggregation: clip to per-group exact [p05, p95] before
+    // summing — the keep-the-row outlier treatment (vs the MAD gate's
+    // drop).  One percentile agg + broadcast bounds + element-wise clip.
+    QueryDef("q_winsorize",
+      (s, dir) => Quality.winsorize(
+          t(s, dir, "lineitem").select("l_returnflag", "l_extendedprice"),
+          "l_returnflag", "l_extendedprice", 0.05, 0.95)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          dsum(col("l_extendedprice_w")).as("sum_clipped"),
+          lsum((col("l_extendedprice_w") =!= col("l_extendedprice"))
+            .cast(IntegerType)).as("n_clipped"))
+        .orderBy("l_returnflag"),
+      Some("""WITH b AS (SELECT l_returnflag,
+             quantile_cont(l_extendedprice, 0.05) AS lo,
+             quantile_cont(l_extendedprice, 0.95) AS hi
+           FROM lineitem GROUP BY 1),
+         w AS (SELECT l.l_returnflag,
+             CASE WHEN l_extendedprice < lo THEN lo
+                  WHEN l_extendedprice > hi THEN hi
+                  ELSE l_extendedprice END AS vw,
+             l_extendedprice AS v
+           FROM lineitem l JOIN b ON l.l_returnflag = b.l_returnflag)
+         SELECT l_returnflag, COUNT(*) AS n,
+           CAST(SUM(CAST(vw AS DECIMAL(38,6))) AS DOUBLE) AS sum_clipped,
+           CAST(SUM(CAST(vw <> v AS INT)) AS BIGINT) AS n_clipped
+         FROM w GROUP BY 1 ORDER BY 1""")),
+
+    // Funnel analysis — ordered conversion steps (view → click → purchase)
+    // from one conditional aggregation per user: first-touch timestamps via
+    // min(CASE), stage predicates as ordered comparisons.  One shuffle on
+    // the user key for any number of funnel stages.
+    QueryDef("q_funnel",
+      (s, dir) => {
+        def firstTs(t0: String) =
+          min(when(col("event_type") === t0, col("ts"))).as(s"ts_$t0")
+        events(s, dir)
+          .groupBy("user_id")
+          .agg(firstTs("view"), firstTs("click"), firstTs("purchase"))
+          .agg(count(lit(1)).as("n_users"),
+            lsum(col("ts_view").isNotNull.cast(IntegerType)).as("n_view"),
+            lsum((col("ts_view") < col("ts_click")).cast(IntegerType)).as("n_view_click"),
+            lsum((col("ts_view") < col("ts_click") &&
+              col("ts_click") < col("ts_purchase")).cast(IntegerType)).as("n_full_funnel"))
+      },
+      Some("""WITH u AS (SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS tv,
+             MIN(CASE WHEN event_type = 'click' THEN ts END) AS tc,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS tp
+           FROM events GROUP BY 1)
+         SELECT COUNT(*) AS n_users,
+           CAST(SUM(CAST(tv IS NOT NULL AS INT)) AS BIGINT) AS n_view,
+           CAST(SUM(CAST(tv < tc AS INT)) AS BIGINT) AS n_view_click,
+           CAST(SUM(CAST(tv < tc AND tc < tp AS INT)) AS BIGINT) AS n_full_funnel
+         FROM u""")),
+
     // Custom whole-operator plan — per-key bounded-heap top-k
     // (TopKPerKeyPlan → Strategy → Exec, injected via extensions): one
     // pass, O(keys×k) state, NO per-partition sort — the window-rank
