@@ -650,7 +650,7 @@ object Catalog {
            CAST(SUM(CAST(tv IS NOT NULL AS INT)) AS BIGINT) AS n_view,
            CAST(SUM(CAST(tv < tc AS INT)) AS BIGINT) AS n_view_click,
            CAST(SUM(CAST(tv < tc AND tc < tp AS INT)) AS BIGINT) AS n_full_funnel
-         FROM u""")),
+         FROM u ORDER BY n_users""")),
 
     // Custom whole-operator plan — per-key bounded-heap top-k
     // (TopKPerKeyPlan → Strategy → Exec, injected via extensions): one
