@@ -170,6 +170,35 @@ object TextCatalog {
            COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS n_chars
          FROM u GROUP BY 1 ORDER BY 1""")),
 
+    // Per-domain quota cap — web-curation composition riding the CUSTOM
+    // heap operator: keep the k longest docs per domain (quota against
+    // crawler-farm domination of the mix).  TopKPerKey gives one pass +
+    // O(domains×k) state where the window form sorts every domain group;
+    // the oracle is the equivalent window-rank SQL.
+    QueryDef("q_domain_quota",
+      (s, dir) => {
+        val url = concat(lit("https://"), col("source"),
+          (col("doc_id") % 3).cast("string"), lit(".example.org/p/"),
+          col("doc_id").cast("string"))
+        val hosted = t(s, dir, "documents")
+          .select(Text.urlHost(url).as("host"), col("doc_id"), col("n_chars"))
+        graft.plans.TopKPerKey(hosted, Seq("host"),
+            Seq(col("n_chars").desc, col("doc_id").asc), 3)
+          .orderBy(col("host"), col("n_chars").desc, col("doc_id"))
+      },
+      Some("""WITH u AS (SELECT
+             regexp_extract('https://' || source || CAST(doc_id % 3 AS VARCHAR)
+               || '.example.org/p/' || CAST(doc_id AS VARCHAR),
+               '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1) AS host,
+             doc_id, n_chars
+           FROM documents),
+         r AS (SELECT host, doc_id, n_chars,
+             row_number() OVER (PARTITION BY host
+               ORDER BY n_chars DESC, doc_id) AS rn
+           FROM u)
+         SELECT host, doc_id, n_chars FROM r WHERE rn <= 3
+         ORDER BY host, n_chars DESC, doc_id""")),
+
     QueryDef("q_fingerprint",
       (s, dir) => t(s, dir, "documents")
         .select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
