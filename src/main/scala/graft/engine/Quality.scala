@@ -131,6 +131,32 @@ object Quality {
       .drop("__lo", "__hi")
   }
 
+  /** Per-group z-score standardization from EXACT moments: one aggregation
+    * collects (n, Σx, Σx²) with decimal accumulation (the q_corr_moments
+    * discipline — double co-moment accumulation is partition-order
+    * dependent), the per-group (mean, std) frame broadcasts back, and the
+    * score is element-wise.  Population variance via `Σx²/n − mean²`,
+    * floored at 0 (cancellation can dip epsilon-negative — deterministically
+    * so, but sqrt would NaN); zero-variance groups score 0, not NaN/∞.
+    * The feature-scaling primitive; same shape at any corpus size: one
+    * shuffle on the group key plus a broadcast join. */
+  def zscore(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val v = col(valueCol).cast(DoubleType)
+    val m = df.groupBy(groupCol).agg(
+      count(valueCol).as("__n"),
+      sum(v.cast(DecimalType(38, 6))).cast(DoubleType).as("__s"),
+      sum((v * v).cast(DecimalType(38, 6))).cast(DoubleType).as("__ss"))
+    val mean = col("__s") / col("__n")
+    val variance = greatest(col("__ss") / col("__n") - mean * mean, lit(0.0))
+    val std = sqrt(variance)
+    df.join(broadcast(m), Seq(groupCol))
+      .withColumn(s"${valueCol}_z",
+        when(std > 0, (v - mean) / std).otherwise(lit(0.0)))
+      .drop("__n", "__s", "__ss")
+  }
+
   /** Expectation suite — declarative data-quality rules evaluated in ONE
     * pass (the Deequ/dbt-test shape): each rule is a (name, boolean
     * predicate Column); the result is one row per rule with total / pass /

@@ -596,6 +596,32 @@ object Catalog {
            MIN(kv) AS min_k, MAX(kv) AS max_k
          FROM d GROUP BY 1 ORDER BY 1""")),
 
+    // Per-group z-score standardization from exact decimal moments; the
+    // audit aggregates |z| > 2 counts and the (≈0) per-group z sum.
+    QueryDef("q_zscore",
+      (s, dir) => Quality.zscore(
+          t(s, dir, "lineitem").select("l_returnflag", "l_quantity"),
+          "l_returnflag", "l_quantity")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          lsum((abs(col("l_quantity_z")) > 2.0).cast(IntegerType)).as("n_tail"),
+          dsum(col("l_quantity_z")).as("z_sum"))
+        .orderBy("l_returnflag"),
+      Some("""WITH m AS (SELECT l_returnflag,
+             COUNT(l_quantity) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS s,
+             CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS ss
+           FROM lineitem GROUP BY 1),
+         z AS (SELECT l.l_returnflag,
+             CASE WHEN sqrt(GREATEST(ss / n - (s / n) * (s / n), 0.0)) > 0
+               THEN (l_quantity - s / n) / sqrt(GREATEST(ss / n - (s / n) * (s / n), 0.0))
+               ELSE 0.0 END AS zv
+           FROM lineitem l JOIN m ON l.l_returnflag = m.l_returnflag)
+         SELECT l_returnflag, COUNT(*) AS n,
+           CAST(SUM(CAST(abs(zv) > 2.0 AS INT)) AS BIGINT) AS n_tail,
+           CAST(SUM(CAST(zv AS DECIMAL(38,6))) AS DOUBLE) AS z_sum
+         FROM z GROUP BY 1 ORDER BY 1""")),
+
     // Winsorized aggregation: clip to per-group exact [p05, p95] before
     // summing — the keep-the-row outlier treatment (vs the MAD gate's
     // drop).  One percentile agg + broadcast bounds + element-wise clip.
