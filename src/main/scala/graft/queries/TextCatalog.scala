@@ -872,7 +872,65 @@ object TextCatalog {
       Some("""WITH w AS (SELECT string_split(trim(text), ' ') AS wds FROM documents),
          b AS (SELECT unnest(list_transform(range(1, len(wds)), i -> wds[i] || ' ' || wds[i+1])) AS bigram FROM w)
          SELECT bigram, COUNT(*) AS n FROM b GROUP BY 1
-         ORDER BY n DESC, bigram LIMIT 20"""))
+         ORDER BY n DESC, bigram LIMIT 20""")),
+
+    // N-gram novelty: the share of a doc's distinct shingles seen NOWHERE
+    // else (corpus df = 1) — the memorization-risk complement of
+    // contamination scoring (low novelty ⇒ doc is made of boilerplate).
+    // Same (doc, shingle) relation + df aggregation as the dedup family.
+    QueryDef("q_novelty",
+      (s, dir) => {
+        val rel = Text.shingleRows(t(s, dir, "documents"), "text", "doc_id")
+          .withColumnRenamed("__sh", "sh")
+        val dfc = rel.groupBy("sh").agg(countDistinct("doc").as("df"))
+        rel.join(dfc, Seq("sh"))
+          .groupBy(col("doc").as("doc_id"))
+          .agg(count(lit(1)).as("n_shingles"),
+            lsum((col("df") === 1).cast("int")).as("n_novel"))
+          .withColumn("novelty", col("n_novel") / col("n_shingles"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH tokd AS (SELECT doc_id AS doc, $toks AS t FROM documents
+             WHERE len($toks) >= 3),
+         shd AS (SELECT doc, unnest(list_distinct(list_transform(range(1, len(t) - 1),
+             i -> array_to_string(list_slice(t, i, i + 2), ' ')))) AS sh FROM tokd),
+         dfc AS (SELECT sh, COUNT(DISTINCT doc) AS df FROM shd GROUP BY 1)
+         SELECT doc AS doc_id, COUNT(*) AS n_shingles,
+           CAST(SUM(CAST(dfc.df = 1 AS INT)) AS BIGINT) AS n_novel,
+           CAST(SUM(CAST(dfc.df = 1 AS INT)) AS BIGINT) / COUNT(*) AS novelty
+         FROM shd JOIN dfc USING (sh) GROUP BY 1 ORDER BY 1""")),
+
+    // Vocabulary coverage: what share of all corpus tokens the top-k most
+    // frequent terms cover (the stat that sizes a tokenizer vocab).  BOUND
+    // FIRST (TakeOrderedAndProject to k rows), then the cumulative window
+    // runs over the k-row frame — partitioned by a literal, so the
+    // global-window guardrail stays intact and the single task holds k
+    // rows, never the vocabulary.
+    QueryDef("q_vocab_coverage",
+      (s, dir) => {
+        val terms = t(s, dir, "documents")
+          .select(explode(Text.tokens(col("text"))).as("term"))
+          .groupBy("term").agg(count(lit(1)).as("n"))
+        val total = terms.agg(lsum(col("n")).as("__total"))
+        val top = Relational.topK(terms, 20, col("n").desc, col("term"))
+        val w = Window.partitionBy(lit(0)).orderBy(col("n").desc, col("term"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        top.crossJoin(total)
+          .withColumn("cum_n", sum("n").over(w).cast("long"))
+          .withColumn("coverage", col("cum_n") / col("__total"))
+          .drop("__total")
+          .orderBy(col("n").desc, col("term"))
+      },
+      Some(s"""WITH tk AS (SELECT unnest($toks) AS term FROM documents),
+         tc AS (SELECT term, COUNT(*) AS n FROM tk GROUP BY 1),
+         tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM tc),
+         top AS (SELECT term, n FROM tc ORDER BY n DESC, term LIMIT 20),
+         c AS (SELECT term, n,
+             CAST(SUM(n) OVER (ORDER BY n DESC, term
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n
+           FROM top)
+         SELECT term, n, cum_n, cum_n / (SELECT total FROM tot) AS coverage
+         FROM c ORDER BY n DESC, term"""))
   )
 
   // ------------------------------------- corpus assembly ops (round 5b)
