@@ -1156,6 +1156,55 @@ object Catalog {
            CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
          FROM p GROUP BY 1 ORDER BY 1""")),
 
+    // ST8 — STREAMING session windows (merging session state store):
+    // append-mode session aggregation only emits a window once the
+    // watermark passes its end, so the last batch's sessions would stay
+    // stuck in state — a far-future SENTINEL row in a second micro-batch
+    // (file mtimes pinned so it processes LAST) pushes the watermark past
+    // every real session and flushes them all.  Its own session never
+    // emits; the read-back filters it.  Oracle = the batch session SQL.
+    QueryDef("q_st8_stream_sessions",
+      (s, dir) => {
+        import s.implicits._
+        val base = Files.createTempDirectory("graft_st8").toString
+        val ev = events(s, dir).select("user_id", "ts", "event_id")
+        ev.write.parquet(s"$base/src/f1")
+        val maxTs = ev.agg(max("ts")).collect().head.getTimestamp(0)
+        Seq((-1L, new java.sql.Timestamp(maxTs.getTime + 86400L * 1000), -1L))
+          .toDF("user_id", "ts", "event_id").write.parquet(s"$base/src/f2")
+        def pin(sub: String, mtime: Long): Unit =
+          new java.io.File(s"$base/src/$sub").listFiles()
+            .filter(_.getName.endsWith(".parquet")).foreach(_.setLastModified(mtime))
+        val now = System.currentTimeMillis()
+        pin("f1", now - 60000); pin("f2", now) // sentinel batch strictly last
+        val schema = s.read.parquet(s"$base/src/f1").schema
+        val stream = Streaming.stateSession(s, 8).readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$base/src/*")
+        val q = stream.withWatermark("ts", "1 second")
+          .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("user_id"), col("session_window.start").as("session_start"), col("n"))
+          .writeStream.format("parquet")
+          .option("path", s"$base/out")
+          .option("checkpointLocation", s"$base/cp")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.read.parquet(s"$base/out")
+          .filter(col("user_id") >= 0)
+          .orderBy("user_id", "session_start")
+      },
+      Some("""WITH m AS (SELECT user_id, epoch_us(ts) AS us,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         sx AS (SELECT user_id, us,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING) AS sid
+           FROM m)
+         SELECT user_id, make_timestamp(MIN(us)) AS session_start, COUNT(*) AS n
+         FROM sx GROUP BY user_id, sid ORDER BY user_id, session_start""")),
+
     // ST7 — stream-static enrichment: streaming facts ⋈ broadcast static
     // dim, stateless (no store, no watermark); unmatched facts survive as
     // NULL-enriched rows.  Aggregated over the enriched sink; oracle = the
