@@ -545,6 +545,45 @@ object TextCatalog {
          SELECT q_id, CAST(rank AS INT) AS rank, c_id, cos FROM r
          WHERE rank <= 5 ORDER BY q_id, rank""")),
 
+    // ANN recall audit — per query: |LSH top-k ∩ exact top-k| / k.  The
+    // self-measuring diagnostic every approximate index needs before its
+    // recall knobs (planes, multi-probe) are trusted at corpus scale; both
+    // pipelines are the registered operators, the overlap is a semi-join
+    // on (q_id, c_id).
+    QueryDef("q_ann_recall",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val qs = e.filter(col("vec_id") < 30)
+        val approx = Vector.lshTopKMultiProbe(qs, e, 5, 4, 64)
+          .select(col("q_id"), col("c_id"))
+        val exact = Vector.bruteForceTopK(qs, e, 5)
+          .select(col("q_id").as("eq_id"), col("c_id").as("ec_id"))
+        approx.join(exact,
+            col("q_id") === col("eq_id") && col("c_id") === col("ec_id"),
+            "left_semi")
+          .groupBy("q_id").agg(count(lit(1)).as("n_hit"))
+          .withColumn("recall", col("n_hit") / lit(5))
+          .orderBy("q_id")
+      },
+      Some(s"""WITH ${lshSql(4, 64)},
+         q AS (SELECT vec_id AS q_id, dv AS qv, bucket FROM b WHERE vec_id < 30),
+         pr AS (SELECT q_id, qv, unnest([bucket,
+             xor(bucket, CAST(1 AS BIGINT)), xor(bucket, CAST(2 AS BIGINT)),
+             xor(bucket, CAST(4 AS BIGINT)), xor(bucket, CAST(8 AS BIGINT))]) AS pb FROM q),
+         c AS (SELECT vec_id AS c_id, dv AS cv, bucket FROM b),
+         asc_ AS (SELECT q_id, c_id,
+             row_number() OVER (PARTITION BY q_id ORDER BY ${cosSql("qv", "cv", 64)} DESC, c_id) AS rank
+           FROM pr JOIN c ON pr.pb = c.bucket AND q_id <> c_id),
+         approx AS (SELECT q_id, c_id FROM asc_ WHERE rank <= 5),
+         ex AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+             row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY ${cosSql("q.dv", "c.dv", 64)} DESC, c.vec_id) AS rank
+           FROM b q JOIN b c ON q.vec_id < 30 AND q.vec_id <> c.vec_id),
+         exact AS (SELECT q_id, c_id FROM ex WHERE rank <= 5)
+         SELECT q_id, COUNT(*) AS n_hit, COUNT(*) / 5 AS recall
+         FROM approx SEMI JOIN exact USING (q_id, c_id)
+         GROUP BY 1 ORDER BY 1""")),
+
     // LSH bucket assignment (the ANN scale path's partitioning key).
     QueryDef("q_lsh_buckets",
       (s, dir) => {
