@@ -129,4 +129,57 @@ object Upsert {
       fs.delete(new org.apache.hadoop.fs.Path(staging), true)
     }
   }
+
+  /** Targeted key purge — the right-to-be-forgotten primitive: delete every
+    * lake row whose key appears in `tombstones`, rewriting ONLY the
+    * partitions that contain hits (at 100 TB a deletion request touches a
+    * handful of partitions; rewriting the lake for it is disqualifying).
+    * Tombstones broadcast into an anti-join against the touched-partition
+    * slice, then the same staging + dynamic-partition-overwrite dance as
+    * [[upsertPartitioned]] — with one extra step the overwrite path gets
+    * wrong on its own: a partition whose EVERY row is purged produces no
+    * output files, so dynamic overwrite would silently leave the old
+    * partition alive; emptied partitions are deleted explicitly.  The
+    * atomicity caveat is upsertPartitioned's (re-running converges). */
+  def purgeKeys(spark: org.apache.spark.sql.SparkSession, lakeRoot: String,
+                tombstones: DataFrame, keys: Seq[String], partCol: String): Unit = {
+    // partCol may itself be one of the keys — dedupe the column list
+    val joinCols = (keys :+ partCol).distinct
+    val tomb = tombstones.select(joinCols.map(col): _*).distinct()
+    val touched = tomb.select(partCol).distinct().collect().map(_.get(0))
+    if (touched.isEmpty) return
+    val affected = spark.read.parquet(lakeRoot)
+      .filter(col(partCol).isin(touched: _*))
+    val kept = affected.join(broadcast(tomb), joinCols, "left_anti")
+    val emptied = touched.toSet --
+      kept.select(partCol).distinct().collect().map(_.get(0)).toSet
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(lakeRoot), spark.sparkContext.hadoopConfiguration)
+    def dropPartition(v: Any): Unit =
+      fs.delete(new org.apache.hadoop.fs.Path(
+        s"${lakeRoot.stripSuffix("/")}/$partCol=$v"), true)
+    if (emptied.size == touched.length) {
+      // every touched partition lost all rows: nothing to rewrite (an empty
+      // staging dir would not even be re-readable) — drop the directories
+      touched.foreach(dropPartition)
+      return
+    }
+    val staging = lakeRoot.stripSuffix("/") + "__purge_staging_" +
+      java.util.UUID.randomUUID().toString
+    kept.write.mode("overwrite").parquet(staging)
+    val confKey = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(confKey)
+    try {
+      spark.conf.set(confKey, "dynamic")
+      spark.read.parquet(staging)
+        .write.mode("overwrite").partitionBy(partCol).parquet(lakeRoot)
+      emptied.foreach(dropPartition)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(confKey, v)
+        case None    => spark.conf.unset(confKey)
+      }
+      fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+    }
+  }
 }

@@ -949,6 +949,63 @@ object Catalog {
            UNION ALL SELECT * FROM merged)
          ORDER BY state, species, year, unit""")),
 
+    // Targeted key purge (right-to-be-forgotten): tombstone every key with
+    // unit % 5 = 0, rewrite ONLY the touched partitions (the 2023
+    // partition's survivors stay byte-identical), drop any partition whose
+    // every row was purged.  Oracle = the plain anti-join.
+    QueryDef("q_purge_keys",
+      (s, dir) => {
+        val lake = Files.createTempDirectory("graft_purge").toString
+        val dd = dedupedProduction(s, dir)
+        dd.write.mode("overwrite").partitionBy("year").parquet(lake)
+        val tombstones = dd.filter(col("unit") % 5 === 0)
+          .select("state", "species", "year", "unit")
+        Upsert.purgeKeys(s, lake, tombstones, prodKeys, "year")
+        s.read.parquet(lake)
+          .select(prodCols.map(col): _*)
+          .orderBy("state", "species", "year", "unit")
+      },
+      Some(s"""WITH $dedupedSql,
+         tomb AS (SELECT DISTINCT state, species, year, unit FROM deduped WHERE unit % 5 = 0)
+         SELECT state, species, herd_name, post_hunt_estimate, male_female_ratio, year, unit
+         FROM deduped ANTI JOIN tomb USING (state, species, year, unit)
+         ORDER BY state, species, year, unit""")),
+
+    // File provenance via the `_metadata` hidden column: per-partition row
+    // accounting keyed by the actual file paths the rows came from — the
+    // lineage primitive (which files fed this aggregate?) with zero extra
+    // I/O (the path is scan metadata, not data).
+    QueryDef("q_file_provenance",
+      (s, dir) => {
+        val base = Files.createTempDirectory("graft_prov").toString
+        stage(s, dir).write.mode("overwrite").partitionBy("state").parquet(base)
+        s.read.parquet(base)
+          .select(regexp_extract(col("_metadata.file_path"),
+            "state=([^/]+)/", 1).as("state_dir"))
+          .groupBy("state_dir").agg(count(lit(1)).as("n"))
+          .orderBy("state_dir")
+      },
+      Some(s"""WITH $stageSql
+         SELECT state AS state_dir, COUNT(*) AS n FROM stage
+         GROUP BY 1 ORDER BY 1""")),
+
+    // Parquet AGGREGATE pushdown: COUNT/MIN/MAX answered from footer
+    // statistics alone — at 100 TB the difference between a metadata read
+    // and a full scan.  Session-isolated conf (child session, never the
+    // shared one); the spec asserts PushedAggregation in the scan node.
+    QueryDef("q_agg_pushdown",
+      (s, dir) => {
+        val ss = s.newSession()
+        ss.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+        // pushdown exists only on the DSv2 scan; parquet defaults to v1
+        ss.conf.set("spark.sql.sources.useV1SourceList", "")
+        t(ss, dir, "lineitem")
+          .agg(count(lit(1)).as("n"), min("l_quantity").as("min_q"),
+            max("l_quantity").as("max_q"))
+      },
+      Some("""SELECT COUNT(*) AS n, MIN(l_quantity) AS min_q, MAX(l_quantity) AS max_q
+         FROM lineitem ORDER BY n""")),
+
     // ST4 — STREAMING lake upsert: the same merge as q_s10_upsert, but
     // driven through Structured Streaming (two source files → two
     // checkpointed micro-batches via maxFilesPerTrigger=1; batch 1

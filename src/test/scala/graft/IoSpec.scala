@@ -206,8 +206,11 @@ class IoSpec extends SparkFunSuite {
     // full 128×128 grid, shuffled in: the writers must impose the layout
     val df = (0L until 16384L).map(i => (i * 6037 % 16384))
       .map(z => (z % 128, z / 128)).toDF("a", "b")
-    Tables.writeZOrder(df, s"$base/z", nFiles = 16, "a", "b", bits = 7)
-    Tables.writeSorted(df, s"$base/s", nFiles = 16, sortCols = Seq("a"))
+    // 32 files: the 1-D layout must overlap ~8 on an a-box while z-order
+    // stays at a few even under repartitionByRange's sampling variance
+    // (range boundaries depend on a per-RDD sample, so exact counts drift)
+    Tables.writeZOrder(df, s"$base/z", nFiles = 32, "a", "b", bits = 7)
+    Tables.writeSorted(df, s"$base/s", nFiles = 32, sortCols = Seq("a"))
     val conf = spark.sparkContext.hadoopConfiguration
     // files whose (a, b) bounding box meets the box a,b ∈ [0, 31]²
     def overlapping(dir: String): Int =
@@ -226,11 +229,27 @@ class IoSpec extends SparkFunSuite {
         }
     val zHit = overlapping(s"$base/z"); val sHit = overlapping(s"$base/s")
     // 1-D sort on `a`: files are a-narrow but b-FULL-WIDTH -> every file
-    // whose a-range meets [0,31] matches (~4 of 16).  Z-order: the box is
-    // one Morton quadrant -> ~1 file (2 at a sampled range boundary).
+    // whose a-range meets [0,31] matches (~8 of 32).  Z-order: the box is
+    // one Morton quadrant -> a couple of z-contiguous files.
     assert(zHit < sHit, s"z-order ($zHit files) should beat 1-D sort ($sHit)")
-    assert(zHit <= 3, s"box should live in at most a few z-contiguous files, hit $zHit")
+    assert(zHit <= 6, s"box should live in a few z-contiguous files, hit $zHit")
     assert(spark.read.parquet(s"$base/z").count() === 16384)
+  }
+
+  test("parquet aggregate pushdown answers COUNT/MIN/MAX from footers") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("aggpush").toString + "/t"
+    (1L to 5000L).map(i => (i, i % 97)).toDF("a", "b").write.parquet(dir)
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    // pushdown exists only on the DSv2 scan; parquet defaults to v1
+    ss.conf.set("spark.sql.sources.useV1SourceList", "")
+    val agg = ss.read.parquet(dir)
+      .agg(count(lit(1)).as("n"), min("a").as("mn"), max("a").as("mx"))
+    assert(agg.queryExecution.sparkPlan.toString.contains("PushedAggregation"),
+      "scan must carry the pushed aggregates (footer-stat answer, no data read)")
+    val r = agg.collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((5000L, 1L, 5000L)))
   }
 
   test("GraftSession recommends AQE + skew handling + extensions") {

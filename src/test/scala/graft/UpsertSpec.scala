@@ -107,4 +107,22 @@ class UpsertSpec extends SparkFunSuite {
       ("co", 1, "new-a", 100L, -1L),  // new open version
       ("wy", 2, "cur-b", 0L, -1L)))   // still open
   }
+
+  test("purgeKeys removes tombstoned keys, drops emptied partitions, idempotent") {
+    import org.apache.spark.sql.functions.col
+    val lake = java.nio.file.Files.createTempDirectory("purge_spec").toString + "/lake"
+    Seq((1L, 1, "a"), (2L, 1, "b"), (3L, 2, "c"), (4L, 2, "d"), (5L, 3, "e"))
+      .toDF("k", "p", "v").write.partitionBy("p").parquet(lake)
+    val tomb = Seq((1L, 1), (3L, 2), (4L, 2)).toDF("k", "p")
+    def purge(): Unit = Upsert.purgeKeys(spark, lake, tomb, Seq("k"), "p")
+    purge()
+    val got = spark.read.parquet(lake).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got === Seq((2L, "b"), (5L, "e")), "only untombstoned rows survive")
+    assert(!new java.io.File(s"$lake/p=2").exists(),
+      "a partition losing every row must be deleted, not silently kept")
+    assert(new java.io.File(s"$lake/p=3").exists(), "untouched partitions stay")
+    purge() // same tombstones again: converged state must not change
+    assert(spark.read.parquet(lake).count() === 2)
+  }
 }
