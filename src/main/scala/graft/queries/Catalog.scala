@@ -622,6 +622,25 @@ object Catalog {
            CAST(SUM(CAST(zv AS DECIMAL(38,6))) AS DOUBLE) AS z_sum
          FROM z GROUP BY 1 ORDER BY 1""")),
 
+    // Ordered string aggregation (LISTAGG/STRING_AGG surface): top-3
+    // customer names per segment by balance, comma-joined in rank order.
+    // collect_list order is partition-dependent — determinism comes from
+    // sorting an array of (sort-key, value) structs AFTER collection
+    // (struct comparison is lexicographic), then slicing; state per group
+    // is bounded by the slice at emit but the collect is group-sized —
+    // use TopKPerKey first when groups are huge.
+    QueryDef("q_string_agg",
+      (s, dir) => t(s, dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(array_join(slice(transform(
+            sort_array(collect_list(struct((-col("c_acctbal")).as("nb"),
+              col("c_name").as("name")))),
+            x => x.getField("name")), 1, 3), ",").as("top_names"))
+        .orderBy("c_mktsegment"),
+      Some("""SELECT c_mktsegment,
+           array_to_string((list(c_name ORDER BY c_acctbal DESC, c_name))[1:3], ',') AS top_names
+         FROM customer GROUP BY 1 ORDER BY 1""")),
+
     // Winsorized aggregation: clip to per-group exact [p05, p95] before
     // summing — the keep-the-row outlier treatment (vs the MAD gate's
     // drop).  One percentile agg + broadcast bounds + element-wise clip.
