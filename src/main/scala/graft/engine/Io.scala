@@ -126,6 +126,44 @@ object Tables {
     spark
   }
 
+  /** Generation-versioned lake (time-travel-lite): each publish lands in a
+    * fresh `gen=N` directory; readers pin a generation or take the latest.
+    * What a transaction-log table format gives you, reduced to the piece
+    * reproducible with directories alone: immutable snapshots + as-of
+    * reads (no atomic commit across writers, no vacuum policy — the log IS
+    * the directory listing).  Reproducibility is the point at 100 TB:
+    * "train against gen=17" keeps meaning the same bytes while publishing
+    * continues.  Old generations are retired explicitly (delete `gen=K`
+    * dirs after their retention window) — storage cost is per-snapshot,
+    * so publishers snapshot at checkpoint cadence, not per micro-batch. */
+  def writeGeneration(df: DataFrame, root: String): Int = {
+    val next = listGenerations(df.sparkSession, root).lastOption.getOrElse(0) + 1
+    df.write.mode("errorifexists").parquet(s"${root.stripSuffix("/")}/gen=$next")
+    next
+  }
+
+  /** Generations present under `root`, ascending. */
+  def listGenerations(spark: SparkSession, root: String): Seq[Int] = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .collect { case n if n.startsWith("gen=") => n.stripPrefix("gen=").toInt }
+      .sorted
+  }
+
+  /** Read the newest generation ≤ `asOf` (latest when None).  Fails loudly
+    * on an empty lake or an as-of older than every snapshot — silently
+    * reading nothing would poison downstream joins. */
+  def readGeneration(spark: SparkSession, root: String,
+                     asOf: Option[Int] = None): DataFrame = {
+    val gens = listGenerations(spark, root)
+    val pick = asOf.fold(gens.lastOption)(g => gens.filter(_ <= g).lastOption)
+    require(pick.isDefined,
+      s"readGeneration: no generation ${asOf.fold("")(g => s"<= $g ")}under $root (have: $gens)")
+    spark.read.parquet(s"${root.stripSuffix("/")}/gen=${pick.get}")
+  }
+
   /** Z-value of two non-negative integer columns: interleave the low `bits`
     * bits (a ⊗ b → …b₁a₁b₀a₀).  Maps 2-D proximity to 1-D proximity, so a
     * sort on the z-value gives every file a SMALL BOUNDING BOX in (a, b)

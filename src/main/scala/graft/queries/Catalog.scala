@@ -968,6 +968,41 @@ object Catalog {
            UNION ALL SELECT * FROM merged)
          ORDER BY state, species, year, unit""")),
 
+    // Generation-versioned lake: publish two snapshots, read one AS-OF and
+    // the latest — pinned reads stay bit-stable while publishing continues
+    // (the reproducibility contract "train against gen=1" depends on).
+    // Oracle computes both logical states from the fixtures.
+    QueryDef("q_time_travel",
+      (s, dir) => {
+        val root = Files.createTempDirectory("graft_gen").toString + "/lake"
+        val base = dedupedProduction(s, dir)
+        Tables.writeGeneration(base, root)
+        Tables.writeGeneration(
+          base.withColumn("post_hunt_estimate",
+            when(col("year") >= 2022, col("post_hunt_estimate") + 1000)
+              .otherwise(col("post_hunt_estimate"))), root)
+        def stateOf(asOf: Option[Int], label: String) =
+          Tables.readGeneration(s, root, asOf)
+            .groupBy("year")
+            .agg(count(lit(1)).as("n"), lsum(col("post_hunt_estimate")).as("sum_est"))
+            .withColumn("generation", lit(label))
+        stateOf(Some(1), "gen1").unionByName(stateOf(None, "latest"))
+          .orderBy("generation", "year")
+      },
+      Some(s"""WITH $dedupedSql,
+         g1 AS (SELECT year, COUNT(*) AS n,
+             CAST(SUM(post_hunt_estimate) AS BIGINT) AS sum_est,
+             'gen1' AS generation
+           FROM deduped GROUP BY year),
+         g2 AS (SELECT year, COUNT(*) AS n,
+             CAST(SUM(CASE WHEN year >= 2022 THEN post_hunt_estimate + 1000
+                           ELSE post_hunt_estimate END) AS BIGINT) AS sum_est,
+             'latest' AS generation
+           FROM deduped GROUP BY year)
+         SELECT year, n, sum_est, generation FROM g1
+         UNION ALL SELECT year, n, sum_est, generation FROM g2
+         ORDER BY generation, year""")),
+
     // Targeted key purge (right-to-be-forgotten): tombstone every key with
     // unit % 5 = 0, rewrite ONLY the touched partitions (the 2023
     // partition's survivors stay byte-identical), drop any partition whose

@@ -236,6 +236,20 @@ class IoSpec extends SparkFunSuite {
     assert(spark.read.parquet(s"$base/z").count() === 16384)
   }
 
+  test("generation lake: pinned as-of reads stay stable while publishing continues") {
+    val root = java.nio.file.Files.createTempDirectory("genlake").toString + "/lake"
+    assert(Tables.writeGeneration(Seq((1L, "a")).toDF("k", "v"), root) === 1)
+    assert(Tables.writeGeneration(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), root) === 2)
+    assert(Tables.listGenerations(spark, root) === Seq(1, 2))
+    assert(Tables.readGeneration(spark, root, Some(1)).count() === 1,
+      "as-of 1 must still see the first snapshot")
+    assert(Tables.readGeneration(spark, root).count() === 2, "latest wins by default")
+    assert(Tables.readGeneration(spark, root, Some(99)).count() === 2,
+      "as-of beyond the newest resolves to the newest")
+    intercept[IllegalArgumentException](Tables.readGeneration(spark, root, Some(0)))
+    intercept[IllegalArgumentException](Tables.readGeneration(spark, s"$root-absent"))
+  }
+
   test("parquet aggregate pushdown answers COUNT/MIN/MAX from footers") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("aggpush").toString + "/t"
