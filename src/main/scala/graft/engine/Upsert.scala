@@ -130,6 +130,30 @@ object Upsert {
     }
   }
 
+  /** CDC changelog apply — the general form upsert and purge specialize:
+    * fold a Debezium-shaped change stream (`op` ∈ I/U/D + a change-order
+    * column) into a snapshot.  Per key, the LATEST change decides: D ⇒ the
+    * key disappears, I/U ⇒ its values replace the snapshot row (or insert);
+    * keys without changes pass through.  Intra-batch ordering comes from
+    * `ordCol` (+ op as tie-break, so order is total when callers pair one
+    * op per ord value) — the same explicit-total-order discipline as
+    * [[dedupLastWins]], which does the per-key latest-change selection (and
+    * therefore rides the heap operator under the optimizer rewrite).
+    * One key-shuffle for the changelog reduction + one for the outer join:
+    * at 100 TB the changelog is delta-sized, so the join broadcasts it. */
+  def applyChangelog(existing: DataFrame, changes: DataFrame, keys: Seq[String],
+                     valueCols: Seq[String], opCol: String,
+                     ordCol: String): DataFrame = {
+    val latest = dedupLastWins(changes, keys,
+      Seq(col(ordCol).desc, col(opCol).desc))
+      .select((keys.map(col) :+ col(opCol).as("__op")) ++
+        valueCols.map(c => col(c).as(s"__c_$c")): _*)
+    existing.join(latest, keys, "full_outer")
+      .filter(coalesce(col("__op") =!= "D", lit(true))) // D ⇒ drop the key
+      .select(keys.map(col) ++ valueCols.map(c =>
+        when(col("__op").isNotNull, col(s"__c_$c")).otherwise(col(c)).as(c)): _*)
+  }
+
   /** Targeted key purge — the right-to-be-forgotten primitive: delete every
     * lake row whose key appears in `tombstones`, rewriting ONLY the
     * partitions that contain hits (at 100 TB a deletion request touches a

@@ -968,6 +968,49 @@ object Catalog {
            UNION ALL SELECT * FROM merged)
          ORDER BY state, species, year, unit""")),
 
+    // CDC changelog apply (Debezium shape): per key the LATEST change wins
+    // — D drops it, I/U replaces values, untouched keys pass through.
+    // Change recipe by unit mod 7: 0 → D; 1 → U(+500); 2 → U then D (net
+    // drop); 3 → D then U(+222) (net update — ordering matters); 4 → I of
+    // a fresh key.  The oracle rebuilds the final state by the same rules.
+    QueryDef("q_cdc_apply",
+      (s, dir) => {
+        val snap = dedupedProduction(s, dir)
+        val u7 = col("unit") % 7
+        def ch(f: DataFrame, op: String, ord: Int) = f
+          .withColumn("op", lit(op)).withColumn("ord", lit(ord))
+        val changes = ch(snap.filter(u7 === 0), "D", 1)
+          .unionByName(ch(snap.filter(u7 === 1)
+            .withColumn("post_hunt_estimate", col("post_hunt_estimate") + 500), "U", 1))
+          .unionByName(ch(snap.filter(u7 === 2)
+            .withColumn("post_hunt_estimate", col("post_hunt_estimate") + 111), "U", 1))
+          .unionByName(ch(snap.filter(u7 === 2), "D", 2))
+          .unionByName(ch(snap.filter(u7 === 3), "D", 1))
+          .unionByName(ch(snap.filter(u7 === 3)
+            .withColumn("post_hunt_estimate", col("post_hunt_estimate") + 222), "U", 2))
+          .unionByName(ch(snap.filter(u7 === 4)
+            .withColumn("unit", (col("unit") + 1000).cast(IntegerType))
+            .withColumn("post_hunt_estimate", lit(42L)), "I", 1))
+        Upsert.applyChangelog(snap, changes, prodKeys,
+            Seq("herd_name", "post_hunt_estimate", "male_female_ratio"), "op", "ord")
+          .select(prodCols.map(col): _*)
+          .orderBy("state", "species", "year", "unit")
+      },
+      Some(s"""WITH $dedupedSql,
+         kept AS (SELECT state, species, herd_name,
+             CASE CAST(unit % 7 AS INT)
+               WHEN 1 THEN post_hunt_estimate + 500
+               WHEN 3 THEN post_hunt_estimate + 222
+               ELSE post_hunt_estimate END AS post_hunt_estimate,
+             male_female_ratio, year, unit
+           FROM deduped WHERE unit % 7 NOT IN (0, 2)),
+         ins AS (SELECT state, species, herd_name, CAST(42 AS BIGINT) AS post_hunt_estimate,
+             male_female_ratio, year, CAST(unit + 1000 AS INT) AS unit
+           FROM deduped WHERE unit % 7 = 4)
+         SELECT state, species, herd_name, post_hunt_estimate, male_female_ratio, year, unit
+         FROM (SELECT * FROM kept UNION ALL SELECT * FROM ins)
+         ORDER BY state, species, year, unit""")),
+
     // Generation-versioned lake: publish two snapshots, read one AS-OF and
     // the latest — pinned reads stay bit-stable while publishing continues
     // (the reproducibility contract "train against gen=1" depends on).

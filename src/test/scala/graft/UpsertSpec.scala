@@ -108,6 +108,20 @@ class UpsertSpec extends SparkFunSuite {
       ("wy", 2, "cur-b", 0L, -1L)))   // still open
   }
 
+  test("applyChangelog: latest change wins per key — D drops, U replaces, I inserts") {
+    import org.apache.spark.sql.functions.col
+    val snap = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("k", "v")
+    val changes = Seq(
+      (1L, "x1", "U", 1), // plain update
+      (2L, "x2", "U", 1), (2L, "-", "D", 2),  // update then delete -> gone
+      (3L, "-", "D", 1), (3L, "x3", "U", 2),  // delete then update -> lives
+      (9L, "new", "I", 1)                     // insert of an absent key
+    ).toDF("k", "v", "op", "ord")
+    val got = Upsert.applyChangelog(snap, changes, Seq("k"), Seq("v"), "op", "ord")
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got === Seq((1L, "x1"), (3L, "x3"), (4L, "d"), (9L, "new")))
+  }
+
   test("purgeKeys removes tombstoned keys, drops emptied partitions, idempotent") {
     import org.apache.spark.sql.functions.col
     val lake = java.nio.file.Files.createTempDirectory("purge_spec").toString + "/lake"
