@@ -1492,6 +1492,42 @@ object Catalog {
            FROM nodes LEFT JOIN s3 ON s3.id = nodes.id)
          SELECT id, rank FROM r3 ORDER BY id""")),
 
+    // Triangle counting — the graph-analytics cohesion statistic, by the
+    // standard ordered two-hop enumeration: orient every undirected edge
+    // low→high, join wedges (a<b<c), close them against the edge set —
+    // each triangle counted exactly once, all joins key-based.  At corpus
+    // scale orient by DEGREE instead of id so the wedge fanout is bounded
+    // by the lighter endpoint (same plan shape).
+    QueryDef("q_triangles",
+      (s, dir) => {
+        val e0 = t(s, dir, "lineitem")
+          .select((col("l_orderkey") % 60).as("a"), (col("l_partkey") % 60).as("b"))
+          .filter(col("a") =!= col("b"))
+        val e = e0.select(least(col("a"), col("b")).as("u"),
+          greatest(col("a"), col("b")).as("v")).distinct()
+        val tri = e.as("x")
+          .join(e.as("y"), col("x.v") === col("y.u"))
+          .join(e.as("z"),
+            col("x.u") === col("z.u") && col("y.v") === col("z.v"))
+          .agg(count(lit(1)).as("n_triangles"))
+        val stats = e.agg(count(lit(1)).as("n_edges"),
+          countDistinct(col("u")).as("__du")) // helper only; nodes counted below
+        val nodes = e.select(col("u").as("n")).union(e.select(col("v").as("n")))
+          .agg(countDistinct("n").as("n_nodes"))
+        tri.crossJoin(stats.select("n_edges")).crossJoin(nodes)
+      },
+      Some("""WITH e0 AS (SELECT l_orderkey % 60 AS a, l_partkey % 60 AS b
+           FROM lineitem WHERE l_orderkey % 60 <> l_partkey % 60),
+         e AS (SELECT DISTINCT LEAST(a, b) AS u, GREATEST(a, b) AS v FROM e0),
+         tri AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+           FROM e x JOIN e y ON x.v = y.u
+           JOIN e z ON z.u = x.u AND z.v = y.v),
+         m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM e),
+         nn AS (SELECT CAST(COUNT(DISTINCT n) AS BIGINT) AS n_nodes FROM
+           (SELECT u AS n FROM e UNION ALL SELECT v FROM e))
+         SELECT n_triangles, n_edges, n_nodes FROM tri, m, nn
+         ORDER BY n_triangles""")),
+
     // Hierarchy flatten — transitive ancestor closure over a synthesized
     // forest (parent = child div 10: the decimal-digit tree, height
     // log₁₀ N so depth grows with SF).  Frontier iteration joins only the
