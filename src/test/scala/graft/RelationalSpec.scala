@@ -175,7 +175,13 @@ class RelationalSpec extends SparkFunSuite {
       "q_sample_weighted" -> 0,   // A-ES top-k is TakeOrderedAndProject twice
       "q_expectations" -> 1,      // one agg for N rules; stack is free
       "q_inverted_index" -> 3,    // distinct + term agg + sort
-      "q_custom_topk" -> 2)       // key exchange + presentation sort, NO group sort
+      "q_custom_topk" -> 2,       // key exchange + presentation sort, NO group sort
+      "q_funnel" -> 2,            // user agg + global funnel agg
+      "q_zscore" -> 3,            // moments agg + post-clip agg + sort (bounds broadcast)
+      "q_winsorize" -> 3,         // percentile agg + clipped agg + sort
+      "q_string_agg" -> 2,        // collect agg + sort
+      "q_novelty" -> 3,           // doc repartition + df agg + doc agg (sort reuses)
+      "q_triangles" -> 6)         // edge distinct + two wedge joins + stats aggs
     for ((name, budget) <- budgets) {
       val n = SparkEntry.queries(name)(ss, "/root/testdata/sf0.001")
         .queryExecution.executedPlan
