@@ -1492,6 +1492,55 @@ object Catalog {
            FROM nodes LEFT JOIN s3 ON s3.id = nodes.id)
          SELECT id, rank FROM r3 ORDER BY id""")),
 
+    // Blocked entity resolution: candidate pairs only WITHIN a blocking
+    // key (state, species) — the classic ER scale move (all-pairs is
+    // O(N²); blocking makes it Σ block² with dictionary-sized blocks) —
+    // then edit-distance matching on the name.  Reference-domain twin of
+    // the text near-dup machinery.
+    QueryDef("q_entity_blocking",
+      (s, dir) => {
+        val herds = stage(s, dir).filter(col("herd_name").isNotNull)
+          .select("state", "species", "herd_name").distinct()
+        val a = herds.select(col("state"), col("species"), col("herd_name").as("name_a"))
+        val b = herds.select(col("state"), col("species"), col("herd_name").as("name_b"))
+        a.join(b, Seq("state", "species"))
+          .filter(col("name_a") < col("name_b") &&
+            levenshtein(col("name_a"), col("name_b")) <= 2)
+          .groupBy("state", "species")
+          .agg(count(lit(1)).as("n_match_pairs"))
+          .orderBy("state", "species")
+      },
+      Some(s"""WITH $stageSql,
+         h AS (SELECT DISTINCT state, species, herd_name FROM stage
+           WHERE herd_name IS NOT NULL)
+         SELECT a.state, a.species, COUNT(*) AS n_match_pairs
+         FROM h a JOIN h b ON a.state = b.state AND a.species = b.species
+           AND a.herd_name < b.herd_name
+           AND levenshtein(a.herd_name, b.herd_name) <= 2
+         GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // Referential-integrity audit: production units with no harvest row
+    // (and vice versa) — the orphan check run before trusting any join's
+    // completeness; two anti-join counts, one row out.
+    QueryDef("q_orphan_audit",
+      (s, dir) => {
+        val p = production(s, dir).select(prodKeys.map(col): _*).distinct()
+        val h = harvest(s, dir).select(prodKeys.map(col): _*).distinct()
+        val pOnly = p.join(h, prodKeys, "left_anti").agg(count(lit(1)).as("n"))
+        val hOnly = h.join(p, prodKeys, "left_anti").agg(count(lit(1)).as("n"))
+        pOnly.select(col("n").as("production_orphans"))
+          .crossJoin(hOnly.select(col("n").as("harvest_orphans")))
+      },
+      Some(s"""WITH $productionSql, $harvestSql,
+         pk AS (SELECT DISTINCT state, species, year, unit FROM production),
+         hk AS (SELECT DISTINCT state, species, year, unit FROM harvest),
+         po AS (SELECT CAST(COUNT(*) AS BIGINT) AS production_orphans
+           FROM pk ANTI JOIN hk USING (state, species, year, unit)),
+         ho AS (SELECT CAST(COUNT(*) AS BIGINT) AS harvest_orphans
+           FROM hk ANTI JOIN pk USING (state, species, year, unit))
+         SELECT production_orphans, harvest_orphans FROM po, ho
+         ORDER BY production_orphans""")),
+
     // Triangle counting — the graph-analytics cohesion statistic, by the
     // standard ordered two-hop enumeration: orient every undirected edge
     // low→high, join wedges (a<b<c), close them against the edge set —
