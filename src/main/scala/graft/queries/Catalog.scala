@@ -669,6 +669,52 @@ object Catalog {
            CAST(SUM(CAST(vw <> v AS INT)) AS BIGINT) AS n_clipped
          FROM w GROUP BY 1 ORDER BY 1""")),
 
+    // Retention cohorts — users bucketed by first-active day, counted at
+    // each later activity-day offset (the product-analytics retention
+    // triangle).  Distinct (user, day) activity ⋈ per-user first day —
+    // both reductions and the join share the user key: one shuffle chain.
+    QueryDef("q_retention_cohorts",
+      (s, dir) => {
+        val D = 86400000000L
+        val day = ((unix_micros(col("ts")) - pmod(unix_micros(col("ts")), lit(D))) / D)
+          .cast("long")
+        val activity = events(s, dir).select(col("user_id"), day.as("day")).distinct()
+        val first = activity.groupBy("user_id").agg(min("day").as("cohort_day"))
+        activity.join(first, Seq("user_id"))
+          .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+          .agg(countDistinct("user_id").as("n_users"))
+          .filter(col("day_offset").isin(0L, 1L, 7L, 14L))
+          .orderBy("cohort_day", "day_offset")
+      },
+      Some("""WITH a AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+         f AS (SELECT user_id, MIN(day) AS cohort_day FROM a GROUP BY 1)
+         SELECT f.cohort_day, a.day - f.cohort_day AS day_offset,
+           COUNT(DISTINCT a.user_id) AS n_users
+         FROM a JOIN f ON a.user_id = f.user_id
+         WHERE a.day - f.cohort_day IN (0, 1, 7, 14)
+         GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // Event-transition matrix — per-user consecutive event-type bigrams
+    // (ordered by time, id tie-break): the Markov-chain estimate behind
+    // next-action models; one per-user window, one count aggregation.
+    QueryDef("q_transitions",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        events(s, dir)
+          .select(col("user_id"), col("event_type"),
+            lag("event_type", 1).over(w).as("prev_type"))
+          .filter(col("prev_type").isNotNull)
+          .groupBy("prev_type", "event_type")
+          .agg(count(lit(1)).as("n"))
+          .orderBy("prev_type", "event_type")
+      },
+      Some("""WITH l AS (SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+           FROM events)
+         SELECT prev_type, event_type, COUNT(*) AS n
+         FROM l WHERE prev_type IS NOT NULL
+         GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     // Funnel analysis — ordered conversion steps (view → click → purchase)
     // from one conditional aggregation per user: first-touch timestamps via
     // min(CASE), stage predicates as ordered comparisons.  One shuffle on
