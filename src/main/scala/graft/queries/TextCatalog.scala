@@ -687,11 +687,16 @@ object TextCatalog {
         .distinct()
         .groupBy("term")
         .agg(count(lit(1)).as("df"),
-          sort_array(collect_set(col("doc_id"))).as("postings"))
+          array_join(transform(sort_array(collect_set(col("doc_id"))),
+            _.cast("string")), ",").as("postings"))
         .filter(col("df") >= 25)
         .orderBy("term"),
+      // Postings dumped as a comma-joined string: the verification driver's
+      // pandas comparator cannot hash array cells, and a flat string is the
+      // same information for a correctness dump.
       Some(s"""WITH rel AS (SELECT DISTINCT doc_id, unnest($toks) AS term FROM documents)
-         SELECT term, COUNT(*) AS df, list_sort(list(doc_id)) AS postings
+         SELECT term, COUNT(*) AS df,
+           array_to_string(list_sort(list(doc_id)), ',') AS postings
          FROM rel GROUP BY term HAVING COUNT(*) >= 25 ORDER BY term"""))
   )
 
@@ -1065,9 +1070,10 @@ object TextCatalog {
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS e
            FROM tk)
          SELECT source, doc_id, n_tokens,
-           (e - n_tokens) // 64 AS first_chunk,
-           GREATEST(e - 1, e - n_tokens) // 64 AS last_chunk,
-           GREATEST(e - 1, e - n_tokens) // 64 - (e - n_tokens) // 64 + 1 AS n_chunks
+           CAST((e - n_tokens) // 64 AS BIGINT) AS first_chunk,
+           CAST(GREATEST(e - 1, e - n_tokens) // 64 AS BIGINT) AS last_chunk,
+           CAST(GREATEST(e - 1, e - n_tokens) // 64
+             - (e - n_tokens) // 64 + 1 AS BIGINT) AS n_chunks
          FROM c ORDER BY source, doc_id""")),
 
     // Mixture re-weighting: per-language target rates (a tiny broadcast dim)
@@ -1390,7 +1396,7 @@ object TextCatalog {
            WHERE q.doc_id IN (SELECT doc_id FROM k)
              AND ${th("CAST(doc_id AS VARCHAR)")} % 1000 < r.pm)
          SELECT source, COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS n_tokens,
-           (SUM(nt) - 1) // 64 + 1 AS n_sequences
+           CAST((SUM(nt) - 1) // 64 + 1 AS BIGINT) AS n_sequences
          FROM m GROUP BY 1 ORDER BY 1"""))
   )
 
