@@ -91,7 +91,11 @@ object Graph {
     var frontier = e.withColumn("depth", lit(1)).localCheckpoint()
     val layers = scala.collection.mutable.ListBuffer[DataFrame](frontier)
     var d = 1
-    while (!frontier.isEmpty && d < maxDepth) {
+    // `d <= maxDepth`: the depth-maxDepth frontier must get ONE more
+    // extension attempt before the cycle verdict — a legitimate forest of
+    // height exactly maxDepth drains on that attempt; only a frontier still
+    // alive PAST it is a cycle (or a genuinely deeper tree)
+    while (!frontier.isEmpty && d <= maxDepth) {
       val next = frontier
         .join(e.select(col("node").as("anc"), col("anc").as("__up")), "anc")
         .select(col("node"), col("__up").as("anc"),

@@ -164,7 +164,16 @@ object Upsert {
     * wrong on its own: a partition whose EVERY row is purged produces no
     * output files, so dynamic overwrite would silently leave the old
     * partition alive; emptied partitions are deleted explicitly.  The
-    * atomicity caveat is upsertPartitioned's (re-running converges). */
+    * atomicity caveat is upsertPartitioned's (re-running converges).
+    *
+    * Emptied-partition directories are taken from `input_file_name()` on the
+    * scan itself — NOT rebuilt as `"$partCol=$v"` strings, which would miss
+    * Hive partition-path escaping (special characters, timestamp/date
+    * rendering, NULL → `__HIVE_DEFAULT_PARTITION__`) and silently leave
+    * tombstoned rows alive.  Both reads are broadcast-joined against the
+    * scan, so `input_file_name` resolves (no shuffle between scan and
+    * projection).  A post-delete semi-join asserts the purge actually
+    * removed every tombstoned key. */
   def purgeKeys(spark: org.apache.spark.sql.SparkSession, lakeRoot: String,
                 tombstones: DataFrame, keys: Seq[String], partCol: String): Unit = {
     // partCol may itself be one of the keys — dedupe the column list
@@ -172,38 +181,70 @@ object Upsert {
     val tomb = tombstones.select(joinCols.map(col): _*).distinct()
     val touched = tomb.select(partCol).distinct().collect().map(_.get(0))
     if (touched.isEmpty) return
-    val affected = spark.read.parquet(lakeRoot)
-      .filter(col(partCol).isin(touched: _*))
-    val kept = affected.join(broadcast(tomb), joinCols, "left_anti")
-    val emptied = touched.toSet --
-      kept.select(partCol).distinct().collect().map(_.get(0)).toSet
+    // NULL partition values land in __HIVE_DEFAULT_PARTITION__; isin() never
+    // matches NULL, so the null slice needs its own predicate — and the key
+    // join must be null-safe for the same reason
+    val (nullTouched, valTouched) = touched.partition(_ == null)
+    val partPred = (valTouched, nullTouched) match {
+      case (vs, Array()) => col(partCol).isin(vs: _*)
+      case (Array(), _)  => col(partCol).isNull
+      case (vs, _)       => col(partCol).isin(vs: _*) || col(partCol).isNull
+    }
+    def affected = spark.read.parquet(lakeRoot).filter(partPred)
+    def antiSemi(df: DataFrame, how: String) = {
+      val tb = broadcast(tomb)
+      df.join(tb, joinCols.map(c => df(c) <=> tb(c)).reduce(_ && _), how)
+    }
+    // actual on-disk partition directories, via the files Spark scanned —
+    // input_file_name() is captured as a column directly above the scan
+    // (it rejects multi-source plans, so it cannot sit above the join)
+    val aff = affected.withColumn("__file", input_file_name())
+    def dirsOf(df: DataFrame): Set[String] =
+      df.select(col("__file")).distinct().collect()
+        .map(r => r.getString(0).substring(0, r.getString(0).lastIndexOf('/')))
+        .toSet
+    val kept = antiSemi(aff, "left_anti")
+    val touchedDirs = dirsOf(aff)
+    val keptDirs = dirsOf(kept)
+    val emptiedDirs = touchedDirs -- keptDirs
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(lakeRoot), spark.sparkContext.hadoopConfiguration)
-    def dropPartition(v: Any): Unit =
-      fs.delete(new org.apache.hadoop.fs.Path(
-        s"${lakeRoot.stripSuffix("/")}/$partCol=$v"), true)
-    if (emptied.size == touched.length) {
+    // input_file_name() is a percent-encoded URI; Path(String) takes names
+    // literally, so decode through java.net.URI or the delete misses any
+    // dir with escaped characters
+    def dropDir(d: String): Unit =
+      fs.delete(new org.apache.hadoop.fs.Path(new java.net.URI(d)), true)
+    if (keptDirs.isEmpty) {
       // every touched partition lost all rows: nothing to rewrite (an empty
       // staging dir would not even be re-readable) — drop the directories
-      touched.foreach(dropPartition)
-      return
-    }
-    val staging = lakeRoot.stripSuffix("/") + "__purge_staging_" +
-      java.util.UUID.randomUUID().toString
-    kept.write.mode("overwrite").parquet(staging)
-    val confKey = "spark.sql.sources.partitionOverwriteMode"
-    val prev = spark.conf.getOption(confKey)
-    try {
-      spark.conf.set(confKey, "dynamic")
-      spark.read.parquet(staging)
-        .write.mode("overwrite").partitionBy(partCol).parquet(lakeRoot)
-      emptied.foreach(dropPartition)
-    } finally {
-      prev match {
-        case Some(v) => spark.conf.set(confKey, v)
-        case None    => spark.conf.unset(confKey)
+      emptiedDirs.foreach(dropDir)
+    } else {
+      val staging = lakeRoot.stripSuffix("/") + "__purge_staging_" +
+        java.util.UUID.randomUUID().toString
+      kept.drop("__file").write.mode("overwrite").parquet(staging)
+      val confKey = "spark.sql.sources.partitionOverwriteMode"
+      val prev = spark.conf.getOption(confKey)
+      try {
+        spark.conf.set(confKey, "dynamic")
+        spark.read.parquet(staging)
+          .write.mode("overwrite").partitionBy(partCol).parquet(lakeRoot)
+        emptiedDirs.foreach(dropDir)
+      } finally {
+        prev match {
+          case Some(v) => spark.conf.set(confKey, v)
+          case None    => spark.conf.unset(confKey)
+        }
+        fs.delete(new org.apache.hadoop.fs.Path(staging), true)
       }
-      fs.delete(new org.apache.hadoop.fs.Path(staging), true)
     }
+    // right-to-be-forgotten must not fail quietly: prove no tombstoned key
+    // survived (cheap — touched partitions only, tombstones broadcast)
+    val survivors =
+      if (fs.listStatus(new org.apache.hadoop.fs.Path(lakeRoot))
+            .exists(s => s.isDirectory && s.getPath.getName.contains("=")))
+        antiSemi(affected, "left_semi").count()
+      else 0L
+    require(survivors == 0L,
+      s"purgeKeys: $survivors tombstoned rows survived the purge under $lakeRoot")
   }
 }

@@ -28,6 +28,14 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * Ties in the ordering make BOTH forms pick an arbitrary winner, so the
   * rewrite never loses determinism the window form actually had.
   * Conf-gated: `spark.graft.rewrite.topk=false` restores the window plan.
+  *
+  * Memory contract: the heap form retains keys × k rows per partition, so
+  * a high-cardinality key (near-unique dedup keys, k = 1) retains close to
+  * the whole partition — [[TopKPerKeyExec]] bounds that by spilling
+  * key-sorted runs past `spark.graft.topk.spillRowThreshold` rows and
+  * merge-joining them at the end, so the rewrite stays safe to fire
+  * unconditionally (the window form it replaces spills through the sorter
+  * in the same regime).
   */
 object RewriteRankFilterToTopK extends Rule[LogicalPlan] {
 

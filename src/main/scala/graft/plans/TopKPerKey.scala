@@ -1,7 +1,10 @@
 package graft.plans
 
+import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream, EOFException, File, FileInputStream, FileOutputStream}
+
 import scala.collection.mutable
 
+import org.apache.spark.TaskContext
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame, GraftSqlBridge}
 import org.apache.spark.sql.catalyst.InternalRow
@@ -28,7 +31,16 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * ordering is total (ties would otherwise make both forms
   * nondeterministic; give the ordering a unique tie-break column).
   * Requires ClusteredDistribution on the group keys, so EnsureRequirements
-  * inserts the one hash exchange; no sort is ever requested. */
+  * inserts the one hash exchange; no sort is ever requested.
+  *
+  * MEMORY CONTRACT: retained state is keys × k row copies per partition —
+  * tiny for few hot keys, but on HIGH-CARDINALITY keys (near-unique dedup
+  * keys, k = 1) it approaches the whole partition.  [[TopKPerKeyExec]]
+  * therefore spills: when retained rows exceed
+  * `spark.graft.topk.spillRowThreshold` (default 4 194 304), the heap map
+  * is dumped to a key-sorted local run file and cleared, and at input end
+  * the runs are merge-joined by key with one bounded heap per key at a
+  * time — peak memory is threshold × row size regardless of cardinality. */
 case class TopKPerKeyPlan(groupExprs: Seq[Expression], ordering: Seq[SortOrder],
                           k: Int, child: LogicalPlan) extends UnaryNode {
   require(k > 0, s"TopKPerKey: k must be positive, got $k")
@@ -46,15 +58,26 @@ object TopKPerKeyStrategy extends SparkStrategy {
   }
 }
 
-/** Physical per-key bounded-heap top-k.  One pass per partition; per-key
-  * state is a k-bounded priority queue whose head is the WORST retained
-  * row (evicted on a better arrival).  Rows and keys are copied only when
-  * retained — at most keys × k live copies per partition. */
+/** Physical per-key bounded-heap top-k with a disk spill path.  One pass
+  * per partition; per-key state is a k-bounded priority queue whose head is
+  * the WORST retained row (evicted on a better arrival).  Rows and keys are
+  * copied only when retained.  When total retained rows cross
+  * `spark.graft.topk.spillRowThreshold`, the whole map is written out as a
+  * run file SORTED BY KEY BYTES (UnsafeRow bytes are canonical per value —
+  * the same equality the in-memory hash map already relies on) and freed;
+  * the final answer is a streaming merge of the runs, one key-run and one
+  * k-heap in memory at a time.  The per-segment top-k union is a superset
+  * of each key's global top-k, so re-heaping the merged candidates is
+  * exact. */
 case class TopKPerKeyExec(groupExprs: Seq[Expression], ordering: Seq[SortOrder],
                           k: Int, child: SparkPlan) extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(groupExprs) :: Nil
+  // rows keep their key co-location: a downstream groupBy/join on the same
+  // keys must reuse the heap's exchange, not add a second one
+  override def outputPartitioning: org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    child.outputPartitioning
   override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyExec =
     copy(child = newChild)
 
@@ -63,27 +86,155 @@ case class TopKPerKeyExec(groupExprs: Seq[Expression], ordering: Seq[SortOrder],
     val groupLocal = groupExprs
     val orderLocal = ordering
     val kLocal = k
+    val spillThreshold =
+      conf.getConfString(TopKPerKey.SpillConfKey, "4194304").toLong
+    require(spillThreshold >= kLocal,
+      s"${TopKPerKey.SpillConfKey} ($spillThreshold) must be >= k ($kLocal)")
     child.execute().mapPartitions { it =>
-      val keyProj = UnsafeProjection.create(groupLocal, childOutput)
-      // best-first total order; the queue's max (head) is the worst retained
-      val rowOrd = RowOrdering.create(orderLocal, childOutput)
-      val heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
-      while (it.hasNext) {
-        val row = it.next()
-        val key = keyProj(row)
-        heaps.get(key) match {
-          case None =>
-            val q = mutable.PriorityQueue.empty[InternalRow](rowOrd)
-            q.enqueue(row.copy())
-            heaps.put(key.copy(), q)
-          case Some(q) =>
-            if (q.size < kLocal) q.enqueue(row.copy())
-            else if (rowOrd.compare(row, q.head) < 0) { q.dequeue(); q.enqueue(row.copy()) }
-        }
-      }
-      heaps.iterator.flatMap { case (_, q) => q.dequeueAll.reverseIterator }
+      new TopKPartitionIterator(it, childOutput, groupLocal, orderLocal,
+        kLocal, spillThreshold)
     }
   }
+}
+
+/** Per-partition driver of the heap/spill/merge lifecycle. */
+private final class TopKPartitionIterator(
+    input: Iterator[InternalRow], childOutput: Seq[Attribute],
+    groupExprs: Seq[Expression], ordering: Seq[SortOrder],
+    k: Int, spillThreshold: Long) extends Iterator[InternalRow] {
+
+  private val keyProj = UnsafeProjection.create(groupExprs, childOutput)
+  private val rowProj = UnsafeProjection.create(childOutput.map(_.asInstanceOf[Expression]), childOutput)
+  // best-first total order; the queue's max (head) is the worst retained
+  private val rowOrd = RowOrdering.create(ordering, childOutput)
+  private val heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[UnsafeRow]]
+  private var retained = 0L
+  private val spills = mutable.ArrayBuffer.empty[File]
+  Option(TaskContext.get()).foreach(_.addTaskCompletionListener[Unit] { _ =>
+    spills.foreach(_.delete())
+  })
+
+  private def insert(row: InternalRow): Unit = {
+    val key = keyProj(row)
+    heaps.get(key) match {
+      case None =>
+        val q = mutable.PriorityQueue.empty[UnsafeRow](rowOrd.on[UnsafeRow](identity))
+        q.enqueue(rowProj(row).copy())
+        heaps.put(key.copy(), q)
+        retained += 1
+      case Some(q) =>
+        if (q.size < k) { q.enqueue(rowProj(row).copy()); retained += 1 }
+        else if (rowOrd.compare(row, q.head) < 0) { q.dequeue(); q.enqueue(rowProj(row).copy()) }
+    }
+  }
+
+  /** Unsigned byte-lexicographic order on serialized UnsafeRow keys — any
+    * total order works for the merge as long as every run uses the same
+    * one; equal keys have identical bytes (hash-map equality above). */
+  private def cmpBytes(a: Array[Byte], b: Array[Byte]): Int = {
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    a.length - b.length
+  }
+
+  /** Dump the current map as one key-sorted run and free it. */
+  private def spillAll(): Unit = {
+    if (heaps.isEmpty) return
+    val f = File.createTempFile("graft-topk-spill", ".run")
+    val out = new DataOutputStream(new BufferedOutputStream(new FileOutputStream(f), 1 << 16))
+    try {
+      heaps.toArray.map { case (key, q) => (key.getBytes, q) }
+        .sortWith((a, b) => cmpBytes(a._1, b._1) < 0)
+        .foreach { case (kb, q) =>
+          // best-first within the key so merge output needs no re-sort
+          q.dequeueAll.reverseIterator.foreach { (r: UnsafeRow) =>
+            val rb = r.getBytes
+            out.writeInt(kb.length); out.write(kb)
+            out.writeInt(rb.length); out.write(rb)
+          }
+        }
+    } finally out.close()
+    spills += f
+    heaps.clear()
+    retained = 0
+  }
+
+  /** Sequential reader over one run: exposes the head (keyBytes, row). */
+  private final class RunReader(f: File) {
+    private val in = new DataInputStream(new BufferedInputStream(new FileInputStream(f), 1 << 16))
+    private val nFields = childOutput.length
+    var keyBytes: Array[Byte] = _
+    var row: UnsafeRow = _
+    advance()
+    def advance(): Boolean = {
+      try {
+        val kl = in.readInt()
+        keyBytes = new Array[Byte](kl); in.readFully(keyBytes)
+        val rl = in.readInt()
+        val rb = new Array[Byte](rl); in.readFully(rb)
+        val r = new UnsafeRow(nFields)
+        r.pointTo(rb, rl)
+        row = r
+        true
+      } catch {
+        case _: EOFException => in.close(); keyBytes = null; row = null; false
+      }
+    }
+    def exhausted: Boolean = keyBytes == null
+  }
+
+  private var resultIter: Iterator[InternalRow] = _
+
+  private def finish(): Iterator[InternalRow] = {
+    if (spills.isEmpty) {
+      // pure in-memory path: emit each heap best-first
+      heaps.iterator.flatMap { case (_, q) => q.dequeueAll.reverseIterator }
+    } else {
+      spillAll() // the in-memory remainder becomes the last run
+      val readers = spills.map(new RunReader(_)).filterNot(_.exhausted)
+      // streaming key-merge: pull the minimal key across runs, heap its
+      // candidates (≤ runs × k rows), emit, advance — one key in memory
+      new Iterator[InternalRow] {
+        private var pending: Iterator[InternalRow] = Iterator.empty
+        private def loadNextKey(): Unit = {
+          val live = readers.filterNot(_.exhausted)
+          if (live.isEmpty) return
+          val minKey = live.map(_.keyBytes).reduce((a, b) => if (cmpBytes(a, b) <= 0) a else b)
+          val q = mutable.PriorityQueue.empty[UnsafeRow](rowOrd.on[UnsafeRow](identity))
+          live.foreach { r =>
+            while (!r.exhausted && cmpBytes(r.keyBytes, minKey) == 0) {
+              if (q.size < k) q.enqueue(r.row)
+              else if (rowOrd.compare(r.row, q.head) < 0) { q.dequeue(); q.enqueue(r.row) }
+              r.advance()
+            }
+          }
+          pending = q.dequeueAll.reverseIterator
+        }
+        override def hasNext: Boolean = {
+          while (!pending.hasNext && readers.exists(!_.exhausted)) loadNextKey()
+          pending.hasNext
+        }
+        override def next(): InternalRow = pending.next()
+      }
+    }
+  }
+
+  override def hasNext: Boolean = {
+    if (resultIter == null) {
+      while (input.hasNext) {
+        insert(input.next())
+        if (retained >= spillThreshold) spillAll()
+      }
+      resultIter = finish()
+    }
+    resultIter.hasNext
+  }
+  override def next(): InternalRow = { hasNext; resultIter.next() }
 }
 
 /** DataFrame-level entry point: `topKPerKey(df, keys, Seq($"x".desc,
@@ -91,6 +242,10 @@ case class TopKPerKeyExec(groupExprs: Seq[Expression], ordering: Seq[SortOrder],
   * experimental strategies (idempotent); GraftExtensions also injects it
   * at session build for SQL-configured sessions. */
 object TopKPerKey {
+  /** Retained-row budget per partition before the heap map spills to a
+    * key-sorted local run (see [[TopKPerKeyExec]]'s memory contract). */
+  val SpillConfKey = "spark.graft.topk.spillRowThreshold"
+
   def ensureStrategy(spark: org.apache.spark.sql.SparkSession): Unit = {
     val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     if (!cs.experimental.extraStrategies.contains(TopKPerKeyStrategy))

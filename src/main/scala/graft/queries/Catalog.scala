@@ -626,11 +626,15 @@ object Catalog {
     // customer names per segment by balance, comma-joined in rank order.
     // collect_list order is partition-dependent — determinism comes from
     // sorting an array of (sort-key, value) structs AFTER collection
-    // (struct comparison is lexicographic), then slicing; state per group
-    // is bounded by the slice at emit but the collect is group-sized —
-    // use TopKPerKey first when groups are huge.
+    // (struct comparison is lexicographic), then slicing.  The TopKPerKey
+    // pre-cut bounds the collect to k rows per group (a billion-row group
+    // would otherwise sit in one collect_list buffer); the heap's shuffle
+    // on the group key is the same one the groupBy needs, so the cut is
+    // free — no extra exchange.
     QueryDef("q_string_agg",
-      (s, dir) => t(s, dir, "customer")
+      (s, dir) => graft.plans.TopKPerKey(
+          t(s, dir, "customer").select("c_mktsegment", "c_acctbal", "c_name"),
+          Seq("c_mktsegment"), Seq(col("c_acctbal").desc, col("c_name").asc), 3)
         .groupBy("c_mktsegment")
         .agg(array_join(slice(transform(
             sort_array(collect_list(struct((-col("c_acctbal")).as("nb"),
@@ -1368,7 +1372,10 @@ object Catalog {
         import s.implicits._
         val base = Files.createTempDirectory("graft_st8").toString
         val ev = events(s, dir).select("user_id", "ts", "event_id")
-        ev.write.parquet(s"$base/src/f1")
+        // ONE file: with maxFilesPerTrigger=1, several f1 part files would
+        // process as separate batches with overlapping time ranges and equal
+        // mtimes — a later one could fall behind the watermark and drop rows
+        ev.coalesce(1).write.parquet(s"$base/src/f1")
         val maxTs = ev.agg(max("ts")).collect().head.getTimestamp(0)
         Seq((-1L, new java.sql.Timestamp(maxTs.getTime + 86400L * 1000), -1L))
           .toDF("user_id", "ts", "event_id").write.parquet(s"$base/src/f2")

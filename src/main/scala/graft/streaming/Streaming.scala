@@ -101,10 +101,12 @@ object Streaming {
     * on batch Datasets too (Spark runs the state function per group).
     *
     * Two documented bounds (not silent assumptions):
-    *  - groups arrive UNORDERED within a micro-batch, so each batch is
-    *    sorted per user (`evts.toSeq.sortBy`) — one user's batch must fit in
-    *    executor memory.  [[sortedSessionCounts]] is the bounded-memory
-    *    batch form (secondary sort, nothing materialized);
+    *  - groups arrive UNORDERED within a micro-batch, so each batch's
+    *    timestamps are sorted per user — 8 bytes/event of primitive buffer
+    *    (mapGroupsWithState offers no spill path, so a user's batch slice
+    *    must fit; at 8 B/event that is ~8 MB per hundred-million-event
+    *    slice).  [[sortedSessionCounts]] is the fully-bounded batch form
+    *    (secondary sort through Spark's spillable machinery);
     *  - only `lastTsUs` crosses batches: an event older than the previous
     *    batch's last timestamp would be folded as if in order.  Callers
     *    needing late-data tolerance must bound lateness upstream with
@@ -117,14 +119,24 @@ object Streaming {
       .mapGroupsWithState[SessionState, SessionCounts](GroupStateTimeout.NoTimeout) {
         (user: Long, evts: Iterator[SessionEvent], state: GroupState[SessionState]) =>
           val prev = state.getOption.getOrElse(SessionState(Long.MinValue, 0L, 0L))
-          // micro-batches deliver groups unordered; impose event-time order
-          val sorted = evts.toSeq.sortBy(e => (e.ts_us, e.event_id))
-          val next = sorted.foldLeft(prev) { (st, e) =>
-            val newSession = st.lastTsUs == Long.MinValue || (e.ts_us - st.lastTsUs) > gapMicros
-            SessionState(e.ts_us, st.nSessions + (if (newSession) 1 else 0), st.nEvents + 1)
+          // micro-batches deliver groups unordered; impose event-time order.
+          // Only the TIMESTAMPS need sorting: a boundary is `diff > gap`, and
+          // equal timestamps have diff 0, so order among ties cannot change
+          // the count — the buffer is one primitive long per event (no
+          // boxed SessionEvent Seq, no tuple comparator)
+          val b = scala.collection.mutable.ArrayBuilder.make[Long]
+          while (evts.hasNext) b += evts.next().ts_us
+          val ts = b.result()
+          java.util.Arrays.sort(ts)
+          var st = prev
+          var i = 0
+          while (i < ts.length) {
+            val newSession = st.lastTsUs == Long.MinValue || (ts(i) - st.lastTsUs) > gapMicros
+            st = SessionState(ts(i), st.nSessions + (if (newSession) 1 else 0), st.nEvents + 1)
+            i += 1
           }
-          state.update(next)
-          SessionCounts(user, next.nSessions, next.nEvents)
+          state.update(st)
+          SessionCounts(user, st.nSessions, st.nEvents)
       }
   }
 

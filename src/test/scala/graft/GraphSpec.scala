@@ -98,6 +98,11 @@ class GraphSpec extends SparkFunSuite {
       (10L, 3L, 1), (10L, 4L, 2)))
     val cyc = Seq((1L, 2L), (2L, 1L)).toDF("c", "p")
     intercept[IllegalArgumentException](Graph.ancestorClosure(cyc, "c", "p", maxDepth = 8))
+
+    // boundary: a chain of height EXACTLY maxDepth is a legitimate forest,
+    // not a cycle — the depth-maxDepth frontier gets its extension attempt
+    val chain = (1L to 3L).map(i => (i, i + 1)).toDF("c", "p") // height 3
+    assert(Graph.ancestorClosure(chain, "c", "p", maxDepth = 3).count() === 6)
   }
 
   test("pageRank on a star graph matches the hand-computed fixpoint shape") {

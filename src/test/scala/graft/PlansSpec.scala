@@ -46,6 +46,25 @@ class PlansSpec extends SparkFunSuite {
       "no sort anywhere: that is the point of the operator")
   }
 
+  test("TopKPerKey spill path: tiny spill threshold yields the same rows as in-memory") {
+    // ~1000 distinct keys, 3 rows each, k=2 — retained state (2000 rows)
+    // dwarfs the 16-row budget, forcing many key-sorted runs + the merge.
+    val df = (1L to 3000L)
+      .map(i => (s"k${i % 1000}", i, (i * 31 % 500).toDouble)).toDF("g", "id", "x")
+    val exp = graft.plans.TopKPerKey(df, Seq("g"), Seq($"x".desc, $"id".asc), 2)
+      .collect().map(_.toString).toSet
+    val ss = spark.newSession()
+    ss.conf.set(graft.plans.TopKPerKey.SpillConfKey, "16")
+    val ssi = ss.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    import ssi.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    val df2 = (1L to 3000L)
+      .map(i => (s"k${i % 1000}", i, (i * 31 % 500).toDouble)).toDF("g", "id", "x")
+    val got = graft.plans.TopKPerKey(df2, Seq("g"), Seq(df2("x").desc, df2("id").asc), 2)
+      .collect().map(_.toString).toSet
+    assert(got.size === 2000 && got === exp,
+      "spilled merge must be row-for-row identical to the in-memory heap path")
+  }
+
   test("TopKPerKey truncates each key independently and keeps whole rows intact") {
     val df = Seq(("a", 1L, 9.0), ("a", 2L, 8.0), ("b", 3L, 1.0)).toDF("g", "id", "x")
     val got = graft.plans.TopKPerKey(df, Seq("g"), Seq($"x".desc, $"id".asc), 1)

@@ -139,4 +139,20 @@ class UpsertSpec extends SparkFunSuite {
     purge() // same tombstones again: converged state must not change
     assert(spark.read.parquet(lake).count() === 2)
   }
+
+  test("purgeKeys handles Hive-escaped partition values and NULL partitions") {
+    val lake = java.nio.file.Files.createTempDirectory("purge_esc").toString + "/lake"
+    // ':' is Hive-escaped in the directory name (p=a b%3Ac); NULL lands in
+    // __HIVE_DEFAULT_PARTITION__ — a raw s"p=$v" delete misses both
+    Seq((1L, "a b:c", "x"), (2L, "a b:c", "y"), (3L, null, "z"), (4L, "plain", "w"))
+      .toDF("k", "p", "v").write.partitionBy("p").parquet(lake)
+    val tomb = Seq((1L, "a b:c"), (2L, "a b:c"), (3L, null)).toDF("k", "p")
+    Upsert.purgeKeys(spark, lake, tomb, Seq("k"), "p")
+    val got = spark.read.parquet(lake).select("k").collect().map(_.getLong(0)).toSet
+    assert(got === Set(4L), "escaped + null partitions must actually purge")
+    val dirs = new java.io.File(lake).listFiles.filter(_.isDirectory).map(_.getName).toSet
+    assert(!dirs.exists(_.contains("%3A")), "escaped emptied dir must be deleted")
+    assert(!dirs.contains("__HIVE_DEFAULT_PARTITION__"),
+      "null-partition emptied dir must be deleted")
+  }
 }
