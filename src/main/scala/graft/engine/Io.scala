@@ -58,8 +58,9 @@ object Tables {
     * data exists only as deleted blocks.  Still not an atomic swap for
     * concurrent READERS (a racing lister can catch the gap between the two
     * renames): run it in the same scheduler slot as the writers it
-    * compacts, or use a transactional table format where isolation matters.
-    * Returns the output file count. */
+    * compacts, or use [[TxTable]] — the manifest-swap log whose
+    * [[TxTable.compactTx]] gives readers snapshot isolation through the
+    * swap.  Returns the output file count. */
   def compact(spark: SparkSession, path: String,
               targetBytes: Long = 128L * 1024 * 1024): Int = {
     val p = new org.apache.hadoop.fs.Path(path)

@@ -1268,6 +1268,33 @@ object Catalog {
          SELECT species, COUNT(*) AS n_rows, CAST(SUM(unit) AS BIGINT) AS unit_sum
          FROM production GROUP BY 1 ORDER BY 1""")),
 
+    // Transactional table (manifest-swap log, TxTable.scala): overwrite →
+    // append → compact as three commits, then read the head AND time-travel
+    // to v1 — proving the compacted snapshot is a pure re-layout and prior
+    // snapshots stay resolvable (the isolation Tables.compact alone lacks).
+    QueryDef("q_tx_table",
+      (s, dir) => {
+        val root = Files.createTempDirectory("graft_tx").toString + "/tbl"
+        val o = t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_orderstatus")
+        TxTable.commitOverwrite(s, root, o.filter(col("o_orderstatus") === "F"))
+        TxTable.commitAppend(s, root, o.filter(col("o_orderstatus") === "O"))
+        TxTable.compactTx(s, root)
+        val v1 = TxTable.readVersion(s, root, 1L)
+          .agg(count(lit(1)).as("n_rows"), lsum(col("o_custkey")).as("cust_sum"))
+          .withColumn("snap", lit("v1_overwrite_f"))
+        val head = TxTable.read(s, root)
+          .agg(count(lit(1)).as("n_rows"), lsum(col("o_custkey")).as("cust_sum"))
+          .withColumn("snap", lit("v3_compacted"))
+        v1.unionByName(head).select("snap", "n_rows", "cust_sum").orderBy("snap")
+      },
+      Some("""SELECT 'v1_overwrite_f' AS snap, COUNT(*) AS n_rows,
+             CAST(SUM(o_custkey) AS BIGINT) AS cust_sum
+           FROM orders WHERE o_orderstatus = 'F'
+         UNION ALL
+         SELECT 'v3_compacted', COUNT(*), CAST(SUM(o_custkey) AS BIGINT)
+           FROM orders WHERE o_orderstatus IN ('F', 'O')
+         ORDER BY snap""")),
+
     // S7 — footer-only schema probe.
     QueryDef("q_s7_schema_probe",
       (s, dir) => {

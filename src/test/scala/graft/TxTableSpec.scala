@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.engine.TxTable
+
+/** Manifest-swap transactional table: commit/read/time-travel/compact/vacuum
+  * protocol invariants (TxTable.scala). */
+class TxTableSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  private def newRoot(): String =
+    java.nio.file.Files.createTempDirectory("txtable_spec").toString + "/tbl"
+
+  test("overwrite then append: versions accumulate, time travel reads each snapshot") {
+    val root = newRoot()
+    assert(TxTable.latestVersion(spark, root).isEmpty)
+    val v1 = TxTable.commitOverwrite(spark, root, Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    val v2 = TxTable.commitAppend(spark, root, Seq((3L, "c")).toDF("k", "v"))
+    assert(v1 === 1L && v2 === 2L)
+    assert(TxTable.read(spark, root).count() === 3)
+    assert(TxTable.readVersion(spark, root, 1L).count() === 2,
+      "version 1 must stay readable after later commits (snapshot isolation)")
+    val v3 = TxTable.commitOverwrite(spark, root, Seq((9L, "z")).toDF("k", "v"))
+    assert(v3 === 3L && TxTable.read(spark, root).count() === 1)
+    assert(TxTable.readVersion(spark, root, 2L).count() === 3)
+  }
+
+  test("compactTx merges segments as a commit; prior snapshots undisturbed") {
+    val root = newRoot()
+    TxTable.commitOverwrite(spark, root, (1L to 10L).toDF("k"))
+    (1 to 3).foreach(i => TxTable.commitAppend(spark, root, Seq(100L + i).toDF("k")))
+    val before = TxTable.read(spark, root).as[Long].collect().sorted.toSeq
+    val vc = TxTable.compactTx(spark, root)
+    assert(vc === 5L)
+    assert(TxTable.read(spark, root).as[Long].collect().sorted.toSeq === before,
+      "compaction must be a pure re-layout")
+    // the pre-compaction head still resolves to the same rows
+    assert(TxTable.readVersion(spark, root, 4L).as[Long].collect().sorted.toSeq === before)
+    // and the compacted snapshot is ONE segment directory
+    val dataDirs = new java.io.File(root + "/data").listFiles.count(_.isDirectory)
+    assert(dataDirs === 5, "4 commit segments + 1 compacted segment until vacuum")
+  }
+
+  test("vacuum drops unreferenced segments and old manifests, keeps the head readable") {
+    val root = newRoot()
+    TxTable.commitOverwrite(spark, root, (1L to 5L).toDF("k"))
+    TxTable.commitAppend(spark, root, Seq(6L).toDF("k"))
+    TxTable.compactTx(spark, root)
+    TxTable.vacuum(spark, root, keepVersions = 1)
+    assert(TxTable.read(spark, root).count() === 6)
+    val dataDirs = new java.io.File(root + "/data").listFiles.count(_.isDirectory)
+    assert(dataDirs === 1, "only the compacted segment survives the vacuum")
+    intercept[Exception](TxTable.readVersion(spark, root, 1L).count())
+  }
+
+  test("commit loses the version race cleanly and retries onto the next slot") {
+    val root = newRoot()
+    TxTable.commitOverwrite(spark, root, Seq(1L).toDF("k"))
+    // a racing committer lands v2 between our head read and our rename:
+    // simulate by pre-creating the v2 manifest the competitor would write
+    val log = new java.io.File(root + "/_txlog")
+    val v1 = new String(java.nio.file.Files.readAllBytes(
+      log.listFiles.filter(_.getName == "v0000000001.json").head.toPath))
+    java.nio.file.Files.write(new java.io.File(log, "v0000000002.json").toPath,
+      v1.replace("\"version\":1", "\"version\":2").getBytes)
+    val v = TxTable.commitAppend(spark, root, Seq(2L).toDF("k"))
+    assert(v === 3L, "loser of the v2 race must land on v3, not clobber v2")
+    assert(TxTable.read(spark, root).count() === 2)
+  }
+}
