@@ -238,7 +238,10 @@ object Text {
     * the candidate join linear-ish at corpus scale. */
   def shingleRelation(df: DataFrame, textCol: String, idCol: String, maxDf: Int): DataFrame = {
     val rel = shingleRows(df, textCol, idCol).withColumnRenamed("__sh", "sh")
-    val dfCount = rel.groupBy("sh").agg(countDistinct("doc").as("df")).filter(col("df") <= maxDf)
+    // (doc, sh) is already distinct (array_distinct per doc in shingleRows),
+    // so plain count ≡ COUNT(DISTINCT doc) — without the distinct-aggregate
+    // expansion (an Expand + two extra HashAggregate layers on a hot path)
+    val dfCount = rel.groupBy("sh").agg(count(lit(1)).as("df")).filter(col("df") <= maxDf)
     rel.join(dfCount.select("sh"), Seq("sh"))
   }
 

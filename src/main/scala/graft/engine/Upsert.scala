@@ -197,16 +197,23 @@ object Upsert {
     }
     // actual on-disk partition directories, via the files Spark scanned —
     // input_file_name() is captured as a column directly above the scan
-    // (it rejects multi-source plans, so it cannot sit above the join)
+    // (it rejects multi-source plans, so it cannot sit above the join).
+    // ONE pass computes both the touched set and the emptied set: per-file
+    // total vs tombstone-hit counts (tomb is distinct on the full join key,
+    // so the left join cannot duplicate lake rows), rolled up per directory
+    // on the driver (a handful of rows).
     val aff = affected.withColumn("__file", input_file_name())
-    def dirsOf(df: DataFrame): Set[String] =
-      df.select(col("__file")).distinct().collect()
-        .map(r => r.getString(0).substring(0, r.getString(0).lastIndexOf('/')))
-        .toSet
     val kept = antiSemi(aff, "left_anti")
-    val touchedDirs = dirsOf(aff)
-    val keptDirs = dirsOf(kept)
-    val emptiedDirs = touchedDirs -- keptDirs
+    val tbh = broadcast(tomb.withColumn("__hit", lit(1)))
+    val perDir = aff
+      .join(tbh, joinCols.map(c => aff(c) <=> tbh(c)).reduce(_ && _), "left")
+      .groupBy("__file")
+      .agg(count(lit(1)).as("total"), count(col("__hit")).as("hits"))
+      .collect()
+      .groupBy(r => r.getString(0).substring(0, r.getString(0).lastIndexOf('/')))
+      .view.mapValues(rs => (rs.map(_.getLong(1)).sum, rs.map(_.getLong(2)).sum))
+    val keptDirs = perDir.collect { case (d, (t, h)) if h < t => d }.toSet
+    val emptiedDirs = perDir.keySet -- keptDirs
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(lakeRoot), spark.sparkContext.hadoopConfiguration)
     // input_file_name() is a percent-encoded URI; Path(String) takes names
