@@ -36,7 +36,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object TxTable {
 
   private val LogDir = "_txlog"
-  private case class Manifest(version: Long, op: String, segments: Seq[String])
+  private case class Manifest(version: Long, op: String, segments: Seq[String],
+                              batch: Option[Long] = None)
 
   private def fs(spark: SparkSession, root: String): FileSystem =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -45,7 +46,9 @@ object TxTable {
     new Path(s"${root.stripSuffix("/")}/$LogDir/v${"%010d".format(v)}.json")
 
   private def writeJson(m: Manifest): String =
-    s"""{"version":${m.version},"op":"${m.op}","segments":[""" +
+    s"""{"version":${m.version},"op":"${m.op}",""" +
+      m.batch.map(b => s""""batch":$b,""").getOrElse("") +
+      """"segments":[""" +
       m.segments.map(s => "\"" + s + "\"").mkString(",") + "]}"
 
   private def parseJson(s: String): Manifest = {
@@ -53,11 +56,12 @@ object TxTable {
     // dependency-free extraction is exact
     val version = """"version":(\d+)""".r.findFirstMatchIn(s).get.group(1).toLong
     val op = """"op":"([^"]*)"""".r.findFirstMatchIn(s).get.group(1)
+    val batch = """"batch":(\d+)""".r.findFirstMatchIn(s).map(_.group(1).toLong)
     val segs = """"segments":\[([^\]]*)\]""".r.findFirstMatchIn(s).get.group(1)
     val segments =
       if (segs.trim.isEmpty) Seq.empty
       else segs.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
-    Manifest(version, op, segments)
+    Manifest(version, op, segments, batch)
   }
 
   /** Latest committed version, or None for an uninitialized table. */
@@ -92,7 +96,8 @@ object TxTable {
     * atomic metadata op.  Retries on version conflict (another committer
     * won the rename) with the standard optimistic re-read. */
   private def commit(spark: SparkSession, root: String, op: String,
-                     segments: Seq[String], maxRetries: Int = 10): Long = {
+                     segments: Seq[String], maxRetries: Int = 10,
+                     batch: Option[Long] = None): Long = {
     val f = fs(spark, root)
     var attempt = 0
     while (true) {
@@ -101,7 +106,7 @@ object TxTable {
       val tmp = new Path(target.getParent, s".tmp-${java.util.UUID.randomUUID()}")
       f.mkdirs(target.getParent)
       val os = f.create(tmp, false)
-      try os.write(writeJson(Manifest(next, op, segments))
+      try os.write(writeJson(Manifest(next, op, segments, batch))
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally os.close()
       val won = !f.exists(target) && f.rename(tmp, target)
@@ -119,7 +124,11 @@ object TxTable {
     commit(spark, root, "overwrite", Seq(writeSegment(df, root)))
 
   /** Append `df` as a new segment alongside the current snapshot's. */
-  def commitAppend(spark: SparkSession, root: String, df: DataFrame): Long = {
+  def commitAppend(spark: SparkSession, root: String, df: DataFrame): Long =
+    appendWith(spark, root, df, None)
+
+  private def appendWith(spark: SparkSession, root: String, df: DataFrame,
+                         batch: Option[Long]): Long = {
     val seg = writeSegment(df, root)
     // re-resolve the head inside commit's retry loop is not needed for the
     // SEGMENT (it is ours alone); only the base list can go stale — rebuild
@@ -129,10 +138,35 @@ object TxTable {
     while (v < 0) {
       val base = latestVersion(spark, root)
         .map(readManifest(spark, root, _).segments).getOrElse(Seq.empty)
-      try v = commit(spark, root, "append", base :+ seg, maxRetries = 0)
+      try v = commit(spark, root, "append", base :+ seg, maxRetries = 0, batch)
       catch { case _: IllegalArgumentException if attempt < 10 => attempt += 1 }
     }
     v
+  }
+
+  /** Highest micro-batch id recorded by [[streamingAppend]] among the
+    * still-retained manifests (vacuum retention must exceed the replay
+    * horizon — trivially true: foreachBatch replays at most the one batch
+    * after the last checkpoint, and vacuum always keeps the head). */
+  def lastCommittedBatch(spark: SparkSession, root: String): Option[Long] =
+    latestVersion(spark, root).flatMap { head =>
+      (1L to head).flatMap { v =>
+        try readManifest(spark, root, v).batch
+        catch { case _: java.io.FileNotFoundException => None }
+      }.reduceOption(_ max _)
+    }
+
+  /** EXACTLY-ONCE streaming sink: `stream.writeStream.foreachBatch(
+    * TxTable.streamingAppend(root) _)`.  Each micro-batch commits as one
+    * table version whose manifest records the batch id; after a crash the
+    * checkpoint replays the in-flight batch and the duplicate id makes the
+    * commit a no-op — the append lands exactly once even though the batch
+    * runs at-least-once (the transactional-sink idiom Structured Streaming
+    * expects of a real table format). */
+  def streamingAppend(root: String)(df: DataFrame, batchId: Long): Unit = {
+    val spark = df.sparkSession
+    if (lastCommittedBatch(spark, root).exists(_ >= batchId)) return
+    appendWith(spark, root, df, Some(batchId))
   }
 
   /** Compact the CURRENT snapshot into ≈ceil(bytes/targetBytes) files as a

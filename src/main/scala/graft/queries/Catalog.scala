@@ -1304,6 +1304,32 @@ object Catalog {
       },
       Some("""SELECT column_name AS col_name FROM (DESCRIBE SELECT * FROM lineitem) ORDER BY 1""")),
 
+    // ST9 — EXACTLY-ONCE streaming sink into the transactional table:
+    // foreachBatch commits each micro-batch as a TxTable version carrying
+    // its batch id.  The second run replays the same source with a FRESH
+    // checkpoint (worst-case at-least-once delivery: every batch replays)
+    // and the duplicate batch ids make every commit a no-op — the oracle
+    // proves the table holds each event exactly once.
+    QueryDef("q_st9_tx_stream_sink",
+      (s, dir) => {
+        val schema = t(s, dir, "events").schema // ts arrives as long nanos
+        val root = Files.createTempDirectory("graft_st9").toString + "/tbl"
+        val base = Files.createTempDirectory("graft_st9cp").toString
+        def runOnce(cp: String): Unit = {
+          val q = s.readStream.schema(schema).parquet(s"$dir/events*.parquet")
+            .writeStream.foreachBatch(TxTable.streamingAppend(root) _)
+            .option("checkpointLocation", cp)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        runOnce(s"$base/cp1")
+        runOnce(s"$base/cp2") // full replay — must dedup on batch ids
+        TxTable.read(s, root)
+          .groupBy("event_type").agg(count(lit(1)).as("n")).orderBy("event_type")
+      },
+      Some("""SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1 ORDER BY 1""")),
+
     // ST1 — Structured Streaming file-source catch-up (Trigger.AvailableNow),
     // then a batch aggregate over the caught-up copy.
     QueryDef("q_st1_streaming_catchup",

@@ -54,6 +54,19 @@ class TxTableSpec extends SparkFunSuite {
     intercept[Exception](TxTable.readVersion(spark, root, 1L).count())
   }
 
+  test("streamingAppend commits each batch id exactly once across replays") {
+    val root = newRoot()
+    val sink = TxTable.streamingAppend(root) _
+    sink(Seq(1L).toDF("k"), 0L)
+    sink(Seq(1L).toDF("k"), 0L) // at-least-once replay of batch 0
+    sink(Seq(2L).toDF("k"), 1L)
+    sink(Seq(2L).toDF("k"), 0L) // stale replay after batch 1 landed
+    assert(TxTable.read(spark, root).as[Long].collect().sorted.toSeq === Seq(1L, 2L))
+    assert(TxTable.lastCommittedBatch(spark, root) === Some(1L))
+    assert(TxTable.latestVersion(spark, root) === Some(2L),
+      "replayed batches must not even burn a version number")
+  }
+
   test("commit loses the version race cleanly and retries onto the next slot") {
     val root = newRoot()
     TxTable.commitOverwrite(spark, root, Seq(1L).toDF("k"))
