@@ -169,6 +169,47 @@ object TxTable {
     appendWith(spark, root, df, Some(batchId))
   }
 
+  /** SEGMENT-PRUNED ACID upsert (the Delta-style MERGE shape): only the
+    * segments that CONTAIN a hit key are rewritten — every other segment
+    * carries over into the new manifest by reference, so a merge touching
+    * 0.1% of keys rewrites ~0.1% of the table, transactionally.  Hit
+    * segments are found by a broadcast semi-join of the incoming key set
+    * against the head snapshot tagged with its source segment
+    * (`input_file_name()` above the scan); their rows plus the incoming
+    * batch go through [[Upsert.upsert]] (EXCLUDED-wins updateCols,
+    * existing-wins preserveCols) into one replacement segment.
+    *
+    * The table's column set must be exactly `keys ++ updateCols ++
+    * preserveCols` (parquet reads align by name, so column ORDER may vary
+    * across segments but the SET must not).  Writer serialization is the
+    * caller's contract for merge: a concurrent commit between head-read and
+    * publish fails the version CAS and this method throws rather than
+    * silently re-merging against a moved head. */
+  def commitMerge(spark: SparkSession, root: String, incoming: DataFrame,
+                  keys: Seq[String], updateCols: Seq[String],
+                  preserveCols: Seq[String]): Long = {
+    import org.apache.spark.sql.functions._
+    val cols = keys ++ updateCols ++ preserveCols
+    latestVersion(spark, root) match {
+      case None => // bootstrap: the incoming batch IS the table
+        commit(spark, root, "merge",
+          Seq(writeSegment(incoming.select(cols.map(col): _*), root)))
+      case Some(headV) =>
+        val segs = readManifest(spark, root, headV).segments
+        val cur = readVersion(spark, root, headV)
+          .withColumn("__seg", regexp_extract(input_file_name(), "/(data/[^/]+)/", 1))
+        val inKeys = broadcast(incoming.select(keys.map(col): _*).distinct())
+        val hitSegs = cur
+          .join(inKeys, keys.map(k => cur(k) <=> inKeys(k)).reduce(_ && _), "left_semi")
+          .select("__seg").distinct().collect().map(_.getString(0)).toSet
+        val touched = cur.filter(col("__seg").isin(hitSegs.toSeq: _*)).drop("__seg")
+        val merged = Upsert.upsert(touched, incoming, keys, updateCols, preserveCols)
+        val newSeg = writeSegment(merged, root)
+        commit(spark, root, "merge",
+          segs.filterNot(hitSegs.contains) :+ newSeg, maxRetries = 0)
+    }
+  }
+
   /** Compact the CURRENT snapshot into ≈ceil(bytes/targetBytes) files as a
     * normal commit — readers of any already-resolved version are never
     * disturbed (their segments stay on disk until [[vacuum]]). */

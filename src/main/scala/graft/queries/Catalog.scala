@@ -1295,6 +1295,48 @@ object Catalog {
            FROM orders WHERE o_orderstatus IN ('F', 'O')
          ORDER BY snap""")),
 
+    // Segment-pruned ACID MERGE on the transactional table: updates hit a
+    // third of the base keys (EXCLUDED-wins o_totalprice, preserved
+    // o_custkey — the incoming -1 sentinels must NOT land), inserts come
+    // from the disjoint 'O' slice; the oracle restates the merge as a full
+    // outer join.
+    QueryDef("q_tx_merge",
+      (s, dir) => {
+        val root = Files.createTempDirectory("graft_txm").toString + "/tbl"
+        val o = t(s, dir, "orders")
+        TxTable.commitOverwrite(s, root, o.filter(col("o_orderstatus") === "F")
+          .select("o_orderkey", "o_totalprice", "o_custkey"))
+        val updates = o
+          .filter(col("o_orderstatus") === "F" && col("o_orderkey") % 3 === 0)
+          .select(col("o_orderkey"),
+            (col("o_totalprice") + 1000.0).as("o_totalprice"),
+            lit(-1L).as("o_custkey"))
+        val inserts = o.filter(col("o_orderstatus") === "O")
+          .select("o_orderkey", "o_totalprice", "o_custkey")
+        TxTable.commitMerge(s, root, updates.unionByName(inserts),
+          Seq("o_orderkey"), Seq("o_totalprice"), Seq("o_custkey"))
+        TxTable.read(s, root).agg(
+          count(lit(1)).as("n_rows"),
+          lsum(col("o_custkey")).as("cust_sum"),
+          dsum(col("o_totalprice")).as("price_sum"))
+      },
+      Some("""WITH base AS (SELECT o_orderkey, o_totalprice, o_custkey
+             FROM orders WHERE o_orderstatus = 'F'),
+         inc AS (SELECT o_orderkey, o_totalprice + 1000.0 AS o_totalprice,
+             CAST(-1 AS BIGINT) AS o_custkey
+             FROM orders WHERE o_orderstatus = 'F' AND o_orderkey % 3 = 0
+           UNION ALL SELECT o_orderkey, o_totalprice, o_custkey
+             FROM orders WHERE o_orderstatus = 'O'),
+         m AS (SELECT COALESCE(b.o_orderkey, i.o_orderkey) AS o_orderkey,
+             CASE WHEN i.o_orderkey IS NOT NULL THEN i.o_totalprice
+                  ELSE b.o_totalprice END AS o_totalprice,
+             CASE WHEN b.o_orderkey IS NOT NULL THEN b.o_custkey
+                  ELSE i.o_custkey END AS o_custkey
+           FROM base b FULL JOIN inc i ON b.o_orderkey = i.o_orderkey)
+         SELECT COUNT(*) AS n_rows, CAST(SUM(o_custkey) AS BIGINT) AS cust_sum,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS price_sum
+         FROM m""")),
+
     // S7 — footer-only schema probe.
     QueryDef("q_s7_schema_probe",
       (s, dir) => {

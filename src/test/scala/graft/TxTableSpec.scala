@@ -54,6 +54,28 @@ class TxTableSpec extends SparkFunSuite {
     intercept[Exception](TxTable.readVersion(spark, root, 1L).count())
   }
 
+  test("commitMerge rewrites only hit segments; untouched segments carry over") {
+    val root = newRoot()
+    TxTable.commitOverwrite(spark, root,
+      Seq((1L, 10.0, 100L), (2L, 20.0, 200L)).toDF("k", "price", "owner"))
+    TxTable.commitAppend(spark, root,
+      Seq((3L, 30.0, 300L), (4L, 40.0, 400L)).toDF("k", "price", "owner"))
+    // hits only segment 2 (key 3) + one pure insert (key 5)
+    val incoming = Seq((3L, 33.0, -1L), (5L, 50.0, 500L)).toDF("k", "price", "owner")
+    TxTable.commitMerge(spark, root, incoming, Seq("k"), Seq("price"), Seq("owner"))
+    val got = TxTable.read(spark, root).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    assert(got === Seq((1L, 10.0, 100L), (2L, 20.0, 200L), (3L, 33.0, 300L),
+      (4L, 40.0, 400L), (5L, 50.0, 500L)),
+      "price updates (EXCLUDED wins), owner preserved (existing wins), insert lands")
+    // segment 1 carried over by reference: 3 data dirs (seg1, dead seg2, merged)
+    assert(new java.io.File(root + "/data").listFiles.count(_.isDirectory) === 3)
+    TxTable.vacuum(spark, root, keepVersions = 1)
+    assert(new java.io.File(root + "/data").listFiles.count(_.isDirectory) === 2,
+      "after vacuum exactly the untouched segment and the merged segment live")
+    assert(TxTable.read(spark, root).count() === 5)
+  }
+
   test("streamingAppend commits each batch id exactly once across replays") {
     val root = newRoot()
     val sink = TxTable.streamingAppend(root) _
