@@ -171,7 +171,7 @@ object Graph {
     * projection of one) immediately.  `Dataset.unpersist` only clears
     * CacheManager entries; a checkpoint's blocks belong to the underlying
     * RDD and otherwise live until GC-driven ContextCleaner notices. */
-  private def freeCheckpoint(df: DataFrame): Unit =
+  private[engine] def freeCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed.foreach {
       case l: org.apache.spark.sql.execution.LogicalRDD =>
         l.rdd.unpersist(blocking = false)

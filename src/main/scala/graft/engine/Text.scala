@@ -599,4 +599,87 @@ object Text {
     df.select(explode(bigramsOf(tokens(col(textCol)))).as("bigram"))
       .groupBy("bigram").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("bigram")).limit(k)
+
+  // ----------------------------------------------------------- BPE induction
+  /** Corpus word-frequency table — the input to BPE training.  One
+    * corpus-sized explode, vocab-sized output: everything downstream of
+    * this (pair counting, merge rounds) runs on DISTINCT WORDS weighted by
+    * frequency, the classic trick that makes tokenizer induction cheap
+    * regardless of corpus size. */
+  def wordFreqs(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(tokens(col(textCol))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("f"))
+
+  /** Adjacent-symbol pair frequencies over a (syms array<string>, f) word
+    * table: the statistic each BPE round takes its argmax from.  Pure
+    * slice/zip_with arithmetic (no per-element re-split), one explode +
+    * one groupBy on the vocab-sized table.  Symbols never contain spaces
+    * (words come from whitespace tokenization), so "a b" is a safe pair
+    * encoding. */
+  def bpePairCounts(words: DataFrame): DataFrame = {
+    val s = col("syms")
+    val pairs = zip_with(slice(s, lit(1), size(s) - 1), slice(s, lit(2), size(s) - 1),
+      (a, b) => concat_ws(" ", a, b))
+    words.select(explode(pairs).as("pair"), col("f"))
+      .groupBy("pair").agg(lsum(col("f")).as("freq"))
+  }
+  private def lsum(c: Column): Column = sum(c).cast("long")
+
+  /** One greedy left-to-right merge pass of the pair (a, b) over a symbol
+    * array — a NATIVE fold (`aggregate` higher-order function), no UDF: the
+    * accumulator carries (out, prev) and ties resolve leftmost-first,
+    * exactly like the reference BPE algorithm. */
+  def bpeMerge(syms: Column, a: String, b: String): Column = {
+    val init = struct(array().cast("array<string>").as("out"),
+      lit(null).cast("string").as("prev"))
+    aggregate(syms, init,
+      (acc, x) => {
+        val out = acc.getField("out"); val prev = acc.getField("prev")
+        when(prev === lit(a) && x === lit(b),
+          struct(concat(out, array(lit(a + b))).as("out"),
+            lit(null).cast("string").as("prev")))
+          .otherwise(struct(
+            when(prev.isNull, out).otherwise(concat(out, array(prev))).as("out"),
+            x.as("prev")))
+      },
+      acc => when(acc.getField("prev").isNull, acc.getField("out"))
+        .otherwise(concat(acc.getField("out"), array(acc.getField("prev")))))
+  }
+
+  /** BPE merge-table training (tokenizer induction): `numMerges` rounds of
+    * count-pairs → global argmax → merge-everywhere, stopping early when no
+    * pair repeats.  Each round is one explode+groupBy on the vocab-sized
+    * word table plus a ONE-ROW collect (the argmax) — driver state is the
+    * merge list only; the evolving word table stays distributed and is
+    * localCheckpoint'd per round with superseded blocks freed (lineage
+    * discipline as in [[Graph.connectedComponents]]).  Ties break on pair
+    * text for cross-run determinism. */
+  def bpeTrain(df: DataFrame, textCol: String, numMerges: Int): Seq[(String, String)] = {
+    var words = wordFreqs(df, textCol)
+      .select(split(col("word"), "").as("syms"), col("f"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ListBuffer.empty[(String, String)]
+    var done = false
+    while (merges.length < numMerges && !done) {
+      val top = bpePairCounts(words)
+        .orderBy(col("freq").desc, col("pair")).limit(1).collect()
+      if (top.isEmpty || top(0).getLong(1) < 2) done = true
+      else {
+        val Array(a, b) = top(0).getString(0).split(" ", 2)
+        merges += ((a, b))
+        val next = words.select(bpeMerge(col("syms"), a, b).as("syms"), col("f"))
+          .localCheckpoint()
+        Graph.freeCheckpoint(words)
+        words = next
+      }
+    }
+    Graph.freeCheckpoint(words)
+    merges.toList
+  }
+
+  /** Apply a trained merge table to a word column → its subword segments
+    * (merge order matters and is the training order, per the algorithm). */
+  def bpeApply(word: Column, merges: Seq[(String, String)]): Column =
+    merges.foldLeft(split(word, ""))((s, m) => bpeMerge(s, m._1, m._2))
 }

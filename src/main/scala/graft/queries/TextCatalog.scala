@@ -918,6 +918,25 @@ object TextCatalog {
          SELECT bigram, COUNT(*) AS n FROM b GROUP BY 1
          ORDER BY n DESC, bigram LIMIT 20""")),
 
+    // BPE pair statistics (tokenizer induction, round-0 argmax table):
+    // adjacent-character pair frequencies weighted by word frequency — the
+    // statistic every `Text.bpeTrain` round takes its merge decision from.
+    // Corpus-sized explode once (word freqs), then everything runs on the
+    // VOCAB-sized table; the full iterative trainer (bpeTrain/bpeApply,
+    // argmax + native-fold merge rounds) is spec-verified against a
+    // sequential reference implementation in TextSpec.
+    QueryDef("q_bpe_pairs",
+      (s, dir) => Text.bpePairCounts(
+          Text.wordFreqs(t(s, dir, "documents"), "text")
+            .select(split(col("word"), "").as("syms"), col("f")))
+        .orderBy(col("freq").desc, col("pair")).limit(20),
+      Some("""WITH w AS (SELECT unnest(str_split(trim(text), ' ')) AS word FROM documents),
+         wf AS (SELECT word, COUNT(*) AS f FROM w WHERE length(word) > 0 GROUP BY word),
+         p AS (SELECT substr(word, CAST(i AS INT), 1) || ' ' || substr(word, CAST(i AS INT) + 1, 1) AS pair, f
+           FROM wf, unnest(range(1, length(word))) AS t(i))
+         SELECT pair, CAST(SUM(f) AS BIGINT) AS freq
+         FROM p GROUP BY 1 ORDER BY freq DESC, pair LIMIT 20""")),
+
     // N-gram novelty: the share of a doc's distinct shingles seen NOWHERE
     // else (corpus df = 1) — the memorization-risk complement of
     // contamination scoring (low novelty ⇒ doc is made of boilerplate).

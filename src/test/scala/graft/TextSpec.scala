@@ -7,6 +7,63 @@ import graft.engine.Text
 class TextSpec extends SparkFunSuite {
   import spark.implicits._
 
+  test("bpeMerge: greedy leftmost-first pass, overlapping runs do not double-merge") {
+    val df = Seq("aaab").toDF("w")
+    val got = df.select(Text.bpeMerge(split($"w", ""), "a", "a").as("s"))
+      .collect().head.getSeq[String](0)
+    assert(got === Seq("aa", "a", "b"), "aaa merges leftmost pair only")
+    val got2 = df.select(Text.bpeMerge(split($"w", ""), "a", "b").as("s"))
+      .collect().head.getSeq[String](0)
+    assert(got2 === Seq("a", "a", "ab"))
+    val noHit = df.select(Text.bpeMerge(split($"w", ""), "x", "y").as("s"))
+      .collect().head.getSeq[String](0)
+    assert(noHit === Seq("a", "a", "a", "b"))
+  }
+
+  test("bpeTrain matches a sequential reference BPE on a toy corpus") {
+    // reference implementation: greedy BPE over a word-frequency map
+    def refBpe(words: Map[String, Long], k: Int): Seq[(String, String)] = {
+      var syms = words.map { case (w, f) => (w.split("").toSeq, f) }
+      val out = scala.collection.mutable.ListBuffer.empty[(String, String)]
+      var done = false
+      while (out.length < k && !done) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        for ((s, f) <- syms; i <- 0 until s.length - 1)
+          counts((s(i), s(i + 1))) = counts.getOrElse((s(i), s(i + 1)), 0L) + f
+        val best = counts.toSeq
+          .sortBy { case ((a, b), n) => (-n, a + " " + b) }.headOption
+        best match {
+          case Some(((a, b), n)) if n >= 2 =>
+            out += ((a, b))
+            syms = syms.map { case (s, f) =>
+              val r = scala.collection.mutable.ListBuffer.empty[String]
+              var i = 0
+              while (i < s.length) {
+                if (i + 1 < s.length && s(i) == a && s(i + 1) == b) { r += a + b; i += 2 }
+                else { r += s(i); i += 1 }
+              }
+              (r.toSeq, f)
+            }
+          case _ => done = true
+        }
+      }
+      out.toList
+    }
+    val corpus = Seq("low low low lower lowest", "new newer newest low",
+      "wide wider widest new new")
+    val df = corpus.toDF("text")
+    val wordFreq = corpus.flatMap(_.split(" ")).groupBy(identity)
+      .map { case (w, g) => (w, g.size.toLong) }
+    val exp = refBpe(wordFreq, 8)
+    val got = Text.bpeTrain(df, "text", 8)
+    assert(got === exp, s"distributed merges must equal the sequential reference")
+    // applying the merges re-segments a known word deterministically
+    val seg = df.limit(1).select(Text.bpeApply(lit("lowest"), got).as("s"))
+      .collect().head.getSeq[String](0)
+    assert(seg.mkString("|").replace("|", "") === "lowest", "segments must tile the word")
+    assert(seg.exists(_.length > 1), "at least one learned merge must apply")
+  }
+
   test("shingles: short docs yield empty arrays, not descending sequences") {
     val df = Seq("one two", "", "a b c d").toDF("text")
     val got = df.select(Text.shingles($"text").as("sh")).collect().map(_.getSeq[String](0))
