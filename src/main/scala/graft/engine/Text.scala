@@ -340,6 +340,37 @@ object Text {
         .cast("double").as("entropy_bits"))
   }
 
+  /** Corpus-conditional unigram surprisal per document — the n-gram-LM
+    * quality proxy: mean −log2 P(w) with P(w) = corpus word freq / corpus
+    * tokens.  Complements [[charEntropy]] (a doc scored against its OWN
+    * distribution): boilerplate repeated corpus-wide scores LOW surprisal,
+    * out-of-distribution gibberish HIGH — the cheap stand-in for LM
+    * perplexity filtering when no model is at hand.
+    *
+    * Scale: the model is the vocab-sized word-frequency table; the
+    * token→model join is co-partitioned on the word (the model was just
+    * aggregated on that key), the corpus total rides in as a broadcast
+    * scalar, and the per-doc mean is one groupBy.  Determinism: P is a
+    * ratio of exact BIGINTs (identical double both engines), each term is
+    * rounded to 9 dp BEFORE the decimal-accumulated sum (absorbs libm log
+    * ulp differences — same discipline as [[charEntropy]]). */
+  def unigramSurprisal(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0)
+    val model = toks.groupBy("w").agg(count(lit(1)).as("wf"))
+    val total = toks.agg(count(lit(1)).as("__tot"))
+    // the SUM is emitted, not the mean: a final double division + round
+    // lands on rounding boundaries the two engines resolve differently —
+    // consumers divide by n_tokens themselves (charEntropy discipline)
+    toks.join(model, "w")
+      .crossJoin(broadcast(total))
+      .withColumn("__term", round(-log2(col("wf") / col("__tot")), 9))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("__term").cast(DecimalType(38, 9)))
+          .cast("double").as("surprisal_bits_sum"))
+  }
+
   /** Registrable host of a URL-ish string — the web-curation group key
     * (per-domain quotas, blocklists, crawl-politeness accounting all key on
     * it).  Pure regex capture, shuffle-free; yields "" for non-URLs, which

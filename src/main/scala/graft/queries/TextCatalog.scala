@@ -918,6 +918,24 @@ object TextCatalog {
          SELECT bigram, COUNT(*) AS n FROM b GROUP BY 1
          ORDER BY n DESC, bigram LIMIT 20""")),
 
+    // Unigram surprisal (corpus-conditional LM quality proxy): mean
+    // −log2 P(w) against the corpus unigram model — boilerplate low,
+    // gibberish high; the perplexity-filter stand-in.  Per-term 9 dp
+    // rounding before a decimal sum keeps libm log differences out of the
+    // hash (charEntropy discipline).
+    QueryDef("q_unigram_surprisal",
+      (s, dir) => Text.unigramSurprisal(t(s, dir, "documents"), "doc_id", "text")
+        .filter(col("doc_id") < 200).orderBy("doc_id"),
+      Some(s"""WITH tk AS (SELECT doc_id, unnest($toks) AS w FROM documents),
+         t2 AS (SELECT doc_id, w FROM tk WHERE length(w) > 0),
+         m AS (SELECT w, COUNT(*) AS wf FROM t2 GROUP BY w),
+         tot AS (SELECT COUNT(*) AS c FROM t2),
+         terms AS (SELECT doc_id, round(-log2(CAST(wf AS DOUBLE) / c), 9) AS term
+           FROM t2 JOIN m USING (w), tot)
+         SELECT doc_id, COUNT(*) AS n_tokens,
+           CAST(SUM(CAST(term AS DECIMAL(38,9))) AS DOUBLE) AS surprisal_bits_sum
+         FROM terms WHERE doc_id < 200 GROUP BY 1 ORDER BY 1""")),
+
     // BPE pair statistics (tokenizer induction, round-0 argmax table):
     // adjacent-character pair frequencies weighted by word frequency — the
     // statistic every `Text.bpeTrain` round takes its merge decision from.

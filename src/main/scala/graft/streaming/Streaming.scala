@@ -104,8 +104,8 @@ object Streaming {
     *  - groups arrive UNORDERED within a micro-batch, so each batch's
     *    timestamps are sorted per user — 8 bytes/event of primitive buffer
     *    (mapGroupsWithState offers no spill path, so a user's batch slice
-    *    must fit; at 8 B/event that is ~8 MB per hundred-million-event
-    *    slice).  [[sortedSessionCounts]] is the fully-bounded batch form
+    *    must fit; 8 B/event ≈ 8 MB per million-event slice).
+    *    [[sortedSessionCounts]] is the fully-bounded batch form
     *    (secondary sort through Spark's spillable machinery);
     *  - only `lastTsUs` crosses batches: an event older than the previous
     *    batch's last timestamp would be folded as if in order.  Callers
