@@ -358,7 +358,8 @@ object Text {
     val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("w"))
       .filter(length(col("w")) > 0)
     val model = toks.groupBy("w").agg(count(lit(1)).as("wf"))
-    val total = toks.agg(count(lit(1)).as("__tot"))
+    // total from the MODEL, not a third corpus scan (Σ wf ≡ token count)
+    val total = model.agg(sum("wf").as("__tot"))
     // the SUM is emitted, not the mean: a final double division + round
     // lands on rounding boundaries the two engines resolve differently —
     // consumers divide by n_tokens themselves (charEntropy discipline)
