@@ -232,11 +232,15 @@ object TxTable {
       latestVersion(spark, root).getOrElse(
         throw new IllegalArgumentException(s"TxTable.read: no commits under $root")))
 
-  /** Time travel: the table exactly as of version `v`. */
+  /** Time travel: the table exactly as of version `v`.  Reads with
+    * mergeSchema: segments written before a column existed surface NULL for
+    * it (additive schema evolution — the same drift contract as the lake's
+    * multi-generation glob scan). */
   def readVersion(spark: SparkSession, root: String, v: Long): DataFrame = {
     val m = readManifest(spark, root, v)
     require(m.segments.nonEmpty, s"TxTable: version $v of $root is empty")
-    spark.read.parquet(m.segments.map(s => s"${root.stripSuffix("/")}/$s"): _*)
+    spark.read.option("mergeSchema", "true")
+      .parquet(m.segments.map(s => s"${root.stripSuffix("/")}/$s"): _*)
   }
 
   /** Drop data segments referenced by NO manifest among the newest

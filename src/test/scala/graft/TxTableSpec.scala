@@ -54,6 +54,16 @@ class TxTableSpec extends SparkFunSuite {
     intercept[Exception](TxTable.readVersion(spark, root, 1L).count())
   }
 
+  test("additive schema evolution: old segments surface NULL for new columns") {
+    val root = newRoot()
+    TxTable.commitOverwrite(spark, root, Seq((1L, "a")).toDF("k", "v"))
+    TxTable.commitAppend(spark, root, Seq((2L, "b", 9.5)).toDF("k", "v", "score"))
+    val rows = TxTable.read(spark, root).orderBy("k").collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    val scoreIdx = TxTable.read(spark, root).schema.fieldIndex("score")
+    assert(rows(0).isNullAt(scoreIdx) && rows(1).getDouble(scoreIdx) === 9.5)
+  }
+
   test("commitMerge rewrites only hit segments; untouched segments carry over") {
     val root = newRoot()
     TxTable.commitOverwrite(spark, root,
