@@ -181,7 +181,9 @@ class RelationalSpec extends SparkFunSuite {
       "q_winsorize" -> 3,         // percentile agg + clipped agg + sort
       "q_string_agg" -> 2,        // collect agg + sort
       "q_novelty" -> 3,           // doc repartition + df agg + doc agg (sort reuses)
-      "q_triangles" -> 6)         // edge distinct + two wedge joins + stats aggs
+      "q_triangles" -> 6,         // edge distinct + two wedge joins + stats aggs
+      "q_bpe_pairs" -> 2,         // word-freq agg + pair agg; top-k is TakeOrdered
+      "q_unigram_surprisal" -> 4) // model agg + co-partitioned join + doc agg + sort
     for ((name, budget) <- budgets) {
       val n = SparkEntry.queries(name)(ss, "/root/testdata/sf0.001")
         .queryExecution.executedPlan
