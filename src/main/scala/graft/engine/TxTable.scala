@@ -210,6 +210,38 @@ object TxTable {
     }
   }
 
+  /** Segment-pruned ACID DELETE — the transactional form of
+    * [[Upsert.purgeKeys]] (right-to-be-forgotten without the partition
+    * rename dance): segments containing tombstoned keys are rewritten
+    * WITHOUT those rows; every other segment carries over by reference.
+    * NULL-safe key matching, so NULL tombstone keys delete NULL-keyed rows.
+    * Note: deleted rows leave older versions only at [[vacuum]] time — run
+    * vacuum after the retention window when the deletion must be physical. */
+  def commitDelete(spark: SparkSession, root: String, tombstones: DataFrame,
+                   keys: Seq[String]): Long = {
+    import org.apache.spark.sql.functions._
+    val headV = latestVersion(spark, root).getOrElse(
+      throw new IllegalArgumentException(s"TxTable.commitDelete: no commits under $root"))
+    val segs = readManifest(spark, root, headV).segments
+    val tomb = broadcast(tombstones.select(keys.map(col): _*).distinct())
+    val cur = readVersion(spark, root, headV)
+      .withColumn("__seg", regexp_extract(input_file_name(), "/(data/[^/]+)/", 1))
+    def keyCond(df: DataFrame) = keys.map(k => df(k) <=> tomb(k)).reduce(_ && _)
+    val hitSegs = cur.join(tomb, keyCond(cur), "left_semi")
+      .select("__seg").distinct().collect().map(_.getString(0)).toSet
+    if (hitSegs.isEmpty) return headV // nothing to delete: head unchanged
+    val touched = cur.filter(col("__seg").isin(hitSegs.toSeq: _*))
+    val kept = touched.join(tomb, keyCond(touched), "left_anti").drop("__seg")
+    val carried = segs.filterNot(hitSegs.contains)
+    // a fully-emptied table still needs a readable head: only write the
+    // replacement segment when rows survive
+    val newSegs = if (kept.isEmpty) Seq.empty else Seq(writeSegment(kept, root))
+    require(carried.nonEmpty || newSegs.nonEmpty,
+      s"TxTable.commitDelete: delete would empty the table under $root — " +
+        "commitOverwrite an explicit empty state instead")
+    commit(spark, root, "delete", carried ++ newSegs, maxRetries = 0)
+  }
+
   /** Compact the CURRENT snapshot into ≈ceil(bytes/targetBytes) files as a
     * normal commit — readers of any already-resolved version are never
     * disturbed (their segments stay on disk until [[vacuum]]). */

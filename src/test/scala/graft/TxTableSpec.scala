@@ -86,6 +86,24 @@ class TxTableSpec extends SparkFunSuite {
     assert(TxTable.read(spark, root).count() === 5)
   }
 
+  test("commitDelete removes tombstoned keys from hit segments only; no-op on misses") {
+    val root = newRoot()
+    TxTable.commitOverwrite(spark, root, Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    TxTable.commitAppend(spark, root, Seq((3L, "c"), (4L, "d")).toDF("k", "v"))
+    val v = TxTable.commitDelete(spark, root, Seq(Tuple1(3L)).toDF("k"), Seq("k"))
+    assert(v === 3L)
+    assert(TxTable.read(spark, root).orderBy("k").collect().map(_.getLong(0)).toSeq
+      === Seq(1L, 2L, 4L))
+    // segment 1 (keys 1,2) carried by reference; time travel still sees key 3
+    assert(TxTable.readVersion(spark, root, 2L).count() === 4)
+    // a miss is a pure no-op: same head version, no new commit
+    assert(TxTable.commitDelete(spark, root, Seq(Tuple1(99L)).toDF("k"), Seq("k")) === 3L)
+    assert(TxTable.latestVersion(spark, root) === Some(3L))
+    // deleting every remaining row is refused (no readable empty head)
+    intercept[IllegalArgumentException](TxTable.commitDelete(spark, root,
+      Seq(1L, 2L, 4L).map(Tuple1(_)).toDF("k"), Seq("k")))
+  }
+
   test("streamingAppend commits each batch id exactly once across replays") {
     val root = newRoot()
     val sink = TxTable.streamingAppend(root) _
