@@ -51,7 +51,10 @@ object Bench {
     "q_corpus_pipeline",        // end-to-end corpus assembly
     "q_sessionize",             // sessionization
     "q_custom_topk",            // custom heap operator
-    "q_st6_stream_stream_join") // streaming join
+    "q_st6_stream_stream_join", // streaming join
+    "q_tx_merge",               // segment-pruned ACID MERGE (r6)
+    "q_bpe_pairs",              // BPE tokenizer-induction statistic (r6)
+    "q_st9_tx_stream_sink")     // exactly-once streaming sink (r6)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
