@@ -88,11 +88,13 @@ case class TopKPerKeyExec(groupExprs: Seq[Expression], ordering: Seq[SortOrder],
     val kLocal = k
     val spillThreshold =
       conf.getConfString(TopKPerKey.SpillConfKey, "4194304").toLong
+    val spillBytes =
+      conf.getConfString(TopKPerKey.SpillBytesConfKey, (256L << 20).toString).toLong
     require(spillThreshold >= kLocal,
       s"${TopKPerKey.SpillConfKey} ($spillThreshold) must be >= k ($kLocal)")
     child.execute().mapPartitions { it =>
       new TopKPartitionIterator(it, childOutput, groupLocal, orderLocal,
-        kLocal, spillThreshold)
+        kLocal, spillThreshold, spillBytes)
     }
   }
 }
@@ -101,7 +103,7 @@ case class TopKPerKeyExec(groupExprs: Seq[Expression], ordering: Seq[SortOrder],
 private final class TopKPartitionIterator(
     input: Iterator[InternalRow], childOutput: Seq[Attribute],
     groupExprs: Seq[Expression], ordering: Seq[SortOrder],
-    k: Int, spillThreshold: Long) extends Iterator[InternalRow] {
+    k: Int, spillThreshold: Long, spillBytes: Long) extends Iterator[InternalRow] {
 
   private val keyProj = UnsafeProjection.create(groupExprs, childOutput)
   private val rowProj = UnsafeProjection.create(childOutput.map(_.asInstanceOf[Expression]), childOutput)
@@ -109,6 +111,7 @@ private final class TopKPartitionIterator(
   private val rowOrd = RowOrdering.create(ordering, childOutput)
   private val heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[UnsafeRow]]
   private var retained = 0L
+  private var retainedBytes = 0L
   private val spills = mutable.ArrayBuffer.empty[File]
   Option(TaskContext.get()).foreach(_.addTaskCompletionListener[Unit] { _ =>
     spills.foreach(_.delete())
@@ -119,12 +122,19 @@ private final class TopKPartitionIterator(
     heaps.get(key) match {
       case None =>
         val q = mutable.PriorityQueue.empty[UnsafeRow](rowOrd.on[UnsafeRow](identity))
-        q.enqueue(rowProj(row).copy())
+        val r = rowProj(row).copy()
+        q.enqueue(r)
         heaps.put(key.copy(), q)
         retained += 1
+        retainedBytes += r.getSizeInBytes + key.getSizeInBytes
       case Some(q) =>
-        if (q.size < k) { q.enqueue(rowProj(row).copy()); retained += 1 }
-        else if (rowOrd.compare(row, q.head) < 0) { q.dequeue(); q.enqueue(rowProj(row).copy()) }
+        if (q.size < k) {
+          val r = rowProj(row).copy()
+          q.enqueue(r); retained += 1; retainedBytes += r.getSizeInBytes
+        } else if (rowOrd.compare(row, q.head) < 0) {
+          val ev = q.dequeue(); val r = rowProj(row).copy()
+          q.enqueue(r); retainedBytes += r.getSizeInBytes - ev.getSizeInBytes
+        }
     }
   }
 
@@ -162,6 +172,7 @@ private final class TopKPartitionIterator(
     spills += f
     heaps.clear()
     retained = 0
+    retainedBytes = 0
   }
 
   /** Sequential reader over one run: exposes the head (keyBytes, row). */
@@ -228,7 +239,7 @@ private final class TopKPartitionIterator(
     if (resultIter == null) {
       while (input.hasNext) {
         insert(input.next())
-        if (retained >= spillThreshold) spillAll()
+        if (retained >= spillThreshold || retainedBytes >= spillBytes) spillAll()
       }
       resultIter = finish()
     }
@@ -245,6 +256,10 @@ object TopKPerKey {
   /** Retained-row budget per partition before the heap map spills to a
     * key-sorted local run (see [[TopKPerKeyExec]]'s memory contract). */
   val SpillConfKey = "spark.graft.topk.spillRowThreshold"
+
+  /** Retained-BYTE budget per partition (UnsafeRow sizes) — the companion
+    * trigger that protects against wide rows at a modest row count. */
+  val SpillBytesConfKey = "spark.graft.topk.spillByteThreshold"
 
   def ensureStrategy(spark: org.apache.spark.sql.SparkSession): Unit = {
     val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]

@@ -63,6 +63,19 @@ class PlansSpec extends SparkFunSuite {
       .collect().map(_.toString).toSet
     assert(got.size === 2000 && got === exp,
       "spilled merge must be row-for-row identical to the in-memory heap path")
+
+    // the BYTE trigger spills too (wide-row protection at modest row counts)
+    val gotB = {
+      val sb = spark.newSession()
+      sb.conf.set(graft.plans.TopKPerKey.SpillBytesConfKey, "1024")
+      val sbi = sb.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      import sbi.implicits.{localSeqToDatasetHolder, newProductEncoder}
+      val df3 = (1L to 3000L)
+        .map(i => (s"k${i % 1000}", i, (i * 31 % 500).toDouble)).toDF("g", "id", "x")
+      graft.plans.TopKPerKey(df3, Seq("g"), Seq(df3("x").desc, df3("id").asc), 2)
+        .collect().map(_.toString).toSet
+    }
+    assert(gotB === exp, "byte-triggered spill must be value-identical as well")
   }
 
   test("TopKPerKey truncates each key independently and keeps whole rows intact") {
