@@ -66,10 +66,87 @@ object Graph {
       i += 1
     }
     freeCheckpoint(sym)
-    require(converged, s"connectedComponents: no fixpoint after $maxIter rounds " +
-      "(component diameter exceeds maxIter — raise it, or switch to " +
-      "large-star/small-star contraction for path-shaped graphs)")
+    if (!converged) {
+      // Diameter exceeded the round budget (a path/chain-shaped tail, which
+      // real web-dedup graphs do have) — switch to the O(log² n) contraction
+      // instead of failing.  The propagation rounds above are discarded, not
+      // reused: contraction operates on the edge set, and its own round
+      // count does not benefit from partially-propagated labels.
+      freeCheckpoint(labels)
+      return connectedComponentsContraction(edges, srcCol, dstCol)
+    }
     labels
+  }
+
+  /** Connected components by ALTERNATING LARGE-STAR / SMALL-STAR contraction
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14): converges in O(log² n) rounds regardless of component
+    * DIAMETER, where min-label propagation needs diameter rounds — the
+    * scale path for path-shaped graphs (citation chains, forwarded-email
+    * threads, A≈B≈C≈… near-dup chains).
+    *
+    * Per round, each operation is one hash aggregation (min over the
+    * symmetric neighborhood) + one shuffle join back onto the edges — the
+    * same bucketed primitives as [[connectedComponents]], nothing
+    * driver-side but the convergence check, with the same localCheckpoint
+    * + explicit-free lineage discipline.
+    *
+    *  - large-star: every node u connects its LARGER neighbors {v ∈ Γ(u),
+    *    v > u} to m = min(Γ(u) ∪ {u}) — long paths halve toward the min.
+    *  - small-star: u connects its smaller-or-equal neighbors and itself to
+    *    m — stars flatten so every member points at the root directly.
+    *
+    * Both emit only (v, m) with v > m, so the edge set is canonically
+    * directed high→low and set-compare is exact.  Fixpoint = star forest:
+    * every edge is (member, component-min).  Same contract as
+    * [[connectedComponents]]: one `(id, label)` row per distinct endpoint,
+    * label = min reachable id, deterministic unique fixpoint. */
+  def connectedComponentsContraction(edges: DataFrame, srcCol: String,
+                                     dstCol: String, maxIter: Int = 40): DataFrame = {
+    val nodes = edges.select(col(srcCol).as("id"))
+      .union(edges.select(col(dstCol).as("id"))).distinct()
+      .localCheckpoint()
+    // canonical high→low, self-loops dropped
+    var e = edges.select(greatest(col(srcCol), col(dstCol)).as("hi"),
+        least(col(srcCol), col(dstCol)).as("lo"))
+      .filter(col("hi") =!= col("lo")).distinct()
+      .localCheckpoint()
+    // one star operation: from each node's symmetric neighborhood min m,
+    // emit (v, m) for the chosen side of the neighborhood
+    def star(cur: DataFrame, large: Boolean): DataFrame = {
+      val sym = cur.select(col("hi").as("u"), col("lo").as("v"))
+        .union(cur.select(col("lo").as("u"), col("hi").as("v")))
+      val m = sym.groupBy("u").agg(min(col("v")).as("__mv"))
+        .select(col("u"), least(col("u"), col("__mv")).as("m"))
+      val picked =
+        if (large) sym.join(m, "u").filter(col("v") > col("u"))
+          .select(col("v").as("hi"), col("m").as("lo"))
+        else sym.join(m, "u").filter(col("v") < col("u"))
+          .select(col("v").as("hi"), col("m").as("lo"))
+          .union(m.select(col("u").as("hi"), col("m").as("lo")))
+      picked.filter(col("hi") =!= col("lo")).distinct()
+    }
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val next = star(star(e, large = true), large = false).localCheckpoint()
+      // canonical direction + distinct on both sides ⇒ equal counts and an
+      // empty one-sided except IS set equality
+      converged = next.count() == e.count() && next.except(e).isEmpty
+      freeCheckpoint(e)
+      e = next
+      i += 1
+    }
+    require(converged, s"connectedComponentsContraction: no fixpoint after " +
+      s"$maxIter alternating rounds — raise maxIter (bound is O(log² n))")
+    // star forest: edges are (member, root); roots and edge-less singletons
+    // label themselves
+    val out = nodes.join(e.select(col("hi").as("id"), col("lo").as("__root")),
+        Seq("id"), "left")
+      .select(col("id"), coalesce(col("__root"), col("id")).as("label"))
+      .localCheckpoint()
+    freeCheckpoint(e); freeCheckpoint(nodes)
+    out
   }
 
   /** Transitive ancestor closure of a FOREST (child→parent edges): every

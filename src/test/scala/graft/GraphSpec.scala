@@ -23,12 +23,27 @@ class GraphSpec extends SparkFunSuite {
     assert(got === (0L to 9L).map(_ -> 0L).toMap)
   }
 
-  test("connectedComponents fails loudly when maxIter is below the diameter") {
+  test("connectedComponents falls back to contraction past the round budget") {
+    // diameter 9 ≫ maxIter 2: propagation cannot converge — the Kiveris
+    // contraction fallback must still produce the exact labeling
     val edges = (0L until 9L).map(i => (i, i + 1)).toDF("src", "dst")
-    val e = intercept[IllegalArgumentException] {
-      Graph.connectedComponents(edges, "src", "dst", maxIter = 2).collect()
-    }
-    assert(e.getMessage.contains("no fixpoint"))
+    val got = Graph.connectedComponents(edges, "src", "dst", maxIter = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === (0L to 9L).map(_ -> 0L).toMap)
+  }
+
+  test("contraction labels a deep path in far fewer rounds than its diameter") {
+    // a 300-node path (diameter 299) + a separate triangle + reversed and
+    // duplicate edges; contraction's round bound is O(log² n), so default
+    // maxIter=40 must suffice where propagation would need 299 rounds
+    val path = (0L until 299L).map(i => (i + 1, i)) // reversed direction
+    val extra = Seq((1000L, 1001L), (1001L, 1002L), (1002L, 1000L), (1000L, 1001L))
+    val got = Graph.connectedComponentsContraction(
+        (path ++ extra).toDF("src", "dst"), "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = (0L to 299L).map(_ -> 0L).toMap ++
+      Seq(1000L, 1001L, 1002L).map(_ -> 1000L).toMap
+    assert(got === want)
   }
 
   test("connectedComponents is direction-insensitive and self-loop-safe") {
