@@ -584,6 +584,50 @@ object TextCatalog {
          FROM approx SEMI JOIN exact USING (q_id, c_id)
          GROUP BY 1 ORDER BY 1""")),
 
+    // The same recall audit at the SECOND operating point: planes=8
+    // (256 buckets ≈ 16× fewer candidates per bucket).  planes is the
+    // recall/cost knob the 100 TB sizing story leans on — bucket count
+    // scales 2^planes while multi-probe (all single-bit flips) recovers
+    // boundary-crossing neighbors; this query plus the planes=4 one above
+    // measure the trade both ways in-engine.  VectorSpec asserts the
+    // ordering (multi-probe ≥ single-probe at equal planes) at both points.
+    QueryDef("q_ann_recall_p8",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val qs = e.filter(col("vec_id") < 30)
+        val approx = Vector.lshTopKMultiProbe(qs, e, 5, 8, 64)
+          .select(col("q_id"), col("c_id"))
+        val exact = Vector.bruteForceTopK(qs, e, 5)
+          .select(col("q_id").as("eq_id"), col("c_id").as("ec_id"))
+        approx.join(exact,
+            col("q_id") === col("eq_id") && col("c_id") === col("ec_id"),
+            "left_semi")
+          .groupBy("q_id").agg(count(lit(1)).as("n_hit"))
+          .withColumn("recall", col("n_hit") / lit(5))
+          .orderBy("q_id")
+      },
+      Some {
+        val probes = (Seq("bucket") ++
+          (0 until 8).map(p => s"xor(bucket, CAST(${1L << p} AS BIGINT))"))
+          .mkString(", ")
+        s"""WITH ${lshSql(8, 64)},
+         q AS (SELECT vec_id AS q_id, dv AS qv, bucket FROM b WHERE vec_id < 30),
+         pr AS (SELECT q_id, qv, unnest([$probes]) AS pb FROM q),
+         c AS (SELECT vec_id AS c_id, dv AS cv, bucket FROM b),
+         asc_ AS (SELECT q_id, c_id,
+             row_number() OVER (PARTITION BY q_id ORDER BY ${cosSql("qv", "cv", 64)} DESC, c_id) AS rank
+           FROM pr JOIN c ON pr.pb = c.bucket AND q_id <> c_id),
+         approx AS (SELECT q_id, c_id FROM asc_ WHERE rank <= 5),
+         ex AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+             row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY ${cosSql("q.dv", "c.dv", 64)} DESC, c.vec_id) AS rank
+           FROM b q JOIN b c ON q.vec_id < 30 AND q.vec_id <> c.vec_id),
+         exact AS (SELECT q_id, c_id FROM ex WHERE rank <= 5)
+         SELECT q_id, COUNT(*) AS n_hit, COUNT(*) / 5 AS recall
+         FROM approx SEMI JOIN exact USING (q_id, c_id)
+         GROUP BY 1 ORDER BY 1"""
+      }),
+
     // LSH bucket assignment (the ANN scale path's partitioning key).
     QueryDef("q_lsh_buckets",
       (s, dir) => {

@@ -133,25 +133,29 @@ class VectorSpec extends SparkFunSuite {
       .select("q_id", "c_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val truth = pairs(Vector.bruteForceTopK(q, e, 3))
-    val single = pairs(Vector.lshTopK(q, e, 3, 4, 64).select("q_id", "c_id"))
-    val multi = pairs(Vector.lshTopKMultiProbe(q, e, 3, 4, 64))
-    val recallSingle = (truth intersect single).size
-    val recallMulti = (truth intersect multi).size
-    // the multi-probe CANDIDATE set is a superset, and top-k over a superset
-    // under the same (cos desc, c_id) order can only improve agreement with
-    // the global top-k — so recall is monotone (the result ROWS need not be
-    // a superset: a better flipped-bucket neighbor may displace one).
-    assert(recallMulti >= recallSingle,
-      s"multi-probe recall $recallMulti < single-bucket $recallSingle")
-    // per-query best cosine is monotone too — assert it pointwise
-    def best(df: org.apache.spark.sql.DataFrame) = df
-      .filter($"rank" === 1).collect()
-      .map(r => r.getAs[Long]("q_id") -> r.getAs[Double]("cos")).toMap
-    val bs = best(Vector.lshTopK(q, e, 3, 4, 64).select("q_id", "rank", "cos"))
-    val bm = best(Vector.lshTopKMultiProbe(q, e, 3, 4, 64))
-    bs.foreach { case (qid, c) =>
-      assert(bm.getOrElse(qid, Double.MinValue) >= c,
-        s"query $qid: multi-probe best ${bm.get(qid)} < single best $c")
+    // both registered operating points: planes=4 (16 buckets) and planes=8
+    // (256 buckets — the sparser, cheaper end of the knob)
+    for (planes <- Seq(4, 8)) {
+      val single = pairs(Vector.lshTopK(q, e, 3, planes, 64).select("q_id", "c_id"))
+      val multi = pairs(Vector.lshTopKMultiProbe(q, e, 3, planes, 64))
+      val recallSingle = (truth intersect single).size
+      val recallMulti = (truth intersect multi).size
+      // the multi-probe CANDIDATE set is a superset, and top-k over a superset
+      // under the same (cos desc, c_id) order can only improve agreement with
+      // the global top-k — so recall is monotone (the result ROWS need not be
+      // a superset: a better flipped-bucket neighbor may displace one).
+      assert(recallMulti >= recallSingle,
+        s"planes=$planes: multi-probe recall $recallMulti < single-bucket $recallSingle")
+      // per-query best cosine is monotone too — assert it pointwise
+      def best(df: org.apache.spark.sql.DataFrame) = df
+        .filter($"rank" === 1).collect()
+        .map(r => r.getAs[Long]("q_id") -> r.getAs[Double]("cos")).toMap
+      val bs = best(Vector.lshTopK(q, e, 3, planes, 64).select("q_id", "rank", "cos"))
+      val bm = best(Vector.lshTopKMultiProbe(q, e, 3, planes, 64))
+      bs.foreach { case (qid, c) =>
+        assert(bm.getOrElse(qid, Double.MinValue) >= c,
+          s"planes=$planes query $qid: multi-probe best ${bm.get(qid)} < single best $c")
+      }
     }
   }
 
