@@ -341,6 +341,36 @@ object Catalog {
            CAST(SUM(TRY_CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS sum_k
          FROM events GROUP BY 1 ORDER BY 1""")),
 
+    // Format-conversion invariance across the three non-parquet lake formats
+    // Spark ships natively: the same slice written as ORC, CSV, and JSON,
+    // read back through an explicit schema, must aggregate identically to the
+    // parquet original (doubles survive text round-trips exactly: Java's
+    // shortest-repr Double.toString parses back to the same bits).  One row
+    // per format makes a silent per-format corruption its own red row.
+    QueryDef("q_multiformat_roundtrip",
+      (s, dir) => {
+        val base = Files.createTempDirectory("graft_fmt").toString
+        val li = t(s, dir, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+        val schema = li.schema
+        li.write.orc(s"$base/orc")
+        li.write.option("header", "false").csv(s"$base/csv")
+        li.write.json(s"$base/json")
+        def agg(fmt: String, df: org.apache.spark.sql.DataFrame) =
+          df.agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+            .select(lit(fmt).as("fmt"), col("n"), col("sum_qty"))
+        agg("csv", s.read.schema(schema).csv(s"$base/csv"))
+          .unionByName(agg("json", s.read.schema(schema).json(s"$base/json")))
+          .unionByName(agg("orc", s.read.orc(s"$base/orc")))
+          .orderBy("fmt")
+      },
+      Some("""WITH a AS (SELECT COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
+           FROM lineitem)
+         SELECT fmt, n, sum_qty
+         FROM a CROSS JOIN (SELECT unnest(['csv','json','orc']) AS fmt)
+         ORDER BY fmt""")),
+
     // Typed semi-structured extraction: from_json with an explicit schema
     // (the production path — regexp_extract in q_events_json is the
     // schemaless fallback); DuckDB mirrors via json_extract_string.
@@ -1506,6 +1536,72 @@ object Catalog {
            FROM m)
          SELECT user_id, make_timestamp(MIN(us)) AS session_start, COUNT(*) AS n
          FROM sx GROUP BY user_id, sid ORDER BY user_id, session_start""")),
+
+    // ST10 — stream-stream LEFT OUTER interval join: clicks keep flowing even
+    // without a purchase within the hour; the unmatched side emits NULLs only
+    // once the watermark proves no match can still arrive.  Emission timing is
+    // the whole difficulty: outer results materialize in the no-data batch
+    // AFTER the watermark passes the match horizon, so each stream gets a
+    // far-future sentinel row in its own strictly-last file (mtime-pinned,
+    // maxFilesPerTrigger=1) — the global watermark is the MIN over both
+    // streams, so BOTH must advance.  State is bounded by the interval +
+    // 1 s delay exactly as in the inner form (q_st6).
+    QueryDef("q_st10_stream_outer_join",
+      (s, dir) => {
+        import s.implicits._
+        val base = Files.createTempDirectory("graft_st10").toString
+        val ev = events(s, dir)
+        ev.filter(col("event_type") === "click")
+          .select("user_id", "ts", "event_id")
+          .coalesce(1).write.parquet(s"$base/clicks/f1")
+        ev.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user_id"), col("ts").as("p_ts"),
+            col("value"))
+          .coalesce(1).write.parquet(s"$base/purchases/g1")
+        val maxTs = ev.agg(max("ts")).collect().head.getTimestamp(0)
+        val flush = new java.sql.Timestamp(maxTs.getTime + 86400L * 1000)
+        Seq((-1L, flush, -1L)).toDF("user_id", "ts", "event_id")
+          .write.parquet(s"$base/clicks/f2")
+        Seq((-2L, flush, -1.0)).toDF("p_user_id", "p_ts", "value")
+          .write.parquet(s"$base/purchases/g2")
+        def pin(sub: String, mtime: Long): Unit =
+          new java.io.File(s"$base/$sub").listFiles()
+            .filter(_.getName.endsWith(".parquet")).foreach(_.setLastModified(mtime))
+        val now = System.currentTimeMillis()
+        pin("clicks/f1", now - 60000); pin("purchases/g1", now - 60000)
+        pin("clicks/f2", now); pin("purchases/g2", now)
+        val cSchema = s.read.parquet(s"$base/clicks/f1").schema
+        val pSchema = s.read.parquet(s"$base/purchases/g1").schema
+        val ss = Streaming.stateSession(s, 8)
+        val clicks = ss.readStream.schema(cSchema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$base/clicks/*")
+          .withWatermark("ts", "1 second")
+        val purchases = ss.readStream.schema(pSchema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$base/purchases/*")
+          .withWatermark("p_ts", "1 second")
+        val joined = clicks.join(purchases, expr(
+          "user_id = p_user_id AND p_ts BETWEEN ts - INTERVAL 1 HOUR AND ts"),
+          "left_outer")
+        val q = joined.writeStream.format("parquet")
+          .option("path", s"$base/out")
+          .option("checkpointLocation", s"$base/cp")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.read.parquet(s"$base/out")
+          .filter(col("user_id") >= 0)
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_rows"), count(col("value")).as("n_matched"),
+            dsum(col("value")).as("sum_value"))
+          .orderBy("user_id")
+      },
+      Some("""WITH l AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+         r AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'),
+         p AS (SELECT l.user_id, r.value FROM l LEFT JOIN r ON l.user_id = r.user_id
+               AND r.ts BETWEEN l.ts - INTERVAL 1 HOUR AND l.ts)
+         SELECT user_id, COUNT(*) AS n_rows, COUNT(value) AS n_matched,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+         FROM p GROUP BY 1 ORDER BY 1""")),
 
     // ST7 — stream-static enrichment: streaming facts ⋈ broadcast static
     // dim, stateless (no store, no watermark); unmatched facts survive as
