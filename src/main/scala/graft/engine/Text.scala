@@ -372,6 +372,43 @@ object Text {
           .cast("double").as("surprisal_bits_sum"))
   }
 
+  /** DSIR-style importance log-weights (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling", NeurIPS'23): score every
+    * document by log2 p_target(doc)/p_raw(doc) under add-1-smoothed unigram
+    * bag-of-words models — the target model estimated from the rows
+    * matching `targetPred`, the raw model from the whole corpus.  Positive
+    * weight = "looks more like the target domain than the corpus average";
+    * feed the weights to [[mixtureKeep]]/weighted sampling to up-sample
+    * target-like data (the resampling half of the paper).
+    *
+    * Same shape and determinism discipline as [[unigramSurprisal]]: both
+    * models come from ONE token-level aggregation (the target count is a
+    * conditional sum in the same groupBy — no second corpus scan), the
+    * totals cross in as a broadcast 1-row frame, and each per-token
+    * log-ratio is rounded to 9 dp then decimal-summed so the per-doc sum
+    * is order-insensitive and engine-exact.  Smoothing is add-1 over the
+    * RAW vocabulary (target ⊆ raw, so unseen-in-target tokens get mass
+    * 1/(N_t+V), never a log of zero). */
+  def dsirLogWeights(df: DataFrame, idCol: String, textCol: String,
+                     targetPred: Column): DataFrame = {
+    val toks = df.select(col(idCol), targetPred.as("__tgt"),
+        explode(tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0)
+    val model = toks.groupBy("w").agg(count(lit(1)).as("rf"),
+      sum(col("__tgt").cast(LongType)).as("tf"))
+    val totals = model.agg(sum("rf").as("__rn"), sum("tf").as("__tn"),
+      count(lit(1)).as("__v"))
+    toks.join(model, "w")
+      .crossJoin(broadcast(totals))
+      .withColumn("__term", round(
+        log2((col("tf") + 1) / (col("__tn") + col("__v"))) -
+          log2((col("rf") + 1) / (col("__rn") + col("__v"))), 9))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("__term").cast(DecimalType(38, 9)))
+          .cast("double").as("log_weight_bits"))
+  }
+
   /** Registrable host of a URL-ish string — the web-curation group key
     * (per-domain quotas, blocklists, crawl-politeness accounting all key on
     * it).  Pure regex capture, shuffle-free; yields "" for non-URLs, which

@@ -214,6 +214,38 @@ object Vector {
     assigned.select(col("c_id"), col("list_id").cast("int").as("list_id"))
   }
 
+  /** Cluster-scoped semantic deduplication (the SemDeDup recipe, Abbas et
+    * al., "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication", arXiv:2303.09540): assign every embedding to its
+    * nearest coarse centroid, compare pairs ONLY within a cluster, and drop
+    * any vector that has a smaller-id neighbor above the cosine threshold
+    * in its cluster.  The paper keeps the member closest to the centroid;
+    * the smaller-id policy here is the same one-survivor-per-local-group
+    * idea made deterministic and engine-reproducible (ties in distance
+    * can't flip the survivor).
+    *
+    * Scale shape: the quadratic work is Σ cluster² — never corpus² — and
+    * the cluster key is a bucketed equi-join exactly like the LSH/MinHash
+    * candidate joins; k is the skew knob (more clusters → smaller
+    * quadratic islands).  Assignment is the zero-exchange per-row argmax
+    * over broadcast centroid literals ([[kmeansAssign]]).
+    *
+    * Returns one row per vector: `(vec_id, list_id, dropped)`. */
+  def semDedup(corpus: DataFrame, k: Int = 16, tau: Double = 0.35): DataFrame = {
+    val asg = kmeansAssign(corpus, k, rounds = 1)
+    val v = corpus.select(col("vec_id").as("c_id"), asDouble(col("embedding")).as("cv"))
+    val withV = asg.join(v, "c_id")
+    val a = withV.select(col("list_id"), col("c_id").as("id_a"), col("cv").as("va"))
+    val b = withV.select(col("list_id"), col("c_id").as("id_b"), col("cv").as("vb"))
+    val dropped = a.join(b, Seq("list_id"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(cosineNative(col("va"), col("vb")) > tau)
+      .select(col("id_b").as("c_id")).distinct()
+    asg.join(dropped.withColumn("__d", lit(true)), Seq("c_id"), "left")
+      .select(col("c_id").as("vec_id"), col("list_id"),
+        coalesce(col("__d"), lit(false)).as("dropped"))
+  }
+
   /** Symmetric int8 quantization of an embedding vector — the storage layout
     * that makes a 100 TB float32 embedding lake a 25 TB one: per-vector
     * scale `s = max|x| / 127`, codes `floor(x/s + 0.5)` (explicit half-up —

@@ -806,7 +806,33 @@ object TextCatalog {
                ORDER BY ${cosSql("c.cv", "mw.w", 64)} DESC, mw.list_id) AS rn
            FROM c, mw)
          SELECT c_id, CAST(list_id AS INT) AS list_id FROM a2 WHERE rn = 1
-         ORDER BY c_id""")))
+         ORDER BY c_id""")),
+
+    // SemDeDup (Abbas et al. '23): cluster-scoped semantic dedup — nearest
+    // of 16 coarse centroids, cosine pairs ONLY within a cluster, drop any
+    // vector with a smaller-id τ-neighbor there.  The quadratic work is
+    // Σ cluster², keyed for a bucketed equi-join (the same candidate-join
+    // discipline as MinHash/LSH); the id-based survivor policy is the
+    // paper's one-per-group idea made deterministic.
+    QueryDef("q_semdedup",
+      (s, dir) => Vector.semDedup(t(s, dir, "embeddings"), 16, 0.35)
+        .orderBy("vec_id"),
+      Some(s"""WITH c0 AS (SELECT vec_id AS cent_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cw
+           FROM embeddings WHERE vec_id < 16),
+         c AS (SELECT vec_id AS c_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv FROM embeddings),
+         a1 AS (SELECT c_id, cv, cent_id,
+             row_number() OVER (PARTITION BY c_id
+               ORDER BY ${cosSql("c.cv", "c0.cw", 64)} DESC, cent_id) AS rn
+           FROM c, c0),
+         l AS (SELECT c_id, cv, cent_id AS list_id FROM a1 WHERE rn = 1),
+         d AS (SELECT DISTINCT b.c_id FROM l a JOIN l b
+           ON a.list_id = b.list_id AND a.c_id < b.c_id
+           AND ${cosSql("a.cv", "b.cv", 64)} > 0.35)
+         SELECT l.c_id AS vec_id, CAST(l.list_id AS INT) AS list_id,
+           (d.c_id IS NOT NULL) AS dropped
+         FROM l LEFT JOIN d ON l.c_id = d.c_id ORDER BY vec_id""")))
 
   val multimodal: Seq[QueryDef] = Seq(
 
@@ -978,6 +1004,29 @@ object TextCatalog {
            FROM t2 JOIN m USING (w), tot)
          SELECT doc_id, COUNT(*) AS n_tokens,
            CAST(SUM(CAST(term AS DECIMAL(38,9))) AS DOUBLE) AS surprisal_bits_sum
+         FROM terms WHERE doc_id < 200 GROUP BY 1 ORDER BY 1""")),
+
+    // DSIR importance log-weights (Xie et al. NeurIPS'23): per-doc
+    // log2 p_target/p_raw under add-1-smoothed unigram models — target =
+    // English docs, raw = everything.  The selection signal behind
+    // importance-resampled pre-training mixes; one token-level aggregation
+    // builds BOTH models (the target count is a conditional sum in the
+    // same groupBy), 9-dp-rounded decimal summation keeps the per-doc
+    // total order-insensitive and engine-exact.
+    QueryDef("q_dsir_weights",
+      (s, dir) => Text.dsirLogWeights(t(s, dir, "documents"), "doc_id", "text",
+          col("lang") === "en")
+        .filter(col("doc_id") < 200).orderBy("doc_id"),
+      Some(s"""WITH tk AS (SELECT doc_id, lang, unnest($toks) AS w FROM documents),
+         t2 AS (SELECT doc_id, (lang = 'en') AS tgt, w FROM tk WHERE length(w) > 0),
+         m AS (SELECT w, COUNT(*) AS rf,
+             SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS tf FROM t2 GROUP BY w),
+         tot AS (SELECT SUM(rf) AS rn, SUM(tf) AS tn, COUNT(*) AS v FROM m),
+         terms AS (SELECT doc_id,
+             round(log2((tf + 1) / (tn + v)) - log2((rf + 1) / (rn + v)), 9) AS term
+           FROM t2 JOIN m USING (w), tot)
+         SELECT doc_id, COUNT(*) AS n_tokens,
+           CAST(SUM(CAST(term AS DECIMAL(38,9))) AS DOUBLE) AS log_weight_bits
          FROM terms WHERE doc_id < 200 GROUP BY 1 ORDER BY 1""")),
 
     // BPE pair statistics (tokenizer induction, round-0 argmax table):

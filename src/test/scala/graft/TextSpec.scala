@@ -270,4 +270,20 @@ class TextSpec extends SparkFunSuite {
     assert(!Text.sampleWeighted(df2, "id", col("w"), 25)
       .collect().map(_.getLong(0)).contains(99L))
   }
+
+  test("dsirLogWeights: target-like docs score positive, off-target negative") {
+    // model by hand: rf(aa)=3 tf(aa)=2, rf(bb)=3 tf(bb)=0, V=2, rn=6, tn=2
+    //   term(aa) = log2(3/4) - log2(4/8) = +0.585;  term(bb) = log2(1/4) - log2(1/2) = -1
+    val docs = Seq((1L, "aa aa", "en"), (2L, "bb bb", "fr"), (3L, "aa bb", "fr"))
+      .toDF("doc_id", "text", "lang")
+    val got = Text.dsirLogWeights(docs, "doc_id", "text", col("lang") === "en")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.keySet === Set(1L, 2L, 3L))
+    assert(got.values.forall(_._1 == 2L), "each doc has two tokens")
+    val (w1, w2, w3) = (got(1L)._2, got(2L)._2, got(3L)._2)
+    assert(w1 > 0 && w2 < 0, s"target-like must be positive ($w1), off-target negative ($w2)")
+    assert(w1 > w3 && w3 > w2, "mixed doc sits between the pure ones")
+    assert(math.abs(w1 - 2 * (math.log(0.75 / 0.5) / math.log(2))) < 1e-6,
+      "weight equals the hand-computed smoothed log-ratio sum")
+  }
 }

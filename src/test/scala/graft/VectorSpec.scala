@@ -232,4 +232,21 @@ class VectorSpec extends SparkFunSuite {
     assert(objective(refined) >= objective(seeded) - 1e-9,
       "a Lloyd round must not worsen mean cosine to own centroid")
   }
+
+  test("semDedup drops within-cluster near-dups only; cross-cluster pairs survive") {
+    // centroids: 0=[1,0], 1=[0,1].  2≈0 (same cluster, cos>τ) and 3≈1 drop;
+    // 4=[.74,.67] and 5=[.67,.74] are τ-near EACH OTHER (cos≈0.995) but land
+    // in DIFFERENT clusters — both must survive (cluster-scoping is the
+    // documented recall trade of the SemDeDup recipe, not a bug)
+    val e = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.0f, 1.0f)),
+      (2L, Seq(1.0f, 0.01f)), (3L, Seq(0.02f, 1.0f)),
+      (4L, Seq(0.74f, 0.67f)), (5L, Seq(0.67f, 0.74f))
+    ).toDF("vec_id", "embedding")
+    val got = graft.engine.Vector.semDedup(e, k = 2, tau = 0.9)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(got.size === 6)
+    assert(got.filter(_._2).keySet === Set(2L, 3L),
+      s"exactly the within-cluster near-dups drop, got $got")
+  }
 }
