@@ -115,7 +115,7 @@ class RelationalSpec extends SparkFunSuite {
       "q_dedup_incremental", "q_vocab_overlap", "q_contamination",
       "q_simhash_near_dup", "q_corpus_pipeline", "q_centroid_dist",
       "q_lsh_topk", "q_ivf_topk", "q_outlier_mad", "q_snapshot_diff",
-      "q_mixture_sample", "q_dedup_embed_cosine", "q_near_dup_edit")
+      "q_mixture_sample", "q_dedup_embed_cosine", "q_near_dup_edit", "q_semdedup")
     for (name <- joinQueries) {
       val plan = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
         .queryExecution.sparkPlan
@@ -183,7 +183,9 @@ class RelationalSpec extends SparkFunSuite {
       "q_novelty" -> 3,           // doc repartition + df agg + doc agg (sort reuses)
       "q_triangles" -> 6,         // edge distinct + two wedge joins + stats aggs
       "q_bpe_pairs" -> 2,         // word-freq agg + pair agg; top-k is TakeOrdered
-      "q_unigram_surprisal" -> 4) // model agg + co-partitioned join + doc agg + sort
+      "q_unigram_surprisal" -> 4, // model agg + co-partitioned join + doc agg + sort
+      "q_dsir_weights" -> 4, // model agg + co-partitioned join + doc agg + sort
+      "q_semdedup" -> 4) // assign is shuffle-free (broadcast-literal argmax): vec join + pair join + distinct + sort
     for ((name, budget) <- budgets) {
       val n = SparkEntry.queries(name)(ss, "/root/testdata/sf0.001")
         .queryExecution.executedPlan
