@@ -113,6 +113,38 @@ object Catalog {
            CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS sum_bal
          FROM customer GROUP BY 1 ORDER BY 1""")),
 
+    // KMV distinct-count sketch (Sketch.kmvDistinct) audited against the
+    // exact COUNT DISTINCT per group.  Unlike HLL (whose hash differs per
+    // engine) the whole estimator is cross-engine deterministic: md5 is
+    // spelled identically in Spark and DuckDB, the k smallest digests per
+    // group come off the bounded-heap TopKPerKey operator (no per-group
+    // sort, k×32-char state per group), and the normalization arithmetic
+    // is exact in doubles — so the ESTIMATE itself hash-matches, not just
+    // its error bound.
+    QueryDef("q_kmv_distinct",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val est = Sketch.kmvDistinct(li, "l_returnflag", col("l_orderkey"), 256)
+        val exact = li.groupBy("l_returnflag")
+          .agg(countDistinct(col("l_orderkey")).as("n_exact"))
+        exact.join(est, "l_returnflag").orderBy("l_returnflag")
+      },
+      Some("""WITH h AS (SELECT DISTINCT l_returnflag AS g,
+             md5(CAST(l_orderkey AS VARCHAR)) AS hh FROM lineitem),
+         n AS (SELECT g, hh, row_number() OVER (PARTITION BY g ORDER BY hh) AS rn FROM h),
+         tk AS (SELECT g, hh FROM n WHERE rn <= 256),
+         a AS (SELECT g, COUNT(*) AS kk,
+             MAX(list_sum(list_transform(range(1, 14),
+               i -> (strpos('0123456789abcdef', hh[CAST(i AS INT)]) - 1)
+                 * power(16.0, 13 - CAST(i AS INT)))) / power(16.0, 13)) AS rk
+           FROM tk GROUP BY g),
+         e AS (SELECT g, CASE WHEN kk < 256 THEN CAST(kk AS DOUBLE)
+             ELSE round(255 / rk, 6) END AS n_est FROM a),
+         x AS (SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS n_exact
+           FROM lineitem GROUP BY 1)
+         SELECT l_returnflag, n_exact, n_est
+         FROM x JOIN e ON x.l_returnflag = e.g ORDER BY 1""")),
+
     // A1 generalization — ROLLUP grouping sets.
     QueryDef("q_rollup",
       (s, dir) => t(s, dir, "lineitem")
