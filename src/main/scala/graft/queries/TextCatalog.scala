@@ -477,6 +477,51 @@ object TextCatalog {
              / (len(ta.tk) + len(tb.tk) - len(list_intersect(ta.tk, tb.tk))), 6) >= 0.2
          ORDER BY doc_a, doc_b""")),
 
+    // MinHash banding recall audit — the text-dedup twin of q_ann_recall:
+    // |banded-and-verified pairs ∩ exact τ-Jaccard pairs| / |exact|.  Ground
+    // truth is the DF-cutoff-free shingle equi-join (any pair with J > 0
+    // shares a shingle, so it is complete); like the ANN audit's brute-force
+    // side it is the expensive exact path — a diagnostic to run on a sample
+    // at corpus scale, not a production operator.  The measured recall IS
+    // the banding-theory number for the (bands, rows) configuration, and it
+    // is what justifies trusting the candidate join at 100 TB.
+    QueryDef("q_minhash_recall",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val banded = Text.verifiedPairs(d, "text", "doc_id",
+            Text.minhashCandidates(Text.minhashBands(d, "text", "doc_id")), 0.2)
+          .select(col("doc_a"), col("doc_b"))
+        val truth = Text.ngramJaccardPairs(d, "text", "doc_id",
+            maxDf = Int.MaxValue, threshold = 0.2)
+          .select(col("doc_a").as("t_a"), col("doc_b").as("t_b"))
+        val hit = banded.join(truth,
+          col("doc_a") === col("t_a") && col("doc_b") === col("t_b"), "left_semi")
+        truth.agg(count(lit(1)).as("n_true"))
+          .crossJoin(broadcast(banded.agg(count(lit(1)).as("n_banded"))))
+          .crossJoin(broadcast(hit.agg(count(lit(1)).as("n_hit"))))
+          .withColumn("recall", round(col("n_hit") / col("n_true"), 6))
+      },
+      Some(s"""WITH $bandsSql,
+         cand AS (SELECT DISTINCT a.doc AS doc_a, b2.doc AS doc_b
+           FROM bk a JOIN bk b2 ON a.band = b2.band AND a.band_key = b2.band_key AND a.doc < b2.doc),
+         tk AS (SELECT doc, list_distinct(sh) AS tk FROM shd),
+         banded AS (SELECT c.doc_a, c.doc_b
+           FROM cand c JOIN tk ta ON ta.doc = c.doc_a JOIN tk tb ON tb.doc = c.doc_b
+           WHERE round(CAST(len(list_intersect(ta.tk, tb.tk)) AS DOUBLE)
+             / (len(ta.tk) + len(tb.tk) - len(list_intersect(ta.tk, tb.tk))), 6) >= 0.2),
+         rel AS (SELECT doc, unnest(list_distinct(sh)) AS s FROM shd),
+         sizes AS (SELECT doc, COUNT(*) AS n FROM rel GROUP BY doc),
+         pairs AS (SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS inter
+           FROM rel a JOIN rel b ON a.s = b.s AND a.doc < b.doc GROUP BY 1, 2),
+         truth AS (SELECT doc_a, doc_b
+           FROM pairs JOIN sizes sa ON sa.doc = doc_a JOIN sizes sb ON sb.doc = doc_b
+           WHERE round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) >= 0.2),
+         agg AS (SELECT (SELECT COUNT(*) FROM truth) AS n_true,
+             (SELECT COUNT(*) FROM banded) AS n_banded,
+             (SELECT COUNT(*) FROM banded SEMI JOIN truth USING (doc_a, doc_b)) AS n_hit)
+         SELECT n_true, n_banded, n_hit,
+           round(CAST(n_hit AS DOUBLE) / n_true, 6) AS recall FROM agg""")),
+
     QueryDef("q_simhash",
       (s, dir) => Text.simhashRelational(t(s, dir, "documents"), "text", "doc_id")
         .orderBy("doc_id"),
