@@ -31,13 +31,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * stays KBs regardless of data size; readers list only the segments of
   * their snapshot (no full-lake listing); compaction is a normal commit
   * that swaps many small segments for few large ones with readers never
-  * blocked.
+  * blocked.  Commits may record per-segment min/max column stats in the
+  * manifest (`statsCols`), and [[readWhere]] uses them to prune whole
+  * segments before any footer is opened — manifest-level data skipping,
+  * carried across merge/delete/compact rewrites by [[carryStats]].
   */
 object TxTable {
 
   private val LogDir = "_txlog"
+  // stats: segment -> column -> (min, max) as exact decimal strings —
+  // manifest-level data skipping (the Delta/Iceberg idea): a filtered read
+  // prunes whole SEGMENTS from the manifest before any footer is opened
   private case class Manifest(version: Long, op: String, segments: Seq[String],
-                              batch: Option[Long] = None)
+                              batch: Option[Long] = None,
+                              stats: Map[String, Map[String, (String, String)]] = Map.empty)
 
   private def fs(spark: SparkSession, root: String): FileSystem =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -49,11 +56,17 @@ object TxTable {
     s"""{"version":${m.version},"op":"${m.op}",""" +
       m.batch.map(b => s""""batch":$b,""").getOrElse("") +
       """"segments":[""" +
-      m.segments.map(s => "\"" + s + "\"").mkString(",") + "]}"
+      m.segments.map(s => "\"" + s + "\"").mkString(",") + "]" +
+      (if (m.stats.isEmpty) "" else
+        ""","stats":{""" + m.stats.map { case (seg, cols) =>
+          "\"" + seg + "\":{" + cols.map { case (c, (lo, hi)) =>
+            "\"" + c + "\":[\"" + lo + "\",\"" + hi + "\"]"
+          }.mkString(",") + "}"
+        }.mkString(",") + "}") + "}"
 
   private def parseJson(s: String): Manifest = {
-    // segments are uuid dir names (no quotes/escapes inside), so a
-    // dependency-free extraction is exact
+    // segments are uuid dir names and stats values are decimal strings (no
+    // quotes/escapes inside), so a dependency-free extraction is exact
     val version = """"version":(\d+)""".r.findFirstMatchIn(s).get.group(1).toLong
     val op = """"op":"([^"]*)"""".r.findFirstMatchIn(s).get.group(1)
     val batch = """"batch":(\d+)""".r.findFirstMatchIn(s).map(_.group(1).toLong)
@@ -61,7 +74,17 @@ object TxTable {
     val segments =
       if (segs.trim.isEmpty) Seq.empty
       else segs.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
-    Manifest(version, op, segments, batch)
+    val stats = """"stats":\{(.*)\}\}$""".r.findFirstMatchIn(s).map(_.group(1)) match {
+      case None => Map.empty[String, Map[String, (String, String)]]
+      case Some(body) =>
+        """"(data/[^"]+)":\{([^}]*)\}""".r.findAllMatchIn(body).map { m0 =>
+          val cols = """"([^"]+)":\["([^"]*)","([^"]*)"\]""".r
+            .findAllMatchIn(m0.group(2))
+            .map(c => c.group(1) -> (c.group(2), c.group(3))).toMap
+          m0.group(1) -> cols
+        }.toMap
+    }
+    Manifest(version, op, segments, batch, stats)
   }
 
   /** Latest committed version, or None for an uninitialized table. */
@@ -92,12 +115,33 @@ object TxTable {
     seg
   }
 
+  /** Min/max of each numeric `cols` member over one just-written segment,
+    * as exact decimal strings.  One column-pruned aggregate over the
+    * segment — with the parquet aggregate pushdown session conf (S17) this
+    * is answered from footer statistics without touching data pages; the
+    * cost is per-COMMIT and per-SEGMENT, never proportional to the table. */
+  private def segStats(spark: SparkSession, root: String, seg: String,
+                       cols: Seq[String]): Map[String, (String, String)] = {
+    import org.apache.spark.sql.functions.{max, min}
+    if (cols.isEmpty) return Map.empty
+    val aggs = cols.flatMap(c => Seq(min(c).as(s"__lo_$c"), max(c).as(s"__hi_$c")))
+    val row = spark.read.parquet(s"${root.stripSuffix("/")}/$seg")
+      .agg(aggs.head, aggs.tail: _*).collect().head
+    cols.flatMap { c =>
+      val lo = row.getAs[Any](s"__lo_$c"); val hi = row.getAs[Any](s"__hi_$c")
+      if (lo == null || hi == null) None // all-NULL segment: no skipping info
+      else Some(c -> (new java.math.BigDecimal(lo.toString).toPlainString,
+        new java.math.BigDecimal(hi.toString).toPlainString))
+    }.toMap
+  }
+
   /** Publish `segments` as the next version: write-temp + rename — the one
     * atomic metadata op.  Retries on version conflict (another committer
     * won the rename) with the standard optimistic re-read. */
   private def commit(spark: SparkSession, root: String, op: String,
                      segments: Seq[String], maxRetries: Int = 10,
-                     batch: Option[Long] = None): Long = {
+                     batch: Option[Long] = None,
+                     stats: Map[String, Map[String, (String, String)]] = Map.empty): Long = {
     val f = fs(spark, root)
     var attempt = 0
     while (true) {
@@ -106,7 +150,8 @@ object TxTable {
       val tmp = new Path(target.getParent, s".tmp-${java.util.UUID.randomUUID()}")
       f.mkdirs(target.getParent)
       val os = f.create(tmp, false)
-      try os.write(writeJson(Manifest(next, op, segments, batch))
+      try os.write(writeJson(Manifest(next, op, segments, batch,
+        stats.filter(kv => segments.contains(kv._1))))
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally os.close()
       val won = !f.exists(target) && f.rename(tmp, target)
@@ -119,17 +164,25 @@ object TxTable {
     -1L // unreachable
   }
 
-  /** Replace the table contents with `df` (full-refresh as a commit). */
-  def commitOverwrite(spark: SparkSession, root: String, df: DataFrame): Long =
-    commit(spark, root, "overwrite", Seq(writeSegment(df, root)))
+  /** Replace the table contents with `df` (full-refresh as a commit).
+    * `statsCols` (numeric) are recorded as per-segment min/max in the
+    * manifest and drive [[readWhere]]'s segment pruning. */
+  def commitOverwrite(spark: SparkSession, root: String, df: DataFrame,
+                      statsCols: Seq[String] = Nil): Long = {
+    val seg = writeSegment(df, root)
+    commit(spark, root, "overwrite", Seq(seg),
+      stats = Map(seg -> segStats(spark, root, seg, statsCols)).filter(_._2.nonEmpty))
+  }
 
   /** Append `df` as a new segment alongside the current snapshot's. */
-  def commitAppend(spark: SparkSession, root: String, df: DataFrame): Long =
-    appendWith(spark, root, df, None)
+  def commitAppend(spark: SparkSession, root: String, df: DataFrame,
+                   statsCols: Seq[String] = Nil): Long =
+    appendWith(spark, root, df, None, statsCols)
 
   private def appendWith(spark: SparkSession, root: String, df: DataFrame,
-                         batch: Option[Long]): Long = {
+                         batch: Option[Long], statsCols: Seq[String] = Nil): Long = {
     val seg = writeSegment(df, root)
+    val segSt = segStats(spark, root, seg, statsCols)
     // re-resolve the head inside commit's retry loop is not needed for the
     // SEGMENT (it is ours alone); only the base list can go stale — rebuild
     // it per attempt via the conflict retry
@@ -137,8 +190,10 @@ object TxTable {
     var attempt = 0
     while (v < 0) {
       val base = latestVersion(spark, root)
-        .map(readManifest(spark, root, _).segments).getOrElse(Seq.empty)
-      try v = commit(spark, root, "append", base :+ seg, maxRetries = 0, batch)
+        .map(readManifest(spark, root, _)).getOrElse(Manifest(0, "", Seq.empty))
+      val stats = base.stats ++ (if (segSt.nonEmpty) Map(seg -> segSt) else Map.empty)
+      try v = commit(spark, root, "append", base.segments :+ seg,
+        maxRetries = 0, batch, stats)
       catch { case _: IllegalArgumentException if attempt < 10 => attempt += 1 }
     }
     v
@@ -195,7 +250,8 @@ object TxTable {
         commit(spark, root, "merge",
           Seq(writeSegment(incoming.select(cols.map(col): _*), root)))
       case Some(headV) =>
-        val segs = readManifest(spark, root, headV).segments
+        val head = readManifest(spark, root, headV)
+        val segs = head.segments
         val cur = readVersion(spark, root, headV)
           .withColumn("__seg", regexp_extract(input_file_name(), "/(data/[^/]+)/", 1))
         val inKeys = broadcast(incoming.select(keys.map(col): _*).distinct())
@@ -206,8 +262,20 @@ object TxTable {
         val merged = Upsert.upsert(touched, incoming, keys, updateCols, preserveCols)
         val newSeg = writeSegment(merged, root)
         commit(spark, root, "merge",
-          segs.filterNot(hitSegs.contains) :+ newSeg, maxRetries = 0)
+          segs.filterNot(hitSegs.contains) :+ newSeg, maxRetries = 0,
+          stats = carryStats(spark, root, head, newSeg))
     }
+  }
+
+  /** Stats for a rewritten manifest: carried segments keep theirs; the
+    * replacement segment gets fresh min/max over every column the head
+    * manifest tracked (so skipping never silently degrades across
+    * merge/delete/compact commits). */
+  private def carryStats(spark: SparkSession, root: String, head: Manifest,
+                         newSeg: String): Map[String, Map[String, (String, String)]] = {
+    val tracked = head.stats.values.flatMap(_.keys).toSeq.distinct
+    val fresh = segStats(spark, root, newSeg, tracked)
+    head.stats ++ (if (fresh.nonEmpty) Map(newSeg -> fresh) else Map.empty)
   }
 
   /** Segment-pruned ACID DELETE — the transactional form of
@@ -222,7 +290,8 @@ object TxTable {
     import org.apache.spark.sql.functions._
     val headV = latestVersion(spark, root).getOrElse(
       throw new IllegalArgumentException(s"TxTable.commitDelete: no commits under $root"))
-    val segs = readManifest(spark, root, headV).segments
+    val head = readManifest(spark, root, headV)
+    val segs = head.segments
     val tomb = broadcast(tombstones.select(keys.map(col): _*).distinct())
     val cur = readVersion(spark, root, headV)
       .withColumn("__seg", regexp_extract(input_file_name(), "/(data/[^/]+)/", 1))
@@ -239,7 +308,10 @@ object TxTable {
     require(carried.nonEmpty || newSegs.nonEmpty,
       s"TxTable.commitDelete: delete would empty the table under $root — " +
         "commitOverwrite an explicit empty state instead")
-    commit(spark, root, "delete", carried ++ newSegs, maxRetries = 0)
+    val stats = newSegs.headOption
+      .map(s => carryStats(spark, root, head, s)).getOrElse(head.stats)
+    commit(spark, root, "delete", carried ++ newSegs, maxRetries = 0,
+      stats = stats)
   }
 
   /** Compact the CURRENT snapshot into ≈ceil(bytes/targetBytes) files as a
@@ -250,12 +322,15 @@ object TxTable {
     val snapshot = read(spark, root)
     val f = fs(spark, root)
     val cur = latestVersion(spark, root).get
-    val segs = readManifest(spark, root, cur).segments
-    val bytes = segs.map(s => f.getContentSummary(
+    val head = readManifest(spark, root, cur)
+    val bytes = head.segments.map(s => f.getContentSummary(
       new Path(s"${root.stripSuffix("/")}/$s")).getLength).sum
     val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     val seg = writeSegment(snapshot.repartition(n), root)
-    commit(spark, root, "compact", Seq(seg))
+    // commit() drops stats of unlisted segments, so only the compacted
+    // segment's fresh min/max survive into the new manifest
+    commit(spark, root, "compact", Seq(seg),
+      stats = carryStats(spark, root, head, seg))
   }
 
   /** The latest snapshot as a DataFrame. */
@@ -263,6 +338,38 @@ object TxTable {
     readVersion(spark, root,
       latestVersion(spark, root).getOrElse(
         throw new IllegalArgumentException(s"TxTable.read: no commits under $root")))
+
+  /** Range-filtered read with MANIFEST-LEVEL data skipping: segments whose
+    * recorded `[min, max]` for `colName` cannot intersect `[lo, hi]` are
+    * dropped from the scan before any parquet footer is opened — the
+    * Delta/Iceberg skipping idea, one manifest read instead of a footer
+    * round-trip per file.  Semantically identical to
+    * `read(...).filter(col between lo and hi)`: the residual filter still
+    * applies (stats are segment-granular), and segments with no recorded
+    * stats for the column are conservatively kept.  Pair with range-
+    * clustered appends ([[Tables.writeSorted]] discipline) so segment
+    * ranges are disjoint and a point/range query touches O(1) segments. */
+  def readWhere(spark: SparkSession, root: String, colName: String,
+                lo: java.math.BigDecimal, hi: java.math.BigDecimal): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    require(lo.compareTo(hi) <= 0, s"TxTable.readWhere: lo $lo > hi $hi")
+    val v = latestVersion(spark, root).getOrElse(
+      throw new IllegalArgumentException(s"TxTable.readWhere: no commits under $root"))
+    val m = readManifest(spark, root, v)
+    val kept = m.segments.filter { seg =>
+      m.stats.get(seg).flatMap(_.get(colName)) match {
+        case None => true // no stats: cannot prove it misses — keep
+        case Some((sLo, sHi)) =>
+          new java.math.BigDecimal(sHi).compareTo(lo) >= 0 &&
+            new java.math.BigDecimal(sLo).compareTo(hi) <= 0
+      }
+    }
+    val base =
+      if (kept.isEmpty) readVersion(spark, root, v).limit(0) // provably empty
+      else spark.read.option("mergeSchema", "true")
+        .parquet(kept.map(s => s"${root.stripSuffix("/")}/$s"): _*)
+    base.filter(col(colName) >= lo && col(colName) <= hi)
+  }
 
   /** Time travel: the table exactly as of version `v`.  Reads with
     * mergeSchema: segments written before a column existed surface NULL for

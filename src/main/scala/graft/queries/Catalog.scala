@@ -1399,6 +1399,41 @@ object Catalog {
            CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS price_sum
          FROM m""")),
 
+    // Manifest-level data skipping on the transactional table: three
+    // appends carry disjoint o_orderkey thirds with min/max stats, and the
+    // range read prunes the two non-overlapping segments BEFORE any parquet
+    // footer is opened (readWhere).  The in-query require makes the skip an
+    // oracle-gated invariant — if pruning breaks, the query errors rather
+    // than silently degrading to a full scan; the oracle restates the read
+    // as the plain filtered aggregate (skipping must be pure optimization).
+    QueryDef("q_tx_prune",
+      (s, dir) => {
+        val root = Files.createTempDirectory("graft_txp").toString + "/tbl"
+        val o = t(s, dir, "orders").select("o_orderkey", "o_totalprice")
+        val mx = o.agg(max("o_orderkey")).collect().head.getLong(0)
+        val (c1, c2) = (mx / 3, 2 * mx / 3)
+        TxTable.commitOverwrite(s, root,
+          o.filter(col("o_orderkey") <= c1), statsCols = Seq("o_orderkey"))
+        TxTable.commitAppend(s, root,
+          o.filter(col("o_orderkey") > c1 && col("o_orderkey") <= c2),
+          statsCols = Seq("o_orderkey"))
+        TxTable.commitAppend(s, root,
+          o.filter(col("o_orderkey") > c2), statsCols = Seq("o_orderkey"))
+        val pruned = TxTable.readWhere(s, root, "o_orderkey",
+          new java.math.BigDecimal(c1 + 1), new java.math.BigDecimal(c2))
+        val scanned = pruned.inputFiles.map(_.replaceAll("/[^/]*$", "")).toSet
+        require(scanned.size == 1,
+          s"q_tx_prune: expected ONE surviving segment, scanned $scanned")
+        pruned.agg(count(lit(1)).as("n"),
+          dsum(col("o_totalprice")).as("price_sum"))
+      },
+      Some("""WITH b AS (SELECT MAX(o_orderkey) // 3 AS c1,
+             (2 * MAX(o_orderkey)) // 3 AS c2 FROM orders)
+         SELECT COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS price_sum
+         FROM orders, b
+         WHERE o_orderkey >= c1 + 1 AND o_orderkey <= c2""")),
+
     // S7 — footer-only schema probe.
     QueryDef("q_s7_schema_probe",
       (s, dir) => {

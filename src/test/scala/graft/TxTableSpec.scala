@@ -131,4 +131,37 @@ class TxTableSpec extends SparkFunSuite {
     assert(v === 3L, "loser of the v2 race must land on v3, not clobber v2")
     assert(TxTable.read(spark, root).count() === 2)
   }
+
+  test("readWhere prunes segments by manifest stats, stays exact, survives rewrites") {
+    def bd(i: Int) = new java.math.BigDecimal(i)
+    def segsOf(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.inputFiles.map(f => f.replaceAll("/[^/]*$", "")).toSet
+    val root = newRoot()
+    def slice(a: Long, b: Long) = (a to b).map(i => (i, i * 10)).toDF("k", "v")
+    TxTable.commitOverwrite(spark, root, slice(1, 100), statsCols = Seq("k"))
+    TxTable.commitAppend(spark, root, slice(101, 200), statsCols = Seq("k"))
+    TxTable.commitAppend(spark, root, slice(201, 300), statsCols = Seq("k"))
+    assert(segsOf(TxTable.read(spark, root)).size === 3)
+
+    // mid-range query: ONE segment scanned, result exact
+    val mid = TxTable.readWhere(spark, root, "k", bd(150), bd(160))
+    assert(segsOf(mid).size === 1, "stats must prune the two non-overlapping segments")
+    assert(mid.collect().map(_.getLong(0)).sorted.toSeq === (150L to 160L))
+
+    // untracked column: conservatively reads everything, still correct
+    val untracked = TxTable.readWhere(spark, root, "v", bd(1500), bd(1600))
+    assert(segsOf(untracked).size === 3, "no stats for v — nothing may be pruned")
+    assert(untracked.count() === 11)
+
+    // provably-empty range: zero rows without scanning data
+    assert(TxTable.readWhere(spark, root, "k", bd(1000), bd(2000)).count() === 0)
+
+    // a delete rewrites the middle segment; carried stats must keep pruning
+    TxTable.commitDelete(spark, root, Seq(155L).toDF("k"), Seq("k"))
+    val lowAfter = TxTable.readWhere(spark, root, "k", bd(1), bd(50))
+    assert(segsOf(lowAfter).size === 1, "carried stats must survive the delete rewrite")
+    assert(lowAfter.count() === 50)
+    assert(TxTable.readWhere(spark, root, "k", bd(150), bd(160)).count() === 10,
+      "rewritten segment re-measured: deleted key gone, neighbors intact")
+  }
 }
