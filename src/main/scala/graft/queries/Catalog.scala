@@ -1639,7 +1639,11 @@ object Catalog {
         pin("clicks/f2", now); pin("purchases/g2", now)
         val cSchema = s.read.parquet(s"$base/clicks/f1").schema
         val pSchema = s.read.parquet(s"$base/purchases/g1").schema
-        val ss = Streaming.stateSession(s, 8)
+        // 4 state partitions: the outer join runs four state stores and at
+        // least three micro-batches (two data + the sentinel flush), and the
+        // per-batch commit cost scales with partitions x stores x batches —
+        // the state itself is tiny at any SF (bounded by the 1 h interval)
+        val ss = Streaming.stateSession(s, 4)
         val clicks = ss.readStream.schema(cSchema)
           .option("maxFilesPerTrigger", "1").parquet(s"$base/clicks/*")
           .withWatermark("ts", "1 second")
