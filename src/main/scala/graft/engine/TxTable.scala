@@ -242,13 +242,14 @@ object TxTable {
     * silently re-merging against a moved head. */
   def commitMerge(spark: SparkSession, root: String, incoming: DataFrame,
                   keys: Seq[String], updateCols: Seq[String],
-                  preserveCols: Seq[String]): Long = {
+                  preserveCols: Seq[String], batch: Option[Long] = None): Long = {
     import org.apache.spark.sql.functions._
     val cols = keys ++ updateCols ++ preserveCols
     latestVersion(spark, root) match {
       case None => // bootstrap: the incoming batch IS the table
         commit(spark, root, "merge",
-          Seq(writeSegment(incoming.select(cols.map(col): _*), root)))
+          Seq(writeSegment(incoming.select(cols.map(col): _*), root)),
+          batch = batch)
       case Some(headV) =>
         val head = readManifest(spark, root, headV)
         val segs = head.segments
@@ -263,8 +264,24 @@ object TxTable {
         val newSeg = writeSegment(merged, root)
         commit(spark, root, "merge",
           segs.filterNot(hitSegs.contains) :+ newSeg, maxRetries = 0,
-          stats = carryStats(spark, root, head, newSeg))
+          batch = batch, stats = carryStats(spark, root, head, newSeg))
     }
+  }
+
+  /** EXACTLY-ONCE streaming MERGE — the Delta-style streaming upsert:
+    * `stream.writeStream.foreachBatch(TxTable.streamingMerge(root, keys,
+    * updateCols, preserveCols) _)`.  Each micro-batch lands as one
+    * segment-pruned [[commitMerge]] whose manifest records the batch id;
+    * after a crash (or a full fresh-checkpoint replay) the duplicate id
+    * makes the batch a no-op, so a keyed state materialization stays
+    * correct even though batches run at-least-once.  Batch ORDER carries
+    * the last-write-wins semantics: within one batch duplicate keys must
+    * be pre-reduced by the caller (EXCLUDED-wins is per-commit). */
+  def streamingMerge(root: String, keys: Seq[String], updateCols: Seq[String],
+                     preserveCols: Seq[String])(df: DataFrame, batchId: Long): Unit = {
+    val spark = df.sparkSession
+    if (lastCommittedBatch(spark, root).exists(_ >= batchId)) return
+    commitMerge(spark, root, df, keys, updateCols, preserveCols, Some(batchId))
   }
 
   /** Stats for a rewritten manifest: carried segments keep theirs; the

@@ -1434,6 +1434,68 @@ object Catalog {
          FROM orders, b
          WHERE o_orderkey >= c1 + 1 AND o_orderkey <= c2""")),
 
+    // ST11 — exactly-once streaming MERGE into the transactional table (the
+    // Delta-style streaming upsert): batch 0 bootstraps the base, batch 1
+    // applies EXCLUDED-wins updates + inserts through the segment-pruned
+    // commitMerge, each manifest recording its batch id; a full
+    // fresh-checkpoint REPLAY then re-runs both batches and the duplicate
+    // ids must no-op — the final state is identical to the batch MERGE
+    // (q_tx_merge's oracle, verbatim).
+    QueryDef("q_st11_tx_stream_merge",
+      (s, dir) => {
+        val base = Files.createTempDirectory("graft_st11").toString
+        val root = s"$base/tbl"
+        val o = t(s, dir, "orders")
+        o.filter(col("o_orderstatus") === "F")
+          .select("o_orderkey", "o_totalprice", "o_custkey")
+          .coalesce(1).write.parquet(s"$base/src/f1")
+        o.filter(col("o_orderstatus") === "F" && col("o_orderkey") % 3 === 0)
+          .select(col("o_orderkey"),
+            (col("o_totalprice") + 1000.0).as("o_totalprice"),
+            lit(-1L).as("o_custkey"))
+          .unionByName(o.filter(col("o_orderstatus") === "O")
+            .select("o_orderkey", "o_totalprice", "o_custkey"))
+          .coalesce(1).write.parquet(s"$base/src/f2")
+        def pin(sub: String, mtime: Long): Unit =
+          new java.io.File(s"$base/src/$sub").listFiles()
+            .filter(_.getName.endsWith(".parquet")).foreach(_.setLastModified(mtime))
+        val now = System.currentTimeMillis()
+        pin("f1", now - 60000); pin("f2", now) // updates strictly after base
+        val schema = s.read.parquet(s"$base/src/f1").schema
+        def runOnce(cp: String): Unit = {
+          val q = s.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1").parquet(s"$base/src/*")
+            .writeStream.foreachBatch(TxTable.streamingMerge(root,
+              Seq("o_orderkey"), Seq("o_totalprice"), Seq("o_custkey")) _)
+            .option("checkpointLocation", cp)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        runOnce(s"$base/cp1")
+        runOnce(s"$base/cp2") // full replay — duplicate batch ids must no-op
+        TxTable.read(s, root).agg(
+          count(lit(1)).as("n_rows"),
+          lsum(col("o_custkey")).as("cust_sum"),
+          dsum(col("o_totalprice")).as("price_sum"))
+      },
+      Some("""WITH base AS (SELECT o_orderkey, o_totalprice, o_custkey
+             FROM orders WHERE o_orderstatus = 'F'),
+         inc AS (SELECT o_orderkey, o_totalprice + 1000.0 AS o_totalprice,
+             CAST(-1 AS BIGINT) AS o_custkey
+             FROM orders WHERE o_orderstatus = 'F' AND o_orderkey % 3 = 0
+           UNION ALL SELECT o_orderkey, o_totalprice, o_custkey
+             FROM orders WHERE o_orderstatus = 'O'),
+         m AS (SELECT COALESCE(b.o_orderkey, i.o_orderkey) AS o_orderkey,
+             CASE WHEN i.o_orderkey IS NOT NULL THEN i.o_totalprice
+                  ELSE b.o_totalprice END AS o_totalprice,
+             CASE WHEN b.o_orderkey IS NOT NULL THEN b.o_custkey
+                  ELSE i.o_custkey END AS o_custkey
+           FROM base b FULL JOIN inc i ON b.o_orderkey = i.o_orderkey)
+         SELECT COUNT(*) AS n_rows, CAST(SUM(o_custkey) AS BIGINT) AS cust_sum,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS price_sum
+         FROM m""")),
+
     // S7 — footer-only schema probe.
     QueryDef("q_s7_schema_probe",
       (s, dir) => {
