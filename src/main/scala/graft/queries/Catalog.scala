@@ -373,6 +373,42 @@ object Catalog {
            CAST(SUM(TRY_CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS sum_k
          FROM events GROUP BY 1 ORDER BY 1""")),
 
+    // Malformed-input tolerance on the CSV source: PERMISSIVE mode parses
+    // what it can and lands each unparseable line in _corrupt_record
+    // instead of failing the job — the posture a 100 TB crawl ingest needs
+    // (FAILFAST on one bad line in a billion is an outage, silent DROPMALFORMED
+    // is data loss; quarantine-and-count is the auditable middle).  Three
+    // anomalous lines are injected next to the clean dump; the oracle pins
+    // Spark's EXACT tolerance semantics: extra tokens ("not,a,row") and type
+    // failures ("x,y") quarantine, but a SHORT row ("12345") is null-PADDED
+    // and counts as good — under-length rows pass silently, so a pipeline
+    // that cares must add a not-null gate downstream (P2).
+    QueryDef("q_csv_corrupt_records",
+      (s, dir) => {
+        import s.implicits._
+        val base = Files.createTempDirectory("graft_csv").toString
+        val li = t(s, dir, "lineitem").select("l_orderkey", "l_quantity")
+        li.write.option("header", "false").csv(s"$base/good")
+        Seq("not,a,row", "12345", "x,y").toDF("value")
+          .coalesce(1).write.text(s"$base/bad")
+        val schema = org.apache.spark.sql.types.StructType(li.schema.fields :+
+          org.apache.spark.sql.types.StructField("_corrupt_record",
+            org.apache.spark.sql.types.StringType, nullable = true))
+        val parsed = s.read.schema(schema)
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt_record")
+          .csv(s"$base/good", s"$base/bad")
+        // "good" is defined by the quarantine column, not by field
+        // parseability — a malformed line can still partially parse fields
+        parsed.agg(
+          lsum(col("_corrupt_record").isNull.cast(IntegerType)).as("n_good"),
+          lsum(col("_corrupt_record").isNotNull.cast(IntegerType)).as("n_corrupt"),
+          dsum(when(col("_corrupt_record").isNull, col("l_quantity"))).as("sum_qty"))
+      },
+      Some("""SELECT COUNT(*) + 1 AS n_good, CAST(2 AS BIGINT) AS n_corrupt,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
+         FROM lineitem""")),
+
     // Format-conversion invariance across the three non-parquet lake formats
     // Spark ships natively: the same slice written as ORC, CSV, and JSON,
     // read back through an explicit schema, must aggregate identically to the
