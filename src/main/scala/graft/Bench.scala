@@ -54,7 +54,10 @@ object Bench {
     "q_st6_stream_stream_join", // streaming join
     "q_tx_merge",               // segment-pruned ACID MERGE (r6)
     "q_bpe_pairs",              // BPE tokenizer-induction statistic (r6)
-    "q_st9_tx_stream_sink")     // exactly-once streaming sink (r6)
+    "q_st9_tx_stream_sink",     // exactly-once streaming sink (r6)
+    "q_semdedup",               // cluster-scoped semantic dedup (r6)
+    "q_kmv_distinct",           // deterministic distinct sketch (r6)
+    "q_tx_prune")               // manifest-level data skipping (r6)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
