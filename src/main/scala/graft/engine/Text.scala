@@ -595,6 +595,37 @@ object Text {
       "stopword_ratio" -> round(stopRatio, 6), "quality_score" -> score)
   }
 
+  /** The Gopher rule battery (Rae et al., "Scaling Language Models: ...
+    * Gopher", arXiv:2112.11446, §A1.1) — the NAMED document-level quality
+    * gates most pre-training corpora start from, each emitted as its own
+    * boolean so a corpus report can show WHICH rule kills a document, plus
+    * the conjunctive keep.  Thresholds are the paper's, restated as
+    * INTEGER cross-multiplications (3 ≤ mean ≤ 10 becomes 3n ≤ Σlen ≤ 10n)
+    * so both engines decide every boundary case identically — no float
+    * division ever reaches a comparison.
+    *
+    * Word-level rules only: the line-shape rules (bullet/ellipsis line
+    * fractions) need a line-preserving ingest, and [[tokens]] operates on
+    * the whitespace-tokenized body. */
+  def gopherRules(textCol: Column): Seq[(String, Column)] = {
+    val t = tokens(textCol)
+    val n = size(t).cast(LongType)
+    val sumLen = aggregate(t, lit(0L), (acc, x) => acc + length(x))
+    val nSymbol = size(filter(t, x => x.contains("#") || x.contains("..."))).cast(LongType)
+    val nAlpha = size(filter(t, x => x.rlike("[A-Za-z]"))).cast(LongType)
+    val nStopKinds = size(array_intersect(array_distinct(t),
+      array(EnStopwords.map(lit): _*))).cast(LongType)
+    Seq(
+      "r_word_count" -> (n >= 50 && n <= 100000),
+      "r_mean_word_len" -> (sumLen >= n * 3 && sumLen <= n * 10),
+      "r_symbol_ratio" -> (nSymbol * 10 <= n),
+      "r_alpha_words" -> (nAlpha * 5 >= n * 4),
+      "r_stopwords" -> (nStopKinds >= 2)
+    ) :+ ("keep" -> (n >= 50 && n <= 100000 && sumLen >= n * 3 &&
+      sumLen <= n * 10 && nSymbol * 10 <= n && nAlpha * 5 >= n * 4 &&
+      nStopKinds >= 2))
+  }
+
   /** Token counting: whitespace tokens + a BPE-ish regex segmentation
     * (letter runs | single digits | other non-space marks). */
   def tokenCounts(textCol: Column): Seq[(String, Column)] = Seq(

@@ -100,6 +100,34 @@ object TextCatalog {
            CAST(SUM(CAST(term AS DECIMAL(38,9))) AS DOUBLE) AS entropy_bits
          FROM terms GROUP BY 1 ORDER BY 1""")),
 
+    // The Gopher rule battery (Rae et al. '21 §A1.1): the NAMED quality
+    // gates, one boolean per rule + the conjunctive keep, thresholds
+    // restated as integer cross-multiplications so boundary cases decide
+    // identically in both engines (no float division reaches a comparison).
+    QueryDef("q_gopher_rules",
+      (s, dir) => {
+        val cols = Text.gopherRules(col("text"))
+        t(s, dir, "documents")
+          .select(col("doc_id") +: cols.map { case (n, c) => c.as(n) }: _*)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH q AS (SELECT doc_id, $toks AS t FROM documents),
+         m AS (SELECT doc_id, len(t) AS n,
+             COALESCE(list_sum(list_transform(t, x -> length(x))), 0) AS sl,
+             len(list_filter(t, x -> contains(x, '#') OR contains(x, '...'))) AS ns,
+             len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]'))) AS na,
+             len(list_intersect(list_distinct(t), ['the','a','of','and','to','in'])) AS nk
+           FROM q)
+         SELECT doc_id,
+           (n >= 50 AND n <= 100000) AS r_word_count,
+           (sl >= n*3 AND sl <= n*10) AS r_mean_word_len,
+           (ns*10 <= n) AS r_symbol_ratio,
+           (na*5 >= n*4) AS r_alpha_words,
+           (nk >= 2) AS r_stopwords,
+           (n >= 50 AND n <= 100000 AND sl >= n*3 AND sl <= n*10
+             AND ns*10 <= n AND na*5 >= n*4 AND nk >= 2) AS keep
+         FROM m ORDER BY doc_id""")),
+
     QueryDef("q_text_quality",
       (s, dir) => {
         val cols = Text.qualityColumns(col("text"))
