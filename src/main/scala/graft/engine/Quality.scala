@@ -190,6 +190,24 @@ object Quality {
     else Left(missing.map(c => s"missing required column: $c").toList)
   }
 
+  /** k-anonymity audit over a quasi-identifier set (Sweeney, "k-anonymity:
+    * a model for protecting privacy", 2002): a row is re-identifiable when
+    * its quasi-identifier combination is shared by fewer than k rows.
+    * Returns the one-row audit `(n_groups, n_risky_groups, n_risky_rows)` —
+    * the release gate a dataset must pass BEFORE the PII scrub is trusted
+    * (scrubbing direct identifiers does nothing about a unique
+    * (zip, birthdate, sex)-style combination).  One hash aggregation over
+    * the quasi columns + one bounded re-aggregation: the same two-phase
+    * shape as every profile here, nothing driver-side. */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[String], k: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(k >= 2, s"kAnonymity: k must be >= 2, got $k")
+    df.groupBy(quasiCols.map(col): _*).agg(count(lit(1)).as("__n"))
+      .agg(count(lit(1)).as("n_groups"),
+        count(when(col("__n") < k, 1)).as("n_risky_groups"),
+        coalesce(sum(when(col("__n") < k, col("__n"))), lit(0L)).as("n_risky_rows"))
+  }
+
   /** Q2 — error-tolerant runner (ref `load_duckdb_data.py:42-46`): apply each
     * step, log-and-continue on failure, return successes. */
   def runTolerant[A](steps: Seq[(String, () => A)]): (List[(String, A)], List[(String, Throwable)]) = {

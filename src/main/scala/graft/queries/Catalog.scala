@@ -1850,6 +1850,20 @@ object Catalog {
     // Expectation suite — N declarative quality rules in ONE scan (single
     // agg + stack unpivot; NULL predicate counts as a violation).  The
     // Deequ/dbt-test gate every feed runs before promotion.
+    // k-anonymity release audit (Sweeney '02): how many quasi-identifier
+    // groups — and rows — fall below the k threshold.  The privacy gate
+    // that must pass BEFORE q_pii_scrub's output is released: scrubbing
+    // direct identifiers does nothing about a near-unique combination.
+    QueryDef("q_k_anonymity",
+      (s, dir) => Quality.kAnonymity(t(s, dir, "customer"),
+        Seq("c_nationkey", "c_mktsegment"), k = 10),
+      Some("""WITH g AS (SELECT c_nationkey, c_mktsegment, COUNT(*) AS n
+             FROM customer GROUP BY 1, 2)
+         SELECT COUNT(*) AS n_groups,
+           COUNT(CASE WHEN n < 10 THEN 1 END) AS n_risky_groups,
+           CAST(COALESCE(SUM(CASE WHEN n < 10 THEN n END), 0) AS BIGINT) AS n_risky_rows
+         FROM g""")),
+
     QueryDef("q_expectations",
       (s, dir) => Quality.expectations(t(s, dir, "lineitem"), Seq(
           "discount_bounds" -> col("l_discount").between(0.0, 0.1),
