@@ -355,4 +355,59 @@ object Relational {
         // double/long division (NOT decimal division — engines disagree on
         // result scale there); identical operands → identical IEEE result
         (sum("sum").cast(DoubleType) / sum("n")).as("avg"))
+
+  /** Per-key EWMA (exponentially-weighted moving average), final value per
+    * key: `y_1 = x_1; y_t = (1-α)·y_{t-1} + α·x_t` over `(tsCol, idCol)`
+    * event order — the smoothing every monitoring/decay-weighting pipeline
+    * reaches for, and inherently SEQUENTIAL per key (the recursion does not
+    * decompose into a commutative aggregate).
+    *
+    * Bounded-memory shape, same as the sessionization fold: repartition by
+    * key, sortWithinPartitions (Spark's spillable sort machinery), then one
+    * streaming fold per partition holding four scalars — a key with a
+    * billion events streams through at O(1) memory.  Bit-exactness: the
+    * fold is nothing but IEEE `*`/`+` on doubles applied in event order, so
+    * any engine folding the same sequence (the DuckDB oracle's
+    * `list_reduce` over an ordered list) produces the identical bits when
+    * α is binary-representable (0.25 here — document α choices that are). */
+  def ewmaLast(df: DataFrame, keyCol: String, tsCol: String, idCol: String,
+               valCol: String, alpha: Double): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val oneMinus = 1.0 - alpha
+    val sorted = df.select(col(keyCol).cast("long").as("k"),
+        unix_micros(col(tsCol)).as("t"), col(idCol).cast("long").as("i"),
+        col(valCol).cast("double").as("v"))
+      .repartition(col("k"))
+      .sortWithinPartitions("k", "t", "i")
+      .as[(Long, Long, Long, Double)]
+    sorted.mapPartitions { it =>
+      new Iterator[(Long, Long, Double)] {
+        private var pending: Option[(Long, Long, Double)] = None
+        private var exhausted = false
+        private var haveKey = false
+        private var curKey, nEv = 0L
+        private var y = 0.0
+        private def advance(): Unit =
+          while (pending.isEmpty && !exhausted) {
+            if (it.hasNext) {
+              val (k, _, _, v) = it.next()
+              if (haveKey && k != curKey) {
+                pending = Some((curKey, nEv, y)); haveKey = false
+              }
+              if (!haveKey) { haveKey = true; curKey = k; nEv = 0L; y = v }
+              else y = y * oneMinus + v * alpha
+              nEv += 1
+            } else {
+              exhausted = true
+              if (haveKey) pending = Some((curKey, nEv, y))
+            }
+          }
+        def hasNext: Boolean = { advance(); pending.nonEmpty }
+        def next(): (Long, Long, Double) = {
+          advance(); val r = pending.get; pending = None; r
+        }
+      }
+    }.toDF(keyCol, "n_events", "ewma")
+  }
 }

@@ -2442,6 +2442,21 @@ object Catalog {
     // skew-safe shape as asofJoin's carry window); NULLs are synthesized
     // deterministically (click rows) so the fill has real work, and values
     // are copied, not computed — bit-exact across engines.
+    // Per-user EWMA (α = 0.25 — binary-exact): the inherently-sequential
+    // per-key recursion via the bounded-memory secondary-sort fold; the
+    // oracle folds the identical ordered sequence with list_reduce, so the
+    // doubles match bit-for-bit (pure IEEE *// + in event order, no libm).
+    QueryDef("q_ewma",
+      (s, dir) => Relational.ewmaLast(events(s, dir),
+          "user_id", "ts", "event_id", "value", alpha = 0.25)
+        .orderBy("user_id"),
+      Some("""WITH e AS (SELECT user_id, ts, event_id, CAST(value AS DOUBLE) AS v FROM events),
+         l AS (SELECT user_id, COUNT(*) AS n_events,
+             list_reduce(list(v ORDER BY ts, event_id),
+               (a, b) -> a * CAST(0.75 AS DOUBLE) + b * CAST(0.25 AS DOUBLE)) AS ewma
+           FROM e GROUP BY 1)
+         SELECT user_id, n_events, ewma FROM l ORDER BY user_id""")),
+
     QueryDef("q_forward_fill",
       (s, dir) => {
         val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))

@@ -425,4 +425,20 @@ class RelationalSpec extends SparkFunSuite {
       }
     }
   }
+
+  test("ewmaLast folds per key in event order with the exact recursion") {
+    import java.sql.Timestamp
+    def ts(ms: Long) = new Timestamp(ms)
+    // key 1: x = [4, 8, 2] in ts order (ids break the tie at ms=20)
+    //   y = 4 -> 4*.75 + 8*.25 = 5 -> 5*.75 + 2*.25 = 4.25
+    // key 2: single event -> y = its value
+    val df = Seq(
+      (1L, ts(10), 1L, 4.0), (1L, ts(20), 3L, 2.0), (1L, ts(20), 2L, 8.0),
+      (2L, ts(5), 9L, 7.5)
+    ).toDF("user_id", "ts", "event_id", "value")
+    val got = graft.engine.Relational
+      .ewmaLast(df, "user_id", "ts", "event_id", "value", alpha = 0.25)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got === Map(1L -> (3L, 4.25), 2L -> (1L, 7.5)))
+  }
 }
