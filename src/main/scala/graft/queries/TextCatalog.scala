@@ -159,6 +159,35 @@ object TextCatalog {
            CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9 ]')) AS BIGINT) AS bpe_tokens
          FROM documents ORDER BY doc_id""")),
 
+    // Temperature-scaled mixture weights (the α-smoothing knob of
+    // multilingual/multi-domain pre-training mixes, α = 0.5): sampling
+    // weight ∝ n_tokens^α, which up-samples small domains relative to
+    // proportional sampling without the uniform mix's repetition blow-up.
+    // Determinism: sqrt is IEEE correctly-rounded in both engines, each
+    // weight is rounded to 9 dp, and the normalizer is the DECIMAL sum of
+    // the rounded weights (order-insensitive) crossed in as a broadcast
+    // 1-row frame.
+    QueryDef("q_mixture_temperature",
+      (s, dir) => {
+        val nt = t(s, dir, "documents")
+          .select(col("source"), size(Text.tokens(col("text"))).cast(LongType).as("__t"))
+          .groupBy("source").agg(sum(col("__t")).as("n_tokens"))
+          .withColumn("__w", round(sqrt(col("n_tokens")), 9))
+        val tot = nt.agg(sum(col("__w").cast(DecimalType(38, 9)))
+          .cast("double").as("__tot"))
+        nt.crossJoin(broadcast(tot))
+          .select(col("source"), col("n_tokens"),
+            round(col("__w") / col("__tot"), 9).as("weight"))
+          .orderBy("source")
+      },
+      Some(s"""WITH nt AS (SELECT source,
+             CAST(SUM(len($toks)) AS BIGINT) AS n_tokens FROM documents GROUP BY 1),
+         w AS (SELECT source, n_tokens,
+             round(sqrt(CAST(n_tokens AS DOUBLE)), 9) AS w FROM nt),
+         tot AS (SELECT CAST(SUM(CAST(w AS DECIMAL(38,9))) AS DOUBLE) AS t FROM w)
+         SELECT source, n_tokens, round(w / t, 9) AS weight
+         FROM w, tot ORDER BY source""")),
+
     QueryDef("q_lang_id",
       (s, dir) => t(s, dir, "documents")
         .select(col("lang"), Text.langIdHeuristic(col("text")).as("lid"))
