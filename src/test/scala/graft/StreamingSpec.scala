@@ -94,6 +94,22 @@ class StreamingSpec extends SparkFunSuite {
     assert(stateful === Map(1L -> ((2L, 3L)), 2L -> ((1L, 1L)), 3L -> ((2L, 2L))))
   }
 
+  test("statefulSessionCounts handles a 50k-event skewed user on the registered path") {
+    // the per-batch buffer is one primitive long per event (8 B/event, no
+    // boxed Seq) — a pathological user in ONE batch slice must fold fine;
+    // events arrive shuffled to exercise the in-batch timestamp sort
+    import spark.implicits._
+    val gap = 1800L * 1000000L
+    val rows = scala.util.Random.shuffle(
+      (0 until 50000).map(i => (7L, i.toLong * 1000L + (i / 10000L) * 2 * gap, i.toLong))
+        .toVector)
+    val ds = rows.toDF("user_id", "ts_us", "event_id").as[graft.streaming.SessionEvent]
+    val got = Streaming.statefulSessionCounts(ds, gap)
+      .collect().map(s => s.user_id -> ((s.n_sessions, s.n_events))).toMap
+    // 5 blocks of 10k events, each block separated by > gap
+    assert(got === Map(7L -> ((5L, 50000L))))
+  }
+
   test("sortedSessionCounts streams a skewed user without materializing the group") {
     import spark.implicits._
     // user 1: 50k events in 1-min steps with a >30-min gap every 1000th
