@@ -45,7 +45,10 @@ object Sketch {
   def kmvDistinct(df: DataFrame, groupCol: String, valCol: Column,
                   k: Int = 256): DataFrame = {
     require(k >= 2, s"kmvDistinct: k must be >= 2, got $k")
-    val h = df.select(col(groupCol), md5(valCol.cast("string")).as("__h"))
+    // NULLs don't count — COUNT(DISTINCT x) semantics (a NULL digest would
+    // otherwise sort first and poison both kk and r_k)
+    val h = df.filter(valCol.isNotNull)
+      .select(col(groupCol), md5(valCol.cast("string")).as("__h"))
       .distinct()
     val topk = graft.plans.TopKPerKey(h, Seq(groupCol), Seq(col("__h").asc), k)
     // lexicographic hex order is monotone with the numeric digest, so the

@@ -13,7 +13,10 @@ class SketchSpec extends SparkFunSuite {
     val rows =
       (1L to 50L).flatMap(i => Seq(("small", i), ("small", i), ("small", i))) ++
         (1L to 20000L).map(i => ("big", i))
-    val got = Sketch.kmvDistinct(rows.toDF("g", "v"), "g", col("v"), k = 256)
+    val df = rows.toDF("g", "v")
+      .unionByName(Seq(("small", Option.empty[Long]), ("small", Option.empty[Long]))
+        .toDF("g", "v")) // NULLs must not count (COUNT DISTINCT semantics)
+    val got = Sketch.kmvDistinct(df, "g", col("v"), k = 256)
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(got("small") === 50.0, "below k the sketch degenerates to the exact count")
     val rel = math.abs(got("big") - 20000.0) / 20000.0
