@@ -51,6 +51,21 @@ class GraphSpec extends SparkFunSuite {
     assert(got === Map(3L -> 3L, 5L -> 3L, 7L -> 7L, 8L -> 7L))
   }
 
+  test("contraction and propagation agree on random graphs (seeded)") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val n = 60
+      val edges = Seq.fill(70)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val df = edges.toDF("src", "dst")
+      val prop = Graph.connectedComponents(df, "src", "dst")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val contr = Graph.connectedComponentsContraction(df, "src", "dst")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(contr === prop, s"trial $trial: algorithms disagree")
+    }
+  }
+
   test("packChunks: spans are exact at chunk boundaries, per-group independent") {
     // budget 10; group a: docs of 4,6,3 tokens → ends 4,10,13.
     //  doc1 [0,4) → chunk 0..0; doc2 [4,10) → last token index 9 → 0..0
