@@ -43,19 +43,39 @@ object Sketch {
     *
     * Returns `(groupCol, n_est)` with `n_est` rounded to 6 dp. */
   def kmvDistinct(df: DataFrame, groupCol: String, valCol: Column,
-                  k: Int = 256): DataFrame = {
-    require(k >= 2, s"kmvDistinct: k must be >= 2, got $k")
+                  k: Int = 256): DataFrame =
+    kmvEstimate(kmvSketch(df, groupCol, valCol, k), groupCol, k)
+
+  /** The sketch STATE: the k lexicographically-smallest distinct md5
+    * digests per group, one `(groupCol, __h)` row each — k × 32 chars per
+    * group regardless of input size. */
+  def kmvSketch(df: DataFrame, groupCol: String, valCol: Column,
+                k: Int): DataFrame = {
+    require(k >= 2, s"kmvSketch: k must be >= 2, got $k")
     // NULLs don't count — COUNT(DISTINCT x) semantics (a NULL digest would
     // otherwise sort first and poison both kk and r_k)
     val h = df.filter(valCol.isNotNull)
       .select(col(groupCol), md5(valCol.cast("string")).as("__h"))
       .distinct()
-    val topk = graft.plans.TopKPerKey(h, Seq(groupCol), Seq(col("__h").asc), k)
+    graft.plans.TopKPerKey(h, Seq(groupCol), Seq(col("__h").asc), k)
+  }
+
+  /** Merge independently-built sketch shards — LOSSLESS, the property that
+    * makes the sketch a partial aggregate: the k smallest of the
+    * distinct-union of per-shard k-smallest sets IS the global k-smallest
+    * (any globally-small digest is small in its own shard too), so
+    * shard-then-merge equals the single-pass sketch exactly. */
+  def kmvMerge(shards: Seq[DataFrame], groupCol: String, k: Int): DataFrame =
+    graft.plans.TopKPerKey(shards.reduce(_ unionByName _).distinct(),
+      Seq(groupCol), Seq(col("__h").asc), k)
+
+  /** Finish a sketch into the per-group estimate (see [[kmvDistinct]]). */
+  def kmvEstimate(sketch: DataFrame, groupCol: String, k: Int): DataFrame = {
     // lexicographic hex order is monotone with the numeric digest, so the
     // max 13-hex-digit prefix among the k kept rows IS the k-th smallest r
     val r = conv(substring(col("__h"), 1, 13), 16, 10).cast("double") /
       lit(math.pow(16.0, 13))
-    topk.groupBy(groupCol)
+    sketch.groupBy(groupCol)
       .agg(count(lit(1)).as("__kk"), max(r).as("__rk"))
       .select(col(groupCol),
         when(col("__kk") < k, col("__kk").cast("double"))

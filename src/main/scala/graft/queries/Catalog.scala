@@ -145,6 +145,40 @@ object Catalog {
          SELECT l_returnflag, n_exact, n_est
          FROM x JOIN e ON x.l_returnflag = e.g ORDER BY 1""")),
 
+    // The sketch's MERGEABILITY made concrete (what lets executors build
+    // partial sketches map-side and combine them): three independent shard
+    // sketches, distinct-unioned and re-cut to k, must estimate EXACTLY
+    // what the single-pass sketch estimates — the oracle restates the
+    // single-pass computation, so the hash match proves shard-then-merge
+    // is lossless cross-engine, not just approximately right.
+    QueryDef("q_kmv_merge",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val shards = (0 to 2).map(i =>
+          Sketch.kmvSketch(li.filter(col("l_orderkey") % 3 === i),
+            "l_returnflag", col("l_orderkey"), 256))
+        val est = Sketch.kmvEstimate(
+          Sketch.kmvMerge(shards, "l_returnflag", 256), "l_returnflag", 256)
+        val exact = li.groupBy("l_returnflag")
+          .agg(countDistinct(col("l_orderkey")).as("n_exact"))
+        exact.join(est, "l_returnflag").orderBy("l_returnflag")
+      },
+      Some("""WITH h AS (SELECT DISTINCT l_returnflag AS g,
+             md5(CAST(l_orderkey AS VARCHAR)) AS hh FROM lineitem),
+         n AS (SELECT g, hh, row_number() OVER (PARTITION BY g ORDER BY hh) AS rn FROM h),
+         tk AS (SELECT g, hh FROM n WHERE rn <= 256),
+         a AS (SELECT g, COUNT(*) AS kk,
+             MAX(list_sum(list_transform(range(1, 14),
+               i -> (strpos('0123456789abcdef', hh[CAST(i AS INT)]) - 1)
+                 * power(16.0, 13 - CAST(i AS INT)))) / power(16.0, 13)) AS rk
+           FROM tk GROUP BY g),
+         e AS (SELECT g, CASE WHEN kk < 256 THEN CAST(kk AS DOUBLE)
+             ELSE round(255 / rk, 6) END AS n_est FROM a),
+         x AS (SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS n_exact
+           FROM lineitem GROUP BY 1)
+         SELECT l_returnflag, n_exact, n_est
+         FROM x JOIN e ON x.l_returnflag = e.g ORDER BY 1""")),
+
     // A1 generalization — ROLLUP grouping sets.
     QueryDef("q_rollup",
       (s, dir) => t(s, dir, "lineitem")
