@@ -186,7 +186,11 @@ class RelationalSpec extends SparkFunSuite {
       "q_bpe_pairs" -> 2,         // word-freq agg + pair agg; top-k is TakeOrdered
       "q_unigram_surprisal" -> 4, // model agg + co-partitioned join + doc agg + sort
       "q_dsir_weights" -> 4, // model agg + co-partitioned join + doc agg + sort
-      "q_semdedup" -> 4) // assign is shuffle-free (broadcast-literal argmax): vec join + pair join + distinct + sort
+      "q_semdedup" -> 4, // assign is shuffle-free (broadcast-literal argmax): vec join + pair join + distinct + sort
+      "q_kmv_distinct" -> 5,      // digest distinct + heap key exchange + exact-side agg + join + sort
+      "q_ewma" -> 2,              // key repartition (the fold's only exchange) + presentation sort
+      "q_gopher_rules" -> 1,      // presentation sort only: the rules are shuffle-free per-row arithmetic
+      "q_mixture_temperature" -> 3) // source agg + 1-row normalizer + sort
     for ((name, budget) <- budgets) {
       val n = SparkEntry.queries(name)(ss, "/root/testdata/sf0.001")
         .queryExecution.executedPlan
