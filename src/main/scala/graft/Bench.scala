@@ -27,7 +27,7 @@ object Bench {
   private val Reps = 3
 
   /** One representative per operator family — the queries whose plans we
-    * tune and whose regressions matter.  Kept ≤ ~22 names so the stdout
+    * tune and whose regressions matter.  Kept ≤ ~26 names so the stdout
     * JSON stays well under the driver's tail buffer. */
   private val Headline: Seq[String] = Seq(
     "q1_lineitem_agg",          // hash agg
