@@ -1736,6 +1736,56 @@ object Catalog {
          SELECT user_id, make_timestamp(MIN(us)) AS session_start, COUNT(*) AS n
          FROM sx GROUP BY user_id, sid ORDER BY user_id, session_start""")),
 
+    // ST12 — sessions closed by event-time TIMEOUT (flatMapGroupsWithState
+    // + EventTimeTimeout): a session emits either when a later same-user
+    // event passes the gap, or when the WATERMARK passes last_event + gap —
+    // the timeout path is what flushes every tail session without waiting
+    // for its user to speak again.  Same file/sentinel discipline as ST8;
+    // the batch oracle restates full sessionization, so the hash match
+    // proves the timeout path emitted exactly the right sessions.
+    QueryDef("q_st12_session_timeout",
+      (s, dir) => {
+        import s.implicits._
+        val base = Files.createTempDirectory("graft_st12").toString
+        val ev = events(s, dir).select("user_id", "ts", "event_id")
+        ev.coalesce(1).write.parquet(s"$base/src/f1")
+        val maxTs = ev.agg(max("ts")).collect().head.getTimestamp(0)
+        Seq((-1L, new java.sql.Timestamp(maxTs.getTime + 86400L * 1000), -1L))
+          .toDF("user_id", "ts", "event_id").write.parquet(s"$base/src/f2")
+        def pin(sub: String, mtime: Long): Unit =
+          new java.io.File(s"$base/src/$sub").listFiles()
+            .filter(_.getName.endsWith(".parquet")).foreach(_.setLastModified(mtime))
+        val now = System.currentTimeMillis()
+        pin("f1", now - 60000); pin("f2", now)
+        val schema = s.read.parquet(s"$base/src/f1").schema
+        val ss = Streaming.stateSession(s, 4)
+        val stream = ss.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$base/src/*")
+          .withWatermark("ts", "1 second")
+          .as[graft.streaming.TimedEvent](
+            org.apache.spark.sql.Encoders.product[graft.streaming.TimedEvent])
+        val q = Streaming.closedSessions(stream, 1800L * 1000000L)
+          .writeStream.format("parquet")
+          .option("path", s"$base/out")
+          .option("checkpointLocation", s"$base/cp")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.read.parquet(s"$base/out")
+          .filter(col("user_id") >= 0)
+          .orderBy("user_id", "session_start_us")
+      },
+      Some("""WITH m AS (SELECT user_id, epoch_us(ts) AS us,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         sx AS (SELECT user_id, us,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING) AS sid
+           FROM m)
+         SELECT user_id, MIN(us) AS session_start_us, COUNT(*) AS n_events
+         FROM sx GROUP BY user_id, sid ORDER BY user_id, session_start_us""")),
+
     // ST10 — stream-stream LEFT OUTER interval join: clicks keep flowing even
     // without a purchase within the hour; the unmatched side emits NULLs only
     // once the watermark proves no match can still arrive.  Emission timing is

@@ -10,6 +10,11 @@ case class SessionEvent(user_id: Long, ts_us: Long, event_id: Long)
 case class SessionState(lastTsUs: Long, nSessions: Long, nEvents: Long)
 case class SessionCounts(user_id: Long, n_sessions: Long, n_events: Long)
 
+/** Typed rows for the timeout-closing sessionizer ([[Streaming.closedSessions]]). */
+case class TimedEvent(user_id: Long, ts: java.sql.Timestamp, event_id: Long)
+case class OpenSession(startUs: Long, lastUs: Long, n: Long)
+case class ClosedSession(user_id: Long, session_start_us: Long, n_events: Long)
+
 /** ST1 — incremental file-source catch-up (SURVEY §2.10).
   *
   * The reference hand-rolls incremental ingestion: list S3, skip files whose
@@ -38,6 +43,62 @@ object Streaming {
     val ss = s.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
     ss
+  }
+
+  /** ST12 — sessions CLOSED by event-time TIMEOUT via
+    * `flatMapGroupsWithState`: the canonical custom-state streaming pattern
+    * the built-in `session_window` cannot express variants of (per-session
+    * emission the moment no more events can arrive, custom state payloads,
+    * early partial emissions).  A session closes two ways: a later event of
+    * the SAME user past the gap (emitted in that batch), or the global
+    * WATERMARK passing `last_event + gap` (emitted by the timeout callback —
+    * this is what flushes every still-open tail session without waiting for
+    * that user to speak again).
+    *
+    * Caller contract: `events` is a STREAMING Dataset already watermarked on
+    * `ts` (timeouts only exist under a watermark), and batches respect
+    * event-time order per user up to the watermark (the file-stream queries
+    * pin this with mtime-ordered single files).  Within a batch, timestamps
+    * are sorted as primitive longs — same 8 B/event bound as
+    * [[statefulSessionCounts]].  State per user is THREE longs however long
+    * the stream runs; the timeout clears it. */
+  def closedSessions(events: Dataset[TimedEvent],
+                     gapMicros: Long): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+          (user: Long, evts: Iterator[TimedEvent], state: GroupState[OpenSession]) =>
+            if (state.hasTimedOut) {
+              // watermark passed last_event + gap: no event can extend it
+              val s = state.get
+              state.remove()
+              Iterator.single(ClosedSession(user, s.startUs, s.n))
+            } else {
+              val b = scala.collection.mutable.ArrayBuilder.make[Long]
+              // getTime is millis (floor of nanos); re-attach the sub-ms part
+              evts.foreach(e =>
+                b += e.ts.getTime * 1000L + (e.ts.getNanos % 1000000L) / 1000L)
+              val ts = b.result()
+              java.util.Arrays.sort(ts)
+              val out = scala.collection.mutable.ListBuffer.empty[ClosedSession]
+              var cur = state.getOption.orNull
+              var i = 0
+              while (i < ts.length) {
+                if (cur == null) cur = OpenSession(ts(i), ts(i), 1L)
+                else if (ts(i) - cur.lastUs > gapMicros) {
+                  out += ClosedSession(user, cur.startUs, cur.n)
+                  cur = OpenSession(ts(i), ts(i), 1L)
+                } else cur = OpenSession(cur.startUs, ts(i), cur.n + 1L)
+                i += 1
+              }
+              state.update(cur)
+              // timeout fires once the WATERMARK (not wall clock) passes this
+              state.setTimeoutTimestamp(cur.lastUs / 1000L + gapMicros / 1000L + 1L)
+              out.iterator
+            }
+        }
   }
 
   /** Catch up on all unprocessed files matching `glob`, append them to
