@@ -10,6 +10,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * {{{
   *   <root>/data/<uuid>/part-*.parquet   immutable data segments
   *   <root>/_txlog/v<NNNNNNNNNN>.json    manifest: the segment list of version N
+  *   <root>/_txlog/v<NNNNNNNNNN>.claim   zero-byte slot claim (commit CAS)
   * }}}
   *
   * Every commit writes its data into a FRESH uuid segment directory, then
@@ -20,37 +21,69 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * version N keeps reading a consistent snapshot while N+1..N+k land
   * (snapshot isolation, and time travel for free via [[readVersion]]).
   *
-  * Commit concurrency: the manifest rename targets `v<next>.json`; HDFS and
-  * object stores with atomic rename refuse an existing destination, so two
-  * racing committers conflict cleanly and the loser retries against the new
-  * head (optimistic concurrency, ref Delta's protocol).  POSIX local
-  * rename(2) overwrites, so on local filesystems the existence check before
-  * rename is best-effort — fine for tests, not a correctness claim.
+  * Commit concurrency: version slot vN is CLAIMED with a create-exclusive
+  * zero-byte `vN.claim` before the manifest rename.  On local filesystems
+  * the claim goes through `O_CREAT|O_EXCL` (nio `Files.createFile`), which
+  * the kernel arbitrates — two racing local committers cannot both claim
+  * vN, closing the POSIX `rename(2)`-overwrites hole; on HDFS/object
+  * stores `FileSystem.create(path, overwrite = false)` has the same
+  * refuse-on-exist contract.  The claim winner then publishes via rename
+  * (readers still see one atomic metadata op); the loser re-reads the head
+  * and retries the next slot.  Liveness caveat (same as any lock-file
+  * protocol): a committer that dies between claim and publish wedges that
+  * one slot until the orphan claim is removed — [[vacuum]] deletes claims
+  * at or below the published head, and an operator can delete a claim with
+  * no matching manifest after a crash.
+  *
+  * Exactly-once bookkeeping: EVERY manifest carries the maximum streaming
+  * batch id committed so far (`batch` is carried forward through append /
+  * merge / delete / compact / overwrite), the way Delta persists per-app
+  * txn versions — so [[lastCommittedBatch]] is a single head-manifest read
+  * and [[vacuum]] can never drop the replay horizon.  The replay check is
+  * re-verified INSIDE the commit retry loop, after the head re-read, so
+  * the id-check and the version CAS are one optimistic decision.
   *
   * At 100 TB: manifests hold segment DIRECTORIES, not files, so a manifest
   * stays KBs regardless of data size; readers list only the segments of
   * their snapshot (no full-lake listing); compaction is a normal commit
   * that swaps many small segments for few large ones with readers never
   * blocked.  Commits may record per-segment min/max column stats in the
-  * manifest (`statsCols`), and [[readWhere]] uses them to prune whole
-  * segments before any footer is opened — manifest-level data skipping,
-  * carried across merge/delete/compact rewrites by [[carryStats]].
+  * manifest (`statsCols` — numeric OR string columns), and [[readWhere]] /
+  * [[readWhereString]] use them to prune whole segments before any footer
+  * is opened — manifest-level data skipping, carried across
+  * merge/delete/compact rewrites by [[carryStats]] and through the
+  * streaming sinks' commits.
   */
 object TxTable {
 
   private val LogDir = "_txlog"
-  // stats: segment -> column -> (min, max) as exact decimal strings —
-  // manifest-level data skipping (the Delta/Iceberg idea): a filtered read
-  // prunes whole SEGMENTS from the manifest before any footer is opened
+  /** Sentinel returned by [[commit]] when the batch-id replay guard fired:
+    * the micro-batch was already committed, nothing was published. */
+  private val ReplayNoOp = -1L
+
+  /** Per-segment-per-column [min, max] with a type tag: "n" = numeric
+    * (exact decimal strings, BigDecimal-compared), "s" = string
+    * (printable-ASCII only, lexicographically compared — matching Spark's
+    * UTF8String binary ordering on that subset).  String bounds containing
+    * `"`, `\` or non-ASCII are NOT recorded (conservative keep) so the
+    * dependency-free manifest JSON stays exact without an escaper. */
+  private case class ColStat(lo: String, hi: String, tag: String)
+
+  // stats: segment -> column -> ColStat — manifest-level data skipping (the
+  // Delta/Iceberg idea): a filtered read prunes whole SEGMENTS from the
+  // manifest before any footer is opened
   private case class Manifest(version: Long, op: String, segments: Seq[String],
                               batch: Option[Long] = None,
-                              stats: Map[String, Map[String, (String, String)]] = Map.empty)
+                              stats: Map[String, Map[String, ColStat]] = Map.empty)
 
   private def fs(spark: SparkSession, root: String): FileSystem =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private def manifestPath(root: String, v: Long): Path =
     new Path(s"${root.stripSuffix("/")}/$LogDir/v${"%010d".format(v)}.json")
+
+  private def claimPath(root: String, v: Long): Path =
+    new Path(s"${root.stripSuffix("/")}/$LogDir/v${"%010d".format(v)}.claim")
 
   private def writeJson(m: Manifest): String =
     s"""{"version":${m.version},"op":"${m.op}",""" +
@@ -59,14 +92,15 @@ object TxTable {
       m.segments.map(s => "\"" + s + "\"").mkString(",") + "]" +
       (if (m.stats.isEmpty) "" else
         ""","stats":{""" + m.stats.map { case (seg, cols) =>
-          "\"" + seg + "\":{" + cols.map { case (c, (lo, hi)) =>
-            "\"" + c + "\":[\"" + lo + "\",\"" + hi + "\"]"
+          "\"" + seg + "\":{" + cols.map { case (c, st) =>
+            "\"" + c + "\":[\"" + st.lo + "\",\"" + st.hi + "\",\"" + st.tag + "\"]"
           }.mkString(",") + "}"
         }.mkString(",") + "}") + "}"
 
   private def parseJson(s: String): Manifest = {
-    // segments are uuid dir names and stats values are decimal strings (no
-    // quotes/escapes inside), so a dependency-free extraction is exact
+    // segments are uuid dir names and stats values are decimal strings or
+    // escape-free ASCII (segStats refuses anything else), so a
+    // dependency-free extraction is exact
     val version = """"version":(\d+)""".r.findFirstMatchIn(s).get.group(1).toLong
     val op = """"op":"([^"]*)"""".r.findFirstMatchIn(s).get.group(1)
     val batch = """"batch":(\d+)""".r.findFirstMatchIn(s).map(_.group(1).toLong)
@@ -75,12 +109,13 @@ object TxTable {
       if (segs.trim.isEmpty) Seq.empty
       else segs.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
     val stats = """"stats":\{(.*)\}\}$""".r.findFirstMatchIn(s).map(_.group(1)) match {
-      case None => Map.empty[String, Map[String, (String, String)]]
+      case None => Map.empty[String, Map[String, ColStat]]
       case Some(body) =>
         """"(data/[^"]+)":\{([^}]*)\}""".r.findAllMatchIn(body).map { m0 =>
-          val cols = """"([^"]+)":\["([^"]*)","([^"]*)"\]""".r
+          val cols = """"([^"]+)":\["([^"]*)","([^"]*)"(?:,"([ns])")?\]""".r
             .findAllMatchIn(m0.group(2))
-            .map(c => c.group(1) -> (c.group(2), c.group(3))).toMap
+            .map(c => c.group(1) ->
+              ColStat(c.group(2), c.group(3), Option(c.group(4)).getOrElse("n"))).toMap
           m0.group(1) -> cols
         }.toMap
     }
@@ -115,48 +150,103 @@ object TxTable {
     seg
   }
 
-  /** Min/max of each numeric `cols` member over one just-written segment,
-    * as exact decimal strings.  One column-pruned aggregate over the
+  /** Min/max of each `cols` member (numeric OR string) over one
+    * just-written segment, as exact decimal strings (tag "n") or raw
+    * ASCII strings (tag "s").  One column-pruned aggregate over the
     * segment — with the parquet aggregate pushdown session conf (S17) this
     * is answered from footer statistics without touching data pages; the
     * cost is per-COMMIT and per-SEGMENT, never proportional to the table. */
   private def segStats(spark: SparkSession, root: String, seg: String,
-                       cols: Seq[String]): Map[String, (String, String)] = {
-    import org.apache.spark.sql.functions.{max, min}
+                       cols: Seq[String]): Map[String, ColStat] = {
+    import org.apache.spark.sql.functions.{col, max, min}
     if (cols.isEmpty) return Map.empty
-    val aggs = cols.flatMap(c => Seq(min(c).as(s"__lo_$c"), max(c).as(s"__hi_$c")))
+    // printable ASCII minus '"' (x22) and '\' (x5C): JSON-safe without escapes
+    val safe = "^[\\x20-\\x21\\x23-\\x5B\\x5D-\\x7E]*$"
+    val aggs = cols.flatMap(c => Seq(min(col(c)).as(s"__lo_$c"), max(col(c)).as(s"__hi_$c")))
     val row = spark.read.parquet(s"${root.stripSuffix("/")}/$seg")
       .agg(aggs.head, aggs.tail: _*).collect().head
     cols.flatMap { c =>
       val lo = row.getAs[Any](s"__lo_$c"); val hi = row.getAs[Any](s"__hi_$c")
-      if (lo == null || hi == null) None // all-NULL segment: no skipping info
-      else Some(c -> (new java.math.BigDecimal(lo.toString).toPlainString,
-        new java.math.BigDecimal(hi.toString).toPlainString))
+      (lo, hi) match {
+        case (null, _) | (_, null) => None // all-NULL segment: no skipping info
+        case (l: String, h: String) =>
+          if (l.matches(safe) && h.matches(safe)) Some(c -> ColStat(l, h, "s"))
+          else None // unrepresentable bound: conservative keep
+        case _ => Some(c -> ColStat(
+          new java.math.BigDecimal(lo.toString).toPlainString,
+          new java.math.BigDecimal(hi.toString).toPlainString, "n"))
+      }
     }.toMap
   }
 
-  /** Publish `segments` as the next version: write-temp + rename — the one
-    * atomic metadata op.  Retries on version conflict (another committer
-    * won the rename) with the standard optimistic re-read. */
+  /** Create-exclusive claim on version slot `v` — the commit CAS.  Local
+    * filesystems go through nio `Files.createFile` = `O_CREAT|O_EXCL`
+    * (kernel-atomic refuse-on-exist); other filesystems use
+    * `FileSystem.create(path, overwrite = false)`, which HDFS and
+    * consistent object stores arbitrate atomically. */
+  private def claimSlot(f: FileSystem, root: String, v: Long): Boolean = {
+    val claim = claimPath(root, v)
+    f match {
+      case _: org.apache.hadoop.fs.LocalFileSystem | _: org.apache.hadoop.fs.RawLocalFileSystem =>
+        try { java.nio.file.Files.createFile(java.nio.file.Paths.get(claim.toUri.getPath)); true }
+        catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      case _ =>
+        try { f.create(claim, false).close(); true }
+        catch { case _: java.io.IOException => false }
+    }
+  }
+
+  /** Publish `segments` as the next version.  Per attempt: re-read the
+    * head, re-verify the batch-id replay guard (so check-and-commit is one
+    * decision), claim the slot create-exclusively, then write-temp +
+    * rename into the claimed slot — readers still see one atomic metadata
+    * op.  The published manifest's `batch` is the max of this commit's id
+    * and the head's carried id, so every manifest records the replay
+    * horizon and vacuum can never lose it.  Returns [[ReplayNoOp]] (-1)
+    * when the batch was already committed.  Retries on a lost claim with
+    * the standard optimistic re-read.
+    *
+    * `expectVersion`: callers whose `segments` were DERIVED from a
+    * specific head (append's base list, merge/delete/compact rewrites)
+    * pass the version they expect to publish; if the head moved since
+    * their read, the attempt throws instead of publishing a manifest that
+    * silently drops the concurrent commit — the read-and-publish become
+    * one CAS decision. */
   private def commit(spark: SparkSession, root: String, op: String,
                      segments: Seq[String], maxRetries: Int = 10,
                      batch: Option[Long] = None,
-                     stats: Map[String, Map[String, (String, String)]] = Map.empty): Long = {
+                     stats: Map[String, Map[String, ColStat]] = Map.empty,
+                     expectVersion: Option[Long] = None): Long = {
     val f = fs(spark, root)
     var attempt = 0
     while (true) {
-      val next = latestVersion(spark, root).map(_ + 1).getOrElse(1L)
+      val headV = latestVersion(spark, root)
+      val headBatch = headV.flatMap { v =>
+        try readManifest(spark, root, v).batch
+        catch { case _: java.io.FileNotFoundException => None }
+      }
+      if (batch.exists(b => headBatch.exists(_ >= b))) return ReplayNoOp
+      val carried = (batch.toSeq ++ headBatch.toSeq).reduceOption(_ max _)
+      val next = headV.map(_ + 1).getOrElse(1L)
+      if (expectVersion.exists(_ != next))
+        throw new IllegalArgumentException(
+          s"TxTable.commit: head moved under $root — derived for " +
+            s"v${expectVersion.get}, next slot is v$next")
       val target = manifestPath(root, next)
-      val tmp = new Path(target.getParent, s".tmp-${java.util.UUID.randomUUID()}")
       f.mkdirs(target.getParent)
-      val os = f.create(tmp, false)
-      try os.write(writeJson(Manifest(next, op, segments, batch,
-        stats.filter(kv => segments.contains(kv._1))))
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally os.close()
-      val won = !f.exists(target) && f.rename(tmp, target)
-      if (won) return next
-      f.delete(tmp, false)
+      // exists-check first: a manifest published without a claim (e.g. an
+      // external writer) still blocks the slot
+      if (!f.exists(target) && claimSlot(f, root, next)) {
+        val tmp = new Path(target.getParent, s".tmp-${java.util.UUID.randomUUID()}")
+        val os = f.create(tmp, false)
+        try os.write(writeJson(Manifest(next, op, segments, carried,
+          stats.filter(kv => segments.contains(kv._1))))
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally os.close()
+        require(f.rename(tmp, target),
+          s"TxTable.commit: rename into claimed slot v$next failed under $root")
+        return next
+      }
       attempt += 1
       require(attempt <= maxRetries,
         s"TxTable.commit: lost the version race $maxRetries times under $root")
@@ -165,8 +255,8 @@ object TxTable {
   }
 
   /** Replace the table contents with `df` (full-refresh as a commit).
-    * `statsCols` (numeric) are recorded as per-segment min/max in the
-    * manifest and drive [[readWhere]]'s segment pruning. */
+    * `statsCols` (numeric or string) are recorded as per-segment min/max
+    * in the manifest and drive [[readWhere]]'s segment pruning. */
   def commitOverwrite(spark: SparkSession, root: String, df: DataFrame,
                       statsCols: Seq[String] = Nil): Long = {
     val seg = writeSegment(df, root)
@@ -183,33 +273,29 @@ object TxTable {
                          batch: Option[Long], statsCols: Seq[String] = Nil): Long = {
     val seg = writeSegment(df, root)
     val segSt = segStats(spark, root, seg, statsCols)
-    // re-resolve the head inside commit's retry loop is not needed for the
-    // SEGMENT (it is ours alone); only the base list can go stale — rebuild
-    // it per attempt via the conflict retry
-    var v = -1L
+    // the SEGMENT is ours alone; only the base list can go stale — rebuild
+    // it per attempt via the conflict retry (commit re-checks the replay
+    // guard per attempt too; an orphaned segment from a ReplayNoOp is
+    // unreferenced and vacuum collects it)
     var attempt = 0
-    while (v < 0) {
-      val base = latestVersion(spark, root)
+    while (true) {
+      val headV = latestVersion(spark, root)
+      val base = headV
         .map(readManifest(spark, root, _)).getOrElse(Manifest(0, "", Seq.empty))
       val stats = base.stats ++ (if (segSt.nonEmpty) Map(seg -> segSt) else Map.empty)
-      try v = commit(spark, root, "append", base.segments :+ seg,
-        maxRetries = 0, batch, stats)
+      try return commit(spark, root, "append", base.segments :+ seg,
+        maxRetries = 0, batch, stats,
+        expectVersion = Some(headV.getOrElse(0L) + 1))
       catch { case _: IllegalArgumentException if attempt < 10 => attempt += 1 }
     }
-    v
+    -1L // unreachable
   }
 
-  /** Highest micro-batch id recorded by [[streamingAppend]] among the
-    * still-retained manifests (vacuum retention must exceed the replay
-    * horizon — trivially true: foreachBatch replays at most the one batch
-    * after the last checkpoint, and vacuum always keeps the head). */
+  /** Max streaming batch id committed so far — ONE head-manifest read,
+    * because every commit carries the max id forward (so compaction,
+    * overwrite, delete and [[vacuum]] cannot lose the replay horizon). */
   def lastCommittedBatch(spark: SparkSession, root: String): Option[Long] =
-    latestVersion(spark, root).flatMap { head =>
-      (1L to head).flatMap { v =>
-        try readManifest(spark, root, v).batch
-        catch { case _: java.io.FileNotFoundException => None }
-      }.reduceOption(_ max _)
-    }
+    latestVersion(spark, root).flatMap(v => readManifest(spark, root, v).batch)
 
   /** EXACTLY-ONCE streaming sink: `stream.writeStream.foreachBatch(
     * TxTable.streamingAppend(root) _)`.  Each micro-batch commits as one
@@ -217,11 +303,17 @@ object TxTable {
     * checkpoint replays the in-flight batch and the duplicate id makes the
     * commit a no-op — the append lands exactly once even though the batch
     * runs at-least-once (the transactional-sink idiom Structured Streaming
-    * expects of a real table format). */
-  def streamingAppend(root: String)(df: DataFrame, batchId: Long): Unit = {
+    * expects of a real table format).  The id is re-verified inside the
+    * commit retry loop, so the fast-path check below is pure I/O saving,
+    * not the correctness boundary.  `statsCols` carries manifest min/max
+    * stats through every micro-batch commit, so a stream-built table
+    * prunes in [[readWhere]]/[[readWhereString]] exactly like a
+    * batch-built one. */
+  def streamingAppend(root: String, statsCols: Seq[String] = Nil)
+                     (df: DataFrame, batchId: Long): Unit = {
     val spark = df.sparkSession
     if (lastCommittedBatch(spark, root).exists(_ >= batchId)) return
-    appendWith(spark, root, df, Some(batchId))
+    appendWith(spark, root, df, Some(batchId), statsCols)
   }
 
   /** SEGMENT-PRUNED ACID upsert (the Delta-style MERGE shape): only the
@@ -239,22 +331,27 @@ object TxTable {
     * across segments but the SET must not).  Writer serialization is the
     * caller's contract for merge: a concurrent commit between head-read and
     * publish fails the version CAS and this method throws rather than
-    * silently re-merging against a moved head. */
+    * silently re-merging against a moved head.  `statsCols` adds columns
+    * to the tracked stats set (on bootstrap it seeds it). */
   def commitMerge(spark: SparkSession, root: String, incoming: DataFrame,
                   keys: Seq[String], updateCols: Seq[String],
-                  preserveCols: Seq[String], batch: Option[Long] = None): Long = {
+                  preserveCols: Seq[String], batch: Option[Long] = None,
+                  statsCols: Seq[String] = Nil): Long = {
     import org.apache.spark.sql.functions._
     val cols = keys ++ updateCols ++ preserveCols
     latestVersion(spark, root) match {
       case None => // bootstrap: the incoming batch IS the table
-        commit(spark, root, "merge",
-          Seq(writeSegment(incoming.select(cols.map(col): _*), root)),
-          batch = batch)
+        val seg = writeSegment(incoming.select(cols.map(col): _*), root)
+        commit(spark, root, "merge", Seq(seg), maxRetries = 0, batch = batch,
+          stats = Map(seg -> segStats(spark, root, seg, statsCols)).filter(_._2.nonEmpty),
+          expectVersion = Some(1L))
       case Some(headV) =>
         val head = readManifest(spark, root, headV)
         val segs = head.segments
+        // anchor the segment tag to the END of the path: a table ROOT that
+        // itself contains a /data/<x>/ component must not hijack the match
         val cur = readVersion(spark, root, headV)
-          .withColumn("__seg", regexp_extract(input_file_name(), "/(data/[^/]+)/", 1))
+          .withColumn("__seg", regexp_extract(input_file_name(), "/(data/[^/]+)/[^/]*$", 1))
         val inKeys = broadcast(incoming.select(keys.map(col): _*).distinct())
         val hitSegs = cur
           .join(inKeys, keys.map(k => cur(k) <=> inKeys(k)).reduce(_ && _), "left_semi")
@@ -264,7 +361,8 @@ object TxTable {
         val newSeg = writeSegment(merged, root)
         commit(spark, root, "merge",
           segs.filterNot(hitSegs.contains) :+ newSeg, maxRetries = 0,
-          batch = batch, stats = carryStats(spark, root, head, newSeg))
+          batch = batch, stats = carryStats(spark, root, head, newSeg, statsCols),
+          expectVersion = Some(headV + 1))
     }
   }
 
@@ -276,21 +374,25 @@ object TxTable {
     * makes the batch a no-op, so a keyed state materialization stays
     * correct even though batches run at-least-once.  Batch ORDER carries
     * the last-write-wins semantics: within one batch duplicate keys must
-    * be pre-reduced by the caller (EXCLUDED-wins is per-commit). */
+    * be pre-reduced by the caller (EXCLUDED-wins is per-commit).
+    * `statsCols` keeps manifest min/max stats flowing through every
+    * micro-batch merge commit. */
   def streamingMerge(root: String, keys: Seq[String], updateCols: Seq[String],
-                     preserveCols: Seq[String])(df: DataFrame, batchId: Long): Unit = {
+                     preserveCols: Seq[String], statsCols: Seq[String] = Nil)
+                    (df: DataFrame, batchId: Long): Unit = {
     val spark = df.sparkSession
     if (lastCommittedBatch(spark, root).exists(_ >= batchId)) return
-    commitMerge(spark, root, df, keys, updateCols, preserveCols, Some(batchId))
+    commitMerge(spark, root, df, keys, updateCols, preserveCols, Some(batchId), statsCols)
   }
 
   /** Stats for a rewritten manifest: carried segments keep theirs; the
     * replacement segment gets fresh min/max over every column the head
-    * manifest tracked (so skipping never silently degrades across
-    * merge/delete/compact commits). */
+    * manifest tracked plus `extraCols` (so skipping never silently
+    * degrades across merge/delete/compact commits). */
   private def carryStats(spark: SparkSession, root: String, head: Manifest,
-                         newSeg: String): Map[String, Map[String, (String, String)]] = {
-    val tracked = head.stats.values.flatMap(_.keys).toSeq.distinct
+                         newSeg: String, extraCols: Seq[String] = Nil
+                        ): Map[String, Map[String, ColStat]] = {
+    val tracked = (head.stats.values.flatMap(_.keys).toSeq ++ extraCols).distinct
     val fresh = segStats(spark, root, newSeg, tracked)
     head.stats ++ (if (fresh.nonEmpty) Map(newSeg -> fresh) else Map.empty)
   }
@@ -310,8 +412,9 @@ object TxTable {
     val head = readManifest(spark, root, headV)
     val segs = head.segments
     val tomb = broadcast(tombstones.select(keys.map(col): _*).distinct())
+    // end-anchored for the same root-contains-/data/ reason as commitMerge
     val cur = readVersion(spark, root, headV)
-      .withColumn("__seg", regexp_extract(input_file_name(), "/(data/[^/]+)/", 1))
+      .withColumn("__seg", regexp_extract(input_file_name(), "/(data/[^/]+)/[^/]*$", 1))
     def keyCond(df: DataFrame) = keys.map(k => df(k) <=> tomb(k)).reduce(_ && _)
     val hitSegs = cur.join(tomb, keyCond(cur), "left_semi")
       .select("__seg").distinct().collect().map(_.getString(0)).toSet
@@ -328,7 +431,7 @@ object TxTable {
     val stats = newSegs.headOption
       .map(s => carryStats(spark, root, head, s)).getOrElse(head.stats)
     commit(spark, root, "delete", carried ++ newSegs, maxRetries = 0,
-      stats = stats)
+      stats = stats, expectVersion = Some(headV + 1))
   }
 
   /** Compact the CURRENT snapshot into ≈ceil(bytes/targetBytes) files as a
@@ -346,8 +449,8 @@ object TxTable {
     val seg = writeSegment(snapshot.repartition(n), root)
     // commit() drops stats of unlisted segments, so only the compacted
     // segment's fresh min/max survive into the new manifest
-    commit(spark, root, "compact", Seq(seg),
-      stats = carryStats(spark, root, head, seg))
+    commit(spark, root, "compact", Seq(seg), maxRetries = 0,
+      stats = carryStats(spark, root, head, seg), expectVersion = Some(cur + 1))
   }
 
   /** The latest snapshot as a DataFrame. */
@@ -356,6 +459,22 @@ object TxTable {
       latestVersion(spark, root).getOrElse(
         throw new IllegalArgumentException(s"TxTable.read: no commits under $root")))
 
+  private def prunedRead(spark: SparkSession, root: String, colName: String)
+                        (survives: ColStat => Boolean): DataFrame = {
+    val v = latestVersion(spark, root).getOrElse(
+      throw new IllegalArgumentException(s"TxTable.readWhere: no commits under $root"))
+    val m = readManifest(spark, root, v)
+    val kept = m.segments.filter { seg =>
+      m.stats.get(seg).flatMap(_.get(colName)) match {
+        case None => true // no stats: cannot prove it misses — keep
+        case Some(st) => survives(st)
+      }
+    }
+    if (kept.isEmpty) readVersion(spark, root, v).limit(0) // provably empty
+    else spark.read.option("mergeSchema", "true")
+      .parquet(kept.map(s => s"${root.stripSuffix("/")}/$s"): _*)
+  }
+
   /** Range-filtered read with MANIFEST-LEVEL data skipping: segments whose
     * recorded `[min, max]` for `colName` cannot intersect `[lo, hi]` are
     * dropped from the scan before any parquet footer is opened — the
@@ -363,29 +482,33 @@ object TxTable {
     * round-trip per file.  Semantically identical to
     * `read(...).filter(col between lo and hi)`: the residual filter still
     * applies (stats are segment-granular), and segments with no recorded
-    * stats for the column are conservatively kept.  Pair with range-
-    * clustered appends ([[Tables.writeSorted]] discipline) so segment
-    * ranges are disjoint and a point/range query touches O(1) segments. */
+    * stats for the column — or stats of the wrong type — are
+    * conservatively kept.  Pair with range-clustered appends
+    * ([[Tables.writeSorted]] discipline) so segment ranges are disjoint
+    * and a point/range query touches O(1) segments. */
   def readWhere(spark: SparkSession, root: String, colName: String,
                 lo: java.math.BigDecimal, hi: java.math.BigDecimal): DataFrame = {
     import org.apache.spark.sql.functions.col
     require(lo.compareTo(hi) <= 0, s"TxTable.readWhere: lo $lo > hi $hi")
-    val v = latestVersion(spark, root).getOrElse(
-      throw new IllegalArgumentException(s"TxTable.readWhere: no commits under $root"))
-    val m = readManifest(spark, root, v)
-    val kept = m.segments.filter { seg =>
-      m.stats.get(seg).flatMap(_.get(colName)) match {
-        case None => true // no stats: cannot prove it misses — keep
-        case Some((sLo, sHi)) =>
-          new java.math.BigDecimal(sHi).compareTo(lo) >= 0 &&
-            new java.math.BigDecimal(sLo).compareTo(hi) <= 0
-      }
-    }
-    val base =
-      if (kept.isEmpty) readVersion(spark, root, v).limit(0) // provably empty
-      else spark.read.option("mergeSchema", "true")
-        .parquet(kept.map(s => s"${root.stripSuffix("/")}/$s"): _*)
-    base.filter(col(colName) >= lo && col(colName) <= hi)
+    prunedRead(spark, root, colName) { st =>
+      st.tag != "n" || // string stats on a numeric read: keep conservatively
+        (new java.math.BigDecimal(st.hi).compareTo(lo) >= 0 &&
+          new java.math.BigDecimal(st.lo).compareTo(hi) <= 0)
+    }.filter(col(colName) >= lo && col(colName) <= hi)
+  }
+
+  /** [[readWhere]] for STRING columns: segment [min, max] bounds are
+    * compared lexicographically (exact for the printable-ASCII bounds
+    * segStats records — Spark's UTF8String binary order coincides with
+    * Java's on that subset).  Same contract: identical to the plain
+    * filtered read, pruning is pure optimization. */
+  def readWhereString(spark: SparkSession, root: String, colName: String,
+                      lo: String, hi: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    require(lo <= hi, s"TxTable.readWhereString: lo '$lo' > hi '$hi'")
+    prunedRead(spark, root, colName) { st =>
+      st.tag != "s" || (st.hi >= lo && st.lo <= hi)
+    }.filter(col(colName) >= lo && col(colName) <= hi)
   }
 
   /** Time travel: the table exactly as of version `v`.  Reads with
@@ -400,8 +523,11 @@ object TxTable {
   }
 
   /** Drop data segments referenced by NO manifest among the newest
-    * `keepVersions` (and drop older manifests) — the retention boundary for
-    * snapshot isolation: readers older than it lose their snapshot. */
+    * `keepVersions` (and drop older manifests + all claims at or below the
+    * head — published slots never need their claim again) — the retention
+    * boundary for snapshot isolation: readers older than it lose their
+    * snapshot.  The head manifest carries the max committed batch id, so
+    * vacuum can never drop the streaming replay horizon. */
   def vacuum(spark: SparkSession, root: String, keepVersions: Int = 2): Unit = {
     val f = fs(spark, root)
     val head = latestVersion(spark, root).getOrElse(return)
@@ -414,5 +540,12 @@ object TxTable {
         f.delete(st.getPath, true)
     }
     (1L until keepFrom).foreach(v => f.delete(manifestPath(root, v), false))
+    // one listing, not one probe per version slot
+    f.listStatus(new Path(s"${root.stripSuffix("/")}/$LogDir")).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("v") && n.endsWith(".claim") &&
+        n.stripPrefix("v").stripSuffix(".claim").toLong <= head)
+        f.delete(st.getPath, false)
+    }
   }
 }

@@ -1504,6 +1504,31 @@ object Catalog {
          FROM orders, b
          WHERE o_orderkey >= c1 + 1 AND o_orderkey <= c2""")),
 
+    // Manifest-level data skipping on a STRING column: three appends carry
+    // per-status slices with string min/max stats (lexicographic bounds,
+    // TxTable.segStats tag "s"), and the string-range read prunes the two
+    // non-'O' segments before any footer opens.  Same oracle-gated
+    // invariant shape as q_tx_prune: the require errors if pruning breaks,
+    // and the oracle restates the read as a plain filtered aggregate.
+    QueryDef("q_tx_prune_str",
+      (s, dir) => {
+        val root = Files.createTempDirectory("graft_txps").toString + "/tbl"
+        val o = t(s, dir, "orders").select("o_orderstatus", "o_totalprice")
+        Seq("F", "O", "P").foreach { st =>
+          TxTable.commitAppend(s, root, o.filter(col("o_orderstatus") === st),
+            statsCols = Seq("o_orderstatus"))
+        }
+        val pruned = TxTable.readWhereString(s, root, "o_orderstatus", "O", "O")
+        val scanned = pruned.inputFiles.map(_.replaceAll("/[^/]*$", "")).toSet
+        require(scanned.size == 1,
+          s"q_tx_prune_str: expected ONE surviving segment, scanned $scanned")
+        pruned.agg(count(lit(1)).as("n"),
+          dsum(col("o_totalprice")).as("price_sum"))
+      },
+      Some("""SELECT COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS price_sum
+         FROM orders WHERE o_orderstatus = 'O'""")),
+
     // ST11 — exactly-once streaming MERGE into the transactional table (the
     // Delta-style streaming upsert): batch 0 bootstraps the base, batch 1
     // applies EXCLUDED-wins updates + inserts through the segment-pruned

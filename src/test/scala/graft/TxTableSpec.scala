@@ -132,6 +132,74 @@ class TxTableSpec extends SparkFunSuite {
     assert(TxTable.read(spark, root).count() === 2)
   }
 
+  test("claim CAS: two concurrent local committers both land on distinct versions") {
+    val root = newRoot()
+    TxTable.commitOverwrite(spark, root, Seq(0L).toDF("k"))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    def committer(v: Long) = pool.submit(new java.util.concurrent.Callable[Long] {
+      def call(): Long = { gate.await(); TxTable.commitAppend(spark, root, Seq(v).toDF("k")) }
+    })
+    val (fa, fb) = (committer(1L), committer(2L))
+    gate.countDown()
+    val (va, vb) = (fa.get(), fb.get())
+    pool.shutdown()
+    assert(Set(va, vb) === Set(2L, 3L),
+      "the create-exclusive claim must serialize the racers: one v2, one v3")
+    assert(TxTable.read(spark, root).as[Long].collect().sorted.toSeq === Seq(0L, 1L, 2L),
+      "no lost rows — the claim loser must retry onto the next slot, not clobber")
+  }
+
+  test("batch id survives compact + vacuum: replay after maintenance is a no-op") {
+    val root = newRoot()
+    val sink = TxTable.streamingAppend(root) _
+    sink(Seq(1L).toDF("k"), 0L)
+    sink(Seq(2L).toDF("k"), 1L)
+    TxTable.compactTx(spark, root)
+    TxTable.vacuum(spark, root, keepVersions = 1)
+    assert(TxTable.lastCommittedBatch(spark, root) === Some(1L),
+      "compact + vacuum must carry the replay horizon forward")
+    sink(Seq(2L).toDF("k"), 1L) // crash-replay of batch 1 after maintenance
+    assert(TxTable.read(spark, root).as[Long].collect().sorted.toSeq === Seq(1L, 2L),
+      "the replayed batch must not append twice")
+    TxTable.commitOverwrite(spark, root, Seq(5L, 6L).toDF("k"))
+    assert(TxTable.lastCommittedBatch(spark, root) === Some(1L),
+      "overwrite must carry the batch id too — the horizon is table-lifetime max")
+  }
+
+  test("a table root containing a /data/ path component does not confuse merge/delete") {
+    val root = java.nio.file.Files.createTempDirectory("txtable_spec").toString + "/data/tbl"
+    TxTable.commitOverwrite(spark, root,
+      Seq((1L, 1.0, 10L), (2L, 2.0, 20L)).toDF("k", "p", "o"))
+    TxTable.commitAppend(spark, root, Seq((3L, 3.0, 30L)).toDF("k", "p", "o"))
+    TxTable.commitMerge(spark, root, Seq((1L, 9.0, -1L)).toDF("k", "p", "o"),
+      Seq("k"), Seq("p"), Seq("o"))
+    val got = TxTable.read(spark, root).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    assert(got === Seq((1L, 9.0, 10L), (2L, 2.0, 20L), (3L, 3.0, 30L)),
+      "end-anchored __seg: no duplicated rows when the root path contains /data/")
+    TxTable.commitDelete(spark, root, Seq(Tuple1(3L)).toDF("k"), Seq("k"))
+    assert(TxTable.read(spark, root).count() === 2)
+  }
+
+  test("string stats flow through streamingAppend; readWhereString prunes segments") {
+    val root = newRoot()
+    val sink = TxTable.streamingAppend(root, statsCols = Seq("s")) _
+    sink(Seq(("aa", 1L), ("am", 2L)).toDF("s", "k"), 0L)
+    sink(Seq(("ba", 3L), ("bm", 4L)).toDF("s", "k"), 1L)
+    sink(Seq(("ca", 5L), ("cm", 6L)).toDF("s", "k"), 2L)
+    def segsOf(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.inputFiles.map(f => f.replaceAll("/[^/]*$", "")).toSet
+    val mid = TxTable.readWhereString(spark, root, "s", "b", "bz")
+    assert(segsOf(mid).size === 1,
+      "two of three stream-built segments must be pruned from the manifest")
+    assert(mid.orderBy("k").collect().map(_.getString(0)).toSeq === Seq("ba", "bm"))
+    // a non-ASCII bound is not recorded (no JSON escaper): conservative keep
+    sink(Seq(("dé", 7L)).toDF("s", "k"), 3L)
+    assert(TxTable.readWhereString(spark, root, "s", "a", "e").count() === 7,
+      "segment with unrepresentable bounds must still be scanned, result exact")
+  }
+
   test("readWhere prunes segments by manifest stats, stays exact, survives rewrites") {
     def bd(i: Int) = new java.math.BigDecimal(i)
     def segsOf(df: org.apache.spark.sql.DataFrame): Set[String] =
