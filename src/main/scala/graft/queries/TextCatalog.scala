@@ -47,9 +47,11 @@ object TextCatalog {
 
   /** MinHash bands CTE fragment (`bk(doc, band, band_key)`), ≡
     * Text.minhashBands: shingle→minhash→band with k=16, 4 bands × 4 rows;
-    * docs too short to shingle are excluded. */
-  private val bandsSql: String =
-    s"""tokd AS (SELECT doc_id AS doc, $toks AS t FROM documents WHERE len($toks) >= 3),
+    * docs too short to shingle are excluded.  `pred` ("" or
+    * "doc_id < N AND ") restricts the audited universe — the recall
+    * audit's sampling contract. */
+  private def bandsSqlPred(pred: String): String =
+    s"""tokd AS (SELECT doc_id AS doc, $toks AS t FROM documents WHERE ${pred}len($toks) >= 3),
        shd AS (SELECT doc, t, list_transform(range(1, len(t) - 1),
            i -> array_to_string(list_slice(t, i, i + 2), ' ')) AS sh
          FROM tokd),
@@ -62,6 +64,8 @@ object TextCatalog {
        bk AS (SELECT doc, CAST(band AS INT) AS band,
          array_to_string(list_transform(list_slice(sig, band*${Text.BandRows} + 1, band*${Text.BandRows} + ${Text.BandRows}), v -> CAST(v AS VARCHAR)), '-') AS band_key
        FROM bx)"""
+
+  private val bandsSql: String = bandsSqlPred("")
 
   /** Hyperplane-LSH bucket CTE fragment (`b(vec_id, dv, bucket)`) for
     * `planes` hyperplanes over 64-dim embeddings, ≡ Vector.lshBucket. */
@@ -535,16 +539,18 @@ object TextCatalog {
          ORDER BY doc_a, doc_b""")),
 
     // MinHash banding recall audit — the text-dedup twin of q_ann_recall:
-    // |banded-and-verified pairs ∩ exact τ-Jaccard pairs| / |exact|.  Ground
-    // truth is the DF-cutoff-free shingle equi-join (any pair with J > 0
-    // shares a shingle, so it is complete); like the ANN audit's brute-force
-    // side it is the expensive exact path — a diagnostic to run on a sample
-    // at corpus scale, not a production operator.  The measured recall IS
-    // the banding-theory number for the (bands, rows) configuration, and it
-    // is what justifies trusting the candidate join at 100 TB.
+    // |banded-and-verified pairs ∩ exact τ-Jaccard pairs| / |exact|.
+    // SAMPLING CONTRACT (the q_ann_recall `vec_id < 30` pattern): both the
+    // banded pipeline and the exact ground truth run on the FIXED-SIZE
+    // audited universe `doc_id < 300`, so the DF-cutoff-free exact
+    // shingle self-join (any pair with J > 0 shares a shingle — complete)
+    // is quadratic in the SAMPLE, never the corpus: at 100× documents the
+    // audit costs exactly what it costs here.  The measured recall IS the
+    // banding-theory number for the (bands, rows) configuration, and it is
+    // what justifies trusting the candidate join at 100 TB.
     QueryDef("q_minhash_recall",
       (s, dir) => {
-        val d = t(s, dir, "documents")
+        val d = t(s, dir, "documents").filter(col("doc_id") < 300)
         val banded = Text.verifiedPairs(d, "text", "doc_id",
             Text.minhashCandidates(Text.minhashBands(d, "text", "doc_id")), 0.2)
           .select(col("doc_a"), col("doc_b"))
@@ -558,7 +564,7 @@ object TextCatalog {
           .crossJoin(broadcast(hit.agg(count(lit(1)).as("n_hit"))))
           .withColumn("recall", round(col("n_hit") / col("n_true"), 6))
       },
-      Some(s"""WITH $bandsSql,
+      Some(s"""WITH ${bandsSqlPred("doc_id < 300 AND ")},
          cand AS (SELECT DISTINCT a.doc AS doc_a, b2.doc AS doc_b
            FROM bk a JOIN bk b2 ON a.band = b2.band AND a.band_key = b2.band_key AND a.doc < b2.doc),
          tk AS (SELECT doc, list_distinct(sh) AS tk FROM shd),
