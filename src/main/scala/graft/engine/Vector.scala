@@ -230,8 +230,15 @@ object Vector {
     * quadratic islands).  Assignment is the zero-exchange per-row argmax
     * over broadcast centroid literals ([[kmeansAssign]]).
     *
+    * `tau` has NO default on purpose: it is the keep/drop policy knob and
+    * a low value aggressively discards non-duplicates.  The SemDeDup paper
+    * operates at epsilon ≈ 0.95+ cosine for web-scale dedup; anything far
+    * below that is a diversity-pruning setting, not deduplication — choose
+    * consciously per corpus (test fixtures here use low tau only because
+    * the synthetic embeddings are near-orthogonal).
+    *
     * Returns one row per vector: `(vec_id, list_id, dropped)`. */
-  def semDedup(corpus: DataFrame, k: Int = 16, tau: Double = 0.35): DataFrame = {
+  def semDedup(corpus: DataFrame, k: Int, tau: Double): DataFrame = {
     val asg = kmeansAssign(corpus, k, rounds = 1)
     val v = corpus.select(col("vec_id").as("c_id"), asDouble(col("embedding")).as("cv"))
     val withV = asg.join(v, "c_id")

@@ -152,10 +152,28 @@ private final class TopKPartitionIterator(
     a.length - b.length
   }
 
+  /** Executor-local spill root: Spark's configured local dirs
+    * (SPARK_LOCAL_DIRS env on YARN/K8s executors, else spark.local.dir),
+    * NOT java.io.tmpdir — on real clusters /tmp is often a small root
+    * volume, and the local dirs are the disks Spark sizes and wipes on
+    * restart.  (DiskBlockManager itself is private[spark]; this resolves
+    * the same dirs through the public conf surface.)  First dir of a
+    * comma list; task-completion delete remains the per-run cleanup, and
+    * a crashed executor's leftovers die with the local-dir wipe. */
+  private def spillRoot(): File = {
+    val conf = Option(org.apache.spark.SparkEnv.get).map(_.conf)
+    val base = sys.env.get("SPARK_LOCAL_DIRS").map(_.split(",").head.trim)
+      .orElse(conf.flatMap(_.getOption("spark.local.dir")).map(_.split(",").head.trim))
+      .getOrElse(System.getProperty("java.io.tmpdir"))
+    val d = new File(base, "graft-topk-spills")
+    d.mkdirs()
+    d
+  }
+
   /** Dump the current map as one key-sorted run and free it. */
   private def spillAll(): Unit = {
     if (heaps.isEmpty) return
-    val f = File.createTempFile("graft-topk-spill", ".run")
+    val f = File.createTempFile("graft-topk-spill", ".run", spillRoot())
     val out = new DataOutputStream(new BufferedOutputStream(new FileOutputStream(f), 1 << 16))
     try {
       heaps.toArray.map { case (key, q) => (key.getBytes, q) }
