@@ -367,6 +367,46 @@ object Catalog {
          FROM orders JOIN customer ON o_custkey = c_custkey
          GROUP BY 1 ORDER BY 1""")),
 
+    // J1 at warehouse scale — DYNAMIC partition pruning: the fact side is
+    // written PARTITIONED BY the join key; the dim filter is on a NON-key
+    // attribute ('open'), so static pruning cannot know which fact
+    // partitions survive — Spark injects the filtered dim's key values
+    // into the fact scan's partition filters at runtime
+    // (dynamicpruningexpression over the reused broadcast).  This is the
+    // join-time partition-elimination mechanism a 100× star join lives
+    // on: the fact scan reads 1 of 3 partitions, decided at run time.
+    // The require makes the injection an oracle-gated invariant, like
+    // q_tx_prune's segment skip.
+    QueryDef("q_dpp",
+      (s, dir) => {
+        val base = Files.createTempDirectory("graft_dpp").toString
+        t(s, dir, "orders")
+          .select("o_orderkey", "o_totalprice", "o_orderstatus")
+          .write.partitionBy("o_orderstatus").parquet(s"$base/fact")
+        import s.implicits._
+        // the dim must be a real source: a LocalRelation folds its Filter
+        // away (ConvertToLocalRelation) and DPP sees no selective predicate
+        Seq(("F", "closed"), ("O", "open"), ("P", "pending"))
+          .toDF("st", "label").write.parquet(s"$base/dim")
+        val dim = s.read.parquet(s"$base/dim")
+        val fact = s.read.parquet(s"$base/fact")
+        val out = fact
+          .join(broadcast(dim.filter(col("label") === "open")),
+            col("o_orderstatus") === col("st"))
+          .groupBy("st")
+          .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_price"))
+          .orderBy("st")
+        require(out.queryExecution.sparkPlan.toString.contains("dynamicpruning"),
+          "q_dpp: the fact scan's partition filters must carry a " +
+            "dynamicpruningexpression — DPP did not engage")
+        out
+      },
+      Some("""WITH dim(st, label) AS (VALUES ('F', 'closed'), ('O', 'open'), ('P', 'pending'))
+         SELECT st, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
+         FROM orders JOIN dim ON o_orderstatus = st
+         WHERE label = 'open' GROUP BY 1 ORDER BY 1""")),
+
     // Event-time tumbling window aggregation (batch form; same expression
     // streams — see graft.streaming.Streaming).
     QueryDef("q_events_tumbling",

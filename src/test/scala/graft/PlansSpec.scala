@@ -122,6 +122,36 @@ class PlansSpec extends SparkFunSuite {
     assert(dedup.collect().length === 5)
   }
 
+  test("dynamic partition pruning engages and prunes fact files at runtime") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val base = java.nio.file.Files.createTempDirectory("plans_dpp").toString
+    (1L to 300L).map(i => (i, Seq("F", "O", "P")((i % 3).toInt)))
+      .toDF("k", "part").repartition(1)
+      .write.partitionBy("part").parquet(s"$base/fact")
+    Seq(("F", "closed"), ("O", "open"), ("P", "pending"))
+      .toDF("st", "label").write.parquet(s"$base/dim")
+
+    // AQE off so the executed plan exposes the scan node directly
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.adaptive.enabled", "false")
+    val fact = ss.read.parquet(s"$base/fact")
+    val dim = ss.read.parquet(s"$base/dim").filter($"label" === "open")
+    val out = fact.join(broadcast(dim), $"part" === $"st")
+
+    val scan = out.queryExecution.executedPlan
+      .collect { case f: FileSourceScanExec if f.output.exists(_.name == "k") => f }
+    assert(scan.nonEmpty, "fact parquet scan must plan as FileSourceScanExec")
+    assert(scan.head.partitionFilters.mkString(",").contains("dynamicpruning"),
+      "the fact scan's PARTITION filters must carry the dynamicpruningexpression")
+
+    // collect() runs THIS queryExecution (count() would build a new one
+    // whose scan instance is not the node captured above)
+    assert(out.collect().length === 100, "only the part='O' rows survive")
+    assert(scan.head.metrics("numFiles").value === 1,
+      s"runtime DPP must read 1 of 3 partition files, " +
+        s"read ${scan.head.metrics("numFiles").value}")
+  }
+
   test("guardrail honors the conf escape hatch for knowingly-bounded inputs") {
     val df = Seq((1L, "a")).toDF("k", "v")
     val bad = df.withColumn("rn", row_number().over(W.orderBy("k")))
