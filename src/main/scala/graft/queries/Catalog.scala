@@ -2153,6 +2153,35 @@ object Catalog {
          SELECT n_triangles, n_edges, n_nodes FROM tri, m, nn
          ORDER BY n_triangles""")),
 
+    // Connected components via LARGE-STAR/SMALL-STAR CONTRACTION on a
+    // CHAIN-shaped graph — the O(log² rounds) path that min-label
+    // propagation (diameter rounds) cannot afford on deep components
+    // (A≈B≈C≈… near-dup chains).  Edges link each customer's consecutive
+    // orders, so every component is a path of that customer's orders and
+    // the exact labels are transparent: label = the customer's minimum
+    // order key, component size = their order count — which is the direct
+    // (recursion-free) oracle.  Exercises Graph.scala's contraction
+    // operator end-to-end under the hash gate, not just its spec.
+    QueryDef("q_cc_contraction",
+      (s, dir) => {
+        val o = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+        val edges = o
+          .withColumn("nk", lead("o_orderkey", 1).over(
+            Window.partitionBy("o_custkey").orderBy("o_orderkey")))
+          .filter(col("nk").isNotNull)
+          .select(col("o_orderkey").as("src"), col("nk").as("dst"))
+        val lab = Graph.connectedComponentsContraction(edges, "src", "dst")
+        val sizes = lab.groupBy("label").agg(count(lit(1)).as("chain_size"))
+        lab.join(sizes, "label")
+          .select(col("id"), col("label"), col("chain_size"))
+          .orderBy("id")
+      },
+      Some("""WITH c AS (SELECT o_custkey, COUNT(*) AS n, MIN(o_orderkey) AS lab
+           FROM orders GROUP BY 1)
+         SELECT o.o_orderkey AS id, c.lab AS label, c.n AS chain_size
+         FROM orders o JOIN c ON o.o_custkey = c.o_custkey
+         WHERE c.n >= 2 ORDER BY id""")),
+
     // Hierarchy flatten — transitive ancestor closure over a synthesized
     // forest (parent = child div 10: the decimal-digit tree, height
     // log₁₀ N so depth grows with SF).  Frontier iteration joins only the
