@@ -392,6 +392,37 @@ class RelationalSpec extends SparkFunSuite {
     }
   }
 
+  test("salting levels a 99%-one-key distribution: max shuffle partition ~even") {
+    // 99% of rows on one key — the distribution that wedges one reducer
+    // in a plain hash shuffle (the load a groupBy/sort-merge join hashes
+    // to a partition is exactly repartition-by-expression's).
+    val n = 96000
+    val salts = 256 // fine salts: many small (key, salt) groups per reducer
+    val parts = 32
+    val df = (1L to n)
+      .map(i => (if (i % 100 != 0) "hot" else s"cold${i % 37}", i, 1.0))
+      .toDF("k", "id", "v")
+    def maxPartRows(d: org.apache.spark.sql.DataFrame, cols: Seq[org.apache.spark.sql.Column]) =
+      d.repartition(parts, cols: _*)
+        .rdd.mapPartitions(it => Iterator(it.size)).collect().max
+    val unsalted = maxPartRows(df, Seq(col("k")))
+    val salted = maxPartRows(
+      df.withColumn("__salt", pmod(hash(col("id")), lit(salts))),
+      Seq(col("k"), col("__salt")))
+    val even = n / parts
+    assert(unsalted >= (n * 0.98).toInt,
+      s"fixture must be genuinely skewed: one partition held $unsalted of $n")
+    assert(salted <= 2 * even,
+      s"salted max partition $salted exceeds 2x the even share $even")
+
+    // and the salted aggregate over this distribution is still exact
+    val got = Relational.saltedSum(df, Seq("k"),
+        col("v"), col("id"), salts, "sum_v")
+      .filter(col("k") === "hot").collect().head
+    assert(got.getAs[Double]("sum_v") === (n - n / 100).toDouble &&
+      got.getAs[Long]("n") === (n - n / 100).toLong)
+  }
+
   test("resampleLocf densifies each key's day grid and forward-fills gaps") {
     val df = Seq(
       (1L, Timestamp.valueOf("2024-01-01 08:00:00"), 1.0),
