@@ -367,6 +367,39 @@ object Catalog {
          FROM orders JOIN customer ON o_custkey = c_custkey
          GROUP BY 1 ORDER BY 1""")),
 
+    // J1's runtime ROW-level companion to q_dpp — the injected BLOOM
+    // filter: for a shuffle join with a selective dim, Spark builds a
+    // bloom filter over the dim's join keys (bloom_filter_agg) and applies
+    // might_contain on the fact side BEFORE its shuffle, so most fact rows
+    // die at the scan instead of crossing the wire — the row-level
+    // semi-join reduction a 100× shuffle join needs when the fact is NOT
+    // partitioned by the join key (when it is, DPP — q_dpp — prunes whole
+    // partitions instead).  Broadcast is disabled in a derived session to
+    // force the shuffle-join shape the rule targets; the require makes the
+    // injection an oracle-gated invariant.
+    QueryDef("q_runtime_bloom",
+      (s, dir) => {
+        val ss = s.newSession()
+        ss.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        ss.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        ss.conf.set(
+          "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+        val li = t(ss, dir, "lineitem").select("l_orderkey", "l_quantity")
+        val o = t(ss, dir, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select("o_orderkey")
+        val out = li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+        require(out.queryExecution.optimizedPlan.toString.contains("bloom_filter"),
+          "q_runtime_bloom: the fact side must carry an injected " +
+            "bloom_filter might_contain — runtime filtering did not engage")
+        out
+      },
+      Some("""SELECT COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE o_orderpriority = '1-URGENT'""")),
+
     // J1 at warehouse scale — DYNAMIC partition pruning: the fact side is
     // written PARTITIONED BY the join key; the dim filter is on a NON-key
     // attribute ('open'), so static pruning cannot know which fact
