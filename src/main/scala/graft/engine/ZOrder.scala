@@ -1,0 +1,74 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Z-ORDER (Morton-curve) clustering — multi-dimensional data skipping for
+  * the lake and [[TxTable]], the Delta Lake `OPTIMIZE ZORDER BY` idea:
+  * range-sorting by ONE column makes that column's segment min/max ranges
+  * disjoint (perfect pruning) but leaves every OTHER column's ranges full-
+  * width (zero pruning).  Interleaving the bits of two columns' rank-space
+  * positions gives a 1-D sort key whose contiguous ranges are ~square tiles
+  * in 2-D value space, so a range predicate on EITHER column maps to a
+  * bounded set of tiles: both columns prune to ~sqrt-of-segments instead of
+  * one column pruning perfectly and the other not at all.
+  *
+  * At 100 TB this is a WRITE-SIDE layout choice with zero read-side cost:
+  * cluster by z-value once per compaction (a `repartitionByRange` + local
+  * sort — one shuffle, same cost shape as any sorted write), record plain
+  * per-segment min/max stats on the ORIGINAL columns, and every existing
+  * skipping path ([[TxTable.readWhere]], parquet row-group stats) gets
+  * two-dimensional pruning for free — no new reader logic, no index.
+  *
+  * [[zorderValue]] is pure column algebra (shifts/masks/OR), so it stays
+  * inside whole-stage codegen; scaling to rank space uses the column
+  * bounds, one tiny aggregate per write. */
+object ZOrder {
+
+  /** Bit-interleave two non-negative ints already scaled to `[0, 2^bits)`:
+    * bit i of `a` lands at z-bit 2i, bit i of `b` at 2i+1.  `bits` ≤ 31
+    * per column (62-bit z keeps the result in a positive long). */
+  def interleaveBits(a: Column, b: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, s"ZOrder.interleaveBits: bits $bits not in [1, 31]")
+    (0 until bits).map { i =>
+      val ai = shiftleft(shiftright(a.cast("long"), i).bitwiseAND(lit(1L)), 2 * i)
+      val bi = shiftleft(shiftright(b.cast("long"), i).bitwiseAND(lit(1L)), 2 * i + 1)
+      ai.bitwiseOR(bi)
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** Min-max scale a numeric column onto the `[0, 2^bits)` integer rank
+    * space given its bounds (a degenerate `lo = hi` column maps to 0). */
+  def scaleToBits(c: Column, lo: Column, hi: Column, bits: Int): Column = {
+    val span = hi.cast("double") - lo.cast("double")
+    val unit = (c.cast("double") - lo.cast("double")) / when(span === 0.0, 1.0).otherwise(span)
+    least(floor(unit * ((1L << bits) - 1)).cast("long"), lit((1L << bits) - 1L))
+  }
+
+  /** The Morton z-value of `(colA, colB)` for `df`: compute both columns'
+    * bounds (one tiny aggregate — the only driver-side data, 4 scalars),
+    * scale each to `[0, 2^bits)` rank space, interleave.  Attach with
+    * `withColumn` and range-cluster on it. */
+  def zColumn(df: DataFrame, colA: String, colB: String, bits: Int = 16): Column = {
+    val b = df.agg(min(colA).as("__loa"), max(colA).as("__hia"),
+      min(colB).as("__lob"), max(colB).as("__hib")).collect().head
+    interleaveBits(
+      scaleToBits(col(colA), lit(b.get(0)), lit(b.get(1)), bits),
+      scaleToBits(col(colB), lit(b.get(2)), lit(b.get(3)), bits), bits)
+  }
+
+  /** `df` clustered into `numSegments` ranges of the Morton order over
+    * `(colA, colB)` — one `repartitionByRange` shuffle, partitions become
+    * ~square tiles of the 2-D value space.  Write each partition as its
+    * own segment (e.g. [[TxTable]] appends, or a sorted parquet write)
+    * and record min/max stats on the ORIGINAL columns: range predicates
+    * on EITHER column now prune to a tile band instead of scanning
+    * everything. */
+  def clusterByZ(df: DataFrame, colA: String, colB: String,
+                 numSegments: Int, bits: Int = 16): DataFrame = {
+    require(numSegments >= 1, s"ZOrder.clusterByZ: numSegments $numSegments < 1")
+    df.withColumn("__z", zColumn(df, colA, colB, bits))
+      .repartitionByRange(numSegments, col("__z"))
+      .drop("__z")
+  }
+}

@@ -1602,6 +1602,65 @@ object Catalog {
            CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS price_sum
          FROM orders WHERE o_orderstatus = 'O'""")),
 
+    // Z-ORDER clustering + manifest skipping in BOTH dimensions (the Delta
+    // OPTIMIZE ZORDER BY idea): orders are clustered along the Morton
+    // curve over (o_orderkey, o_custkey) into 8 TxTable segments, each
+    // recording plain min/max stats on BOTH original columns.  Because
+    // z-range slices are ~square tiles of the 2-D value space, a narrow
+    // range predicate on EITHER column prunes segments — where a single-
+    // column sort prunes one dimension perfectly and the other not at all.
+    // The requires gate pruning on both dimensions; the oracle restates
+    // the two reads as plain filtered aggregates (skipping must be pure
+    // optimization).
+    QueryDef("q_tx_zorder",
+      (s, dir) => {
+        val root = Files.createTempDirectory("graft_txz").toString + "/tbl"
+        val o = t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+        val withZ = o.withColumn("__z", ZOrder.zColumn(o, "o_orderkey", "o_custkey"))
+        // exact z quantile cuts -> 8 half-open slices, one segment each
+        // (a production write does ONE repartitionByRange + a single
+        // multi-segment commit; per-slice appends keep the demo explicit)
+        val cuts = withZ.stat.approxQuantile("__z", (1 until 8).map(_ / 8.0).toArray, 0.0)
+          .map(_.toLong)
+        val bounds = (Long.MinValue +: cuts) :+ Long.MaxValue
+        (0 until 8).foreach { i =>
+          TxTable.commitAppend(s, root,
+            withZ.filter(col("__z") > bounds(i) && col("__z") <= bounds(i + 1)).drop("__z"),
+            statsCols = Seq("o_orderkey", "o_custkey"))
+        }
+        val (mk, mc) = {
+          val r = o.agg(max("o_orderkey"), max("o_custkey")).collect().head
+          (r.getLong(0), r.getLong(1))
+        }
+        def bd(v: Long) = new java.math.BigDecimal(v)
+        def segsOf(df: DataFrame): Int =
+          df.inputFiles.map(_.replaceAll("/[^/]*$", "")).toSet.size
+        // narrow band on each dimension: an eighth of the value range
+        val byKey = TxTable.readWhere(s, root, "o_orderkey", bd(mk / 2), bd(mk / 2 + mk / 8))
+        val byCust = TxTable.readWhere(s, root, "o_custkey", bd(mc / 2), bd(mc / 2 + mc / 8))
+        val (sk, sc) = (segsOf(byKey), segsOf(byCust))
+        require(sk < 8 && sc < 8,
+          s"q_tx_zorder: BOTH dimensions must prune (orderkey scanned $sk/8, " +
+            s"custkey scanned $sc/8) — z-clustering broke")
+        byKey.agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("price_sum"))
+          .withColumn("dim", lit("orderkey_band"))
+          .unionByName(byCust
+            .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("price_sum"))
+            .withColumn("dim", lit("custkey_band")))
+          .select("dim", "n", "price_sum").orderBy("dim")
+      },
+      Some("""WITH m AS (SELECT MAX(o_orderkey) AS mk, MAX(o_custkey) AS mc FROM orders)
+         SELECT 'custkey_band' AS dim, COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS price_sum
+           FROM orders, m
+           WHERE o_custkey >= mc // 2 AND o_custkey <= mc // 2 + mc // 8
+         UNION ALL
+         SELECT 'orderkey_band', COUNT(*),
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+           FROM orders, m
+           WHERE o_orderkey >= mk // 2 AND o_orderkey <= mk // 2 + mk // 8
+         ORDER BY dim""")),
+
     // ST11 — exactly-once streaming MERGE into the transactional table (the
     // Delta-style streaming upsert): batch 0 bootstraps the base, batch 1
     // applies EXCLUDED-wins updates + inserts through the segment-pruned

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.engine.ZOrder
+
+/** Morton-curve clustering (engine/ZOrder.scala): bit-exact interleave,
+  * rank-space scaling bounds, and the two-dimensional tiling property that
+  * makes either-column range predicates prunable. */
+class ZOrderSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  private def refInterleave(a: Long, b: Long, bits: Int): Long =
+    (0 until bits).foldLeft(0L) { (acc, i) =>
+      acc | (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1))
+    }
+
+  test("interleaveBits is bit-exact against the reference loop") {
+    val cases = Seq((0L, 0L), (1L, 0L), (0L, 1L), (65535L, 0L), (0L, 65535L),
+      (65535L, 65535L), (43690L, 21845L), (12345L, 54321L))
+    val df = cases.toDF("a", "b")
+      .withColumn("z", ZOrder.interleaveBits(col("a"), col("b"), 16))
+    df.collect().foreach { r =>
+      assert(r.getLong(2) === refInterleave(r.getLong(0), r.getLong(1), 16),
+        s"(${r.getLong(0)}, ${r.getLong(1)})")
+    }
+    // spot-identity: interleave(x, 0) spreads x's bits to even positions
+    assert(refInterleave(3L, 0L, 16) === 5L && refInterleave(0L, 3L, 16) === 10L)
+  }
+
+  test("scaleToBits maps bounds to [0, 2^bits) and is monotone") {
+    val df = Seq(10L, 20L, 55L, 100L).toDF("v")
+      .withColumn("r", ZOrder.scaleToBits(col("v"), lit(10L), lit(100L), 8))
+    val rs = df.orderBy("v").collect().map(_.getLong(1))
+    assert(rs.head === 0L && rs.last === 255L, "bounds must hit the rank extremes")
+    assert(rs.sorted.toSeq === rs.toSeq, "scaling must preserve order")
+    // degenerate lo = hi column: everything maps to 0, no divide-by-zero
+    val d = Seq(7L, 7L).toDF("v")
+      .withColumn("r", ZOrder.scaleToBits(col("v"), lit(7L), lit(7L), 8))
+    assert(d.collect().map(_.getLong(1)).toSeq === Seq(0L, 0L))
+  }
+
+  test("z-range slices are 2-D tiles: a band in EITHER dimension misses most slices") {
+    // 64x64 full grid; 16 z-slices = 16 square tiles (4x4 tile grid).  A
+    // quarter-width band on either axis intersects exactly 4 of 16 tiles —
+    // the sqrt-ish pruning a single-column sort gives only one dimension.
+    val n = 64
+    val grid = (0 until n * n).map(i => (i / n * 1L, i % n * 1L)).toDF("x", "y")
+    val z = grid.withColumn("__z", ZOrder.interleaveBits(col("x"), col("y"), 6))
+    val cuts = z.stat.approxQuantile("__z", (1 until 16).map(_ / 16.0).toArray, 0.0)
+      .map(_.toLong)
+    val bounds = (Long.MinValue +: cuts) :+ Long.MaxValue
+    def slicesHit(pred: org.apache.spark.sql.Column): Int =
+      (0 until 16).count { i =>
+        z.filter(col("__z") > bounds(i) && col("__z") <= bounds(i + 1))
+          .filter(pred).limit(1).count() > 0
+      }
+    assert(slicesHit(col("x") >= 16 && col("x") < 32) === 4,
+      "an x-band must hit one tile column (4 of 16 slices)")
+    assert(slicesHit(col("y") >= 16 && col("y") < 32) === 4,
+      "a y-band must hit one tile row (4 of 16 slices)")
+  }
+}
