@@ -81,4 +81,63 @@ object Sketch {
         when(col("__kk") < k, col("__kk").cast("double"))
           .otherwise(round((lit(k) - 1) / col("__rk"), 6)).as("n_est"))
   }
+
+  // ------------------------------------------------------------ Count-Min
+
+  /** Row-i bucket of key `k` for a width-`width` Count-Min row: md5 over
+    * `"<key>#<i>"`, first 15 hex digits (60 bits, exact in a long), mod
+    * width — the same engine-portable hash family as [[kmvSketch]]
+    * (DuckDB: `CAST('0x' || substr(md5(k || '#' || i), 1, 15) AS BIGINT)
+    * % width`). */
+  private def cmsBucket(k: Column, i: Column, width: Int): Column =
+    pmod(conv(substring(md5(concat(k, lit("#"), i.cast("string"))), 1, 15), 16, 10)
+      .cast("long"), lit(width.toLong))
+
+  /** COUNT-MIN frequency sketch (Cormode & Muthukrishnan, "An improved
+    * data stream summary: the count-min sketch and its applications",
+    * J. Algorithms 2005): `depth` hash rows × `width` counters; a key's
+    * count estimate is the MIN over its `depth` cells, which can only
+    * OVER-estimate (collisions add, never subtract) by ≤ `e·N/width` with
+    * probability `1 − e^(−depth)`.
+    *
+    * This is the heavy-hitter primitive the engine's own skew guards need
+    * at 100 TB: find the hot keys of a shuffle BEFORE paying for it
+    * (then salt exactly those — [[Relational.saltedSum]]) with d×w bounded
+    * cells instead of a full exact groupBy of billions of keys.
+    *
+    * Scale shape: one `explode` to `depth` rows per input (depth is 4-8),
+    * then a hash aggregate onto at most d×w cells — map-side partial
+    * combine collapses each task to ≤ d×w rows, so the shuffle carries
+    * sketch-sized data regardless of input size.  NULL keys are excluded
+    * (COUNT(col) semantics).  Returns `(__i, __b, __c)` cell rows. */
+  def cmsSketch(df: DataFrame, keyCol: Column,
+                depth: Int = 4, width: Int = 256): DataFrame = {
+    require(depth >= 1 && width >= 2, s"cmsSketch: bad dims d=$depth w=$width")
+    df.filter(keyCol.isNotNull)
+      .select(explode(sequence(lit(0), lit(depth - 1))).as("__i"),
+        keyCol.cast("string").as("__k"))
+      .select(col("__i"), cmsBucket(col("__k"), col("__i"), width).as("__b"))
+      .groupBy("__i", "__b").agg(count(lit(1)).as("__c"))
+  }
+
+  /** Merge independently-built CMS shards — cell-wise sum, LOSSLESS (the
+    * counter matrix is linear in the input multiset), so shard-then-merge
+    * equals the single-pass sketch exactly: the partial-aggregate
+    * property that lets each executor sketch its split locally. */
+  def cmsMerge(shards: Seq[DataFrame]): DataFrame =
+    shards.reduce(_ unionByName _)
+      .groupBy("__i", "__b").agg(sum("__c").as("__c"))
+
+  /** Point-estimate the counts of `keys` from a sketch: min over the
+    * key's `depth` cells (a missing cell means a zero count).  Returns
+    * `(keyCol, n_est)`. */
+  def cmsEstimate(sketch: DataFrame, keys: DataFrame, keyCol: String,
+                  depth: Int = 4, width: Int = 256): DataFrame = {
+    val probes = keys.select(col(keyCol)).distinct()
+      .select(col(keyCol), explode(sequence(lit(0), lit(depth - 1))).as("__i"))
+      .withColumn("__b", cmsBucket(col(keyCol).cast("string"), col("__i"), width))
+    probes.join(sketch, Seq("__i", "__b"), "left")
+      .groupBy(keyCol)
+      .agg(min(coalesce(col("__c"), lit(0L))).as("n_est"))
+  }
 }

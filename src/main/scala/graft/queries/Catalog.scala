@@ -179,6 +179,43 @@ object Catalog {
          SELECT l_returnflag, n_exact, n_est
          FROM x JOIN e ON x.l_returnflag = e.g ORDER BY 1""")),
 
+    // COUNT-MIN heavy hitters (Sketch.cmsSketch): estimate the true top-10
+    // suppliers' row counts from a 4×256-cell sketch instead of an exact
+    // groupBy of every key — the bounded-memory "find the hot keys BEFORE
+    // the shuffle" primitive behind the salting guards.  Same md5
+    // determinism as KMV, so the ESTIMATES hash-match DuckDB's restatement
+    // cell for cell; the in-query require gates the CMS one-sided-error
+    // guarantee (estimates never under-count).
+    QueryDef("q_cms_heavy_hitters",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val sketch = Sketch.cmsSketch(li, col("l_suppkey"), depth = 4, width = 256)
+        val exact = li.groupBy("l_suppkey").agg(count(lit(1)).as("n_exact"))
+        val top10 = exact.orderBy(col("n_exact").desc, col("l_suppkey")).limit(10)
+        val out = top10
+          .join(Sketch.cmsEstimate(sketch, top10, "l_suppkey", 4, 256), "l_suppkey")
+          .select(col("l_suppkey"), col("n_exact"), col("n_est"))
+          .orderBy(col("n_exact").desc, col("l_suppkey"))
+        require(out.filter(col("n_est") < col("n_exact")).isEmpty,
+          "q_cms_heavy_hitters: a CMS estimate under-counted — min-of-cells broke")
+        out
+      },
+      Some("""WITH x AS (SELECT l_suppkey AS k, COUNT(*) AS n_exact
+             FROM lineitem GROUP BY 1),
+         top AS (SELECT k, n_exact FROM x ORDER BY n_exact DESC, k LIMIT 10),
+         r AS (SELECT CAST(unnest(range(0, 4)) AS INT) AS i),
+         cells AS (SELECT i,
+             CAST('0x' || substr(md5(CAST(l_suppkey AS VARCHAR) || '#' || CAST(i AS VARCHAR)), 1, 15) AS BIGINT) % 256 AS b,
+             COUNT(*) AS c
+           FROM lineitem, r GROUP BY 1, 2),
+         probe AS (SELECT top.k, top.n_exact, r.i,
+             CAST('0x' || substr(md5(CAST(top.k AS VARCHAR) || '#' || CAST(r.i AS VARCHAR)), 1, 15) AS BIGINT) % 256 AS b
+           FROM top, r),
+         est AS (SELECT k, n_exact, MIN(COALESCE(c, 0)) AS n_est
+           FROM probe LEFT JOIN cells USING (i, b) GROUP BY 1, 2)
+         SELECT k AS l_suppkey, n_exact, n_est FROM est
+         ORDER BY n_exact DESC, l_suppkey""")),
+
     // A1 generalization — ROLLUP grouping sets.
     QueryDef("q_rollup",
       (s, dir) => t(s, dir, "lineitem")

@@ -23,6 +23,34 @@ class SketchSpec extends SparkFunSuite {
     assert(rel < 3.0 / math.sqrt(256.0), s"estimate ${got("big")} off by ${rel * 100}%")
   }
 
+  test("count-min never under-counts, is exact sans collisions, zero for absent keys") {
+    // 20 keys with distinct counts 10,20,...,200 into a 4x64 sketch
+    val df = (1 to 20).flatMap(k => Seq.fill(k * 10)(s"key$k")).toDF("k")
+    val sketch = Sketch.cmsSketch(df, col("k"), depth = 4, width = 64)
+    val probes = ((1 to 20).map(k => s"key$k") :+ "absent").toDF("k")
+    val est = Sketch.cmsEstimate(sketch, probes, "k", depth = 4, width = 64)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    (1 to 20).foreach { k =>
+      assert(est(s"key$k") >= k * 10L,
+        s"key$k estimated ${est(s"key$k")} under true ${k * 10} — CMS must over-count only")
+    }
+    assert(est("absent") >= 0L && est("absent") <= 400L,
+      "an absent key's estimate is bounded by collision mass")
+    // total over-estimate is bounded in aggregate: sum of cells per row = N
+    assert(est.values.sum >= (1 to 20).map(_ * 10L).sum)
+  }
+
+  test("count-min shard merge equals the single-pass sketch cell for cell") {
+    val df = (1L to 5000L).map(i => s"k${i % 97}").toDF("k")
+    val whole = Sketch.cmsSketch(df, col("k"), depth = 4, width = 32)
+    val shards = (0 to 2).map(i =>
+      Sketch.cmsSketch(df.filter(length(col("k")) % 3 === i), col("k"),
+        depth = 4, width = 32))
+    val merged = Sketch.cmsMerge(shards)
+    assert(merged.except(whole).isEmpty && whole.except(merged).isEmpty,
+      "cell-wise sum of shard sketches must equal the one-pass counter matrix")
+  }
+
   test("kmvDistinct plans the bounded heap, not a per-group sort") {
     import org.apache.spark.sql.execution.SortExec
     val df = (1L to 1000L).map(i => (s"g${i % 3}", i)).toDF("g", "v")
