@@ -79,7 +79,8 @@ object Bench {
     "q_st9_tx_stream_sink",     // exactly-once streaming sink (r6)
     "q_semdedup",               // cluster-scoped semantic dedup (r6)
     "q_kmv_distinct",           // deterministic distinct sketch (r6)
-    "q_tx_prune")               // manifest-level data skipping (r6)
+    "q_tx_prune",               // manifest-level data skipping (r6)
+    "q_quantile_sketch")        // bottom-k quantile sketch (r7)
 
   private def gcMillis(): Long = {
     import scala.jdk.CollectionConverters._

@@ -275,6 +275,36 @@ object Relational {
     b.join(s, keys :+ "__salt").drop("__salt")
   }
 
+  /** Differentiated (split) skew join: route the HOT join keys down a
+    * broadcast join and everything else down the ordinary shuffle join,
+    * then union — the other classic skew weapon next to [[saltedJoin]].
+    * Salting helps when the small side is broadcastable anyway; splitting
+    * helps when it is NOT (a 100 GB dim cannot broadcast, but the ≤ dozens
+    * of rows matching the hot keys can).  Hot fact rows never shuffle at
+    * all, cold keys keep an even shuffle — so one 30%-of-the-table key no
+    * longer pins a reducer while the dim stays shuffle-sized.
+    *
+    * `hotKeys` is a small frame of key tuples (driver-estimated or
+    * sketch-found — see [[Sketch.cmsSketch]]: probe the dim's keys against
+    * a Count-Min sketch of the fact and take the heavy hitters).  The
+    * result is EXACTLY the plain inner join for ANY hot set (the two
+    * branches partition the key space), so the choice tunes only the
+    * physical plan — same contract as salting.
+    *
+    * Scale shape: `hotKeys` is broadcast three ways (two semi/anti routers
+    * + the hot dim slice filter); the hot branch joins broadcast-sized
+    * data; the cold branch is the plain shuffle join minus the skew. */
+  def skewSplitJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
+                    hotKeys: DataFrame): DataFrame = {
+    val hk = hotKeys.select(keys.map(col): _*).distinct()
+    val hotSmall = small.join(broadcast(hk), keys, "left_semi")
+    big.join(broadcast(hk), keys, "left_semi")
+      .join(broadcast(hotSmall), keys)
+      .unionByName(
+        big.join(broadcast(hk), keys, "left_anti")
+          .join(small.join(broadcast(hk), keys, "left_anti"), keys))
+  }
+
   /** Time-series resample + gap-fill: bucket events to a fixed grain per
     * key, densify each key's range onto a complete time grid, and
     * forward-fill (LOCF) the holes.  The missing-interval repair every

@@ -140,4 +140,68 @@ object Sketch {
       .groupBy(keyCol)
       .agg(min(coalesce(col("__c"), lit(0L))).as("n_est"))
   }
+
+  // ------------------------------------------------- bottom-k quantiles
+
+  /** Bottom-k uniform-sample QUANTILE sketch: keep the k rows whose
+    * md5(rowId) digest is lexicographically smallest per group, carrying
+    * the value column along.
+    *
+    * md5 order is independent of the value order, so the kept rows are a
+    * uniform sample without replacement of size k per group — but a
+    * DETERMINISTIC one (no seed, no partition-order dependence), so the
+    * whole sketch is reproducible across reruns, AQE re-plans, and
+    * engines.  A sample quantile at rank ⌈q·k⌉ then estimates the true
+    * quantile with rank error O(n·√(q(1−q)/k)) (Chernoff on the binomial
+    * count of sampled rows below the true quantile) — the same trade
+    * GK/KLL sketches make, bought here with machinery the engine already
+    * trusts: [[graft.plans.TopKPerKey]] keeps k rows per group with NO
+    * per-group sort and k-row state however many billions stream past.
+    *
+    * NULL values are excluded (ordinary aggregate semantics).  `idCol`
+    * must be row-unique per group (digest ties would make the cut
+    * ambiguous).  Returns `(groupCol, __h, __v)` sample rows. */
+  def qsampleSketch(df: DataFrame, groupCol: String, valCol: Column,
+                    idCol: Column, k: Int): DataFrame = {
+    require(k >= 2, s"qsampleSketch: k must be >= 2, got $k")
+    val rows = df.filter(valCol.isNotNull)
+      .select(col(groupCol), md5(idCol.cast("string")).as("__h"), valCol.as("__v"))
+    graft.plans.TopKPerKey(rows, Seq(groupCol), Seq(col("__h").asc), k)
+  }
+
+  /** Merge independently-built sample shards — LOSSLESS when the shards
+    * partition the input (the global bottom-k of digests is the bottom-k
+    * of the union of per-shard bottom-k sets, the [[kmvMerge]] argument),
+    * so shard-then-merge equals the single-pass sketch row for row.  The
+    * distinct guards idempotence under overlapping shards. */
+  def qsampleMerge(shards: Seq[DataFrame], groupCol: String, k: Int): DataFrame =
+    graft.plans.TopKPerKey(shards.reduce(_ unionByName _).distinct(),
+      Seq(groupCol), Seq(col("__h").asc), k)
+
+  /** Finish a sample sketch into per-group order-statistic quantiles: for
+    * each requested permille `q_pm`, the sample value at 1-based rank
+    * ⌈q_pm·n/1000⌉ (n = sample size, ties broken by digest so the pick is
+    * total-ordered).  All rank arithmetic is on exact small integers
+    * (q_pm·n < 2^53), so the estimates hash-match a DuckDB restatement.
+    * The window is over the ≤ k sample rows per group, never the input.
+    * Returns `(groupCol, q_pm, est, n_sample)`. */
+  def qsampleQuantiles(sketch: DataFrame, groupCol: String,
+                       qPermille: Seq[Int]): DataFrame = {
+    require(qPermille.nonEmpty && qPermille.forall(q => q >= 1 && q <= 1000),
+      s"qsampleQuantiles: permilles must be in [1,1000], got $qPermille")
+    val byVal = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(col("__v"), col("__h"))
+    val byGrp = org.apache.spark.sql.expressions.Window.partitionBy(groupCol)
+    val ranked = sketch.select(col(groupCol), col("__v"),
+      row_number().over(byVal).as("__vr"),
+      count(lit(1)).over(byGrp).as("__ns"))
+    val probes = ranked
+      .select(col(groupCol), explode(lit(qPermille.toArray)).as("q_pm"),
+        col("__vr"), col("__ns"), col("__v"))
+    probes
+      .filter(col("__vr") ===
+        greatest(lit(1L), floor((col("q_pm") * col("__ns") + 999) / lit(1000.0))))
+      .select(col(groupCol), col("q_pm"), col("__v").as("est"),
+        col("__ns").as("n_sample"))
+  }
 }

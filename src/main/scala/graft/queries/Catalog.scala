@@ -76,6 +76,34 @@ object Catalog {
        JOIN nation ON c_nationkey = n_nationkey
        GROUP BY n_name ORDER BY n_name"""
 
+  /** Shared oracle for q_quantile_sketch and q_quantile_merge: merge is
+    * lossless, so both equal the single-pass restatement.  Rank targets
+    * use the same ⌈q_pm·n/1000⌉ integer arithmetic as the Scala side
+    * (q_pm·n < 2^53 ⇒ the double floor is exact). */
+  private val quantileOracleSql =
+    """WITH h AS (SELECT l_returnflag AS g, l_extendedprice AS v,
+           md5(CAST(l_orderkey AS VARCHAR) || '#' || CAST(l_linenumber AS VARCHAR)) AS hh
+         FROM lineitem WHERE l_extendedprice IS NOT NULL),
+       n AS (SELECT g, v, hh, row_number() OVER (PARTITION BY g ORDER BY hh) AS rn FROM h),
+       samp AS (SELECT g, v, hh FROM n WHERE rn <= 512),
+       sr AS (SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v, hh) AS vr,
+              COUNT(*) OVER (PARTITION BY g) AS ns FROM samp),
+       q AS (SELECT CAST(unnest([500, 900, 990]) AS INT) AS q_pm),
+       est AS (SELECT sr.g, q.q_pm, sr.v AS est, sr.ns
+         FROM sr JOIN q ON sr.vr =
+           GREATEST(1, CAST(floor((q.q_pm * sr.ns + 999) / 1000.0) AS BIGINT))),
+       tot AS (SELECT l_returnflag AS g, COUNT(*) AS n_total FROM lineitem GROUP BY 1),
+       cmp AS (SELECT e.g, e.q_pm, e.est, t.n_total,
+           GREATEST(1, CAST(floor((e.q_pm * t.n_total + 999) / 1000.0) AS BIGINT)) AS target_rank
+         FROM est e JOIN tot t ON e.g = t.g),
+       le AS (SELECT c.g, c.q_pm,
+           SUM(CASE WHEN l.l_extendedprice <= c.est THEN 1 ELSE 0 END) AS rank_le
+         FROM cmp c JOIN lineitem l ON l.l_returnflag = c.g GROUP BY 1, 2)
+       SELECT c.g AS l_returnflag, c.q_pm, c.est, c.n_total,
+         CAST(ABS(le.rank_le - c.target_rank) AS BIGINT) AS err_rows
+       FROM cmp c JOIN le ON c.g = le.g AND c.q_pm = le.q_pm
+       ORDER BY 1, 2"""
+
   // -------------------------------------------------------------- relational
 
   val relational: Seq[QueryDef] = Seq(
@@ -215,6 +243,75 @@ object Catalog {
            FROM probe LEFT JOIN cells USING (i, b) GROUP BY 1, 2)
          SELECT k AS l_suppkey, n_exact, n_est FROM est
          ORDER BY n_exact DESC, l_suppkey""")),
+
+    // Bottom-k quantile sketch (Sketch.qsampleSketch): per-group p50/p90/
+    // p99 estimated from the 512 rows with the smallest md5(rowid) — a
+    // deterministic uniform sample off the bounded-heap TopKPerKey
+    // operator, so quantiles cost k-row state per group instead of the
+    // full per-group sort exact quantiles need.  The audit side never
+    // sorts either: the estimate's TRUE rank comes from one broadcast
+    // conditional count against the full table, and the in-query require
+    // gates the sample-quantile rank-error bound (n/8 ≈ 5.6σ at k=512).
+    // Same cross-engine story as KMV: md5 + exact integer rank arithmetic
+    // means the ESTIMATES hash-match DuckDB, not just their error bars.
+    QueryDef("q_quantile_sketch",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val rowId = concat(col("l_orderkey").cast("string"), lit("#"),
+          col("l_linenumber").cast("string"))
+        val est = Sketch.qsampleQuantiles(
+          Sketch.qsampleSketch(li, "l_returnflag", col("l_extendedprice"),
+            rowId, 512),
+          "l_returnflag", Seq(500, 900, 990))
+        val tot = li.groupBy("l_returnflag").agg(count(lit(1)).as("n_total"))
+        val cmp = est.join(tot, "l_returnflag")
+          .withColumn("target_rank",
+            greatest(lit(1L), floor((col("q_pm") * col("n_total") + 999) / lit(1000.0))))
+        val rankLe = li.join(broadcast(cmp), "l_returnflag")
+          .groupBy("l_returnflag", "q_pm")
+          .agg(sum(when(col("l_extendedprice") <= col("est"), 1L).otherwise(0L))
+            .as("rank_le"))
+        val out = cmp.join(rankLe, Seq("l_returnflag", "q_pm"))
+          .select(col("l_returnflag"), col("q_pm"), col("est"), col("n_total"),
+            abs(col("rank_le") - col("target_rank")).as("err_rows"))
+          .orderBy("l_returnflag", "q_pm")
+        require(out.filter(col("err_rows") > col("n_total") / 8).isEmpty,
+          "q_quantile_sketch: a sample quantile missed its rank-error bound")
+        out
+      },
+      Some(quantileOracleSql)),
+
+    // The quantile sketch's MERGEABILITY made concrete (the property that
+    // lets each executor sample its split locally): three shard samples,
+    // unioned and re-cut to k, must pick EXACTLY the rows — and so the
+    // quantiles — of the single-pass sketch.  The oracle restates the
+    // single-pass computation, so the hash match proves shard-then-merge
+    // is lossless cross-engine.
+    QueryDef("q_quantile_merge",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val rowId = concat(col("l_orderkey").cast("string"), lit("#"),
+          col("l_linenumber").cast("string"))
+        val shards = (0 to 2).map(i =>
+          Sketch.qsampleSketch(li.filter(col("l_orderkey") % 3 === i),
+            "l_returnflag", col("l_extendedprice"), rowId, 512))
+        val est = Sketch.qsampleQuantiles(
+          Sketch.qsampleMerge(shards, "l_returnflag", 512),
+          "l_returnflag", Seq(500, 900, 990))
+        val tot = li.groupBy("l_returnflag").agg(count(lit(1)).as("n_total"))
+        val cmp = est.join(tot, "l_returnflag")
+          .withColumn("target_rank",
+            greatest(lit(1L), floor((col("q_pm") * col("n_total") + 999) / lit(1000.0))))
+        val rankLe = li.join(broadcast(cmp), "l_returnflag")
+          .groupBy("l_returnflag", "q_pm")
+          .agg(sum(when(col("l_extendedprice") <= col("est"), 1L).otherwise(0L))
+            .as("rank_le"))
+        cmp.join(rankLe, Seq("l_returnflag", "q_pm"))
+          .select(col("l_returnflag"), col("q_pm"), col("est"), col("n_total"),
+            abs(col("rank_le") - col("target_rank")).as("err_rows"))
+          .orderBy("l_returnflag", "q_pm")
+      },
+      Some(quantileOracleSql)),
 
     // A1 generalization — ROLLUP grouping sets.
     QueryDef("q_rollup",
@@ -778,6 +875,96 @@ object Catalog {
            CAST(SUM(CAST(e.value * d.weight AS DECIMAL(38,6))) AS DOUBLE) AS weighted_value
          FROM events e JOIN dim d ON e.event_type = d.event_type
          GROUP BY 1 ORDER BY 1""")),
+
+    // Differentiated (split) skew join, driven end-to-end by the Count-Min
+    // sketch: probe the dim's supplier keys against a CMS of the fact,
+    // take the heavy hitters as the HOT set, route those through a
+    // broadcast join (hot fact rows never shuffle) and the cold rest
+    // through the ordinary shuffle join — the skew weapon for dims too big
+    // to broadcast whole.  Broadcast is disabled in a derived session so
+    // the cold branch provably keeps the shuffle shape the split is
+    // rescuing (the requires pin BOTH physical paths).  The result is
+    // hot-set-invariant — the two branches partition the key space — so
+    // the oracle is the plain join, exactly like q_salted_join.
+    QueryDef("q_skew_split_join",
+      (s, dir) => {
+        val ss = s.newSession()
+        ss.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val li = t(ss, dir, "lineitem").select("l_suppkey", "l_quantity")
+        val sup = t(ss, dir, "supplier").select("s_suppkey", "s_nationkey")
+          .withColumnRenamed("s_suppkey", "l_suppkey")
+        val sketch = Sketch.cmsSketch(li, col("l_suppkey"), depth = 4, width = 256)
+        val hot = Sketch.cmsEstimate(sketch, sup, "l_suppkey", 4, 256)
+          .orderBy(col("n_est").desc, col("l_suppkey")).limit(10)
+        val out = Relational.skewSplitJoin(li, sup, Seq("l_suppkey"), hot)
+          .groupBy("s_nationkey")
+          .agg(count(lit(1)).as("n_items"), dsum(col("l_quantity")).as("sum_qty"))
+          .orderBy("s_nationkey")
+        val plan = out.queryExecution.sparkPlan.toString
+        require(plan.contains("BroadcastHashJoin"),
+          "q_skew_split_join: the hot branch must be a broadcast join")
+        require(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+          "q_skew_split_join: the cold branch must keep the shuffle join shape")
+        out
+      },
+      Some("""SELECT s_nationkey, COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
+         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         GROUP BY 1 ORDER BY 1""")),
+
+    // AQE skew-join runtime re-plan: the OTHER half of the skew story —
+    // when no one pre-declared the hot keys, Adaptive Query Execution
+    // measures the finished shuffle stage, finds the one oversized
+    // partition, and splits it across map-output slices at RUN time
+    // (OptimizeSkewedJoin: the sort-merge join re-plans with skew=true
+    // and the hot partition is read in slices).  A derived session lowers
+    // the thresholds so fixture skew looks like the 100 TB kind, and the
+    // fact emulates that scale's shape: an incompressible md5 payload
+    // (shuffle sizes are COMPRESSED bytes — a constant hot key would
+    // deflate below any threshold) and a 16-task upstream stage (the
+    // split works on map-output ranges; one mapper = nothing to slice,
+    // locally one parquet row group = one mapper).  The require inspects
+    // the EXECUTED adaptive plan, so the re-plan itself is the
+    // oracle-gated invariant.  Half of lineitem folds onto k=0 — the
+    // oracle restates the fold relationally (the split changes
+    // scheduling, never rows).
+    QueryDef("q_aqe_skew",
+      (s, dir) => {
+        val ss = s.newSession()
+        ss.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        ss.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        ss.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8k")
+        ss.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8k")
+        val fact = t(ss, dir, "lineitem")
+          .select(when(col("l_orderkey") % 2 === 0, lit(0L))
+            .otherwise(col("l_orderkey") % 997).as("k"), col("l_quantity"),
+            md5(concat(col("l_orderkey").cast("string"), lit("#"),
+              col("l_linenumber").cast("string"))).as("payload"))
+          .repartition(16)
+        val dim = ss.range(0, 997).select(col("id").as("k"),
+          (col("id") % 10).as("lbl"))
+        val out = fact.join(dim, "k")
+          .groupBy("lbl")
+          .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"),
+            max(col("payload")).as("max_payload"))
+          .orderBy("lbl")
+        out.collect() // materialize so AQE finalizes the adaptive plan
+        val ran = out.queryExecution.executedPlan.toString
+        require(ran.contains("skew=true"),
+          "q_aqe_skew: the executed adaptive plan must carry a skew=true " +
+            "sort-merge join — OptimizeSkewedJoin did not engage")
+        out
+      },
+      Some("""WITH f AS (SELECT CASE WHEN l_orderkey % 2 = 0 THEN 0
+             ELSE l_orderkey % 997 END AS k, l_quantity,
+             md5(CAST(l_orderkey AS VARCHAR) || '#' || CAST(l_linenumber AS VARCHAR)) AS payload
+           FROM lineitem),
+         d AS (SELECT k, k % 10 AS lbl FROM
+           (SELECT CAST(unnest(range(0, 997)) AS BIGINT) AS k))
+         SELECT d.lbl, COUNT(*) AS n,
+           CAST(SUM(CAST(f.l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+           MAX(f.payload) AS max_payload
+         FROM f JOIN d ON f.k = d.k GROUP BY 1 ORDER BY 1""")),
 
     // Time-series resample + LOCF gap-fill: per-user daily buckets densified
     // onto each user's [min, max] day grid from a bounds frame (no driver

@@ -392,6 +392,21 @@ class RelationalSpec extends SparkFunSuite {
     }
   }
 
+  test("skewSplitJoin equals the plain join for any hot set (empty, some, all)") {
+    val big = (1L to 1000L).map(i => (s"k${i % 4}", i)).toDF("k", "v")
+    val small = Seq(("k0", 10L), ("k1", 20L), ("k2", 30L), ("k3", 40L),
+      ("k9", 99L)).toDF("k", "w")
+    val plain = big.join(small, Seq("k")).select("k", "v", "w")
+    for (hot <- Seq(Seq.empty[String], Seq("k0"), Seq("k0", "k1", "k9"),
+        Seq("k0", "k1", "k2", "k3"))) {
+      val split = Relational.skewSplitJoin(big, small, Seq("k"),
+          hot.toDF("k")).select("k", "v", "w")
+      assert(split.count() === plain.count(), s"hot=$hot changed cardinality")
+      assert(split.except(plain).count() === 0 &&
+        plain.except(split).count() === 0, s"hot=$hot changed content")
+    }
+  }
+
   test("salting levels a 99%-one-key distribution: max shuffle partition ~even") {
     // 99% of rows on one key — the distribution that wedges one reducer
     // in a plain hash shuffle (the load a groupBy/sort-merge join hashes

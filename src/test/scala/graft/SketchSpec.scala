@@ -51,6 +51,39 @@ class SketchSpec extends SparkFunSuite {
       "cell-wise sum of shard sketches must equal the one-pass counter matrix")
   }
 
+  test("qsample quantiles: exact below k, rank-bounded above k, NULL-proof") {
+    // "small" has 40 non-null values 1..40 — sample IS the group, so the
+    // p50/p90 are the exact order statistics ceil(q*40/1000).
+    // "big" has 10_000 values 1..10000 — sample quantile rank error within
+    // 5 sigma of the binomial bound n*sqrt(q(1-q)/k).
+    val rows = (1L to 40L).map(i => ("small", i)) ++
+      (1L to 10000L).map(i => ("big", i))
+    val df = rows.toDF("g", "v")
+      .unionByName(Seq(("small", Option.empty[Long])).toDF("g", "v"))
+    val est = Sketch.qsampleQuantiles(
+      Sketch.qsampleSketch(df, "g", col("v"), concat(col("g"), col("v")), k = 256),
+      "g", Seq(500, 900))
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(est(("small", 500)) === 20L && est(("small", 900)) === 36L,
+      "below k the sketch degenerates to exact order statistics")
+    Seq(500 -> 5000.0, 900 -> 9000.0).foreach { case (q, want) =>
+      val sigma = 10000.0 * math.sqrt(q / 1000.0 * (1 - q / 1000.0) / 256.0)
+      assert(math.abs(est(("big", q)) - want) <= 5 * sigma,
+        s"p$q estimate ${est(("big", q))} outside 5 sigma ($sigma) of $want")
+    }
+  }
+
+  test("qsample shard merge picks exactly the single-pass sample rows") {
+    val df = (1L to 5000L).map(i => (s"g${i % 3}", i)).toDF("g", "v")
+    val whole = Sketch.qsampleSketch(df, "g", col("v"), col("v"), k = 64)
+    val shards = (0 to 2).map(i =>
+      Sketch.qsampleSketch(df.filter(col("v") % 3 === i), "g", col("v"),
+        col("v"), k = 64))
+    val merged = Sketch.qsampleMerge(shards, "g", k = 64)
+    assert(merged.except(whole).isEmpty && whole.except(merged).isEmpty,
+      "bottom-k of the shard-sample union must equal the one-pass bottom-k")
+  }
+
   test("kmvDistinct plans the bounded heap, not a per-group sort") {
     import org.apache.spark.sql.execution.SortExec
     val df = (1L to 1000L).map(i => (s"g${i % 3}", i)).toDF("g", "v")
