@@ -453,6 +453,61 @@ object TxTable {
       stats = carryStats(spark, root, head, seg), expectVersion = Some(cur + 1))
   }
 
+  /** `OPTIMIZE ZORDER BY` as TxTable maintenance: rewrite the CURRENT
+    * snapshot into `numSegments` Morton-clustered segments over
+    * `(colA, colB)`, each manifest-carrying fresh min/max stats on BOTH
+    * original columns — after which [[readWhere]] prunes on EITHER
+    * dimension (z-range segments are ~square tiles of the 2-D value
+    * space), where append-order or single-column-sorted segments prune
+    * one dimension at best.  Published as ONE compact commit: readers of
+    * any already-resolved version are never disturbed, time travel to
+    * pre-cluster versions still works, and the head's replay horizon
+    * (batch id) is carried.
+    *
+    * Scale shape: one tiny bounds aggregate (4 scalars to the driver, for
+    * rank-space scaling), then ONE `repartitionByRange` shuffle on the
+    * z-value and ONE write pass — each range partition lands in its own
+    * segment directory via `partitionBy` on the post-shuffle partition id
+    * (no per-slice filter passes over the table), then per-segment
+    * footer-stat aggregates.  Same cost shape as [[compactTx]] plus the
+    * range exchange. */
+  def compactZOrder(spark: SparkSession, root: String,
+                    colA: String, colB: String,
+                    numSegments: Int = 8, bits: Int = 16): Long = {
+    import org.apache.spark.sql.functions.{col, spark_partition_id}
+    require(numSegments >= 1, s"TxTable.compactZOrder: numSegments $numSegments < 1")
+    val cur = latestVersion(spark, root).getOrElse(
+      throw new IllegalArgumentException(s"TxTable.compactZOrder: no commits under $root"))
+    val snap = readVersion(spark, root, cur)
+    val staged = snap
+      .withColumn("__z", ZOrder.zColumn(snap, colA, colB, bits))
+      .repartitionByRange(numSegments, col("__z"))
+      .withColumn("__slice", spark_partition_id())
+      .drop("__z")
+    val f = fs(spark, root)
+    val staging = s"${root.stripSuffix("/")}/.zorder-${java.util.UUID.randomUUID()}"
+    staged.write.partitionBy("__slice").parquet(staging)
+    // adopt each written slice dir as a segment (metadata renames, no
+    // second data pass; empty slices simply never materialized a dir)
+    val segs = f.listStatus(new Path(staging)).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("__slice="))
+      .sortBy(_.getPath.getName.stripPrefix("__slice=").toInt)
+      .map { st =>
+        val seg = "data/" + java.util.UUID.randomUUID().toString
+        val dest = new Path(s"${root.stripSuffix("/")}/$seg")
+        f.mkdirs(dest.getParent)
+        require(f.rename(st.getPath, dest),
+          s"TxTable.compactZOrder: could not adopt slice ${st.getPath}")
+        seg
+      }
+    f.delete(new Path(staging), true)
+    require(segs.nonEmpty, s"TxTable.compactZOrder: empty table under $root — " +
+      "compact an explicit empty state with commitOverwrite instead")
+    val stats = segs.map(s0 => s0 -> segStats(spark, root, s0, Seq(colA, colB))).toMap
+    commit(spark, root, "compact", segs, maxRetries = 0,
+      stats = stats, expectVersion = Some(cur + 1))
+  }
+
   /** The latest snapshot as a DataFrame. */
   def read(spark: SparkSession, root: String): DataFrame =
     readVersion(spark, root,

@@ -1885,6 +1885,70 @@ object Catalog {
            WHERE o_orderkey >= mk // 2 AND o_orderkey <= mk // 2 + mk // 8
          ORDER BY dim""")),
 
+    // OPTIMIZE ZORDER BY as TxTable MAINTENANCE (q_tx_zorder proves the
+    // clustered LAYOUT; this proves the maintenance op that installs it):
+    // three append-order commits land orders interleaved — z-useless
+    // layout — then ONE compactZOrder commit rewrites the snapshot into 8
+    // Morton-clustered segments (one range shuffle + one write pass, each
+    // range partition adopted as a segment via partitionBy on the
+    // post-shuffle partition id).  The requires gate the whole contract:
+    // both dimensions prune on the clustered head, time travel to the
+    // pre-cluster version is intact, and the append-order head provably
+    // did NOT prune the custkey dimension (8/8 segments scanned) — the
+    // rewrite, not luck, bought the skipping.  Oracle: the same dual-band
+    // restatement as q_tx_zorder (clustering must not change any row).
+    QueryDef("q_tx_compact_zorder",
+      (s, dir) => {
+        val root = Files.createTempDirectory("graft_txcz").toString + "/tbl"
+        val o = t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+        (0 until 3).foreach { i =>
+          TxTable.commitAppend(s, root, o.filter(col("o_orderkey") % 3 === i),
+            statsCols = Seq("o_orderkey", "o_custkey"))
+        }
+        val (mk, mc) = {
+          val r = o.agg(max("o_orderkey"), max("o_custkey")).collect().head
+          (r.getLong(0), r.getLong(1))
+        }
+        def bd(v: Long) = new java.math.BigDecimal(v)
+        def segsOf(df: DataFrame): Int =
+          df.inputFiles.map(_.replaceAll("/[^/]*$", "")).toSet.size
+        val beforeCust = segsOf(
+          TxTable.readWhere(s, root, "o_custkey", bd(mc / 2), bd(mc / 2 + mc / 8)))
+        require(beforeCust == 3,
+          s"q_tx_compact_zorder: append-order segments span the custkey range " +
+            s"— the band must scan all 3, got $beforeCust")
+        val v = TxTable.compactZOrder(s, root, "o_orderkey", "o_custkey",
+          numSegments = 8)
+        val pre = TxTable.readVersion(s, root, v - 1)
+        require(TxTable.read(s, root).count() == pre.count(),
+          "q_tx_compact_zorder: clustering changed the row count")
+        require(pre.count() == o.count(),
+          "q_tx_compact_zorder: time travel to the pre-cluster version broke")
+        val byKey = TxTable.readWhere(s, root, "o_orderkey", bd(mk / 2), bd(mk / 2 + mk / 8))
+        val byCust = TxTable.readWhere(s, root, "o_custkey", bd(mc / 2), bd(mc / 2 + mc / 8))
+        val (sk, sc) = (segsOf(byKey), segsOf(byCust))
+        require(sk < 8 && sc < 8,
+          s"q_tx_compact_zorder: BOTH dimensions must prune after the rewrite " +
+            s"(orderkey scanned $sk/8, custkey scanned $sc/8)")
+        byKey.agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("price_sum"))
+          .withColumn("dim", lit("orderkey_band"))
+          .unionByName(byCust
+            .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("price_sum"))
+            .withColumn("dim", lit("custkey_band")))
+          .select("dim", "n", "price_sum").orderBy("dim")
+      },
+      Some("""WITH m AS (SELECT MAX(o_orderkey) AS mk, MAX(o_custkey) AS mc FROM orders)
+         SELECT 'custkey_band' AS dim, COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS price_sum
+           FROM orders, m
+           WHERE o_custkey >= mc // 2 AND o_custkey <= mc // 2 + mc // 8
+         UNION ALL
+         SELECT 'orderkey_band', COUNT(*),
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+           FROM orders, m
+           WHERE o_orderkey >= mk // 2 AND o_orderkey <= mk // 2 + mk // 8
+         ORDER BY dim""")),
+
     // ST11 — exactly-once streaming MERGE into the transactional table (the
     // Delta-style streaming upsert): batch 0 bootstraps the base, batch 1
     // applies EXCLUDED-wins updates + inserts through the segment-pruned
