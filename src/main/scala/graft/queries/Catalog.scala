@@ -2046,6 +2046,73 @@ object Catalog {
       },
       Some("""SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1 ORDER BY 1""")),
 
+    // ST13 — STREAMING sketch maintenance: each micro-batch is collapsed to
+    // a Count-Min cell shard (≤ d×w rows however large the batch) and the
+    // shard appended to a TxTable exactly-once.  The CMS counter matrix is
+    // LINEAR in the input multiset, so the cell-wise sum of the committed
+    // shards must equal the single-pass batch sketch CELL FOR CELL — the
+    // in-query require asserts exactly that, and it only holds if the
+    // fresh-checkpoint second run was fully no-op'd by the batch-id guard
+    // (one double-counted micro-batch breaks the equality).  This is the
+    // 100 TB shape for "maintain frequency stats on an infinite stream":
+    // per-batch state is sketch-sized, table growth is d×w rows per batch
+    // (compactable), and the merged sketch is always exactly the sketch of
+    // everything committed so far.  Output + oracle: the
+    // q_cms_heavy_hitters shape on events.user_id.
+    QueryDef("q_st13_stream_cms",
+      (s, dir) => {
+        val base = Files.createTempDirectory("graft_st13").toString
+        val root = s"$base/tbl"
+        val ev = t(s, dir, "events") // ts stays long nanos — sketch reads user_id only
+        (0 until 3).foreach(i => ev.filter(pmod(col("event_id"), lit(3)) === i)
+          .write.parquet(s"$base/src/f$i"))
+        val schema = s.read.parquet(s"$base/src/f0").schema
+        def sketchBatch(df: DataFrame, id: Long): Unit =
+          TxTable.streamingAppend(root)(
+            Sketch.cmsSketch(df, col("user_id"), depth = 4, width = 256), id)
+        def runOnce(cp: String): Unit = {
+          val q = s.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1").parquet(s"$base/src/*")
+            .writeStream.foreachBatch(sketchBatch _)
+            .option("checkpointLocation", cp)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        runOnce(s"$base/cp1")
+        runOnce(s"$base/cp2") // full replay — batch-id guard must no-op every batch
+        val merged = TxTable.read(s, root)
+          .groupBy("__i", "__b").agg(sum("__c").as("__c"))
+        val single = Sketch.cmsSketch(ev, col("user_id"), depth = 4, width = 256)
+        require(merged.except(single).isEmpty && single.except(merged).isEmpty,
+          "q_st13_stream_cms: merged micro-batch shards != single-pass sketch " +
+            "— exactly-once or linearity broke")
+        val exact = ev.groupBy("user_id").agg(count(lit(1)).as("n_exact"))
+        val top10 = exact.orderBy(col("n_exact").desc, col("user_id")).limit(10)
+        val out = top10
+          .join(Sketch.cmsEstimate(merged, top10, "user_id", 4, 256), "user_id")
+          .select(col("user_id"), col("n_exact"), col("n_est"))
+          .orderBy(col("n_exact").desc, col("user_id"))
+        require(out.filter(col("n_est") < col("n_exact")).isEmpty,
+          "q_st13_stream_cms: a CMS estimate under-counted — min-of-cells broke")
+        out
+      },
+      Some("""WITH x AS (SELECT user_id AS k, COUNT(*) AS n_exact
+             FROM events GROUP BY 1),
+         top AS (SELECT k, n_exact FROM x ORDER BY n_exact DESC, k LIMIT 10),
+         r AS (SELECT CAST(unnest(range(0, 4)) AS INT) AS i),
+         cells AS (SELECT i,
+             CAST('0x' || substr(md5(CAST(user_id AS VARCHAR) || '#' || CAST(i AS VARCHAR)), 1, 15) AS BIGINT) % 256 AS b,
+             COUNT(*) AS c
+           FROM events, r GROUP BY 1, 2),
+         probe AS (SELECT top.k, top.n_exact, r.i,
+             CAST('0x' || substr(md5(CAST(top.k AS VARCHAR) || '#' || CAST(r.i AS VARCHAR)), 1, 15) AS BIGINT) % 256 AS b
+           FROM top, r),
+         est AS (SELECT k, n_exact, MIN(COALESCE(c, 0)) AS n_est
+           FROM probe LEFT JOIN cells USING (i, b) GROUP BY 1, 2)
+         SELECT k AS user_id, n_exact, n_est FROM est
+         ORDER BY n_exact DESC, k""")),
+
     // ST1 — Structured Streaming file-source catch-up (Trigger.AvailableNow),
     // then a batch aggregate over the caught-up copy.
     QueryDef("q_st1_streaming_catchup",
