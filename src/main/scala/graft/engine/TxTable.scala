@@ -9,6 +9,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * {{{
   *   <root>/data/<uuid>/part-*.parquet   immutable data segments
+  *   <root>/cdc/<uuid>/part-*.parquet    per-commit change segments (CDF)
   *   <root>/_txlog/v<NNNNNNNNNN>.json    manifest: the segment list of version N
   *   <root>/_txlog/v<NNNNNNNNNN>.claim   zero-byte slot claim (commit CAS)
   * }}}
@@ -72,9 +73,12 @@ object TxTable {
   // stats: segment -> column -> ColStat — manifest-level data skipping (the
   // Delta/Iceberg idea): a filtered read prunes whole SEGMENTS from the
   // manifest before any footer is opened
+  // cdc: change segments ("cdc/<uuid>") recorded by THIS commit when change
+  // data capture was requested — per-commit, never carried forward
   private case class Manifest(version: Long, op: String, segments: Seq[String],
                               batch: Option[Long] = None,
-                              stats: Map[String, Map[String, ColStat]] = Map.empty)
+                              stats: Map[String, Map[String, ColStat]] = Map.empty,
+                              cdc: Seq[String] = Nil)
 
   private def fs(spark: SparkSession, root: String): FileSystem =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -88,6 +92,8 @@ object TxTable {
   private def writeJson(m: Manifest): String =
     s"""{"version":${m.version},"op":"${m.op}",""" +
       m.batch.map(b => s""""batch":$b,""").getOrElse("") +
+      (if (m.cdc.isEmpty) "" else
+        """"cdc":[""" + m.cdc.map(s => "\"" + s + "\"").mkString(",") + "],") +
       """"segments":[""" +
       m.segments.map(s => "\"" + s + "\"").mkString(",") + "]" +
       (if (m.stats.isEmpty) "" else
@@ -105,9 +111,12 @@ object TxTable {
     val op = """"op":"([^"]*)"""".r.findFirstMatchIn(s).get.group(1)
     val batch = """"batch":(\d+)""".r.findFirstMatchIn(s).map(_.group(1).toLong)
     val segs = """"segments":\[([^\]]*)\]""".r.findFirstMatchIn(s).get.group(1)
-    val segments =
-      if (segs.trim.isEmpty) Seq.empty
-      else segs.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
+    def splitList(body: String): Seq[String] =
+      if (body.trim.isEmpty) Seq.empty
+      else body.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
+    val segments = splitList(segs)
+    val cdc = """"cdc":\[([^\]]*)\]""".r.findFirstMatchIn(s)
+      .map(m0 => splitList(m0.group(1))).getOrElse(Seq.empty)
     val stats = """"stats":\{(.*)\}\}$""".r.findFirstMatchIn(s).map(_.group(1)) match {
       case None => Map.empty[String, Map[String, ColStat]]
       case Some(body) =>
@@ -119,7 +128,7 @@ object TxTable {
           m0.group(1) -> cols
         }.toMap
     }
-    Manifest(version, op, segments, batch, stats)
+    Manifest(version, op, segments, batch, stats, cdc)
   }
 
   /** Latest committed version, or None for an uninitialized table. */
@@ -146,6 +155,16 @@ object TxTable {
   /** Write `df` as a fresh segment directory; returns the segment name. */
   private def writeSegment(df: DataFrame, root: String): String = {
     val seg = "data/" + java.util.UUID.randomUUID().toString
+    df.write.parquet(s"${root.stripSuffix("/")}/$seg")
+    seg
+  }
+
+  /** Write a CHANGE segment (table columns + `_change_type`) for change
+    * data capture; lives under `cdc/`, outside every snapshot's segment
+    * list, sized by the CHANGE set (a merge touching 0.1% of keys records
+    * ~0.1%-of-table rows), and vacuumed with its manifest. */
+  private def writeChangeSegment(df: DataFrame, root: String): String = {
+    val seg = "cdc/" + java.util.UUID.randomUUID().toString
     df.write.parquet(s"${root.stripSuffix("/")}/$seg")
     seg
   }
@@ -216,7 +235,8 @@ object TxTable {
                      segments: Seq[String], maxRetries: Int = 10,
                      batch: Option[Long] = None,
                      stats: Map[String, Map[String, ColStat]] = Map.empty,
-                     expectVersion: Option[Long] = None): Long = {
+                     expectVersion: Option[Long] = None,
+                     cdc: Seq[String] = Nil): Long = {
     val f = fs(spark, root)
     var attempt = 0
     while (true) {
@@ -240,7 +260,7 @@ object TxTable {
         val tmp = new Path(target.getParent, s".tmp-${java.util.UUID.randomUUID()}")
         val os = f.create(tmp, false)
         try os.write(writeJson(Manifest(next, op, segments, carried,
-          stats.filter(kv => segments.contains(kv._1))))
+          stats.filter(kv => segments.contains(kv._1)), cdc))
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
         finally os.close()
         require(f.rename(tmp, target),
@@ -332,19 +352,28 @@ object TxTable {
     * caller's contract for merge: a concurrent commit between head-read and
     * publish fails the version CAS and this method throws rather than
     * silently re-merging against a moved head.  `statsCols` adds columns
-    * to the tracked stats set (on bootstrap it seeds it). */
+    * to the tracked stats set (on bootstrap it seeds it).
+    *
+    * `cdf = true` additionally records the commit's row-level CHANGE SET
+    * (update_preimage / update_postimage / insert rows) in a `cdc/`
+    * segment for [[readChanges]] — sized by the CHANGE set, not the
+    * table, and computed from frames the merge already has in hand
+    * (matched keys are a broadcast-sized subset of the incoming batch). */
   def commitMerge(spark: SparkSession, root: String, incoming: DataFrame,
                   keys: Seq[String], updateCols: Seq[String],
                   preserveCols: Seq[String], batch: Option[Long] = None,
-                  statsCols: Seq[String] = Nil): Long = {
+                  statsCols: Seq[String] = Nil, cdf: Boolean = false): Long = {
     import org.apache.spark.sql.functions._
     val cols = keys ++ updateCols ++ preserveCols
     latestVersion(spark, root) match {
       case None => // bootstrap: the incoming batch IS the table
-        val seg = writeSegment(incoming.select(cols.map(col): _*), root)
+        val staged = incoming.select(cols.map(col): _*)
+        val seg = writeSegment(staged, root)
+        val cdc = if (!cdf) Nil else Seq(writeChangeSegment(
+          staged.withColumn("_change_type", lit("insert")), root))
         commit(spark, root, "merge", Seq(seg), maxRetries = 0, batch = batch,
           stats = Map(seg -> segStats(spark, root, seg, statsCols)).filter(_._2.nonEmpty),
-          expectVersion = Some(1L))
+          expectVersion = Some(1L), cdc = cdc)
       case Some(headV) =>
         val head = readManifest(spark, root, headV)
         val segs = head.segments
@@ -359,10 +388,30 @@ object TxTable {
         val touched = cur.filter(col("__seg").isin(hitSegs.toSeq: _*)).drop("__seg")
         val merged = Upsert.upsert(touched, incoming, keys, updateCols, preserveCols)
         val newSeg = writeSegment(merged, root)
+        val cdc = if (!cdf) Nil else {
+          // matched keys = incoming ∩ existing; every existing match lives
+          // in a hit segment BY DEFINITION of hitSegs, so `touched` sees
+          // them all.  touched STREAMS against the broadcast incoming key
+          // set (never the reverse — touched is segment-sized), and the
+          // result is ≤ the incoming batch: broadcast for the probes below.
+          def on(a: DataFrame, b: DataFrame) =
+            keys.map(k => a(k) <=> b(k)).reduce(_ && _)
+          val tKeys = touched.select(keys.map(col): _*).distinct()
+          val matched = broadcast(
+            tKeys.join(inKeys, on(tKeys, inKeys), "left_semi"))
+          val pre = touched.join(matched, on(touched, matched), "left_semi")
+            .withColumn("_change_type", lit("update_preimage"))
+          val post = merged.join(matched, on(merged, matched), "left_semi")
+            .withColumn("_change_type", lit("update_postimage"))
+          val ins = merged.join(inKeys, on(merged, inKeys), "left_semi")
+            .join(matched, on(merged, matched), "left_anti")
+            .withColumn("_change_type", lit("insert"))
+          Seq(writeChangeSegment(pre.unionByName(post).unionByName(ins), root))
+        }
         commit(spark, root, "merge",
           segs.filterNot(hitSegs.contains) :+ newSeg, maxRetries = 0,
           batch = batch, stats = carryStats(spark, root, head, newSeg, statsCols),
-          expectVersion = Some(headV + 1))
+          expectVersion = Some(headV + 1), cdc = cdc)
     }
   }
 
@@ -378,11 +427,13 @@ object TxTable {
     * `statsCols` keeps manifest min/max stats flowing through every
     * micro-batch merge commit. */
   def streamingMerge(root: String, keys: Seq[String], updateCols: Seq[String],
-                     preserveCols: Seq[String], statsCols: Seq[String] = Nil)
+                     preserveCols: Seq[String], statsCols: Seq[String] = Nil,
+                     cdf: Boolean = false)
                     (df: DataFrame, batchId: Long): Unit = {
     val spark = df.sparkSession
     if (lastCommittedBatch(spark, root).exists(_ >= batchId)) return
-    commitMerge(spark, root, df, keys, updateCols, preserveCols, Some(batchId), statsCols)
+    commitMerge(spark, root, df, keys, updateCols, preserveCols, Some(batchId),
+      statsCols, cdf)
   }
 
   /** Stats for a rewritten manifest: carried segments keep theirs; the
@@ -403,9 +454,11 @@ object TxTable {
     * WITHOUT those rows; every other segment carries over by reference.
     * NULL-safe key matching, so NULL tombstone keys delete NULL-keyed rows.
     * Note: deleted rows leave older versions only at [[vacuum]] time — run
-    * vacuum after the retention window when the deletion must be physical. */
+    * vacuum after the retention window when the deletion must be physical.
+    * `cdf = true` records the deleted rows (change type 'delete') in a
+    * `cdc/` segment for [[readChanges]]. */
   def commitDelete(spark: SparkSession, root: String, tombstones: DataFrame,
-                   keys: Seq[String]): Long = {
+                   keys: Seq[String], cdf: Boolean = false): Long = {
     import org.apache.spark.sql.functions._
     val headV = latestVersion(spark, root).getOrElse(
       throw new IllegalArgumentException(s"TxTable.commitDelete: no commits under $root"))
@@ -430,8 +483,11 @@ object TxTable {
         "commitOverwrite an explicit empty state instead")
     val stats = newSegs.headOption
       .map(s => carryStats(spark, root, head, s)).getOrElse(head.stats)
+    val cdc = if (!cdf) Nil else Seq(writeChangeSegment(
+      touched.join(tomb, keyCond(touched), "left_semi").drop("__seg")
+        .withColumn("_change_type", lit("delete")), root))
     commit(spark, root, "delete", carried ++ newSegs, maxRetries = 0,
-      stats = stats, expectVersion = Some(headV + 1))
+      stats = stats, expectVersion = Some(headV + 1), cdc = cdc)
   }
 
   /** Compact the CURRENT snapshot into ≈ceil(bytes/targetBytes) files as a
@@ -577,6 +633,66 @@ object TxTable {
       .parquet(m.segments.map(s => s"${root.stripSuffix("/")}/$s"): _*)
   }
 
+  /** CHANGE DATA FEED (the Delta CDF idea): every row-level change the
+    * table went through in versions `(fromVersion, toVersion]`, as table
+    * columns + `_change_type` ('insert' | 'update_preimage' |
+    * 'update_postimage' | 'delete') + `_commit_version` — so a downstream
+    * incremental consumer reads the DELTA between two versions it has
+    * seen, never a table-sized diff.
+    *
+    * Per-commit sourcing (nothing here scans more than the change set):
+    *  - append commits derive their inserts from the commit's NEW data
+    *    segments (segment list diff vs the previous manifest — no stored
+    *    copy, the Delta add-file trick);
+    *  - merge / delete commits read the `cdc/` change segment recorded at
+    *    commit time (requires `cdf = true` on the writing call — a commit
+    *    in range without one throws rather than guessing);
+    *  - compact / cluster commits are layout-only: no logical change;
+    *  - overwrite commits emit the previous snapshot as 'delete' + the new
+    *    one as 'insert' (both snapshots are in the retained log).
+    *
+    * Changes must still be within [[vacuum]] retention: vacuumed manifests
+    * or change segments make the range unreadable, exactly like time
+    * travel. */
+  def readChanges(spark: SparkSession, root: String, fromVersion: Long,
+                  toVersion: Long): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    require(0 <= fromVersion && fromVersion <= toVersion,
+      s"TxTable.readChanges: bad range ($fromVersion, $toVersion]")
+    def readSegs(ss: Seq[String]): DataFrame =
+      spark.read.option("mergeSchema", "true")
+        .parquet(ss.map(s0 => s"${root.stripSuffix("/")}/$s0"): _*)
+    val frames = ((fromVersion + 1) to toVersion).flatMap { v =>
+      val m = readManifest(spark, root, v)
+      val changed: Seq[DataFrame] = m.op match {
+        case "append" =>
+          val prev = if (v == 1) Set.empty[String]
+            else readManifest(spark, root, v - 1).segments.toSet
+          val fresh = m.segments.filterNot(prev.contains)
+          if (fresh.isEmpty) Nil
+          else Seq(readSegs(fresh).withColumn("_change_type", lit("insert")))
+        case "merge" | "delete" =>
+          if (m.cdc.nonEmpty) Seq(readSegs(m.cdc))
+          else throw new IllegalArgumentException(
+            s"TxTable.readChanges: commit v$v (${m.op}) recorded no change " +
+              "data — write it with cdf = true to enable the change feed")
+        case "compact" => Nil // layout-only: no logical change
+        case "overwrite" =>
+          val del = if (v == 1) Nil else Seq(readVersion(spark, root, v - 1)
+            .withColumn("_change_type", lit("delete")))
+          del :+ readVersion(spark, root, v)
+            .withColumn("_change_type", lit("insert"))
+        case other => throw new IllegalStateException(
+          s"TxTable.readChanges: unknown op '$other' at v$v under $root")
+      }
+      changed.map(_.withColumn("_commit_version", lit(v)))
+    }
+    frames.reduceOption((a, b) => a.unionByName(b, allowMissingColumns = true))
+      .getOrElse(read(spark, root).limit(0)
+        .withColumn("_change_type", lit(null).cast("string"))
+        .withColumn("_commit_version", lit(null).cast("long")))
+  }
+
   /** Drop data segments referenced by NO manifest among the newest
     * `keepVersions` (and drop older manifests + all claims at or below the
     * head — published slots never need their claim again) — the retention
@@ -587,11 +703,19 @@ object TxTable {
     val f = fs(spark, root)
     val head = latestVersion(spark, root).getOrElse(return)
     val keepFrom = math.max(1L, head - keepVersions + 1)
-    val live = (keepFrom to head)
-      .flatMap(v => readManifest(spark, root, v).segments).toSet
+    val kept = (keepFrom to head).map(readManifest(spark, root, _))
+    val live = kept.flatMap(_.segments).toSet
     val dataDir = new Path(s"${root.stripSuffix("/")}/data")
     if (f.exists(dataDir)) f.listStatus(dataDir).foreach { st =>
       if (!live.contains("data/" + st.getPath.getName))
+        f.delete(st.getPath, true)
+    }
+    // change segments age out with their manifest (the CDF retention
+    // boundary — readChanges past it fails like time travel does)
+    val liveCdc = kept.flatMap(_.cdc).toSet
+    val cdcDir = new Path(s"${root.stripSuffix("/")}/cdc")
+    if (f.exists(cdcDir)) f.listStatus(cdcDir).foreach { st =>
+      if (!liveCdc.contains("cdc/" + st.getPath.getName))
         f.delete(st.getPath, true)
     }
     (1L until keepFrom).foreach(v => f.delete(manifestPath(root, v), false))

@@ -1766,6 +1766,74 @@ object Catalog {
            CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS price_sum
          FROM m""")),
 
+    // CHANGE DATA FEED on the transactional table (the Delta CDF idea): a
+    // bootstrap merge, an update+insert merge, and a keyed delete each
+    // record their row-level change set; readChanges((0, head]) then
+    // replays insert / update_preimage / update_postimage / delete rows
+    // WITHOUT diffing snapshots — appends derive inserts from their new
+    // segments, merge/delete commits read their change-sized cdc segment.
+    // The oracle recomputes every change set relationally from the orders
+    // fixture, so pre/post images (update keeps the OLD custkey — it is a
+    // preserveCol — while the price moves) and the delete's captured state
+    // must match value-for-value, not just in count.
+    QueryDef("q_tx_cdf",
+      (s, dir) => {
+        val root = Files.createTempDirectory("graft_txcdf").toString + "/tbl"
+        val o = t(s, dir, "orders")
+        val base = o.filter(col("o_orderstatus") === "F")
+          .select("o_orderkey", "o_totalprice", "o_custkey")
+        TxTable.commitMerge(s, root, base, Seq("o_orderkey"),
+          Seq("o_totalprice"), Seq("o_custkey"), cdf = true)
+        val updates = o
+          .filter(col("o_orderstatus") === "F" && col("o_orderkey") % 3 === 0)
+          .select(col("o_orderkey"),
+            (col("o_totalprice") + 1000.0).as("o_totalprice"),
+            lit(-1L).as("o_custkey"))
+        val inserts = o.filter(col("o_orderstatus") === "O")
+          .select("o_orderkey", "o_totalprice", "o_custkey")
+        TxTable.commitMerge(s, root, updates.unionByName(inserts),
+          Seq("o_orderkey"), Seq("o_totalprice"), Seq("o_custkey"), cdf = true)
+        val head = TxTable.commitDelete(s, root,
+          TxTable.read(s, root).filter(col("o_orderkey") % 5 === 0)
+            .select("o_orderkey"),
+          Seq("o_orderkey"), cdf = true)
+        TxTable.readChanges(s, root, 0L, head)
+          .groupBy("_commit_version", "_change_type")
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("price_sum"),
+            lsum(col("o_custkey")).as("cust_sum"))
+          .orderBy("_commit_version", "_change_type")
+      },
+      Some("""WITH base AS (SELECT o_orderkey, o_totalprice, o_custkey
+             FROM orders WHERE o_orderstatus = 'F'),
+         upd AS (SELECT o_orderkey, o_totalprice + 1000.0 AS o_totalprice
+             FROM orders WHERE o_orderstatus = 'F' AND o_orderkey % 3 = 0),
+         ins AS (SELECT o_orderkey, o_totalprice, o_custkey
+             FROM orders WHERE o_orderstatus = 'O'),
+         v2state AS (SELECT b.o_orderkey,
+               COALESCE(u.o_totalprice, b.o_totalprice) AS o_totalprice,
+               b.o_custkey
+             FROM base b LEFT JOIN upd u USING (o_orderkey)
+           UNION ALL SELECT o_orderkey, o_totalprice, o_custkey FROM ins),
+         changes AS (
+           SELECT 1 AS v, 'insert' AS ct, o_orderkey, o_totalprice, o_custkey
+             FROM base
+           UNION ALL SELECT 2, 'update_preimage',
+               b.o_orderkey, b.o_totalprice, b.o_custkey
+             FROM base b JOIN upd u USING (o_orderkey)
+           UNION ALL SELECT 2, 'update_postimage',
+               b.o_orderkey, u.o_totalprice, b.o_custkey
+             FROM base b JOIN upd u USING (o_orderkey)
+           UNION ALL SELECT 2, 'insert', o_orderkey, o_totalprice, o_custkey
+             FROM ins
+           UNION ALL SELECT 3, 'delete', o_orderkey, o_totalprice, o_custkey
+             FROM v2state WHERE o_orderkey % 5 = 0)
+         SELECT CAST(v AS BIGINT) AS _commit_version, ct AS _change_type,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS price_sum,
+             CAST(SUM(o_custkey) AS BIGINT) AS cust_sum
+           FROM changes GROUP BY 1, 2
+         ORDER BY _commit_version, _change_type""")),
+
     // Manifest-level data skipping on the transactional table: three
     // appends carry disjoint o_orderkey thirds with min/max stats, and the
     // range read prunes the two non-overlapping segments BEFORE any parquet

@@ -232,4 +232,59 @@ class TxTableSpec extends SparkFunSuite {
     assert(TxTable.readWhere(spark, root, "k", bd(150), bd(160)).count() === 10,
       "rewritten segment re-measured: deleted key gone, neighbors intact")
   }
+
+  test("change data feed: replaying the feed reconstructs the head snapshot") {
+    val root = newRoot()
+    // v1 bootstrap merge, v2 update+insert merge, v3 append, v4 delete
+    TxTable.commitMerge(spark, root, Seq((1L, 10.0, "a"), (2L, 20.0, "b")).toDF("k", "x", "tag"),
+      Seq("k"), Seq("x"), Seq("tag"), cdf = true)
+    TxTable.commitMerge(spark, root, Seq((2L, 99.0, "IGNORED"), (3L, 30.0, "c")).toDF("k", "x", "tag"),
+      Seq("k"), Seq("x"), Seq("tag"), cdf = true)
+    TxTable.commitAppend(spark, root, Seq((4L, 40.0, "d")).toDF("k", "x", "tag"))
+    val head = TxTable.commitDelete(spark, root, Seq(1L).toDF("k"), Seq("k"), cdf = true)
+
+    val ch = TxTable.readChanges(spark, root, 0L, head)
+    // fold the feed key-wise: last insert/update_postimage wins, delete kills
+    val lastState = ch.filter(col("_change_type").isin("insert", "update_postimage", "delete"))
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("k")
+          .orderBy(col("_commit_version").desc)))
+      .filter(col("__rn") === 1 && col("_change_type") =!= "delete")
+      .select("k", "x", "tag")
+    val replayed = lastState.collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).sortBy(_._1).toSeq
+    val actual = TxTable.read(spark, root).select("k", "x", "tag")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).sortBy(_._1).toSeq
+    assert(replayed === actual, "feed fold must equal the head snapshot")
+    assert(actual === Seq((2L, 99.0, "b"), (3L, 30.0, "c"), (4L, 40.0, "d")),
+      "EXCLUDED-wins x, preserved tag, appended row present, deleted key gone")
+
+    // the update recorded both images with the right values
+    val images = ch.filter(col("k") === 2L && col("_commit_version") === 2L)
+      .select("_change_type", "x").collect().map(r => (r.getString(0), r.getDouble(1))).sorted.toSeq
+    assert(images === Seq(("update_postimage", 99.0), ("update_preimage", 20.0)))
+
+    // a version window selects only that window's changes
+    val w = TxTable.readChanges(spark, root, head - 1, head)
+    assert(w.select("_change_type").collect().map(_.getString(0)).toSeq === Seq("delete"))
+  }
+
+  test("change data feed: un-recorded commits refuse, vacuum ages cdc out") {
+    val root = newRoot()
+    TxTable.commitMerge(spark, root, Seq((1L, 1.0)).toDF("k", "x"),
+      Seq("k"), Seq("x"), Nil, cdf = true)
+    TxTable.commitMerge(spark, root, Seq((1L, 2.0)).toDF("k", "x"),
+      Seq("k"), Seq("x"), Nil) // cdf NOT requested
+    val e = intercept[IllegalArgumentException](
+      TxTable.readChanges(spark, root, 0L, 2L).count())
+    assert(e.getMessage.contains("no change data"))
+
+    val head = TxTable.commitMerge(spark, root, Seq((1L, 3.0)).toDF("k", "x"),
+      Seq("k"), Seq("x"), Nil, cdf = true)
+    assert(new java.io.File(root + "/cdc").listFiles.count(_.isDirectory) === 2)
+    TxTable.vacuum(spark, root, keepVersions = 1)
+    assert(new java.io.File(root + "/cdc").listFiles.count(_.isDirectory) === 1,
+      "vacuum must drop cdc segments of dropped manifests and keep the head's")
+    assert(TxTable.readChanges(spark, root, head - 1, head).count() === 2,
+      "head commit's change set (pre+post image) must survive its vacuum")
+  }
 }
