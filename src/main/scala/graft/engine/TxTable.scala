@@ -67,7 +67,10 @@ object TxTable {
     * (printable-ASCII only, lexicographically compared — matching Spark's
     * UTF8String binary ordering on that subset).  String bounds containing
     * `"`, `\` or non-ASCII are NOT recorded (conservative keep) so the
-    * dependency-free manifest JSON stays exact without an escaper. */
+    * dependency-free manifest JSON stays exact without an escaper.
+    * Tag "b" = a base64 Bloom filter over the column (stored in `lo` under
+    * the synthetic column key `<col>#bloom`), for [[readWhereEquals]]
+    * point-lookup skipping where min/max can't help. */
   private case class ColStat(lo: String, hi: String, tag: String)
 
   // stats: segment -> column -> ColStat — manifest-level data skipping (the
@@ -121,7 +124,7 @@ object TxTable {
       case None => Map.empty[String, Map[String, ColStat]]
       case Some(body) =>
         """"(data/[^"]+)":\{([^}]*)\}""".r.findAllMatchIn(body).map { m0 =>
-          val cols = """"([^"]+)":\["([^"]*)","([^"]*)"(?:,"([ns])")?\]""".r
+          val cols = """"([^"]+)":\["([^"]*)","([^"]*)"(?:,"([nsb])")?\]""".r
             .findAllMatchIn(m0.group(2))
             .map(c => c.group(1) ->
               ColStat(c.group(2), c.group(3), Option(c.group(4)).getOrElse("n"))).toMap
@@ -196,6 +199,34 @@ object TxTable {
           new java.math.BigDecimal(hi.toString).toPlainString, "n"))
       }
     }.toMap
+  }
+
+  /** The synthetic stats key carrying a column's per-segment Bloom filter. */
+  private def bloomKey(c: String): String = c + "#bloom"
+
+  /** A per-segment Bloom filter over `colName`, serialized base64 for the
+    * manifest (base64 is JSON-safe without an escaper).  ~1.2 KB at the
+    * default sizing — manifests stay KBs — and one column-pruned pass over
+    * the just-written segment, per COMMIT, never per read.  This is the
+    * skipping story for HIGH-CARDINALITY point lookups (uuid/hash keys):
+    * random keys make every segment's [min, max] span the whole value
+    * space, but a Bloom miss still proves absence. */
+  private def segBloom(spark: SparkSession, root: String, seg: String,
+                       colName: String): ColStat = {
+    val bf = spark.read.parquet(s"${root.stripSuffix("/")}/$seg")
+      .stat.bloomFilter(colName, 100000L, 0.01)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    ColStat(java.util.Base64.getEncoder.encodeToString(bos.toByteArray), "", "b")
+  }
+
+  /** Min/max + Bloom stats for one segment (see [[segStats]]/[[segBloom]]);
+    * `cols` may mix plain column names and `<col>#bloom` keys. */
+  private def segStatsWithBlooms(spark: SparkSession, root: String, seg: String,
+                                 cols: Seq[String]): Map[String, ColStat] = {
+    val (bloomKeys, plain) = cols.distinct.partition(_.endsWith("#bloom"))
+    segStats(spark, root, seg, plain) ++
+      bloomKeys.map(k => k -> segBloom(spark, root, seg, k.stripSuffix("#bloom")))
   }
 
   /** Create-exclusive claim on version slot `v` — the commit CAS.  Local
@@ -276,23 +307,30 @@ object TxTable {
 
   /** Replace the table contents with `df` (full-refresh as a commit).
     * `statsCols` (numeric or string) are recorded as per-segment min/max
-    * in the manifest and drive [[readWhere]]'s segment pruning. */
+    * in the manifest and drive [[readWhere]]'s segment pruning;
+    * `bloomCols` additionally record a per-segment Bloom filter for
+    * [[readWhereEquals]] point-lookup skipping. */
   def commitOverwrite(spark: SparkSession, root: String, df: DataFrame,
-                      statsCols: Seq[String] = Nil): Long = {
+                      statsCols: Seq[String] = Nil,
+                      bloomCols: Seq[String] = Nil): Long = {
     val seg = writeSegment(df, root)
     commit(spark, root, "overwrite", Seq(seg),
-      stats = Map(seg -> segStats(spark, root, seg, statsCols)).filter(_._2.nonEmpty))
+      stats = Map(seg -> segStatsWithBlooms(spark, root, seg,
+        statsCols ++ bloomCols.map(bloomKey))).filter(_._2.nonEmpty))
   }
 
   /** Append `df` as a new segment alongside the current snapshot's. */
   def commitAppend(spark: SparkSession, root: String, df: DataFrame,
-                   statsCols: Seq[String] = Nil): Long =
-    appendWith(spark, root, df, None, statsCols)
+                   statsCols: Seq[String] = Nil,
+                   bloomCols: Seq[String] = Nil): Long =
+    appendWith(spark, root, df, None, statsCols, bloomCols)
 
   private def appendWith(spark: SparkSession, root: String, df: DataFrame,
-                         batch: Option[Long], statsCols: Seq[String] = Nil): Long = {
+                         batch: Option[Long], statsCols: Seq[String] = Nil,
+                         bloomCols: Seq[String] = Nil): Long = {
     val seg = writeSegment(df, root)
-    val segSt = segStats(spark, root, seg, statsCols)
+    val segSt = segStatsWithBlooms(spark, root, seg,
+      statsCols ++ bloomCols.map(bloomKey))
     // the SEGMENT is ours alone; only the base list can go stale — rebuild
     // it per attempt via the conflict retry (commit re-checks the replay
     // guard per attempt too; an orphaned segment from a ReplayNoOp is
@@ -329,11 +367,12 @@ object TxTable {
     * stats through every micro-batch commit, so a stream-built table
     * prunes in [[readWhere]]/[[readWhereString]] exactly like a
     * batch-built one. */
-  def streamingAppend(root: String, statsCols: Seq[String] = Nil)
+  def streamingAppend(root: String, statsCols: Seq[String] = Nil,
+                      bloomCols: Seq[String] = Nil)
                      (df: DataFrame, batchId: Long): Unit = {
     val spark = df.sparkSession
     if (lastCommittedBatch(spark, root).exists(_ >= batchId)) return
-    appendWith(spark, root, df, Some(batchId), statsCols)
+    appendWith(spark, root, df, Some(batchId), statsCols, bloomCols)
   }
 
   /** SEGMENT-PRUNED ACID upsert (the Delta-style MERGE shape): only the
@@ -444,7 +483,7 @@ object TxTable {
                          newSeg: String, extraCols: Seq[String] = Nil
                         ): Map[String, Map[String, ColStat]] = {
     val tracked = (head.stats.values.flatMap(_.keys).toSeq ++ extraCols).distinct
-    val fresh = segStats(spark, root, newSeg, tracked)
+    val fresh = segStatsWithBlooms(spark, root, newSeg, tracked)
     head.stats ++ (if (fresh.nonEmpty) Map(newSeg -> fresh) else Map.empty)
   }
 
@@ -620,6 +659,54 @@ object TxTable {
     prunedRead(spark, root, colName) { st =>
       st.tag != "s" || (st.hi >= lo && st.lo <= hi)
     }.filter(col(colName) >= lo && col(colName) <= hi)
+  }
+
+  /** EQUALITY-filtered read with BLOOM-FILTER segment skipping: segments
+    * whose recorded Bloom filter for `colName` proves `value` absent are
+    * dropped before any footer is opened.  This is the point-lookup
+    * complement to [[readWhere]]: on high-cardinality hash/uuid keys,
+    * every segment's [min, max] spans the whole value space (range stats
+    * prune nothing), but a Bloom miss is a proof of absence — the Delta
+    * bloom-index idea carried at manifest level.  Min/max stats for the
+    * column, when present, prune too (a point is the range [v, v]).
+    * Semantically identical to `read(...).filter(col === value)`: false
+    * positives just read a segment the residual filter then empties, and
+    * segments without a recorded Bloom are conservatively kept.
+    *
+    * `value` must match the column's insertion type: `String` for string
+    * columns, `Long` for integral ones (the underlying sketch hashes
+    * strings and longs differently). */
+  def readWhereEquals(spark: SparkSession, root: String, colName: String,
+                      value: Any): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val v = latestVersion(spark, root).getOrElse(
+      throw new IllegalArgumentException(s"TxTable.readWhereEquals: no commits under $root"))
+    val m = readManifest(spark, root, v)
+    val kept = m.segments.filter { seg =>
+      val cols = m.stats.getOrElse(seg, Map.empty)
+      val bloomKeeps = cols.get(bloomKey(colName)) match {
+        case Some(st) if st.tag == "b" =>
+          org.apache.spark.util.sketch.BloomFilter.readFrom(
+            new java.io.ByteArrayInputStream(
+              java.util.Base64.getDecoder.decode(st.lo))).mightContain(value)
+        case _ => true // no bloom: cannot prove absence — keep
+      }
+      val rangeKeeps = cols.get(colName) match {
+        case Some(st) if st.tag == "n" =>
+          val x = new java.math.BigDecimal(value.toString)
+          new java.math.BigDecimal(st.hi).compareTo(x) >= 0 &&
+            new java.math.BigDecimal(st.lo).compareTo(x) <= 0
+        case Some(st) if st.tag == "s" =>
+          val x = value.toString; st.hi >= x && st.lo <= x
+        case _ => true
+      }
+      bloomKeeps && rangeKeeps
+    }
+    val pruned =
+      if (kept.isEmpty) readVersion(spark, root, v).limit(0) // provably absent
+      else spark.read.option("mergeSchema", "true")
+        .parquet(kept.map(s => s"${root.stripSuffix("/")}/$s"): _*)
+    pruned.filter(col(colName) === lit(value))
   }
 
   /** Time travel: the table exactly as of version `v`.  Reads with

@@ -1894,6 +1894,48 @@ object Catalog {
            CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS price_sum
          FROM orders WHERE o_orderstatus = 'O'""")),
 
+    // BLOOM-FILTER segment skipping for POINT lookups on a hash key (the
+    // Delta bloom-index idea at manifest level): md5 keys are uniform, so
+    // every segment's [min, max] on the key spans the whole hex space and
+    // range stats prune NOTHING — but each commit records a ~1.2 KB Bloom
+    // filter per segment, and a Bloom miss is a proof of absence.  The
+    // requires gate the invariant both ways: the present-key lookup must
+    // skip at least one non-owning segment yet still find its row, and an
+    // impossible key (8 chars can never be a 32-char digest) must prune
+    // without scanning everything.  The oracle restates the lookup as the
+    // plain md5-equality filter — skipping must be pure optimization.
+    QueryDef("q_tx_bloom",
+      (s, dir) => {
+        val root = Files.createTempDirectory("graft_txb").toString + "/tbl"
+        val o = t(s, dir, "orders")
+          .select(col("o_orderkey"), md5(col("o_orderkey").cast("string")).as("h"),
+            col("o_totalprice"))
+        val mx = o.agg(max("o_orderkey")).collect().head.getLong(0)
+        val (c1, c2) = (mx / 3, 2 * mx / 3)
+        TxTable.commitAppend(s, root, o.filter(col("o_orderkey") <= c1),
+          bloomCols = Seq("h"))
+        TxTable.commitAppend(s, root,
+          o.filter(col("o_orderkey") > c1 && col("o_orderkey") <= c2),
+          bloomCols = Seq("h"))
+        TxTable.commitAppend(s, root, o.filter(col("o_orderkey") > c2),
+          bloomCols = Seq("h"))
+        val probe = o.filter(col("o_orderkey") === mx)
+          .select("h").collect().head.getString(0)
+        def segsOf(df: DataFrame): Int =
+          df.inputFiles.map(_.replaceAll("/[^/]*$", "")).toSet.size
+        val hit = TxTable.readWhereEquals(s, root, "h", probe)
+        require(segsOf(hit) < 3,
+          "q_tx_bloom: the point lookup must bloom-skip a non-owning segment")
+        val miss = TxTable.readWhereEquals(s, root, "h", "notahash")
+        require(miss.count() == 0 && segsOf(miss) < 3,
+          "q_tx_bloom: an impossible key must prune without a full scan")
+        hit.select("o_orderkey", "o_totalprice").orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+         WHERE md5(CAST(o_orderkey AS VARCHAR)) =
+           (SELECT md5(CAST(MAX(o_orderkey) AS VARCHAR)) FROM orders)
+         ORDER BY o_orderkey""")),
+
     // Z-ORDER clustering + manifest skipping in BOTH dimensions (the Delta
     // OPTIMIZE ZORDER BY idea): orders are clustered along the Morton
     // curve over (o_orderkey, o_custkey) into 8 TxTable segments, each

@@ -233,6 +233,37 @@ class TxTableSpec extends SparkFunSuite {
       "rewritten segment re-measured: deleted key gone, neighbors intact")
   }
 
+  test("bloom skipping: point lookups prune segments min/max cannot, survive rewrites") {
+    val root = newRoot()
+    def seg(lo: Long, hi: Long) = (lo to hi).toDF("k")
+      .withColumn("h", md5(col("k").cast("string")))
+    // random md5 keys: every segment's [min,max] on h spans the hex space
+    TxTable.commitAppend(spark, root, seg(1, 200), bloomCols = Seq("h"))
+    TxTable.commitAppend(spark, root, seg(201, 400), bloomCols = Seq("h"))
+    TxTable.commitAppend(spark, root, seg(401, 600), bloomCols = Seq("h"))
+    val probe = seg(350, 350).select("h").collect().head.getString(0)
+    def segsOf(df: org.apache.spark.sql.DataFrame): Int =
+      df.inputFiles.map(_.replaceAll("/[^/]*$", "")).toSet.size
+    val hit = TxTable.readWhereEquals(spark, root, "h", probe)
+    assert(hit.count() === 1 && hit.select("k").head.getLong(0) === 350L)
+    assert(segsOf(hit) < 3, "bloom must prune at least one non-owning segment")
+    // absent key: typically zero segments (provably absent modulo fpp)
+    val miss = TxTable.readWhereEquals(spark, root, "h", "not-a-digest")
+    assert(miss.count() === 0)
+    assert(segsOf(miss) < 3, "an absent key must not scan every segment")
+    // a delete rewrites the middle segment; carryStats must rebuild its bloom
+    TxTable.commitDelete(spark, root, Seq(300L).toDF("k"), Seq("k"))
+    val after = TxTable.readWhereEquals(spark, root, "h", probe)
+    assert(after.count() === 1 && segsOf(after) < 3,
+      "bloom skipping must survive the merge/delete rewrite")
+    // long-typed column blooms dispatch on the value type
+    val root2 = newRoot()
+    TxTable.commitAppend(spark, root2, (1L to 100L).toDF("k"), bloomCols = Seq("k"))
+    TxTable.commitAppend(spark, root2, (101L to 200L).toDF("k"), bloomCols = Seq("k"))
+    val one = TxTable.readWhereEquals(spark, root2, "k", 150L)
+    assert(one.count() === 1 && segsOf(one) === 1)
+  }
+
   test("change data feed: replaying the feed reconstructs the head snapshot") {
     val root = newRoot()
     // v1 bootstrap merge, v2 update+insert merge, v3 append, v4 delete
