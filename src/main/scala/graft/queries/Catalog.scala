@@ -1834,6 +1834,64 @@ object Catalog {
            FROM changes GROUP BY 1, 2
          ORDER BY _commit_version, _change_type""")),
 
+    // INCREMENTAL VIEW MAINTENANCE over the change feed (Ivm.scala): a
+    // per-custkey (n, price_sum) view is refreshed after each fact commit
+    // by applying ONLY that window's change rows (+post/+insert,
+    // -pre/-delete) — the fact table is never re-aggregated.  The measure
+    // accumulates in DECIMAL(38,6), so the three-step incremental view
+    // must equal a from-scratch recompute of the FINAL fact state BIT FOR
+    // BIT — which is exactly what the oracle computes (same change script
+    // as q_tx_cdf: bootstrap, update+insert merge, keyed delete).
+    QueryDef("q_tx_ivm",
+      (s, dir) => {
+        val base0 = Files.createTempDirectory("graft_txivm").toString
+        val (fact, view) = (s"$base0/fact", s"$base0/view")
+        val o = t(s, dir, "orders")
+        val v1 = TxTable.commitMerge(s, fact,
+          o.filter(col("o_orderstatus") === "F")
+            .select("o_orderkey", "o_totalprice", "o_custkey"),
+          Seq("o_orderkey"), Seq("o_totalprice"), Seq("o_custkey"), cdf = true)
+        Ivm.refreshSumCount(s, fact, view, 0L, v1, "o_custkey", "o_totalprice",
+          sumCol = "price_sum")
+        val updates = o
+          .filter(col("o_orderstatus") === "F" && col("o_orderkey") % 3 === 0)
+          .select(col("o_orderkey"),
+            (col("o_totalprice") + 1000.0).as("o_totalprice"),
+            lit(-1L).as("o_custkey"))
+        val inserts = o.filter(col("o_orderstatus") === "O")
+          .select("o_orderkey", "o_totalprice", "o_custkey")
+        val v2 = TxTable.commitMerge(s, fact, updates.unionByName(inserts),
+          Seq("o_orderkey"), Seq("o_totalprice"), Seq("o_custkey"), cdf = true)
+        Ivm.refreshSumCount(s, fact, view, v1, v2, "o_custkey", "o_totalprice",
+          sumCol = "price_sum")
+        val v3 = TxTable.commitDelete(s, fact,
+          TxTable.read(s, fact).filter(col("o_orderkey") % 5 === 0)
+            .select("o_orderkey"),
+          Seq("o_orderkey"), cdf = true)
+        Ivm.refreshSumCount(s, fact, view, v2, v3, "o_custkey", "o_totalprice",
+          sumCol = "price_sum")
+        TxTable.read(s, view)
+          .select(col("o_custkey"), col("n"),
+            col("price_sum").cast("double").as("price_sum"))
+          .orderBy("o_custkey")
+      },
+      Some("""WITH base AS (SELECT o_orderkey, o_totalprice, o_custkey
+             FROM orders WHERE o_orderstatus = 'F'),
+         upd AS (SELECT o_orderkey, o_totalprice + 1000.0 AS o_totalprice
+             FROM orders WHERE o_orderstatus = 'F' AND o_orderkey % 3 = 0),
+         ins AS (SELECT o_orderkey, o_totalprice, o_custkey
+             FROM orders WHERE o_orderstatus = 'O'),
+         v2state AS (SELECT b.o_orderkey,
+               COALESCE(u.o_totalprice, b.o_totalprice) AS o_totalprice,
+               b.o_custkey
+             FROM base b LEFT JOIN upd u USING (o_orderkey)
+           UNION ALL SELECT o_orderkey, o_totalprice, o_custkey FROM ins)
+         SELECT o_custkey, COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS price_sum
+           FROM v2state WHERE o_orderkey % 5 <> 0
+           GROUP BY 1
+         ORDER BY o_custkey""")),
+
     // Manifest-level data skipping on the transactional table: three
     // appends carry disjoint o_orderkey thirds with min/max stats, and the
     // range read prunes the two non-overlapping segments BEFORE any parquet

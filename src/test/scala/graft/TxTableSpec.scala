@@ -299,6 +299,27 @@ class TxTableSpec extends SparkFunSuite {
     assert(w.select("_change_type").collect().map(_.getString(0)).toSeq === Seq("delete"))
   }
 
+  test("ivm: keys that zero out leave the view; updates move only their key") {
+    val root = newRoot()
+    val view = newRoot()
+    import graft.engine.Ivm
+    val v1 = TxTable.commitMerge(spark, root,
+      Seq((1L, 10.0, "u1"), (2L, 5.0, "u1"), (3L, 7.0, "u2")).toDF("id", "x", "u"),
+      Seq("id"), Seq("x"), Seq("u"), cdf = true)
+    Ivm.refreshSumCount(spark, root, view, 0L, v1, "u", "x")
+    def viewRows() = TxTable.read(spark, view)
+      .select(col("u"), col("n"), col("sum").cast("double"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sortBy(_._1).toSeq
+    assert(viewRows() === Seq(("u1", 2L, 15.0), ("u2", 1L, 7.0)))
+    val v2 = TxTable.commitDelete(spark, root, Seq(1L, 2L).toDF("id"), Seq("id"), cdf = true)
+    Ivm.refreshSumCount(spark, root, view, v1, v2, "u", "x")
+    assert(viewRows() === Seq(("u2", 1L, 7.0)), "u1 zeroed out and must leave the view")
+    val v3 = TxTable.commitMerge(spark, root, Seq((3L, 9.0, "IGNORED")).toDF("id", "x", "u"),
+      Seq("id"), Seq("x"), Seq("u"), cdf = true)
+    Ivm.refreshSumCount(spark, root, view, v2, v3, "u", "x")
+    assert(viewRows() === Seq(("u2", 1L, 9.0)), "the update must move u2's sum only")
+  }
+
   test("change data feed: un-recorded commits refuse, vacuum ages cdc out") {
     val root = newRoot()
     TxTable.commitMerge(spark, root, Seq((1L, 1.0)).toDF("k", "x"),
