@@ -173,6 +173,30 @@ object Catalog {
          SELECT l_returnflag, n_exact, n_est
          FROM x JOIN e ON x.l_returnflag = e.g ORDER BY 1""")),
 
+    // Spark's NATIVE HyperLogLog++ (approx_count_distinct) under the
+    // oracle gate: HLL hashes differently per engine, so the estimate
+    // itself can't be cross-checked (that's what the KMV sketch is for) —
+    // instead the query OUTPUTS the exact distinct counts (oracle-checked)
+    // and the in-query require pins every HLL estimate inside 4× its
+    // configured relative standard deviation.  This is the codegen'd
+    // partial-aggregate path a 100 TB distinct-count should take when no
+    // cross-engine replay is needed: dense HLL registers merge map-side,
+    // so the shuffle carries sketch bytes per group, not distinct values.
+    QueryDef("q_hll_distinct",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val rsd = 0.05
+        val out = li.groupBy("l_returnflag").agg(
+          countDistinct(col("l_partkey")).as("n_exact"),
+          approx_count_distinct(col("l_partkey"), rsd).as("__n_hll"))
+        require(out.filter(
+          abs(col("__n_hll") - col("n_exact")) > col("n_exact") * (4 * rsd)).isEmpty,
+          s"q_hll_distinct: an HLL estimate fell outside 4×rsd of exact")
+        out.select("l_returnflag", "n_exact").orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_exact
+         FROM lineitem GROUP BY 1 ORDER BY 1""")),
+
     // The sketch's MERGEABILITY made concrete (what lets executors build
     // partial sketches map-side and combine them): three independent shard
     // sketches, distinct-unioned and re-cut to k, must estimate EXACTLY
