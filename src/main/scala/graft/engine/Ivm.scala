@@ -36,12 +36,24 @@ object Ivm {
   /** Refresh the `(key, nCol, sumCol)` view at `aggRoot` with the fact
     * table's changes in versions `(fromVersion, toVersion]` (which must
     * have been written with `cdf = true`).  Bootstraps the view when
-    * `aggRoot` has no commits.  Returns the view's new head version. */
+    * `aggRoot` has no commits.  Returns the view's new head version.
+    *
+    * EXACTLY-ONCE: the view commit records `toVersion` as its batch id
+    * (the fact version the view has applied through), so a replayed
+    * refresh of an already-applied window is a no-op — the same guard the
+    * streaming sinks use, which makes the view safe to maintain from
+    * inside `foreachBatch` (see [[refreshLatest]]).  Callers composing
+    * windows by hand must keep them contiguous: apply `(a, b]` then
+    * `(b, c]`, never overlapping ranges. */
   def refreshSumCount(spark: SparkSession, factRoot: String, aggRoot: String,
                       fromVersion: Long, toVersion: Long,
                       key: String, valueCol: String,
                       nCol: String = "n", sumCol: String = "sum"): Long = {
+    if (TxTable.lastCommittedBatch(spark, aggRoot).exists(_ >= toVersion))
+      return TxTable.latestVersion(spark, aggRoot).get // replay: already applied
     val ch = TxTable.readChanges(spark, factRoot, fromVersion, toVersion)
+    if (ch.isEmpty) // layout-only window: nothing to apply, nothing to publish
+      return TxTable.latestVersion(spark, aggRoot).getOrElse(0L)
     val sign = when(col("_change_type").isin("insert", "update_postimage"), 1L)
       .otherwise(-1L)
     val delta = ch.groupBy(key).agg(
@@ -60,9 +72,29 @@ object Ivm {
               coalesce(col("__dsum"), lit(BigDecimal(0)).cast(Dec))).cast(Dec).as(sumCol))
     }
     val dead = merged.filter(col(nCol) <= 0).select(key)
+    // batch = toVersion: the view manifest remembers the fact version it
+    // has applied through (commit carries the max id forward, so the
+    // trailing delete keeps it too)
     val v = TxTable.commitMerge(spark, aggRoot, merged.filter(col(nCol) > 0),
-      Seq(key), Seq(nCol, sumCol), Nil)
+      Seq(key), Seq(nCol, sumCol), Nil, batch = Some(toVersion))
     if (dead.isEmpty) v
     else TxTable.commitDelete(spark, aggRoot, dead, Seq(key))
+  }
+
+  /** Catch the view up to the fact table's HEAD, exactly-once and
+    * self-driving: the window starts at the fact version the view last
+    * applied (its recorded batch id) and ends at the current fact head —
+    * the call a `foreachBatch` sink makes right after its fact commit to
+    * maintain a STREAMING MATERIALIZED VIEW.  Replays no-op; windows are
+    * contiguous by construction.  Returns the view head. */
+  def refreshLatest(spark: SparkSession, factRoot: String, aggRoot: String,
+                    key: String, valueCol: String,
+                    nCol: String = "n", sumCol: String = "sum"): Long = {
+    val to = TxTable.latestVersion(spark, factRoot).getOrElse(
+      return TxTable.latestVersion(spark, aggRoot).getOrElse(0L))
+    val from = TxTable.lastCommittedBatch(spark, aggRoot).getOrElse(0L)
+    if (from >= to) TxTable.latestVersion(spark, aggRoot).getOrElse(0L)
+    else refreshSumCount(spark, factRoot, aggRoot, from, to, key, valueCol,
+      nCol, sumCol)
   }
 }

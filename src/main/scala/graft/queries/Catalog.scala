@@ -2305,6 +2305,77 @@ object Catalog {
          SELECT k AS user_id, n_exact, n_est FROM est
          ORDER BY n_exact DESC, k""")),
 
+    // ST14 — STREAMING MATERIALIZED VIEW: each micro-batch stream-merges
+    // into the fact TxTable with change capture on, then catches the
+    // per-custkey (n, price_sum) view up to the fact head with
+    // Ivm.refreshLatest — so the view is maintained from CHANGE rows only,
+    // inside the stream, with BOTH layers exactly-once (the fact merge
+    // dedups on micro-batch ids; the view records the fact version it has
+    // applied through as ITS batch id).  The fresh-checkpoint second run
+    // must no-op all the way down, and the decimal accumulator makes the
+    // streamed view equal the from-scratch recompute bit for bit — the
+    // oracle is q_st11's merge state grouped by custkey.
+    QueryDef("q_st14_stream_ivm",
+      (s, dir) => {
+        val base = Files.createTempDirectory("graft_st14").toString
+        val (fact, view) = (s"$base/fact", s"$base/view")
+        val o = t(s, dir, "orders")
+        o.filter(col("o_orderstatus") === "F")
+          .select("o_orderkey", "o_totalprice", "o_custkey")
+          .coalesce(1).write.parquet(s"$base/src/f1")
+        o.filter(col("o_orderstatus") === "F" && col("o_orderkey") % 3 === 0)
+          .select(col("o_orderkey"),
+            (col("o_totalprice") + 1000.0).as("o_totalprice"),
+            lit(-1L).as("o_custkey"))
+          .unionByName(o.filter(col("o_orderstatus") === "O")
+            .select("o_orderkey", "o_totalprice", "o_custkey"))
+          .coalesce(1).write.parquet(s"$base/src/f2")
+        def pin(sub: String, mtime: Long): Unit =
+          new java.io.File(s"$base/src/$sub").listFiles()
+            .filter(_.getName.endsWith(".parquet")).foreach(_.setLastModified(mtime))
+        val now = System.currentTimeMillis()
+        pin("f1", now - 60000); pin("f2", now) // updates strictly after base
+        def mergeAndRefresh(df: DataFrame, id: Long): Unit = {
+          TxTable.streamingMerge(fact, Seq("o_orderkey"), Seq("o_totalprice"),
+            Seq("o_custkey"), cdf = true)(df, id)
+          Ivm.refreshLatest(s, fact, view, "o_custkey", "o_totalprice",
+            sumCol = "price_sum")
+        }
+        val schema = s.read.parquet(s"$base/src/f1").schema
+        def runOnce(cp: String): Unit = {
+          val q = s.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1").parquet(s"$base/src/*")
+            .writeStream.foreachBatch(mergeAndRefresh _)
+            .option("checkpointLocation", cp)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        runOnce(s"$base/cp1")
+        runOnce(s"$base/cp2") // full replay — both layers must no-op
+        TxTable.read(s, view)
+          .select(col("o_custkey"), col("n"),
+            col("price_sum").cast("double").as("price_sum"))
+          .orderBy("o_custkey")
+      },
+      Some("""WITH base AS (SELECT o_orderkey, o_totalprice, o_custkey
+             FROM orders WHERE o_orderstatus = 'F'),
+         inc AS (SELECT o_orderkey, o_totalprice + 1000.0 AS o_totalprice,
+             CAST(-1 AS BIGINT) AS o_custkey
+             FROM orders WHERE o_orderstatus = 'F' AND o_orderkey % 3 = 0
+           UNION ALL SELECT o_orderkey, o_totalprice, o_custkey
+             FROM orders WHERE o_orderstatus = 'O'),
+         m AS (SELECT COALESCE(b.o_orderkey, i.o_orderkey) AS o_orderkey,
+             CASE WHEN i.o_orderkey IS NOT NULL THEN i.o_totalprice
+                  ELSE b.o_totalprice END AS o_totalprice,
+             CASE WHEN b.o_orderkey IS NOT NULL THEN b.o_custkey
+                  ELSE i.o_custkey END AS o_custkey
+           FROM base b FULL JOIN inc i ON b.o_orderkey = i.o_orderkey)
+         SELECT o_custkey, COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS price_sum
+           FROM m GROUP BY 1
+         ORDER BY o_custkey""")),
+
     // ST1 — Structured Streaming file-source catch-up (Trigger.AvailableNow),
     // then a batch aggregate over the caught-up copy.
     QueryDef("q_st1_streaming_catchup",
