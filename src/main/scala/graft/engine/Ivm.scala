@@ -71,14 +71,19 @@ object Ivm {
             (coalesce(col(sumCol), lit(BigDecimal(0)).cast(Dec)) +
               coalesce(col("__dsum"), lit(BigDecimal(0)).cast(Dec))).cast(Dec).as(sumCol))
     }
-    val dead = merged.filter(col(nCol) <= 0).select(key)
-    // batch = toVersion: the view manifest remembers the fact version it
-    // has applied through (commit carries the max id forward, so the
-    // trailing delete keeps it too)
-    val v = TxTable.commitMerge(spark, aggRoot, merged.filter(col(nCol) > 0),
-      Seq(key), Seq(nCol, sumCol), Nil, batch = Some(toVersion))
-    if (dead.isEmpty) v
-    else TxTable.commitDelete(spark, aggRoot, dead, Seq(key))
+    // merged is consumed three times (dead probe, merge write, delete) —
+    // cache the change-sized frame so the feed scan + joins run once
+    merged.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dead = merged.filter(col(nCol) <= 0).select(key)
+      // batch = toVersion: the view manifest remembers the fact version it
+      // has applied through (commit carries the max id forward, so the
+      // trailing delete keeps it too)
+      val v = TxTable.commitMerge(spark, aggRoot, merged.filter(col(nCol) > 0),
+        Seq(key), Seq(nCol, sumCol), Nil, batch = Some(toVersion))
+      if (dead.isEmpty) v
+      else TxTable.commitDelete(spark, aggRoot, dead, Seq(key))
+    } finally merged.unpersist(false)
   }
 
   /** Catch the view up to the fact table's HEAD, exactly-once and

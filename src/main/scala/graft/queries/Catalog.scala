@@ -2033,10 +2033,16 @@ object Catalog {
         val root = Files.createTempDirectory("graft_txz").toString + "/tbl"
         val o = t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
         val withZ = o.withColumn("__z", ZOrder.zColumn(o, "o_orderkey", "o_custkey"))
-        // exact z quantile cuts -> 8 half-open slices, one segment each
-        // (a production write does ONE repartitionByRange + a single
-        // multi-segment commit; per-slice appends keep the demo explicit)
-        val cuts = withZ.stat.approxQuantile("__z", (1 until 8).map(_ / 8.0).toArray, 0.0)
+        // z quantile cuts -> 8 half-open slices, one segment each (a
+        // production write does ONE repartitionByRange + a single
+        // multi-segment commit — that op is q_tx_compact_zorder; per-slice
+        // appends keep THIS demo explicit).  Approximate cuts suffice: the
+        // output bands don't depend on them and the requires only need
+        // rough z-locality per slice — exact (err=0) quantiles would pay a
+        // full sort for nothing.  Cache the z-tagged table once instead of
+        // recomputing it for each of the 8 slice writes.
+        withZ.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val cuts = withZ.stat.approxQuantile("__z", (1 until 8).map(_ / 8.0).toArray, 0.005)
           .map(_.toLong)
         val bounds = (Long.MinValue +: cuts) :+ Long.MaxValue
         (0 until 8).foreach { i =>
@@ -2044,6 +2050,7 @@ object Catalog {
             withZ.filter(col("__z") > bounds(i) && col("__z") <= bounds(i + 1)).drop("__z"),
             statsCols = Seq("o_orderkey", "o_custkey"))
         }
+        withZ.unpersist(false)
         val (mk, mc) = {
           val r = o.agg(max("o_orderkey"), max("o_custkey")).collect().head
           (r.getLong(0), r.getLong(1))
