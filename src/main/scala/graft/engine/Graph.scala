@@ -126,15 +126,30 @@ object Graph {
           .union(m.select(col("u").as("hi"), col("m").as("lo")))
       picked.filter(col("hi") =!= col("lo")).distinct()
     }
+    // convergence probe: (count, XOR of xxhash64(hi,lo)) over the canonical
+    // DISTINCT edge set — one small aggregate job over the checkpointed
+    // frame instead of an except anti-join shuffle EVERY round (XOR is
+    // order-independent and overflow-free under ANSI mode, and a distinct
+    // set has no duplicate pairs to cancel).  Equal signatures only
+    // nominate a fixpoint candidate; the exact one-sided except (with
+    // equal counts ⇒ set equality) still confirms, so a colliding hash
+    // fold can delay detection by a round but never mis-declare
+    // convergence.
+    def sig(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)),
+          expr("bit_xor(xxhash64(hi, lo))")).collect().head
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var eSig = sig(e)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
       val next = star(star(e, large = true), large = false).localCheckpoint()
-      // canonical direction + distinct on both sides ⇒ equal counts and an
-      // empty one-sided except IS set equality
-      converged = next.count() == e.count() && next.except(e).isEmpty
+      val nSig = sig(next)
+      converged = nSig == eSig && next.except(e).isEmpty
       freeCheckpoint(e)
       e = next
+      eSig = nSig
       i += 1
     }
     require(converged, s"connectedComponentsContraction: no fixpoint after " +
