@@ -231,16 +231,21 @@ object Catalog {
          SELECT l_returnflag, n_exact, n_est
          FROM x JOIN e ON x.l_returnflag = e.g ORDER BY 1""")),
 
-    // COUNT-MIN heavy hitters (Sketch.cmsSketch): estimate the true top-10
+    // COUNT-MIN heavy hitters (Sketch.cmsSketch): estimate the top-10
     // suppliers' row counts from a 4×256-cell sketch instead of an exact
     // groupBy of every key — the bounded-memory "find the hot keys BEFORE
-    // the shuffle" primitive behind the salting guards.  Same md5
-    // determinism as KMV, so the ESTIMATES hash-match DuckDB's restatement
-    // cell for cell; the in-query require gates the CMS one-sided-error
-    // guarantee (estimates never under-count).
+    // the shuffle" primitive behind the salting guards.  Sketch, exact
+    // audit and top-10 all read the SAME deterministic 1-in-8 systematic
+    // sample ((l_orderkey*31 + l_linenumber) % 8 = 0 — integer-exact in
+    // both engines): at 100 TB the hot-key probe sketches a sample, and
+    // auditing against exact counts of that same multiset keeps the CMS
+    // one-sided-error guarantee intact (the in-query require: estimates
+    // never under-count).  Same md5 determinism as KMV, so the ESTIMATES
+    // hash-match DuckDB's restatement cell for cell.
     QueryDef("q_cms_heavy_hitters",
       (s, dir) => {
         val li = t(s, dir, "lineitem")
+          .filter((col("l_orderkey") * 31 + col("l_linenumber")) % 8 === 0)
         val sketch = Sketch.cmsSketch(li, col("l_suppkey"), depth = 4, width = 256)
         val exact = li.groupBy("l_suppkey").agg(count(lit(1)).as("n_exact"))
         val top10 = exact.orderBy(col("n_exact").desc, col("l_suppkey")).limit(10)
@@ -252,14 +257,16 @@ object Catalog {
           "q_cms_heavy_hitters: a CMS estimate under-counted — min-of-cells broke")
         out
       },
-      Some("""WITH x AS (SELECT l_suppkey AS k, COUNT(*) AS n_exact
-             FROM lineitem GROUP BY 1),
+      Some("""WITH s AS (SELECT * FROM lineitem
+             WHERE (l_orderkey * 31 + l_linenumber) % 8 = 0),
+         x AS (SELECT l_suppkey AS k, COUNT(*) AS n_exact
+             FROM s GROUP BY 1),
          top AS (SELECT k, n_exact FROM x ORDER BY n_exact DESC, k LIMIT 10),
          r AS (SELECT CAST(unnest(range(0, 4)) AS INT) AS i),
          cells AS (SELECT i,
              CAST('0x' || substr(md5(CAST(l_suppkey AS VARCHAR) || '#' || CAST(i AS VARCHAR)), 1, 15) AS BIGINT) % 256 AS b,
              COUNT(*) AS c
-           FROM lineitem, r GROUP BY 1, 2),
+           FROM s, r GROUP BY 1, 2),
          probe AS (SELECT top.k, top.n_exact, r.i,
              CAST('0x' || substr(md5(CAST(top.k AS VARCHAR) || '#' || CAST(r.i AS VARCHAR)), 1, 15) AS BIGINT) % 256 AS b
            FROM top, r),
@@ -909,7 +916,11 @@ object Catalog {
     // the cold branch provably keeps the shuffle shape the split is
     // rescuing (the requires pin BOTH physical paths).  The result is
     // hot-set-invariant — the two branches partition the key space — so
-    // the oracle is the plain join, exactly like q_salted_join.
+    // the oracle is the plain join, exactly like q_salted_join.  The
+    // sketch reads a deterministic 1-in-8 systematic sample (hot-key
+    // RANKS survive uniform sampling): at 100 TB nobody sketches every
+    // row to decide routing, and a wrong hot set would change the plan,
+    // never the rows.
     QueryDef("q_skew_split_join",
       (s, dir) => {
         val ss = s.newSession()
@@ -917,7 +928,9 @@ object Catalog {
         val li = t(ss, dir, "lineitem").select("l_suppkey", "l_quantity")
         val sup = t(ss, dir, "supplier").select("s_suppkey", "s_nationkey")
           .withColumnRenamed("s_suppkey", "l_suppkey")
-        val sketch = Sketch.cmsSketch(li, col("l_suppkey"), depth = 4, width = 256)
+        val sketch = Sketch.cmsSketch(
+          li.filter(pmod(xxhash64(col("l_suppkey"), col("l_quantity")), lit(8)) === 0),
+          col("l_suppkey"), depth = 4, width = 256)
         val hot = Sketch.cmsEstimate(sketch, sup, "l_suppkey", 4, 256)
           .orderBy(col("n_est").desc, col("l_suppkey")).limit(10)
         val out = Relational.skewSplitJoin(li, sup, Seq("l_suppkey"), hot)
