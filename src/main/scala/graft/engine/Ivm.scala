@@ -59,6 +59,18 @@ object Ivm {
     val delta = ch.groupBy(key).agg(
       sum(sign).cast(LongType).as("__dn"),
       sum(col(valueCol).cast(Dec) * sign).cast(Dec).as("__dsum"))
+    applySignedDelta(spark, aggRoot, delta, key, nCol, sumCol, toVersion)
+  }
+
+  /** Publish a `(key, __dn, __dsum)` signed delta into the view at
+    * `aggRoot` (bootstrap when the view has no commits): existing rows for
+    * delta keys are fetched by broadcast semi-join, counts/sums add, keys
+    * whose count reaches zero leave the view, and the commit records
+    * `batchId` as the applied-through horizon.  Returns the view head. */
+  private def applySignedDelta(spark: SparkSession, aggRoot: String,
+                               delta: DataFrame, key: String,
+                               nCol: String, sumCol: String,
+                               batchId: Long): Long = {
     val merged = TxTable.latestVersion(spark, aggRoot) match {
       case None => delta.select(col(key), col("__dn").as(nCol), col("__dsum").as(sumCol))
       case Some(_) =>
@@ -76,14 +88,90 @@ object Ivm {
     merged.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val dead = merged.filter(col(nCol) <= 0).select(key)
-      // batch = toVersion: the view manifest remembers the fact version it
-      // has applied through (commit carries the max id forward, so the
+      // batch = the applied-through horizon: the view manifest remembers
+      // what it has applied (commit carries the max id forward, so the
       // trailing delete keeps it too)
       val v = TxTable.commitMerge(spark, aggRoot, merged.filter(col(nCol) > 0),
-        Seq(key), Seq(nCol, sumCol), Nil, batch = Some(toVersion))
+        Seq(key), Seq(nCol, sumCol), Nil, batch = Some(batchId))
       if (dead.isEmpty) v
       else TxTable.commitDelete(spark, aggRoot, dead, Seq(key))
     } finally merged.unpersist(false)
+  }
+
+  /** JOIN-VIEW IVM — maintain a `(groupKey, n, sum)` aggregate of
+    * `fact ⋈ dim` (inner equi-join on `factKey = dimKey`, grouped by a DIM
+    * attribute) from BOTH tables' change feeds, never re-running the join.
+    *
+    * The bilinear delta identity: with signed deltas Δ and snapshots
+    * `F_old` (fact at `factFrom`) and `D_new` (dim at `dimTo`),
+    *
+    * {{{ Δ(F ⋈ D) = ΔF ⋈ D_new  ∪  F_old ⋈ ΔD }}}
+    *
+    * (expand `(F+ΔF)⋈(D+ΔD)`: the cross term `ΔF⋈ΔD` lands in the first
+    * part because `D_new` already contains `ΔD`).  A joined row's sign is
+    * the sign of the change row that produced it — dim preimage/postimage
+    * pairs therefore MOVE a fact row's contribution between groups, dim
+    * deletes retract every joined fact row, dim inserts admit previously
+    * unmatched facts: every case is the same algebra, no special-casing.
+    *
+    * Both snapshots come straight from the table format: `D_new` is a
+    * time-travel read at `dimTo`, `F_old` at `factFrom` — IVM rides on
+    * snapshot isolation instead of keeping shadow copies.
+    *
+    * Scale shape: part 1 joins the CHANGE-sized fact delta against the
+    * broadcast dim (dims that fit the broadcast budget — the star-schema
+    * case); part 2 scans the old fact snapshot but joins it against the
+    * BROADCAST change-sized dim delta (the scan is the price of a dim
+    * change; an unchanged dim makes part 2 empty without touching the
+    * fact).  Everything downstream is delta-sized and the publish is the
+    * same segment-pruned merge as [[refreshSumCount]].
+    *
+    * EXACTLY-ONCE: the view's applied-through horizon covers TWO tables,
+    * packed into one batch id as `factTo << 20 | dimTo` (dim versions must
+    * stay below 2^20) — monotone because windows must advance JOINTLY and
+    * contiguously: apply `(fa,fb]×(da,db]` then `(fb,fc]×(db,dc]`.  A
+    * replayed refresh of an applied window is a no-op. */
+  def refreshJoinSumCount(spark: SparkSession, factRoot: String,
+                          dimRoot: String, aggRoot: String,
+                          factFrom: Long, factTo: Long,
+                          dimFrom: Long, dimTo: Long,
+                          factKey: String, dimKey: String,
+                          groupKey: String, valueCol: String,
+                          nCol: String = "n", sumCol: String = "sum"): Long = {
+    require(dimTo < (1L << 20),
+      s"Ivm.refreshJoinSumCount: dim version $dimTo overflows the packed horizon")
+    val packed = (factTo << 20) | dimTo
+    if (TxTable.lastCommittedBatch(spark, aggRoot).exists(_ >= packed))
+      return TxTable.latestVersion(spark, aggRoot).get // replay: already applied
+    val sign = when(col("_change_type").isin("insert", "update_postimage"), 1L)
+      .otherwise(-1L)
+    // part 1: fact delta ⋈ dim head — change-sized ⋈ broadcast dim
+    val p1 = {
+      val chF = TxTable.readChanges(spark, factRoot, factFrom, factTo)
+        .select(col(factKey).as("__k"), col(valueCol).cast(Dec).as("__v"),
+          sign.as("__s"))
+      val dNew = TxTable.readVersion(spark, dimRoot, dimTo)
+        .select(col(dimKey).as("__k"), col(groupKey))
+      chF.join(broadcast(dNew), "__k").select(col(groupKey), col("__v"), col("__s"))
+    }
+    // part 2: old fact snapshot ⋈ dim delta — fact ⋈ broadcast change set
+    val p2 = {
+      val chD = TxTable.readChanges(spark, dimRoot, dimFrom, dimTo)
+        .select(col(dimKey).as("__k"), col(groupKey), sign.as("__s"))
+      val fOld =
+        if (factFrom == 0L)
+          TxTable.read(spark, factRoot).limit(0) // no old snapshot yet
+        else TxTable.readVersion(spark, factRoot, factFrom)
+      fOld.select(col(factKey).as("__k"), col(valueCol).cast(Dec).as("__v"))
+        .join(broadcast(chD), "__k")
+        .select(col(groupKey), col("__v"), col("__s"))
+    }
+    val delta = p1.unionByName(p2).groupBy(groupKey).agg(
+      sum(col("__s")).cast(LongType).as("__dn"),
+      sum(col("__v") * col("__s")).cast(Dec).as("__dsum"))
+    if (delta.isEmpty) // layout-only windows: nothing to apply
+      return TxTable.latestVersion(spark, aggRoot).getOrElse(0L)
+    applySignedDelta(spark, aggRoot, delta, groupKey, nCol, sumCol, packed)
   }
 
   /** Catch the view up to the fact table's HEAD, exactly-once and

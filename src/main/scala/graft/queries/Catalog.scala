@@ -1929,6 +1929,80 @@ object Catalog {
            GROUP BY 1
          ORDER BY o_custkey""")),
 
+    // JOIN-VIEW IVM (Ivm.refreshJoinSumCount): a per-nation (n, price_sum)
+    // view of fact ⋈ customer is maintained from BOTH change feeds via the
+    // bilinear delta identity Δ(F⋈D) = ΔF⋈D_new ∪ F_old⋈ΔD — the join is
+    // never re-run, and the snapshots the identity needs come from the
+    // table format's own time travel.  The script exercises every delta
+    // class: fact bootstrap, fact update+insert, a dim UPDATE THAT MOVES
+    // GROUPS (customers re-homed to nation 99 — their facts' contributions
+    // must migrate), and a fact delete against an unchanged dim window.
+    // Decimal accumulation makes the three-step incremental view equal the
+    // oracle's from-scratch join of the FINAL states bit for bit.
+    QueryDef("q_tx_ivm_join",
+      (s, dir) => {
+        val base0 = Files.createTempDirectory("graft_txivmj").toString
+        val (fact, dim, view) = (s"$base0/fact", s"$base0/dim", s"$base0/view")
+        val o = t(s, dir, "orders")
+        val c = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+        def refresh(ff: Long, ft: Long, df0: Long, dt: Long): Long =
+          Ivm.refreshJoinSumCount(s, fact, dim, view, ff, ft, df0, dt,
+            "o_custkey", "c_custkey", "c_nationkey", "o_totalprice",
+            sumCol = "price_sum")
+        val f1 = TxTable.commitMerge(s, fact,
+          o.filter(col("o_orderstatus") === "F")
+            .select("o_orderkey", "o_totalprice", "o_custkey"),
+          Seq("o_orderkey"), Seq("o_totalprice"), Seq("o_custkey"), cdf = true)
+        val d1 = TxTable.commitMerge(s, dim, c,
+          Seq("c_custkey"), Seq("c_nationkey"), Nil, cdf = true)
+        refresh(0L, f1, 0L, d1)
+        val updates = o
+          .filter(col("o_orderstatus") === "F" && col("o_orderkey") % 3 === 0)
+          .select(col("o_orderkey"),
+            (col("o_totalprice") + 1000.0).as("o_totalprice"),
+            lit(-1L).as("o_custkey"))
+        val inserts = o.filter(col("o_orderstatus") === "O")
+          .select("o_orderkey", "o_totalprice", "o_custkey")
+        val f2 = TxTable.commitMerge(s, fact, updates.unionByName(inserts),
+          Seq("o_orderkey"), Seq("o_totalprice"), Seq("o_custkey"), cdf = true)
+        val d2 = TxTable.commitMerge(s, dim,
+          c.filter(col("c_custkey") % 7 === 0)
+            .select(col("c_custkey"), lit(99L).as("c_nationkey")),
+          Seq("c_custkey"), Seq("c_nationkey"), Nil, cdf = true)
+        refresh(f1, f2, d1, d2)
+        val f3 = TxTable.commitDelete(s, fact,
+          TxTable.read(s, fact).filter(col("o_orderkey") % 5 === 0)
+            .select("o_orderkey"),
+          Seq("o_orderkey"), cdf = true)
+        refresh(f2, f3, d2, d2) // dim unchanged: part 2 is provably empty
+        TxTable.read(s, view)
+          .select(col("c_nationkey"), col("n"),
+            col("price_sum").cast("double").as("price_sum"))
+          .orderBy("c_nationkey")
+      },
+      Some("""WITH base AS (SELECT o_orderkey, o_totalprice, o_custkey
+             FROM orders WHERE o_orderstatus = 'F'),
+         upd AS (SELECT o_orderkey, o_totalprice + 1000.0 AS o_totalprice
+             FROM orders WHERE o_orderstatus = 'F' AND o_orderkey % 3 = 0),
+         ins AS (SELECT o_orderkey, o_totalprice, o_custkey
+             FROM orders WHERE o_orderstatus = 'O'),
+         factf AS (SELECT b.o_orderkey,
+               COALESCE(u.o_totalprice, b.o_totalprice) AS o_totalprice,
+               b.o_custkey
+             FROM base b LEFT JOIN upd u USING (o_orderkey)
+           UNION ALL SELECT o_orderkey, o_totalprice, o_custkey FROM ins),
+         dimf AS (SELECT c_custkey,
+               CASE WHEN c_custkey % 7 = 0 THEN 99 ELSE c_nationkey END
+                 AS c_nationkey
+             FROM customer)
+         SELECT d.c_nationkey, COUNT(*) AS n,
+             CAST(SUM(CAST(f.o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+               AS price_sum
+           FROM factf f JOIN dimf d ON f.o_custkey = d.c_custkey
+           WHERE f.o_orderkey % 5 <> 0
+           GROUP BY 1
+         ORDER BY c_nationkey""")),
+
     // Manifest-level data skipping on the transactional table: three
     // appends carry disjoint o_orderkey thirds with min/max stats, and the
     // range read prunes the two non-overlapping segments BEFORE any parquet

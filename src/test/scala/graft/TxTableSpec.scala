@@ -320,6 +320,42 @@ class TxTableSpec extends SparkFunSuite {
     assert(viewRows() === Seq(("u2", 1L, 9.0)), "the update must move u2's sum only")
   }
 
+  test("join-view ivm: dim updates move contributions between groups; replay no-ops") {
+    val fact = newRoot(); val dim = newRoot(); val view = newRoot()
+    import graft.engine.Ivm
+    def refresh(ff: Long, ft: Long, df0: Long, dt: Long): Long =
+      Ivm.refreshJoinSumCount(spark, fact, dim, view, ff, ft, df0, dt,
+        "k", "k", "g", "x")
+    def viewRows() = TxTable.read(spark, view)
+      .select(col("g"), col("n"), col("sum").cast("double"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1).toSeq
+    val f1 = TxTable.commitMerge(spark, fact,
+      Seq((1L, 10.0, 100L), (2L, 5.0, 100L), (3L, 7.0, 200L), (4L, 2.0, 999L))
+        .toDF("id", "x", "k"),
+      Seq("id"), Seq("x"), Seq("k"), cdf = true)
+    val d1 = TxTable.commitMerge(spark, dim,
+      Seq((100L, "a"), (200L, "b")).toDF("k", "g"),
+      Seq("k"), Seq("g"), Nil, cdf = true)
+    refresh(0L, f1, 0L, d1)
+    // key 999 has no dim match: the inner-join view must not see it
+    assert(viewRows() === Seq(("a", 2L, 15.0), ("b", 1L, 7.0)))
+    // dim update moves key 200 from group b to group a: fact row 3's
+    // contribution must migrate with NO fact change in the window
+    val d2 = TxTable.commitMerge(spark, dim, Seq((200L, "a")).toDF("k", "g"),
+      Seq("k"), Seq("g"), Nil, cdf = true)
+    refresh(f1, f1, d1, d2)
+    assert(viewRows() === Seq(("a", 3L, 22.0)), "group b zeroed out and left")
+    // replaying an applied window is a no-op (exactly-once horizon)
+    val head = refresh(f1, f1, d1, d2)
+    assert(refresh(f1, f1, d1, d2) === head)
+    assert(viewRows() === Seq(("a", 3L, 22.0)))
+    // dim delete retracts every joined fact row of that key
+    val d3 = TxTable.commitDelete(spark, dim, Seq(100L).toDF("k"), Seq("k"), cdf = true)
+    refresh(f1, f1, d2, d3)
+    assert(viewRows() === Seq(("a", 1L, 7.0)), "only key 200's row survives")
+  }
+
   test("change data feed: un-recorded commits refuse, vacuum ages cdc out") {
     val root = newRoot()
     TxTable.commitMerge(spark, root, Seq((1L, 1.0)).toDF("k", "x"),
