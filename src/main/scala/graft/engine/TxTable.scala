@@ -10,6 +10,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * {{{
   *   <root>/data/<uuid>/part-*.parquet   immutable data segments
   *   <root>/cdc/<uuid>/part-*.parquet    per-commit change segments (CDF)
+  *   <root>/dv/<uuid>/part-*.parquet     deletion-vector key sets (merge-on-read)
   *   <root>/_txlog/v<NNNNNNNNNN>.json    manifest: the segment list of version N
   *   <root>/_txlog/v<NNNNNNNNNN>.claim   zero-byte slot claim (commit CAS)
   * }}}
@@ -78,10 +79,16 @@ object TxTable {
   // manifest before any footer is opened
   // cdc: change segments ("cdc/<uuid>") recorded by THIS commit when change
   // data capture was requested — per-commit, never carried forward
+  // dvs: DELETION VECTORS — each entry is "dv/<uuid>|<dataSeg>|<dataSeg>…":
+  // a tombstone-key segment plus the data segments it applies to (scoped to
+  // the snapshot that existed when the DV committed, so later re-inserts of
+  // a deleted key are NOT suppressed).  Pipe-joined flat strings keep the
+  // dependency-free JSON exact (segment names are uuids, never '|')
   private case class Manifest(version: Long, op: String, segments: Seq[String],
                               batch: Option[Long] = None,
                               stats: Map[String, Map[String, ColStat]] = Map.empty,
-                              cdc: Seq[String] = Nil)
+                              cdc: Seq[String] = Nil,
+                              dvs: Seq[String] = Nil)
 
   private def fs(spark: SparkSession, root: String): FileSystem =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -97,6 +104,8 @@ object TxTable {
       m.batch.map(b => s""""batch":$b,""").getOrElse("") +
       (if (m.cdc.isEmpty) "" else
         """"cdc":[""" + m.cdc.map(s => "\"" + s + "\"").mkString(",") + "],") +
+      (if (m.dvs.isEmpty) "" else
+        """"dvs":[""" + m.dvs.map(s => "\"" + s + "\"").mkString(",") + "],") +
       """"segments":[""" +
       m.segments.map(s => "\"" + s + "\"").mkString(",") + "]" +
       (if (m.stats.isEmpty) "" else
@@ -120,6 +129,8 @@ object TxTable {
     val segments = splitList(segs)
     val cdc = """"cdc":\[([^\]]*)\]""".r.findFirstMatchIn(s)
       .map(m0 => splitList(m0.group(1))).getOrElse(Seq.empty)
+    val dvs = """"dvs":\[([^\]]*)\]""".r.findFirstMatchIn(s)
+      .map(m0 => splitList(m0.group(1))).getOrElse(Seq.empty)
     val stats = """"stats":\{(.*)\}\}$""".r.findFirstMatchIn(s).map(_.group(1)) match {
       case None => Map.empty[String, Map[String, ColStat]]
       case Some(body) =>
@@ -131,7 +142,7 @@ object TxTable {
           m0.group(1) -> cols
         }.toMap
     }
-    Manifest(version, op, segments, batch, stats, cdc)
+    Manifest(version, op, segments, batch, stats, cdc, dvs)
   }
 
   /** Latest committed version, or None for an uninitialized table. */
@@ -267,7 +278,8 @@ object TxTable {
                      batch: Option[Long] = None,
                      stats: Map[String, Map[String, ColStat]] = Map.empty,
                      expectVersion: Option[Long] = None,
-                     cdc: Seq[String] = Nil): Long = {
+                     cdc: Seq[String] = Nil,
+                     dvs: Seq[String] = Nil): Long = {
     val f = fs(spark, root)
     var attempt = 0
     while (true) {
@@ -291,7 +303,7 @@ object TxTable {
         val tmp = new Path(target.getParent, s".tmp-${java.util.UUID.randomUUID()}")
         val os = f.create(tmp, false)
         try os.write(writeJson(Manifest(next, op, segments, carried,
-          stats.filter(kv => segments.contains(kv._1)), cdc))
+          stats.filter(kv => segments.contains(kv._1)), cdc, dvs))
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
         finally os.close()
         require(f.rename(tmp, target),
@@ -343,7 +355,7 @@ object TxTable {
       val stats = base.stats ++ (if (segSt.nonEmpty) Map(seg -> segSt) else Map.empty)
       try return commit(spark, root, "append", base.segments :+ seg,
         maxRetries = 0, batch, stats,
-        expectVersion = Some(headV.getOrElse(0L) + 1))
+        expectVersion = Some(headV.getOrElse(0L) + 1), dvs = base.dvs)
       catch { case _: IllegalArgumentException if attempt < 10 => attempt += 1 }
     }
     -1L // unreachable
@@ -416,10 +428,9 @@ object TxTable {
       case Some(headV) =>
         val head = readManifest(spark, root, headV)
         val segs = head.segments
-        // anchor the segment tag to the END of the path: a table ROOT that
-        // itself contains a /data/<x>/ component must not hijack the match
-        val cur = readVersion(spark, root, headV)
-          .withColumn("__seg", regexp_extract(input_file_name(), "/(data/[^/]+)/[^/]*$", 1))
+        // tagged at the scan (end-anchored: a table ROOT containing a
+        // /data/<x>/ component must not hijack the match), DVs applied
+        val cur = readVersionTagged(spark, root, headV)
         val inKeys = broadcast(incoming.select(keys.map(col): _*).distinct())
         val hitSegs = cur
           .join(inKeys, keys.map(k => cur(k) <=> inKeys(k)).reduce(_ && _), "left_semi")
@@ -447,10 +458,12 @@ object TxTable {
             .withColumn("_change_type", lit("insert"))
           Seq(writeChangeSegment(pre.unionByName(post).unionByName(ins), root))
         }
+        val carriedSegs = segs.filterNot(hitSegs.contains)
         commit(spark, root, "merge",
-          segs.filterNot(hitSegs.contains) :+ newSeg, maxRetries = 0,
+          carriedSegs :+ newSeg, maxRetries = 0,
           batch = batch, stats = carryStats(spark, root, head, newSeg, statsCols),
-          expectVersion = Some(headV + 1), cdc = cdc)
+          expectVersion = Some(headV + 1), cdc = cdc,
+          dvs = carryDvs(head.dvs, carriedSegs.toSet))
     }
   }
 
@@ -474,6 +487,17 @@ object TxTable {
     commitMerge(spark, root, df, keys, updateCols, preserveCols, Some(batchId),
       statsCols, cdf)
   }
+
+  /** Deletion vectors for a rewritten manifest: each carried DV keeps only
+    * the data segments that SURVIVED the rewrite (a rewritten segment's
+    * rows passed through the DV during the read, so its replacement is
+    * DV-clean); DVs left scoping nothing are dropped. */
+  private def carryDvs(dvs: Seq[String], survivors: Set[String]): Seq[String] =
+    dvs.flatMap { entry =>
+      val parts = entry.split("\\|").toSeq
+      val kept = parts.tail.filter(survivors.contains)
+      if (kept.isEmpty) None else Some((parts.head +: kept).mkString("|"))
+    }
 
   /** Stats for a rewritten manifest: carried segments keep theirs; the
     * replacement segment gets fresh min/max over every column the head
@@ -504,9 +528,7 @@ object TxTable {
     val head = readManifest(spark, root, headV)
     val segs = head.segments
     val tomb = broadcast(tombstones.select(keys.map(col): _*).distinct())
-    // end-anchored for the same root-contains-/data/ reason as commitMerge
-    val cur = readVersion(spark, root, headV)
-      .withColumn("__seg", regexp_extract(input_file_name(), "/(data/[^/]+)/[^/]*$", 1))
+    val cur = readVersionTagged(spark, root, headV)
     def keyCond(df: DataFrame) = keys.map(k => df(k) <=> tomb(k)).reduce(_ && _)
     val hitSegs = cur.join(tomb, keyCond(cur), "left_semi")
       .select("__seg").distinct().collect().map(_.getString(0)).toSet
@@ -526,7 +548,8 @@ object TxTable {
       touched.join(tomb, keyCond(touched), "left_semi").drop("__seg")
         .withColumn("_change_type", lit("delete")), root))
     commit(spark, root, "delete", carried ++ newSegs, maxRetries = 0,
-      stats = stats, expectVersion = Some(headV + 1), cdc = cdc)
+      stats = stats, expectVersion = Some(headV + 1), cdc = cdc,
+      dvs = carryDvs(head.dvs, carried.toSet))
   }
 
   /** Compact the CURRENT snapshot into ≈ceil(bytes/targetBytes) files as a
@@ -621,8 +644,13 @@ object TxTable {
       }
     }
     if (kept.isEmpty) readVersion(spark, root, v).limit(0) // provably empty
-    else spark.read.option("mergeSchema", "true")
-      .parquet(kept.map(s => s"${root.stripSuffix("/")}/$s"): _*)
+    else {
+      val raw = spark.read.option("mergeSchema", "true")
+        .parquet(kept.map(s => s"${root.stripSuffix("/")}/$s"): _*)
+      if (m.dvs.isEmpty) raw
+      else applyDvs(spark, root, m.dvs, raw.withColumn("__seg", segTag))
+        .drop("__seg")
+    }
   }
 
   /** Range-filtered read with MANIFEST-LEVEL data skipping: segments whose
@@ -716,8 +744,95 @@ object TxTable {
   def readVersion(spark: SparkSession, root: String, v: Long): DataFrame = {
     val m = readManifest(spark, root, v)
     require(m.segments.nonEmpty, s"TxTable: version $v of $root is empty")
-    spark.read.option("mergeSchema", "true")
+    val raw = spark.read.option("mergeSchema", "true")
       .parquet(m.segments.map(s => s"${root.stripSuffix("/")}/$s"): _*)
+    if (m.dvs.isEmpty) raw
+    else applyDvs(spark, root, m.dvs, raw.withColumn("__seg", segTag))
+      .drop("__seg")
+  }
+
+  /** The source-segment tag — `input_file_name()` must be computed AT the
+    * scan (Spark refuses it above a multi-source join), so every path that
+    * needs row provenance tags first and composes after. */
+  private def segTag: org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{input_file_name, regexp_extract}
+    regexp_extract(input_file_name(), "/(data/[^/]+)/[^/]*$", 1)
+  }
+
+  /** Snapshot of version `v` tagged with its source segment as `__seg`,
+    * deletion vectors applied — what the merge/delete rewrite paths read
+    * (they need the provenance tag anyway for hit-segment detection). */
+  private def readVersionTagged(spark: SparkSession, root: String,
+                                v: Long): DataFrame = {
+    val m = readManifest(spark, root, v)
+    require(m.segments.nonEmpty, s"TxTable: version $v of $root is empty")
+    val raw = spark.read.option("mergeSchema", "true")
+      .parquet(m.segments.map(s => s"${root.stripSuffix("/")}/$s"): _*)
+      .withColumn("__seg", segTag)
+    applyDvs(spark, root, m.dvs, raw)
+  }
+
+  /** MERGE-ON-READ: anti-join a `__seg`-tagged snapshot against its
+    * manifest's deletion vectors.  Each DV is a broadcast tombstone-key
+    * set scoped to the data segments that existed when it committed (the
+    * tag confines suppression to those segments, so later-appended rows
+    * with a tombstoned key pass through untouched).  Broadcast anti-joins
+    * add no shuffle; the tag column survives for callers that need
+    * provenance.  Key columns are the DV parquet's own schema; matching is
+    * null-safe like [[commitDelete]]'s. */
+  private def applyDvs(spark: SparkSession, root: String, dvs: Seq[String],
+                       tagged: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, lit}
+    dvs.foldLeft(tagged) { (acc, entry) =>
+      val parts = entry.split("\\|").toSeq
+      val (dvSeg, applies) = (parts.head, parts.tail)
+      val keys = spark.read.parquet(s"${root.stripSuffix("/")}/$dvSeg")
+      val keyCols = keys.schema.fieldNames.toSeq
+      val scoped = applies.map(sg => keys.withColumn("__dvseg", lit(sg)))
+        .reduce(_ unionByName _)
+        .select((keyCols.map(k => col(k).as(s"__dv_$k")) :+ col("__dvseg")): _*)
+      val cond = keyCols.map(k => acc(k) <=> scoped(s"__dv_$k"))
+        .reduce(_ && _) && acc("__seg") === scoped("__dvseg")
+      acc.join(broadcast(scoped), cond, "left_anti")
+    }
+  }
+
+  /** DELETION-VECTOR DELETE — merge-on-read: publish the tombstone KEY SET
+    * as a `dv/` sidecar scoped to the current snapshot's segments, with NO
+    * data segment read or rewritten (the write is O(tombstones), the
+    * row-level work moves to read time as a broadcast anti-join).  This is
+    * the high-frequency-delete half of the story [[commitDelete]]'s
+    * copy-on-write rewrite is too expensive for; any rewriting commit
+    * ([[compactTx]], [[compactZOrder]], [[commitOverwrite]]) MATERIALIZES
+    * outstanding DVs — it reads through them and publishes a DV-free
+    * manifest — and [[commitMerge]]/[[commitDelete]] keep carried
+    * segments' DVs scoped correctly.  `cdf = true` records the deleted
+    * rows for [[readChanges]], which DOES cost a snapshot probe (that's
+    * the tradeoff: pay it only if a change feed consumer needs the rows).
+    * Returns the head (unchanged) when `tombstones` is empty. */
+  def commitDeleteVectors(spark: SparkSession, root: String,
+                          tombstones: DataFrame, keys: Seq[String],
+                          cdf: Boolean = false): Long = {
+    import org.apache.spark.sql.functions.{broadcast, col, lit}
+    val headV = latestVersion(spark, root).getOrElse(
+      throw new IllegalArgumentException(
+        s"TxTable.commitDeleteVectors: no commits under $root"))
+    val head = readManifest(spark, root, headV)
+    val tomb = tombstones.select(keys.map(col): _*).distinct()
+    if (tomb.isEmpty) return headV
+    val dvSeg = "dv/" + java.util.UUID.randomUUID().toString
+    tomb.write.parquet(s"${root.stripSuffix("/")}/$dvSeg")
+    val entry = (dvSeg +: head.segments).mkString("|")
+    val cdc = if (!cdf) Nil else {
+      val cur = readVersion(spark, root, headV)
+      val bt = broadcast(tomb)
+      Seq(writeChangeSegment(
+        cur.join(bt, keys.map(k => cur(k) <=> bt(k)).reduce(_ && _), "left_semi")
+          .withColumn("_change_type", lit("delete")), root))
+    }
+    commit(spark, root, "dvdelete", head.segments, maxRetries = 0,
+      stats = head.stats, expectVersion = Some(headV + 1), cdc = cdc,
+      dvs = head.dvs :+ entry)
   }
 
   /** CHANGE DATA FEED (the Delta CDF idea): every row-level change the
@@ -758,7 +873,7 @@ object TxTable {
           val fresh = m.segments.filterNot(prev.contains)
           if (fresh.isEmpty) Nil
           else Seq(readSegs(fresh).withColumn("_change_type", lit("insert")))
-        case "merge" | "delete" =>
+        case "merge" | "delete" | "dvdelete" =>
           if (m.cdc.nonEmpty) Seq(readSegs(m.cdc))
           else throw new IllegalArgumentException(
             s"TxTable.readChanges: commit v$v (${m.op}) recorded no change " +
@@ -803,6 +918,14 @@ object TxTable {
     val cdcDir = new Path(s"${root.stripSuffix("/")}/cdc")
     if (f.exists(cdcDir)) f.listStatus(cdcDir).foreach { st =>
       if (!liveCdc.contains("cdc/" + st.getPath.getName))
+        f.delete(st.getPath, true)
+    }
+    // deletion-vector sidecars live as long as a retained manifest scopes
+    // them (rewrites drop fully-materialized DVs from their manifests)
+    val liveDvs = kept.flatMap(_.dvs.map(_.split("\\|").head)).toSet
+    val dvDir = new Path(s"${root.stripSuffix("/")}/dv")
+    if (f.exists(dvDir)) f.listStatus(dvDir).foreach { st =>
+      if (!liveDvs.contains("dv/" + st.getPath.getName))
         f.delete(st.getPath, true)
     }
     (1L until keepFrom).foreach(v => f.delete(manifestPath(root, v), false))

@@ -2003,6 +2003,53 @@ object Catalog {
            GROUP BY 1
          ORDER BY c_nationkey""")),
 
+    // MERGE-ON-READ deletion vectors (TxTable.commitDeleteVectors): a
+    // delete that writes only the tombstone KEY SET as a dv/ sidecar —
+    // zero data segments read or rewritten (the in-query require pins the
+    // no-rewrite invariant: the data directory is untouched by the
+    // delete).  Reads apply the DV as a broadcast anti-join scoped to the
+    // segments that existed at delete time, so a later re-insert of a
+    // deleted key is visible; compaction materializes (reads through the
+    // DV and publishes a DV-free manifest).  This is the
+    // high-frequency-delete half of the story copy-on-write commitDelete
+    // is too expensive for at 100 TB: delete cost O(tombstones), not
+    // O(segments-hit).  The oracle restates the final state relationally.
+    QueryDef("q_tx_dv",
+      (s, dir) => {
+        val root = Files.createTempDirectory("graft_txdv").toString + "/tbl"
+        val o = t(s, dir, "orders").select("o_orderkey", "o_totalprice")
+        TxTable.commitAppend(s, root, o.filter(col("o_orderkey") % 2 === 0))
+        TxTable.commitAppend(s, root, o.filter(col("o_orderkey") % 2 =!= 0))
+        def dataSegs() = new java.io.File(root + "/data").listFiles.count(_.isDirectory)
+        val before = dataSegs()
+        TxTable.commitDeleteVectors(s, root,
+          o.filter(col("o_orderkey") % 3 === 0).select("o_orderkey"),
+          Seq("o_orderkey"))
+        require(dataSegs() == before,
+          "q_tx_dv: a deletion-vector delete must not rewrite data segments")
+        // re-insert a subset of the tombstoned keys: DV scoping must show
+        // them (they live in a segment the DV does not apply to)
+        TxTable.commitAppend(s, root,
+          o.filter(col("o_orderkey") % 6 === 0)
+            .select(col("o_orderkey"), (col("o_totalprice") + 100.0).as("o_totalprice")))
+        // compaction materializes the DV; the visible rows must not change
+        TxTable.compactTx(s, root)
+        TxTable.read(s, root)
+          .groupBy((col("o_orderkey") % 10).as("bucket"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("price_sum"))
+          .orderBy("bucket")
+      },
+      Some("""WITH base AS (SELECT o_orderkey, o_totalprice FROM orders),
+         kept AS (SELECT o_orderkey, o_totalprice FROM base
+             WHERE o_orderkey % 3 <> 0
+           UNION ALL SELECT o_orderkey, o_totalprice + 100.0 FROM base
+             WHERE o_orderkey % 6 = 0)
+         SELECT o_orderkey % 10 AS bucket, COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+               AS price_sum
+           FROM kept GROUP BY 1
+         ORDER BY bucket""")),
+
     // Manifest-level data skipping on the transactional table: three
     // appends carry disjoint o_orderkey thirds with min/max stats, and the
     // range read prunes the two non-overlapping segments BEFORE any parquet

@@ -320,6 +320,59 @@ class TxTableSpec extends SparkFunSuite {
     assert(viewRows() === Seq(("u2", 1L, 9.0)), "the update must move u2's sum only")
   }
 
+  test("deletion vectors: no rewrite, re-insert visible, compact materializes") {
+    val root = newRoot()
+    def dataSegs() = new java.io.File(root + "/data").listFiles.count(_.isDirectory)
+    TxTable.commitAppend(spark, root, Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    TxTable.commitAppend(spark, root, Seq((3L, "c"), (4L, "d")).toDF("k", "v"))
+    val before = dataSegs()
+    val v = TxTable.commitDeleteVectors(spark, root, Seq(2L, 3L).toDF("k"), Seq("k"))
+    assert(dataSegs() === before, "a DV delete must not touch data segments")
+    def rows() = TxTable.read(spark, root)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(rows() === Seq((1L, "a"), (4L, "d")))
+    assert(TxTable.readVersion(spark, root, v - 1)
+      .count() === 4, "time travel to the pre-DV snapshot sees every row")
+    // a re-inserted tombstoned key lands in a segment the DV does not
+    // scope: it must be visible
+    TxTable.commitAppend(spark, root, Seq((2L, "b2")).toDF("k", "v"))
+    assert(rows() === Seq((1L, "a"), (2L, "b2"), (4L, "d")))
+    // stacked second DV
+    TxTable.commitDeleteVectors(spark, root, Seq(4L).toDF("k"), Seq("k"))
+    assert(rows() === Seq((1L, "a"), (2L, "b2")))
+    // compaction reads through the DVs and publishes a DV-free manifest;
+    // vacuum then collects the sidecars
+    TxTable.compactTx(spark, root)
+    assert(rows() === Seq((1L, "a"), (2L, "b2")))
+    TxTable.vacuum(spark, root, keepVersions = 1)
+    assert(!new java.io.File(root + "/dv").exists() ||
+      new java.io.File(root + "/dv").listFiles.isEmpty,
+      "materialized DV sidecars must age out with their manifests")
+    assert(rows() === Seq((1L, "a"), (2L, "b2")))
+  }
+
+  test("deletion vectors: merge carries scoping; cdf records deleted rows") {
+    val root = newRoot()
+    TxTable.commitMerge(spark, root, Seq((1L, 1.0), (2L, 2.0)).toDF("k", "x"),
+      Seq("k"), Seq("x"), Nil)
+    TxTable.commitAppend(spark, root, Seq((3L, 3.0), (4L, 4.0)).toDF("k", "x"))
+    val v = TxTable.commitDeleteVectors(spark, root, Seq(2L, 4L).toDF("k"),
+      Seq("k"), cdf = true)
+    val ch = TxTable.readChanges(spark, root, v - 1, v)
+    assert(ch.select("_change_type").distinct().collect()
+      .map(_.getString(0)).toSeq === Seq("delete"))
+    assert(ch.select("k").collect().map(_.getLong(0)).sorted.toSeq === Seq(2L, 4L))
+    // a merge touching only key 3's segment rewrites that segment; the
+    // DV must keep suppressing key 2 in the carried segment and key 4's
+    // suppression must survive the rewrite (its segment was rewritten
+    // DV-filtered, so the row is simply gone)
+    TxTable.commitMerge(spark, root, Seq((3L, 30.0)).toDF("k", "x"),
+      Seq("k"), Seq("x"), Nil)
+    assert(TxTable.read(spark, root).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+      === Seq((1L, 1.0), (3L, 30.0)))
+  }
+
   test("join-view ivm: dim updates move contributions between groups; replay no-ops") {
     val fact = newRoot(); val dim = newRoot(); val view = newRoot()
     import graft.engine.Ivm
