@@ -669,6 +669,43 @@ object Text {
         sum(when(col("__ndocs") > 1, 1L).otherwise(0L)).as("n_dup_segments"))
   }
 
+  /** Cross-document duplicate-segment REMOVAL with order-preserving
+    * document reconstruction — the RefinedWeb/CCNet line-dedup shape
+    * (boilerplate lines shared by many pages get cut; each page is then
+    * re-assembled from its surviving lines in original order).  Fixtures
+    * carry no newlines, so segmentation is the fixed-word-window form of
+    * [[segmentRows]] with the POSITION kept: posexplode → segment
+    * frequency (one hash-partitioned groupBy) → equi-join back → filter
+    * `ndocs <= maxDocs` → per-doc `array_sort(collect_list(struct(pos,
+    * segment)))` rebuild.  Documents whose every segment was cut leave the
+    * corpus (the dedup REMOVES them, same as exact dedup would).
+    *
+    * Scale shape: linear in corpus tokens — segment relation ≈ token
+    * relation, frequency is map-side-combined, the join back is an
+    * equi-join on the segment string, and the rebuild state per doc is the
+    * doc's own surviving segments (bounded by document length, the same
+    * bound the ingest already guarantees).  Never all-pairs. */
+  def dedupSegmentsRewrite(df: DataFrame, textCol: String, idCol: String,
+                           words: Int, maxDocs: Int = 1): DataFrame = {
+    val t = col("__t")
+    val nSeg = ceil(size(t).cast("double") / words).cast(LongType)
+    val seg = df.select(col(idCol).as("doc"), tokens(col(textCol)).as("__t"))
+      .repartition(col("doc"))
+      .select(col("doc"), posexplode(
+        when(size(t) > 0, transform(sequence(lit(0L), nSeg - 1),
+          i => array_join(slice(t, (i * words + 1).cast("int"), lit(words)), " ")))
+          .otherwise(array().cast("array<string>"))))
+      .withColumnRenamed("col", "segment")
+    val freq = seg.groupBy("segment").agg(countDistinct("doc").as("__ndocs"))
+    seg.join(freq, Seq("segment"))
+      .filter(col("__ndocs") <= maxDocs)
+      .groupBy("doc")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("segment")))),
+          x => x.getField("segment")), " ").as("clean_text"))
+  }
+
   // ------------------------------------------------- text normalization
   /** Normalization pass for scraped text: strip markup tags, collapse
     * whitespace runs, trim, casefold.  A pure per-row expression chain — no

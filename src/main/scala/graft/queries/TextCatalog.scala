@@ -1058,6 +1058,38 @@ object TextCatalog {
          FROM seg s JOIN f ON s.segment = f.segment
          GROUP BY 1 ORDER BY 1""")),
 
+    // Duplicate-segment REMOVAL + order-preserving rebuild
+    // (Text.dedupSegmentsRewrite): segments shared by more than 2 docs
+    // are cut corpus-wide and every document is re-assembled from its
+    // surviving segments in original order — the RefinedWeb line-dedup
+    // rewrite (q_segment_dedup only AUDITS; this one edits the corpus).
+    // The md5 of each rebuilt text pins byte-exact reconstruction against
+    // DuckDB's string_agg(… ORDER BY pos) restatement.
+    QueryDef("q_segment_dedup_rewrite",
+      (s, dir) => Text.dedupSegmentsRewrite(
+          t(s, dir, "documents"), "text", "doc_id", words = 4, maxDocs = 2)
+        .select(col("doc").as("doc_id"), col("n_kept"),
+          md5(col("clean_text")).as("clean_md5"),
+          length(col("clean_text")).cast(LongType).as("n_chars"))
+        .orderBy("doc_id"),
+      Some("""WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS wds
+             FROM documents),
+         seg AS (SELECT doc_id,
+             unnest(range(0, CAST(ceil(len(wds)/4.0) AS BIGINT))) AS pos,
+             unnest(list_transform(range(0, CAST(ceil(len(wds)/4.0) AS BIGINT)),
+               i -> array_to_string(wds[i*4+1 : i*4+4], ' '))) AS segment
+           FROM w),
+         f AS (SELECT segment, COUNT(DISTINCT doc_id) AS ndocs
+             FROM seg GROUP BY 1),
+         kept AS (SELECT s.doc_id, s.pos, s.segment
+             FROM seg s JOIN f USING (segment) WHERE f.ndocs <= 2)
+         SELECT doc_id, COUNT(*) AS n_kept,
+             md5(string_agg(segment, ' ' ORDER BY pos)) AS clean_md5,
+             CAST(length(string_agg(segment, ' ' ORDER BY pos)) AS BIGINT)
+               AS n_chars
+           FROM kept GROUP BY 1
+         ORDER BY doc_id""")),
+
     // Markup-strip + whitespace-collapse + casefold normalization: tags are
     // SYNTHESIZED deterministically (wrap + bold every ' table ') so the
     // strip pass has real work, and the `roundtrip` flag asserts in-band

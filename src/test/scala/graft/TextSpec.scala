@@ -192,6 +192,21 @@ class TextSpec extends SparkFunSuite {
     assert(got(3L) === ((2L, 0L)))  // "tail …" offsets the window → both segments unique
   }
 
+  test("dedupSegmentsRewrite cuts shared segments, preserves order, drops emptied docs") {
+    // words=2 segments; "b1 b2" is boilerplate shared by all three docs
+    val df = Seq(
+      (1L, "a1 a2 b1 b2 c1 c2"), // middle segment cut → "a1 a2 c1 c2"
+      (2L, "b1 b2 d1 d2"),       // leading segment cut → "d1 d2"
+      (3L, "b1 b2")              // only segment cut → doc leaves the corpus
+    ).toDF("doc_id", "text")
+    val got = Text.dedupSegmentsRewrite(df, "text", "doc_id", words = 2, maxDocs = 2)
+      .collect().map(r => r.getAs[Long]("doc") ->
+        (r.getAs[Long]("n_kept"), r.getAs[String]("clean_text"))).toMap
+    assert(got === Map(
+      1L -> ((2L, "a1 a2 c1 c2")),
+      2L -> ((1L, "d1 d2"))))
+  }
+
   test("normalizeMarkup strips tags, collapses whitespace, casefolds") {
     val df = Seq("<p>Hello  <b>World</b></p>", "no markup here", "<br>x<br>y")
       .toDF("text")
