@@ -84,11 +84,19 @@ object TxTable {
   // the snapshot that existed when the DV committed, so later re-inserts of
   // a deleted key are NOT suppressed).  Pipe-joined flat strings keep the
   // dependency-free JSON exact (segment names are uuids, never '|')
+  // schema: base64 of the snapshot's logical StructType JSON — SCHEMA
+  // EVOLUTION support: appends may add columns or omit existing ones
+  // (reads null-fill), type changes are refused AT COMMIT TIME, and a
+  // recorded schema lets reads plan WITHOUT opening any segment footer
+  // (mergeSchema's per-read footer sweep is the cost this removes); each
+  // manifest keeps its own snapshot's schema, so time travel reads the
+  // schema of its era
   private case class Manifest(version: Long, op: String, segments: Seq[String],
                               batch: Option[Long] = None,
                               stats: Map[String, Map[String, ColStat]] = Map.empty,
                               cdc: Seq[String] = Nil,
-                              dvs: Seq[String] = Nil)
+                              dvs: Seq[String] = Nil,
+                              schema: Option[String] = None)
 
   private def fs(spark: SparkSession, root: String): FileSystem =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -102,6 +110,7 @@ object TxTable {
   private def writeJson(m: Manifest): String =
     s"""{"version":${m.version},"op":"${m.op}",""" +
       m.batch.map(b => s""""batch":$b,""").getOrElse("") +
+      m.schema.map(s => s""""schema":"$s",""").getOrElse("") +
       (if (m.cdc.isEmpty) "" else
         """"cdc":[""" + m.cdc.map(s => "\"" + s + "\"").mkString(",") + "],") +
       (if (m.dvs.isEmpty) "" else
@@ -131,6 +140,7 @@ object TxTable {
       .map(m0 => splitList(m0.group(1))).getOrElse(Seq.empty)
     val dvs = """"dvs":\[([^\]]*)\]""".r.findFirstMatchIn(s)
       .map(m0 => splitList(m0.group(1))).getOrElse(Seq.empty)
+    val schema = """"schema":"([^"]*)"""".r.findFirstMatchIn(s).map(_.group(1))
     val stats = """"stats":\{(.*)\}\}$""".r.findFirstMatchIn(s).map(_.group(1)) match {
       case None => Map.empty[String, Map[String, ColStat]]
       case Some(body) =>
@@ -142,8 +152,48 @@ object TxTable {
           m0.group(1) -> cols
         }.toMap
     }
-    Manifest(version, op, segments, batch, stats, cdc, dvs)
+    Manifest(version, op, segments, batch, stats, cdc, dvs, schema)
   }
+
+  private def encodeSchema(s: org.apache.spark.sql.types.StructType): String =
+    java.util.Base64.getEncoder.encodeToString(
+      s.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  private def decodeSchema(b64: String): org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.DataType.fromJson(
+      new String(java.util.Base64.getDecoder.decode(b64),
+        java.nio.charset.StandardCharsets.UTF_8))
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+
+  /** All-nullable copy — recorded schemas never enforce non-null (an
+    * evolved column is null-filled in pre-evolution segments). */
+  private def relaxed(s: org.apache.spark.sql.types.StructType) =
+    org.apache.spark.sql.types.StructType(s.fields.map(_.copy(nullable = true)))
+
+  /** Evolve `base` by `incoming`: existing columns must keep their exact
+    * type (refused HERE, at commit time — not at some future read), new
+    * columns append.  Column order: base order, then additions. */
+  private def mergeEvolve(base: org.apache.spark.sql.types.StructType,
+                          incoming: org.apache.spark.sql.types.StructType,
+                          root: String): org.apache.spark.sql.types.StructType = {
+    val out = scala.collection.mutable.ArrayBuffer(relaxed(base).fields: _*)
+    relaxed(incoming).fields.foreach { f =>
+      out.indexWhere(_.name == f.name) match {
+        case -1 => out += f
+        case i => require(out(i).dataType == f.dataType,
+          s"TxTable: schema evolution cannot change column '${f.name}' from " +
+            s"${out(i).dataType.simpleString} to ${f.dataType.simpleString} under $root")
+      }
+    }
+    org.apache.spark.sql.types.StructType(out.toSeq)
+  }
+
+  /** The head snapshot's recorded logical schema (None for tables whose
+    * head predates schema recording). */
+  def tableSchema(spark: SparkSession,
+                  root: String): Option[org.apache.spark.sql.types.StructType] =
+    latestVersion(spark, root)
+      .flatMap(v => readManifest(spark, root, v).schema.map(decodeSchema))
 
   /** Latest committed version, or None for an uninitialized table. */
   def latestVersion(spark: SparkSession, root: String): Option[Long] = {
@@ -279,17 +329,22 @@ object TxTable {
                      stats: Map[String, Map[String, ColStat]] = Map.empty,
                      expectVersion: Option[Long] = None,
                      cdc: Seq[String] = Nil,
-                     dvs: Seq[String] = Nil): Long = {
+                     dvs: Seq[String] = Nil,
+                     schema: Option[String] = None): Long = {
     val f = fs(spark, root)
     var attempt = 0
     while (true) {
       val headV = latestVersion(spark, root)
-      val headBatch = headV.flatMap { v =>
-        try readManifest(spark, root, v).batch
+      val headM = headV.flatMap { v =>
+        try Some(readManifest(spark, root, v))
         catch { case _: java.io.FileNotFoundException => None }
       }
+      val headBatch = headM.flatMap(_.batch)
       if (batch.exists(b => headBatch.exists(_ >= b))) return ReplayNoOp
       val carried = (batch.toSeq ++ headBatch.toSeq).reduceOption(_ max _)
+      // schema carries forward through layout/delete commits that don't
+      // pass one, the same way the batch horizon does
+      val carriedSchema = schema.orElse(headM.flatMap(_.schema))
       val next = headV.map(_ + 1).getOrElse(1L)
       if (expectVersion.exists(_ != next))
         throw new IllegalArgumentException(
@@ -303,7 +358,7 @@ object TxTable {
         val tmp = new Path(target.getParent, s".tmp-${java.util.UUID.randomUUID()}")
         val os = f.create(tmp, false)
         try os.write(writeJson(Manifest(next, op, segments, carried,
-          stats.filter(kv => segments.contains(kv._1)), cdc, dvs))
+          stats.filter(kv => segments.contains(kv._1)), cdc, dvs, carriedSchema))
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
         finally os.close()
         require(f.rename(tmp, target),
@@ -328,7 +383,8 @@ object TxTable {
     val seg = writeSegment(df, root)
     commit(spark, root, "overwrite", Seq(seg),
       stats = Map(seg -> segStatsWithBlooms(spark, root, seg,
-        statsCols ++ bloomCols.map(bloomKey))).filter(_._2.nonEmpty))
+        statsCols ++ bloomCols.map(bloomKey))).filter(_._2.nonEmpty),
+      schema = Some(encodeSchema(relaxed(df.schema)))) // overwrite resets
   }
 
   /** Append `df` as a new segment alongside the current snapshot's. */
@@ -353,10 +409,25 @@ object TxTable {
       val base = headV
         .map(readManifest(spark, root, _)).getOrElse(Manifest(0, "", Seq.empty))
       val stats = base.stats ++ (if (segSt.nonEmpty) Map(seg -> segSt) else Map.empty)
+      // SCHEMA EVOLUTION: additions/omissions merge (reads null-fill);
+      // a type change throws HERE — before anything is published.  A
+      // pre-schema-era base upgrades by one mergeSchema footer sweep.
+      val baseSchema = base.schema.map(decodeSchema).getOrElse {
+        if (base.segments.isEmpty) df.schema
+        else spark.read.option("mergeSchema", "true")
+          .parquet(base.segments.map(s => s"${root.stripSuffix("/")}/$s"): _*)
+          .schema
+      }
+      val evolved = mergeEvolve(baseSchema, df.schema, root)
       try return commit(spark, root, "append", base.segments :+ seg,
         maxRetries = 0, batch, stats,
-        expectVersion = Some(headV.getOrElse(0L) + 1), dvs = base.dvs)
-      catch { case _: IllegalArgumentException if attempt < 10 => attempt += 1 }
+        expectVersion = Some(headV.getOrElse(0L) + 1), dvs = base.dvs,
+        schema = Some(encodeSchema(evolved)))
+      catch {
+        case e: IllegalArgumentException
+          if attempt < 10 && !e.getMessage.contains("schema evolution") =>
+            attempt += 1
+      }
     }
     -1L // unreachable
   }
@@ -424,7 +495,8 @@ object TxTable {
           staged.withColumn("_change_type", lit("insert")), root))
         commit(spark, root, "merge", Seq(seg), maxRetries = 0, batch = batch,
           stats = Map(seg -> segStats(spark, root, seg, statsCols)).filter(_._2.nonEmpty),
-          expectVersion = Some(1L), cdc = cdc)
+          expectVersion = Some(1L), cdc = cdc,
+          schema = Some(encodeSchema(relaxed(staged.schema))))
       case Some(headV) =>
         val head = readManifest(spark, root, headV)
         val segs = head.segments
@@ -463,7 +535,10 @@ object TxTable {
           carriedSegs :+ newSeg, maxRetries = 0,
           batch = batch, stats = carryStats(spark, root, head, newSeg, statsCols),
           expectVersion = Some(headV + 1), cdc = cdc,
-          dvs = carryDvs(head.dvs, carriedSegs.toSet))
+          dvs = carryDvs(head.dvs, carriedSegs.toSet),
+          schema = Some(encodeSchema(mergeEvolve(
+            head.schema.map(decodeSchema).getOrElse(merged.schema),
+            merged.schema, root))))
     }
   }
 
