@@ -1967,7 +1967,7 @@ object Catalog {
           Seq("o_orderkey"), Seq("o_totalprice"), Seq("o_custkey"), cdf = true)
         val d2 = TxTable.commitMerge(s, dim,
           c.filter(col("c_custkey") % 7 === 0)
-            .select(col("c_custkey"), lit(99L).as("c_nationkey")),
+            .select(col("c_custkey"), lit(99).as("c_nationkey")),
           Seq("c_custkey"), Seq("c_nationkey"), Nil, cdf = true)
         refresh(f1, f2, d1, d2)
         val f3 = TxTable.commitDelete(s, fact,

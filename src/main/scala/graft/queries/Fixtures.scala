@@ -29,20 +29,30 @@ object Fixtures {
   def table(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** The `events` fixture carries TIMESTAMP(NANOS) parquet, which Spark 4
-    * rejects outright ([PARQUET_TYPE_ILLEGAL]); read the nanos as longs and
-    * rebuild a microsecond timestamp.  Fixture values are µs-precision, so
-    * `div 1000` is lossless — and integer division, since a double round-trip
-    * would corrupt: 1.7e18 ns exceeds 2^53.  Requires
-    * `spark.sql.legacy.parquet.nanosAsLong=true` — set at session
-    * construction (GraftSession.recommendedConf, so `newSession()` children
-    * inherit it) and, for externally-built sessions, set idempotently here:
-    * this is the single choke point reading the nanos fixture, and it only
-    * ever sets the one value, so there is no query-order dependence. */
+  /** The `events` fixture's `ts` physical type has drifted across driver
+    * generations — TIMESTAMP(NANOS) in some, timestamp[us] in others — so
+    * dispatch on the type the scan actually surfaces:
+    *
+    *  - TIMESTAMP(NANOS): Spark 4 rejects it outright ([PARQUET_TYPE_ILLEGAL])
+    *    unless `spark.sql.legacy.parquet.nanosAsLong=true` (set idempotently
+    *    here — this is the single choke point reading the fixture), which
+    *    surfaces `ts` as BIGINT nanos. Fixture values are µs-precision, so
+    *    `div 1000` is lossless — and integer division, since a double
+    *    round-trip would corrupt: 1.7e18 ns exceeds 2^53.
+    *  - timestamp[us] (isAdjustedToUTC=false): arrives as TIMESTAMP_NTZ;
+    *    cast to session-TZ TIMESTAMP. Session TZ is pinned to UTC
+    *    (GraftSession), so the cast is value-identity and matches what DuckDB
+    *    reads natively for the oracle.
+    *  - timestamp[us] (isAdjustedToUTC=true): already TIMESTAMP; pass through. */
   def events(s: SparkSession, dir: String): DataFrame = {
     if (!s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, dir, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = table(s, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType      => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType => raw
+      case _             => raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
 
   private val k = col("c_custkey")
