@@ -12,6 +12,27 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Fixture-drift tripwire: force analysis of every base frame FIRST, so
+    // a driver fixture regeneration with a changed schema fails ONCE,
+    // loudly, naming the table — not as dozens of opaque query failures
+    // (the round-8 events ts-type drift cost 28 rows silently).
+    locally {
+      import graft.queries.Fixtures
+      val bases: Seq[(String, () => org.apache.spark.sql.DataFrame)] =
+        Seq("region", "nation", "customer", "supplier", "part", "orders",
+            "lineitem", "documents", "embeddings")
+          .map(n => n -> (() => Fixtures.table(spark, sfDir, n))) ++
+        Seq("events" -> (() => Fixtures.events(spark, sfDir)),
+            "stage" -> (() => Fixtures.stage(spark, sfDir)),
+            "harvest" -> (() => Fixtures.harvest(spark, sfDir)))
+      bases.foreach { case (n, f) =>
+        try f().queryExecution.analyzed
+        catch { case e: Throwable => System.err.println(
+          s"[verify] FIXTURE DRIFT: base frame '$n' fails analysis — " +
+            s"check $sfDir/$n schema vs Fixtures.scala: ${e.getMessage}")
+        }
+      }
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -83,18 +83,24 @@ object Ivm {
             (coalesce(col(sumCol), lit(BigDecimal(0)).cast(Dec)) +
               coalesce(col("__dsum"), lit(BigDecimal(0)).cast(Dec))).cast(Dec).as(sumCol))
     }
-    // merged is consumed three times (dead probe, merge write, delete) —
+    // merged is consumed three times (dead probe, delete, merge write) —
     // cache the change-sized frame so the feed scan + joins run once
     merged.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val dead = merged.filter(col(nCol) <= 0).select(key)
-      // batch = the applied-through horizon: the view manifest remembers
-      // what it has applied (commit carries the max id forward, so the
-      // trailing delete keeps it too)
-      val v = TxTable.commitMerge(spark, aggRoot, merged.filter(col(nCol) > 0),
+      // CRASH-ATOMIC ordering: delete zeroed keys FIRST, latch the
+      // applied-through horizon ONLY on the final merge commit.  A crash
+      // between the two leaves the horizon unlatched, so the whole window
+      // replays — and the replay converges bit-for-bit: a half-applied
+      // dead key's view row is already gone, so its replayed balance is
+      // `0 + __dn ≤ 0`, which routes it back to the (now no-op) delete and
+      // keeps it out of the merge set.  The old order (merge-with-horizon
+      // then delete) latched the guard before the deletes were durable —
+      // a crash between them left stale zeroed rows forever.
+      if (TxTable.latestVersion(spark, aggRoot).isDefined && !dead.isEmpty)
+        TxTable.commitDelete(spark, aggRoot, dead, Seq(key))
+      TxTable.commitMerge(spark, aggRoot, merged.filter(col(nCol) > 0),
         Seq(key), Seq(nCol, sumCol), Nil, batch = Some(batchId))
-      if (dead.isEmpty) v
-      else TxTable.commitDelete(spark, aggRoot, dead, Seq(key))
     } finally merged.unpersist(false)
   }
 

@@ -303,8 +303,36 @@ object TxTable {
         catch { case _: java.nio.file.FileAlreadyExistsException => false }
       case _ =>
         try { f.create(claim, false).close(); true }
-        catch { case _: java.io.IOException => false }
+        catch {
+          // ONLY refuse-on-exist is a lost race; any other IOException is a
+          // real failure (permissions, network, quota) that must surface —
+          // conflating them would mask infrastructure errors as contention
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+          case _: java.nio.file.FileAlreadyExistsException => false
+        }
     }
+  }
+
+  /** Reap an ORPHANED claim: a committer that died between claiming slot
+    * `v` and renaming its manifest in leaves a claim file that would
+    * otherwise block the slot forever (vacuum only clears claims at or
+    * below the published head).  A claim with no manifest whose mtime is
+    * older than `spark.graft.tx.staleClaimMs` (default 10 min — far beyond
+    * any live write-temp+rename window) is deleted so the next attempt can
+    * re-claim the slot.  If the "stale" committer is in fact alive and
+    * renames after the reap, the slot's exclusive rename arbitrates: one
+    * rename wins, the loser's require fires — never two manifests. */
+  private def reapStaleClaim(spark: SparkSession, f: FileSystem, root: String,
+                             v: Long): Unit = {
+    val claim = claimPath(root, v)
+    val staleMs = spark.conf.getOption("spark.graft.tx.staleClaimMs")
+      .map(_.toLong).getOrElse(600000L)
+    try {
+      val st = f.getFileStatus(claim)
+      if (!f.exists(manifestPath(root, v)) &&
+          System.currentTimeMillis() - st.getModificationTime > staleMs)
+        f.delete(claim, false)
+    } catch { case _: java.io.FileNotFoundException => () }
   }
 
   /** Publish `segments` as the next version.  Per attempt: re-read the
@@ -361,13 +389,26 @@ object TxTable {
           stats.filter(kv => segments.contains(kv._1)), cdc, dvs, carriedSchema))
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
         finally os.close()
-        require(f.rename(tmp, target),
-          s"TxTable.commit: rename into claimed slot v$next failed under $root")
+        if (!f.rename(tmp, target)) {
+          f.delete(tmp, false)
+          throw new IllegalStateException(
+            s"TxTable.commit: rename into claimed slot v$next failed under " +
+              s"$root — the slot was published by another writer (possibly " +
+              "after this committer's claim was reaped as stale)")
+        }
         return next
       }
+      // lost the race: either a live racer holds the slot (their manifest
+      // will appear) or a dead committer orphaned the claim — reap it when
+      // stale so a crash between claim and rename can never wedge the slot
+      // (reap even when out of retries, so the caller's NEXT call succeeds)
+      reapStaleClaim(spark, f, root, next)
       attempt += 1
       require(attempt <= maxRetries,
         s"TxTable.commit: lost the version race $maxRetries times under $root")
+      // linear backoff with jitter so racing committers don't lockstep
+      Thread.sleep(math.min(50L * attempt, 1000L) +
+        java.util.concurrent.ThreadLocalRandom.current().nextLong(50L))
     }
     -1L // unreachable
   }
@@ -696,7 +737,15 @@ object TxTable {
     f.delete(new Path(staging), true)
     require(segs.nonEmpty, s"TxTable.compactZOrder: empty table under $root — " +
       "compact an explicit empty state with commitOverwrite instead")
-    val stats = segs.map(s0 => s0 -> segStats(spark, root, s0, Seq(colA, colB))).toMap
+    // same invariant as carryStats: every column (and Bloom) the head
+    // manifest tracked stays tracked across the rewrite, plus the two
+    // z-order dimensions — OPTIMIZE must never degrade skipping on other
+    // columns' range stats or point-lookup Blooms
+    val head = readManifest(spark, root, cur)
+    val tracked =
+      (head.stats.values.flatMap(_.keys).toSeq ++ Seq(colA, colB)).distinct
+    val stats = segs.map(s0 => s0 -> segStatsWithBlooms(spark, root, s0, tracked))
+      .filter(_._2.nonEmpty).toMap
     commit(spark, root, "compact", segs, maxRetries = 0,
       stats = stats, expectVersion = Some(cur + 1))
   }
@@ -807,8 +856,17 @@ object TxTable {
     }
     val pruned =
       if (kept.isEmpty) readVersion(spark, root, v).limit(0) // provably absent
-      else spark.read.option("mergeSchema", "true")
-        .parquet(kept.map(s => s"${root.stripSuffix("/")}/$s"): _*)
+      else {
+        val raw = spark.read.option("mergeSchema", "true")
+          .parquet(kept.map(s => s"${root.stripSuffix("/")}/$s"): _*)
+        // deletion vectors apply to the kept-segment scan exactly as in
+        // prunedRead/readVersion — a Bloom hit on a tombstoned key must
+        // still come back empty for the `read().filter(col === value)`
+        // contract to hold
+        if (m.dvs.isEmpty) raw
+        else applyDvs(spark, root, m.dvs, raw.withColumn("__seg", segTag))
+          .drop("__seg")
+      }
     pruned.filter(col(colName) === lit(value))
   }
 
@@ -1004,12 +1062,21 @@ object TxTable {
         f.delete(st.getPath, true)
     }
     (1L until keepFrom).foreach(v => f.delete(manifestPath(root, v), false))
-    // one listing, not one probe per version slot
+    // one listing, not one probe per version slot; claims above head with
+    // no manifest are orphans of dead committers — reap once stale, the
+    // same threshold the commit retry path uses
+    val staleMs = spark.conf.getOption("spark.graft.tx.staleClaimMs")
+      .map(_.toLong).getOrElse(600000L)
+    val now = System.currentTimeMillis()
     f.listStatus(new Path(s"${root.stripSuffix("/")}/$LogDir")).foreach { st =>
       val n = st.getPath.getName
-      if (n.startsWith("v") && n.endsWith(".claim") &&
-        n.stripPrefix("v").stripSuffix(".claim").toLong <= head)
-        f.delete(st.getPath, false)
+      if (n.startsWith("v") && n.endsWith(".claim")) {
+        val v = n.stripPrefix("v").stripSuffix(".claim").toLong
+        if (v <= head) f.delete(st.getPath, false)
+        else if (!f.exists(manifestPath(root, v)) &&
+                 now - st.getModificationTime > staleMs)
+          f.delete(st.getPath, false)
+      }
     }
   }
 }

@@ -2050,6 +2050,41 @@ object Catalog {
            FROM kept GROUP BY 1
          ORDER BY bucket""")),
 
+    // DV ∘ point-lookup composition: a Bloom-skipped readWhereEquals must
+    // apply deletion vectors exactly like the full read — a tombstoned
+    // key's Bloom HIT still returns nothing.  (The r8-audited wrong-answer
+    // path: the kept-segment scan bypassed applyDvs, so a point lookup
+    // after commitDeleteVectors returned deleted rows.)  Probe keys are
+    // two 1-row min aggregates (bounded metadata); the in-query require
+    // pins the tombstone's invisibility, and the oracle restates both
+    // lookups relationally — the tombstoned one is provably empty, so the
+    // result is exactly the live row.
+    QueryDef("q_tx_dv_point",
+      (s, dir) => {
+        val root = Files.createTempDirectory("graft_txdvp").toString + "/tbl"
+        val o = t(s, dir, "orders").select("o_orderkey", "o_totalprice")
+        TxTable.commitAppend(s, root, o.filter(col("o_orderkey") % 2 === 0),
+          bloomCols = Seq("o_orderkey"))
+        TxTable.commitAppend(s, root, o.filter(col("o_orderkey") % 2 =!= 0),
+          bloomCols = Seq("o_orderkey"))
+        TxTable.commitDeleteVectors(s, root,
+          o.filter(col("o_orderkey") % 3 === 0).select("o_orderkey"),
+          Seq("o_orderkey"))
+        val tomb = o.filter(col("o_orderkey") % 6 === 0)
+          .agg(min("o_orderkey")).collect().head.getLong(0)
+        val live = o.filter(col("o_orderkey") % 6 === 1)
+          .agg(min("o_orderkey")).collect().head.getLong(0)
+        val hitTomb = TxTable.readWhereEquals(s, root, "o_orderkey", tomb)
+        require(hitTomb.isEmpty,
+          s"q_tx_dv_point: DV-tombstoned key $tomb must be invisible to the point lookup")
+        hitTomb.unionByName(TxTable.readWhereEquals(s, root, "o_orderkey", live))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+         WHERE o_orderkey = (SELECT MIN(o_orderkey) FROM orders
+             WHERE o_orderkey % 6 = 1)
+         ORDER BY o_orderkey""")),
+
     // Manifest-level data skipping on the transactional table: three
     // appends carry disjoint o_orderkey thirds with min/max stats, and the
     // range read prunes the two non-overlapping segments BEFORE any parquet

@@ -428,4 +428,95 @@ class TxTableSpec extends SparkFunSuite {
     assert(TxTable.readChanges(spark, root, head - 1, head).count() === 2,
       "head commit's change set (pre+post image) must survive its vacuum")
   }
+
+  test("readWhereEquals applies deletion vectors: tombstoned key is invisible") {
+    val root = newRoot()
+    TxTable.commitAppend(spark, root, (1L to 100L).toDF("k"), bloomCols = Seq("k"))
+    TxTable.commitAppend(spark, root, (101L to 200L).toDF("k"), bloomCols = Seq("k"))
+    TxTable.commitDeleteVectors(spark, root, Seq(50L, 150L).toDF("k"), Seq("k"))
+    assert(TxTable.readWhereEquals(spark, root, "k", 50L).count() === 0,
+      "a Bloom HIT on a DV-tombstoned key must still return nothing — " +
+        "readWhereEquals is contractually identical to read().filter(k === v)")
+    assert(TxTable.readWhereEquals(spark, root, "k", 51L).count() === 1)
+    // a re-insert of a tombstoned key lands outside the DV's segment scope
+    TxTable.commitAppend(spark, root, Seq(50L).toDF("k"), bloomCols = Seq("k"))
+    assert(TxTable.readWhereEquals(spark, root, "k", 50L).count() === 1,
+      "DV scoping: the re-inserted row's segment predates no DV")
+  }
+
+  test("compactZOrder carries the full tracked stat set: blooms survive OPTIMIZE") {
+    val root = newRoot()
+    def seg(lo: Long, hi: Long) = (lo to hi).toDF("k")
+      .withColumn("a", (col("k") % 7).cast("long"))
+      .withColumn("b", (col("k") % 11).cast("long"))
+      .withColumn("h", md5(col("k").cast("string")))
+    TxTable.commitAppend(spark, root, seg(1, 300),
+      statsCols = Seq("k"), bloomCols = Seq("h"))
+    TxTable.commitAppend(spark, root, seg(301, 600),
+      statsCols = Seq("k"), bloomCols = Seq("h"))
+    TxTable.compactZOrder(spark, root, "a", "b", numSegments = 4)
+    val log = new java.io.File(root + "/_txlog")
+    val headManifest = new String(java.nio.file.Files.readAllBytes(
+      log.listFiles.filter(_.getName.endsWith(".json"))
+        .maxBy(_.getName).toPath))
+    assert(headManifest.contains("h#bloom"),
+      "the compacted manifest must still record the head's tracked Blooms")
+    // and the point lookup still PRUNES via the rebuilt per-segment blooms
+    // (pre-fix: stats only on (a, b) — no blooms — so every segment scanned)
+    val probe = seg(42, 42).select("h").collect().head.getString(0)
+    val hit = TxTable.readWhereEquals(spark, root, "h", probe)
+    assert(hit.count() === 1)
+    assert(hit.inputFiles.map(_.replaceAll("/[^/]*$", "")).toSet.size < 4,
+      "Bloom point-lookup pruning must survive OPTIMIZE ZORDER")
+  }
+
+  test("an orphaned claim above head is honored while fresh, reaped once stale") {
+    val root = newRoot()
+    TxTable.commitOverwrite(spark, root, Seq(1L).toDF("k"))
+    // a committer died between claiming v2 and renaming its manifest in
+    val orphan = new java.io.File(root + "/_txlog/v0000000002.claim")
+    java.nio.file.Files.createFile(orphan.toPath)
+    spark.conf.set("spark.graft.tx.staleClaimMs", "3600000")
+    try {
+      // fresh claim + single-attempt CAS path: fails cleanly, no clobber
+      intercept[Exception](TxTable.compactTx(spark, root))
+      assert(orphan.exists(), "a fresh claim must not be reaped")
+      // stale claim: the retrying append reaps it and lands on the slot
+      spark.conf.set("spark.graft.tx.staleClaimMs", "1")
+      Thread.sleep(50)
+      val v = TxTable.commitAppend(spark, root, Seq(2L).toDF("k"))
+      assert(v === 2L, "the reaped slot must be claimable again")
+      assert(TxTable.read(spark, root).as[Long].collect().sorted.toSeq === Seq(1L, 2L))
+      // vacuum reaps stale orphans above head too
+      val orphan9 = new java.io.File(root + "/_txlog/v0000000009.claim")
+      java.nio.file.Files.createFile(orphan9.toPath)
+      Thread.sleep(50)
+      TxTable.vacuum(spark, root)
+      assert(!orphan9.exists(), "vacuum must reap stale claims above head")
+    } finally spark.conf.unset("spark.graft.tx.staleClaimMs")
+  }
+
+  test("ivm refresh is crash-atomic: replay after the delete-half converges") {
+    val root = newRoot(); val view = newRoot()
+    import graft.engine.Ivm
+    val v1 = TxTable.commitMerge(spark, root,
+      Seq((1L, 10.0, "u1"), (2L, 5.0, "u1"), (3L, 7.0, "u2")).toDF("id", "x", "u"),
+      Seq("id"), Seq("x"), Seq("u"), cdf = true)
+    Ivm.refreshSumCount(spark, root, view, 0L, v1, "u", "x")
+    val v2 = TxTable.commitDelete(spark, root, Seq(1L, 2L).toDF("id"), Seq("id"), cdf = true)
+    // simulate the refresh dying AFTER its delete commit but BEFORE the
+    // horizon-latching merge: apply the delete half by hand (u1 zeroes out)
+    TxTable.commitDelete(spark, view, Seq("u1").toDF("u"), Seq("u"))
+    assert(TxTable.lastCommittedBatch(spark, view) === Some(v1),
+      "the applied-through horizon must NOT advance before the final commit")
+    // the replayed window must converge to the from-scratch state
+    Ivm.refreshSumCount(spark, root, view, v1, v2, "u", "x")
+    val got = TxTable.read(spark, view)
+      .select(col("u"), col("n"), col("sum").cast("double"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sortBy(_._1).toSeq
+    assert(got === Seq(("u2", 1L, 7.0)),
+      "replay after a half-applied refresh: no stale zeroed rows, no double-apply")
+    assert(TxTable.lastCommittedBatch(spark, view) === Some(v2),
+      "the horizon latches on the final merge commit")
+  }
 }
