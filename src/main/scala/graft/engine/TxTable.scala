@@ -468,6 +468,10 @@ object TxTable {
         case e: IllegalArgumentException
           if attempt < 10 && !e.getMessage.contains("schema evolution") =>
             attempt += 1
+            // same backoff as commit's internal retry: racing appenders
+            // must not lockstep onto each other's slots
+            Thread.sleep(math.min(50L * attempt, 1000L) +
+              java.util.concurrent.ThreadLocalRandom.current().nextLong(50L))
       }
     }
     -1L // unreachable

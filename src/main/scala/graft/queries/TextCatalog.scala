@@ -308,6 +308,80 @@ object TextCatalog {
          SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, score
          FROM r WHERE rn = 1 ORDER BY doc_id""")),
 
+    // BM25 ranked retrieval (Okapi k1=1.2, b=0.75): score every corpus doc
+    // against the query-document's term set — the IR scoring half of a
+    // contamination / near-dup audit, and the classic lexical ANN
+    // complement.  Same rational-idf discipline as q_tfidf_top_term
+    // ((N-df+0.5)/(df+0.5), no libm ln), per-term scores rounded then
+    // summed through DECIMAL(38,6) so the cross-engine sum is
+    // order-independent.  Plan shape at 100 TB: the corpus is scanned,
+    // exploded and shuffled ONCE — dl, df and the corpus stats all derive
+    // from the same (doc, term, tf) aggregate, so their exchanges replay
+    // as ReusedExchange; the query's term set is a PRUNED point scan
+    // (parquet pushdown on doc_id) broadcast against tf, so docs sharing
+    // no query term never materialize; df is restricted to the query
+    // terms before broadcasting (never vocabulary-sized on the wire); the
+    // final top-20 is TakeOrderedAndProject, never a global sort.  The
+    // query doc itself stays in the ranking (the standard self-retrieval
+    // sanity row) — excluding it would push a doc_id filter into one
+    // branch's scan and break exchange reuse for no semantic gain.
+    QueryDef("q_bm25_topk",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        // the explicit isNotNull matches the join-inferred null filter on
+        // the tf/dl branches, so all three corpus subtrees canonicalize
+        // identically and AQE reuses ONE shuffle stage for them
+        val rel = d.filter(col("doc_id").isNotNull)
+          .select(col("doc_id"), Text.tokens(col("text")).as("__t"))
+          .repartition(col("doc_id"))
+          .select(col("doc_id"), explode(col("__t")).as("term"))
+        val tf = rel.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+        val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        val stats = broadcast(dl.agg(count(lit(1)).as("__n"),
+          sum(col("dl")).as("__toks")))
+        val qdoc = d.agg(min("doc_id")).collect().head.getLong(0)
+        val qterms = broadcast(d.filter(col("doc_id") === qdoc)
+          .select(explode(Text.tokens(col("text"))).as("term")).distinct())
+        tf.join(qterms, "term")
+          .join(broadcast(dfreq.join(qterms, "term")), "term")
+          .join(dl, "doc_id")
+          .crossJoin(stats)
+          .withColumn("avgdl", col("__toks").cast("double") / col("__n"))
+          .withColumn("idf",
+            (col("__n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+          .withColumn("tfn",
+            col("tf").cast("double") * (lit(1.2) + lit(1.0)) /
+              (col("tf").cast("double") + lit(1.2) *
+                (lit(1.0) - lit(0.75) +
+                  lit(0.75) * col("dl").cast("double") / col("avgdl"))))
+          .withColumn("sc",
+            round(col("idf") * col("tfn"), 6).cast(DecimalType(38, 6)))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_terms"),
+            sum(col("sc")).cast("double").as("score"))
+          .orderBy(col("score").desc, col("doc_id"))
+          .limit(20)
+      },
+      Some(s"""WITH rel AS (SELECT doc_id, unnest($toks) AS term FROM documents),
+         tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM rel GROUP BY 1, 2),
+         dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY 1),
+         stats AS (SELECT COUNT(*) AS n, SUM(dl) AS toks FROM dl),
+         qd AS (SELECT MIN(doc_id) AS qdoc FROM documents),
+         qterms AS (SELECT DISTINCT term FROM tf, qd WHERE doc_id = qdoc),
+         dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+         pt AS (SELECT t.doc_id,
+             round(((n - df + 0.5) / (df + 0.5)) *
+               (CAST(tf AS DOUBLE) * (1.2 + 1.0) /
+                (CAST(tf AS DOUBLE) + 1.2 * (1.0 - 0.75 +
+                 0.75 * CAST(dl AS DOUBLE) / (CAST(toks AS DOUBLE) / n)))), 6) AS sc
+           FROM tf t JOIN qterms USING (term) JOIN dfreq USING (term)
+             JOIN dl USING (doc_id), stats)
+         SELECT doc_id, COUNT(*) AS n_terms,
+             CAST(SUM(CAST(sc AS DECIMAL(38, 6))) AS DOUBLE) AS score
+           FROM pt GROUP BY 1
+         ORDER BY score DESC, doc_id LIMIT 20""")),
+
     // PII scrubbing: deterministic synthetic PII appended per doc_id mod,
     // scrubbed by the regexp_replace chain; the full scrubbed string is
     // compared, so any divergence in the replacement logic fails the hash.

@@ -17,7 +17,9 @@ object Scratch {
       ss.conf.set("spark.sql.shuffle.partitions", "8")
       if (sys.env.contains("SCRATCH_NOCK")) ss.conf.set("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
       val t0 = System.nanoTime()
-      val n = qs(name)(ss, sfDir).count()
+      val df = qs(name)(ss, sfDir)
+      if (sys.env.contains("SCRATCH_EXPLAIN") && rep == 1) df.explain("formatted")
+      val n = df.count()
       println(f"[scratch] TUNED $name rep $rep: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
     }
     spark.stop()
