@@ -636,7 +636,10 @@ object TextCatalog {
         truth.agg(count(lit(1)).as("n_true"))
           .crossJoin(broadcast(banded.agg(count(lit(1)).as("n_banded"))))
           .crossJoin(broadcast(hit.agg(count(lit(1)).as("n_hit"))))
-          .withColumn("recall", round(col("n_hit") / col("n_true"), 6))
+          // an SF whose sampled universe has no true pairs makes recall
+          // undefined, not a crash (Spark 4 ANSI division errors on 0)
+          .withColumn("recall", when(col("n_true") === 0, lit(null).cast("double"))
+            .otherwise(round(col("n_hit") / col("n_true"), 6)))
       },
       Some(s"""WITH ${bandsSqlPred("doc_id < 300 AND ")},
          cand AS (SELECT DISTINCT a.doc AS doc_a, b2.doc AS doc_b
@@ -657,7 +660,9 @@ object TextCatalog {
              (SELECT COUNT(*) FROM banded) AS n_banded,
              (SELECT COUNT(*) FROM banded SEMI JOIN truth USING (doc_a, doc_b)) AS n_hit)
          SELECT n_true, n_banded, n_hit,
-           round(CAST(n_hit AS DOUBLE) / n_true, 6) AS recall FROM agg""")),
+           CASE WHEN n_true = 0 THEN NULL
+             ELSE round(CAST(n_hit AS DOUBLE) / n_true, 6) END AS recall
+         FROM agg""")),
 
     QueryDef("q_simhash",
       (s, dir) => Text.simhashRelational(t(s, dir, "documents"), "text", "doc_id")
