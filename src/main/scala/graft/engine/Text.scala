@@ -271,6 +271,63 @@ object Text {
       .select("bench_doc", "train_doc", "jaccard")
   }
 
+  /** Asymmetric CONTAINMENT near-dup pairs (Broder's containment, the
+    * companion measure to resemblance/Jaccard): containment(src ⊆ dst) =
+    * |shingles(src) ∩ shingles(dst)| / |shingles(src)| — the quote/subset
+    * detector Jaccard structurally misses: a short doc wholly embedded in
+    * a long one scores containment ≈ 1 while its Jaccard stays low (the
+    * union is dominated by the long doc).  Same candidate discipline as
+    * [[ngramJaccardPairs]]: one rare-shingle equi-join builds each
+    * UNORDERED candidate pair once; both directed rows are then emitted
+    * from that single row (a projection union, never a second corpus
+    * join), so the work stays one join + one aggregate. */
+  def containmentPairs(df: DataFrame, textCol: String, idCol: String,
+                       maxDf: Int, threshold: Double): DataFrame = {
+    val rel = shingleRelation(df, textCol, idCol, maxDf)
+    val sizes = rel.groupBy("doc").agg(count(lit(1)).as("n"))
+    val pairs = rel.select(col("doc").as("doc_a"), col("sh"))
+      .join(rel.select(col("doc").as("doc_b"), col("sh")), Seq("sh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    val sized = pairs
+      .join(sizes.select(col("doc").as("doc_a"), col("n").as("n_a")), Seq("doc_a"))
+      .join(sizes.select(col("doc").as("doc_b"), col("n").as("n_b")), Seq("doc_b"))
+    val directed = sized.select(col("doc_a").as("src"), col("doc_b").as("dst"),
+        col("inter"), col("n_a").as("n_src"))
+      .unionByName(sized.select(col("doc_b").as("src"), col("doc_a").as("dst"),
+        col("inter"), col("n_b").as("n_src")))
+    directed
+      .withColumn("containment",
+        round(col("inter").cast("double") / col("n_src"), 6))
+      .filter(col("containment") >= threshold)
+      .select("src", "dst", "containment")
+  }
+
+  // ------------------------------------------------------ URL canonicalize
+  /** Canonicalize a URL for crawl-side dedup/quota accounting — the
+    * string-rule normalization every web-corpus pipeline runs before URL
+    * dedup: strip the fragment, lowercase scheme and host, drop default
+    * ports (:80/:443), remove `utm_*` tracking parameters (fixing dangling
+    * `?`/`&`), and strip the trailing slash.  Pure codegen'd
+    * regexp/string column expressions — per-row, no shuffle, no state, RE2-
+    * compatible so the DuckDB oracle replays them bit-identically.  Returns
+    * NULL for strings with no `scheme://host` shape (the quarantine
+    * bucket); canonicalization is deliberately rule-defined, not a full
+    * WHATWG parser. */
+  def urlCanonicalize(u: Column): Column = {
+    val noFrag = regexp_replace(u, "#.*", "")
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val host = regexp_replace(
+      lower(regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)),
+      ":(443|80)$", "")
+    val rest = regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^#]*)", 1)
+    val noTrack = regexp_replace(regexp_replace(rest, "utm_[a-z]+=[^&#]*&?", ""),
+      "[?&]$", "")
+    val noSlash = regexp_replace(noTrack, "/$", "")
+    when(host === "", lit(null).cast("string"))
+      .otherwise(concat(scheme, lit("://"), host, noSlash))
+  }
+
   /** n-gram Jaccard near-dup pairs: candidates share ≥1 (rare) shingle; the
     * shared-shingle count IS the intersection, so Jaccard falls out of the
     * same groupBy — one join + one agg, no second pass over the corpus. */

@@ -231,6 +231,65 @@ object TextCatalog {
            COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS n_chars
          FROM u GROUP BY 1 ORDER BY 1""")),
 
+    // URL canonicalization for crawl-side dedup: synthesized dirty URLs
+    // (mixed-case scheme/host, default ports, utm_* tracking params,
+    // fragments, trailing slashes, an un-parseable bucket) normalize to a
+    // canonical form; distinct variants of the same page collapse to one
+    // key.  Row-wise dump so every rule is hash-checked; the grouped
+    // rewrite (canonical → dedup) is the same expression under a groupBy.
+    QueryDef("q_url_canonical",
+      (s, dir) => {
+        val base = concat(
+          when(col("doc_id") % 2 === 0, lit("HTTPS://")).otherwise(lit("https://")),
+          when(col("doc_id") % 4 === 0, upper(col("source"))).otherwise(col("source")),
+          (col("doc_id") % 3).cast("string"),
+          lit(".Example.org"),
+          when(col("doc_id") % 6 === 0, lit(":443")).otherwise(lit("")),
+          lit("/p/"), col("doc_id").cast("string"),
+          when(col("doc_id") % 5 === 0, lit("/")).otherwise(lit("")),
+          when(col("doc_id") % 7 === 0, lit("?utm_source=feed&utm_campaign=x"))
+            .when(col("doc_id") % 7 === 1, lit("?id=9&utm_medium=social"))
+            .when(col("doc_id") % 7 === 2, lit("?utm_term=a&id=9"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 9 === 0, lit("#section-2")).otherwise(lit("")))
+        val url = when(col("doc_id") % 11 === 0, lit("not a url")).otherwise(base)
+        t(s, dir, "documents")
+          .select(col("doc_id"), url.as("url"),
+            Text.urlCanonicalize(url).as("canonical"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH u AS (SELECT doc_id,
+           CASE WHEN doc_id % 11 = 0 THEN 'not a url' ELSE
+             (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'https://' END)
+             || (CASE WHEN doc_id % 4 = 0 THEN upper(source) ELSE source END)
+             || CAST(doc_id % 3 AS VARCHAR) || '.Example.org'
+             || (CASE WHEN doc_id % 6 = 0 THEN ':443' ELSE '' END)
+             || '/p/' || CAST(doc_id AS VARCHAR)
+             || (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END)
+             || (CASE CAST(doc_id % 7 AS INT)
+                   WHEN 0 THEN '?utm_source=feed&utm_campaign=x'
+                   WHEN 1 THEN '?id=9&utm_medium=social'
+                   WHEN 2 THEN '?utm_term=a&id=9' ELSE '' END)
+             || (CASE WHEN doc_id % 9 = 0 THEN '#section-2' ELSE '' END)
+           END AS url
+           FROM documents),
+         c AS (SELECT doc_id, url,
+             regexp_replace(url, '#.*', '', 'g') AS nf
+           FROM u),
+         p AS (SELECT doc_id, url,
+             lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+             regexp_replace(lower(regexp_extract(nf,
+               '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)), ':(443|80)$', '', 'g') AS host,
+             regexp_replace(regexp_replace(regexp_extract(nf,
+               '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^#]*)', 1),
+               'utm_[a-z]+=[^&#]*&?', '', 'g'), '[?&]$', '', 'g') AS rest
+           FROM c)
+         SELECT doc_id, url,
+           CASE WHEN host = '' THEN NULL
+             ELSE scheme || '://' || host || regexp_replace(rest, '/$', '', 'g')
+           END AS canonical
+         FROM p ORDER BY doc_id""")),
+
     // Per-domain quota cap — web-curation composition riding the CUSTOM
     // heap operator: keep the k longest docs per domain (quota against
     // crawler-farm domination of the mix).  TopKPerKey gives one pass +
@@ -577,6 +636,37 @@ object TextCatalog {
          FROM pairs JOIN sizes sb ON sb.doc = bench_doc JOIN sizes st ON st.doc = train_doc
          WHERE round(CAST(inter AS DOUBLE) / (sb.n + st.n - inter), 6) >= 0.05
          ORDER BY bench_doc, train_doc""")),
+
+    // Asymmetric containment near-dup (Broder): |A∩B|/|A| per DIRECTED
+    // pair — catches a short doc quoted/embedded inside a long one, which
+    // Jaccard's union denominator hides.  Candidates come from the same
+    // rare-shingle equi-join as q_ngram_jaccard (one join + one agg);
+    // both directions are projected from each canonical pair row, never
+    // re-joined.
+    QueryDef("q_containment_pairs",
+      (s, dir) => Text.containmentPairs(t(s, dir, "documents"), "text", "doc_id",
+          maxDf = 20, threshold = 0.5)
+        .orderBy("src", "dst"),
+      Some(s"""WITH tok AS (SELECT doc_id AS doc, $toks AS t FROM documents),
+         sh0 AS (SELECT doc, unnest(list_distinct(
+             CASE WHEN len(t) >= 3 THEN list_transform(range(1, len(t) - 1),
+                 i -> array_to_string(list_slice(t, i, i + 2), ' '))
+               ELSE [] END)) AS sh
+           FROM tok),
+         keep AS (SELECT sh FROM sh0 GROUP BY sh HAVING COUNT(DISTINCT doc) <= 20),
+         rel AS (SELECT s0.doc, s0.sh FROM sh0 s0 JOIN keep k ON s0.sh = k.sh),
+         sizes AS (SELECT doc, COUNT(*) AS n FROM rel GROUP BY doc),
+         pairs AS (SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS inter
+           FROM rel a JOIN rel b ON a.sh = b.sh AND a.doc < b.doc GROUP BY 1, 2),
+         sized AS (SELECT doc_a, doc_b, inter, sa.n AS n_a, sb.n AS n_b
+           FROM pairs JOIN sizes sa ON sa.doc = doc_a
+             JOIN sizes sb ON sb.doc = doc_b),
+         directed AS (SELECT doc_a AS src, doc_b AS dst, inter, n_a AS n_src FROM sized
+           UNION ALL SELECT doc_b, doc_a, inter, n_b FROM sized)
+         SELECT src, dst, round(CAST(inter AS DOUBLE) / n_src, 6) AS containment
+         FROM directed
+         WHERE round(CAST(inter AS DOUBLE) / n_src, 6) >= 0.5
+         ORDER BY src, dst""")),
 
     QueryDef("q_minhash_bands",
       (s, dir) => Text.minhashBands(t(s, dir, "documents"), "text", "doc_id")
