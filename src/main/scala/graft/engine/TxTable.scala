@@ -711,14 +711,23 @@ object TxTable {
     * range exchange. */
   def compactZOrder(spark: SparkSession, root: String,
                     colA: String, colB: String,
-                    numSegments: Int = 8, bits: Int = 16): Long = {
+                    numSegments: Int = 8, bits: Int = 16): Long =
+    compactZOrderN(spark, root, Seq(colA, colB), numSegments, bits)
+
+  /** N-dimensional [[compactZOrder]] — `OPTIMIZE ZORDER BY (c1, …, cn)`:
+    * same one-shuffle rewrite, with the per-dimension bit budget shrinking
+    * as dimensions are added (`bits × n ≤ 62`).  Stats are recorded on
+    * every original clustering column plus everything the head manifest
+    * already tracked. */
+  def compactZOrderN(spark: SparkSession, root: String, cols: Seq[String],
+                     numSegments: Int = 8, bits: Int = 16): Long = {
     import org.apache.spark.sql.functions.{col, spark_partition_id}
     require(numSegments >= 1, s"TxTable.compactZOrder: numSegments $numSegments < 1")
     val cur = latestVersion(spark, root).getOrElse(
       throw new IllegalArgumentException(s"TxTable.compactZOrder: no commits under $root"))
     val snap = readVersion(spark, root, cur)
     val staged = snap
-      .withColumn("__z", ZOrder.zColumn(snap, colA, colB, bits))
+      .withColumn("__z", ZOrder.zColumnN(snap, cols, bits))
       .repartitionByRange(numSegments, col("__z"))
       .withColumn("__slice", spark_partition_id())
       .drop("__z")
@@ -747,7 +756,7 @@ object TxTable {
     // columns' range stats or point-lookup Blooms
     val head = readManifest(spark, root, cur)
     val tracked =
-      (head.stats.values.flatMap(_.keys).toSeq ++ Seq(colA, colB)).distinct
+      (head.stats.values.flatMap(_.keys).toSeq ++ cols).distinct
     val stats = segs.map(s0 => s0 -> segStatsWithBlooms(spark, root, s0, tracked))
       .filter(_._2.nonEmpty).toMap
     commit(spark, root, "compact", segs, maxRetries = 0,

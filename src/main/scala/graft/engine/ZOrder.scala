@@ -28,12 +28,22 @@ object ZOrder {
   /** Bit-interleave two non-negative ints already scaled to `[0, 2^bits)`:
     * bit i of `a` lands at z-bit 2i, bit i of `b` at 2i+1.  `bits` ≤ 31
     * per column (62-bit z keeps the result in a positive long). */
-  def interleaveBits(a: Column, b: Column, bits: Int): Column = {
-    require(bits >= 1 && bits <= 31, s"ZOrder.interleaveBits: bits $bits not in [1, 31]")
-    (0 until bits).map { i =>
-      val ai = shiftleft(shiftright(a.cast("long"), i).bitwiseAND(lit(1L)), 2 * i)
-      val bi = shiftleft(shiftright(b.cast("long"), i).bitwiseAND(lit(1L)), 2 * i + 1)
-      ai.bitwiseOR(bi)
+  def interleaveBits(a: Column, b: Column, bits: Int): Column =
+    interleaveBitsN(Seq(a, b), bits)
+
+  /** N-ary bit interleave: bit i of column j lands at z-bit `i*n + j`, the
+    * straight generalization of the 2-D Morton pattern — contiguous
+    * z-ranges are ~hypercubic tiles of the N-D value space.  `bits × n`
+    * must stay ≤ 62 so the z-value is a positive long. */
+  def interleaveBitsN(cols: Seq[Column], bits: Int): Column = {
+    val n = cols.size
+    require(n >= 2, s"ZOrder.interleaveBitsN: need ≥ 2 columns, got $n")
+    require(bits >= 1 && bits * n <= 62,
+      s"ZOrder.interleaveBitsN: bits $bits × $n columns exceeds a positive long")
+    cols.zipWithIndex.map { case (c, j) =>
+      (0 until bits).map { i =>
+        shiftleft(shiftright(c.cast("long"), i).bitwiseAND(lit(1L)), i * n + j)
+      }.reduce(_ bitwiseOR _)
     }.reduce(_ bitwiseOR _)
   }
 
@@ -49,12 +59,21 @@ object ZOrder {
     * bounds (one tiny aggregate — the only driver-side data, 4 scalars),
     * scale each to `[0, 2^bits)` rank space, interleave.  Attach with
     * `withColumn` and range-cluster on it. */
-  def zColumn(df: DataFrame, colA: String, colB: String, bits: Int = 16): Column = {
-    val b = df.agg(min(colA).as("__loa"), max(colA).as("__hia"),
-      min(colB).as("__lob"), max(colB).as("__hib")).collect().head
-    interleaveBits(
-      scaleToBits(col(colA), lit(b.get(0)), lit(b.get(1)), bits),
-      scaleToBits(col(colB), lit(b.get(2)), lit(b.get(3)), bits), bits)
+  def zColumn(df: DataFrame, colA: String, colB: String, bits: Int = 16): Column =
+    zColumnN(df, Seq(colA, colB), bits)
+
+  /** N-dimensional [[zColumn]]: one bounds aggregate (2×n scalars to the
+    * driver), scale each column to `[0, 2^bits)`, N-ary interleave.  The
+    * per-dimension resolution shrinks as dimensions are added (bits×n ≤
+    * 62) — exactly the Delta/Iceberg OPTIMIZE ZORDER BY (a, b, c, …)
+    * trade-off: more clustered dimensions, coarser tiles per dimension. */
+  def zColumnN(df: DataFrame, colNames: Seq[String], bits: Int = 16): Column = {
+    val aggs = colNames.flatMap(c => Seq(min(c).as(s"__lo_$c"), max(c).as(s"__hi_$c")))
+    val b = df.agg(aggs.head, aggs.tail: _*).collect().head
+    interleaveBitsN(
+      colNames.zipWithIndex.map { case (c, i) =>
+        scaleToBits(col(c), lit(b.get(2 * i)), lit(b.get(2 * i + 1)), bits)
+      }, bits)
   }
 
   /** `df` clustered into `numSegments` ranges of the Morton order over
@@ -65,9 +84,14 @@ object ZOrder {
     * on EITHER column now prune to a tile band instead of scanning
     * everything. */
   def clusterByZ(df: DataFrame, colA: String, colB: String,
-                 numSegments: Int, bits: Int = 16): DataFrame = {
-    require(numSegments >= 1, s"ZOrder.clusterByZ: numSegments $numSegments < 1")
-    df.withColumn("__z", zColumn(df, colA, colB, bits))
+                 numSegments: Int, bits: Int = 16): DataFrame =
+    clusterByZN(df, Seq(colA, colB), numSegments, bits)
+
+  /** N-dimensional [[clusterByZ]]. */
+  def clusterByZN(df: DataFrame, colNames: Seq[String],
+                  numSegments: Int, bits: Int = 16): DataFrame = {
+    require(numSegments >= 1, s"ZOrder.clusterByZN: numSegments $numSegments < 1")
+    df.withColumn("__z", zColumnN(df, colNames, bits))
       .repartitionByRange(numSegments, col("__z"))
       .drop("__z")
   }

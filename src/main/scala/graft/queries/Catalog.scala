@@ -2317,6 +2317,85 @@ object Catalog {
            WHERE o_orderkey >= mk // 2 AND o_orderkey <= mk // 2 + mk // 8
          ORDER BY dim""")),
 
+    // N-DIMENSIONAL OPTIMIZE ZORDER (Delta's ZORDER BY (a, b, c)): one
+    // compactZOrderN commit Morton-clusters the snapshot over THREE
+    // columns (bit i of column j → z-bit i·3+j, per-dimension resolution
+    // trading against dimension count under the 62-bit budget), after
+    // which a narrow band on ANY of the three prunes segments.  The
+    // requires gate all three dimensions; the oracle restates the three
+    // band aggregates relationally (clustering must not change any row).
+    QueryDef("q_tx_zorder_multi",
+      (s, dir) => {
+        val root = Files.createTempDirectory("graft_txz3").toString + "/tbl"
+        val o = t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+        (0 until 3).foreach { i =>
+          TxTable.commitAppend(s, root, o.filter(col("o_orderkey") % 3 === i),
+            statsCols = Seq("o_orderkey", "o_custkey", "o_totalprice"))
+        }
+        // band placement: with 8 segments over 3 dims each dimension is
+        // split once (its MSB), so a probe band must sit STRICTLY inside
+        // one half to prune — a band straddling the midpoint touches every
+        // segment by construction.  [lo + 2·span/3, +span/8] ⊂ upper half.
+        val r = o.agg(min("o_orderkey"), max("o_orderkey"),
+          min("o_custkey"), max("o_custkey"),
+          floor(min("o_totalprice")).cast(LongType),
+          floor(max("o_totalprice")).cast(LongType)).collect().head
+        def band(mn: Long, mx: Long): (Long, Long) = {
+          val lo = mn + 2 * (mx - mn) / 3; (lo, lo + (mx - mn) / 8)
+        }
+        val (kLo, kHi) = band(r.getLong(0), r.getLong(1))
+        val (cLo, cHi) = band(r.getLong(2), r.getLong(3))
+        val (pLo, pHi) = band(r.getLong(4), r.getLong(5))
+        TxTable.compactZOrderN(s, root,
+          Seq("o_orderkey", "o_custkey", "o_totalprice"), numSegments = 8)
+        def bd(v: Long) = new java.math.BigDecimal(v)
+        def segsOf(df: DataFrame): Int =
+          df.inputFiles.map(_.replaceAll("/[^/]*$", "")).toSet.size
+        val byKey = TxTable.readWhere(s, root, "o_orderkey", bd(kLo), bd(kHi))
+        val byCust = TxTable.readWhere(s, root, "o_custkey", bd(cLo), bd(cHi))
+        val byPrice = TxTable.readWhere(s, root, "o_totalprice", bd(pLo), bd(pHi))
+        val (sk, sc, sp) = (segsOf(byKey), segsOf(byCust), segsOf(byPrice))
+        require(sk < 8 && sc < 8 && sp < 8,
+          s"q_tx_zorder_multi: ALL THREE dimensions must prune after the " +
+            s"rewrite (orderkey $sk/8, custkey $sc/8, totalprice $sp/8)")
+        byKey.agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("price_sum"))
+          .withColumn("dim", lit("orderkey_band"))
+          .unionByName(byCust
+            .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("price_sum"))
+            .withColumn("dim", lit("custkey_band")))
+          .unionByName(byPrice
+            .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("price_sum"))
+            .withColumn("dim", lit("price_band")))
+          .select("dim", "n", "price_sum").orderBy("dim")
+      },
+      Some("""WITH m AS (SELECT MIN(o_orderkey) AS nk, MAX(o_orderkey) AS mk,
+             MIN(o_custkey) AS nc, MAX(o_custkey) AS mc,
+             CAST(FLOOR(MIN(o_totalprice)) AS BIGINT) AS np,
+             CAST(FLOOR(MAX(o_totalprice)) AS BIGINT) AS mp
+           FROM orders),
+         b AS (SELECT nk + 2 * (mk - nk) // 3 AS klo,
+             nk + 2 * (mk - nk) // 3 + (mk - nk) // 8 AS khi,
+             nc + 2 * (mc - nc) // 3 AS clo,
+             nc + 2 * (mc - nc) // 3 + (mc - nc) // 8 AS chi,
+             np + 2 * (mp - np) // 3 AS plo,
+             np + 2 * (mp - np) // 3 + (mp - np) // 8 AS phi
+           FROM m)
+         SELECT 'custkey_band' AS dim, COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS price_sum
+           FROM orders, b
+           WHERE o_custkey >= clo AND o_custkey <= chi
+         UNION ALL
+         SELECT 'orderkey_band', COUNT(*),
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+           FROM orders, b
+           WHERE o_orderkey >= klo AND o_orderkey <= khi
+         UNION ALL
+         SELECT 'price_band', COUNT(*),
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+           FROM orders, b
+           WHERE o_totalprice >= plo AND o_totalprice <= phi
+         ORDER BY dim""")),
+
     // ST11 — exactly-once streaming MERGE into the transactional table (the
     // Delta-style streaming upsert): batch 0 bootstraps the base, batch 1
     // applies EXCLUDED-wins updates + inserts through the segment-pruned

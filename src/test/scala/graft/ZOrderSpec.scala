@@ -28,6 +28,35 @@ class ZOrderSpec extends SparkFunSuite {
     assert(refInterleave(3L, 0L, 16) === 5L && refInterleave(0L, 3L, 16) === 10L)
   }
 
+  private def refInterleaveN(vs: Seq[Long], bits: Int): Long =
+    vs.zipWithIndex.foldLeft(0L) { case (acc, (v, j)) =>
+      (0 until bits).foldLeft(acc) { (a, i) =>
+        a | (((v >> i) & 1L) << (i * vs.size + j))
+      }
+    }
+
+  test("interleaveBitsN is bit-exact and generalizes the 2-ary layout") {
+    val cases = Seq(Seq(0L, 0L, 0L), Seq(1L, 0L, 0L), Seq(0L, 1L, 0L),
+      Seq(0L, 0L, 1L), Seq(65535L, 0L, 65535L), Seq(43690L, 21845L, 12345L))
+    val df = cases.map(c => (c(0), c(1), c(2))).toDF("a", "b", "c")
+      .withColumn("z", ZOrder.interleaveBitsN(
+        Seq(col("a"), col("b"), col("c")), 16))
+    df.collect().foreach { r =>
+      assert(r.getLong(3) === refInterleaveN(
+        Seq(r.getLong(0), r.getLong(1), r.getLong(2)), 16),
+        s"(${r.getLong(0)}, ${r.getLong(1)}, ${r.getLong(2)})")
+    }
+    // the 2-ary entry point is exactly the n=2 instance
+    val two = Seq((12345L, 54321L)).toDF("a", "b")
+      .withColumn("z", ZOrder.interleaveBitsN(Seq(col("a"), col("b")), 16))
+    assert(two.collect().head.getLong(2) === refInterleave(12345L, 54321L, 16))
+    // the 62-bit budget is enforced
+    intercept[IllegalArgumentException](
+      ZOrder.interleaveBitsN(Seq(col("a"), col("b"), col("a")), 21))
+    intercept[IllegalArgumentException](
+      ZOrder.interleaveBitsN(Seq(col("a")), 16))
+  }
+
   test("scaleToBits maps bounds to [0, 2^bits) and is monotone") {
     val df = Seq(10L, 20L, 55L, 100L).toDF("v")
       .withColumn("r", ZOrder.scaleToBits(col("v"), lit(10L), lit(100L), 8))
