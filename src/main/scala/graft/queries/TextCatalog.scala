@@ -668,6 +668,65 @@ object TextCatalog {
          WHERE round(CAST(inter AS DOUBLE) / n_src, 6) >= 0.5
          ORDER BY src, dst""")),
 
+    // Containment-dedup POLICY: the end-to-end "remove quoted subsets"
+    // pass — a doc is dropped when it is ≥ τ contained in a LONGER doc
+    // (n_chars, tie-break smaller doc_id, so the decision is a total
+    // order and never drops both sides of a tie).  Each dropped doc
+    // reports its chosen container (max containment, then smallest id) —
+    // the provenance a curation pipeline logs.  Everything rides the one
+    // candidate join of q_containment_pairs.
+    QueryDef("q_containment_dedup",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val pairs = Text.containmentPairs(d, "text", "doc_id",
+          maxDf = 20, threshold = 0.5)
+        val chars = d.select(col("doc_id"), col("n_chars"))
+        pairs
+          .join(chars.select(col("doc_id").as("src"), col("n_chars").as("src_chars")),
+            Seq("src"))
+          .join(chars.select(col("doc_id").as("dst"), col("n_chars").as("dst_chars")),
+            Seq("dst"))
+          .filter(col("dst_chars") > col("src_chars") ||
+            (col("dst_chars") === col("src_chars") && col("dst") < col("src")))
+          .withColumn("rn", row_number().over(Window.partitionBy("src")
+            .orderBy(col("containment").desc, col("dst"))))
+          .filter(col("rn") === 1)
+          .select(col("src").as("doc_id"), col("dst").as("kept_in"), col("containment"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH tok AS (SELECT doc_id AS doc, $toks AS t FROM documents),
+         sh0 AS (SELECT doc, unnest(list_distinct(
+             CASE WHEN len(t) >= 3 THEN list_transform(range(1, len(t) - 1),
+                 i -> array_to_string(list_slice(t, i, i + 2), ' '))
+               ELSE [] END)) AS sh
+           FROM tok),
+         keep AS (SELECT sh FROM sh0 GROUP BY sh HAVING COUNT(DISTINCT doc) <= 20),
+         rel AS (SELECT s0.doc, s0.sh FROM sh0 s0 JOIN keep k ON s0.sh = k.sh),
+         sizes AS (SELECT doc, COUNT(*) AS n FROM rel GROUP BY doc),
+         pairs AS (SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS inter
+           FROM rel a JOIN rel b ON a.sh = b.sh AND a.doc < b.doc GROUP BY 1, 2),
+         sized AS (SELECT doc_a, doc_b, inter, sa.n AS n_a, sb.n AS n_b
+           FROM pairs JOIN sizes sa ON sa.doc = doc_a
+             JOIN sizes sb ON sb.doc = doc_b),
+         directed AS (SELECT doc_a AS src, doc_b AS dst, inter, n_a AS n_src FROM sized
+           UNION ALL SELECT doc_b, doc_a, inter, n_b FROM sized),
+         cont AS (SELECT src, dst,
+             round(CAST(inter AS DOUBLE) / n_src, 6) AS containment
+           FROM directed
+           WHERE round(CAST(inter AS DOUBLE) / n_src, 6) >= 0.5),
+         lens AS (SELECT doc_id, n_chars FROM documents),
+         cand AS (SELECT c.src, c.dst, c.containment
+           FROM cont c JOIN lens ls ON ls.doc_id = c.src
+             JOIN lens ld ON ld.doc_id = c.dst
+           WHERE ld.n_chars > ls.n_chars
+             OR (ld.n_chars = ls.n_chars AND c.dst < c.src)),
+         r AS (SELECT src, dst, containment,
+             row_number() OVER (PARTITION BY src
+               ORDER BY containment DESC, dst) AS rn
+           FROM cand)
+         SELECT src AS doc_id, dst AS kept_in, containment
+         FROM r WHERE rn = 1 ORDER BY doc_id""")),
+
     QueryDef("q_minhash_bands",
       (s, dir) => Text.minhashBands(t(s, dir, "documents"), "text", "doc_id")
         .orderBy("doc", "band"),
