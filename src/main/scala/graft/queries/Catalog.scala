@@ -231,6 +231,69 @@ object Catalog {
          SELECT l_returnflag, n_exact, n_est
          FROM x JOIN e ON x.l_returnflag = e.g ORDER BY 1""")),
 
+    // KMV set-operation estimates: intersection cardinality of two corpus
+    // slices by inclusion–exclusion over three sketches (A, B, and their
+    // LOSSLESS merge as the union) — |A∩B| ≈ êA + êB − êA∪B.  The set-ops
+    // dividend of mergeability: overlap between shards/snapshots/sources
+    // is estimated from k-row states without ever co-shuffling the raw
+    // sets (the contamination-rate probe at corpus scale).  Same md5
+    // determinism as q_kmv_distinct, so estimates hash-match DuckDB.
+    QueryDef("q_kmv_intersect",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val k = 256
+        val a = li.filter(col("l_orderkey") % 2 === 0)
+        val b = li.filter(col("l_orderkey") % 3 === 0)
+        val sa = Sketch.kmvSketch(a, "l_returnflag", col("l_orderkey"), k)
+        val sb = Sketch.kmvSketch(b, "l_returnflag", col("l_orderkey"), k)
+        val ea = Sketch.kmvEstimate(sa, "l_returnflag", k)
+          .withColumnRenamed("n_est", "est_a")
+        val eb = Sketch.kmvEstimate(sb, "l_returnflag", k)
+          .withColumnRenamed("n_est", "est_b")
+        val eu = Sketch.kmvEstimate(
+            Sketch.kmvMerge(Seq(sa, sb), "l_returnflag", k), "l_returnflag", k)
+          .withColumnRenamed("n_est", "est_union")
+        val exact = li.filter(col("l_orderkey") % 6 === 0)
+          .groupBy("l_returnflag")
+          .agg(countDistinct(col("l_orderkey")).as("n_exact"))
+        exact.join(ea, "l_returnflag").join(eb, "l_returnflag")
+          .join(eu, "l_returnflag")
+          .withColumn("est_intersect",
+            round(col("est_a") + col("est_b") - col("est_union"), 6))
+          .orderBy("l_returnflag")
+      },
+      Some {
+        def est(src: String, o: String) =
+          s"""n$o AS (SELECT g, hh, row_number() OVER (PARTITION BY g ORDER BY hh) AS rn FROM $src),
+         t$o AS (SELECT g, hh FROM n$o WHERE rn <= 256),
+         a$o AS (SELECT g, COUNT(*) AS kk,
+             MAX(list_sum(list_transform(range(1, 14),
+               i -> (strpos('0123456789abcdef', hh[CAST(i AS INT)]) - 1)
+                 * power(16.0, 13 - CAST(i AS INT)))) / power(16.0, 13)) AS rk
+           FROM t$o GROUP BY g),
+         e$o AS (SELECT g, CASE WHEN kk < 256 THEN CAST(kk AS DOUBLE)
+             ELSE round(255 / rk, 6) END AS n_est FROM a$o)"""
+        s"""WITH ha AS (SELECT DISTINCT l_returnflag AS g,
+             md5(CAST(l_orderkey AS VARCHAR)) AS hh FROM lineitem
+           WHERE l_orderkey % 2 = 0),
+         hb AS (SELECT DISTINCT l_returnflag AS g,
+             md5(CAST(l_orderkey AS VARCHAR)) AS hh FROM lineitem
+           WHERE l_orderkey % 3 = 0),
+         ${est("ha", "a")},
+         ${est("hb", "b")},
+         hu AS (SELECT g, hh FROM ta UNION SELECT g, hh FROM tb),
+         ${est("hu", "u")},
+         x AS (SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS n_exact
+           FROM lineitem WHERE l_orderkey % 6 = 0 GROUP BY 1)
+         SELECT l_returnflag, n_exact, ea.n_est AS est_a, eb.n_est AS est_b,
+             eu.n_est AS est_union,
+             round(ea.n_est + eb.n_est - eu.n_est, 6) AS est_intersect
+         FROM x JOIN ea ON x.l_returnflag = ea.g
+           JOIN eb ON x.l_returnflag = eb.g
+           JOIN eu ON x.l_returnflag = eu.g
+         ORDER BY 1"""
+      }),
+
     // COUNT-MIN heavy hitters (Sketch.cmsSketch): estimate the top-10
     // suppliers' row counts from a 4×256-cell sketch instead of an exact
     // groupBy of every key — the bounded-memory "find the hot keys BEFORE
