@@ -29,13 +29,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * the kernel arbitrates — two racing local committers cannot both claim
   * vN, closing the POSIX `rename(2)`-overwrites hole; on HDFS/object
   * stores `FileSystem.create(path, overwrite = false)` has the same
-  * refuse-on-exist contract.  The claim winner then publishes via rename
-  * (readers still see one atomic metadata op); the loser re-reads the head
-  * and retries the next slot.  Liveness caveat (same as any lock-file
-  * protocol): a committer that dies between claim and publish wedges that
-  * one slot until the orphan claim is removed — [[vacuum]] deletes claims
-  * at or below the published head, and an operator can delete a claim with
-  * no matching manifest after a crash.
+  * refuse-on-exist contract (and ONLY refuse-on-exist counts as a lost
+  * race — other IOExceptions surface as real failures).  The claim winner
+  * then publishes via rename (readers still see one atomic metadata op);
+  * the loser re-reads the head and retries the next slot with jittered
+  * backoff.  Liveness: a committer that dies between claim and publish
+  * cannot wedge the slot — the retry path and [[vacuum]] reap a claim
+  * with no manifest once it is older than `spark.graft.tx.staleClaimMs`
+  * (default 10 min); if the "dead" committer was merely slow, the
+  * exclusive rename still arbitrates (one publisher wins, the loser
+  * errors rather than clobbering).
   *
   * Exactly-once bookkeeping: EVERY manifest carries the maximum streaming
   * batch id committed so far (`batch` is carried forward through append /
@@ -55,6 +58,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * is opened — manifest-level data skipping, carried across
   * merge/delete/compact rewrites by [[carryStats]] and through the
   * streaming sinks' commits.
+  *
+  * Metadata-scale boundary, stated honestly: stats (and ~1.2 KB Blooms)
+  * live INLINE in the JSON manifest, so manifest size is O(segments ×
+  * tracked columns).  With compaction keeping segments at ~128 MB-1 GB
+  * that is KBs-to-MBs up to tens of TB; at the extreme (100 TB+, 10⁵-10⁶
+  * segments) the production evolution is the Iceberg/Delta one — shard
+  * the stats into per-commit parquet sidecars referenced by a thin
+  * manifest (a manifest-list level), leaving every read path identical
+  * except that `readManifest` joins the sidecar.  The commit protocol
+  * (claim CAS + rename) is unchanged by that evolution; nothing in the
+  * API surface would move.
   */
 object TxTable {
 
