@@ -116,7 +116,8 @@ class RelationalSpec extends SparkFunSuite {
       "q_simhash_near_dup", "q_corpus_pipeline", "q_centroid_dist",
       "q_lsh_topk", "q_ivf_topk", "q_outlier_mad", "q_snapshot_diff",
       "q_mixture_sample", "q_dedup_embed_cosine", "q_near_dup_edit", "q_semdedup",
-      "q_kmv_distinct")
+      "q_kmv_distinct", "q_containment_pairs", "q_containment_dedup",
+      "q_kmv_intersect")
     for (name <- joinQueries) {
       val plan = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
         .queryExecution.sparkPlan
