@@ -82,6 +82,16 @@ object Upsert {
     closedHistory.unionByName(toClose).unionByName(stayOpen).unionByName(fresh)
   }
 
+  /** Point-in-time read of an SCD2 table: the row version valid AT `t` —
+    * `valid_from <= t < valid_to`, with an open version's NULL `valid_to`
+    * meaning "still current".  The dimension-table time travel every
+    * reproducible-training snapshot needs ("join features as they were
+    * when the example was labeled").  A pure filter: no join, no window,
+    * pushes down to the scan. */
+  def scd2AsOf(scd2Table: DataFrame, t: Long): DataFrame =
+    scd2Table.filter(col("valid_from") <= t &&
+      (col("valid_to").isNull || col("valid_to") > t))
+
   /** Scale path: only rewrite lake partitions the incoming batch touches.
     * `partCol` is a partition column of the lake (e.g. `year`).
     *

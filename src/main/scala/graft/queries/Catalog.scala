@@ -1507,6 +1507,61 @@ object Catalog {
          FROM (SELECT * FROM closed UNION ALL SELECT * FROM stay UNION ALL SELECT * FROM fresh)
          ORDER BY state, species, year, unit, valid_from""")),
 
+    // SCD2 POINT-IN-TIME read (Upsert.scd2AsOf): the same history table
+    // q_scd2_upsert builds, read as of t=50 (before the batch-100 update)
+    // and t=150 (after) — the dimension time travel a reproducible
+    // training snapshot needs.  At t=50 every key shows its original
+    // version; at t=150 the updated keys show the new one.  Pure filter
+    // per probe time (no join, no window); the oracle restates both
+    // snapshots from the interval algebra.
+    QueryDef("q_scd2_pit",
+      (s, dir) => {
+        val dd = dedupedProduction(s, dir)
+        val existing = dd
+          .withColumn("valid_from", lit(0L))
+          .withColumn("valid_to", lit(null).cast(LongType))
+        val incoming = dd.filter(col("year") >= 2022)
+          .withColumn("post_hunt_estimate", col("post_hunt_estimate") + 1000)
+          .withColumn("male_female_ratio", col("male_female_ratio") * 2.0)
+        val table = Upsert.scd2(existing, incoming, prodKeys,
+          Seq("herd_name", "post_hunt_estimate", "male_female_ratio"), 100L)
+        def pit(tv: Long) = Upsert.scd2AsOf(table, tv)
+          .groupBy("year")
+          .agg(count(lit(1)).as("n"),
+            sum(col("post_hunt_estimate")).cast(LongType).as("est_sum"))
+          .withColumn("as_of", lit(tv))
+        pit(50L).unionByName(pit(150L))
+          .select("as_of", "year", "n", "est_sum")
+          .orderBy("as_of", "year")
+      },
+      Some(s"""WITH $dedupedSql,
+         e AS (SELECT state, species, year, unit, herd_name, post_hunt_estimate, male_female_ratio,
+                 CAST(0 AS BIGINT) AS valid_from, CAST(NULL AS BIGINT) AS valid_to
+               FROM deduped),
+         i AS (SELECT state, species, year, unit, herd_name,
+                 post_hunt_estimate + 1000 AS post_hunt_estimate,
+                 male_female_ratio * 2.0 AS male_female_ratio
+               FROM deduped WHERE year >= 2022),
+         closed AS (SELECT e.state, e.species, e.year, e.unit, e.herd_name,
+                 e.post_hunt_estimate, e.male_female_ratio, e.valid_from,
+                 CAST(100 AS BIGINT) AS valid_to
+               FROM e WHERE EXISTS (SELECT 1 FROM i WHERE i.state = e.state
+                 AND i.species = e.species AND i.year = e.year AND i.unit = e.unit)),
+         stay AS (SELECT e.* FROM e WHERE NOT EXISTS (SELECT 1 FROM i WHERE i.state = e.state
+                 AND i.species = e.species AND i.year = e.year AND i.unit = e.unit)),
+         fresh AS (SELECT state, species, year, unit, herd_name, post_hunt_estimate,
+                 male_female_ratio, CAST(100 AS BIGINT) AS valid_from,
+                 CAST(NULL AS BIGINT) AS valid_to
+               FROM i),
+         scd AS (SELECT * FROM closed UNION ALL SELECT * FROM stay
+           UNION ALL SELECT * FROM fresh),
+         p AS (SELECT CAST(50 AS BIGINT) AS as_of UNION ALL SELECT CAST(150 AS BIGINT))
+         SELECT p.as_of, s.year, COUNT(*) AS n,
+             CAST(SUM(s.post_hunt_estimate) AS BIGINT) AS est_sum
+         FROM scd s JOIN p ON s.valid_from <= p.as_of
+           AND (s.valid_to IS NULL OR s.valid_to > p.as_of)
+         GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     // S10 at scale — dynamic-partition-overwrite upsert of a parquet lake,
     // rewriting only the years the incoming batch touches.
     QueryDef("q_s10_upsert_partitioned",
