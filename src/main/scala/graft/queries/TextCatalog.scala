@@ -727,6 +727,43 @@ object TextCatalog {
          SELECT src AS doc_id, dst AS kept_in, containment
          FROM r WHERE rn = 1 ORDER BY doc_id""")),
 
+    // FEATURE HASHING (the Weinberger et al. hashing trick): project each
+    // doc's term multiset into a fixed 64-bucket signed vector — bucket =
+    // h(t) mod 64, sign = an INDEPENDENT hash bit (bit 6), so collisions
+    // debias in expectation.  The fixed-width featurizer that needs no
+    // vocabulary pass: per-row hash + one (doc, bucket) aggregate, any
+    // corpus size, no dictionary state.  Zero-weight buckets (equal ±
+    // collisions) are dropped like true sparse vectors.  Vector dumped as
+    // a zero-padded sorted "bucket:weight" string (array cells don't
+    // survive the driver comparator; lexicographic = numeric at fixed
+    // width).
+    QueryDef("q_feature_hash",
+      (s, dir) => {
+        val h = Text.tokenHash(col("term"))
+        t(s, dir, "documents")
+          .select(col("doc_id"), explode(Text.tokens(col("text"))).as("term"))
+          .withColumn("bucket", pmod(h, lit(64L)))
+          .withColumn("sgn", when(shiftright(h, 6) % 2 === 0, 1L).otherwise(-1L))
+          .groupBy("doc_id", "bucket").agg(sum(col("sgn")).as("w"))
+          .filter(col("w") =!= 0)
+          .select(col("doc_id"),
+            concat(lpad(col("bucket").cast("string"), 2, "0"), lit(":"),
+              col("w").cast("string")).as("bw"))
+          .groupBy("doc_id")
+          .agg(array_join(sort_array(collect_list(col("bw"))), ",").as("vec"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH rel AS (SELECT doc_id, unnest($toks) AS term FROM documents),
+         h AS (SELECT doc_id, ${th("term")} % 64 AS bucket,
+             CASE WHEN (${th("term")} // 64) % 2 = 0 THEN 1 ELSE -1 END AS sgn
+           FROM rel),
+         v AS (SELECT doc_id, bucket, SUM(sgn) AS w FROM h GROUP BY 1, 2),
+         nz AS (SELECT doc_id,
+             lpad(CAST(bucket AS VARCHAR), 2, '0') || ':' || CAST(w AS VARCHAR) AS bw
+           FROM v WHERE w <> 0)
+         SELECT doc_id, array_to_string(list_sort(list(bw)), ',') AS vec
+         FROM nz GROUP BY doc_id ORDER BY doc_id""")),
+
     QueryDef("q_minhash_bands",
       (s, dir) => Text.minhashBands(t(s, dir, "documents"), "text", "doc_id")
         .orderBy("doc", "band"),
