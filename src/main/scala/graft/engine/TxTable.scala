@@ -686,6 +686,26 @@ object TxTable {
       dvs = carryDvs(head.dvs, carried.toSet))
   }
 
+  /** RESTORE: make version `v`'s snapshot the HEAD again as a normal
+    * FORWARD commit (Delta's `RESTORE TABLE ... TO VERSION`) — nothing is
+    * rewritten or deleted: the new manifest re-references v's segments,
+    * stats and deletion vectors by name, history stays linear (time
+    * travel to the undone versions keeps working until [[vacuum]]), and
+    * the replay horizon carries forward so exactly-once streaming is
+    * unaffected.  Zero-copy: the only I/O is one manifest read and one
+    * manifest write.  `v` must still be within vacuum retention (its
+    * manifest readable); [[readChanges]] reports a restore like an
+    * overwrite — delete-of-previous + insert-of-restored. */
+  def restore(spark: SparkSession, root: String, v: Long): Long = {
+    val cur = latestVersion(spark, root).getOrElse(
+      throw new IllegalArgumentException(s"TxTable.restore: no commits under $root"))
+    require(v >= 1 && v <= cur, s"TxTable.restore: version $v outside [1, $cur]")
+    val m = readManifest(spark, root, v)
+    commit(spark, root, "restore", m.segments, maxRetries = 0,
+      stats = m.stats, expectVersion = Some(cur + 1), dvs = m.dvs,
+      schema = m.schema)
+  }
+
   /** Compact the CURRENT snapshot into ≈ceil(bytes/targetBytes) files as a
     * normal commit — readers of any already-resolved version are never
     * disturbed (their segments stay on disk until [[vacuum]]). */
@@ -1039,7 +1059,7 @@ object TxTable {
             s"TxTable.readChanges: commit v$v (${m.op}) recorded no change " +
               "data — write it with cdf = true to enable the change feed")
         case "compact" => Nil // layout-only: no logical change
-        case "overwrite" =>
+        case "overwrite" | "restore" =>
           val del = if (v == 1) Nil else Seq(readVersion(spark, root, v - 1)
             .withColumn("_change_type", lit("delete")))
           del :+ readVersion(spark, root, v)

@@ -2168,6 +2168,39 @@ object Catalog {
            FROM kept GROUP BY 1
          ORDER BY bucket""")),
 
+    // RESTORE as a forward commit (TxTable.restore ≡ Delta RESTORE TABLE):
+    // after a bad update (v2 zeroes half the prices) and a bad delete
+    // (v3), one zero-copy manifest commit re-publishes v1 as the head —
+    // the in-query require pins that NO data segment is written (the
+    // new manifest re-references v1's segments by name).  The oracle is
+    // simply the original table restated: a correct restore is
+    // indistinguishable from never having corrupted it.
+    QueryDef("q_tx_restore",
+      (s, dir) => {
+        val root = Files.createTempDirectory("graft_txr").toString + "/tbl"
+        val o = t(s, dir, "orders").select("o_orderkey", "o_totalprice")
+        TxTable.commitAppend(s, root, o)
+        TxTable.commitMerge(s, root,
+          o.filter(col("o_orderkey") % 2 === 0)
+            .select(col("o_orderkey"), (col("o_totalprice") * 0.0).as("o_totalprice")),
+          Seq("o_orderkey"), Seq("o_totalprice"), Nil)
+        TxTable.commitDelete(s, root,
+          o.filter(col("o_orderkey") % 3 === 0).select("o_orderkey"),
+          Seq("o_orderkey"))
+        def dataSegs() = new java.io.File(root + "/data").listFiles.count(_.isDirectory)
+        val before = dataSegs()
+        val v = TxTable.restore(s, root, 1L)
+        require(v == 4L && dataSegs() == before,
+          "q_tx_restore: restore must be a zero-copy forward commit")
+        TxTable.read(s, root)
+          .groupBy((col("o_orderkey") % 10).as("bucket"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("price_sum"))
+          .orderBy("bucket")
+      },
+      Some("""SELECT o_orderkey % 10 AS bucket, COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS price_sum
+         FROM orders GROUP BY 1 ORDER BY bucket""")),
+
     // DV ∘ point-lookup composition: a Bloom-skipped readWhereEquals must
     // apply deletion vectors exactly like the full read — a tombstoned
     // key's Bloom HIT still returns nothing.  (The r8-audited wrong-answer

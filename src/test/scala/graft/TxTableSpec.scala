@@ -429,6 +429,34 @@ class TxTableSpec extends SparkFunSuite {
       "head commit's change set (pre+post image) must survive its vacuum")
   }
 
+  test("restore re-publishes an old snapshot as a forward commit, zero-copy") {
+    val root = newRoot()
+    TxTable.commitOverwrite(spark, root, Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    TxTable.commitMerge(spark, root, Seq((2L, "B2"), (3L, "c")).toDF("k", "v"),
+      Seq("k"), Seq("v"), Nil)
+    TxTable.commitDelete(spark, root, Seq(1L).toDF("k"), Seq("k"))
+    def dataSegs() = new java.io.File(root + "/data").listFiles.count(_.isDirectory)
+    val before = dataSegs()
+    val v = TxTable.restore(spark, root, 1L)
+    assert(v === 4L, "restore must be a forward commit, not history rewriting")
+    assert(dataSegs() === before, "restore must not write any data segment")
+    assert(TxTable.read(spark, root).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+      === Seq((1L, "a"), (2L, "b")), "head must equal the restored snapshot")
+    // the undone versions stay time-travelable until vacuum
+    assert(TxTable.readVersion(spark, root, 3L).count() === 2)
+    // the change feed reports the restore like an overwrite
+    val ch = TxTable.readChanges(spark, root, 3L, 4L)
+    assert(ch.select("_change_type").distinct().collect()
+      .map(_.getString(0)).sorted.toSeq === Seq("delete", "insert"))
+    // history continues normally on top of a restore
+    TxTable.commitAppend(spark, root, Seq((9L, "z")).toDF("k", "v"))
+    assert(TxTable.read(spark, root).count() === 3)
+    // a vacuumed version refuses to restore (no dangling segment refs)
+    TxTable.vacuum(spark, root, keepVersions = 1)
+    intercept[Exception](TxTable.restore(spark, root, 2L))
+  }
+
   test("readWhereEquals applies deletion vectors: tombstoned key is invisible") {
     val root = newRoot()
     TxTable.commitAppend(spark, root, (1L to 100L).toDF("k"), bloomCols = Seq("k"))
