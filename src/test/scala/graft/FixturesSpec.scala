@@ -24,6 +24,23 @@ class FixturesSpec extends SparkFunSuite {
     }
   }
 
+  test("events dispatch: a BIGINT nanos ts goes through the div-1000 shim") {
+    // the TIMESTAMP(NANOS) generation of the fixture surfaces ts as BIGINT
+    // under nanosAsLong; the on-disk fixture is currently timestamp[us],
+    // so pin the long branch against a synthesized table
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("fx_nanos").toString
+    Seq((1L, 1700000000123456000L), (2L, 1700000000987654000L))
+      .toDF("event_id", "ts").write.parquet(s"$tmp/events.parquet")
+    val df = Fixtures.events(spark, tmp)
+    assert(df.schema("ts").dataType === TimestampType)
+    val got = df.orderBy("event_id")
+      .select(unix_micros(col("ts"))).collect().map(_.getLong(0))
+    assert(got.toSeq === Seq(1700000000123456L, 1700000000987654L),
+      "nanos → µs must be lossless integer division")
+  }
+
   test("every engine base frame analyzes; events.ts normalizes to TIMESTAMP") {
     val bases: Seq[(String, () => DataFrame)] = Seq(
       "events" -> (() => Fixtures.events(spark, dir)),
