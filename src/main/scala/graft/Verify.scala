@@ -5,7 +5,13 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // args: sfDir outDir [nameRegex] — the optional regex restricts the dump
+    // to matching query names for fast local pre-flight; the driver's
+    // two-arg call dumps everything.
+    val (sfDir, outDir) = (args(0), args(1))
+    val nameFilter: String => Boolean =
+      if (args.length > 2) { val re = args(2).r; n => re.findFirstIn(n).isDefined }
+      else _ => true
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt)
       .config("spark.ui.enabled", "false")
@@ -27,18 +33,19 @@ object Verify {
             "harvest" -> (() => Fixtures.harvest(spark, sfDir)))
       bases.foreach { case (n, f) =>
         try f().queryExecution.analyzed
-        catch { case e: Throwable => System.err.println(
+        catch { case scala.util.control.NonFatal(e) => System.err.println(
           s"[verify] FIXTURE DRIFT: base frame '$n' fails analysis — " +
             s"check $sfDir/$n schema vs Fixtures.scala: ${e.getMessage}")
         }
       }
     }
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
+      if (nameFilter(name))
+        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -321,7 +321,13 @@ object Text {
       lower(regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)),
       ":(443|80)$", "")
     val rest = regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^#]*)", 1)
-    val noTrack = regexp_replace(regexp_replace(rest, "utm_[a-z]+=[^&#]*&?", ""),
+    // Anchored on the preceding separator so a non-tracking parameter whose
+    // NAME merely contains "utm_" (e.g. "?myutm_source=x") is untouched;
+    // the (?:...)+ repeat strips a whole consecutive utm chain in one match
+    // (a single-param pattern would skip every other param of a chain,
+    // because replaceAll never rescans replaced text).
+    val noTrack = regexp_replace(
+      regexp_replace(rest, "([?&])(?:utm_[a-z]+=[^&#]*&?)+", "$1"),
       "[?&]$", "")
     val noSlash = regexp_replace(noTrack, "/$", "")
     when(host === "", lit(null).cast("string"))

@@ -31,14 +31,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * stores `FileSystem.create(path, overwrite = false)` has the same
   * refuse-on-exist contract (and ONLY refuse-on-exist counts as a lost
   * race — other IOExceptions surface as real failures).  The claim winner
-  * then publishes via rename (readers still see one atomic metadata op);
-  * the loser re-reads the head and retries the next slot with jittered
-  * backoff.  Liveness: a committer that dies between claim and publish
-  * cannot wedge the slot — the retry path and [[vacuum]] reap a claim
-  * with no manifest once it is older than `spark.graft.tx.staleClaimMs`
-  * (default 10 min); if the "dead" committer was merely slow, the
-  * exclusive rename still arbitrates (one publisher wins, the loser
-  * errors rather than clobbering).
+  * then publishes EXCLUSIVELY (readers still see one atomic metadata op):
+  * on local filesystems the fully-written temp file is hard-LINKED to the
+  * manifest path (`link(2)` is atomic, exposes complete content only, and
+  * fails with EEXIST — POSIX `rename(2)` would silently overwrite an
+  * existing manifest); on HDFS-semantics stores `FileSystem.rename`
+  * already refuses an existing destination.  The loser re-reads the head
+  * and retries the next slot with jittered backoff.  Liveness: a
+  * committer that dies between claim and publish cannot wedge the slot —
+  * the retry path and [[vacuum]] reap a claim with no manifest once it is
+  * older than `spark.graft.tx.staleClaimMs` (default 10 min); if the
+  * "dead" committer was merely slow and publishes after its claim was
+  * reaped and the slot re-won, the exclusive link/rename arbitrates — the
+  * late publisher ERRORS rather than clobbering the already-acknowledged
+  * winner manifest.
   *
   * Exactly-once bookkeeping: EVERY manifest carries the maximum streaming
   * batch id committed so far (`batch` is carried forward through append /
@@ -334,8 +340,9 @@ object TxTable {
     * older than `spark.graft.tx.staleClaimMs` (default 10 min — far beyond
     * any live write-temp+rename window) is deleted so the next attempt can
     * re-claim the slot.  If the "stale" committer is in fact alive and
-    * renames after the reap, the slot's exclusive rename arbitrates: one
-    * rename wins, the loser's require fires — never two manifests. */
+    * publishes after the reap, [[publishExclusive]] arbitrates: the first
+    * publish wins, the late one fails refuse-on-exist — never a silent
+    * overwrite of an acknowledged manifest. */
   private def reapStaleClaim(spark: SparkSession, f: FileSystem, root: String,
                              v: Long): Unit = {
     val claim = claimPath(root, v)
@@ -349,11 +356,37 @@ object TxTable {
     } catch { case _: java.io.FileNotFoundException => () }
   }
 
+  /** Atomically publish the fully-written temp manifest at the target path,
+    * refusing if the target already exists.  Local filesystems: hard link
+    * (`link(2)`) — atomic, complete-content-only, EEXIST on an occupied
+    * slot; POSIX `rename(2)` would silently OVERWRITE, which is exactly the
+    * lost-commit hole when a reaped-but-live committer publishes after a
+    * new winner (the claim CAS alone cannot arbitrate that, because the
+    * stalled committer holds a path, not a lease).  Other filesystems:
+    * `FileSystem.rename`, whose Hadoop contract (HDFS, consistent object
+    * stores) is refuse-on-existing-destination.  Returns false iff the
+    * slot was already published; the caller surfaces that as a loud loser
+    * error, never a retry (its claim was stolen — semantics demand the
+    * failure be visible). */
+  private[graft] def publishExclusive(f: FileSystem, tmp: Path, target: Path): Boolean =
+    f match {
+      case _: org.apache.hadoop.fs.LocalFileSystem | _: org.apache.hadoop.fs.RawLocalFileSystem =>
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(target.toUri.getPath),
+            java.nio.file.Paths.get(tmp.toUri.getPath))
+          f.delete(tmp, false)
+          true
+        } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      case _ => f.rename(tmp, target)
+    }
+
   /** Publish `segments` as the next version.  Per attempt: re-read the
     * head, re-verify the batch-id replay guard (so check-and-commit is one
     * decision), claim the slot create-exclusively, then write-temp +
-    * rename into the claimed slot — readers still see one atomic metadata
-    * op.  The published manifest's `batch` is the max of this commit's id
+    * [[publishExclusive]] into the claimed slot — readers still see one
+    * atomic metadata op and a late (reaped) publisher can never overwrite
+    * the winner.  The published manifest's `batch` is the max of this commit's id
     * and the head's carried id, so every manifest records the replay
     * horizon and vacuum can never lose it.  Returns [[ReplayNoOp]] (-1)
     * when the batch was already committed.  Retries on a lost claim with
@@ -403,12 +436,13 @@ object TxTable {
           stats.filter(kv => segments.contains(kv._1)), cdc, dvs, carriedSchema))
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
         finally os.close()
-        if (!f.rename(tmp, target)) {
+        if (!publishExclusive(f, tmp, target)) {
           f.delete(tmp, false)
           throw new IllegalStateException(
-            s"TxTable.commit: rename into claimed slot v$next failed under " +
-              s"$root — the slot was published by another writer (possibly " +
-              "after this committer's claim was reaped as stale)")
+            s"TxTable.commit: exclusive publish into claimed slot v$next " +
+              s"failed under $root — the slot was published by another " +
+              "writer (possibly after this committer's claim was reaped as " +
+              "stale); the winning manifest is preserved")
         }
         return next
       }

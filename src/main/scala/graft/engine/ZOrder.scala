@@ -34,10 +34,12 @@ object ZOrder {
   /** N-ary bit interleave: bit i of column j lands at z-bit `i*n + j`, the
     * straight generalization of the 2-D Morton pattern — contiguous
     * z-ranges are ~hypercubic tiles of the N-D value space.  `bits × n`
-    * must stay ≤ 62 so the z-value is a positive long. */
+    * must stay ≤ 62 so the z-value is a positive long.  `n == 1` is the
+    * identity interleave (z-bit i = bit i), i.e. plain rank-space range
+    * clustering — matching Delta's `OPTIMIZE ZORDER BY (one_col)`. */
   def interleaveBitsN(cols: Seq[Column], bits: Int): Column = {
     val n = cols.size
-    require(n >= 2, s"ZOrder.interleaveBitsN: need ≥ 2 columns, got $n")
+    require(n >= 1, s"ZOrder.interleaveBitsN: need ≥ 1 column, got $n")
     require(bits >= 1 && bits * n <= 62,
       s"ZOrder.interleaveBitsN: bits $bits × $n columns exceeds a positive long")
     cols.zipWithIndex.map { case (c, j) =>

@@ -250,6 +250,8 @@ object TextCatalog {
           when(col("doc_id") % 7 === 0, lit("?utm_source=feed&utm_campaign=x"))
             .when(col("doc_id") % 7 === 1, lit("?id=9&utm_medium=social"))
             .when(col("doc_id") % 7 === 2, lit("?utm_term=a&id=9"))
+            .when(col("doc_id") % 7 === 3, lit("?myutm_source=x"))
+            .when(col("doc_id") % 7 === 4, lit("?utm_a=1&utm_b=2&utm_c=3&id=9"))
             .otherwise(lit("")),
           when(col("doc_id") % 9 === 0, lit("#section-2")).otherwise(lit("")))
         val url = when(col("doc_id") % 11 === 0, lit("not a url")).otherwise(base)
@@ -269,7 +271,9 @@ object TextCatalog {
              || (CASE CAST(doc_id % 7 AS INT)
                    WHEN 0 THEN '?utm_source=feed&utm_campaign=x'
                    WHEN 1 THEN '?id=9&utm_medium=social'
-                   WHEN 2 THEN '?utm_term=a&id=9' ELSE '' END)
+                   WHEN 2 THEN '?utm_term=a&id=9'
+                   WHEN 3 THEN '?myutm_source=x'
+                   WHEN 4 THEN '?utm_a=1&utm_b=2&utm_c=3&id=9' ELSE '' END)
              || (CASE WHEN doc_id % 9 = 0 THEN '#section-2' ELSE '' END)
            END AS url
            FROM documents),
@@ -282,7 +286,7 @@ object TextCatalog {
                '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)), ':(443|80)$', '', 'g') AS host,
              regexp_replace(regexp_replace(regexp_extract(nf,
                '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^#]*)', 1),
-               'utm_[a-z]+=[^&#]*&?', '', 'g'), '[?&]$', '', 'g') AS rest
+               '([?&])(?:utm_[a-z]+=[^&#]*&?)+', '\1', 'g'), '[?&]$', '', 'g') AS rest
            FROM c)
          SELECT doc_id, url,
            CASE WHEN host = '' THEN NULL

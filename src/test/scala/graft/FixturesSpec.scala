@@ -17,7 +17,7 @@ class FixturesSpec extends SparkFunSuite {
         "orders", "lineitem", "events", "documents", "embeddings")) {
       val df =
         try Fixtures.table(spark, dir, n)
-        catch { case e: Throwable =>
+        catch { case scala.util.control.NonFatal(e) =>
           fail(s"fixture table '$n' unreadable (driver fixture drift?): ${e.getMessage}")
         }
       assert(df.schema.nonEmpty, s"fixture '$n' has an empty schema")
@@ -50,7 +50,7 @@ class FixturesSpec extends SparkFunSuite {
     for ((n, f) <- bases) {
       val df =
         try { val d = f(); d.queryExecution.analyzed; d }
-        catch { case e: Throwable =>
+        catch { case scala.util.control.NonFatal(e) =>
           fail(s"base frame '$n' fails analysis (driver fixture drift? " +
             s"check $dir vs Fixtures.scala): ${e.getMessage}")
         }

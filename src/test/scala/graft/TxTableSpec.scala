@@ -524,6 +524,38 @@ class TxTableSpec extends SparkFunSuite {
     } finally spark.conf.unset("spark.graft.tx.staleClaimMs")
   }
 
+  test("late publish after a reap cannot overwrite the winner's manifest") {
+    val root = newRoot()
+    TxTable.commitOverwrite(spark, root, Seq(1L).toDF("k"))
+    // the stalled committer: claimed v2, fully wrote its manifest to a temp
+    // file, then paused past the stale horizon (GC stall / network hang)
+    val logDir = new java.io.File(root + "/_txlog")
+    java.nio.file.Files.createFile(new java.io.File(logDir, "v0000000002.claim").toPath)
+    val stalledTmp = new java.io.File(logDir, ".tmp-stalled-committer")
+    java.nio.file.Files.writeString(stalledTmp.toPath, """{"stalled":"manifest"}""")
+    spark.conf.set("spark.graft.tx.staleClaimMs", "1")
+    try {
+      Thread.sleep(50)
+      // a new committer reaps the stale claim and wins slot v2
+      assert(TxTable.commitAppend(spark, root, Seq(2L).toDF("k")) === 2L)
+      val target = new java.io.File(logDir, "v0000000002.json")
+      val winner = java.nio.file.Files.readString(target.toPath)
+      // the stalled committer wakes and publishes into the slot it still
+      // believes it owns: POSIX rename(2) would silently OVERWRITE the
+      // winner (a lost acknowledged commit); the exclusive publish must
+      // refuse and leave the winner byte-identical
+      val f = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI("file:///"), spark.sparkContext.hadoopConfiguration)
+      val ok = TxTable.publishExclusive(f,
+        new org.apache.hadoop.fs.Path(stalledTmp.getAbsolutePath),
+        new org.apache.hadoop.fs.Path(target.getAbsolutePath))
+      assert(!ok, "the late publisher must lose the slot, not silently win")
+      assert(java.nio.file.Files.readString(target.toPath) === winner,
+        "the acknowledged winner manifest must survive the late publish")
+      assert(TxTable.read(spark, root).as[Long].collect().sorted.toSeq === Seq(1L, 2L))
+    } finally spark.conf.unset("spark.graft.tx.staleClaimMs")
+  }
+
   test("ivm refresh is crash-atomic: replay after the delete-half converges") {
     val root = newRoot(); val view = newRoot()
     import graft.engine.Ivm

@@ -53,8 +53,21 @@ class ZOrderSpec extends SparkFunSuite {
     // the 62-bit budget is enforced
     intercept[IllegalArgumentException](
       ZOrder.interleaveBitsN(Seq(col("a"), col("b"), col("a")), 21))
+    intercept[IllegalArgumentException](ZOrder.interleaveBitsN(Seq.empty, 16))
+  }
+
+  test("n=1 interleave is the identity: ZORDER BY (one_col) = range clustering") {
+    // Delta's OPTIMIZE ZORDER BY accepts a single column (degenerating to
+    // plain rank-space range clustering); the 1-ary interleave must be the
+    // identity over the low `bits` bits, preserving sort order exactly.
+    val vs = Seq(0L, 1L, 3L, 255L, 43690L, 65535L)
+    val one = vs.toDF("a")
+      .withColumn("z", ZOrder.interleaveBitsN(Seq(col("a")), 16))
+    one.collect().foreach(r => assert(r.getLong(1) === r.getLong(0),
+      s"identity broken for ${r.getLong(0)}"))
+    // budget still enforced at n = 1
     intercept[IllegalArgumentException](
-      ZOrder.interleaveBitsN(Seq(col("a")), 16))
+      ZOrder.interleaveBitsN(Seq(col("a")), 63))
   }
 
   test("scaleToBits maps bounds to [0, 2^bits) and is monotone") {
