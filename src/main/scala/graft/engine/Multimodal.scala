@@ -1,23 +1,44 @@
 package graft.engine
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Multimodal columns — LLM-data north-star component (BASELINE.json).
   *
   * Images/audio/video travel as opaque `BINARY` columns plus typed metadata
-  * structs; the Spark-side plumbing (schema, partitioning, batch iteration)
-  * is real, while the codec itself is STUBBED (no image/audio libraries in
-  * this container) behind `FakeCodec` — a deterministic fake that derives
-  * "features" from the raw bytes, clearly marked for replacement.
+  * structs.  The codec boundary here is REAL: [[encodePng]] renders
+  * deterministic grayscale images and encodes genuine PNG bytes through the
+  * JDK's `javax.imageio` (zero new dependencies), and [[decodeImage]]
+  * decodes those bytes back — actual PNG parsing, actual width/height,
+  * actual pixel statistics — mirroring the reference's one opaque-bytes →
+  * structured-rows operator (the Textract extraction boundary,
+  * `src/etl/ingest_harvest_data.py:132-174`).  [[decodeStub]] remains as
+  * the declared deterministic FALLBACK for payloads with no registered
+  * codec (e.g. the fixtures' utf-8 text payloads).
   *
-  * Scale notes: decode work is per-row CPU with no shuffle — `mapPartitions`
-  * over the binary column keeps it embarrassingly parallel; metadata-only
+  * Scale notes: codec work is per-row CPU with no shuffle — typed
+  * `Dataset.mapPartitions` over the binary column keeps it embarrassingly
+  * parallel AND keeps Catalyst in charge of the plan above and below (the
+  * input `select` prunes the scan to exactly the consumed columns, unlike
+  * an RDD drop-out, which would defeat column pruning).  Metadata-only
   * operations stay in column expressions so Parquet scans prune the (large)
   * binary column away entirely when only metadata is referenced.
   */
 object Multimodal {
+
+  /** One encoded image: `png` is a genuine PNG byte stream. */
+  final case class EncodedImage(doc_id: Long, png: Array[Byte])
+
+  /** One decoded image: real dimensions + pixel statistics from the
+    * decoded raster, plus a 4-dim feature vector (quadrant mean
+    * luminances) — the tiny-but-real embedding a downstream ANN stage
+    * consumes. */
+  final case class DecodedImage(doc_id: Long, width: Int, height: Int,
+      px_sum: Long, px_min: Int, px_max: Int, features: Array[Double])
+
+  private case class StubDecoded(doc_id: Long, width: Int, height: Int,
+      n_frames: Int, features: Seq[Double])
 
   /** Attach a binary payload column (fixtures carry no real media, so the
     * utf-8 bytes of a text column stand in as the opaque payload). */
@@ -34,7 +55,88 @@ object Multimodal {
           .when(col("n_bytes") % 3 === 1, "png-like")
           .otherwise("wav-like"))
 
-  /** Decoded-media schema: what a real decoder would emit per payload. */
+  /** The deterministic pixel formula behind [[encodePng]]: grayscale value
+    * of pixel (x, y) of document `id`.  Closed-form so an external oracle
+    * can recompute every decoded statistic without an image library —
+    * which is what makes the REAL decode verifiable end-to-end. */
+  @inline def pixelValue(id: Long, x: Int, y: Int): Int =
+    ((id * 31 + x * 7 + y * 13) % 256).toInt
+
+  /** Render a `w×h` grayscale image per row from [[pixelValue]] and encode
+    * it as REAL PNG bytes via the JDK's `javax.imageio` — no external
+    * libraries, genuinely decodable by any PNG reader.  Typed
+    * `mapPartitions`: the input select prunes the source scan to
+    * `(id, w, h)`; encode is per-row CPU, shuffle-free, embarrassingly
+    * parallel across executors. */
+  def encodePng(df: DataFrame, idCol: String, wCol: Column, hCol: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType), wCol.cast(IntegerType), hCol.cast(IntegerType))
+      .as[(Long, Int, Int)]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false) // no temp-file cache on executors
+        it.map { case (id, w, h) =>
+          require(w >= 1 && h >= 1, s"encodePng: degenerate ${w}x$h image for doc $id")
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val raster = img.getRaster
+          var x = 0
+          while (x < w) {
+            var y = 0
+            while (y < h) { raster.setSample(x, y, 0, pixelValue(id, x, y)); y += 1 }
+            x += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          require(javax.imageio.ImageIO.write(img, "png", bos),
+            "encodePng: this JRE has no PNG writer")
+          EncodedImage(id, bos.toByteArray)
+        }
+      }.toDF()
+  }
+
+  /** REAL image decode: parse the payload bytes with `javax.imageio`
+    * (PNG/JPEG/BMP/GIF — whatever the JRE's readers handle), then walk the
+    * decoded raster for genuine width/height, pixel sum/min/max, and the
+    * 4-dim quadrant-mean feature vector.  Fails loudly on undecodable
+    * bytes — a corrupt payload is data to quarantine upstream, not to
+    * fake.  Same typed-`mapPartitions` shape as [[encodePng]]: pruned
+    * input, per-row CPU, no shuffle, no driver involvement.  Quadrant
+    * split: x-halves at `2x >= w`, y-halves at `2y >= h` (the low half
+    * gets the extra row/column on odd sizes). */
+  def decodeImage(df: DataFrame, idCol: String, payload: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType), col(payload).cast(BinaryType))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, bytes) =>
+          require(bytes != null && bytes.nonEmpty, s"decodeImage: empty payload for doc $id")
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          require(img != null, s"decodeImage: payload of doc $id is not a decodable image")
+          val (w, h) = (img.getWidth, img.getHeight)
+          val raster = img.getRaster
+          var sum = 0L; var mn = Int.MaxValue; var mx = Int.MinValue
+          val qSum = new Array[Long](4); val qCnt = new Array[Long](4)
+          var x = 0
+          while (x < w) {
+            var y = 0
+            while (y < h) {
+              val p = raster.getSample(x, y, 0)
+              sum += p; if (p < mn) mn = p; if (p > mx) mx = p
+              val q = (if (2 * x >= w) 2 else 0) + (if (2 * y >= h) 1 else 0)
+              qSum(q) += p; qCnt(q) += 1
+              y += 1
+            }
+            x += 1
+          }
+          DecodedImage(id, w, h, sum, mn, mx,
+            Array.tabulate(4)(i => if (qCnt(i) == 0) 0.0 else qSum(i).toDouble / qCnt(i)))
+        }
+      }.toDF()
+  }
+
+  /** Decoded-media schema of the FALLBACK stub decoder. */
   val decodedSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType, false),
     StructField("width", IntegerType, false),
@@ -42,27 +144,30 @@ object Multimodal {
     StructField("n_frames", IntegerType, false),
     StructField("features", ArrayType(DoubleType, false), false)))
 
-  /** STUB decoder — deterministic fake in place of a real codec (***replace
-    * with an actual image/audio decoder when libraries are available***).
-    * Runs via `mapPartitions` so a real decoder drops in with zero plan
-    * changes: per-partition batch iteration, no driver involvement. */
+  /** FALLBACK decoder for payloads with no registered codec (the fixtures'
+    * utf-8 text payloads are not images): deterministic byte math standing
+    * in for decode→resize→embed, loudly labeled.  The REAL path is
+    * [[decodeImage]].  Typed `mapPartitions` (not an RDD drop-out), so the
+    * payload scan prunes to exactly `(id, payload)` and the plan stays
+    * under Catalyst above and below the codec boundary. */
   def decodeStub(df: DataFrame, idCol: String, payload: String): DataFrame = {
     val spark = df.sparkSession
-    val rdd = df.select(col(idCol).cast(LongType), col(payload)).rdd.mapPartitions { it =>
-      it.map { r =>
-        val id = r.getLong(0)
-        val bytes = r.getAs[Array[Byte]](1)
-        // FAKE: dimensions/frames derived from byte stats, features from a
-        // strided byte sample — stands in for decode→resize→embed.
-        val w = 64 + (bytes.length % 64)
-        val h = 64 + (bytes.headOption.map(_.toInt & 0x7f).getOrElse(0) % 64)
-        val frames = 1 + bytes.length % 8
-        val feats = bytes.indices.by(math.max(1, bytes.length / 8)).take(8)
-          .map(i => (bytes(i).toInt & 0xff) / 255.0).toArray
-        Row(id, w, h, frames, feats.toSeq)
-      }
-    }
-    spark.createDataFrame(rdd, decodedSchema)
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType), col(payload).cast(BinaryType))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, raw) =>
+          val bytes = if (raw == null) Array.emptyByteArray else raw
+          // FAKE: dimensions/frames derived from byte stats, features from a
+          // strided byte sample — stands in for decode→resize→embed.
+          val w = 64 + (bytes.length % 64)
+          val h = 64 + (bytes.headOption.map(_.toInt & 0x7f).getOrElse(0) % 64)
+          val frames = 1 + bytes.length % 8
+          val feats = bytes.indices.by(math.max(1, bytes.length / 8)).take(8)
+            .map(i => (bytes(i).toInt & 0xff) / 255.0)
+          StubDecoded(id, w, h, frames, feats)
+        }
+      }.toDF()
   }
 
   /** Frame sampling: every `stride`-th byte of the payload (stands in for

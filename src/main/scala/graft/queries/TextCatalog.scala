@@ -1301,7 +1301,109 @@ object TextCatalog {
            CAST(64 + n % 64 AS INT) AS width,
            CAST(64 + (b0 % 128) % 64 AS INT) AS height,
            CAST(1 + n % 8 AS INT) AS n_frames
-         FROM m ORDER BY doc_id"""))
+         FROM m ORDER BY doc_id""")),
+
+    // REAL codec roundtrip: render a deterministic grayscale image per doc
+    // (w = 8 + doc_id % 16, h = 8 + n_chars % 16, pixel(x,y) =
+    // (doc_id*31 + 7x + 13y) mod 256), encode GENUINE PNG bytes via the
+    // JDK's javax.imageio, decode them back with ImageIO.read, and report
+    // the decoded raster's true width/height and pixel sum/min/max.  The
+    // pixel formula is closed-form, so the oracle recomputes every decoded
+    // statistic WITHOUT an image library — a wrong byte anywhere in the
+    // encode→decode path (stride, color model, bit depth) breaks the hash.
+    // Scan pruning: encodePng's input select reads only (doc_id, n_chars);
+    // the fat text column never leaves parquet.
+    QueryDef("q_decode_real",
+      (s, dir) => {
+        val d = t(s, dir, "documents").select("doc_id", "n_chars")
+        val enc = Multimodal.encodePng(d, "doc_id",
+          lit(8) + col("doc_id") % 16, lit(8) + col("n_chars") % 16)
+        Multimodal.decodeImage(enc, "doc_id", "png")
+          .select("doc_id", "width", "height", "px_sum", "px_min", "px_max")
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, CAST(8 + doc_id % 16 AS INT) AS w,
+             CAST(8 + n_chars % 16 AS INT) AS h FROM documents),
+         px AS (SELECT doc_id, w, h,
+             list_transform(range(0, w * h),
+               i -> (doc_id * 31 + (i // h) * 7 + (i % h) * 13) % 256) AS ps
+           FROM d)
+         SELECT doc_id, w AS width, h AS height,
+           CAST(list_sum(ps) AS BIGINT) AS px_sum,
+           CAST(list_min(ps) AS INT) AS px_min,
+           CAST(list_max(ps) AS INT) AS px_max
+         FROM px ORDER BY doc_id""")),
+
+    // End-to-end multimodal pipeline: encode real PNGs for a candidate
+    // corpus slice → REAL decode → 4-dim feature vectors (quadrant mean
+    // luminance from the decoded raster) → brute-force cosine top-2
+    // neighbors for each query doc.  The corpus-to-index flow a multimodal
+    // training pipeline runs: codec boundary per-row and shuffle-free,
+    // ANN as a broadcast-able small-queries × candidates join, ranking as
+    // a partitioned window.  Cosine is an explicit fixed-order term chain
+    // so Spark and the oracle produce bit-identical doubles (ranking runs
+    // on the unrounded value).
+    QueryDef("q_multimodal_pipeline",
+      (s, dir) => {
+        val cands = t(s, dir, "documents").select("doc_id", "n_chars")
+          .filter(col("doc_id") % 5 === 0)
+        val enc = Multimodal.encodePng(cands, "doc_id",
+          lit(8) + col("doc_id") % 16, lit(8) + col("n_chars") % 16)
+        val feat = Multimodal.decodeImage(enc, "doc_id", "png")
+          .select(col("doc_id"), col("features"))
+        val queries = feat.filter(col("doc_id") % 100 === 0)
+          .select(col("doc_id").as("query_id"), col("features").as("qf"))
+        def term(i: Int): Column =
+          element_at(col("qf"), i) * element_at(col("features"), i)
+        def norm(c: String): Column = sqrt(
+          element_at(col(c), 1) * element_at(col(c), 1) +
+          element_at(col(c), 2) * element_at(col(c), 2) +
+          element_at(col(c), 3) * element_at(col(c), 3) +
+          element_at(col(c), 4) * element_at(col(c), 4))
+        val scored = feat.crossJoin(broadcast(queries))
+          .filter(col("doc_id") =!= col("query_id"))
+          .withColumn("cos",
+            (term(1) + term(2) + term(3) + term(4)) / (norm("qf") * norm("features")))
+        scored
+          .withColumn("rank", row_number().over(Window.partitionBy("query_id")
+            .orderBy(col("cos").desc, col("doc_id").asc)))
+          .filter(col("rank") <= 2)
+          .select(col("query_id"), col("rank"),
+            col("doc_id").as("neighbor_id"), round(col("cos"), 6).as("cosine"))
+          .orderBy("query_id", "rank")
+      },
+      Some("""WITH d AS (SELECT doc_id, CAST(8 + doc_id % 16 AS INT) AS w,
+             CAST(8 + n_chars % 16 AS INT) AS h FROM documents WHERE doc_id % 5 = 0),
+         px AS (SELECT doc_id, w, h, CAST(unnest(range(0, w * h)) AS BIGINT) AS i FROM d),
+         pq AS (SELECT doc_id,
+             (CASE WHEN 2 * (i // h) >= w THEN 2 ELSE 0 END)
+               + (CASE WHEN 2 * (i % h) >= h THEN 1 ELSE 0 END) AS q,
+             (doc_id * 31 + (i // h) * 7 + (i % h) * 13) % 256 AS p
+           FROM px),
+         feat AS (SELECT doc_id,
+             SUM(CASE WHEN q = 0 THEN p ELSE 0 END) * 1.0
+               / SUM(CASE WHEN q = 0 THEN 1 ELSE 0 END) AS f1,
+             SUM(CASE WHEN q = 1 THEN p ELSE 0 END) * 1.0
+               / SUM(CASE WHEN q = 1 THEN 1 ELSE 0 END) AS f2,
+             SUM(CASE WHEN q = 2 THEN p ELSE 0 END) * 1.0
+               / SUM(CASE WHEN q = 2 THEN 1 ELSE 0 END) AS f3,
+             SUM(CASE WHEN q = 3 THEN p ELSE 0 END) * 1.0
+               / SUM(CASE WHEN q = 3 THEN 1 ELSE 0 END) AS f4
+           FROM pq GROUP BY doc_id),
+         qs AS (SELECT doc_id AS query_id, f1 AS g1, f2 AS g2, f3 AS g3, f4 AS g4
+           FROM feat WHERE doc_id % 100 = 0),
+         pairs AS (SELECT qs.query_id, c.doc_id AS neighbor_id,
+             (g1 * f1 + g2 * f2 + g3 * f3 + g4 * f4)
+               / (sqrt(g1 * g1 + g2 * g2 + g3 * g3 + g4 * g4)
+                  * sqrt(f1 * f1 + f2 * f2 + f3 * f3 + f4 * f4)) AS cos
+           FROM qs, feat c WHERE c.doc_id <> qs.query_id),
+         r AS (SELECT query_id, neighbor_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY cos DESC, neighbor_id) AS rank
+           FROM pairs)
+         SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id,
+           ROUND(cos, 6) AS cosine
+         FROM r WHERE rank <= 2 ORDER BY query_id, rank"""))
   )
 
   // ------------------------------------------- segments & n-grams (round 5)
