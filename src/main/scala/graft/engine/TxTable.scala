@@ -236,6 +236,31 @@ object TxTable {
     } finally in.close()
   }
 
+  /** [[readManifest]] for a USER-ADDRESSED version: translates the raw
+    * FileNotFoundException of a vacuumed-out manifest into a loud, named
+    * retention error — time travel / restore / CDF past the vacuum horizon
+    * must fail stating the version and the boundary, never resurrect a
+    * half-table or surface an opaque missing-file path. */
+  private def retainedManifest(spark: SparkSession, root: String, v: Long): Manifest =
+    try readManifest(spark, root, v)
+    catch {
+      case _: java.io.FileNotFoundException =>
+        val dir = new Path(s"${root.stripSuffix("/")}/$LogDir")
+        val f = fs(spark, root)
+        val retained =
+          if (!f.exists(dir)) Seq.empty[Long]
+          else f.listStatus(dir).map(_.getPath.getName)
+            .collect { case n if n.startsWith("v") && n.endsWith(".json") =>
+              n.stripPrefix("v").stripSuffix(".json").toLong }.toSeq.sorted
+        throw new IllegalStateException(
+          s"TxTable: version v$v of $root is not retained " +
+            retained.headOption.map(lo =>
+              s"(earliest retained v$lo, head v${retained.last})")
+              .getOrElse("(no manifests at all)") +
+            " — it was removed by vacuum; time travel/restore/CDF cannot " +
+            "reach past the retention boundary")
+    }
+
   /** Write `df` as a fresh segment directory; returns the segment name. */
   private def writeSegment(df: DataFrame, root: String): String = {
     val seg = "data/" + java.util.UUID.randomUUID().toString
@@ -734,7 +759,7 @@ object TxTable {
     val cur = latestVersion(spark, root).getOrElse(
       throw new IllegalArgumentException(s"TxTable.restore: no commits under $root"))
     require(v >= 1 && v <= cur, s"TxTable.restore: version $v outside [1, $cur]")
-    val m = readManifest(spark, root, v)
+    val m = retainedManifest(spark, root, v)
     commit(spark, root, "restore", m.segments, maxRetries = 0,
       stats = m.stats, expectVersion = Some(cur + 1), dvs = m.dvs,
       schema = m.schema)
@@ -745,9 +770,16 @@ object TxTable {
     * disturbed (their segments stay on disk until [[vacuum]]). */
   def compactTx(spark: SparkSession, root: String,
                 targetBytes: Long = 128L * 1024 * 1024): Long = {
-    val snapshot = read(spark, root)
+    // ONE head resolution feeds both the snapshot and the CAS expectation.
+    // (Resolving them separately opens a lost-commit race: an append landing
+    // between the two listings would satisfy expectVersion = newer+1 while
+    // the compacted snapshot was built from the OLDER head — the publish
+    // then silently drops the racing append.  Caught by the 8-writer
+    // stress spec.)
+    val cur = latestVersion(spark, root).getOrElse(
+      throw new IllegalArgumentException(s"TxTable.compactTx: no commits under $root"))
+    val snapshot = readVersion(spark, root, cur)
     val f = fs(spark, root)
-    val cur = latestVersion(spark, root).get
     val head = readManifest(spark, root, cur)
     val bytes = head.segments.map(s => f.getContentSummary(
       new Path(s"${root.stripSuffix("/")}/$s")).getLength).sum
@@ -956,7 +988,7 @@ object TxTable {
     * it (additive schema evolution — the same drift contract as the lake's
     * multi-generation glob scan). */
   def readVersion(spark: SparkSession, root: String, v: Long): DataFrame = {
-    val m = readManifest(spark, root, v)
+    val m = retainedManifest(spark, root, v)
     require(m.segments.nonEmpty, s"TxTable: version $v of $root is empty")
     val raw = spark.read.option("mergeSchema", "true")
       .parquet(m.segments.map(s => s"${root.stripSuffix("/")}/$s"): _*)
@@ -978,7 +1010,7 @@ object TxTable {
     * (they need the provenance tag anyway for hit-segment detection). */
   private def readVersionTagged(spark: SparkSession, root: String,
                                 v: Long): DataFrame = {
-    val m = readManifest(spark, root, v)
+    val m = retainedManifest(spark, root, v)
     require(m.segments.nonEmpty, s"TxTable: version $v of $root is empty")
     val raw = spark.read.option("mergeSchema", "true")
       .parquet(m.segments.map(s => s"${root.stripSuffix("/")}/$s"): _*)
@@ -1079,11 +1111,11 @@ object TxTable {
       spark.read.option("mergeSchema", "true")
         .parquet(ss.map(s0 => s"${root.stripSuffix("/")}/$s0"): _*)
     val frames = ((fromVersion + 1) to toVersion).flatMap { v =>
-      val m = readManifest(spark, root, v)
+      val m = retainedManifest(spark, root, v)
       val changed: Seq[DataFrame] = m.op match {
         case "append" =>
           val prev = if (v == 1) Set.empty[String]
-            else readManifest(spark, root, v - 1).segments.toSet
+            else retainedManifest(spark, root, v - 1).segments.toSet
           val fresh = m.segments.filterNot(prev.contains)
           if (fresh.isEmpty) Nil
           else Seq(readSegs(fresh).withColumn("_change_type", lit("insert")))

@@ -208,20 +208,23 @@ object Upsert {
     // actual on-disk partition directories, via the files Spark scanned —
     // input_file_name() is captured as a column directly above the scan
     // (it rejects multi-source plans, so it cannot sit above the join).
-    // ONE pass computes both the touched set and the emptied set: per-file
-    // total vs tombstone-hit counts (tomb is distinct on the full join key,
-    // so the left join cannot duplicate lake rows), rolled up per directory
-    // on the driver (a handful of rows).
+    // ONE pass computes both the touched set and the emptied set: total vs
+    // tombstone-hit counts (tomb is distinct on the full join key, so the
+    // left join cannot duplicate lake rows), aggregated to DIRECTORY grain
+    // in-plane — the driver only ever consumes partition directories, so
+    // collected rows = #touched partitions, not #files.  (A 100 TB
+    // partition sweep can touch 10⁵-10⁶ files; a per-file collect would be
+    // the one driver footprint in the repo growing linearly in file count.)
     val aff = affected.withColumn("__file", input_file_name())
     val kept = antiSemi(aff, "left_anti")
     val tbh = broadcast(tomb.withColumn("__hit", lit(1)))
     val perDir = aff
       .join(tbh, joinCols.map(c => aff(c) <=> tbh(c)).reduce(_ && _), "left")
-      .groupBy("__file")
+      .withColumn("__dir", regexp_replace(col("__file"), "/[^/]*$", ""))
+      .groupBy("__dir")
       .agg(count(lit(1)).as("total"), count(col("__hit")).as("hits"))
       .collect()
-      .groupBy(r => r.getString(0).substring(0, r.getString(0).lastIndexOf('/')))
-      .view.mapValues(rs => (rs.map(_.getLong(1)).sum, rs.map(_.getLong(2)).sum))
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     val keptDirs = perDir.collect { case (d, (t, h)) if h < t => d }.toSet
     val emptiedDirs = perDir.keySet -- keptDirs
     val fs = org.apache.hadoop.fs.FileSystem.get(

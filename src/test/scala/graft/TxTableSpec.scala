@@ -556,6 +556,84 @@ class TxTableSpec extends SparkFunSuite {
     } finally spark.conf.unset("spark.graft.tx.staleClaimMs")
   }
 
+  test("vacuum retention boundary: time travel/restore to an aged-out version fails loudly") {
+    val root = newRoot()
+    TxTable.commitOverwrite(spark, root, Seq(1L).toDF("k"))      // v1
+    TxTable.commitAppend(spark, root, Seq(2L).toDF("k"))         // v2
+    TxTable.commitAppend(spark, root, Seq(3L).toDF("k"))         // v3
+    TxTable.commitAppend(spark, root, Seq(4L).toDF("k"))         // v4
+    TxTable.vacuum(spark, root, keepVersions = 2)                // keeps v3, v4
+    // retained versions still travel
+    assert(TxTable.readVersion(spark, root, 3).count() === 3)
+    // aged-out version: loud, named — not an opaque FileNotFound, never a
+    // half-table resurrected from whatever segments happen to survive
+    val e1 = intercept[IllegalStateException](
+      TxTable.readVersion(spark, root, 1).count())
+    assert(e1.getMessage.contains("v1") && e1.getMessage.contains("retained"),
+      s"boundary error must name the version and the horizon: ${e1.getMessage}")
+    val head = TxTable.latestVersion(spark, root).get
+    val e2 = intercept[IllegalStateException](TxTable.restore(spark, root, 2))
+    assert(e2.getMessage.contains("v2"), s"restore must name it too: ${e2.getMessage}")
+    assert(TxTable.latestVersion(spark, root).get === head,
+      "a refused restore must not burn a version slot")
+    // CDF across the vacuumed range fails the same named way
+    val e3 = intercept[IllegalStateException](
+      TxTable.readChanges(spark, root, 0, 2).count())
+    assert(e3.getMessage.contains("retention"), e3.getMessage)
+    // restore to a RETAINED version still works after vacuum
+    val rv = TxTable.restore(spark, root, 3)
+    assert(rv === head + 1)
+    assert(TxTable.read(spark, root).as[Long].collect().sorted.toSeq === Seq(1L, 2L, 3L))
+  }
+
+  test("8 concurrent writers, mixed append/compact: linearizable versions, no lost commits") {
+    val root = newRoot()
+    TxTable.commitOverwrite(spark, root, Seq((0L, 0L)).toDF("t", "k"))
+    val nThreads = 8; val perThread = 3
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(nThreads)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    def retrying(op: () => Long): Long = {
+      var out = -1L; var tries = 0
+      while (out < 0) {
+        // caller-level retry on the optimistic-CAS losses a real job retries
+        // (head-moved / out-of-retries are IllegalArgumentException by design)
+        try out = op()
+        catch { case _: IllegalArgumentException =>
+          tries += 1; assert(tries < 60, "livelock in commit retry"); Thread.sleep(20) }
+      }
+      out
+    }
+    val futures = (1 to nThreads).map { t =>
+      pool.submit(new java.util.concurrent.Callable[Seq[Long]] {
+        def call(): Seq[Long] = {
+          gate.await()
+          (1 to perThread).map { i =>
+            if (t % 4 == 0 && i == 2) retrying(() => TxTable.compactTx(spark, root))
+            else retrying(() => TxTable.commitAppend(spark, root,
+              Seq((t.toLong, i.toLong)).toDF("t", "k")))
+          }
+        }
+      })
+    }
+    gate.countDown()
+    val versions = futures.flatMap(_.get(300, java.util.concurrent.TimeUnit.SECONDS))
+    pool.shutdown()
+    // linearizable: 24 successful commits must own exactly slots v2..v25 —
+    // no duplicates (two writers acknowledged for one slot = lost commit),
+    // no gaps (a version burned without a surviving manifest)
+    assert(versions.distinct.size === versions.size,
+      s"two commits acknowledged the same version: ${versions.sorted}")
+    assert(versions.sorted === (2L to (1L + versions.size)).toSeq,
+      s"version sequence must be contiguous: ${versions.sorted}")
+    // no lost rows: every append survives through the interleaved compactions
+    val expected = ((0L, 0L) +: (for {
+      t <- 1 to nThreads; i <- 1 to perThread
+      if !(t % 4 == 0 && i == 2)
+    } yield (t.toLong, i.toLong))).sorted
+    val rows = TxTable.read(spark, root).as[(Long, Long)].collect().sorted.toSeq
+    assert(rows === expected, "every acknowledged append must be in the final snapshot")
+  }
+
   test("ivm refresh is crash-atomic: replay after the delete-half converges") {
     val root = newRoot(); val view = newRoot()
     import graft.engine.Ivm

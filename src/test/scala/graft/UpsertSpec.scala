@@ -155,4 +155,29 @@ class UpsertSpec extends SparkFunSuite {
     assert(!dirs.contains("__HIVE_DEFAULT_PARTITION__"),
       "null-partition emptied dir must be deleted")
   }
+
+  test("purgeKeys: many files per partition — kept/emptied decided at directory grain") {
+    import org.apache.spark.sql.functions.col
+    val lake = java.nio.file.Files.createTempDirectory("purge_many").toString + "/lake"
+    // p=1: 6 rows spread over several files, 3 keys tombstoned — SOME files
+    // may be 100% hit, but the DIRECTORY keeps rows → must be rewritten,
+    // never dropped (the hazard of deciding emptiness per file); p=2: every
+    // row in every file tombstoned → dropped; p=3 untouched.
+    val rows = (1L to 6L).map(k => (k, 1, s"a$k")) ++
+      (7L to 10L).map(k => (k, 2, s"b$k")) ++ Seq((11L, 3, "c"))
+    rows.toDF("k", "p", "v").repartition(3, col("k"))
+      .write.partitionBy("p").parquet(lake)
+    assert(new java.io.File(s"$lake/p=1").listFiles
+        .count(_.getName.endsWith(".parquet")) > 1,
+      "fixture must actually have multiple files per partition")
+    val tomb = (Seq(1L, 2L, 3L).map((_, 1)) ++ (7L to 10L).map((_, 2)))
+      .toDF("k", "p")
+    Upsert.purgeKeys(spark, lake, tomb, Seq("k"), "p")
+    val got = spark.read.parquet(lake).select("k").collect().map(_.getLong(0)).toSet
+    assert(got === Set(4L, 5L, 6L, 11L), "exact survivor set across file layouts")
+    assert(new java.io.File(s"$lake/p=1").exists(),
+      "a partition that keeps rows must survive even if one of its files was fully hit")
+    assert(!new java.io.File(s"$lake/p=2").exists(),
+      "a partition emptied across ALL its files must be dropped")
+  }
 }
