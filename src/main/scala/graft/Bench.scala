@@ -107,7 +107,12 @@ object Bench {
       .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    // optional args(0) regex restricts the suite for targeted local timing;
+    // the driver's no-args invocation benches everything
+    val nameFilter: String => Boolean =
+      if (args.nonEmpty) { val re = args(0).r; n => re.findFirstIn(n).isDefined }
+      else _ => true
+    val names = SparkEntry.queries.toSeq.filter(kv => nameFilter(kv._1)).sortBy(_._1)
     val timesByQuery = scala.collection.mutable.Map.empty[String, List[Double]]
 
     def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,

@@ -52,42 +52,58 @@ object Ivm {
     if (TxTable.lastCommittedBatch(spark, aggRoot).exists(_ >= toVersion))
       return TxTable.latestVersion(spark, aggRoot).get // replay: already applied
     val ch = TxTable.readChanges(spark, factRoot, fromVersion, toVersion)
-    if (ch.isEmpty) // layout-only window: nothing to apply, nothing to publish
-      return TxTable.latestVersion(spark, aggRoot).getOrElse(0L)
     val sign = when(col("_change_type").isin("insert", "update_postimage"), 1L)
       .otherwise(-1L)
+    // persist the CHANGE-SIZED delta: the apply consumes it twice
+    // (broadcast key set + the union arm), so without the cache the feed
+    // scan + aggregate would run twice inside one action; a layout-only
+    // (empty) window is detected by the apply's summary probe
     val delta = ch.groupBy(key).agg(
       sum(sign).cast(LongType).as("__dn"),
       sum(col(valueCol).cast(Dec) * sign).cast(Dec).as("__dsum"))
-    applySignedDelta(spark, aggRoot, delta, key, nCol, sumCol, toVersion)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try applySignedDelta(spark, aggRoot, delta, key, nCol, sumCol, toVersion)
+    finally delta.unpersist(false)
   }
 
   /** Publish a `(key, __dn, __dsum)` signed delta into the view at
     * `aggRoot` (bootstrap when the view has no commits): existing rows for
-    * delta keys are fetched by broadcast semi-join, counts/sums add, keys
-    * whose count reaches zero leave the view, and the commit records
-    * `batchId` as the applied-through horizon.  Returns the view head. */
+    * delta keys are fetched by broadcast semi-join and SUMMED with the
+    * delta through one union + hash aggregate (a full-outer join would
+    * cost two shuffles and a sort where the union-agg costs one exchange —
+    * addition is the same merge the join's coalesce arithmetic expressed).
+    * Keys whose count reaches zero leave the view, and the commit records
+    * `batchId` as the applied-through horizon.  An EMPTY delta (layout-only
+    * window) publishes nothing.  Returns the view head. */
   private def applySignedDelta(spark: SparkSession, aggRoot: String,
                                delta: DataFrame, key: String,
                                nCol: String, sumCol: String,
                                batchId: Long): Long = {
-    val merged = TxTable.latestVersion(spark, aggRoot) match {
-      case None => delta.select(col(key), col("__dn").as(nCol), col("__dsum").as(sumCol))
-      case Some(_) =>
+    val bootstrap = TxTable.latestVersion(spark, aggRoot).isEmpty
+    val asView = delta.select(col(key), col("__dn").as(nCol), col("__dsum").as(sumCol))
+    val merged =
+      if (bootstrap) asView
+      else {
         // only the view rows whose key has a delta; broadcast the key set
         val existing = TxTable.read(spark, aggRoot)
           .join(broadcast(delta.select(key)), Seq(key), "left_semi")
-        existing.join(delta, Seq(key), "full_outer")
-          .select(col(key),
-            (coalesce(col(nCol), lit(0L)) + coalesce(col("__dn"), lit(0L))).as(nCol),
-            (coalesce(col(sumCol), lit(BigDecimal(0)).cast(Dec)) +
-              coalesce(col("__dsum"), lit(BigDecimal(0)).cast(Dec))).cast(Dec).as(sumCol))
-    }
-    // merged is consumed three times (dead probe, delete, merge write) —
+        existing.select(col(key), col(nCol), col(sumCol).cast(Dec).as(sumCol))
+          .unionByName(asView)
+          .groupBy(key).agg(
+            sum(col(nCol)).cast(LongType).as(nCol),
+            sum(col(sumCol)).cast(Dec).as(sumCol))
+      }
+    // merged is consumed three times (summary probe, delete, merge write) —
     // cache the change-sized frame so the feed scan + joins run once
     merged.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val dead = merged.filter(col(nCol) <= 0).select(key)
+      // ONE summary action decides both branches (empty window? any zeroed
+      // keys?) and materializes the cache the commits below reuse
+      val probe = merged.agg(count(lit(1)).as("__rows"),
+        count(when(col(nCol) <= 0, 1)).as("__dead")).collect().head
+      val (rows, deadCnt) = (probe.getLong(0), probe.getLong(1))
+      if (rows == 0L) // layout-only window: nothing to apply, nothing to publish
+        return TxTable.latestVersion(spark, aggRoot).getOrElse(0L)
       // CRASH-ATOMIC ordering: delete zeroed keys FIRST, latch the
       // applied-through horizon ONLY on the final merge commit.  A crash
       // between the two leaves the horizon unlatched, so the whole window
@@ -97,8 +113,9 @@ object Ivm {
       // keeps it out of the merge set.  The old order (merge-with-horizon
       // then delete) latched the guard before the deletes were durable —
       // a crash between them left stale zeroed rows forever.
-      if (TxTable.latestVersion(spark, aggRoot).isDefined && !dead.isEmpty)
-        TxTable.commitDelete(spark, aggRoot, dead, Seq(key))
+      if (!bootstrap && deadCnt > 0L)
+        TxTable.commitDelete(spark, aggRoot,
+          merged.filter(col(nCol) <= 0).select(key), Seq(key))
       TxTable.commitMerge(spark, aggRoot, merged.filter(col(nCol) > 0),
         Seq(key), Seq(nCol, sumCol), Nil, batch = Some(batchId))
     } finally merged.unpersist(false)
@@ -172,12 +189,16 @@ object Ivm {
         .join(broadcast(chD), "__k")
         .select(col(groupKey), col("__v"), col("__s"))
     }
+    // persist the GROUP-SIZED delta: the apply's two consumers would
+    // otherwise re-run both delta parts — including part 2's old-fact
+    // snapshot scan — twice inside one action; a layout-only (empty)
+    // window is detected by the apply's summary probe
     val delta = p1.unionByName(p2).groupBy(groupKey).agg(
       sum(col("__s")).cast(LongType).as("__dn"),
       sum(col("__v") * col("__s")).cast(Dec).as("__dsum"))
-    if (delta.isEmpty) // layout-only windows: nothing to apply
-      return TxTable.latestVersion(spark, aggRoot).getOrElse(0L)
-    applySignedDelta(spark, aggRoot, delta, groupKey, nCol, sumCol, packed)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try applySignedDelta(spark, aggRoot, delta, groupKey, nCol, sumCol, packed)
+    finally delta.unpersist(false)
   }
 
   /** Catch the view up to the fact table's HEAD, exactly-once and

@@ -621,42 +621,59 @@ object TxTable {
         // tagged at the scan (end-anchored: a table ROOT containing a
         // /data/<x>/ component must not hijack the match), DVs applied
         val cur = readVersionTagged(spark, root, headV)
-        val inKeys = broadcast(incoming.select(keys.map(col): _*).distinct())
+        // the BATCH-sized key set feeds three separate actions (hit-segment
+        // probe, merge join, CDF probes) — cache it so the incoming scan +
+        // distinct shuffle run once, not once per action
+        val inKeysDf = incoming.select(keys.map(col): _*).distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val inKeys = broadcast(inKeysDf)
         val hitSegs = cur
           .join(inKeys, keys.map(k => cur(k) <=> inKeys(k)).reduce(_ && _), "left_semi")
           .select("__seg").distinct().collect().map(_.getString(0)).toSet
+        // touched is HIT-SEGMENT-sized (the pruned slice this merge
+        // rewrites, never the table) and is consumed up to three times —
+        // the rewrite write, the CDF preimages, the matched-key probe —
+        // so cache it spill-safely instead of re-scanning the hit
+        // segments per consumer
         val touched = cur.filter(col("__seg").isin(hitSegs.toSeq: _*)).drop("__seg")
-        val merged = Upsert.upsert(touched, incoming, keys, updateCols, preserveCols)
-        val newSeg = writeSegment(merged, root)
-        val cdc = if (!cdf) Nil else {
-          // matched keys = incoming ∩ existing; every existing match lives
-          // in a hit segment BY DEFINITION of hitSegs, so `touched` sees
-          // them all.  touched STREAMS against the broadcast incoming key
-          // set (never the reverse — touched is segment-sized), and the
-          // result is ≤ the incoming batch: broadcast for the probes below.
-          def on(a: DataFrame, b: DataFrame) =
-            keys.map(k => a(k) <=> b(k)).reduce(_ && _)
-          val tKeys = touched.select(keys.map(col): _*).distinct()
-          val matched = broadcast(
-            tKeys.join(inKeys, on(tKeys, inKeys), "left_semi"))
-          val pre = touched.join(matched, on(touched, matched), "left_semi")
-            .withColumn("_change_type", lit("update_preimage"))
-          val post = merged.join(matched, on(merged, matched), "left_semi")
-            .withColumn("_change_type", lit("update_postimage"))
-          val ins = merged.join(inKeys, on(merged, inKeys), "left_semi")
-            .join(matched, on(merged, matched), "left_anti")
-            .withColumn("_change_type", lit("insert"))
-          Seq(writeChangeSegment(pre.unionByName(post).unionByName(ins), root))
-        }
-        val carriedSegs = segs.filterNot(hitSegs.contains)
-        commit(spark, root, "merge",
-          carriedSegs :+ newSeg, maxRetries = 0,
-          batch = batch, stats = carryStats(spark, root, head, newSeg, statsCols),
-          expectVersion = Some(headV + 1), cdc = cdc,
-          dvs = carryDvs(head.dvs, carriedSegs.toSet),
-          schema = Some(encodeSchema(mergeEvolve(
-            head.schema.map(decodeSchema).getOrElse(merged.schema),
-            merged.schema, root))))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val merged = Upsert.upsert(touched, incoming, keys, updateCols, preserveCols)
+          val newSeg = writeSegment(merged, root)
+          val cdc = if (!cdf) Nil else {
+            // matched keys = incoming ∩ existing; every existing match lives
+            // in a hit segment BY DEFINITION of hitSegs, so `touched` sees
+            // them all.  touched STREAMS against the broadcast incoming key
+            // set (never the reverse — touched is segment-sized), and the
+            // result is ≤ the incoming batch: broadcast for the probes below.
+            def on(a: DataFrame, b: DataFrame) =
+              keys.map(k => a(k) <=> b(k)).reduce(_ && _)
+            // post-state probes re-read the JUST-WRITTEN segment: a
+            // columnar re-read of delta-sized output beats re-running the
+            // merge join once per change class
+            val mergedBack = spark.read.parquet(s"${root.stripSuffix("/")}/$newSeg")
+            val tKeys = touched.select(keys.map(col): _*).distinct()
+            val matched = broadcast(
+              tKeys.join(inKeys, on(tKeys, inKeys), "left_semi"))
+            val pre = touched.join(matched, on(touched, matched), "left_semi")
+              .withColumn("_change_type", lit("update_preimage"))
+            val post = mergedBack.join(matched, on(mergedBack, matched), "left_semi")
+              .withColumn("_change_type", lit("update_postimage"))
+            val ins = mergedBack.join(inKeys, on(mergedBack, inKeys), "left_semi")
+              .join(matched, on(mergedBack, matched), "left_anti")
+              .withColumn("_change_type", lit("insert"))
+            Seq(writeChangeSegment(pre.unionByName(post).unionByName(ins), root))
+          }
+          val carriedSegs = segs.filterNot(hitSegs.contains)
+          commit(spark, root, "merge",
+            carriedSegs :+ newSeg, maxRetries = 0,
+            batch = batch, stats = carryStats(spark, root, head, newSeg, statsCols),
+            expectVersion = Some(headV + 1), cdc = cdc,
+            dvs = carryDvs(head.dvs, carriedSegs.toSet),
+            schema = Some(encodeSchema(mergeEvolve(
+              head.schema.map(decodeSchema).getOrElse(merged.schema),
+              merged.schema, root))))
+        } finally { touched.unpersist(false); inKeysDf.unpersist(false) }
     }
   }
 
@@ -720,29 +737,53 @@ object TxTable {
       throw new IllegalArgumentException(s"TxTable.commitDelete: no commits under $root"))
     val head = readManifest(spark, root, headV)
     val segs = head.segments
-    val tomb = broadcast(tombstones.select(keys.map(col): _*).distinct())
-    val cur = readVersionTagged(spark, root, headV)
-    def keyCond(df: DataFrame) = keys.map(k => df(k) <=> tomb(k)).reduce(_ && _)
-    val hitSegs = cur.join(tomb, keyCond(cur), "left_semi")
-      .select("__seg").distinct().collect().map(_.getString(0)).toSet
-    if (hitSegs.isEmpty) return headV // nothing to delete: head unchanged
-    val touched = cur.filter(col("__seg").isin(hitSegs.toSeq: _*))
-    val kept = touched.join(tomb, keyCond(touched), "left_anti").drop("__seg")
-    val carried = segs.filterNot(hitSegs.contains)
-    // a fully-emptied table still needs a readable head: only write the
-    // replacement segment when rows survive
-    val newSegs = if (kept.isEmpty) Seq.empty else Seq(writeSegment(kept, root))
-    require(carried.nonEmpty || newSegs.nonEmpty,
-      s"TxTable.commitDelete: delete would empty the table under $root — " +
-        "commitOverwrite an explicit empty state instead")
-    val stats = newSegs.headOption
-      .map(s => carryStats(spark, root, head, s)).getOrElse(head.stats)
-    val cdc = if (!cdf) Nil else Seq(writeChangeSegment(
-      touched.join(tomb, keyCond(touched), "left_semi").drop("__seg")
-        .withColumn("_change_type", lit("delete")), root))
-    commit(spark, root, "delete", carried ++ newSegs, maxRetries = 0,
-      stats = stats, expectVersion = Some(headV + 1), cdc = cdc,
-      dvs = carryDvs(head.dvs, carried.toSet))
+    // the tombstone key set feeds three actions (hit probe, survivor
+    // rewrite, CDF rows) — cache it so the caller's tombstone derivation
+    // (often a table scan) runs once, not once per action
+    val tombDf = tombstones.select(keys.map(col): _*).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val tomb = broadcast(tombDf)
+      val tombH = broadcast(tombDf.withColumn("__hit", lit(1)))
+      val cur = readVersionTagged(spark, root, headV)
+      def keyCond(df: DataFrame) = keys.map(k => df(k) <=> tomb(k)).reduce(_ && _)
+      // ONE per-segment probe answers both decisions this commit needs:
+      // which segments contain tombstoned rows (hits > 0 ⇒ rewrite) and
+      // whether ANY row survives in them (total > hits ⇒ write a
+      // replacement; all-hit ⇒ the rewrite would be empty, skip the
+      // write).  tomb is distinct on the full key, so the left join
+      // cannot duplicate rows; collected rows = #segments (metadata).
+      val perSeg = cur
+        .join(tombH, keys.map(k => cur(k) <=> tombH(k)).reduce(_ && _), "left")
+        .groupBy("__seg")
+        .agg(count(lit(1)).as("__total"), count(col("__hit")).as("__hits"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      val hitSegs = perSeg.collect { case (s, _, h) if h > 0 => s }.toSet
+      if (hitSegs.isEmpty) return headV // nothing to delete: head unchanged
+      val keptRows = perSeg.collect { case (s, t, h) if hitSegs(s) => t - h }.sum
+      // touched is hit-segment-sized and consumed twice (survivor rewrite,
+      // CDF delete rows) — cache it spill-safely
+      val touched = cur.filter(col("__seg").isin(hitSegs.toSeq: _*))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val kept = touched.join(tomb, keyCond(touched), "left_anti").drop("__seg")
+        val carried = segs.filterNot(hitSegs.contains)
+        // a fully-emptied table still needs a readable head: only write the
+        // replacement segment when rows survive
+        val newSegs = if (keptRows == 0L) Seq.empty else Seq(writeSegment(kept, root))
+        require(carried.nonEmpty || newSegs.nonEmpty,
+          s"TxTable.commitDelete: delete would empty the table under $root — " +
+            "commitOverwrite an explicit empty state instead")
+        val stats = newSegs.headOption
+          .map(s => carryStats(spark, root, head, s)).getOrElse(head.stats)
+        val cdc = if (!cdf) Nil else Seq(writeChangeSegment(
+          touched.join(tomb, keyCond(touched), "left_semi").drop("__seg")
+            .withColumn("_change_type", lit("delete")), root))
+        commit(spark, root, "delete", carried ++ newSegs, maxRetries = 0,
+          stats = stats, expectVersion = Some(headV + 1), cdc = cdc,
+          dvs = carryDvs(head.dvs, carried.toSet))
+      } finally touched.unpersist(false)
+    } finally tombDf.unpersist(false)
   }
 
   /** RESTORE: make version `v`'s snapshot the HEAD again as a normal
@@ -882,8 +923,7 @@ object TxTable {
     }
     if (kept.isEmpty) readVersion(spark, root, v).limit(0) // provably empty
     else {
-      val raw = spark.read.option("mergeSchema", "true")
-        .parquet(kept.map(s => s"${root.stripSuffix("/")}/$s"): _*)
+      val raw = readSegments(spark, root, m, kept)
       if (m.dvs.isEmpty) raw
       else applyDvs(spark, root, m.dvs, raw.withColumn("__seg", segTag))
         .drop("__seg")
@@ -970,8 +1010,7 @@ object TxTable {
     val pruned =
       if (kept.isEmpty) readVersion(spark, root, v).limit(0) // provably absent
       else {
-        val raw = spark.read.option("mergeSchema", "true")
-          .parquet(kept.map(s => s"${root.stripSuffix("/")}/$s"): _*)
+        val raw = readSegments(spark, root, m, kept)
         // deletion vectors apply to the kept-segment scan exactly as in
         // prunedRead/readVersion — a Bloom hit on a tombstoned key must
         // still come back empty for the `read().filter(col === value)`
@@ -983,15 +1022,29 @@ object TxTable {
     pruned.filter(col(colName) === lit(value))
   }
 
-  /** Time travel: the table exactly as of version `v`.  Reads with
-    * mergeSchema: segments written before a column existed surface NULL for
-    * it (additive schema evolution — the same drift contract as the lake's
-    * multi-generation glob scan). */
+  /** Scan `segments` of manifest `m` with the manifest-RECORDED schema when
+    * available: the read plans with ZERO footer I/O (the cost the recorded
+    * schema exists to remove — a mergeSchema read opens every segment
+    * file's footer on the driver, which at 10⁵-10⁶ segments is a
+    * driver-side sweep per read).  Segments written before a column
+    * existed null-fill it (additive schema evolution); type changes were
+    * refused at commit time, so the recorded schema is always readable.
+    * Pre-schema-era manifests fall back to one mergeSchema footer sweep. */
+  private def readSegments(spark: SparkSession, root: String, m: Manifest,
+                           segments: Seq[String]): DataFrame = {
+    val paths = segments.map(s => s"${root.stripSuffix("/")}/$s")
+    m.schema.map(decodeSchema) match {
+      case Some(sc) => spark.read.schema(sc).parquet(paths: _*)
+      case None => spark.read.option("mergeSchema", "true").parquet(paths: _*)
+    }
+  }
+
+  /** Time travel: the table exactly as of version `v` (each manifest
+    * records its own era's schema — see [[readSegments]]). */
   def readVersion(spark: SparkSession, root: String, v: Long): DataFrame = {
     val m = retainedManifest(spark, root, v)
     require(m.segments.nonEmpty, s"TxTable: version $v of $root is empty")
-    val raw = spark.read.option("mergeSchema", "true")
-      .parquet(m.segments.map(s => s"${root.stripSuffix("/")}/$s"): _*)
+    val raw = readSegments(spark, root, m, m.segments)
     if (m.dvs.isEmpty) raw
     else applyDvs(spark, root, m.dvs, raw.withColumn("__seg", segTag))
       .drop("__seg")
@@ -1012,9 +1065,7 @@ object TxTable {
                                 v: Long): DataFrame = {
     val m = retainedManifest(spark, root, v)
     require(m.segments.nonEmpty, s"TxTable: version $v of $root is empty")
-    val raw = spark.read.option("mergeSchema", "true")
-      .parquet(m.segments.map(s => s"${root.stripSuffix("/")}/$s"): _*)
-      .withColumn("__seg", segTag)
+    val raw = readSegments(spark, root, m, m.segments).withColumn("__seg", segTag)
     applyDvs(spark, root, m.dvs, raw)
   }
 
