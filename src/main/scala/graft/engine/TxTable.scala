@@ -627,9 +627,15 @@ object TxTable {
         val inKeysDf = incoming.select(keys.map(col): _*).distinct()
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val inKeys = broadcast(inKeysDf)
-        val hitSegs = cur
-          .join(inKeys, keys.map(k => cur(k) <=> inKeys(k)).reduce(_ && _), "left_semi")
-          .select("__seg").distinct().collect().map(_.getString(0)).toSet
+        // the hit probe exists to PRUNE segments; a single-segment head has
+        // nothing to prune (hit ⇒ rewrite it; no-hit ⇒ the merge is a pure
+        // insert and rewriting one segment alongside costs the same single
+        // write) — skip the probe action entirely
+        val hitSegs =
+          if (segs.size <= 1) segs.toSet
+          else cur
+            .join(inKeys, keys.map(k => cur(k) <=> inKeys(k)).reduce(_ && _), "left_semi")
+            .select("__seg").distinct().collect().map(_.getString(0)).toSet
         // touched is HIT-SEGMENT-sized (the pruned slice this merge
         // rewrites, never the table) and is consumed up to three times —
         // the rewrite write, the CDF preimages, the matched-key probe —
