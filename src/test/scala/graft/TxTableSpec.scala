@@ -634,6 +634,63 @@ class TxTableSpec extends SparkFunSuite {
     assert(rows === expected, "every acknowledged append must be in the final snapshot")
   }
 
+  test("restore carries the target era's deletion vectors: tombstones stay invisible") {
+    val root = newRoot()
+    TxTable.commitOverwrite(spark, root, (1L to 6L).map(k => (k, s"v$k")).toDF("k", "v")) // v1
+    TxTable.commitDeleteVectors(spark, root, Seq(2L, 4L).toDF("k"), Seq("k"))            // v2: DV
+    TxTable.commitAppend(spark, root, Seq((9L, "x")).toDF("k", "v"))                     // v3
+    TxTable.restore(spark, root, 2L)                                                     // v4 = v2 again
+    val got = TxTable.read(spark, root).select("k").as[Long].collect().sorted.toSeq
+    assert(got === Seq(1L, 3L, 5L, 6L),
+      "the restored head must re-apply v2's deletion vectors, not resurrect tombstoned keys")
+  }
+
+  test("merge with zero matching keys on a single-segment head still lands exactly") {
+    // pins the single-segment fast path: the hit probe is skipped, so the
+    // no-hit case rewrites the one segment merged with the incoming batch —
+    // rows must be the exact union, the version must advance once, and a
+    // second identical merge must overwrite (not duplicate) those keys
+    val root = newRoot()
+    TxTable.commitOverwrite(spark, root, Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    val v2 = TxTable.commitMerge(spark, root, Seq((10L, "x"), (11L, "y")).toDF("k", "v"),
+      Seq("k"), Seq("v"), Nil)
+    assert(v2 === 2L)
+    assert(TxTable.read(spark, root).as[(Long, String)].collect().sorted.toSeq ===
+      Seq((1L, "a"), (2L, "b"), (10L, "x"), (11L, "y")))
+    TxTable.commitMerge(spark, root, Seq((10L, "x2")).toDF("k", "v"), Seq("k"), Seq("v"), Nil)
+    assert(TxTable.read(spark, root).as[(Long, String)].collect().sorted.toSeq ===
+      Seq((1L, "a"), (2L, "b"), (10L, "x2"), (11L, "y")))
+  }
+
+  test("racing appenders with different compatible schemas both land; reads null-fill") {
+    val root = newRoot()
+    TxTable.commitOverwrite(spark, root, Seq((1L, "a")).toDF("k", "v"))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    // one appender adds a column, the other omits one — both compatible
+    // with the base (additive evolution); the final schema is the union
+    // whichever order the claim race resolves in
+    val fa = pool.submit(new java.util.concurrent.Callable[Long] {
+      def call(): Long = { gate.await()
+        TxTable.commitAppend(spark, root, Seq((2L, "b", 7.5)).toDF("k", "v", "w")) }
+    })
+    val fb = pool.submit(new java.util.concurrent.Callable[Long] {
+      def call(): Long = { gate.await()
+        TxTable.commitAppend(spark, root, Seq(3L).toDF("k")) }
+    })
+    gate.countDown()
+    val (va, vb) = (fa.get(), fb.get()); pool.shutdown()
+    assert(Set(va, vb) === Set(2L, 3L))
+    val head = TxTable.read(spark, root)
+    assert(head.columns.sorted.toSeq === Seq("k", "v", "w"),
+      "the surviving schema must be the union of both racers'")
+    val rows = head.select("k", "v", "w")
+      .collect().map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)))).sortBy(_._1)
+    assert(rows.toSeq === Seq(
+      (1L, Some("a"), None), (2L, Some("b"), Some(7.5)), (3L, None, None)),
+      "missing columns must read NULL, present values must survive verbatim")
+  }
+
   test("ivm refresh is crash-atomic: replay after the delete-half converges") {
     val root = newRoot(); val view = newRoot()
     import graft.engine.Ivm
