@@ -112,8 +112,12 @@ object Graph {
       .filter(col("hi") =!= col("lo")).distinct()
       .localCheckpoint()
     // one star operation: from each node's symmetric neighborhood min m,
-    // emit (v, m) for the chosen side of the neighborhood
-    def star(cur: DataFrame, large: Boolean): DataFrame = {
+    // emit (v, m) for the chosen side of the neighborhood.  `dedup`: the
+    // star algebra tolerates duplicate input edges (neighborhood MIN is
+    // duplicate-blind), so the intermediate large-star output skips its
+    // distinct shuffle — only the round's final (small-star) output is
+    // canonicalized, which the signature/set convergence check requires.
+    def star(cur: DataFrame, large: Boolean, dedup: Boolean = true): DataFrame = {
       val sym = cur.select(col("hi").as("u"), col("lo").as("v"))
         .union(cur.select(col("lo").as("u"), col("hi").as("v")))
       val m = sym.groupBy("u").agg(min(col("v")).as("__mv"))
@@ -124,7 +128,8 @@ object Graph {
         else sym.join(m, "u").filter(col("v") < col("u"))
           .select(col("v").as("hi"), col("m").as("lo"))
           .union(m.select(col("u").as("hi"), col("m").as("lo")))
-      picked.filter(col("hi") =!= col("lo")).distinct()
+      val out = picked.filter(col("hi") =!= col("lo"))
+      if (dedup) out.distinct() else out
     }
     // convergence probe: (count, XOR of xxhash64(hi,lo)) over the canonical
     // DISTINCT edge set — one small aggregate job over the checkpointed
@@ -144,7 +149,8 @@ object Graph {
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      val next = star(star(e, large = true), large = false).localCheckpoint()
+      val next = star(star(e, large = true, dedup = false), large = false)
+        .localCheckpoint()
       val nSig = sig(next)
       converged = nSig == eSig && next.except(e).isEmpty
       freeCheckpoint(e)

@@ -2201,6 +2201,57 @@ object Catalog {
              CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS price_sum
          FROM orders GROUP BY 1 ORDER BY bucket""")),
 
+    // VACUUM × TIME-TRAVEL/RESTORE/CDF retention boundary: after vacuum
+    // ages out v1/v2, a retained version still travels, but reaching past
+    // the horizon must fail LOUDLY with the version and boundary NAMED —
+    // an IllegalStateException, never an opaque missing-file error, and
+    // NEVER a half-table resurrected from whichever segments survived.
+    // A refused restore must not burn a version slot.  All four paths are
+    // require-pinned in-query; the oracle restates the surviving head.
+    QueryDef("q_tx_vacuum_tt",
+      (s, dir) => {
+        val root = Files.createTempDirectory("graft_txvtt").toString + "/tbl"
+        val o = t(s, dir, "orders").select("o_orderkey", "o_totalprice")
+        TxTable.commitAppend(s, root, o.filter(col("o_orderkey") % 2 =!= 0)) // v1
+        TxTable.commitAppend(s, root, o.filter(col("o_orderkey") % 2 === 0)) // v2
+        TxTable.commitDelete(s, root,                                        // v3
+          o.filter(col("o_orderkey") % 5 === 0).select("o_orderkey"), Seq("o_orderkey"))
+        TxTable.commitMerge(s, root,                                         // v4
+          TxTable.read(s, root).filter(col("o_orderkey") % 7 === 0)
+            .select(col("o_orderkey"), (col("o_totalprice") + 100.0).as("o_totalprice")),
+          Seq("o_orderkey"), Seq("o_totalprice"), Nil)
+        TxTable.vacuum(s, root, keepVersions = 2) // keeps v3, v4
+        require(TxTable.readVersion(s, root, 3).limit(1).count() == 1,
+          "q_tx_vacuum_tt: a RETAINED version must still time-travel after vacuum")
+        val eTt = try { TxTable.readVersion(s, root, 1).count(); null }
+          catch { case e: IllegalStateException => e }
+        require(eTt != null && eTt.getMessage.contains("v1") &&
+            eTt.getMessage.contains("retained"),
+          s"q_tx_vacuum_tt: time travel past the horizon must fail naming v1, got: $eTt")
+        val headBefore = TxTable.latestVersion(s, root).get
+        val eRs = try { TxTable.restore(s, root, 2); null }
+          catch { case e: IllegalStateException => e }
+        require(eRs != null && eRs.getMessage.contains("v2"),
+          s"q_tx_vacuum_tt: restore past the horizon must fail naming v2, got: $eRs")
+        require(TxTable.latestVersion(s, root).get == headBefore,
+          "q_tx_vacuum_tt: a refused restore must not burn a version slot")
+        val eCdf = try { TxTable.readChanges(s, root, 0, 2).count(); null }
+          catch { case e: IllegalStateException => e }
+        require(eCdf != null && eCdf.getMessage.contains("retention"),
+          s"q_tx_vacuum_tt: CDF across the vacuumed range must name the boundary, got: $eCdf")
+        TxTable.read(s, root)
+          .groupBy((col("o_orderkey") % 10).as("bucket"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("price_sum"))
+          .orderBy("bucket")
+      },
+      Some("""WITH kept AS (SELECT o_orderkey,
+             CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 100.0
+               ELSE o_totalprice END AS o_totalprice
+           FROM orders WHERE o_orderkey % 5 <> 0)
+         SELECT o_orderkey % 10 AS bucket, COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS price_sum
+           FROM kept GROUP BY 1 ORDER BY bucket""")),
+
     // DV ∘ point-lookup composition: a Bloom-skipped readWhereEquals must
     // apply deletion vectors exactly like the full read — a tombstoned
     // key's Bloom HIT still returns nothing.  (The r8-audited wrong-answer
