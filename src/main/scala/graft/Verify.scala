@@ -43,7 +43,10 @@ object Verify {
       if (nameFilter(name))
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
-        catch { case e: Throwable =>
+        catch { case scala.util.control.NonFatal(e) =>
+          // NonFatal: a per-query failure records and continues; a fatal VM
+          // error (OOM, thread death) must abort the sweep — results from a
+          // corrupt JVM would be worse than no results
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
     }
