@@ -586,7 +586,13 @@ class TxTableSpec extends SparkFunSuite {
     assert(TxTable.read(spark, root).as[Long].collect().sorted.toSeq === Seq(1L, 2L, 3L))
   }
 
-  test("8 concurrent writers, mixed append/compact: linearizable versions, no lost commits") {
+  test("8 concurrent writers, mixed append/merge/DV-delete/compact: linearizable, no lost commits") {
+    // full protocol mix under real thread contention: each thread owns its
+    // key space, so the final snapshot is deterministic under ANY
+    // interleaving — what a 100-node cluster needs from the commit
+    // protocol.  t%4==0: appends + a compaction (materializes outstanding
+    // DVs mid-run); t%4==1: appends + an insert-only MERGE; t%4==2:
+    // append, then DV-DELETE of that key; t%4==3: pure appends.
     val root = newRoot()
     TxTable.commitOverwrite(spark, root, Seq((0L, 0L)).toDF("t", "k"))
     val nThreads = 8; val perThread = 3
@@ -608,9 +614,15 @@ class TxTableSpec extends SparkFunSuite {
         def call(): Seq[Long] = {
           gate.await()
           (1 to perThread).map { i =>
-            if (t % 4 == 0 && i == 2) retrying(() => TxTable.compactTx(spark, root))
-            else retrying(() => TxTable.commitAppend(spark, root,
-              Seq((t.toLong, i.toLong)).toDF("t", "k")))
+            (t % 4, i) match {
+              case (0, 2) => retrying(() => TxTable.compactTx(spark, root))
+              case (1, 2) => retrying(() => TxTable.commitMerge(spark, root,
+                Seq((t.toLong, 102L)).toDF("t", "k"), Seq("t", "k"), Nil, Nil))
+              case (2, 2) => retrying(() => TxTable.commitDeleteVectors(spark, root,
+                Seq((t.toLong, 1L)).toDF("t", "k"), Seq("t", "k")))
+              case _ => retrying(() => TxTable.commitAppend(spark, root,
+                Seq((t.toLong, i.toLong)).toDF("t", "k")))
+            }
           }
         }
       })
@@ -625,13 +637,19 @@ class TxTableSpec extends SparkFunSuite {
       s"two commits acknowledged the same version: ${versions.sorted}")
     assert(versions.sorted === (2L to (1L + versions.size)).toSeq,
       s"version sequence must be contiguous: ${versions.sorted}")
-    // no lost rows: every append survives through the interleaved compactions
-    val expected = ((0L, 0L) +: (for {
-      t <- 1 to nThreads; i <- 1 to perThread
-      if !(t % 4 == 0 && i == 2)
-    } yield (t.toLong, i.toLong))).sorted
+    // deterministic final state: owned inserts minus owned DV-deletes,
+    // whatever the interleaving with compactions/merges
+    val expected = ((0L, 0L) +: (1 to nThreads).flatMap { t =>
+      t % 4 match {
+        case 0 => Seq((t.toLong, 1L), (t.toLong, 3L))
+        case 1 => Seq((t.toLong, 1L), (t.toLong, 3L), (t.toLong, 102L))
+        case 2 => Seq((t.toLong, 3L)) // (t, 1) appended then DV-tombstoned
+        case _ => Seq((t.toLong, 1L), (t.toLong, 2L), (t.toLong, 3L))
+      }
+    }).sorted
     val rows = TxTable.read(spark, root).as[(Long, Long)].collect().sorted.toSeq
-    assert(rows === expected, "every acknowledged append must be in the final snapshot")
+    assert(rows === expected,
+      "every acknowledged write must be in the final snapshot, every DV-delete honored")
   }
 
   test("restore carries the target era's deletion vectors: tombstones stay invisible") {
