@@ -2770,6 +2770,59 @@ object Catalog {
          SELECT k AS user_id, n_exact, n_est FROM est
          ORDER BY n_exact DESC, k""")),
 
+    // ST15 — STREAMING MULTIMODAL INGEST: each micro-batch renders real
+    // PNGs (javax.imageio), REALLY decodes them back, and appends the
+    // decoded raster statistics to a TxTable exactly-once — the ingest
+    // shape of a multimodal training pipeline (opaque bytes → decode →
+    // typed features, per-row CPU inside the batch, one transactional
+    // commit per micro-batch).  The fresh-checkpoint second run replays
+    // every batch and the batch-id guard must no-op each one; the oracle
+    // recomputes every decoded statistic from the closed-form pixel
+    // formula — a duplicated batch, a wrong stride, or a lossy codec
+    // breaks the hash.
+    QueryDef("q_st15_stream_decode",
+      (s, dir) => {
+        val base = Files.createTempDirectory("graft_st15").toString
+        val root = s"$base/tbl"
+        val docs = t(s, dir, "documents").select("doc_id", "n_chars")
+        (0 until 3).foreach(i => docs.filter(pmod(col("doc_id"), lit(3)) === i)
+          .write.parquet(s"$base/src/f$i"))
+        val schema = s.read.parquet(s"$base/src/f0").schema
+        def decodeBatch(df: DataFrame, id: Long): Unit = {
+          val enc = Multimodal.encodePng(df, "doc_id",
+            lit(8) + col("doc_id") % 16, lit(8) + col("n_chars") % 16)
+          TxTable.streamingAppend(root)(
+            Multimodal.decodeImage(enc, "doc_id", "png")
+              .select("doc_id", "width", "height", "px_sum"), id)
+        }
+        def runOnce(cp: String): Unit = {
+          val q = s.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1").parquet(s"$base/src/*")
+            .writeStream.foreachBatch(decodeBatch _)
+            .option("checkpointLocation", cp)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        runOnce(s"$base/cp1")
+        runOnce(s"$base/cp2") // full replay — batch-id guard must no-op
+        TxTable.read(s, root)
+          .groupBy((col("doc_id") % 7).as("bucket"))
+          .agg(count(lit(1)).as("n"), lsum(col("px_sum")).as("px_sum"),
+            lsum(col("width") * col("height")).as("n_px"))
+          .orderBy("bucket")
+      },
+      Some("""WITH d AS (SELECT doc_id, CAST(8 + doc_id % 16 AS INT) AS w,
+             CAST(8 + n_chars % 16 AS INT) AS h FROM documents),
+         px AS (SELECT doc_id, w, h,
+             list_sum(list_transform(range(0, w * h),
+               i -> (doc_id * 31 + (i // h) * 7 + (i % h) * 13) % 256)) AS ps
+           FROM d)
+         SELECT doc_id % 7 AS bucket, COUNT(*) AS n,
+             CAST(SUM(ps) AS BIGINT) AS px_sum,
+             CAST(SUM(w * h) AS BIGINT) AS n_px
+           FROM px GROUP BY 1 ORDER BY bucket""")),
+
     // ST14 — STREAMING MATERIALIZED VIEW: each micro-batch stream-merges
     // into the fact TxTable with change capture on, then catches the
     // per-custkey (n, price_sum) view up to the fact head with
