@@ -301,4 +301,58 @@ class TextSpec extends SparkFunSuite {
     assert(math.abs(w1 - 2 * (math.log(0.75 / 0.5) / math.log(2))) < 1e-6,
       "weight equals the hand-computed smoothed log-ratio sum")
   }
+
+  test("urlCanonicalize property: rule-based reference agrees on generated URLs") {
+    import org.scalacheck.Gen
+    // independent reference implementing the RULES (not the regexes):
+    // strip fragment, lowercase scheme+host, drop :80/:443, drop params
+    // whose NAME is exactly utm_[a-z]+ (anchored — "myutm_source" stays,
+    // consecutive utm chains all go), fix dangling ?/&, strip trailing '/'
+    def ref(u: String): Option[String] = {
+      val noFrag = u.takeWhile(_ != '#')
+      val si = noFrag.indexOf("://")
+      if (si <= 0) return None
+      val scheme = noFrag.substring(0, si)
+      if (!scheme.matches("[A-Za-z][A-Za-z0-9+.-]*")) return None
+      val afterScheme = noFrag.substring(si + 3)
+      val hostEnd = afterScheme.indexWhere(c => c == '/' || c == '?') match {
+        case -1 => afterScheme.length; case i => i
+      }
+      val host = afterScheme.substring(0, hostEnd).toLowerCase
+        .replaceAll(":(443|80)$", "")
+      if (host.isEmpty) return None
+      val rest = afterScheme.substring(hostEnd)
+      val (path, query) = rest.span(_ != '?')
+      val keptParams =
+        if (query.isEmpty) Nil
+        else query.drop(1).split("&", -1).toSeq
+          .filterNot(_.takeWhile(_ != '=').matches("utm_[a-z]+"))
+      val rebuilt = path +
+        (if (keptParams.nonEmpty) "?" + keptParams.mkString("&") else "")
+      val noSlash = if (rebuilt.endsWith("/")) rebuilt.dropRight(1) else rebuilt
+      Some(scheme.toLowerCase + "://" + host + noSlash)
+    }
+    val param = for {
+      n <- Gen.oneOf("id", "ref", "utm_source", "utm_a", "utm_campaign",
+        "myutm_source", "xutm_b", "uTm_c") // uTm_c: NOT utm_[a-z]+ — must stay
+      v <- Gen.alphaNumStr.map(_.take(5))
+    } yield s"$n=$v"
+    val urlGen = for {
+      scheme <- Gen.oneOf("http", "HTTPS", "Ftp")
+      host <- Gen.oneOf("Example.org", "a-B.com", "x.Y.z")
+      port <- Gen.oneOf("", ":80", ":443", ":8080")
+      path <- Gen.oneOf("", "/p/5", "/p/5/", "/A/b")
+      ps <- Gen.listOfN(4, param).flatMap(l => Gen.choose(0, 4).map(l.take))
+      frag <- Gen.oneOf("", "#sec-2")
+    } yield s"$scheme://$host$port$path" +
+      (if (ps.nonEmpty) "?" + ps.mkString("&") else "") + frag
+    val urls = Gen.listOfN(200, Gen.frequency(
+      9 -> urlGen, 1 -> Gen.const("definitely not a url"))).sample.get
+    val got = urls.toDF("u")
+      .select(col("u"), Text.urlCanonicalize(col("u")).as("c"))
+      .collect().map(r => r.getString(0) -> Option(r.getString(1)))
+    got.foreach { case (u, c) =>
+      assert(c === ref(u), s"urlCanonicalize disagrees with the rules on: $u")
+    }
+  }
 }
