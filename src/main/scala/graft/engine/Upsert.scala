@@ -123,17 +123,14 @@ object Upsert {
     val staging = lakeRoot.stripSuffix("/") + "__upsert_staging_" +
       java.util.UUID.randomUUID().toString
     merged.write.mode("overwrite").parquet(staging)
-    val confKey = "spark.sql.sources.partitionOverwriteMode"
-    val prev = spark.conf.getOption(confKey)
-    try {
-      spark.conf.set(confKey, "dynamic")
+    try
+      // per-WRITE dynamic overwrite (DataFrameWriter option), not a session
+      // conf mutation: concurrent upserts in one session must not race on
+      // restoring a global flag
       spark.read.parquet(staging)
-        .write.mode("overwrite").partitionBy(partCol).parquet(lakeRoot)
-    } finally {
-      prev match {
-        case Some(v) => spark.conf.set(confKey, v)
-        case None    => spark.conf.unset(confKey)
-      }
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partCol).parquet(lakeRoot)
+    finally {
       val fs = org.apache.hadoop.fs.FileSystem.get(
         new java.net.URI(staging), spark.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(staging), true)
@@ -242,20 +239,14 @@ object Upsert {
       val staging = lakeRoot.stripSuffix("/") + "__purge_staging_" +
         java.util.UUID.randomUUID().toString
       kept.drop("__file").write.mode("overwrite").parquet(staging)
-      val confKey = "spark.sql.sources.partitionOverwriteMode"
-      val prev = spark.conf.getOption(confKey)
       try {
-        spark.conf.set(confKey, "dynamic")
+        // per-WRITE dynamic overwrite — same thread-safety reasoning as
+        // upsertPartitioned (no session-global flag to race on)
         spark.read.parquet(staging)
-          .write.mode("overwrite").partitionBy(partCol).parquet(lakeRoot)
+          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+          .partitionBy(partCol).parquet(lakeRoot)
         emptiedDirs.foreach(dropDir)
-      } finally {
-        prev match {
-          case Some(v) => spark.conf.set(confKey, v)
-          case None    => spark.conf.unset(confKey)
-        }
-        fs.delete(new org.apache.hadoop.fs.Path(staging), true)
-      }
+      } finally fs.delete(new org.apache.hadoop.fs.Path(staging), true)
     }
     // right-to-be-forgotten must not fail quietly: prove no tombstoned key
     // survived (cheap — touched partitions only, tombstones broadcast)
