@@ -136,6 +136,81 @@ object Multimodal {
       }.toDF()
   }
 
+  /** One encoded audio clip: `wav` is a genuine RIFF/WAVE byte stream. */
+  final case class EncodedAudio(doc_id: Long, wav: Array[Byte])
+
+  /** One decoded clip: real header fields (sample rate / bit depth /
+    * channels parsed from the RIFF chunk) + PCM sample statistics. */
+  final case class DecodedAudio(doc_id: Long, n_samples: Long, sample_rate: Int,
+      bits: Int, channels: Int, s_sum: Long, s_min: Int, s_max: Int)
+
+  /** The deterministic PCM formula behind [[encodeWav]]: unsigned 8-bit
+    * sample `i` of document `id` — closed-form for the oracle, like
+    * [[pixelValue]]. */
+  @inline def sampleValue(id: Long, i: Int): Int = ((id * 31 + i * 7) % 256).toInt
+
+  /** Render `n` samples of [[sampleValue]] per row as REAL WAV bytes via
+    * the JDK's `javax.sound.sampled` (8 kHz, 8-bit unsigned PCM, mono) —
+    * the audio sibling of [[encodePng]]: genuine RIFF container written by
+    * an actual codec, no external libraries, decodable by any WAV
+    * reader.  Same typed-`mapPartitions` scale shape. */
+  def encodeWav(df: DataFrame, idCol: String, nCol: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType), nCol.cast(IntegerType))
+      .as[(Long, Int)]
+      .mapPartitions { it =>
+        val fmt = new javax.sound.sampled.AudioFormat(8000f, 8, 1, false, false)
+        it.map { case (id, n) =>
+          require(n >= 1, s"encodeWav: degenerate $n-sample clip for doc $id")
+          val raw = Array.tabulate(n)(i => sampleValue(id, i).toByte)
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(raw), fmt, n.toLong)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(ais,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          EncodedAudio(id, bos.toByteArray)
+        }
+      }.toDF()
+  }
+
+  /** REAL audio decode: parse the payload with `javax.sound.sampled`
+    * (whatever containers the JRE's readers handle — WAV/AIFF/AU), read
+    * the genuine header fields and the PCM frames, and emit sample
+    * statistics.  Fails loudly on undecodable bytes, same contract as
+    * [[decodeImage]].  8-bit unsigned PCM samples are the stored bytes
+    * (`b & 0xff`). */
+  def decodeWav(df: DataFrame, idCol: String, payload: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType), col(payload).cast(BinaryType))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          require(bytes != null && bytes.nonEmpty, s"decodeWav: empty payload for doc $id")
+          val ais =
+            try javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            catch {
+              case e: javax.sound.sampled.UnsupportedAudioFileException =>
+                throw new IllegalArgumentException(
+                  s"decodeWav: payload of doc $id is not a decodable audio stream", e)
+            }
+          val fmt = ais.getFormat
+          val data = ais.readAllBytes()
+          var sum = 0L; var mn = Int.MaxValue; var mx = Int.MinValue
+          var i = 0
+          while (i < data.length) {
+            val s = data(i) & 0xff
+            sum += s; if (s < mn) mn = s; if (s > mx) mx = s
+            i += 1
+          }
+          DecodedAudio(id, data.length.toLong, fmt.getSampleRate.toInt,
+            fmt.getSampleSizeInBits, fmt.getChannels, sum, mn, mx)
+        }
+      }.toDF()
+  }
+
   /** Decoded-media schema of the FALLBACK stub decoder. */
   val decodedSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType, false),

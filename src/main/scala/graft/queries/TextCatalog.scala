@@ -1334,6 +1334,37 @@ object TextCatalog {
            CAST(list_max(ps) AS INT) AS px_max
          FROM px ORDER BY doc_id""")),
 
+    // REAL audio codec roundtrip — the WAV sibling of q_decode_real: render
+    // n = 64 + n_chars % 128 unsigned 8-bit PCM samples per doc from the
+    // closed-form sample(i) = (doc_id*31 + 7i) mod 256, write a GENUINE
+    // RIFF/WAVE container via the JDK's javax.sound.sampled, decode it
+    // back (header fields read from the actual RIFF chunk), and report
+    // true sample count / rate / depth / channels plus sample sum/min/max.
+    // The oracle recomputes every statistic from the formula, so a header
+    // mis-write, a resample, or a byte-order slip breaks the hash.
+    QueryDef("q_decode_audio",
+      (s, dir) => {
+        val d = t(s, dir, "documents").select("doc_id", "n_chars")
+        val enc = Multimodal.encodeWav(d, "doc_id", lit(64) + col("n_chars") % 128)
+        Multimodal.decodeWav(enc, "doc_id", "wav")
+          .select("doc_id", "n_samples", "sample_rate", "bits", "channels",
+            "s_sum", "s_min", "s_max")
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id,
+             CAST(64 + n_chars % 128 AS INT) AS n FROM documents),
+         sm AS (SELECT doc_id, n,
+             list_transform(range(0, n),
+               i -> (doc_id * 31 + i * 7) % 256) AS ss
+           FROM d)
+         SELECT doc_id, CAST(n AS BIGINT) AS n_samples,
+           CAST(8000 AS INT) AS sample_rate, CAST(8 AS INT) AS bits,
+           CAST(1 AS INT) AS channels,
+           CAST(list_sum(ss) AS BIGINT) AS s_sum,
+           CAST(list_min(ss) AS INT) AS s_min,
+           CAST(list_max(ss) AS INT) AS s_max
+         FROM sm ORDER BY doc_id""")),
+
     // End-to-end multimodal pipeline: encode real PNGs for a candidate
     // corpus slice → REAL decode → 4-dim feature vectors (quadrant mean
     // luminance from the decoded raster) → brute-force cosine top-2

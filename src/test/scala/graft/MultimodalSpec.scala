@@ -47,6 +47,39 @@ class MultimodalSpec extends SparkFunSuite {
     }
   }
 
+  test("encodeWav emits genuine RIFF/WAVE bytes; decodeWav recovers exact samples") {
+    val df = Seq((1L, 5), (2L, 300), (3L, 64)).toDF("doc_id", "n")
+    val enc = Multimodal.encodeWav(df, "doc_id", col("n")).orderBy("doc_id").collect()
+    enc.foreach { r =>
+      val bytes = r.getAs[Array[Byte]]("wav")
+      assert(new String(bytes.take(4), "US-ASCII") === "RIFF" &&
+        new String(bytes.slice(8, 12), "US-ASCII") === "WAVE",
+        s"doc ${r.getLong(0)}: payload is not a RIFF/WAVE stream")
+    }
+    val dec = Multimodal.decodeWav(
+        Multimodal.encodeWav(df, "doc_id", col("n")), "doc_id", "wav")
+      .orderBy("doc_id").collect()
+    for ((r, (id, n)) <- dec.zip(Seq((1L, 5), (2L, 300), (3L, 64)))) {
+      val ss = (0 until n).map(Multimodal.sampleValue(id, _))
+      assert(r.getAs[Long]("n_samples") === n.toLong, s"doc $id frame count")
+      assert(r.getAs[Int]("sample_rate") === 8000 && r.getAs[Int]("bits") === 8 &&
+        r.getAs[Int]("channels") === 1,
+        s"doc $id: header fields must come from the actual RIFF chunk")
+      assert(r.getAs[Long]("s_sum") === ss.map(_.toLong).sum, s"doc $id s_sum")
+      assert(r.getAs[Int]("s_min") === ss.min && r.getAs[Int]("s_max") === ss.max,
+        s"doc $id extrema")
+    }
+  }
+
+  test("decodeWav fails loudly on undecodable bytes") {
+    val junk = Seq((9L, "not audio at all".getBytes("UTF-8"))).toDF("doc_id", "payload")
+    val e = intercept[Exception](
+      Multimodal.decodeWav(junk, "doc_id", "payload").collect())
+    def msgs(t: Throwable): String =
+      if (t == null) "" else t.getMessage + " | " + msgs(t.getCause)
+    assert(msgs(e).contains("not a decodable audio stream"))
+  }
+
   test("decodeImage fails loudly on undecodable bytes (quarantine, not fake)") {
     val junk = Seq((9L, "definitely not an image".getBytes("UTF-8")))
       .toDF("doc_id", "payload")
