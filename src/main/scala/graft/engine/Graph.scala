@@ -96,9 +96,12 @@ object Graph {
     *  - small-star: u connects its smaller-or-equal neighbors and itself to
     *    m — stars flatten so every member points at the root directly.
     *
-    * Both emit only (v, m) with v > m, so the edge set is canonically
-    * directed high→low and set-compare is exact.  Fixpoint = star forest:
-    * every edge is (member, component-min).  Same contract as
+    * Both emit only (v, m) with v > m, so the edge set stays canonically
+    * directed high→low.  Fixpoint = star forest:
+    * every edge is (member, component-min) — detected exactly, the round
+    * it forms, by a one-aggregate structural test (see isStarForest
+    * below), so no round is spent producing an identical edge set just to
+    * observe equality.  Same contract as
     * [[connectedComponents]]: one `(id, label)` row per distinct endpoint,
     * label = min reachable id, deterministic unique fixpoint. */
   def connectedComponentsContraction(edges: DataFrame, srcCol: String,
@@ -112,12 +115,14 @@ object Graph {
       .filter(col("hi") =!= col("lo")).distinct()
       .localCheckpoint()
     // one star operation: from each node's symmetric neighborhood min m,
-    // emit (v, m) for the chosen side of the neighborhood.  `dedup`: the
-    // star algebra tolerates duplicate input edges (neighborhood MIN is
-    // duplicate-blind), so the intermediate large-star output skips its
-    // distinct shuffle — only the round's final (small-star) output is
-    // canonicalized, which the signature/set convergence check requires.
-    def star(cur: DataFrame, large: Boolean, dedup: Boolean = true): DataFrame = {
+    // emit (v, m) for the chosen side of the neighborhood.  No per-round
+    // dedup anywhere: the star algebra tolerates duplicate input edges
+    // (neighborhood MIN is duplicate-blind), each input copy yields at most
+    // one output row per star, and the small star adds ≤ one row per
+    // DISTINCT node — so multiplicity grows at most linearly in rounds and
+    // the groupBy's partial aggregation absorbs it.  Canonicalization
+    // happens ONCE, on the converged forest.
+    def star(cur: DataFrame, large: Boolean): DataFrame = {
       val sym = cur.select(col("hi").as("u"), col("lo").as("v"))
         .union(cur.select(col("lo").as("u"), col("hi").as("v")))
       val m = sym.groupBy("u").agg(min(col("v")).as("__mv"))
@@ -128,42 +133,52 @@ object Graph {
         else sym.join(m, "u").filter(col("v") < col("u"))
           .select(col("v").as("hi"), col("m").as("lo"))
           .union(m.select(col("u").as("hi"), col("m").as("lo")))
-      val out = picked.filter(col("hi") =!= col("lo"))
-      if (dedup) out.distinct() else out
+      picked.filter(col("hi") =!= col("lo"))
     }
-    // convergence probe: (count, XOR of xxhash64(hi,lo)) over the canonical
-    // DISTINCT edge set — one small aggregate job over the checkpointed
-    // frame instead of an except anti-join shuffle EVERY round (XOR is
-    // order-independent and overflow-free under ANSI mode, and a distinct
-    // set has no duplicate pairs to cancel).  Equal signatures only
-    // nominate a fixpoint candidate; the exact one-sided except (with
-    // equal counts ⇒ set equality) still confirms, so a colliding hash
-    // fold can delay detection by a round but never mis-declare
-    // convergence.
-    def sig(df: DataFrame): (Long, Long) = {
-      val r = df.agg(count(lit(1)),
-          expr("bit_xor(xxhash64(hi, lo))")).collect().head
-      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    // Convergence = the edge set IS a star forest rooted at component
+    // minima, tested EXACTLY with one shuffle-light job over the
+    // checkpointed frame (no hashes, no nomination-then-confirm, no extra
+    // identical round):
+    //   (a) every hi maps to exactly one distinct lo
+    //   (b) no node appears as both a hi and a lo (stars don't chain)
+    // (a) ∧ (b) ⇒ components are stars whose root (the lo) is less than
+    // every member (hi > lo by canonical direction), i.e. the component
+    // minimum — and a min-rooted star forest is verifiably a fixpoint of
+    // both star operations.  Per-node encoding over a two-role union frame
+    // (hi-role rows carry their lo, lo-role rows carry null) keeps every
+    // aggregate partial-aggregable — min/max/count only, deliberately NOT
+    // countDistinct, whose multi-distinct form plans an Expand that
+    // multiplies the probe ×4:
+    //   (a) violated at k ⇔ min(pl) ≠ max(pl)        (nulls ignored)
+    //   (b) violated at k ⇔ 0 < count(pl) < count(*) (both roles present)
+    def isStarForest(df: DataFrame): Boolean = {
+      val probe = df.select(col("hi").as("k"), col("lo").as("pl"))
+        .union(df.select(col("lo").as("k"),
+          lit(null).cast(df.schema("lo").dataType).as("pl")))
+      probe.groupBy("k")
+        .agg(min("pl").as("mn"), max("pl").as("mx"),
+          count("pl").as("np"), count(lit(1)).as("n"))
+        .filter((col("np") > 0 && col("np") < col("n")) ||
+          col("mn") =!= col("mx"))
+        .isEmpty
     }
-    var eSig = sig(e)
-    var converged = false
+    var converged = isStarForest(e) // an already-flat input needs 0 rounds
     var i = 0
     while (!converged && i < maxIter) {
-      val next = star(star(e, large = true, dedup = false), large = false)
-        .localCheckpoint()
-      val nSig = sig(next)
-      converged = nSig == eSig && next.except(e).isEmpty
+      val next = star(star(e, large = true), large = false).localCheckpoint()
+      converged = isStarForest(next)
       freeCheckpoint(e)
       e = next
-      eSig = nSig
       i += 1
     }
     require(converged, s"connectedComponentsContraction: no fixpoint after " +
       s"$maxIter alternating rounds — raise maxIter (bound is O(log² n))")
     // star forest: edges are (member, root); roots and edge-less singletons
-    // label themselves
-    val out = nodes.join(e.select(col("hi").as("id"), col("lo").as("__root")),
-        Seq("id"), "left")
+    // label themselves.  The ONE distinct canonicalizes whatever
+    // multiplicity the dedup-free rounds accumulated ((a) guarantees a
+    // single root per member, so distinct pairs ≡ the member→root function).
+    val out = nodes.join(e.select(col("hi").as("id"), col("lo").as("__root"))
+        .distinct(), Seq("id"), "left")
       .select(col("id"), coalesce(col("__root"), col("id")).as("label"))
       .localCheckpoint()
     freeCheckpoint(e); freeCheckpoint(nodes)
