@@ -47,6 +47,22 @@ object Catalog {
 
   private[queries] def lsum(c: Column): Column = sum(c).cast(LongType)
 
+  /** Materialize a SMALL (aggregate-sized) final result ONCE, gate on the
+    * collected rows driver-side, and hand the consumer a local relation
+    * over those same rows (order, schema and values preserved).  Without
+    * this, a value gate like `require(out.filter(...).isEmpty)` executes
+    * the full distributed plan for the CHECK and the returned frame
+    * re-executes it for the CONSUMER (Verify's parquet dump, Bench's
+    * count) — a silent 2× on every gated query.  The distributed plan
+    * (the thing under test) still runs, exactly once. */
+  private[queries] def gateOnce(s: SparkSession, df: DataFrame)(
+      check: Seq[org.apache.spark.sql.Row] => Unit): DataFrame = {
+    val rows = df.collect().toIndexedSeq
+    check(rows)
+    import scala.jdk.CollectionConverters._
+    s.createDataFrame(rows.asJava, df.schema)
+  }
+
   // ------------------------------------------------- flagship (entry + J1/A1/W1/O3)
 
   /** The north-star analytics the reference gestures at
@@ -189,10 +205,11 @@ object Catalog {
         val out = li.groupBy("l_returnflag").agg(
           countDistinct(col("l_partkey")).as("n_exact"),
           approx_count_distinct(col("l_partkey"), rsd).as("__n_hll"))
-        require(out.filter(
-          abs(col("__n_hll") - col("n_exact")) > col("n_exact") * (4 * rsd)).isEmpty,
-          s"q_hll_distinct: an HLL estimate fell outside 4×rsd of exact")
-        out.select("l_returnflag", "n_exact").orderBy("l_returnflag")
+        gateOnce(s, out.orderBy("l_returnflag")) { rows =>
+          require(rows.forall(r =>
+            math.abs(r.getLong(2) - r.getLong(1)).toDouble <= r.getLong(1) * (4 * rsd)),
+            s"q_hll_distinct: an HLL estimate fell outside 4×rsd of exact")
+        }.select("l_returnflag", "n_exact")
       },
       Some("""SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_exact
          FROM lineitem GROUP BY 1 ORDER BY 1""")),
@@ -316,9 +333,11 @@ object Catalog {
           .join(Sketch.cmsEstimate(sketch, top10, "l_suppkey", 4, 256), "l_suppkey")
           .select(col("l_suppkey"), col("n_exact"), col("n_est"))
           .orderBy(col("n_exact").desc, col("l_suppkey"))
-        require(out.filter(col("n_est") < col("n_exact")).isEmpty,
-          "q_cms_heavy_hitters: a CMS estimate under-counted — min-of-cells broke")
-        out
+        gateOnce(s, out) { rows =>
+          require(rows.forall(r => r.getAs[Number]("n_est").doubleValue >=
+              r.getAs[Number]("n_exact").doubleValue),
+            "q_cms_heavy_hitters: a CMS estimate under-counted — min-of-cells broke")
+        }
       },
       Some("""WITH s AS (SELECT * FROM lineitem
              WHERE (l_orderkey * 31 + l_linenumber) % 8 = 0),
@@ -369,9 +388,11 @@ object Catalog {
           .select(col("l_returnflag"), col("q_pm"), col("est"), col("n_total"),
             abs(col("rank_le") - col("target_rank")).as("err_rows"))
           .orderBy("l_returnflag", "q_pm")
-        require(out.filter(col("err_rows") > col("n_total") / 8).isEmpty,
-          "q_quantile_sketch: a sample quantile missed its rank-error bound")
-        out
+        gateOnce(s, out) { rows =>
+          require(rows.forall(r => r.getAs[Number]("err_rows").doubleValue <=
+              r.getAs[Number]("n_total").doubleValue / 8),
+            "q_quantile_sketch: a sample quantile missed its rank-error bound")
+        }
       },
       Some(quantileOracleSql)),
 
@@ -1048,12 +1069,16 @@ object Catalog {
           .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"),
             max(col("payload")).as("max_payload"))
           .orderBy("lbl")
-        out.collect() // materialize so AQE finalizes the adaptive plan
+        // materialize ONCE so AQE finalizes the adaptive plan; gate on the
+        // executed plan, then hand the consumer the already-collected rows
+        // (the skewed join must not re-run for the dump/count)
+        val rows = out.collect().toIndexedSeq
         val ran = out.queryExecution.executedPlan.toString
         require(ran.contains("skew=true"),
           "q_aqe_skew: the executed adaptive plan must carry a skew=true " +
             "sort-merge join — OptimizeSkewedJoin did not engage")
-        out
+        import scala.jdk.CollectionConverters._
+        ss.createDataFrame(rows.asJava, out.schema)
       },
       Some("""WITH f AS (SELECT CASE WHEN l_orderkey % 2 = 0 THEN 0
              ELSE l_orderkey % 997 END AS k, l_quantity,
@@ -2759,9 +2784,11 @@ object Catalog {
           .join(Sketch.cmsEstimate(merged, top10, "user_id", 4, 256), "user_id")
           .select(col("user_id"), col("n_exact"), col("n_est"))
           .orderBy(col("n_exact").desc, col("user_id"))
-        require(out.filter(col("n_est") < col("n_exact")).isEmpty,
-          "q_st13_stream_cms: a CMS estimate under-counted — min-of-cells broke")
-        out
+        gateOnce(s, out) { rows =>
+          require(rows.forall(r => r.getAs[Number]("n_est").doubleValue >=
+              r.getAs[Number]("n_exact").doubleValue),
+            "q_st13_stream_cms: a CMS estimate under-counted — min-of-cells broke")
+        }
       },
       Some("""WITH x AS (SELECT user_id AS k, COUNT(*) AS n_exact
              FROM events GROUP BY 1),
