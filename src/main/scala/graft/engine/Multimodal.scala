@@ -136,6 +136,60 @@ object Multimodal {
       }.toDF()
   }
 
+  /** One resized image: re-encoded REAL PNG bytes of the resampled raster,
+    * plus the target dimensions actually written. */
+  final case class ResizedImage(doc_id: Long, png: Array[Byte],
+      width: Int, height: Int)
+
+  /** REAL image resize: decode the payload with `javax.imageio`, resample
+    * the raster to `dstW × dstH`, re-encode genuine PNG bytes.  The
+    * resample is EXACT nearest-neighbor in integer arithmetic —
+    * `src = (dst * srcDim) / dstDim` with floor division — deliberately
+    * NOT `Graphics2D` interpolation, whose rounding is implementation
+    * detail of the JRE's rendering pipeline: this way the resampled pixel
+    * grid is closed-form (`p'(x,y) = p(x·w/w', y·h/h')`), so an external
+    * oracle can recompute the resized image's statistics exactly, and the
+    * op behaves identically on every executor JVM.  Handles up- and
+    * down-scaling (upscale duplicates source pixels).  Same typed
+    * `mapPartitions` scale shape as [[encodePng]]: pruned input, per-row
+    * CPU, no shuffle. */
+  def resizeImage(df: DataFrame, idCol: String, payload: String,
+                  dstW: Column, dstH: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType), col(payload).cast(BinaryType),
+        dstW.cast(IntegerType), dstH.cast(IntegerType))
+      .as[(Long, Array[Byte], Int, Int)]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, bytes, dw, dh) =>
+          require(dw >= 1 && dh >= 1, s"resizeImage: degenerate ${dw}x$dh target for doc $id")
+          require(bytes != null && bytes.nonEmpty, s"resizeImage: empty payload for doc $id")
+          val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          require(src != null, s"resizeImage: payload of doc $id is not a decodable image")
+          val (sw, sh) = (src.getWidth, src.getHeight)
+          val srcRaster = src.getRaster
+          val out = new java.awt.image.BufferedImage(
+            dw, dh, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val raster = out.getRaster
+          var x = 0
+          while (x < dw) {
+            val sx = x * sw / dw
+            var y = 0
+            while (y < dh) {
+              raster.setSample(x, y, 0, srcRaster.getSample(sx, y * sh / dh, 0))
+              y += 1
+            }
+            x += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          require(javax.imageio.ImageIO.write(out, "png", bos),
+            "resizeImage: this JRE has no PNG writer")
+          ResizedImage(id, bos.toByteArray, dw, dh)
+        }
+      }.toDF()
+  }
+
   /** One encoded audio clip: `wav` is a genuine RIFF/WAVE byte stream. */
   final case class EncodedAudio(doc_id: Long, wav: Array[Byte])
 

@@ -1334,6 +1334,40 @@ object TextCatalog {
            CAST(list_max(ps) AS INT) AS px_max
          FROM px ORDER BY doc_id""")),
 
+    // REAL resize through the codec chain: encode genuine PNGs (as
+    // q_decode_real), resample each to an independent per-doc target
+    // (width always shrinks, height mixes up- and down-scaling), re-encode
+    // REAL PNG bytes, then decode the RESIZED payload and report its true
+    // dimensions + pixel stats.  The resample is exact integer
+    // nearest-neighbor (src = dst·srcDim/dstDim, floor), so the oracle
+    // recomputes the resized grid closed-form: a rounding slip, a stride
+    // bug, or an interpolating resampler all break the hash.
+    QueryDef("q_multimodal_resize",
+      (s, dir) => {
+        val d = t(s, dir, "documents").select("doc_id", "n_chars")
+        val enc = Multimodal.encodePng(d, "doc_id",
+          lit(8) + col("doc_id") % 16, lit(8) + col("n_chars") % 16)
+        val rsz = Multimodal.resizeImage(enc, "doc_id", "png",
+          lit(4) + col("doc_id") % 8, lit(5) + col("doc_id") % 23)
+        Multimodal.decodeImage(rsz, "doc_id", "png")
+          .select("doc_id", "width", "height", "px_sum", "px_min", "px_max")
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, CAST(8 + doc_id % 16 AS INT) AS w,
+             CAST(8 + n_chars % 16 AS INT) AS h,
+             CAST(4 + doc_id % 8 AS INT) AS dw,
+             CAST(5 + doc_id % 23 AS INT) AS dh FROM documents),
+         px AS (SELECT doc_id, dw, dh,
+             list_transform(range(0, dw * dh),
+               i -> (doc_id * 31 + (((i // dh) * w) // dw) * 7
+                 + (((i % dh) * h) // dh) * 13) % 256) AS ps
+           FROM d)
+         SELECT doc_id, dw AS width, dh AS height,
+           CAST(list_sum(ps) AS BIGINT) AS px_sum,
+           CAST(list_min(ps) AS INT) AS px_min,
+           CAST(list_max(ps) AS INT) AS px_max
+         FROM px ORDER BY doc_id""")),
+
     // REAL audio codec roundtrip — the WAV sibling of q_decode_real: render
     // n = 64 + n_chars % 128 unsigned 8-bit PCM samples per doc from the
     // closed-form sample(i) = (doc_id*31 + 7i) mod 256, write a GENUINE

@@ -47,6 +47,36 @@ class MultimodalSpec extends SparkFunSuite {
     }
   }
 
+  test("resizeImage resamples by exact floor arithmetic: down, up, identity") {
+    // 6x4 source; targets: downscale 3x2, upscale 12x8 (pixel duplication),
+    // identity 6x4 — expected pixel p'(x,y) = pixelValue(id, x*6/dw, y*4/dh)
+    val cases = Seq((1L, 3, 2), (2L, 12, 8), (3L, 6, 4))
+    val df = cases.toDF("doc_id", "dw", "dh")
+    val enc = Multimodal.encodePng(df, "doc_id", lit(6), lit(4))
+      .join(df, "doc_id")
+    val rsz = Multimodal.resizeImage(enc, "doc_id", "png", col("dw"), col("dh"))
+      .orderBy("doc_id").collect()
+    for ((r, (id, dw, dh)) <- rsz.zip(cases)) {
+      assert(r.getInt(2) === dw && r.getInt(3) === dh,
+        s"doc $id: resized dims ${r.getInt(2)}x${r.getInt(3)} != ${dw}x$dh")
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("png")))
+      assert(img.getWidth === dw && img.getHeight === dh)
+      for (x <- 0 until dw; y <- 0 until dh)
+        assert(img.getRaster.getSample(x, y, 0) ===
+          Multimodal.pixelValue(id, x * 6 / dw, y * 4 / dh),
+          s"doc $id pixel ($x,$y): wrong source sample")
+    }
+    // decoding the resized payload reports the resized geometry
+    val dec = Multimodal.decodeImage(
+        Multimodal.resizeImage(enc, "doc_id", "png", col("dw"), col("dh")),
+        "doc_id", "png")
+      .orderBy("doc_id").collect()
+    for ((r, (id, dw, dh)) <- dec.zip(cases))
+      assert(r.getInt(1) === dw && r.getInt(2) === dh,
+        s"doc $id: decoded resized dims diverge")
+  }
+
   test("encodeWav emits genuine RIFF/WAVE bytes; decodeWav recovers exact samples") {
     val df = Seq((1L, 5), (2L, 300), (3L, 64)).toDF("doc_id", "n")
     val enc = Multimodal.encodeWav(df, "doc_id", col("n")).orderBy("doc_id").collect()
