@@ -94,8 +94,11 @@ object Ivm {
             sum(col(sumCol)).cast(Dec).as(sumCol))
       }
     // merged is consumed three times (summary probe, delete, merge write) —
-    // cache the change-sized frame so the feed scan + joins run once
-    merged.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // cache the change-sized frame so the feed scan + joins run once.  On
+    // bootstrap, merged is a bare projection of the delta the CALLER
+    // already persisted: a second cache would only copy those blocks.
+    if (!bootstrap)
+      merged.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // ONE summary action decides both branches (empty window? any zeroed
       // keys?) and materializes the cache the commits below reuse
@@ -118,7 +121,7 @@ object Ivm {
           merged.filter(col(nCol) <= 0).select(key), Seq(key))
       TxTable.commitMerge(spark, aggRoot, merged.filter(col(nCol) > 0),
         Seq(key), Seq(nCol, sumCol), Nil, batch = Some(batchId))
-    } finally merged.unpersist(false)
+    } finally if (!bootstrap) merged.unpersist(false)
   }
 
   /** JOIN-VIEW IVM — maintain a `(groupKey, n, sum)` aggregate of

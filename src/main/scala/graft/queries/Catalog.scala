@@ -2521,9 +2521,10 @@ object Catalog {
         val v = TxTable.compactZOrder(s, root, "o_orderkey", "o_custkey",
           numSegments = 8)
         val pre = TxTable.readVersion(s, root, v - 1)
-        require(TxTable.read(s, root).count() == pre.count(),
+        val preN = pre.count() // one scan feeds both asserts
+        require(TxTable.read(s, root).count() == preN,
           "q_tx_compact_zorder: clustering changed the row count")
-        require(pre.count() == o.count(),
+        require(preN == o.count(),
           "q_tx_compact_zorder: time travel to the pre-cluster version broke")
         val byKey = TxTable.readWhere(s, root, "o_orderkey", bd(mk / 2), bd(mk / 2 + mk / 8))
         val byCust = TxTable.readWhere(s, root, "o_custkey", bd(mc / 2), bd(mc / 2 + mc / 8))
