@@ -124,6 +124,26 @@ class TxTableModelSpec extends SparkFunSuite {
         assert(versionState(root, v) == want,
           s"seed $seed: time travel to v$v no longer matches its state")
       }
+
+      // retention phase: after vacuum the RETAINED window must still
+      // time-travel exactly (vacuum may only drop segments no retained
+      // manifest references — restore's zero-copy forward commits keep
+      // old-era segments live), and aged-out versions must fail loudly,
+      // never read a partial snapshot
+      TxTable.vacuum(spark, root, keepVersions = 3)
+      val keepFrom = head - 2
+      snapshots.toSeq.sortBy(_._1).foreach { case (v, want) =>
+        if (v >= keepFrom)
+          assert(versionState(root, v) == want,
+            s"seed $seed: post-vacuum time travel to retained v$v diverged")
+        else {
+          val r = scala.util.Try(versionState(root, v))
+          assert(r.isFailure,
+            s"seed $seed: v$v aged out by vacuum but still read back ${r}")
+        }
+      }
+      assert(tableState(root) == model,
+        s"seed $seed: head diverged after vacuum")
     }
   }
 }
