@@ -51,18 +51,42 @@ class GraphSpec extends SparkFunSuite {
     assert(got === Map(3L -> 3L, 5L -> 3L, 7L -> 7L, 8L -> 7L))
   }
 
-  test("contraction and propagation agree on random graphs (seeded)") {
+  test("contraction and propagation agree on random graphs (seeded) " +
+    "and both match a union-find oracle") {
+    // independent oracle: if the two Spark implementations ever shared a
+    // defect, impl-vs-impl agreement alone would not catch it
+    def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(ra max rb) = ra min rb
+      }
+      // canonical label = component MINIMUM (find roots at minima because
+      // unions always re-root the larger id, and path compression keeps it)
+      parent.keys.map(x => x -> find(x)).toMap
+    }
     val rnd = new scala.util.Random(42)
     for (trial <- 1 to 3) {
       val n = 60
-      val edges = Seq.fill(70)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
-        .filter { case (a, b) => a != b }
-      val df = edges.toDF("src", "dst")
+      // random edges + the adversarial shapes the algorithms specialize
+      // for: a long chain (diameter >> log n), a star, a dense clique
+      val chain = (100L until 115L).sliding(2).map(s => (s(0), s(1))).toSeq
+      val star = (201L to 208L).map(h => (200L, h))
+      val clique = for (a <- 300L to 305L; b <- (a + 1) to 305L) yield (a, b)
+      val edges = (Seq.fill(70)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b } ++ chain ++ star ++ clique)
+      val df = rnd.shuffle(edges).toDF("src", "dst")
+      val want = unionFind(edges)
       val prop = Graph.connectedComponents(df, "src", "dst")
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       val contr = Graph.connectedComponentsContraction(df, "src", "dst")
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      assert(contr === prop, s"trial $trial: algorithms disagree")
+      assert(prop === want, s"trial $trial: propagation diverged from union-find")
+      assert(contr === want, s"trial $trial: contraction diverged from union-find")
     }
   }
 
