@@ -20,7 +20,11 @@ object JobProfile {
     // hypotheses are testable without recompiling
     val spark = sys.env.get("SPARK_GRAFT_EXTRA_CONF")
       .map(_.split(";").filter(_.nonEmpty).foldLeft(b0) { (b, kv) =>
-        val Array(k, v) = kv.split("=", 2); b.config(k, v)
+        kv.split("=", 2) match {
+          case Array(k, v) => b.config(k, v)
+          case _ => sys.error(
+            s"SPARK_GRAFT_EXTRA_CONF: malformed entry '$kv' — expected key=value")
+        }
       }).getOrElse(b0)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -30,7 +34,10 @@ object JobProfile {
     val listener = new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit = {
         val site = Option(js.properties)
-          .map(_.getProperty("callSite.short", "?")).getOrElse("?")
+          .flatMap(p => Option(p.getProperty("callSite.short")))
+          .orElse(js.stageInfos.lastOption.map(si =>
+            s"${si.name.takeWhile(_ != '\n').take(60)} tasks=${si.numTasks}"))
+          .getOrElse("?")
         starts.put(js.jobId, (System.nanoTime(), site))
       }
       override def onJobEnd(je: SparkListenerJobEnd): Unit = {

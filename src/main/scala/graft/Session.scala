@@ -35,7 +35,18 @@ object GraftSession {
     // TIMESTAMP(NANOS) parquet (the events fixture) read as long nanos —
     // set ONCE here, not inside query closures, so no query's result
     // depends on which queries ran before it in the same session.
-    "spark.sql.legacy.parquet.nanosAsLong" -> "true")
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+    // File-commit protocol sized for MANY SMALL transactional writes (the
+    // TxTable/IVM shape: a segment dir per commit): algorithm v2 renames
+    // task output into the destination at task commit — one rename pass
+    // instead of two.  Safe under this engine's layout because every write
+    // targets a FRESH uuid segment directory that only becomes visible
+    // when a manifest references it post-job — a failed job orphans an
+    // unreferenced directory (vacuumed later), never a half-visible table
+    // state.  _SUCCESS markers are likewise redundant under manifest
+    // publication.
+    "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version" -> "2",
+    "spark.hadoop.mapreduce.fileoutputcommitter.marksuccessfuljobs" -> "false")
 
   def builder(master: String, shufflePartitions: Int): SparkSession.Builder =
     recommendedConf.foldLeft(

@@ -33,6 +33,28 @@ object Ivm {
 
   private val Dec = DecimalType(38, 6)
 
+  /** Run `body` (one whole refresh) with adaptive execution OFF, restoring
+    * the previous setting after.  Every plan a refresh executes is
+    * STATICALLY decided already — each join carries an explicit
+    * `broadcast()` hint, the merge is one union + hash aggregate, and the
+    * shuffles are change-sized — so AQE cannot improve a strategy, but its
+    * per-stage query-stage materialization turns each refresh action into
+    * 3-5 scheduled jobs, roughly doubling the refresh's fixed overhead
+    * (measured at sf0.1: ~35 extra jobs per maintained query).  A
+    * deployment whose refresh windows are large enough to want runtime
+    * coalescing/skew handling can keep AQE with
+    * `spark.graft.ivm.adaptive=true`.  The toggle is session-global for
+    * the duration of `body` — refreshes are driver-side maintenance calls,
+    * not something to run concurrently with unrelated queries on the same
+    * session. */
+  private def withRefreshConf[T](spark: SparkSession)(body: => T): T =
+    if (spark.conf.getOption("spark.graft.ivm.adaptive").exists(_.toBoolean)) body
+    else {
+      val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try body finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+    }
+
   /** Refresh the `(key, nCol, sumCol)` view at `aggRoot` with the fact
     * table's changes in versions `(fromVersion, toVersion]` (which must
     * have been written with `cdf = true`).  Bootstraps the view when
@@ -51,77 +73,62 @@ object Ivm {
                       nCol: String = "n", sumCol: String = "sum"): Long = {
     if (TxTable.lastCommittedBatch(spark, aggRoot).exists(_ >= toVersion))
       return TxTable.latestVersion(spark, aggRoot).get // replay: already applied
-    val ch = TxTable.readChanges(spark, factRoot, fromVersion, toVersion)
-    val sign = when(col("_change_type").isin("insert", "update_postimage"), 1L)
-      .otherwise(-1L)
-    // persist the CHANGE-SIZED delta: the apply consumes it twice
-    // (broadcast key set + the union arm), so without the cache the feed
-    // scan + aggregate would run twice inside one action; a layout-only
-    // (empty) window is detected by the apply's summary probe
-    val delta = ch.groupBy(key).agg(
-      sum(sign).cast(LongType).as("__dn"),
-      sum(col(valueCol).cast(Dec) * sign).cast(Dec).as("__dsum"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try applySignedDelta(spark, aggRoot, delta, key, nCol, sumCol, toVersion)
-    finally delta.unpersist(false)
+    withRefreshConf(spark) {
+      val ch = TxTable.readChanges(spark, factRoot, fromVersion, toVersion)
+      val sign = when(col("_change_type").isin("insert", "update_postimage"), 1L)
+        .otherwise(-1L)
+      // persist the CHANGE-SIZED delta: the apply consumes it three times
+      // (empty probe, rewrite key set, the union arm), so without the cache
+      // the feed scan + aggregate would re-run per consumer
+      val delta = ch.groupBy(key).agg(
+        sum(sign).cast(LongType).as("__dn"),
+        sum(col(valueCol).cast(Dec) * sign).cast(Dec).as("__dsum"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try applySignedDelta(spark, aggRoot, delta, key, nCol, sumCol, toVersion)
+      finally delta.unpersist(false)
+    }
   }
 
   /** Publish a `(key, __dn, __dsum)` signed delta into the view at
-    * `aggRoot` (bootstrap when the view has no commits): existing rows for
-    * delta keys are fetched by broadcast semi-join and SUMMED with the
-    * delta through one union + hash aggregate (a full-outer join would
-    * cost two shuffles and a sort where the union-agg costs one exchange —
-    * addition is the same merge the join's coalesce arithmetic expressed).
-    * Keys whose count reaches zero leave the view, and the commit records
-    * `batchId` as the applied-through horizon.  An EMPTY delta (layout-only
-    * window) publishes nothing.  Returns the view head. */
+    * `aggRoot` (bootstrap when the view has no commits) as ONE atomic
+    * commit.  Non-bootstrap rides [[TxTable.commitRewriteHit]]: only the
+    * view segments containing a delta key are rewritten, and the
+    * replacement is old rows ∪ delta rows through one union + hash
+    * aggregate (a full-outer join would cost two shuffles and a sort
+    * where the union-agg costs one exchange — addition is the same merge
+    * the join's coalesce arithmetic expressed).  Untouched rows inside a
+    * hit segment pass through the aggregate unchanged (they group alone);
+    * keys whose count reaches zero are filtered out and thus LEAVE the
+    * view; delta keys absent from every segment insert.  The single
+    * commit records `batchId` as the applied-through horizon, so the
+    * apply is crash-atomic by construction — any failure leaves the head
+    * untouched and the whole window replays (the two-commit delete-then-
+    * merge dance this replaces needed a delete-first ordering argument;
+    * one commit needs none).  An EMPTY delta (layout-only window)
+    * publishes nothing.  Returns the view head. */
   private def applySignedDelta(spark: SparkSession, aggRoot: String,
                                delta: DataFrame, key: String,
                                nCol: String, sumCol: String,
                                batchId: Long): Long = {
-    val bootstrap = TxTable.latestVersion(spark, aggRoot).isEmpty
+    // layout-only window: nothing to apply, nothing to publish (one tiny
+    // action on the caller-cached delta; also materializes the cache the
+    // probe + rewrite below reuse)
+    if (delta.isEmpty)
+      return TxTable.latestVersion(spark, aggRoot).getOrElse(0L)
     val asView = delta.select(col(key), col("__dn").as(nCol), col("__dsum").as(sumCol))
-    val merged =
-      if (bootstrap) asView
-      else {
-        // only the view rows whose key has a delta; broadcast the key set
-        val existing = TxTable.read(spark, aggRoot)
-          .join(broadcast(delta.select(key)), Seq(key), "left_semi")
-        existing.select(col(key), col(nCol), col(sumCol).cast(Dec).as(sumCol))
+    if (TxTable.latestVersion(spark, aggRoot).isEmpty)
+      TxTable.commitMerge(spark, aggRoot, asView.filter(col(nCol) > 0),
+        Seq(key), Seq(nCol, sumCol), Nil, batch = Some(batchId))
+    else
+      TxTable.commitRewriteHit(spark, aggRoot, delta.select(key), Seq(key),
+        batch = Some(batchId)) { touched =>
+        touched.select(col(key), col(nCol), col(sumCol).cast(Dec).as(sumCol))
           .unionByName(asView)
           .groupBy(key).agg(
             sum(col(nCol)).cast(LongType).as(nCol),
             sum(col(sumCol)).cast(Dec).as(sumCol))
+          .filter(col(nCol) > 0)
       }
-    // merged is consumed three times (summary probe, delete, merge write) —
-    // cache the change-sized frame so the feed scan + joins run once.  On
-    // bootstrap, merged is a bare projection of the delta the CALLER
-    // already persisted: a second cache would only copy those blocks.
-    if (!bootstrap)
-      merged.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      // ONE summary action decides both branches (empty window? any zeroed
-      // keys?) and materializes the cache the commits below reuse
-      val probe = merged.agg(count(lit(1)).as("__rows"),
-        count(when(col(nCol) <= 0, 1)).as("__dead")).collect().head
-      val (rows, deadCnt) = (probe.getLong(0), probe.getLong(1))
-      if (rows == 0L) // layout-only window: nothing to apply, nothing to publish
-        return TxTable.latestVersion(spark, aggRoot).getOrElse(0L)
-      // CRASH-ATOMIC ordering: delete zeroed keys FIRST, latch the
-      // applied-through horizon ONLY on the final merge commit.  A crash
-      // between the two leaves the horizon unlatched, so the whole window
-      // replays — and the replay converges bit-for-bit: a half-applied
-      // dead key's view row is already gone, so its replayed balance is
-      // `0 + __dn ≤ 0`, which routes it back to the (now no-op) delete and
-      // keeps it out of the merge set.  The old order (merge-with-horizon
-      // then delete) latched the guard before the deletes were durable —
-      // a crash between them left stale zeroed rows forever.
-      if (!bootstrap && deadCnt > 0L)
-        TxTable.commitDelete(spark, aggRoot,
-          merged.filter(col(nCol) <= 0).select(key), Seq(key))
-      TxTable.commitMerge(spark, aggRoot, merged.filter(col(nCol) > 0),
-        Seq(key), Seq(nCol, sumCol), Nil, batch = Some(batchId))
-    } finally if (!bootstrap) merged.unpersist(false)
   }
 
   /** JOIN-VIEW IVM — maintain a `(groupKey, n, sum)` aggregate of
@@ -169,6 +176,7 @@ object Ivm {
     val packed = (factTo << 20) | dimTo
     if (TxTable.lastCommittedBatch(spark, aggRoot).exists(_ >= packed))
       return TxTable.latestVersion(spark, aggRoot).get // replay: already applied
+    withRefreshConf(spark) {
     val sign = when(col("_change_type").isin("insert", "update_postimage"), 1L)
       .otherwise(-1L)
     // part 1: fact delta ⋈ dim head — change-sized ⋈ broadcast dim
@@ -180,28 +188,32 @@ object Ivm {
         .select(col(dimKey).as("__k"), col(groupKey))
       chF.join(broadcast(dNew), "__k").select(col(groupKey), col("__v"), col("__s"))
     }
-    // part 2: old fact snapshot ⋈ dim delta — fact ⋈ broadcast change set
-    val p2 = {
-      val chD = TxTable.readChanges(spark, dimRoot, dimFrom, dimTo)
-        .select(col(dimKey).as("__k"), col(groupKey), sign.as("__s"))
-      val fOld =
-        if (factFrom == 0L)
-          TxTable.read(spark, factRoot).limit(0) // no old snapshot yet
-        else TxTable.readVersion(spark, factRoot, factFrom)
-      fOld.select(col(factKey).as("__k"), col(valueCol).cast(Dec).as("__v"))
-        .join(broadcast(chD), "__k")
-        .select(col(groupKey), col("__v"), col("__s"))
-    }
+    // part 2: old fact snapshot ⋈ dim delta — fact ⋈ broadcast change set.
+    // PROVABLY EMPTY when the fact has no old snapshot (bootstrap window:
+    // every joined row already lands in part 1 via D_new) or the dim
+    // window is empty — skip BUILDING it then, so those refreshes plan
+    // and scan nothing for the fact-snapshot ⋈ dim-delta arm
+    val p2 =
+      if (factFrom == 0L || dimFrom >= dimTo) None
+      else Some {
+        val chD = TxTable.readChanges(spark, dimRoot, dimFrom, dimTo)
+          .select(col(dimKey).as("__k"), col(groupKey), sign.as("__s"))
+        TxTable.readVersion(spark, factRoot, factFrom)
+          .select(col(factKey).as("__k"), col(valueCol).cast(Dec).as("__v"))
+          .join(broadcast(chD), "__k")
+          .select(col(groupKey), col("__v"), col("__s"))
+      }
     // persist the GROUP-SIZED delta: the apply's two consumers would
     // otherwise re-run both delta parts — including part 2's old-fact
     // snapshot scan — twice inside one action; a layout-only (empty)
-    // window is detected by the apply's summary probe
-    val delta = p1.unionByName(p2).groupBy(groupKey).agg(
+    // window is detected by the apply's empty probe
+    val delta = p2.fold(p1)(p1.unionByName).groupBy(groupKey).agg(
       sum(col("__s")).cast(LongType).as("__dn"),
       sum(col("__v") * col("__s")).cast(Dec).as("__dsum"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try applySignedDelta(spark, aggRoot, delta, groupKey, nCol, sumCol, packed)
     finally delta.unpersist(false)
+    }
   }
 
   /** Catch the view up to the fact table's HEAD, exactly-once and

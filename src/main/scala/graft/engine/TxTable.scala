@@ -609,8 +609,11 @@ object TxTable {
       case None => // bootstrap: the incoming batch IS the table
         val staged = incoming.select(cols.map(col): _*)
         val seg = writeSegment(staged, root)
-        val cdc = if (!cdf) Nil else Seq(writeChangeSegment(
-          staged.withColumn("_change_type", lit("insert")), root))
+        // an insert-only commit's change set IS its data segment — record
+        // a reference instead of writing the same rows twice (the trick
+        // the append path plays structurally); readChanges synthesizes
+        // `_change_type = 'insert'` for `insert:`-prefixed entries
+        val cdc = if (!cdf) Nil else Seq("insert:" + seg)
         commit(spark, root, "merge", Seq(seg), maxRetries = 0, batch = batch,
           stats = Map(seg -> segStats(spark, root, seg, statsCols)).filter(_._2.nonEmpty),
           expectVersion = Some(1L), cdc = cdc,
@@ -658,17 +661,24 @@ object TxTable {
             // columnar re-read of delta-sized output beats re-running the
             // merge join once per change class
             val mergedBack = spark.read.parquet(s"${root.stripSuffix("/")}/$newSeg")
-            val tKeys = touched.select(keys.map(col): _*).distinct()
-            val matched = broadcast(
-              tKeys.join(inKeys, on(tKeys, inKeys), "left_semi"))
-            val pre = touched.join(matched, on(touched, matched), "left_semi")
+            // preimages = touched rows whose key the batch brings (their
+            // values get overwritten) — a direct semi-join against the
+            // already-broadcast incoming key set
+            val pre = touched.join(inKeys, on(touched, inKeys), "left_semi")
               .withColumn("_change_type", lit("update_preimage"))
-            val post = mergedBack.join(matched, on(mergedBack, matched), "left_semi")
-              .withColumn("_change_type", lit("update_postimage"))
-            val ins = mergedBack.join(inKeys, on(mergedBack, inKeys), "left_semi")
-              .join(matched, on(mergedBack, matched), "left_anti")
-              .withColumn("_change_type", lit("insert"))
-            Seq(writeChangeSegment(pre.unionByName(post).unionByName(ins), root))
+            // ONE mergedBack scan yields post AND insert rows: restrict to
+            // incoming keys, then a broadcast left join against the touched
+            // KEY SET routes each row (hit = key existed → postimage, miss
+            // → insert) — half the scans and a plain-distinct broadcast
+            // instead of a joined one
+            val tKeysH = broadcast(touched.select(keys.map(col): _*).distinct()
+              .withColumn("__hit", lit(1)))
+            val inc = mergedBack.join(inKeys, on(mergedBack, inKeys), "left_semi")
+            val postIns = inc.join(tKeysH, on(inc, tKeysH), "left")
+              .withColumn("_change_type", when(col("__hit").isNotNull,
+                lit("update_postimage")).otherwise(lit("insert")))
+              .select(inc.columns.map(inc(_)) :+ col("_change_type"): _*)
+            Seq(writeChangeSegment(pre.unionByName(postIns), root))
           }
           val carriedSegs = segs.filterNot(hitSegs.contains)
           commit(spark, root, "merge",
@@ -790,6 +800,58 @@ object TxTable {
           dvs = carryDvs(head.dvs, carried.toSet))
       } finally touched.unpersist(false)
     } finally tombDf.unpersist(false)
+  }
+
+  /** ONE-COMMIT keyed segment rewrite — the primitive [[Ivm]]'s apply
+    * rides: the segments containing any key of `keySet` are read
+    * (`touched`, hit-segment-sized), the caller's `rewrite(touched)`
+    * replaces them as ONE new segment, every other segment carries over by
+    * reference, and the manifest publishes with `batch` as the replay
+    * horizon.  This collapses the delete-then-merge two-commit dance (and
+    * its crash window) into a single atomic commit: `rewrite` decides
+    * per-row keep/replace/drop, so a "dead" key simply does not reappear
+    * in the replacement, and a crash anywhere leaves the head untouched
+    * with the horizon unlatched — the whole window replays.  Contract for
+    * `rewrite`: it receives EVERY row of the hit segments (including rows
+    * whose keys are not in `keySet` — it must pass those through), rows it
+    * omits are deleted, and rows for keys absent from every segment may be
+    * introduced.  Returns the new head, or [[ReplayNoOp]] when `batch`
+    * was already committed. */
+  def commitRewriteHit(spark: SparkSession, root: String, keySet: DataFrame,
+                       keys: Seq[String], batch: Option[Long] = None)
+                      (rewrite: DataFrame => DataFrame): Long = {
+    import org.apache.spark.sql.functions._
+    if (batch.exists(b => lastCommittedBatch(spark, root).exists(_ >= b)))
+      return ReplayNoOp // fast path; commit re-verifies per attempt
+    val headV = latestVersion(spark, root).getOrElse(throw new IllegalArgumentException(
+      s"TxTable.commitRewriteHit: no commits under $root"))
+    val head = readManifest(spark, root, headV)
+    val segs = head.segments
+    val cur = readVersionTagged(spark, root, headV)
+    val ks = broadcast(keySet.select(keys.map(col): _*).distinct())
+    // single-segment heads have nothing to prune — skip the probe action
+    val hitSegs =
+      if (segs.size <= 1) segs.toSet
+      else cur
+        .join(ks, keys.map(k => cur(k) <=> ks(k)).reduce(_ && _), "left_semi")
+        .select("__seg").distinct().collect().map(_.getString(0)).toSet
+    val touched = cur.filter(col("__seg").isin(hitSegs.toSeq: _*)).drop("__seg")
+    val seg = writeSegment(rewrite(touched), root)
+    // an all-dead rewrite can leave zero part files — an unreadable
+    // segment; publish carried-only in that case (metadata listing, cheap)
+    val f = fs(spark, root)
+    val segHasFiles = f.listStatus(new Path(s"${root.stripSuffix("/")}/$seg"))
+      .exists(st => st.isFile && st.getPath.getName.startsWith("part-"))
+    val carried = segs.filterNot(hitSegs.contains)
+    val newSegs = if (segHasFiles) Seq(seg) else Seq.empty[String]
+    require(carried.nonEmpty || newSegs.nonEmpty,
+      s"TxTable.commitRewriteHit: rewrite would empty the table under $root — " +
+        "commitOverwrite an explicit empty state instead")
+    val stats = newSegs.headOption
+      .map(s0 => carryStats(spark, root, head, s0)).getOrElse(head.stats)
+    commit(spark, root, "rewrite", carried ++ newSegs, maxRetries = 0,
+      batch = batch, stats = stats, expectVersion = Some(headV + 1),
+      dvs = carryDvs(head.dvs, carried.toSet), schema = head.schema)
   }
 
   /** RESTORE: make version `v`'s snapshot the HEAD again as a normal
@@ -1164,9 +1226,23 @@ object TxTable {
     import org.apache.spark.sql.functions.lit
     require(0 <= fromVersion && fromVersion <= toVersion,
       s"TxTable.readChanges: bad range ($fromVersion, $toVersion]")
-    def readSegs(ss: Seq[String]): DataFrame =
-      spark.read.option("mergeSchema", "true")
-        .parquet(ss.map(s0 => s"${root.stripSuffix("/")}/$s0"): _*)
+    // plan with the manifest-RECORDED schema when available (cdc segments
+    // carry the commit era's table columns + `_change_type`), so the read
+    // costs ZERO footer I/O — a mergeSchema read opens every segment
+    // footer on the driver during planning, a per-refresh driver sweep the
+    // recorded schema exists to remove.  Pre-schema-era manifests fall
+    // back to the footer sweep.
+    def readSegs(m: Manifest, ss: Seq[String], withChangeType: Boolean): DataFrame = {
+      val paths = ss.map(s0 => s"${root.stripSuffix("/")}/$s0")
+      m.schema.map(decodeSchema) match {
+        case Some(sc) =>
+          val full = if (withChangeType)
+            sc.add("_change_type", org.apache.spark.sql.types.StringType)
+          else sc
+          spark.read.schema(full).parquet(paths: _*)
+        case None => spark.read.option("mergeSchema", "true").parquet(paths: _*)
+      }
+    }
     val frames = ((fromVersion + 1) to toVersion).flatMap { v =>
       val m = retainedManifest(spark, root, v)
       val changed: Seq[DataFrame] = m.op match {
@@ -1175,10 +1251,20 @@ object TxTable {
             else retainedManifest(spark, root, v - 1).segments.toSet
           val fresh = m.segments.filterNot(prev.contains)
           if (fresh.isEmpty) Nil
-          else Seq(readSegs(fresh).withColumn("_change_type", lit("insert")))
+          else Seq(readSegs(m, fresh, withChangeType = false)
+            .withColumn("_change_type", lit("insert")))
         case "merge" | "delete" | "dvdelete" =>
-          if (m.cdc.nonEmpty) Seq(readSegs(m.cdc))
-          else throw new IllegalArgumentException(
+          if (m.cdc.nonEmpty) {
+            // `insert:`-prefixed entries reference a DATA segment whose
+            // rows are all inserts (insert-only commits record no separate
+            // change copy); the rest are self-describing cdc/ segments
+            val (refs, own) = m.cdc.partition(_.startsWith("insert:"))
+            (if (own.nonEmpty) Seq(readSegs(m, own, withChangeType = true)) else Nil) ++
+              (if (refs.nonEmpty)
+                Seq(readSegs(m, refs.map(_.stripPrefix("insert:")), withChangeType = false)
+                  .withColumn("_change_type", lit("insert")))
+              else Nil)
+          } else throw new IllegalArgumentException(
             s"TxTable.readChanges: commit v$v (${m.op}) recorded no change " +
               "data — write it with cdf = true to enable the change feed")
         case "compact" => Nil // layout-only: no logical change

@@ -58,6 +58,14 @@ object Catalog {
   private[queries] def gateOnce(s: SparkSession, df: DataFrame)(
       check: Seq[org.apache.spark.sql.Row] => Unit): DataFrame = {
     val rows = df.collect().toIndexedSeq
+    // gateOnce is for AGGREGATE-sized results only — a row-level frame
+    // does not belong on the driver.  Every current call site is well
+    // under this cap; a future misuse fails loudly naming the fix
+    // instead of silently materializing a table driver-side.
+    require(rows.size <= 100000,
+      s"gateOnce: result has ${rows.size} rows — this helper is for " +
+        "aggregate-sized frames; gate a row-level result distributedly " +
+        "(e.g. require on an agg) instead of collecting it")
     check(rows)
     import scala.jdk.CollectionConverters._
     s.createDataFrame(rows.asJava, df.schema)
@@ -2458,15 +2466,22 @@ object Catalog {
         val byKey = TxTable.readWhere(s, root, "o_orderkey", bd(mk / 2), bd(mk / 2 + mk / 8))
         val byCust = TxTable.readWhere(s, root, "o_custkey", bd(mc / 2), bd(mc / 2 + mc / 8))
         val (sk, sc) = (segsOf(byKey), segsOf(byCust))
-        // same robust gate as q_tx_zorder_multi: per-dimension counts ride
-        // on data-driven range boundaries, so gate on the total (no
-        // clustering at all scans 8+8) and only note a non-pruning dimension
-        require(sk + sc < 16,
-          s"q_tx_zorder: Z-order clustering produced NO pruning on either " +
-            s"probe (orderkey scanned $sk/8, custkey $sc/8)")
-        if (!(sk < 8 && sc < 8))
-          System.err.println(s"[q_tx_zorder] note: one dimension did not " +
-            s"prune (orderkey $sk/8, custkey $sc/8)")
+        // PER-DIMENSION hard gate (r10 ADVICE): a dimension whose primary
+        // band scans all 8 segments gets ONE retry probe on a different
+        // band — genuine loss of clustering fails both probes (z-tiles
+        // cover the whole value range), while a single band riding a
+        // data-driven quantile boundary passes the second.  This keeps
+        // the gate flake-robust without letting a one-dimension
+        // regression slide through as a stderr note.
+        def dimPrunes(c: String, m: Long, primary: Int): Boolean =
+          primary < 8 ||
+            segsOf(TxTable.readWhere(s, root, c, bd(m / 8), bd(m / 8 + m / 8))) < 8
+        require(dimPrunes("o_orderkey", mk, sk),
+          s"q_tx_zorder: orderkey dimension does not prune on either probe " +
+            s"band (primary scanned $sk/8)")
+        require(dimPrunes("o_custkey", mc, sc),
+          s"q_tx_zorder: custkey dimension does not prune on either probe " +
+            s"band (primary scanned $sc/8)")
         byKey.agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("price_sum"))
           .withColumn("dim", lit("orderkey_band"))
           .unionByName(byCust
@@ -2529,12 +2544,16 @@ object Catalog {
         val byKey = TxTable.readWhere(s, root, "o_orderkey", bd(mk / 2), bd(mk / 2 + mk / 8))
         val byCust = TxTable.readWhere(s, root, "o_custkey", bd(mc / 2), bd(mc / 2 + mc / 8))
         val (sk, sc) = (segsOf(byKey), segsOf(byCust))
-        require(sk + sc < 16,
-          s"q_tx_compact_zorder: clustering rewrite produced NO pruning on " +
-            s"either probe (orderkey scanned $sk/8, custkey $sc/8)")
-        if (!(sk < 8 && sc < 8))
-          System.err.println(s"[q_tx_compact_zorder] note: one dimension " +
-            s"did not prune (orderkey $sk/8, custkey $sc/8)")
+        // per-dimension gate with a retry band — see q_tx_zorder
+        def dimPrunes(c: String, m: Long, primary: Int): Boolean =
+          primary < 8 ||
+            segsOf(TxTable.readWhere(s, root, c, bd(m / 8), bd(m / 8 + m / 8))) < 8
+        require(dimPrunes("o_orderkey", mk, sk),
+          s"q_tx_compact_zorder: orderkey dimension does not prune on " +
+            s"either probe band (primary scanned $sk/8)")
+        require(dimPrunes("o_custkey", mc, sc),
+          s"q_tx_compact_zorder: custkey dimension does not prune on " +
+            s"either probe band (primary scanned $sc/8)")
         byKey.agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("price_sum"))
           .withColumn("dim", lit("orderkey_band"))
           .unionByName(byCust
@@ -2592,17 +2611,30 @@ object Catalog {
         val byCust = TxTable.readWhere(s, root, "o_custkey", bd(cLo), bd(cHi))
         val byPrice = TxTable.readWhere(s, root, "o_totalprice", bd(pLo), bd(pHi))
         val (sk, sc, sp) = (segsOf(byKey), segsOf(byCust), segsOf(byPrice))
-        // Robust pruning invariant: per-dimension counts depend on where
-        // repartitionByRange's data-driven quantile boundaries fall, so a
-        // band can legitimately straddle a split in ONE dimension at a
-        // different SF or skew.  Gate on the total instead — no clustering
-        // at all scans 8+8+8=24; Z-order must beat that overall.
-        require(sk + sc + sp < 24,
-          s"q_tx_zorder_multi: Z-order clustering produced NO pruning across " +
-            s"any probe (orderkey $sk/8, custkey $sc/8, totalprice $sp/8)")
-        if (!(sk < 8 && sc < 8 && sp < 8))
-          System.err.println(s"[q_tx_zorder_multi] note: one dimension did " +
-            s"not prune (orderkey $sk/8, custkey $sc/8, totalprice $sp/8)")
+        // PER-DIMENSION hard gate with a retry band (r10 ADVICE): counts
+        // ride repartitionByRange's data-driven quantile boundaries, so a
+        // single band can legitimately straddle the one split this
+        // dimension gets (8 segments / 3 dims = one MSB split each).  A
+        // dimension whose primary band scans all 8 segments gets ONE more
+        // probe strictly inside the LOWER half — genuine loss of
+        // clustering on that dimension fails both, a straddling band
+        // passes the second, and a one-dimension regression now FAILS
+        // instead of logging a note.
+        def dimPrunes(c: String, mn: Long, mx: Long, primary: Int): Boolean = {
+          val lo2 = mn + (mx - mn) / 8
+          primary < 8 ||
+            segsOf(TxTable.readWhere(s, root, c,
+              bd(lo2), bd(lo2 + (mx - mn) / 8))) < 8
+        }
+        require(dimPrunes("o_orderkey", r.getLong(0), r.getLong(1), sk),
+          s"q_tx_zorder_multi: orderkey dimension does not prune on either " +
+            s"probe band (primary scanned $sk/8)")
+        require(dimPrunes("o_custkey", r.getLong(2), r.getLong(3), sc),
+          s"q_tx_zorder_multi: custkey dimension does not prune on either " +
+            s"probe band (primary scanned $sc/8)")
+        require(dimPrunes("o_totalprice", r.getLong(4), r.getLong(5), sp),
+          s"q_tx_zorder_multi: totalprice dimension does not prune on " +
+            s"either probe band (primary scanned $sp/8)")
         byKey.agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("price_sum"))
           .withColumn("dim", lit("orderkey_band"))
           .unionByName(byCust

@@ -421,7 +421,13 @@ class TxTableSpec extends SparkFunSuite {
 
     val head = TxTable.commitMerge(spark, root, Seq((1L, 3.0)).toDF("k", "x"),
       Seq("k"), Seq("x"), Nil, cdf = true)
-    assert(new java.io.File(root + "/cdc").listFiles.count(_.isDirectory) === 2)
+    // the INSERT-ONLY bootstrap records its data segment as the change set
+    // (an `insert:` manifest reference) — no duplicate cdc copy on disk;
+    // only the v3 update merge wrote a real cdc segment
+    assert(new java.io.File(root + "/cdc").listFiles.count(_.isDirectory) === 1)
+    assert(TxTable.readChanges(spark, root, 0L, 1L)
+      .select("_change_type").collect().map(_.getString(0)).toSeq === Seq("insert"),
+      "the referenced bootstrap change set must read back as inserts")
     TxTable.vacuum(spark, root, keepVersions = 1)
     assert(new java.io.File(root + "/cdc").listFiles.count(_.isDirectory) === 1,
       "vacuum must drop cdc segments of dropped manifests and keep the head's")
