@@ -190,6 +190,86 @@ object Multimodal {
       }.toDF()
   }
 
+  /** CONSTANT-tile PNG encode: one `w×h` image per row, every pixel equal
+    * to `valueCol` (0-255).  Exists for oracle-checking interpolating
+    * resamplers ([[resizeImageBilinear]]): any convex-combination filter
+    * maps a constant image to the same constant, so the resized statistics
+    * are closed-form regardless of the JRE's interpolation rounding.  Same
+    * typed-`mapPartitions` shape as [[encodePng]]. */
+  def encodeConstPng(df: DataFrame, idCol: String, valueCol: Column,
+                     wCol: Column, hCol: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType), valueCol.cast(IntegerType),
+        wCol.cast(IntegerType), hCol.cast(IntegerType))
+      .as[(Long, Int, Int, Int)]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, v, w, h) =>
+          require(w >= 1 && h >= 1, s"encodeConstPng: degenerate ${w}x$h image for doc $id")
+          require(v >= 0 && v <= 255, s"encodeConstPng: value $v outside [0,255] for doc $id")
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val raster = img.getRaster
+          var x = 0
+          while (x < w) {
+            var y = 0
+            while (y < h) { raster.setSample(x, y, 0, v); y += 1 }
+            x += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          require(javax.imageio.ImageIO.write(img, "png", bos),
+            "encodeConstPng: this JRE has no PNG writer")
+          EncodedImage(id, bos.toByteArray)
+        }
+      }.toDF()
+  }
+
+  /** BILINEAR image resize — the interpolating sibling of [[resizeImage]]
+    * for training pipelines that want smooth downscales rather than
+    * nearest-neighbor aliasing: decode, resample via `Graphics2D` with the
+    * bilinear `RenderingHints` set EXPLICITLY (never the platform default,
+    * which varies), re-encode real PNG bytes.  Interpolated pixel values
+    * are a convex combination of source pixels, so they are NOT
+    * closed-form across JREs — the oracle strategy is constant tiles
+    * ([[encodeConstPng]]), which every convex filter must map to the same
+    * constant.  Same typed-`mapPartitions` scale shape: pruned input,
+    * per-row CPU, no shuffle. */
+  def resizeImageBilinear(df: DataFrame, idCol: String, payload: String,
+                          dstW: Column, dstH: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType), col(payload).cast(BinaryType),
+        dstW.cast(IntegerType), dstH.cast(IntegerType))
+      .as[(Long, Array[Byte], Int, Int)]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, bytes, dw, dh) =>
+          require(dw >= 1 && dh >= 1,
+            s"resizeImageBilinear: degenerate ${dw}x$dh target for doc $id")
+          require(bytes != null && bytes.nonEmpty,
+            s"resizeImageBilinear: empty payload for doc $id")
+          val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          require(src != null,
+            s"resizeImageBilinear: payload of doc $id is not a decodable image")
+          val out = new java.awt.image.BufferedImage(
+            dw, dh, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val g = out.createGraphics()
+          try {
+            import java.awt.RenderingHints._
+            g.setRenderingHint(KEY_INTERPOLATION, VALUE_INTERPOLATION_BILINEAR)
+            g.setRenderingHint(KEY_RENDERING, VALUE_RENDER_QUALITY)
+            g.setRenderingHint(KEY_ANTIALIASING, VALUE_ANTIALIAS_OFF)
+            g.drawImage(src, 0, 0, dw, dh, null)
+          } finally g.dispose()
+          val bos = new java.io.ByteArrayOutputStream()
+          require(javax.imageio.ImageIO.write(out, "png", bos),
+            "resizeImageBilinear: this JRE has no PNG writer")
+          ResizedImage(id, bos.toByteArray, dw, dh)
+        }
+      }.toDF()
+  }
+
   /** One encoded audio clip: `wav` is a genuine RIFF/WAVE byte stream. */
   final case class EncodedAudio(doc_id: Long, wav: Array[Byte])
 

@@ -392,7 +392,27 @@ object TxTable {
     * stores) is refuse-on-existing-destination.  Returns false iff the
     * slot was already published; the caller surfaces that as a loud loser
     * error, never a retry (its claim was stolen — semantics demand the
-    * failure be visible). */
+    * failure be visible).
+    *
+    * OBJECT-STORE BOUNDARY (the one piece no filesystem API can give us):
+    * on local filesystems this arbitration is airtight (link(2) is
+    * kernel-atomic) and on HDFS the rename contract refuses an existing
+    * destination atomically in the NameNode — but S3A's `rename` is
+    * implemented as check-then-copy-then-delete, so two racing publishers
+    * can BOTH pass the existence check and the second silently overwrites
+    * the first.  Every production lakehouse on S3 solves this with an
+    * EXTERNAL arbiter: Delta's S3DynamoDBLogStore routes the "create this
+    * log entry exclusively" decision through a DynamoDB conditional put,
+    * and Iceberg requires a catalog (Glue/Hive/REST) whose compare-and-swap
+    * commits the snapshot pointer.  The hook here would be the same shape:
+    * an interface `publish(tmp, target): Boolean` resolved from session
+    * conf (say `spark.graft.tx.logStore`), whose S3 implementation does a
+    * conditional put on an external strongly-consistent store keyed by the
+    * manifest path — claimSlot and this method are the only two call
+    * sites that would route through it, everything else in the commit
+    * protocol is already plain writes of uniquely-named files.  Not
+    * buildable or testable in this sandbox (no object store); documented
+    * here as the integration boundary. */
   private[graft] def publishExclusive(f: FileSystem, tmp: Path, target: Path): Boolean =
     f match {
       case _: org.apache.hadoop.fs.LocalFileSystem | _: org.apache.hadoop.fs.RawLocalFileSystem =>

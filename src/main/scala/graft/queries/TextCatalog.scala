@@ -45,6 +45,16 @@ object TextCatalog {
   private def cosSql(a: String, b: String, dims: Int): String =
     s"round(${dotSql(a, b, dims)} / (sqrt(${dotSql(a, a, dims)}) * sqrt(${dotSql(b, b, dims)})), 6)"
 
+  /** 4-dim cosine over COLUMN quadruples named `${p}1..${p}4` — the
+    * explicit-term mirror of `graft_cos` on the quadrant feature vectors
+    * (left-associated sum = the expression's index-order fold, so the
+    * doubles are bit-identical; rounded to 6 dp like [[cosSql]]). */
+  private def cos4Sql(a: String, b: String): String = {
+    def dot(x: String, y: String) =
+      s"(${x}1*${y}1 + ${x}2*${y}2 + ${x}3*${y}3 + ${x}4*${y}4)"
+    s"round(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})), 6)"
+  }
+
   /** MinHash bands CTE fragment (`bk(doc, band, band_key)`), ≡
     * Text.minhashBands: shingle→minhash→band with k=16, 4 bands × 4 rows;
     * docs too short to shingle are excluded.  `pred` ("" or
@@ -1368,6 +1378,33 @@ object TextCatalog {
            CAST(list_max(ps) AS INT) AS px_max
          FROM px ORDER BY doc_id""")),
 
+    // BILINEAR resize beside the nearest-neighbor mode (r10 VERDICT #6):
+    // Graphics2D resample with the bilinear RenderingHints set explicitly.
+    // Interpolated values are convex combinations — not closed-form across
+    // JREs — so the oracle rides CONSTANT tiles: every convex filter maps
+    // a constant image to the same constant, making the resized sum/min/
+    // max exact (c·dw·dh / c / c).  A filter that leaks neighboring
+    // values, mis-sizes the target, or gamma-shifts the gray ramp breaks
+    // the hash.
+    QueryDef("q_multimodal_resize_bilinear",
+      (s, dir) => {
+        val d = t(s, dir, "documents").select("doc_id", "n_chars")
+        val enc = Multimodal.encodeConstPng(d, "doc_id", col("doc_id") % 256,
+          lit(8) + col("doc_id") % 16, lit(8) + col("n_chars") % 16)
+        val rsz = Multimodal.resizeImageBilinear(enc, "doc_id", "png",
+          lit(4) + col("doc_id") % 8, lit(5) + col("doc_id") % 23)
+        Multimodal.decodeImage(rsz, "doc_id", "png")
+          .select("doc_id", "width", "height", "px_sum", "px_min", "px_max")
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, CAST(doc_id % 256 AS INT) AS c,
+             CAST(4 + doc_id % 8 AS INT) AS dw,
+             CAST(5 + doc_id % 23 AS INT) AS dh FROM documents)
+         SELECT doc_id, dw AS width, dh AS height,
+           CAST(c * dw * dh AS BIGINT) AS px_sum,
+           c AS px_min, c AS px_max
+         FROM d ORDER BY doc_id""")),
+
     // REAL audio codec roundtrip — the WAV sibling of q_decode_real: render
     // n = 64 + n_chars % 128 unsigned 8-bit PCM samples per doc from the
     // closed-form sample(i) = (doc_id*31 + 7i) mod 256, write a GENUINE
@@ -1468,7 +1505,103 @@ object TextCatalog {
            FROM pairs)
          SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id,
            ROUND(cos, 6) AS cosine
-         FROM r WHERE rank <= 2 ORDER BY query_id, rank"""))
+         FROM r WHERE rank <= 2 ORDER BY query_id, rank""")),
+
+    // IVF-backed variant of the multimodal pipeline (r10 VERDICT #5): the
+    // same encode→decode→quadrant features, but candidate generation rides
+    // Vector.ivfTopK — nearest-of-8 coarse centroids partitions the
+    // feature corpus into inverted lists, each query probes its 4 nearest
+    // lists and re-ranks exactly inside them.  This is the corpus-to-index
+    // flow at 100 TB (the brute path above is the fixture-scale baseline):
+    // corpus-side work is one per-row argmax over broadcast centroid
+    // literals + a list_id equi-join, never queries × corpus.  Each output
+    // row carries `in_brute` — whether the IVF neighbor is also in the
+    // exact brute-force top-2 — and the in-query gate requires recall@2
+    // ≥ 60% so a quantizer regression fails loudly; the oracle recomputes
+    // the whole thing (features, assignment, probes, ranking, brute flag)
+    // so the exact recall is hash-pinned, not just floored.
+    QueryDef("q_multimodal_pipeline_ivf",
+      (s, dir) => {
+        val cands = t(s, dir, "documents").select("doc_id", "n_chars")
+          .filter(col("doc_id") % 5 === 0)
+        val enc = Multimodal.encodePng(cands, "doc_id",
+          lit(8) + col("doc_id") % 16, lit(8) + col("n_chars") % 16)
+        // the feature frame feeds four consumers (centroid collect, list
+        // assignment, probes, brute baseline) — cache it so the codec runs
+        // once, not once per consumer
+        val feat = Multimodal.decodeImage(enc, "doc_id", "png")
+          .select(col("doc_id").as("vec_id"), col("features").as("embedding"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val queries = feat.filter(col("vec_id") % 100 === 0)
+          val ivf = Vector.ivfTopK(queries, feat, 2, nlist = 40, nprobe = 4)
+          val brute = Vector.bruteForceTopK(queries, feat, 2)
+            .select(col("q_id"), col("c_id"), lit(true).as("in_brute"))
+          val out = ivf.join(brute, Seq("q_id", "c_id"), "left")
+            .select(col("q_id").as("query_id"), col("rank"),
+              col("c_id").as("neighbor_id"), col("cos").as("cosine"),
+              coalesce(col("in_brute"), lit(false)).as("in_brute"))
+            .orderBy("query_id", "rank")
+          Catalog.gateOnce(s, out) { rows =>
+            val hits = rows.count(_.getAs[Boolean]("in_brute"))
+            require(rows.nonEmpty && hits * 10 >= rows.size * 6,
+              s"q_multimodal_pipeline_ivf: IVF recall@2 dropped below 60% " +
+                s"($hits/${rows.size})")
+          }
+        } finally feat.unpersist(false)
+      },
+      Some(s"""WITH d AS (SELECT doc_id, CAST(8 + doc_id % 16 AS INT) AS w,
+             CAST(8 + n_chars % 16 AS INT) AS h FROM documents WHERE doc_id % 5 = 0),
+         px AS (SELECT doc_id, w, h, CAST(unnest(range(0, w * h)) AS BIGINT) AS i FROM d),
+         pq AS (SELECT doc_id,
+             (CASE WHEN 2 * (i // h) >= w THEN 2 ELSE 0 END)
+               + (CASE WHEN 2 * (i % h) >= h THEN 1 ELSE 0 END) AS q,
+             (doc_id * 31 + (i // h) * 7 + (i % h) * 13) % 256 AS p
+           FROM px),
+         feat AS (SELECT doc_id,
+             SUM(CASE WHEN q = 0 THEN p ELSE 0 END) * 1.0
+               / SUM(CASE WHEN q = 0 THEN 1 ELSE 0 END) AS f1,
+             SUM(CASE WHEN q = 1 THEN p ELSE 0 END) * 1.0
+               / SUM(CASE WHEN q = 1 THEN 1 ELSE 0 END) AS f2,
+             SUM(CASE WHEN q = 2 THEN p ELSE 0 END) * 1.0
+               / SUM(CASE WHEN q = 2 THEN 1 ELSE 0 END) AS f3,
+             SUM(CASE WHEN q = 3 THEN p ELSE 0 END) * 1.0
+               / SUM(CASE WHEN q = 3 THEN 1 ELSE 0 END) AS f4
+           FROM pq GROUP BY doc_id),
+         cents AS (SELECT doc_id AS cent_id, f1 AS e1, f2 AS e2, f3 AS e3, f4 AS e4
+           FROM feat WHERE doc_id < 40),
+         asg AS (SELECT c.doc_id AS c_id, c.f1, c.f2, c.f3, c.f4, cent_id,
+             row_number() OVER (PARTITION BY c.doc_id
+               ORDER BY ${cos4Sql("f", "e")} DESC, cent_id) AS rn
+           FROM feat c, cents),
+         lists AS (SELECT c_id, f1, f2, f3, f4, cent_id AS list_id
+           FROM asg WHERE rn = 1),
+         qs AS (SELECT doc_id AS q_id, f1 AS g1, f2 AS g2, f3 AS g3, f4 AS g4
+           FROM feat WHERE doc_id % 100 = 0),
+         qp AS (SELECT q_id, g1, g2, g3, g4, cent_id,
+             row_number() OVER (PARTITION BY q_id
+               ORDER BY ${cos4Sql("g", "e")} DESC, cent_id) AS rn
+           FROM qs, cents),
+         probes AS (SELECT q_id, g1, g2, g3, g4, cent_id AS list_id
+           FROM qp WHERE rn <= 4),
+         sc AS (SELECT q_id, c_id, ${cos4Sql("g", "f")} AS cos
+           FROM probes JOIN lists USING (list_id) WHERE q_id <> c_id),
+         r AS (SELECT q_id, c_id, cos,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rank
+           FROM sc),
+         ivf AS (SELECT q_id, rank, c_id, cos FROM r WHERE rank <= 2),
+         bp AS (SELECT qs.q_id, c.doc_id AS c_id, ${cos4Sql("g", "f")} AS cos
+           FROM qs, feat c WHERE c.doc_id <> qs.q_id),
+         br AS (SELECT q_id, c_id,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rank
+           FROM bp),
+         brute AS (SELECT q_id, c_id FROM br WHERE rank <= 2)
+         SELECT ivf.q_id AS query_id, CAST(ivf.rank AS INT) AS rank,
+           ivf.c_id AS neighbor_id, ivf.cos AS cosine,
+           (brute.c_id IS NOT NULL) AS in_brute
+         FROM ivf LEFT JOIN brute
+           ON ivf.q_id = brute.q_id AND ivf.c_id = brute.c_id
+         ORDER BY query_id, rank"""))
   )
 
   // ------------------------------------------- segments & n-grams (round 5)

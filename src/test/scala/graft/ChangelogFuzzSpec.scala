@@ -16,7 +16,7 @@ import graft.engine.Upsert
 class ChangelogFuzzSpec extends SparkFunSuite {
   import spark.implicits._
 
-  for (seed <- Seq(107L, 281L)) {
+  for (seed <- FuzzSeeds.seeds(107L, 281L)) {
     test(s"random changelog (seed $seed): fold equals the per-key " +
       "latest-change model") {
       val rng = new scala.util.Random(seed)

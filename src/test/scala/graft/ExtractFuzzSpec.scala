@@ -26,7 +26,7 @@ case class ExFuzzBlock(Id: String, BlockType: String, Text: Option[String],
 class ExtractFuzzSpec extends SparkFunSuite {
   import spark.implicits._
 
-  for (seed <- Seq(17L, 251L)) {
+  for (seed <- FuzzSeeds.seeds(17L, 251L)) {
     test(s"random sparse grid (seed $seed): reconstructTable reproduces the " +
       "model whatever the block order") {
       val rng = new scala.util.Random(seed)

@@ -35,7 +35,7 @@ class IvmJoinModelSpec extends SparkFunSuite {
   private def dimDf(rows: Iterable[(Long, Long)]) =
     rows.toSeq.toDF("k", "g")
 
-  for (seed <- Seq(23L, 307L)) {
+  for (seed <- FuzzSeeds.seeds(23L, 307L)) {
     test(s"random fact x dim history (seed $seed): join view always equals " +
       "the recompute; replayed joint windows no-op") {
       val rng = new scala.util.Random(seed)

@@ -34,7 +34,7 @@ class IvmModelSpec extends SparkFunSuite {
   private def df(rows: Iterable[(Long, (Long, Long))]) =
     rows.toSeq.map { case (id, (g, x)) => (id, g, x) }.toDF("id", "grp", "x")
 
-  for (seed <- Seq(7L, 101L)) {
+  for (seed <- FuzzSeeds.seeds(7L, 101L)) {
     test(s"random fact history (seed $seed): incremental view always equals " +
       "the recompute; replayed windows no-op") {
       val rng = new scala.util.Random(seed)

@@ -25,7 +25,7 @@ import graft.engine.Relational
 class JoinFuzzSpec extends SparkFunSuite {
   import spark.implicits._
 
-  for (seed <- Seq(53L, 149L)) {
+  for (seed <- FuzzSeeds.seeds(53L, 149L)) {
     test(s"asofJoin (seed $seed): latest right at-or-before, ties match, " +
       "NULL values carry as NULL, NULL-ts right rows drop") {
       val rng = new scala.util.Random(seed)

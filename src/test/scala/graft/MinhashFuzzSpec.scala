@@ -45,7 +45,7 @@ class MinhashFuzzSpec extends SparkFunSuite {
   private def round6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
-  for (seed <- Seq(83L, 239L)) {
+  for (seed <- FuzzSeeds.seeds(83L, 239L)) {
     test(s"random doc families (seed $seed): bands, candidates, and " +
       "verified pairs match the exact arithmetic model") {
       val rng = new scala.util.Random(seed)

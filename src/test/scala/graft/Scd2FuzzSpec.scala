@@ -37,7 +37,7 @@ class Scd2FuzzSpec extends SparkFunSuite {
     df.select("k", "v", "valid_from", "valid_to")
       .as[(Long, Long, Long, Option[Long])].collect().toSet
 
-  for (seed <- Seq(5L, 89L)) {
+  for (seed <- FuzzSeeds.seeds(5L, 89L)) {
     test(s"random batch history (seed $seed): table equals the interval " +
       "model, intervals chain, as-of reads match at every probe time") {
       val rng = new scala.util.Random(seed)

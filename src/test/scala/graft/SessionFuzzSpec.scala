@@ -33,7 +33,7 @@ class SessionFuzzSpec extends SparkFunSuite {
 
   private val Gap = 1000L // micros — small so probes land densely on it
 
-  for (seed <- Seq(41L, 137L)) {
+  for (seed <- FuzzSeeds.seeds(41L, 137L)) {
     test(s"random event set (seed $seed): stateful batch, stateful stream " +
       "with random cuts, sorted fold, and window sessionizer all agree") {
       val rng = new scala.util.Random(seed)

@@ -32,7 +32,7 @@ class SimhashFuzzSpec extends SparkFunSuite {
     }
   }
 
-  for (seed <- Seq(97L, 263L)) {
+  for (seed <- FuzzSeeds.seeds(97L, 263L)) {
     test(s"random doc families (seed $seed): fingerprints match the model; " +
       "banded near-dup pairs are exactly the within-Hamming pairs") {
       val rng = new scala.util.Random(seed)

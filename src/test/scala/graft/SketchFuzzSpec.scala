@@ -23,7 +23,7 @@ class SketchFuzzSpec extends SparkFunSuite {
   private def rows(df: DataFrame, cols: String*): Set[Seq[Any]] =
     df.select(cols.map(col): _*).collect().map(_.toSeq).toSet
 
-  for (seed <- Seq(71L, 227L)) {
+  for (seed <- FuzzSeeds.seeds(71L, 227L)) {
     test(s"random shard splits (seed $seed): KMV, CMS, and qsample merges " +
       "equal the single-pass sketches exactly") {
       val rng = new scala.util.Random(seed)

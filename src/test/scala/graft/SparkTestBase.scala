@@ -23,3 +23,16 @@ object SparkTestBase {
 abstract class SparkFunSuite extends AnyFunSuite {
   lazy val spark: SparkSession = SparkTestBase.spark
 }
+
+/** Seed-set selector for the randomized model/fuzz suites: default runs use
+  * each suite's two committed seeds; `sbt -Dgraft.fuzz.extended=1 test`
+  * APPENDS a derived disjoint seed per committed one (s*1000+9), doubling
+  * the history count for reproducible extended coverage without touching
+  * default CI time.  The derivation is deterministic, so an extended
+  * failure names a replayable seed like any other. */
+object FuzzSeeds {
+  val extended: Boolean =
+    sys.props.get("graft.fuzz.extended").exists(v => v == "1" || v.equalsIgnoreCase("true"))
+  def seeds(default: Long*): Seq[Long] =
+    if (extended) default.toSeq ++ default.map(_ * 1000 + 9) else default.toSeq
+}

@@ -29,7 +29,7 @@ class TextOpsFuzzSpec extends SparkFunSuite {
       .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .map("%02x".format(_)).mkString
 
-  for (seed <- Seq(109L, 283L)) {
+  for (seed <- FuzzSeeds.seeds(109L, 283L)) {
     test(s"takeTokenBudget (seed $seed): hash-order cumulative cut matches " +
       "the model at a random budget") {
       val rng = new scala.util.Random(seed)

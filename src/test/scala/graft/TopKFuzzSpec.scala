@@ -16,7 +16,7 @@ import graft.plans.TopKPerKey
 class TopKFuzzSpec extends SparkFunSuite {
   import spark.implicits._
 
-  for (seed <- Seq(103L, 271L)) {
+  for (seed <- FuzzSeeds.seeds(103L, 271L)) {
     test(s"random data (seed $seed): heap top-k equals sort-take, in-memory " +
       "and under forced spill") {
       val rng = new scala.util.Random(seed)

@@ -29,7 +29,7 @@ class TxCdfFuzzSpec extends SparkFunSuite {
 
   private def df(rows: Iterable[(Long, Long)]) = rows.toSeq.toDF("k", "v")
 
-  for (seed <- Seq(13L, 211L)) {
+  for (seed <- FuzzSeeds.seeds(13L, 211L)) {
     test(s"random cdf history (seed $seed): readChanges(v1, v2) folds any " +
       "recorded snapshot v1 into snapshot v2") {
       val rng = new scala.util.Random(seed)

@@ -35,7 +35,7 @@ class TxPruneFuzzSpec extends SparkFunSuite {
   private def asSet(d: org.apache.spark.sql.DataFrame): Set[(Long, String, Long)] =
     d.select("k", "s", "v").as[(Long, String, Long)].collect().toSet
 
-  for (seed <- Seq(7L, 101L)) {
+  for (seed <- FuzzSeeds.seeds(7L, 101L)) {
     test(s"random history (seed $seed): pruned reads always equal the " +
       "model under random range/string/point predicates") {
       val rng = new scala.util.Random(seed)

@@ -38,7 +38,7 @@ class TxTableModelSpec extends SparkFunSuite {
     TxTable.readVersion(spark, root, v).select("k", "v").as[(Long, Long)]
       .collect().toMap
 
-  for (seed <- Seq(11L, 47L)) {
+  for (seed <- FuzzSeeds.seeds(11L, 47L)) {
     test(s"random op sequence (seed $seed): head tracks the model, " +
       "every version time-travels to its recorded state") {
       val rng = new scala.util.Random(seed)

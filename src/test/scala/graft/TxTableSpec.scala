@@ -558,6 +558,10 @@ class TxTableSpec extends SparkFunSuite {
       assert(!ok, "the late publisher must lose the slot, not silently win")
       assert(java.nio.file.Files.readString(target.toPath) === winner,
         "the acknowledged winner manifest must survive the late publish")
+      // This local-FS guarantee (and HDFS's rename contract) is as far as
+      // filesystem APIs go: S3A rename is check-then-copy, NOT atomic —
+      // publishExclusive's scaladoc documents the external-arbiter
+      // (LogStore-style conditional-put) boundary an S3 deployment needs.
       assert(TxTable.read(spark, root).as[Long].collect().sorted.toSeq === Seq(1L, 2L))
     } finally spark.conf.unset("spark.graft.tx.staleClaimMs")
   }

@@ -34,7 +34,7 @@ class UpsertLakeFuzzSpec extends SparkFunSuite {
     spark.read.parquet(root).select("k", "p", "v", "w")
       .as[(Long, Long, Long, Long)].collect().toSet
 
-  for (seed <- Seq(31L, 173L)) {
+  for (seed <- FuzzSeeds.seeds(31L, 173L)) {
     test(s"random upsert/purge/replay history (seed $seed): the lake always " +
       "equals the model; emptied partitions disappear") {
       val rng = new scala.util.Random(seed)

@@ -26,7 +26,7 @@ class VectorFuzzSpec extends SparkFunSuite {
   private def round6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
-  for (seed <- Seq(61L, 197L)) {
+  for (seed <- FuzzSeeds.seeds(61L, 197L)) {
     test(s"random vectors (seed $seed): brute-force top-k matches the exact " +
       "model; full-probe IVF equals brute force") {
       val rng = new scala.util.Random(seed)
