@@ -51,16 +51,24 @@ object ScaleProbe {
     val baseVecs = 2000L // the sf0.1 embeddings row count
     val out = scala.collection.mutable.Map
       .empty[String, scala.collection.mutable.ArrayBuffer[(Int, Double)]]
+    var warmup = true
     def time(probe: String, m: Int)(body: => Long): Unit = {
       val t0 = System.nanoTime()
       val rows = body
       val dt = (System.nanoTime() - t0) / 1e9
-      out.getOrElseUpdate(probe, scala.collection.mutable.ArrayBuffer.empty)
-        .append((m, dt))
-      println(f"""{"probe":"$probe","scale":$m,"rows":$rows,"sec":$dt%.2f}""")
+      if (!warmup) {
+        out.getOrElseUpdate(probe, scala.collection.mutable.ArrayBuffer.empty)
+          .append((m, dt))
+        println(f"""{"probe":"$probe","scale":$m,"rows":$rows,"sec":$dt%.2f}""")
+      }
     }
 
-    for (m <- mults) {
+    // WARMUP: run every probe once at the smallest scale untimed, so the
+    // first timed pass doesn't absorb JVM/codegen/classloading costs (the
+    // first uncorrected run showed NEGATIVE exponents — scale 1 paying ~3 s
+    // of one-time Janino compilation the larger scales inherited for free)
+    val passes = mults.min +: mults
+    for (m <- passes) {
       val base = java.nio.file.Files.createTempDirectory(s"scaleprobe_$m").toString
       // materialize inputs as parquet (untimed) so every probe pays a
       // realistic scan, not a range-expression re-evaluation
@@ -101,6 +109,7 @@ object ScaleProbe {
           Seq("k"), Seq("v"), Nil)
       }
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+      warmup = false
     }
 
     for ((probe, ts) <- out.toSeq.sortBy(_._1); if ts.size >= 2) {

@@ -137,21 +137,78 @@ object Vector {
         .map(r => (r.getInt(0), r.getSeq[Double](1))).toIndexedSeq
     def scoredCents(v: Column): Column = scoredCentArray(v, centVecs)
     val c = corpus.select(col("vec_id").as("c_id"), asDouble(col("embedding")).as("cv"))
-    val lists = c.withColumn("list_id", -array_max(scoredCents(col("cv"))).getField("nid"))
+    val q0 = queries.select(col("vec_id").as("q_id"), asDouble(col("embedding")).as("qv"))
+    // TWO equivalent argmax paths.  The unrolled-literal expression is the
+    // default (whole-stage codegen, zero exchange), but its size grows as
+    // nlist × dims: past ~2k literal terms the generated method blows the
+    // JIT/Janino budget and the expression EVALUATES INTERPRETED —
+    // measured at nlist=64 × dims=64 as ~0.5 ms/row where the arithmetic
+    // is <1 µs (the ScaleProbe finding).  Large quantizers therefore take
+    // the row path: a typed mapPartitions over the same collected centroid
+    // matrix — still zero exchange, still per-row, and bit-identical
+    // arithmetic (index-order dot folds, HALF_UP 6-dp round, (cos desc,
+    // id asc) ordering), pinned by VectorFuzzSpec's full-probe ≡ brute
+    // equivalence on BOTH paths.
+    val dims0 = centVecs.headOption.map(_._2.length).getOrElse(0)
+    val rowPath = centVecs.size * dims0 > UnrolledCentroidTerms
+    val lists =
+      if (!rowPath)
+        c.withColumn("list_id", -array_max(scoredCents(col("cv"))).getField("nid"))
+      else nearestLists(c, centVecs, 1)
+        .withColumn("list_id", element_at(col("__lists"), 1)).drop("__lists")
     // probe side: top-nprobe lists per query, still per-row (sort the small
     // scored array, take the best nprobe, explode) — queries are the bounded
     // broadcast side, so the list join ships ONLY probe rows to the lists.
-    val probes = queries
-      .select(col("vec_id").as("q_id"), asDouble(col("embedding")).as("qv"))
-      .withColumn("list_id", explode(transform(
+    val probes =
+      if (!rowPath) q0.withColumn("list_id", explode(transform(
         slice(reverse(array_sort(scoredCents(col("qv")))), 1, nprobe),
         s => -s.getField("nid"))))
+      else nearestLists(q0, centVecs, nprobe)
+        .withColumn("list_id", explode(col("__lists"))).drop("__lists")
     broadcast(probes).join(lists, Seq("list_id")).filter(col("q_id") =!= col("c_id"))
       .withColumn("cos", cosineNative(col("qv"), col("cv")))
       .withColumn("rank", row_number().over(
         Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))))
       .filter(col("rank") <= k)
       .select("q_id", "rank", "c_id", "cos")
+  }
+
+  /** Literal-term budget for the unrolled centroid-argmax expression —
+    * beyond this the generated code leaves whole-stage codegen and the
+    * expression evaluates interpreted (see [[ivfTopK]]). */
+  private val UnrolledCentroidTerms = 2048
+
+  /** Row-path nearest-centroid assignment: `(id, vec)` → `(id, vec,
+    * __lists)` where `__lists` is the `take` nearest centroid ids by
+    * (cosine desc, id asc).  The centroid matrix ships in the task closure
+    * (k×dims doubles, a few KB); arithmetic mirrors `graft_cos` +
+    * `round(_, 6)` bit for bit: index-order dot folds and scala
+    * BigDecimal HALF_UP — the same arithmetic the fuzz model uses. */
+  private def nearestLists(df: DataFrame, cents: Seq[(Int, Seq[Double])],
+                           take: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val Seq(idName, vecName) = df.columns.toSeq
+    val centArr: Array[(Int, Array[Double])] =
+      cents.map { case (i, w) => (i, w.toArray) }.toArray
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def cosJvm(a: Array[Double], b: Array[Double]): Double = {
+      var dab = 0.0; var daa = 0.0; var dbb = 0.0; var i = 0
+      while (i < a.length) {
+        dab += a(i) * b(i); daa += a(i) * a(i); dbb += b(i) * b(i); i += 1
+      }
+      round6(dab / (math.sqrt(daa) * math.sqrt(dbb)))
+    }
+    df.select(col(idName).cast("long"), col(vecName))
+      .as[(Long, Array[Double])]
+      .mapPartitions(_.map { case (id, v) =>
+        val top = centArr.map { case (cid, w) => (cosJvm(v, w), cid) }
+          .sortBy { case (cos, cid) => (-cos, cid) }
+          .take(take).map(_._2)
+        (id, v, top)
+      })
+      .toDF(idName, vecName, "__lists")
   }
 
   /** `(cos, -cent_id)` structs per centroid — `array_max` over it reproduces

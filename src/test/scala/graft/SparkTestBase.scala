@@ -31,8 +31,12 @@ abstract class SparkFunSuite extends AnyFunSuite {
   * default CI time.  The derivation is deterministic, so an extended
   * failure names a replayable seed like any other. */
 object FuzzSeeds {
+  // Test JVMs are FORKED (build.sbt `Test / fork := true`), so an `-D` on
+  // the sbt command line never reaches them — the env var does (forked
+  // JVMs inherit the environment): `GRAFT_FUZZ_EXTENDED=1 sbt test`.
   val extended: Boolean =
-    sys.props.get("graft.fuzz.extended").exists(v => v == "1" || v.equalsIgnoreCase("true"))
+    (sys.props.get("graft.fuzz.extended") orElse sys.env.get("GRAFT_FUZZ_EXTENDED"))
+      .exists(v => v == "1" || v.equalsIgnoreCase("true"))
   def seeds(default: Long*): Seq[Long] =
     if (extended) default.toSeq ++ default.map(_ * 1000 + 9) else default.toSeq
 }

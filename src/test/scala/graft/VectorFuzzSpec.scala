@@ -69,6 +69,24 @@ class VectorFuzzSpec extends SparkFunSuite {
       assert(ivf == brute,
         s"seed $seed: ivfTopK(nprobe=nlist) diverged from brute force " +
           s"(missing ${brute -- ivf}, extra ${ivf -- brute})")
+
+      // ROW-PATH quantizer: nlist × dims (40 × 64 = 2560) exceeds the
+      // unrolled-expression codegen budget, so assignment runs through the
+      // typed mapPartitions path — full probe must STILL equal brute
+      // force, pinning that path's arithmetic (index-order folds, HALF_UP
+      // round) and (cos desc, id asc) ordering against the expression form
+      val dims2 = 64
+      val corpus2: Seq[(Long, Seq[Double])] = (0L until 80L).map { id =>
+        id -> Seq.fill(dims2)(rng.nextInt(9).toDouble + 1.0)
+      }
+      val qIds2 = rng.shuffle(corpus2.map(_._1)).take(5).toSet
+      val c2 = corpus2.toDF("vec_id", "embedding")
+      val q2 = corpus2.filter(x => qIds2(x._1)).toDF("vec_id", "embedding")
+      val brute2 = collectTopK(Vector.bruteForceTopK(q2, c2, k))
+      val ivf2 = collectTopK(Vector.ivfTopK(q2, c2, k, nlist = 40, nprobe = 40))
+      assert(ivf2 == brute2,
+        s"seed $seed: row-path ivfTopK(nprobe=nlist) diverged from brute " +
+          s"force (missing ${brute2 -- ivf2}, extra ${ivf2 -- brute2})")
     }
   }
 }
