@@ -920,6 +920,36 @@ object TxTable {
       stats = carryStats(spark, root, head, seg), expectVersion = Some(cur + 1))
   }
 
+  /** BOUNDED small-segment compaction (Delta's OPTIMIZE small-file story):
+    * only segments smaller than `minBytes` are read and merged into ONE
+    * replacement segment; every larger segment carries over by reference —
+    * the rewrite cost is O(small-segment bytes), never the table, which is
+    * what makes compaction schedulable as routine maintenance on a table
+    * whose big segments are already right-sized (a full [[compactTx]] at
+    * 100 TB is an outage, this is a background tick).  Small segments are
+    * read THROUGH their deletion vectors (their slice of the DV
+    * materializes); carried segments keep their DV scoping.  Content is
+    * provably unchanged — published as a normal layout-only commit, so
+    * time travel and the CDF skip it like any compact.  No-op (returns the
+    * current head) when fewer than two small segments exist. */
+  def compactSmall(spark: SparkSession, root: String, minBytes: Long): Long = {
+    val cur = latestVersion(spark, root).getOrElse(
+      throw new IllegalArgumentException(s"TxTable.compactSmall: no commits under $root"))
+    val head = readManifest(spark, root, cur)
+    val f = fs(spark, root)
+    val sized = head.segments.map(s =>
+      s -> f.getContentSummary(new Path(s"${root.stripSuffix("/")}/$s")).getLength)
+    val small = sized.collect { case (s, b) if b < minBytes => s }
+    if (small.size < 2) return cur // nothing worth merging
+    val raw = readSegments(spark, root, head, small).withColumn("__seg", segTag)
+    val rows = applyDvs(spark, root, head.dvs, raw).drop("__seg")
+    val seg = writeSegment(rows, root)
+    val carried = head.segments.filterNot(small.contains)
+    commit(spark, root, "compact", carried :+ seg, maxRetries = 0,
+      stats = carryStats(spark, root, head, seg), expectVersion = Some(cur + 1),
+      dvs = carryDvs(head.dvs, carried.toSet), schema = head.schema)
+  }
+
   /** `OPTIMIZE ZORDER BY` as TxTable maintenance: rewrite the CURRENT
     * snapshot into `numSegments` Morton-clustered segments over
     * `(colA, colB)`, each manifest-carrying fresh min/max stats on BOTH

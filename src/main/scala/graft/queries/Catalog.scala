@@ -2201,6 +2201,60 @@ object Catalog {
            FROM kept GROUP BY 1
          ORDER BY bucket""")),
 
+    // BOUNDED small-segment compaction (TxTable.compactSmall ≡ Delta
+    // OPTIMIZE's small-file pass): after one right-sized append and four
+    // small ones (plus merge-on-read deletes spanning both size classes),
+    // ONE maintenance commit merges ONLY the small segments — the in-query
+    // requires pin that the big segment carries into the new manifest BY
+    // REFERENCE (same directory name, zero rewrite) and the head shrinks
+    // 5 → 2 segments.  The small segments' DV slice materializes through
+    // the read; the carried segment keeps its scoping.  At 100 TB this is
+    // the difference between compaction as a background tick
+    // (O(small bytes)) and compaction as an outage (O(table)).  Oracle:
+    // content must be byte-for-byte what the deletes left — layout
+    // maintenance is invisible to readers.
+    QueryDef("q_tx_autocompact",
+      (s, dir) => {
+        val root = Files.createTempDirectory("graft_txac").toString + "/tbl"
+        val o = t(s, dir, "orders").select("o_orderkey", "o_totalprice")
+        TxTable.commitAppend(s, root, o.filter(col("o_orderkey") % 10 < 6))
+        (6 until 10).foreach(i =>
+          TxTable.commitAppend(s, root, o.filter(col("o_orderkey") % 10 === i)))
+        TxTable.commitDeleteVectors(s, root,
+          o.filter(col("o_orderkey") % 7 === 0).select("o_orderkey"),
+          Seq("o_orderkey"))
+        // inputFiles spans the WHOLE plan — the dv/ sidecar scan included —
+        // so restrict to data/ segment directories
+        def headSegs() = TxTable.read(s, root).inputFiles
+          .map(_.replaceAll("/[^/]*$", "")).filter(_.matches(".*/data/[^/]+")).toSet
+        val segDirs = new java.io.File(root + "/data").listFiles.filter(_.isDirectory)
+        require(segDirs.length == 5,
+          s"q_tx_autocompact: expected 5 segments before, got ${segDirs.length}")
+        // size segments the way the FileSystem API does — dot-files (the
+        // local ChecksumFileSystem's .crc sidecars) are hidden from
+        // getContentSummary, so they must not count here either
+        def dirBytes(d: java.io.File): Long =
+          d.listFiles.filterNot(_.getName.startsWith(".")).map(_.length).sum
+        val bigName = segDirs.maxBy(dirBytes).getName
+        // threshold = the biggest segment's exact size: everything smaller
+        // is "small" (robust across SFs where absolute sizes vary 100×)
+        val thr = segDirs.map(dirBytes).max
+        TxTable.compactSmall(s, root, thr)
+        val after = headSegs()
+        require(after.size == 2,
+          s"q_tx_autocompact: head must be big+merged (2 segments), got ${after.size}")
+        require(after.exists(_.endsWith(bigName)),
+          "q_tx_autocompact: the right-sized segment must carry by reference")
+        TxTable.read(s, root)
+          .groupBy((col("o_orderkey") % 10).as("bucket"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("price_sum"))
+          .orderBy("bucket")
+      },
+      Some("""SELECT o_orderkey % 10 AS bucket, COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS price_sum
+         FROM orders WHERE o_orderkey % 7 <> 0
+         GROUP BY 1 ORDER BY bucket""")),
+
     // RESTORE as a forward commit (TxTable.restore ≡ Delta RESTORE TABLE):
     // after a bad update (v2 zeroes half the prices) and a bad delete
     // (v3), one zero-copy manifest commit re-publishes v1 as the head —

@@ -7,7 +7,8 @@ import graft.engine.TxTable
 /** MODEL-BASED randomized stress for the TxTable commit protocol: a seeded
   * random interleaving of every content-bearing and layout-bearing op —
   * append (fresh keys), keyed merge-upsert, keyed delete, deletion-vector
-  * delete, compaction, Z-order clustering, snapshot restore — is applied in
+  * delete, one-commit keyed rewrite (commitRewriteHit), compaction,
+  * Z-order clustering, snapshot restore — is applied in
   * lockstep to the real table and to an in-memory `Map[k, v]` reference
   * model.  After EVERY op the table's head must equal the model exactly,
   * and after the full sequence EVERY recorded version must time-travel back
@@ -97,13 +98,44 @@ class TxTableModelSpec extends SparkFunSuite {
               model = model -- victims
             }
             s"dv-delete ${victims.size}"
-          case 6 => // compaction: layout only, content must not move
-            head = TxTable.compactTx(spark, root, targetBytes = 1L << 20)
-            "compact"
+          case 6 => // compaction (full or small-segment-only): layout only,
+            // content must not move either way
+            if (rng.nextBoolean()) {
+              head = TxTable.compactTx(spark, root, targetBytes = 1L << 20)
+              "compact"
+            } else {
+              // threshold below may leave <2 small segments → legal no-op
+              head = TxTable.compactSmall(spark, root, minBytes = 1L << 14)
+              "compactSmall"
+            }
           case 7 => // Z-order rewrite: layout only, content must not move
             head = TxTable.compactZOrder(spark, root, "k", "v",
               numSegments = 2)
             "zorder"
+          case 8 => // ONE-COMMIT keyed rewrite (commitRewriteHit, the IVM
+            // apply primitive): re-value some live keys, DROP some, INSERT
+            // fresh keys — all decided by the rewrite callback in a single
+            // atomic commit.  Touched rows whose key is not in the key set
+            // must pass through unchanged; dropped keys simply do not
+            // reappear in the replacement.
+            val live = rng.shuffle(model.keys.toSeq)
+              .take(rng.nextInt(1 + model.size / 2))
+            val (drops, sets0) = live.partition(_ => rng.nextInt(3) == 0)
+            val sets = sets0.map(k => k -> rng.nextLong(1000)).toMap
+            val inserts = freshKeys(rng.nextInt(4))
+              .map(k => k -> rng.nextLong(1000)).toMap
+            val ks = (drops ++ sets.keys ++ inserts.keys).toSeq
+            if (ks.nonEmpty) {
+              val replaced = (drops ++ sets.keys).toSeq
+              head = TxTable.commitRewriteHit(spark, root,
+                ks.toDF("k"), Seq("k")) { touched =>
+                val kept = if (replaced.isEmpty) touched
+                  else touched.filter(!col("k").isin(replaced: _*))
+                kept.unionByName(df(sets ++ inserts))
+              }
+              model = model -- drops ++ sets ++ inserts
+            }
+            s"rewriteHit ${sets.size}s+${drops.size}d+${inserts.size}i"
           case _ => // restore to a uniformly random prior version
             val target = 1L + rng.nextLong(head)
             head = TxTable.restore(spark, root, target)
