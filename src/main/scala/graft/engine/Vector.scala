@@ -329,6 +329,149 @@ object Vector {
   def quantError(v: Column, codes: Column, scale: Column): Column =
     array_max(zip_with(v, codes, (x, c) => abs(x - c.cast("double") * scale)))
 
+  // ---------------------------------------------------- product quantization
+  /** Product quantization (Jégou/Douze/Schmid, TPAMI 2011): split each
+    * vector into `m` contiguous subspaces of `dims/m` components and
+    * replace every slice with the id of its nearest codeword — `m` small
+    * integers per vector instead of `dims` floats.  This is the memory
+    * layout that makes billion-scale ANN fit: at 100 TB of float32
+    * embeddings, `m = 8` codes of one byte each are a 32× reduction (vs 4×
+    * for [[quantScale]]'s int8), and scoring never touches the original
+    * vectors — reconstruction reads only the broadcast codebook.
+    *
+    * The codebook here is the bounded-quantizer discipline of [[ivfTopK]]:
+    * the first `kCode` corpus vectors (ascending id), collected once —
+    * kCode × dims doubles of driver state — and sliced per subspace; code
+    * `j` is the position of the codeword in that id order ([[kmeansAssign]]
+    * is the trainer upgrade path, exactly as for the IVF coarse
+    * quantizer).  Assignment is per-row, ZERO exchange of the corpus: an
+    * unrolled (dist, id)-struct argmin per subspace inside whole-stage
+    * codegen, or — past the [[UnrolledCentroidTerms]] codegen budget, the
+    * ScaleProbe lesson — a typed mapPartitions with bit-identical
+    * arithmetic (index-order squared-difference folds, HALF_UP 6-dp
+    * round, ties to the lowest code id).
+    *
+    * Returns `(c_id, cv, codes ARRAY<INT>, rv ARRAY<DOUBLE>, err DOUBLE)`:
+    * the codes, the reconstruction `rv` (each slice replaced by its
+    * codeword — what asymmetric-distance scoring compares queries
+    * against), and the total squared reconstruction error `err` (the sum
+    * of the per-subspace 6-dp-rounded distances, re-rounded — both engines
+    * fold the same doubles in the same order). */
+  def pqEncode(corpus: DataFrame, m: Int = 8, kCode: Int = 16): DataFrame =
+    pqEncodePath(corpus, m, kCode, rowPath = None)
+
+  /** [[pqEncode]] with the argmin path pinned (`Some(true)` = mapPartitions
+    * row path, `Some(false)` = unrolled expression, `None` = auto by the
+    * codegen budget) — VectorFuzzSpec drives both on identical data. */
+  private[graft] def pqEncodePath(corpus: DataFrame, m: Int, kCode: Int,
+                                  rowPath: Option[Boolean]): DataFrame = {
+    val cb: IndexedSeq[IndexedSeq[Double]] =
+      corpus.filter(col("vec_id") < kCode)
+        .select(col("vec_id").cast("int").as("j"), asDouble(col("embedding")).as("w"))
+        .orderBy("j").collect()
+        .map(_.getSeq[Double](1).toIndexedSeq).toIndexedSeq
+    require(cb.nonEmpty, "pqEncode: empty codebook (no corpus vector has vec_id < kCode)")
+    val dims = cb.head.length
+    require(dims % m == 0, s"pqEncode: dims=$dims not divisible by m=$m")
+    val sub = dims / m
+    val c = corpus.select(col("vec_id").as("c_id"), asDouble(col("embedding")).as("cv"))
+    // Same codegen-budget guard as ivfTopK: the unrolled argmin is
+    // kCode × dims product/subtract terms; past the budget Janino bails and
+    // the expression evaluates INTERPRETED — take the row path instead.
+    if (rowPath.getOrElse(cb.size * dims > UnrolledCentroidTerms))
+      pqEncodeRows(c, cb, m, sub)
+    else {
+      // per (subspace s, codeword j): 6-dp-rounded squared L2 distance of the
+      // s-th slice, left-folded in index order (≡ the oracle's list_reduce)
+      def subDist(v: Column, s: Int, j: Int): Column =
+        round((0 until sub).map { i =>
+          val d = element_at(v, s * sub + i + 1) - lit(cb(j)(s * sub + i))
+          d * d
+        }.reduceLeft(_ + _), 6)
+      // argmin per subspace: array_min over (dist, j) structs = ORDER BY
+      // dist ASC, j ASC LIMIT 1 as a per-row expression (ivfTopK's argmax
+      // twin)
+      val cs = array((0 until m).map { s =>
+        array_min(array((0 until kCode).map { j =>
+          struct(subDist(col("cv"), s, j).as("d"), lit(j).as("j"))
+        }: _*))
+      }: _*)
+      val cbSlices: IndexedSeq[Seq[Seq[Double]]] = (0 until m).map { s =>
+        cb.map(w => w.slice(s * sub, (s + 1) * sub): Seq[Double]): Seq[Seq[Double]]
+      }
+      c.withColumn("__cs", cs)
+        .withColumn("codes", transform(col("__cs"), x => x.getField("j")))
+        .withColumn("rv", concat((0 until m).map { s =>
+          element_at(typedlit(cbSlices(s)), element_at(col("codes"), s + 1) + 1)
+        }: _*))
+        .withColumn("err", round((0 until m).map(s =>
+          element_at(col("__cs"), s + 1).getField("d")).reduceLeft(_ + _), 6))
+        .drop("__cs")
+    }
+  }
+
+  /** Row-path PQ assignment for large codebooks (kCode × dims past the
+    * codegen budget): the codebook ships in the task closure; arithmetic
+    * mirrors the expression path bit for bit — index-order folds, scala
+    * BigDecimal HALF_UP at 6 dp, ties to the lowest code id
+    * (VectorFuzzSpec pins both paths equal on the same data). */
+  private def pqEncodeRows(c: DataFrame, cb: IndexedSeq[IndexedSeq[Double]],
+                           m: Int, sub: Int): DataFrame = {
+    val spark = c.sparkSession
+    import spark.implicits._
+    val cbArr: Array[Array[Double]] = cb.map(_.toArray).toArray
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    c.select(col("c_id").cast("long"), col("cv"))
+      .as[(Long, Array[Double])]
+      .mapPartitions(_.map { case (id, v) =>
+        val codes = new Array[Int](m)
+        val rv = new Array[Double](v.length)
+        var err = 0.0
+        var s = 0
+        while (s < m) {
+          var bestD = Double.MaxValue; var bestJ = -1
+          var j = 0
+          while (j < cbArr.length) {
+            var d = 0.0; var i = 0
+            while (i < sub) {
+              val t = v(s * sub + i) - cbArr(j)(s * sub + i); d += t * t; i += 1
+            }
+            d = round6(d)
+            if (d < bestD || (d == bestD && j < bestJ)) { bestD = d; bestJ = j }
+            j += 1
+          }
+          codes(s) = bestJ
+          System.arraycopy(cbArr(bestJ), s * sub, rv, s * sub, sub)
+          err += bestD
+          s += 1
+        }
+        (id, v, codes, rv, round6(err))
+      })
+      .toDF("c_id", "cv", "codes", "rv", "err")
+  }
+
+  /** ANN over PQ codes with asymmetric distance: queries stay exact,
+    * corpus vectors are scored through their reconstruction — one
+    * broadcast-nested-loop cosine against `rv`, never the original
+    * embeddings.  At 100 TB the corpus side of this plan reads m bytes per
+    * vector plus the broadcast codebook; compose with [[ivfTopK]]'s coarse
+    * lists to prune candidates first (IVF-PQ — the FAISS layout), the
+    * re-rank is this same expression. */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+             m: Int = 8, kCode: Int = 16): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(corpus.sparkSession)
+    val enc = pqEncode(corpus, m, kCode).select(col("c_id"), col("rv"))
+    val q = broadcast(queries.select(col("vec_id").as("q_id"),
+      asDouble(col("embedding")).as("qv")))
+    enc.join(q, col("q_id") =!= col("c_id"))
+      .withColumn("cos", cosineNative(col("qv"), col("rv")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "c_id", "cos")
+  }
+
   /** Multi-probe LSH ANN — the recall knob documented at the top of this
     * file, exercised: each query probes its own bucket PLUS the `planes`
     * buckets at Hamming distance 1 (one hyperplane sign flipped — where

@@ -1153,6 +1153,27 @@ object TextCatalog {
            row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rank FROM sc)"""
   }
 
+  /** PQ encode CTE fragment (`codes(c_id, s, j, dist)`), ≡ Vector.pqEncode
+    * with m=8 subspaces × 8 dims over the 64-dim fixture and the first 16
+    * vectors as codebook: per-(vector, subspace, codeword) 6-dp-rounded
+    * squared L2 distance (index-order left fold, exactly the expression's
+    * term order), argmin by (dist, j). */
+  private val pqSql: String = {
+    def sq(e: String) = s"($e) * ($e)"
+    val diff = sq("cv[CAST(ss.s * 8 + i AS INT)] - w[CAST(ss.s * 8 + i AS INT)]")
+    s"""cb AS (SELECT vec_id AS j, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS w
+         FROM embeddings WHERE vec_id < 16),
+       c AS (SELECT vec_id AS c_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+         FROM embeddings),
+       sd AS (SELECT c_id, ss.s, cb.j,
+           round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(range(1, 9), i -> $diff)), (acc, x) -> acc + x), 6) AS dist
+         FROM c, cb, range(0, 8) ss(s)),
+       best AS (SELECT c_id, s, j, dist,
+           row_number() OVER (PARTITION BY c_id, s ORDER BY dist, j) AS rn FROM sd),
+       codes AS (SELECT c_id, s, j, dist FROM best WHERE rn = 1)"""
+  }
+
   val ivf: Seq[QueryDef] = Seq(
     QueryDef("q_ivf_topk",
       (s, dir) => {
@@ -1219,7 +1240,51 @@ object TextCatalog {
            AND ${cosSql("a.cv", "b.cv", 64)} > 0.35)
          SELECT l.c_id AS vec_id, CAST(l.list_id AS INT) AS list_id,
            (d.c_id IS NOT NULL) AS dropped
-         FROM l LEFT JOIN d ON l.c_id = d.c_id ORDER BY vec_id""")))
+         FROM l LEFT JOIN d ON l.c_id = d.c_id ORDER BY vec_id""")),
+
+    // Product quantization (Jégou et al. 2011): m=8 subspaces × 8 dims,
+    // codebook = first 16 corpus vectors.  This query pins the ENCODER:
+    // per-subspace argmin codes (ties → lowest id) and the total squared
+    // reconstruction error, both 6-dp-rounded with identical fold order, so
+    // the hash match proves code assignment — the part of PQ that decides
+    // recall — is bit-identical cross-engine.
+    QueryDef("q_pq_codes",
+      (s, dir) => Vector.pqEncode(t(s, dir, "embeddings"), m = 8, kCode = 16)
+        .select(col("c_id"),
+          array_join(transform(col("codes"), _.cast("string")), ",").as("codes"),
+          col("err"))
+        .orderBy("c_id"),
+      Some(s"""WITH $pqSql,
+         agg AS (SELECT c_id,
+             array_to_string(list(j ORDER BY s), ',') AS codes,
+             round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(dist ORDER BY s)), (acc, x) -> acc + x), 6) AS err
+           FROM codes GROUP BY c_id)
+         SELECT c_id, codes, err FROM agg ORDER BY c_id""")),
+
+    // PQ asymmetric-distance top-k: queries exact, corpus reconstructed
+    // from its codes (rv = the codeword slices), cosine + rank as in
+    // q_ivf_topk.  The oracle rebuilds rv relationally from the codes CTE —
+    // same codewords, same 64-dim left-fold cosine.
+    QueryDef("q_pq_topk",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        Vector.pqTopK(e.filter(col("vec_id") < 30), e, 3, m = 8, kCode = 16)
+          .orderBy("q_id", "rank")
+      },
+      Some(s"""WITH $pqSql,
+         rv AS (SELECT k.c_id, list(cb.w[CAST(tt.i AS INT)] ORDER BY tt.i) AS rv
+           FROM codes k JOIN cb ON cb.j = k.j, range(1, 65) tt(i)
+           WHERE k.s = (tt.i - 1) // 8
+           GROUP BY k.c_id),
+         qq AS (SELECT vec_id AS q_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+           FROM embeddings WHERE vec_id < 30),
+         sc AS (SELECT q_id, c_id, ${cosSql("qv", "rv", 64)} AS cos
+           FROM qq, rv WHERE q_id <> c_id),
+         r AS (SELECT q_id, c_id, cos,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rank FROM sc)
+         SELECT q_id, CAST(rank AS INT) AS rank, c_id, cos FROM r
+         WHERE rank <= 3 ORDER BY q_id, rank""")))
 
   val multimodal: Seq[QueryDef] = Seq(
 

@@ -88,5 +88,64 @@ class VectorFuzzSpec extends SparkFunSuite {
         s"seed $seed: row-path ivfTopK(nprobe=nlist) diverged from brute " +
           s"force (missing ${brute2 -- ivf2}, extra ${ivf2 -- brute2})")
     }
+
+    test(s"random vectors (seed $seed): PQ encode matches the exact model " +
+      "on BOTH paths; codebook members reconstruct exactly; finer " +
+      "subspaces never increase reconstruction error") {
+      val rng = new scala.util.Random(seed * 31 + 7)
+      val dims = 16
+      val kCode = 6
+      val corpus: Seq[(Long, Seq[Double])] = (0L until 30L).map { id =>
+        id -> Seq.fill(dims)(rng.nextInt(9).toDouble + 1.0)
+      }
+      val df = corpus.toDF("vec_id", "embedding")
+
+      // in-memory model with the engine's arithmetic: per-subspace
+      // index-order squared-diff fold, HALF_UP 6-dp round, ties → lowest j
+      val cb = corpus.filter(_._1 < kCode).sortBy(_._1).map(_._2)
+      def modelEncode(m: Int): Map[Long, (Seq[Int], Seq[Double], Double)] = {
+        val sub = dims / m
+        corpus.map { case (id, v) =>
+          val perSub = (0 until m).map { s =>
+            cb.indices.map { j =>
+              val d = (0 until sub).foldLeft(0.0) { (acc, i) =>
+                val t = v(s * sub + i) - cb(j)(s * sub + i); acc + t * t
+              }
+              (round6(d), j)
+            }.min
+          }
+          val codes = perSub.map(_._2)
+          val rv = (0 until m).flatMap(s =>
+            cb(codes(s)).slice(s * sub, (s + 1) * sub))
+          val err = round6(perSub.map(_._1).foldLeft(0.0)(_ + _))
+          id -> ((codes, rv, err))
+        }.toMap
+      }
+
+      for (m <- Seq(4, 8); forceRow <- Seq(false, true)) {
+        val got = Vector.pqEncodePath(df, m, kCode, rowPath = Some(forceRow))
+          .select("c_id", "codes", "rv", "err")
+          .as[(Long, Seq[Int], Seq[Double], Double)].collect()
+          .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+        val want = modelEncode(m)
+        assert(got == want,
+          s"seed $seed m=$m rowPath=$forceRow: pqEncode diverged from the " +
+            s"exact model at ids ${
+              want.keys.filter(k => got.get(k) != want.get(k)).toSeq.sorted.take(3)}")
+        // codebook members must reconstruct themselves bit for bit
+        for (id <- 0L until kCode.toLong) {
+          val (_, rv, err) = got(id)
+          assert(err == 0.0 && rv == corpus(id.toInt)._2,
+            s"seed $seed m=$m rowPath=$forceRow: codebook member $id does " +
+              s"not reconstruct exactly (err=$err)")
+        }
+      }
+
+      // splitting a subspace can only tighten each per-slice argmin, so
+      // total reconstruction error is monotone non-increasing in m
+      val errByM = Seq(1, 2, 4, 8, 16).map(m => modelEncode(m).map(_._2._3).sum)
+      assert(errByM.zip(errByM.tail).forall { case (c, f) => f <= c + 1e-9 },
+        s"seed $seed: reconstruction error not monotone over m: $errByM")
+    }
   }
 }
