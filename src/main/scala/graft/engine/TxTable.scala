@@ -65,16 +65,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * merge/delete/compact rewrites by [[carryStats]] and through the
   * streaming sinks' commits.
   *
-  * Metadata-scale boundary, stated honestly: stats (and ~1.2 KB Blooms)
-  * live INLINE in the JSON manifest, so manifest size is O(segments ×
-  * tracked columns).  With compaction keeping segments at ~128 MB-1 GB
-  * that is KBs-to-MBs up to tens of TB; at the extreme (100 TB+, 10⁵-10⁶
-  * segments) the production evolution is the Iceberg/Delta one — shard
-  * the stats into per-commit parquet sidecars referenced by a thin
-  * manifest (a manifest-list level), leaving every read path identical
-  * except that `readManifest` joins the sidecar.  The commit protocol
-  * (claim CAS + rename) is unchanged by that evolution; nothing in the
-  * API surface would move.
+  * Metadata scale (the manifest-list level, BUILT): stats (and ~1.2 KB
+  * Blooms) live inline in the JSON manifest only while small — past
+  * `spark.graft.tx.statsInlineMax` (seg, col) cells the commit writes
+  * them to a per-commit SIDECAR (`_txlog/s-<uuid>.json`) the manifest
+  * references by name, the Iceberg/Delta sharding idea.  The head
+  * manifest every snapshot open and commit head-probe reads stays
+  * O(segments) thin at any table size; only the paths that CONSUME stats
+  * (pruned reads, stat-carrying commits, restore) fetch the sidecar
+  * (`readManifest(withStats = true)`).  The sidecar is uniquely named and
+  * written before its manifest publishes, so a published manifest always
+  * finds it, a losing racer's sidecar is an orphan [[vacuum]] reaps once
+  * stale, and the commit protocol (claim CAS + exclusive publish) is
+  * unchanged.
   */
 object TxTable {
 
@@ -111,12 +114,23 @@ object TxTable {
   // (mergeSchema's per-read footer sweep is the cost this removes); each
   // manifest keeps its own snapshot's schema, so time travel reads the
   // schema of its era
+  // statsRef: name of a PER-COMMIT STATS SIDECAR (`_txlog/s-<uuid>.json`)
+  // holding this manifest's stats object when it exceeds the inline-cell
+  // budget (`spark.graft.tx.statsInlineMax`) — the manifest-list evolution
+  // the metadata-scale boundary above names: the head manifest every
+  // snapshot open and commit re-read parses stays O(segments) thin, and
+  // the O(segments × tracked columns) stats body is fetched only by the
+  // paths that consume stats (pruned reads, stat-carrying commits).
+  // Mutually exclusive with inline `stats`; the sidecar is written BEFORE
+  // the manifest publishes (uniquely named, so a losing racer's sidecar is
+  // just an orphan vacuum reaps once stale)
   private case class Manifest(version: Long, op: String, segments: Seq[String],
                               batch: Option[Long] = None,
                               stats: Map[String, Map[String, ColStat]] = Map.empty,
                               cdc: Seq[String] = Nil,
                               dvs: Seq[String] = Nil,
-                              schema: Option[String] = None)
+                              schema: Option[String] = None,
+                              statsRef: Option[String] = None)
 
   private def fs(spark: SparkSession, root: String): FileSystem =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -127,22 +141,25 @@ object TxTable {
   private def claimPath(root: String, v: Long): Path =
     new Path(s"${root.stripSuffix("/")}/$LogDir/v${"%010d".format(v)}.claim")
 
+  private def statsJsonBody(stats: Map[String, Map[String, ColStat]]): String =
+    "{" + stats.map { case (seg, cols) =>
+      "\"" + seg + "\":{" + cols.map { case (c, st) =>
+        "\"" + c + "\":[\"" + st.lo + "\",\"" + st.hi + "\",\"" + st.tag + "\"]"
+      }.mkString(",") + "}"
+    }.mkString(",") + "}"
+
   private def writeJson(m: Manifest): String =
     s"""{"version":${m.version},"op":"${m.op}",""" +
       m.batch.map(b => s""""batch":$b,""").getOrElse("") +
       m.schema.map(s => s""""schema":"$s",""").getOrElse("") +
+      m.statsRef.map(r => s""""statsRef":"$r",""").getOrElse("") +
       (if (m.cdc.isEmpty) "" else
         """"cdc":[""" + m.cdc.map(s => "\"" + s + "\"").mkString(",") + "],") +
       (if (m.dvs.isEmpty) "" else
         """"dvs":[""" + m.dvs.map(s => "\"" + s + "\"").mkString(",") + "],") +
       """"segments":[""" +
       m.segments.map(s => "\"" + s + "\"").mkString(",") + "]" +
-      (if (m.stats.isEmpty) "" else
-        ""","stats":{""" + m.stats.map { case (seg, cols) =>
-          "\"" + seg + "\":{" + cols.map { case (c, st) =>
-            "\"" + c + "\":[\"" + st.lo + "\",\"" + st.hi + "\",\"" + st.tag + "\"]"
-          }.mkString(",") + "}"
-        }.mkString(",") + "}") + "}"
+      (if (m.stats.isEmpty) "" else ""","stats":""" + statsJsonBody(m.stats)) + "}"
 
   private def parseJson(s: String): Manifest = {
     // segments are uuid dir names and stats values are decimal strings or
@@ -161,19 +178,22 @@ object TxTable {
     val dvs = """"dvs":\[([^\]]*)\]""".r.findFirstMatchIn(s)
       .map(m0 => splitList(m0.group(1))).getOrElse(Seq.empty)
     val schema = """"schema":"([^"]*)"""".r.findFirstMatchIn(s).map(_.group(1))
+    val statsRef = """"statsRef":"([^"]*)"""".r.findFirstMatchIn(s).map(_.group(1))
     val stats = """"stats":\{(.*)\}\}$""".r.findFirstMatchIn(s).map(_.group(1)) match {
       case None => Map.empty[String, Map[String, ColStat]]
-      case Some(body) =>
-        """"(data/[^"]+)":\{([^}]*)\}""".r.findAllMatchIn(body).map { m0 =>
-          val cols = """"([^"]+)":\["([^"]*)","([^"]*)"(?:,"([nsb])")?\]""".r
-            .findAllMatchIn(m0.group(2))
-            .map(c => c.group(1) ->
-              ColStat(c.group(2), c.group(3), Option(c.group(4)).getOrElse("n"))).toMap
-          m0.group(1) -> cols
-        }.toMap
+      case Some(body) => parseStatsBody(body)
     }
-    Manifest(version, op, segments, batch, stats, cdc, dvs, schema)
+    Manifest(version, op, segments, batch, stats, cdc, dvs, schema, statsRef)
   }
+
+  private def parseStatsBody(body: String): Map[String, Map[String, ColStat]] =
+    """"(data/[^"]+)":\{([^}]*)\}""".r.findAllMatchIn(body).map { m0 =>
+      val cols = """"([^"]+)":\["([^"]*)","([^"]*)"(?:,"([nsb])")?\]""".r
+        .findAllMatchIn(m0.group(2))
+        .map(c => c.group(1) ->
+          ColStat(c.group(2), c.group(3), Option(c.group(4)).getOrElse("n"))).toMap
+      m0.group(1) -> cols
+    }.toMap
 
   private def encodeSchema(s: org.apache.spark.sql.types.StructType): String =
     java.util.Base64.getEncoder.encodeToString(
@@ -213,7 +233,7 @@ object TxTable {
   def tableSchema(spark: SparkSession,
                   root: String): Option[org.apache.spark.sql.types.StructType] =
     latestVersion(spark, root)
-      .flatMap(v => readManifest(spark, root, v).schema.map(decodeSchema))
+      .flatMap(v => readManifest(spark, root, v, withStats = false).schema.map(decodeSchema))
 
   /** Latest committed version, or None for an uninitialized table. */
   def latestVersion(spark: SparkSession, root: String): Option[Long] = {
@@ -226,13 +246,42 @@ object TxTable {
       .reduceOption(_ max _)
   }
 
-  private def readManifest(spark: SparkSession, root: String, v: Long): Manifest = {
+  /** Read version `v`'s manifest.  `withStats = false` is the THIN read
+    * for paths that never consume stats (head probes for batch/schema,
+    * snapshot opens, CDF, vacuum's liveness sweep): when the stats live in
+    * a sidecar, the thin read skips fetching it — that asymmetry is the
+    * entire point of the sidecar.  Inline stats parse either way (they are
+    * already in hand). */
+  private def readManifest(spark: SparkSession, root: String, v: Long,
+                           withStats: Boolean = true): Manifest = {
     val f = fs(spark, root)
-    val in = f.open(manifestPath(root, v))
+    val m = parseJson(slurp(f, manifestPath(root, v)))
+    m.statsRef match {
+      case Some(ref) if withStats =>
+        val p = new Path(s"${root.stripSuffix("/")}/$LogDir/$ref")
+        val body =
+          try slurp(f, p)
+          catch { case _: java.io.FileNotFoundException =>
+            throw new IllegalStateException(
+              s"TxTable: stats sidecar $ref of manifest v$v is missing under " +
+                s"$root — the sidecar must live exactly as long as its " +
+                "manifest (vacuum keeps referenced sidecars); the table " +
+                "metadata is damaged")
+          }
+        m.copy(stats = """^\{"stats":(.*)\}$""".r.findFirstMatchIn(body.trim)
+          .map(mm => parseStatsBody(mm.group(1)))
+          .getOrElse(throw new IllegalStateException(
+            s"TxTable: stats sidecar $ref under $root is malformed")))
+      case _ => m
+    }
+  }
+
+  private def slurp(f: FileSystem, p: Path): String = {
+    val in = f.open(p)
     try {
-      val bytes = new Array[Byte](f.getFileStatus(manifestPath(root, v)).getLen.toInt)
+      val bytes = new Array[Byte](f.getFileStatus(p).getLen.toInt)
       in.readFully(bytes)
-      parseJson(new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+      new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
     } finally in.close()
   }
 
@@ -241,8 +290,9 @@ object TxTable {
     * retention error — time travel / restore / CDF past the vacuum horizon
     * must fail stating the version and the boundary, never resurrect a
     * half-table or surface an opaque missing-file path. */
-  private def retainedManifest(spark: SparkSession, root: String, v: Long): Manifest =
-    try readManifest(spark, root, v)
+  private def retainedManifest(spark: SparkSession, root: String, v: Long,
+                               withStats: Boolean = true): Manifest =
+    try readManifest(spark, root, v, withStats)
     catch {
       case _: java.io.FileNotFoundException =>
         val dir = new Path(s"${root.stripSuffix("/")}/$LogDir")
@@ -456,7 +506,7 @@ object TxTable {
     while (true) {
       val headV = latestVersion(spark, root)
       val headM = headV.flatMap { v =>
-        try Some(readManifest(spark, root, v))
+        try Some(readManifest(spark, root, v, withStats = false))
         catch { case _: java.io.FileNotFoundException => None }
       }
       val headBatch = headM.flatMap(_.batch)
@@ -475,10 +525,29 @@ object TxTable {
       // exists-check first: a manifest published without a claim (e.g. an
       // external writer) still blocks the slot
       if (!f.exists(target) && claimSlot(f, root, next)) {
+        // stats placement: inline while small; past the cell budget, into a
+        // per-commit sidecar the manifest references by name — written
+        // UNIQUELY NAMED and BEFORE the manifest publishes, so a published
+        // manifest always finds its sidecar and a losing racer's sidecar is
+        // an orphan vacuum reaps once stale
+        val kept = stats.filter(kv => segments.contains(kv._1))
+        val inlineMax = spark.conf.getOption("spark.graft.tx.statsInlineMax")
+          .map(_.toInt).getOrElse(2048)
+        val (inline, ref) =
+          if (kept.values.map(_.size).sum <= inlineMax) (kept, None)
+          else {
+            val name = s"s-${java.util.UUID.randomUUID()}.json"
+            val sp = new Path(s"${root.stripSuffix("/")}/$LogDir/$name")
+            val sos = f.create(sp, false)
+            try sos.write(("{\"stats\":" + statsJsonBody(kept) + "}")
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            finally sos.close()
+            (Map.empty[String, Map[String, ColStat]], Some(name))
+          }
         val tmp = new Path(target.getParent, s".tmp-${java.util.UUID.randomUUID()}")
         val os = f.create(tmp, false)
         try os.write(writeJson(Manifest(next, op, segments, carried,
-          stats.filter(kv => segments.contains(kv._1)), cdc, dvs, carriedSchema))
+          inline, cdc, dvs, carriedSchema, ref))
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
         finally os.close()
         if (!publishExclusive(f, tmp, target)) {
@@ -574,7 +643,8 @@ object TxTable {
     * because every commit carries the max id forward (so compaction,
     * overwrite, delete and [[vacuum]] cannot lose the replay horizon). */
   def lastCommittedBatch(spark: SparkSession, root: String): Option[Long] =
-    latestVersion(spark, root).flatMap(v => readManifest(spark, root, v).batch)
+    latestVersion(spark, root).flatMap(v =>
+      readManifest(spark, root, v, withStats = false).batch)
 
   /** EXACTLY-ONCE streaming sink: `stream.writeStream.foreachBatch(
     * TxTable.streamingAppend(root) _)`.  Each micro-batch commits as one
@@ -1160,7 +1230,7 @@ object TxTable {
   /** Time travel: the table exactly as of version `v` (each manifest
     * records its own era's schema — see [[readSegments]]). */
   def readVersion(spark: SparkSession, root: String, v: Long): DataFrame = {
-    val m = retainedManifest(spark, root, v)
+    val m = retainedManifest(spark, root, v, withStats = false)
     require(m.segments.nonEmpty, s"TxTable: version $v of $root is empty")
     val raw = readSegments(spark, root, m, m.segments)
     if (m.dvs.isEmpty) raw
@@ -1181,7 +1251,7 @@ object TxTable {
     * (they need the provenance tag anyway for hit-segment detection). */
   private def readVersionTagged(spark: SparkSession, root: String,
                                 v: Long): DataFrame = {
-    val m = retainedManifest(spark, root, v)
+    val m = retainedManifest(spark, root, v, withStats = false)
     require(m.segments.nonEmpty, s"TxTable: version $v of $root is empty")
     val raw = readSegments(spark, root, m, m.segments).withColumn("__seg", segTag)
     applyDvs(spark, root, m.dvs, raw)
@@ -1294,11 +1364,11 @@ object TxTable {
       }
     }
     val frames = ((fromVersion + 1) to toVersion).flatMap { v =>
-      val m = retainedManifest(spark, root, v)
+      val m = retainedManifest(spark, root, v, withStats = false)
       val changed: Seq[DataFrame] = m.op match {
         case "append" =>
           val prev = if (v == 1) Set.empty[String]
-            else retainedManifest(spark, root, v - 1).segments.toSet
+            else retainedManifest(spark, root, v - 1, withStats = false).segments.toSet
           val fresh = m.segments.filterNot(prev.contains)
           if (fresh.isEmpty) Nil
           else Seq(readSegs(m, fresh, withChangeType = false)
@@ -1344,7 +1414,7 @@ object TxTable {
     val f = fs(spark, root)
     val head = latestVersion(spark, root).getOrElse(return)
     val keepFrom = math.max(1L, head - keepVersions + 1)
-    val kept = (keepFrom to head).map(readManifest(spark, root, _))
+    val kept = (keepFrom to head).map(readManifest(spark, root, _, withStats = false))
     val live = kept.flatMap(_.segments).toSet
     val dataDir = new Path(s"${root.stripSuffix("/")}/data")
     if (f.exists(dataDir)) f.listStatus(dataDir).foreach { st =>
@@ -1374,6 +1444,12 @@ object TxTable {
     val staleMs = spark.conf.getOption("spark.graft.tx.staleClaimMs")
       .map(_.toLong).getOrElse(600000L)
     val now = System.currentTimeMillis()
+    // stats sidecars live exactly as long as a RETAINED manifest references
+    // them; anything else (losers' orphans, sidecars of just-deleted old
+    // manifests) reaps once stale — the mtime guard protects an in-flight
+    // committer whose sidecar is written but whose manifest has not
+    // published yet, the same race the claim reaper respects
+    val liveRefs = kept.flatMap(_.statsRef).toSet
     f.listStatus(new Path(s"${root.stripSuffix("/")}/$LogDir")).foreach { st =>
       val n = st.getPath.getName
       if (n.startsWith("v") && n.endsWith(".claim")) {
@@ -1382,7 +1458,10 @@ object TxTable {
         else if (!f.exists(manifestPath(root, v)) &&
                  now - st.getModificationTime > staleMs)
           f.delete(st.getPath, false)
-      }
+      } else if (n.startsWith("s-") && n.endsWith(".json") &&
+                 !liveRefs.contains(n) &&
+                 now - st.getModificationTime > staleMs)
+        f.delete(st.getPath, false)
     }
   }
 }

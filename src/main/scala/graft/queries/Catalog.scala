@@ -2409,6 +2409,53 @@ object Catalog {
          FROM orders, b
          WHERE o_orderkey >= c1 + 1 AND o_orderkey <= c2""")),
 
+    // The manifest-list metadata path under the SAME oracle as q_tx_prune:
+    // with the inline budget forced to zero every commit shards its stats
+    // into a per-commit sidecar (`_txlog/s-<uuid>.json`) and the manifest
+    // stays thin — the 100 TB metadata shape, where O(segments × columns)
+    // stats must not ride the file every snapshot open parses.  The
+    // requires pin BOTH halves: the head manifest references a sidecar and
+    // carries no inline stats, AND range pruning through the sidecar still
+    // skips two of three segments.  Placement must be invisible to
+    // results, so the oracle is the same plain filtered aggregate.
+    QueryDef("q_tx_stats_sidecar",
+      (s, dir) => {
+        val root = Files.createTempDirectory("graft_txsc").toString + "/tbl"
+        val o = t(s, dir, "orders").select("o_orderkey", "o_totalprice")
+        val mx = o.agg(max("o_orderkey")).collect().head.getLong(0)
+        val (c1, c2) = (mx / 3, 2 * mx / 3)
+        s.conf.set("spark.graft.tx.statsInlineMax", "0")
+        try {
+          TxTable.commitOverwrite(s, root,
+            o.filter(col("o_orderkey") <= c1), statsCols = Seq("o_orderkey"))
+          TxTable.commitAppend(s, root,
+            o.filter(col("o_orderkey") > c1 && col("o_orderkey") <= c2),
+            statsCols = Seq("o_orderkey"))
+          TxTable.commitAppend(s, root,
+            o.filter(col("o_orderkey") > c2), statsCols = Seq("o_orderkey"))
+          val headJson = Files.readString(
+            java.nio.file.Paths.get(s"$root/_txlog/v0000000003.json"))
+          require(headJson.contains("\"statsRef\":\"s-") &&
+            !headJson.contains("\"stats\":{"),
+            "q_tx_stats_sidecar: past the zero budget the head manifest " +
+              s"must reference a sidecar and stay thin — got: $headJson")
+          val pruned = TxTable.readWhere(s, root, "o_orderkey",
+            new java.math.BigDecimal(c1 + 1), new java.math.BigDecimal(c2))
+          val scanned = pruned.inputFiles.map(_.replaceAll("/[^/]*$", "")).toSet
+          require(scanned.size == 1,
+            s"q_tx_stats_sidecar: expected ONE surviving segment through " +
+              s"sidecar stats, scanned $scanned")
+          pruned.agg(count(lit(1)).as("n"),
+            dsum(col("o_totalprice")).as("price_sum"))
+        } finally s.conf.unset("spark.graft.tx.statsInlineMax")
+      },
+      Some("""WITH b AS (SELECT MAX(o_orderkey) // 3 AS c1,
+             (2 * MAX(o_orderkey)) // 3 AS c2 FROM orders)
+         SELECT COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS price_sum
+         FROM orders, b
+         WHERE o_orderkey >= c1 + 1 AND o_orderkey <= c2""")),
+
     // Manifest-level data skipping on a STRING column: three appends carry
     // per-status slices with string min/max stats (lexicographic bounds,
     // TxTable.segStats tag "s"), and the string-range read prunes the two

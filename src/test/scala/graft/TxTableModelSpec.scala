@@ -60,6 +60,13 @@ class TxTableModelSpec extends SparkFunSuite {
         head -> model)
 
       for (op <- 1 to 12) {
+        // randomly flip the stats-placement budget mid-history, so the
+        // model also walks tables whose manifests MIX inline stats and
+        // per-commit sidecars (placement is correctness-neutral by design;
+        // every read/carry/restore path must behave identically)
+        if (rng.nextInt(4) == 0)
+          spark.conf.set("spark.graft.tx.statsInlineMax",
+            if (rng.nextBoolean()) "0" else "2048")
         val choice = rng.nextInt(10)
         val desc = choice match {
           case 0 | 1 => // append fresh keys (disjoint: append is a multiset op)
@@ -176,6 +183,7 @@ class TxTableModelSpec extends SparkFunSuite {
       }
       assert(tableState(root) == model,
         s"seed $seed: head diverged after vacuum")
+      spark.conf.unset("spark.graft.tx.statsInlineMax")
     }
   }
 }

@@ -742,4 +742,85 @@ class TxTableSpec extends SparkFunSuite {
     assert(TxTable.lastCommittedBatch(spark, view) === Some(v2),
       "the horizon latches on the final merge commit")
   }
+
+  test("stats sidecar: past the inline budget stats shard to a per-commit " +
+    "file; pruning/carry/restore load it, vacuum scopes it, thin reads never touch it") {
+    val root = newRoot()
+    def bd(i: Int) = new java.math.BigDecimal(i)
+    def segsOf(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.inputFiles.map(f => f.replaceAll("/[^/]*$", "")).toSet
+    def slice(a: Long, b: Long) = (a to b).map(i => (i, i * 10)).toDF("k", "v")
+    def manifestText(v: Long) = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(f"$root%s/_txlog/v$v%010d.json"))
+    def sidecars(): Set[String] = new java.io.File(s"$root/_txlog").listFiles
+      .map(_.getName).filter(n => n.startsWith("s-") && n.endsWith(".json")).toSet
+    val refRe = "\"statsRef\":\"(s-[^\"]+)\"".r
+    spark.conf.set("spark.graft.tx.statsInlineMax", "0")
+    try {
+      TxTable.commitOverwrite(spark, root, slice(1, 100), statsCols = Seq("k"))
+      TxTable.commitAppend(spark, root, slice(101, 200), statsCols = Seq("k"))
+      TxTable.commitAppend(spark, root, slice(201, 300), statsCols = Seq("k"))
+      assert(manifestText(3).contains("\"statsRef\":\"s-"))
+      assert(!manifestText(3).contains("\"stats\":{"),
+        "past the budget the manifest must stay thin — no inline stats")
+      assert(sidecars().size === 3, "one sidecar per stat-carrying commit")
+
+      // pruning fetches the sidecar; result identical to the inline path
+      val mid = TxTable.readWhere(spark, root, "k", bd(150), bd(160))
+      assert(segsOf(mid).size === 1, "sidecar stats must prune to one segment")
+      assert(mid.count() === 11)
+
+      // a delete rewrite CARRIES sidecar-held stats into its commit
+      TxTable.commitDelete(spark, root, Seq(155L).toDF("k"), Seq("k")) // v4
+      val low = TxTable.readWhere(spark, root, "k", bd(1), bd(50))
+      assert(segsOf(low).size === 1 && low.count() === 50,
+        "carried stats must survive a rewrite when the head held them in a sidecar")
+
+      // restore re-publishes an old snapshot's sidecar-held stats
+      TxTable.restore(spark, root, 2) // v5 ≡ v2 (rows 1..200)
+      assert(segsOf(TxTable.readWhere(spark, root, "k", bd(1), bd(50))).size === 1,
+        "restored head must keep pruning")
+
+      // inline ↔ sidecar manifests interoperate within one history
+      spark.conf.set("spark.graft.tx.statsInlineMax", "100000")
+      TxTable.commitAppend(spark, root, slice(201, 300), statsCols = Seq("k")) // v6
+      assert(manifestText(6).contains("\"stats\":{") &&
+        !manifestText(6).contains("statsRef"),
+        "under the budget stats inline again")
+      val hi = TxTable.readWhere(spark, root, "k", bd(250), bd(260))
+      assert(segsOf(hi).size === 1 && hi.count() === 11)
+
+      // vacuum: sidecars live exactly as long as a retained manifest
+      // references them; orphans (losing racers) reap once stale
+      spark.conf.set("spark.graft.tx.staleClaimMs", "-1")
+      val orphan = new java.io.File(s"$root/_txlog/s-orphan.json")
+      java.nio.file.Files.writeString(orphan.toPath, "{\"stats\":{}}")
+      TxTable.vacuum(spark, root, keepVersions = 2) // keeps v5 (sidecar), v6 (inline)
+      assert(!orphan.exists, "unreferenced sidecar must reap once stale")
+      val liveRefs = Seq(5L, 6L)
+        .flatMap(v => refRe.findFirstMatchIn(manifestText(v)).map(_.group(1))).toSet
+      assert(liveRefs.size === 1, "v5 (restore) holds the one retained sidecar")
+      assert(sidecars() === liveRefs,
+        "every sidecar of a vacuumed-out manifest must be gone, referenced ones kept")
+      assert(segsOf(TxTable.readWhere(spark, root, "k", bd(250), bd(260))).size === 1,
+        "pruning intact after vacuum")
+
+      // damage drill: thin paths (plain read, head probes) never touch the
+      // sidecar; stats consumers fail LOUDLY naming the missing file
+      spark.conf.set("spark.graft.tx.statsInlineMax", "0")
+      TxTable.commitAppend(spark, root, slice(301, 400), statsCols = Seq("k")) // v7
+      val ref7 = refRe.findFirstMatchIn(manifestText(7)).get.group(1)
+      assert(new java.io.File(s"$root/_txlog/$ref7").delete())
+      assert(TxTable.read(spark, root).count() === 400,
+        "a snapshot open is a thin read — it must not require the sidecar")
+      assert(TxTable.lastCommittedBatch(spark, root) === None)
+      val e = intercept[IllegalStateException](
+        TxTable.readWhere(spark, root, "k", bd(1), bd(50)).count())
+      assert(e.getMessage.contains(ref7),
+        s"the damage error must name the missing sidecar: ${e.getMessage}")
+    } finally {
+      spark.conf.unset("spark.graft.tx.statsInlineMax")
+      spark.conf.unset("spark.graft.tx.staleClaimMs")
+    }
+  }
 }
