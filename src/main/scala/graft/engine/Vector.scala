@@ -451,6 +451,51 @@ object Vector {
       .toDF("c_id", "cv", "codes", "rv", "err")
   }
 
+  /** IVF-PQ: the coarse quantizer prunes candidate lists ([[ivfTopK]]'s
+    * zero-exchange argmax on the ORIGINAL vectors) and the in-list re-rank
+    * scores asymmetric distance against the PQ reconstruction
+    * ([[pqTopK]]'s expression) — the FAISS `IndexIVFPQ` layout as one
+    * declarative plan.  At 100 TB this is THE ANN shape: candidate
+    * generation is a bucketed equi-join on list_id over m-byte codes,
+    * probe fanout is the bounded broadcast query side, and neither the
+    * original embeddings nor any all-pairs product is ever touched after
+    * encode time. */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                nlist: Int = 16, nprobe: Int = 4,
+                m: Int = 8, kCode: Int = 16): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(corpus.sparkSession)
+    val centVecs: Seq[(Int, Seq[Double])] =
+      corpus.filter(col("vec_id") < nlist)
+        .select(col("vec_id").cast("int").as("cent_id"), asDouble(col("embedding")).as("cw"))
+        .orderBy("cent_id").collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1))).toIndexedSeq
+    val enc = pqEncode(corpus, m, kCode)
+    val dims0 = centVecs.headOption.map(_._2.length).getOrElse(0)
+    val rowPath = centVecs.size * dims0 > UnrolledCentroidTerms
+    val lists =
+      if (!rowPath)
+        enc.withColumn("list_id",
+          -array_max(scoredCentArray(col("cv"), centVecs)).getField("nid"))
+          .select("c_id", "rv", "list_id")
+      else nearestLists(enc.select(col("c_id"), col("cv")), centVecs, 1)
+        .withColumn("list_id", element_at(col("__lists"), 1))
+        .select("c_id", "list_id")
+        .join(enc.select("c_id", "rv"), "c_id")
+    val q0 = queries.select(col("vec_id").as("q_id"), asDouble(col("embedding")).as("qv"))
+    val probes =
+      if (!rowPath) q0.withColumn("list_id", explode(transform(
+        slice(reverse(array_sort(scoredCentArray(col("qv"), centVecs))), 1, nprobe),
+        s => -s.getField("nid"))))
+      else nearestLists(q0, centVecs, nprobe)
+        .withColumn("list_id", explode(col("__lists"))).drop("__lists")
+    broadcast(probes).join(lists, Seq("list_id")).filter(col("q_id") =!= col("c_id"))
+      .withColumn("cos", cosineNative(col("qv"), col("rv")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "c_id", "cos")
+  }
+
   /** ANN over PQ codes with asymmetric distance: queries stay exact,
     * corpus vectors are scored through their reconstruction — one
     * broadcast-nested-loop cosine against `rv`, never the original

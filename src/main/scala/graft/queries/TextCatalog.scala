@@ -1284,6 +1284,47 @@ object TextCatalog {
          r AS (SELECT q_id, c_id, cos,
              row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rank FROM sc)
          SELECT q_id, CAST(rank AS INT) AS rank, c_id, cos FROM r
+         WHERE rank <= 3 ORDER BY q_id, rank""")),
+
+    // IVF-PQ (the FAISS IndexIVFPQ layout): coarse lists prune candidates,
+    // PQ reconstruction scores them — candidate generation equi-joins on
+    // list_id, scoring touches only codes + the broadcast codebook.  The
+    // oracle composes the IVF probe CTEs with the PQ reconstruction; the
+    // hash match pins routing AND asymmetric scoring in one query.
+    QueryDef("q_ivf_pq_topk",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        Vector.ivfPqTopK(e.filter(col("vec_id") < 30), e, 3,
+          nlist = 16, nprobe = 4, m = 8, kCode = 16)
+          .orderBy("q_id", "rank")
+      },
+      Some(s"""WITH $pqSql,
+         rv AS (SELECT k.c_id, list(cb.w[CAST(tt.i AS INT)] ORDER BY tt.i) AS rv
+           FROM codes k JOIN cb ON cb.j = k.j, range(1, 65) tt(i)
+           WHERE k.s = (tt.i - 1) // 8
+           GROUP BY k.c_id),
+         cents AS (SELECT vec_id AS cent_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cw
+           FROM embeddings WHERE vec_id < 16),
+         asg AS (SELECT c_id, cent_id,
+             row_number() OVER (PARTITION BY c_id
+               ORDER BY ${cosSql("c.cv", "cents.cw", 64)} DESC, cent_id) AS rn
+           FROM c, cents),
+         lists AS (SELECT c_id, cent_id AS list_id FROM asg WHERE rn = 1),
+         qq AS (SELECT vec_id AS q_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+           FROM embeddings WHERE vec_id < 30),
+         qp AS (SELECT q_id, qv, cent_id,
+             row_number() OVER (PARTITION BY q_id
+               ORDER BY ${cosSql("qq.qv", "cents.cw", 64)} DESC, cent_id) AS rn
+           FROM qq, cents),
+         probes AS (SELECT q_id, qv, cent_id AS list_id FROM qp WHERE rn <= 4),
+         sc AS (SELECT q_id, c_id, ${cosSql("qv", "rv", 64)} AS cos
+           FROM probes JOIN lists USING (list_id) JOIN rv USING (c_id)
+           WHERE q_id <> c_id),
+         r AS (SELECT q_id, c_id, cos,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rank FROM sc)
+         SELECT q_id, CAST(rank AS INT) AS rank, c_id, cos FROM r
          WHERE rank <= 3 ORDER BY q_id, rank""")))
 
   val multimodal: Seq[QueryDef] = Seq(

@@ -146,6 +146,21 @@ class VectorFuzzSpec extends SparkFunSuite {
       val errByM = Seq(1, 2, 4, 8, 16).map(m => modelEncode(m).map(_._2._3).sum)
       assert(errByM.zip(errByM.tail).forall { case (c, f) => f <= c + 1e-9 },
         s"seed $seed: reconstruction error not monotone over m: $errByM")
+
+      // full-probe IVF-PQ ≡ plain PQ ADC: with every list probed the
+      // candidate set is the whole corpus and the scoring expression is
+      // shared, so any divergence is a list-routing bug
+      val queryIds = rng.shuffle(corpus.map(_._1)).take(6).toSet
+      val qdf = corpus.filter(x => queryIds(x._1)).toDF("vec_id", "embedding")
+      def topK(res: org.apache.spark.sql.DataFrame) =
+        res.select("q_id", "rank", "c_id", "cos")
+          .as[(Long, Int, Long, Double)].collect().toSet
+      val pq = topK(Vector.pqTopK(qdf, df, 4, m = 4, kCode = kCode))
+      val ivfpq = topK(Vector.ivfPqTopK(qdf, df, 4, nlist = 8, nprobe = 8,
+        m = 4, kCode = kCode))
+      assert(ivfpq == pq,
+        s"seed $seed: ivfPqTopK(nprobe=nlist) diverged from pqTopK " +
+          s"(missing ${pq -- ivfpq}, extra ${ivfpq -- pq})")
     }
   }
 }
