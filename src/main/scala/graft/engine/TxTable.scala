@@ -1238,6 +1238,43 @@ object TxTable {
       .drop("__seg")
   }
 
+  /** The latest version whose manifest was published at or before
+    * `tsMillis` (Delta's `TIMESTAMP AS OF` resolution).  One `_txlog`
+    * listing; the publish time is the manifest file's mtime (link(2) and
+    * rename both carry the temp file's inode/mtime, written microseconds
+    * before publish).  Commits serialize through the version CAS — a
+    * committer only claims slot v+1 after v's manifest is visible — so
+    * mtimes are monotone in version order up to filesystem timestamp
+    * granularity; like Delta, two commits inside one clock tick resolve to
+    * the LATER version.  Fails loudly when `tsMillis` predates the oldest
+    * retained manifest (naming the boundary, like time travel past the
+    * vacuum horizon) — a vacuumed-out era must never silently resolve to
+    * the earliest surviving snapshot. */
+  def versionAsOf(spark: SparkSession, root: String, tsMillis: Long): Long = {
+    val f = fs(spark, root)
+    val dir = new Path(s"${root.stripSuffix("/")}/$LogDir")
+    val manifests =
+      if (!f.exists(dir)) Seq.empty
+      else f.listStatus(dir).toSeq
+        .filter(st => st.getPath.getName.startsWith("v") &&
+          st.getPath.getName.endsWith(".json"))
+        .map(st => (st.getPath.getName.stripPrefix("v").stripSuffix(".json").toLong,
+          st.getModificationTime))
+    require(manifests.nonEmpty, s"TxTable.versionAsOf: no commits under $root")
+    val atOrBefore = manifests.filter(_._2 <= tsMillis)
+    require(atOrBefore.nonEmpty, {
+      val (v0, t0) = manifests.minBy(_._1)
+      s"TxTable.versionAsOf: timestamp $tsMillis predates the earliest " +
+        s"retained manifest (v$v0 published at $t0) under $root — that era " +
+        "was removed by vacuum or never existed"
+    })
+    atOrBefore.maxBy(_._1)._1
+  }
+
+  /** Snapshot as of a wall-clock timestamp: [[versionAsOf]] + [[readVersion]]. */
+  def readAsOf(spark: SparkSession, root: String, tsMillis: Long): DataFrame =
+    readVersion(spark, root, versionAsOf(spark, root, tsMillis))
+
   /** The source-segment tag — `input_file_name()` must be computed AT the
     * scan (Spark refuses it above a multi-source join), so every path that
     * needs row provenance tags first and composes after. */

@@ -2456,6 +2456,50 @@ object Catalog {
          FROM orders, b
          WHERE o_orderkey >= c1 + 1 AND o_orderkey <= c2""")),
 
+    // TIMESTAMP AS OF time travel (Delta parity): versionAsOf resolves the
+    // latest manifest published at or before the wall-clock instant from
+    // ONE _txlog listing (publish time = manifest mtime; the CAS
+    // serializes commits, so mtimes are monotone up to clock granularity).
+    // The requires pin the resolution contract: the captured v1 mtime
+    // resolves to v1, and a timestamp predating the earliest retained
+    // manifest fails loudly (a vacuumed-out era must never silently
+    // resolve to the oldest survivor).  The oracle restates both eras as
+    // plain aggregates.
+    QueryDef("q_tx_asof",
+      (s, dir) => {
+        val root = Files.createTempDirectory("graft_txasof").toString + "/tbl"
+        val o = t(s, dir, "orders").select("o_orderkey", "o_totalprice")
+        val mx = o.agg(max("o_orderkey")).collect().head.getLong(0)
+        val c1 = mx / 2
+        TxTable.commitAppend(s, root, o.filter(col("o_orderkey") <= c1))
+        val t1 = new java.io.File(s"$root/_txlog/v0000000001.json").lastModified
+        // one clock tick of separation: mtimes are millisecond-granular and
+        // an intra-tick tie resolves to the LATER version by contract — the
+        // sleep makes the v1 boundary deterministic for the gate
+        Thread.sleep(25)
+        TxTable.commitAppend(s, root, o.filter(col("o_orderkey") > c1))
+        require(TxTable.versionAsOf(s, root, t1) == 1L,
+          "q_tx_asof: v1's publish instant must resolve to v1")
+        require(scala.util.Try(
+          TxTable.versionAsOf(s, root, t1 - 86400000L)).isFailure,
+          "q_tx_asof: a timestamp before the earliest manifest must fail loudly")
+        def era(df: org.apache.spark.sql.DataFrame, label: String) =
+          df.agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("price_sum"))
+            .withColumn("era", lit(label))
+        era(TxTable.readAsOf(s, root, t1), "asof_v1")
+          .unionByName(era(TxTable.read(s, root), "latest"))
+          .orderBy("era")
+      },
+      Some("""WITH b AS (SELECT MAX(o_orderkey) // 2 AS c1 FROM orders),
+         a1 AS (SELECT 'asof_v1' AS era, COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS price_sum
+           FROM orders, b WHERE o_orderkey <= c1),
+         a2 AS (SELECT 'latest' AS era, COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS price_sum
+           FROM orders)
+         SELECT era, n, price_sum FROM a1
+         UNION ALL SELECT era, n, price_sum FROM a2 ORDER BY era""")),
+
     // Manifest-level data skipping on a STRING column: three appends carry
     // per-status slices with string min/max stats (lexicographic bounds,
     // TxTable.segStats tag "s"), and the string-range read prunes the two

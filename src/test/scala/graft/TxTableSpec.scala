@@ -743,6 +743,34 @@ class TxTableSpec extends SparkFunSuite {
       "the horizon latches on the final merge commit")
   }
 
+  test("versionAsOf resolves publish instants monotonically; vacuumed eras fail loudly") {
+    val root = newRoot()
+    def slice(a: Long, b: Long) = (a to b).map(i => (i, i * 10)).toDF("k", "v")
+    def mtime(v: Long) =
+      new java.io.File(f"$root%s/_txlog/v$v%010d.json").lastModified
+    TxTable.commitOverwrite(spark, root, slice(1, 10))
+    val t1 = mtime(1); Thread.sleep(25)
+    TxTable.commitAppend(spark, root, slice(11, 20))
+    val t2 = mtime(2); Thread.sleep(25)
+    TxTable.commitAppend(spark, root, slice(21, 30))
+    assert(TxTable.versionAsOf(spark, root, t1) === 1)
+    assert(TxTable.versionAsOf(spark, root, t2) === 2)
+    assert(TxTable.versionAsOf(spark, root, System.currentTimeMillis() + 1000) === 3)
+    assert(TxTable.readAsOf(spark, root, t2).count() === 20,
+      "TIMESTAMP AS OF must read the era's snapshot, not the head")
+    intercept[IllegalArgumentException](
+      TxTable.versionAsOf(spark, root, t1 - 86400000L))
+    // vacuum drops v1: its publish instant is no longer resolvable — the
+    // error names the retention boundary instead of resolving to v2
+    TxTable.vacuum(spark, root, keepVersions = 2)
+    val e = intercept[IllegalArgumentException](
+      TxTable.versionAsOf(spark, root, t1))
+    assert(e.getMessage.contains("earliest retained"),
+      s"must name the retention boundary: ${e.getMessage}")
+    assert(TxTable.versionAsOf(spark, root, t2) === 2,
+      "retained eras keep resolving after vacuum")
+  }
+
   test("stats sidecar: past the inline budget stats shard to a per-commit " +
     "file; pruning/carry/restore load it, vacuum scopes it, thin reads never touch it") {
     val root = newRoot()
