@@ -96,6 +96,13 @@ object ScaleProbe {
       val queries = emb.filter(col("vec_id") < 50)
       time("lsh_topk", m) { Vector.lshTopK(queries, emb, 10).count() }
       time("ivf_topk", m) { Vector.ivfTopK(queries, emb, 10, 64, 8).count() }
+      // IVF-PQ: 64×64 coarse terms AND 64×64 codebook terms — both argmins
+      // take the row path past the codegen budget (the ScaleProbe finding
+      // that motivated it), so this probes the 100 TB index shape end-to-end
+      time("ivf_pq_topk", m) {
+        Vector.ivfPqTopK(queries, emb, 10, nlist = 64, nprobe = 8,
+          m = 8, kCode = 64).count()
+      }
       // 5) TxTable: segment-pruned merge of a 10% update batch into a
       //    3-segment table (append cost untimed)
       val root = s"$base/tx"

@@ -360,16 +360,30 @@ object Vector {
   def pqEncode(corpus: DataFrame, m: Int = 8, kCode: Int = 16): DataFrame =
     pqEncodePath(corpus, m, kCode, rowPath = None)
 
+  /** [[pqEncode]] against an explicitly TRAINED (or otherwise caller-built)
+    * codebook — codeword `j` is `codebook(j)`, full-width (slice `s` =
+    * that subspace's codeword). */
+  def pqEncodeWith(corpus: DataFrame, m: Int,
+                   codebook: IndexedSeq[IndexedSeq[Double]]): DataFrame =
+    pqEncodePath(corpus, m, codebook.size, rowPath = None, cbOverride = Some(codebook))
+
+  /** The default PQ codebook: the first `kCode` corpus vectors by id,
+    * collected once (kCode × dims doubles of driver state). */
+  private def pqInitialCodebook(corpus: DataFrame,
+                                kCode: Int): IndexedSeq[IndexedSeq[Double]] =
+    corpus.filter(col("vec_id") < kCode)
+      .select(col("vec_id").cast("int").as("j"), asDouble(col("embedding")).as("w"))
+      .orderBy("j").collect()
+      .map(_.getSeq[Double](1).toIndexedSeq).toIndexedSeq
+
   /** [[pqEncode]] with the argmin path pinned (`Some(true)` = mapPartitions
     * row path, `Some(false)` = unrolled expression, `None` = auto by the
     * codegen budget) — VectorFuzzSpec drives both on identical data. */
   private[graft] def pqEncodePath(corpus: DataFrame, m: Int, kCode: Int,
-                                  rowPath: Option[Boolean]): DataFrame = {
-    val cb: IndexedSeq[IndexedSeq[Double]] =
-      corpus.filter(col("vec_id") < kCode)
-        .select(col("vec_id").cast("int").as("j"), asDouble(col("embedding")).as("w"))
-        .orderBy("j").collect()
-        .map(_.getSeq[Double](1).toIndexedSeq).toIndexedSeq
+                                  rowPath: Option[Boolean],
+                                  cbOverride: Option[IndexedSeq[IndexedSeq[Double]]] = None
+                                 ): DataFrame = {
+    val cb = cbOverride.getOrElse(pqInitialCodebook(corpus, kCode))
     require(cb.nonEmpty, "pqEncode: empty codebook (no corpus vector has vec_id < kCode)")
     val dims = cb.head.length
     require(dims % m == 0, s"pqEncode: dims=$dims not divisible by m=$m")
@@ -392,7 +406,7 @@ object Vector {
       // dist ASC, j ASC LIMIT 1 as a per-row expression (ivfTopK's argmax
       // twin)
       val cs = array((0 until m).map { s =>
-        array_min(array((0 until kCode).map { j =>
+        array_min(array(cb.indices.map { j =>
           struct(subDist(col("cv"), s, j).as("d"), lit(j).as("j"))
         }: _*))
       }: _*)
@@ -408,6 +422,68 @@ object Vector {
           element_at(col("__cs"), s + 1).getField("d")).reduceLeft(_ + _), 6))
         .drop("__cs")
     }
+  }
+
+  /** One Lloyd refinement of the PQ codebook — [[kmeansAssign]]'s role for
+    * the product quantizer, per subspace under the encoder's own L2
+    * metric: every slice is assigned to its nearest initial codeword (the
+    * [[pqEncode]] argmin, bit-identical arithmetic), and each codeword is
+    * re-estimated as the per-dimension mean of its assigned slices.
+    * Returned as `(s, j, dim, w)` — subspace, codeword, 1-based dimension
+    * WITHIN the subspace, trained value — the relation the oracle mirrors
+    * hash-exactly; [[pqTrain]] folds it back into full-width codewords for
+    * [[pqEncodeWith]].
+    *
+    * Deterministic cross-engine exactly like [[kmeansAssign]]: means
+    * accumulate per-dimension in DECIMAL(38,12), then divide as
+    * double/long.  A codeword that attracts no slices keeps its INITIAL
+    * value (the standard empty-cluster convention, stated rather than
+    * silently dropping the code point — at kCode ≤ corpus the default
+    * codebook cannot strand its own seed slice except on an exact-distance
+    * tie to a lower id, which leaves a still-valid codeword).
+    *
+    * Scale shape: ONE corpus scan (the encode argmin, zero exchange) + one
+    * (s, j, dim) hash aggregation over an m × sub-exploded relation — no
+    * corpus-sized shuffle; driver state is the kCode × dims grid. */
+  def pqTrainRelation(corpus: DataFrame, m: Int = 8, kCode: Int = 16): DataFrame = {
+    val spark = corpus.sparkSession
+    val cb = pqInitialCodebook(corpus, kCode)
+    val dims = cb.head.length
+    val sub = dims / m
+    val enc = pqEncodePath(corpus, m, kCode, rowPath = None).select("cv", "codes")
+    val rel = enc
+      .select(posexplode(col("codes")).as(Seq("s", "j")), col("cv"))
+      .select(col("s"), col("j"),
+        posexplode(slice(col("cv"), col("s") * sub + 1, lit(sub))))
+      .select(col("s"), col("j"), (col("pos") + 1).as("dim"), col("col").as("val"))
+    val means = rel.groupBy("s", "j", "dim")
+      .agg((sum(col("val").cast("decimal(38,12)")).cast("double") /
+        count(lit(1))).as("__w"))
+    import spark.implicits._
+    val grid = (for {
+      s <- 0 until m; j <- cb.indices; i <- 1 to sub
+    } yield (s, j, i, cb(j)(s * sub + i - 1))).toDF("s", "j", "dim", "__w0")
+    // 9-dp quantization: the engines' double→DECIMAL(38,12) casts can
+    // disagree by ~1 ulp at the 12th decimal on float-derived doubles
+    // (the same trade centroidRelation documents) — the rounded statistic
+    // is bit-reproducible, and a 1e-9-quantized centroid is still a
+    // centroid
+    grid.join(means, Seq("s", "j", "dim"), "left")
+      .select(col("s"), col("j"), col("dim"),
+        round(coalesce(col("__w"), col("__w0")), 9).as("w"))
+  }
+
+  /** [[pqTrainRelation]] collected into full-width codewords (slice `s` of
+    * codeword `j` = subspace s's trained mean) — feed to [[pqEncodeWith]]. */
+  def pqTrain(corpus: DataFrame, m: Int = 8, kCode: Int = 16): IndexedSeq[IndexedSeq[Double]] = {
+    val dims = pqInitialCodebook(corpus, kCode).head.length
+    val sub = dims / m
+    val flat = new Array[Array[Double]](kCode)
+    for (j <- 0 until kCode) flat(j) = new Array[Double](dims)
+    pqTrainRelation(corpus, m, kCode).collect().foreach { r =>
+      flat(r.getInt(1))(r.getInt(0) * sub + r.getInt(2) - 1) = r.getDouble(3)
+    }
+    flat.map(_.toIndexedSeq).toIndexedSeq
   }
 
   /** Row-path PQ assignment for large codebooks (kCode × dims past the

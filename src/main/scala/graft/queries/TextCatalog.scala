@@ -1325,7 +1325,31 @@ object TextCatalog {
          r AS (SELECT q_id, c_id, cos,
              row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rank FROM sc)
          SELECT q_id, CAST(rank AS INT) AS rank, c_id, cos FROM r
-         WHERE rank <= 3 ORDER BY q_id, rank""")))
+         WHERE rank <= 3 ORDER BY q_id, rank""")),
+
+    // PQ codebook training (one Lloyd refinement per subspace, L2 — the
+    // q_kmeans_refine idea applied to the product quantizer): slices
+    // assign to their nearest initial codeword via the encoder's own
+    // argmin, then each codeword re-estimates as the DECIMAL(38,12)-exact
+    // per-dimension mean.  All 16×8×8 trained cells hash-match; empty
+    // codewords keep their initial value (COALESCE in both engines).
+    QueryDef("q_pq_train",
+      (s, dir) => Vector.pqTrainRelation(t(s, dir, "embeddings"), m = 8, kCode = 16)
+        .orderBy("s", "j", "dim"),
+      Some(s"""WITH $pqSql,
+         rel AS (SELECT k.s, k.j, tt.i,
+             c.cv[CAST(k.s * 8 + tt.i AS INT)] AS val
+           FROM codes k JOIN c USING (c_id), range(1, 9) tt(i)),
+         m1 AS (SELECT s, j, i,
+             CAST(SUM(CAST(val AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS w
+           FROM rel GROUP BY 1, 2, 3),
+         grid AS (SELECT ss.s, cb.j, tt.i,
+             cb.w[CAST(ss.s * 8 + tt.i AS INT)] AS w0
+           FROM cb, range(0, 8) ss(s), range(1, 9) tt(i)),
+         tr AS (SELECT g.s, g.j, g.i, round(COALESCE(m1.w, g.w0), 9) AS w
+           FROM grid g LEFT JOIN m1 ON m1.s = g.s AND m1.j = g.j AND m1.i = g.i)
+         SELECT CAST(s AS INT) AS s, CAST(j AS INT) AS j, CAST(i AS INT) AS dim, w
+         FROM tr ORDER BY s, j, dim""")))
 
   val multimodal: Seq[QueryDef] = Seq(
 

@@ -161,6 +161,20 @@ class VectorFuzzSpec extends SparkFunSuite {
       assert(ivfpq == pq,
         s"seed $seed: ivfPqTopK(nprobe=nlist) diverged from pqTopK " +
           s"(missing ${pq -- ivfpq}, extra ${ivfpq -- pq})")
+
+      // Lloyd refinement (assign → per-dim means → re-encode) cannot worsen
+      // total reconstruction error: SSE(new cb, new asg) ≤ SSE(new cb, old
+      // asg) ≤ SSE(old cb, old asg) — up to the 6-dp dist rounding and the
+      // trainer's 9-dp centroid quantization
+      def totalErr(enc: org.apache.spark.sql.DataFrame): Double =
+        enc.agg(org.apache.spark.sql.functions.sum("err"))
+          .collect().head.getDouble(0)
+      val errInit = totalErr(Vector.pqEncode(df, m = 4, kCode = kCode))
+      val errTrained = totalErr(
+        Vector.pqEncodeWith(df, 4, Vector.pqTrain(df, m = 4, kCode = kCode)))
+      assert(errTrained <= errInit + 1e-3,
+        s"seed $seed: trained codebook worsened reconstruction " +
+          s"($errInit -> $errTrained)")
     }
   }
 }
