@@ -424,6 +424,51 @@ object Vector {
     }
   }
 
+  /** Sign-bit binary code of an embedding, packed as two 32-bit halves
+    * (`lo` = dims 0-31, `hi` = dims 32-63): bit b set iff the component is
+    * ≥ 0.  Two halves rather than one 64-bit word on purpose — bit 63
+    * through a summed BIGINT build goes negative in Spark but HUGEINT in
+    * DuckDB's `list_sum`, so the packed words stay in positive-long range
+    * for exact cross-engine arithmetic.  1 bit per dimension: the
+    * cheapest retrieval tier under [[quantScale]] (int8) and [[pqEncode]]
+    * (m bytes) — 256× smaller than float32 at 64 dims. */
+  def binaryCode(v: Column, bitsFrom: Int, bitsUntil: Int): Column =
+    (bitsFrom until bitsUntil).map { i =>
+      when(element_at(v, i + 1) >= 0, lit(1L << (i - bitsFrom))).otherwise(lit(0L))
+    }.reduceLeft(_ + _)
+
+  /** Two-stage binary retrieval — the production prefilter shape: rank by
+    * Hamming distance over the sign codes (cheap: two XOR + popcount per
+    * candidate, codes readable without touching embeddings), keep the
+    * `prefilter` nearest per query, then exact-cosine re-rank the
+    * survivors to top `k`.  Ties break (distance asc, id asc) at both
+    * stages, so the cut is deterministic.  At 100 TB the first stage
+    * scans 8 bytes/vector; only prefilter × queries rows read the full
+    * embedding — compose with IVF lists for sub-scan candidates. */
+  def binaryTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                 prefilter: Int = 10, dims: Int = 64): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(corpus.sparkSession)
+    val half = dims / 2
+    def coded(df: DataFrame, idAs: String, vAs: String) =
+      df.select(col("vec_id").as(idAs), asDouble(col("embedding")).as(vAs),
+        binaryCode(asDouble(col("embedding")), 0, half).as(s"__lo_$idAs"),
+        binaryCode(asDouble(col("embedding")), half, dims).as(s"__hi_$idAs"))
+    val q = broadcast(coded(queries, "q_id", "qv"))
+    val c = coded(corpus, "c_id", "cv")
+    val ham = bit_count(col("__lo_q_id").bitwiseXOR(col("__lo_c_id"))) +
+      bit_count(col("__hi_q_id").bitwiseXOR(col("__hi_c_id")))
+    c.join(q, col("q_id") =!= col("c_id"))
+      .withColumn("ham", ham.cast("int"))
+      .withColumn("__pr", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("ham"), col("c_id"))))
+      .filter(col("__pr") <= prefilter)
+      .withColumn("cos", cosineNative(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "c_id", "ham", "cos")
+  }
+
   /** One Lloyd refinement of the PQ codebook — [[kmeansAssign]]'s role for
     * the product quantizer, per subspace under the encoder's own L2
     * metric: every slice is assigned to its nearest initial codeword (the

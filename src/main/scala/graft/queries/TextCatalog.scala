@@ -1327,6 +1327,45 @@ object TextCatalog {
          SELECT q_id, CAST(rank AS INT) AS rank, c_id, cos FROM r
          WHERE rank <= 3 ORDER BY q_id, rank""")),
 
+    // Binary (sign-bit) retrieval: 1 bit/dimension packed into two 32-bit
+    // halves (bit 63 through a summed BIGINT goes negative in Spark but
+    // HUGEINT in DuckDB list_sum — two halves keep the arithmetic exact),
+    // Hamming prefilter to 10 candidates, exact-cosine re-rank to top 3.
+    // The cheapest retrieval tier (256× smaller than float32): stage one
+    // reads 8 bytes/vector, only survivors touch embeddings.
+    QueryDef("q_binary_topk",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        Vector.binaryTopK(e.filter(col("vec_id") < 30), e, 3, prefilter = 10)
+          .orderBy("q_id", "rank")
+      },
+      Some {
+        def code(v: String, from: Int, until: Int) =
+          s"""CAST(list_sum(list_transform(range($from, $until), b ->
+             CASE WHEN $v[CAST(b + 1 AS INT)] >= 0
+               THEN (CAST(1 AS BIGINT) << (b - $from)) ELSE CAST(0 AS BIGINT) END))
+             AS BIGINT)"""
+        s"""WITH v AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv FROM embeddings),
+           coded AS (SELECT vec_id, dv, ${code("dv", 0, 32)} AS lo,
+               ${code("dv", 32, 64)} AS hi FROM v),
+           q AS (SELECT vec_id AS q_id, dv AS qv, lo AS qlo, hi AS qhi
+             FROM coded WHERE vec_id < 30),
+           sc AS (SELECT q_id, qv, vec_id AS c_id, dv AS cv,
+               bit_count(xor(qlo, lo)) + bit_count(xor(qhi, hi)) AS ham
+             FROM q, coded WHERE q_id <> vec_id),
+           pr AS (SELECT q_id, qv, c_id, cv, ham,
+               row_number() OVER (PARTITION BY q_id ORDER BY ham, c_id) AS rn
+             FROM sc),
+           rr AS (SELECT q_id, c_id, ham, ${cosSql("qv", "cv", 64)} AS cos
+             FROM pr WHERE rn <= 10),
+           r AS (SELECT q_id, c_id, ham, cos,
+               row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rank
+             FROM rr)
+           SELECT q_id, CAST(rank AS INT) AS rank, c_id, CAST(ham AS INT) AS ham, cos
+           FROM r WHERE rank <= 3 ORDER BY q_id, rank"""
+      }),
+
     // PQ codebook training (one Lloyd refinement per subspace, L2 — the
     // q_kmeans_refine idea applied to the product quantizer): slices
     // assign to their nearest initial codeword via the encoder's own

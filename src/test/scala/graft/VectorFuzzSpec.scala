@@ -175,6 +175,16 @@ class VectorFuzzSpec extends SparkFunSuite {
       assert(errTrained <= errInit + 1e-3,
         s"seed $seed: trained codebook worsened reconstruction " +
           s"($errInit -> $errTrained)")
+
+      // an unclamped Hamming prefilter admits every candidate, so the
+      // exact re-rank must reduce binaryTopK to brute force — any
+      // divergence is a prefilter-cut or packing bug
+      val bin = topK(Vector.binaryTopK(qdf, df, 4,
+        prefilter = corpus.size, dims = dims))
+      val bf = topK(Vector.bruteForceTopK(qdf, df, 4))
+      assert(bin == bf,
+        s"seed $seed: binaryTopK(prefilter=all) diverged from brute force " +
+          s"(missing ${bf -- bin}, extra ${bin -- bf})")
     }
   }
 }
