@@ -590,7 +590,14 @@ object Vector {
         .select(col("vec_id").cast("int").as("cent_id"), asDouble(col("embedding")).as("cw"))
         .orderBy("cent_id").collect()
         .map(r => (r.getInt(0), r.getSeq[Double](1))).toIndexedSeq
-    val enc = pqEncode(corpus, m, kCode)
+    // ROW-PATH encode on purpose (not the auto budget): under the join the
+    // optimizer's projection collapse would substitute the codes argmin
+    // into the per-PAIR rv expression — the 1024-term argmin re-evaluated
+    // per candidate pair, measured at ~4 s for 60 k pairs at sf0.1.  The
+    // mapPartitions encode materializes codes/rv once per CORPUS row, so
+    // nothing above it can inline them (bit-identical arithmetic either
+    // way — VectorFuzzSpec pins the paths equal).
+    val enc = pqEncodePath(corpus, m, kCode, rowPath = Some(true))
     val dims0 = centVecs.headOption.map(_._2.length).getOrElse(0)
     val rowPath = centVecs.size * dims0 > UnrolledCentroidTerms
     val lists =
@@ -627,7 +634,10 @@ object Vector {
   def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
              m: Int = 8, kCode: Int = 16): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(corpus.sparkSession)
-    val enc = pqEncode(corpus, m, kCode).select(col("c_id"), col("rv"))
+    // row-path encode: see ivfPqTopK — projection collapse would re-run
+    // the argmin per candidate pair under the broadcast join
+    val enc = pqEncodePath(corpus, m, kCode, rowPath = Some(true))
+      .select(col("c_id"), col("rv"))
     val q = broadcast(queries.select(col("vec_id").as("q_id"),
       asDouble(col("embedding")).as("qv")))
     enc.join(q, col("q_id") =!= col("c_id"))
