@@ -632,15 +632,26 @@ object Vector {
     * lists to prune candidates first (IVF-PQ — the FAISS layout), the
     * re-rank is this same expression. */
   def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-             m: Int = 8, kCode: Int = 16): DataFrame = {
-    graft.functions.GraftFunctions.ensureRegistered(corpus.sparkSession)
+             m: Int = 8, kCode: Int = 16): DataFrame =
     // row-path encode: see ivfPqTopK — projection collapse would re-run
     // the argmin per candidate pair under the broadcast join
-    val enc = pqEncodePath(corpus, m, kCode, rowPath = Some(true))
-      .select(col("c_id"), col("rv"))
+    rankAdc(queries, pqEncodePath(corpus, m, kCode, rowPath = Some(true)), k)
+
+  /** [[pqTopK]] over the TRAINED codebook ([[pqTrain]]'s one-Lloyd
+    * refinement) — the full train → encode → search flow: better
+    * reconstruction, identical plan shape and cost. */
+  def pqTopKTrained(queries: DataFrame, corpus: DataFrame, k: Int,
+                    m: Int = 8, kCode: Int = 16): DataFrame =
+    rankAdc(queries, pqEncodePath(corpus, m, kCode, rowPath = Some(true),
+      cbOverride = Some(pqTrain(corpus, m, kCode))), k)
+
+  /** Shared asymmetric-distance ranking: broadcast queries against the
+    * encoded corpus reconstruction, (cos desc, id asc) top-k window. */
+  private def rankAdc(queries: DataFrame, enc: DataFrame, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(queries.sparkSession)
     val q = broadcast(queries.select(col("vec_id").as("q_id"),
       asDouble(col("embedding")).as("qv")))
-    enc.join(q, col("q_id") =!= col("c_id"))
+    enc.select(col("c_id"), col("rv")).join(q, col("q_id") =!= col("c_id"))
       .withColumn("cos", cosineNative(col("qv"), col("rv")))
       .withColumn("rank", row_number().over(
         Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))))

@@ -1174,6 +1174,23 @@ object TextCatalog {
        codes AS (SELECT c_id, s, j, dist FROM best WHERE rn = 1)"""
   }
 
+  /** PQ trainer CTE fragment (`tr(s, j, i, w)` — the 9-dp-quantized
+    * one-Lloyd-refined codebook), ≡ Vector.pqTrainRelation over [[pqSql]]'s
+    * assignment; empty codewords COALESCE to their initial value. */
+  private val pqTrainSql: String =
+    s"""$pqSql,
+       rel AS (SELECT k.s, k.j, tt.i,
+           c.cv[CAST(k.s * 8 + tt.i AS INT)] AS val
+         FROM codes k JOIN c USING (c_id), range(1, 9) tt(i)),
+       m1 AS (SELECT s, j, i,
+           CAST(SUM(CAST(val AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS w
+         FROM rel GROUP BY 1, 2, 3),
+       grid AS (SELECT ss.s, cb.j, tt.i,
+           cb.w[CAST(ss.s * 8 + tt.i AS INT)] AS w0
+         FROM cb, range(0, 8) ss(s), range(1, 9) tt(i)),
+       tr AS (SELECT g.s, g.j, g.i, round(COALESCE(m1.w, g.w0), 9) AS w
+         FROM grid g LEFT JOIN m1 ON m1.s = g.s AND m1.j = g.j AND m1.i = g.i)"""
+
   val ivf: Seq[QueryDef] = Seq(
     QueryDef("q_ivf_topk",
       (s, dir) => {
@@ -1375,20 +1392,49 @@ object TextCatalog {
     QueryDef("q_pq_train",
       (s, dir) => Vector.pqTrainRelation(t(s, dir, "embeddings"), m = 8, kCode = 16)
         .orderBy("s", "j", "dim"),
-      Some(s"""WITH $pqSql,
-         rel AS (SELECT k.s, k.j, tt.i,
-             c.cv[CAST(k.s * 8 + tt.i AS INT)] AS val
-           FROM codes k JOIN c USING (c_id), range(1, 9) tt(i)),
-         m1 AS (SELECT s, j, i,
-             CAST(SUM(CAST(val AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS w
-           FROM rel GROUP BY 1, 2, 3),
-         grid AS (SELECT ss.s, cb.j, tt.i,
-             cb.w[CAST(ss.s * 8 + tt.i AS INT)] AS w0
-           FROM cb, range(0, 8) ss(s), range(1, 9) tt(i)),
-         tr AS (SELECT g.s, g.j, g.i, round(COALESCE(m1.w, g.w0), 9) AS w
-           FROM grid g LEFT JOIN m1 ON m1.s = g.s AND m1.j = g.j AND m1.i = g.i)
+      Some(s"""WITH $pqTrainSql
          SELECT CAST(s AS INT) AS s, CAST(j AS INT) AS j, CAST(i AS INT) AS dim, w
-         FROM tr ORDER BY s, j, dim""")))
+         FROM tr ORDER BY s, j, dim""")),
+
+    // The full train → encode → search flow: re-encode every vector
+    // against the TRAINED codebook (tw = the per-subspace trained
+    // codeword lists), rebuild the reconstruction, rank by asymmetric
+    // cosine — one oracle pinning trainer, re-assignment and scoring in
+    // composition.  Fold order discipline: trained codewords become LISTS
+    // (list(w ORDER BY i)) before any distance, so every fold walks index
+    // order exactly as the engine expression does.
+    QueryDef("q_pq_topk_trained",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        Vector.pqTopKTrained(e.filter(col("vec_id") < 30), e, 3, m = 8, kCode = 16)
+          .orderBy("q_id", "rank")
+      },
+      Some(s"""WITH $pqTrainSql,
+         tw AS (SELECT s, j, list(w ORDER BY i) AS tws FROM tr GROUP BY 1, 2),
+         sd2 AS (SELECT c.c_id, tw.s, tw.j,
+             round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(range(1, 9), i ->
+                 (cv[CAST(tw.s * 8 + i AS INT)] - tws[CAST(i AS INT)])
+                 * (cv[CAST(tw.s * 8 + i AS INT)] - tws[CAST(i AS INT)]))),
+               (acc, x) -> acc + x), 6) AS dist
+           FROM c, tw),
+         best2 AS (SELECT c_id, s, j, dist,
+             row_number() OVER (PARTITION BY c_id, s ORDER BY dist, j) AS rn FROM sd2),
+         codes2 AS (SELECT c_id, s, j FROM best2 WHERE rn = 1),
+         rv2 AS (SELECT k2.c_id,
+             list(tw.tws[CAST((tt.i - 1) % 8 + 1 AS INT)] ORDER BY tt.i) AS rv
+           FROM codes2 k2 JOIN tw ON tw.s = k2.s AND tw.j = k2.j, range(1, 65) tt(i)
+           WHERE k2.s = (tt.i - 1) // 8
+           GROUP BY k2.c_id),
+         qq AS (SELECT vec_id AS q_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+           FROM embeddings WHERE vec_id < 30),
+         sc AS (SELECT q_id, c_id, ${cosSql("qv", "rv", 64)} AS cos
+           FROM qq, rv2 WHERE q_id <> c_id),
+         r AS (SELECT q_id, c_id, cos,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rank FROM sc)
+         SELECT q_id, CAST(rank AS INT) AS rank, c_id, cos FROM r
+         WHERE rank <= 3 ORDER BY q_id, rank""")))
 
   val multimodal: Seq[QueryDef] = Seq(
 
