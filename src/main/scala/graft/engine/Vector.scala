@@ -130,41 +130,17 @@ object Vector {
     // by (cos, -cent_id) structs under array_max reproduces the previous
     // `ORDER BY cos DESC, cent_id` tie-break exactly, and the cosines are the
     // same graft_dot arithmetic, so the DuckDB oracle is unaffected.
-    val centVecs: Seq[(Int, Seq[Double])] =
-      corpus.filter(col("vec_id") < nlist)
-        .select(col("vec_id").cast("int").as("cent_id"), asDouble(col("embedding")).as("cw"))
-        .orderBy("cent_id").collect()
-        .map(r => (r.getInt(0), r.getSeq[Double](1))).toIndexedSeq
-    def scoredCents(v: Column): Column = scoredCentArray(v, centVecs)
-    val c = corpus.select(col("vec_id").as("c_id"), asDouble(col("embedding")).as("cv"))
-    val q0 = queries.select(col("vec_id").as("q_id"), asDouble(col("embedding")).as("qv"))
-    // TWO equivalent argmax paths.  The unrolled-literal expression is the
-    // default (whole-stage codegen, zero exchange), but its size grows as
-    // nlist × dims: past ~2k literal terms the generated method blows the
-    // JIT/Janino budget and the expression EVALUATES INTERPRETED —
-    // measured at nlist=64 × dims=64 as ~0.5 ms/row where the arithmetic
-    // is <1 µs (the ScaleProbe finding).  Large quantizers therefore take
-    // the row path: a typed mapPartitions over the same collected centroid
-    // matrix — still zero exchange, still per-row, and bit-identical
-    // arithmetic (index-order dot folds, HALF_UP 6-dp round, (cos desc,
-    // id asc) ordering), pinned by VectorFuzzSpec's full-probe ≡ brute
-    // equivalence on BOTH paths.
-    val dims0 = centVecs.headOption.map(_._2.length).getOrElse(0)
-    val rowPath = centVecs.size * dims0 > UnrolledCentroidTerms
-    val lists =
-      if (!rowPath)
-        c.withColumn("list_id", -array_max(scoredCents(col("cv"))).getField("nid"))
-      else nearestLists(c, centVecs, 1)
-        .withColumn("list_id", element_at(col("__lists"), 1)).drop("__lists")
-    // probe side: top-nprobe lists per query, still per-row (sort the small
-    // scored array, take the best nprobe, explode) — queries are the bounded
+    val centVecs = collectCents(corpus, nlist)
+    val lists = withNearest(
+      corpus.select(col("vec_id").as("c_id"), asDouble(col("embedding")).as("cv")),
+      centVecs, 1)
+      .withColumn("list_id", element_at(col("__lists"), 1)).drop("__lists")
+    // probe side: top-nprobe lists per query — queries are the bounded
     // broadcast side, so the list join ships ONLY probe rows to the lists.
-    val probes =
-      if (!rowPath) q0.withColumn("list_id", explode(transform(
-        slice(reverse(array_sort(scoredCents(col("qv")))), 1, nprobe),
-        s => -s.getField("nid"))))
-      else nearestLists(q0, centVecs, nprobe)
-        .withColumn("list_id", explode(col("__lists"))).drop("__lists")
+    val probes = withNearest(
+      queries.select(col("vec_id").as("q_id"), asDouble(col("embedding")).as("qv")),
+      centVecs, nprobe)
+      .withColumn("list_id", explode(col("__lists"))).drop("__lists")
     broadcast(probes).join(lists, Seq("list_id")).filter(col("q_id") =!= col("c_id"))
       .withColumn("cos", cosineNative(col("qv"), col("cv")))
       .withColumn("rank", row_number().over(
@@ -172,6 +148,56 @@ object Vector {
       .filter(col("rank") <= k)
       .select("q_id", "rank", "c_id", "cos")
   }
+
+  /** Collected coarse quantizer: the first `nlist` corpus vectors by id
+    * (nlist × dims doubles of driver state — the bounded-quantizer
+    * discipline every IVF path shares). */
+  private def collectCents(corpus: DataFrame, nlist: Int): Seq[(Int, Seq[Double])] =
+    corpus.filter(col("vec_id") < nlist)
+      .select(col("vec_id").cast("int").as("cent_id"), asDouble(col("embedding")).as("cw"))
+      .orderBy("cent_id").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1))).toIndexedSeq
+
+  /** `(id, vec)` frame + `__lists`: the `take` nearest centroid ids by
+    * (cosine desc, id asc).  TWO equivalent argmax paths: the
+    * unrolled-literal expression (whole-stage codegen, zero exchange) while
+    * nlist × dims fits the codegen budget; past it the generated method
+    * blows the JIT/Janino budget and EVALUATES INTERPRETED — measured at
+    * nlist=64 × dims=64 as ~0.5 ms/row (the ScaleProbe finding) — so large
+    * quantizers take the typed mapPartitions row path over the same
+    * collected matrix: still zero exchange, bit-identical arithmetic
+    * (index-order dot folds, HALF_UP 6-dp round, (cos desc, id asc)
+    * ordering), pinned full-probe ≡ brute on BOTH paths by VectorFuzzSpec. */
+  private def withNearest(df2: DataFrame, centVecs: Seq[(Int, Seq[Double])],
+                          take: Int): DataFrame = {
+    val dims0 = centVecs.headOption.map(_._2.length).getOrElse(0)
+    if (centVecs.size * dims0 > UnrolledCentroidTerms) nearestLists(df2, centVecs, take)
+    else {
+      val Seq(_, vecName) = df2.columns.toSeq
+      df2.withColumn("__lists", transform(
+        slice(reverse(array_sort(scoredCentArray(col(vecName), centVecs))), 1, take),
+        st => -st.getField("nid")))
+    }
+  }
+
+  /** The corpus tagged with its coarse list (`c_id, cv, list_id`) — the
+    * [[ivfTopK]] assignment exposed for PERSISTED index layouts: write the
+    * corpus clustered by `list_id` (e.g. a TxTable OPTIMIZE ZORDER BY
+    * list_id) and ANN probes become manifest-pruned segment reads. */
+  def coarseAssign(corpus: DataFrame, nlist: Int = 16): DataFrame =
+    withNearest(
+      corpus.select(col("vec_id").as("c_id"), asDouble(col("embedding")).as("cv")),
+      collectCents(corpus, nlist), 1)
+      .withColumn("list_id", element_at(col("__lists"), 1)).drop("__lists")
+
+  /** Per-query probe lists (`q_id, qv, list_id` — one row per probed list):
+    * [[ivfTopK]]'s query side exposed for persisted index layouts. */
+  def coarseProbes(queries: DataFrame, corpus: DataFrame,
+                   nlist: Int = 16, nprobe: Int = 4): DataFrame =
+    withNearest(
+      queries.select(col("vec_id").as("q_id"), asDouble(col("embedding")).as("qv")),
+      collectCents(corpus, nlist), nprobe)
+      .withColumn("list_id", explode(col("__lists"))).drop("__lists")
 
   /** Literal-term budget for the unrolled centroid-argmax expression —
     * beyond this the generated code leaves whole-stage codegen and the
@@ -585,11 +611,7 @@ object Vector {
                 nlist: Int = 16, nprobe: Int = 4,
                 m: Int = 8, kCode: Int = 16): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(corpus.sparkSession)
-    val centVecs: Seq[(Int, Seq[Double])] =
-      corpus.filter(col("vec_id") < nlist)
-        .select(col("vec_id").cast("int").as("cent_id"), asDouble(col("embedding")).as("cw"))
-        .orderBy("cent_id").collect()
-        .map(r => (r.getInt(0), r.getSeq[Double](1))).toIndexedSeq
+    val centVecs = collectCents(corpus, nlist)
     // ROW-PATH encode on purpose (not the auto budget): under the join the
     // optimizer's projection collapse would substitute the codes argmin
     // into the per-PAIR rv expression — the 1024-term argmin re-evaluated
@@ -598,24 +620,14 @@ object Vector {
     // nothing above it can inline them (bit-identical arithmetic either
     // way — VectorFuzzSpec pins the paths equal).
     val enc = pqEncodePath(corpus, m, kCode, rowPath = Some(true))
-    val dims0 = centVecs.headOption.map(_._2.length).getOrElse(0)
-    val rowPath = centVecs.size * dims0 > UnrolledCentroidTerms
-    val lists =
-      if (!rowPath)
-        enc.withColumn("list_id",
-          -array_max(scoredCentArray(col("cv"), centVecs)).getField("nid"))
-          .select("c_id", "rv", "list_id")
-      else nearestLists(enc.select(col("c_id"), col("cv")), centVecs, 1)
-        .withColumn("list_id", element_at(col("__lists"), 1))
-        .select("c_id", "list_id")
-        .join(enc.select("c_id", "rv"), "c_id")
-    val q0 = queries.select(col("vec_id").as("q_id"), asDouble(col("embedding")).as("qv"))
-    val probes =
-      if (!rowPath) q0.withColumn("list_id", explode(transform(
-        slice(reverse(array_sort(scoredCentArray(col("qv"), centVecs))), 1, nprobe),
-        s => -s.getField("nid"))))
-      else nearestLists(q0, centVecs, nprobe)
-        .withColumn("list_id", explode(col("__lists"))).drop("__lists")
+    val lists = withNearest(enc.select(col("c_id"), col("cv")), centVecs, 1)
+      .withColumn("list_id", element_at(col("__lists"), 1))
+      .select("c_id", "list_id")
+      .join(enc.select("c_id", "rv"), "c_id")
+    val probes = withNearest(
+      queries.select(col("vec_id").as("q_id"), asDouble(col("embedding")).as("qv")),
+      centVecs, nprobe)
+      .withColumn("list_id", explode(col("__lists"))).drop("__lists")
     broadcast(probes).join(lists, Seq("list_id")).filter(col("q_id") =!= col("c_id"))
       .withColumn("cos", cosineNative(col("qv"), col("rv")))
       .withColumn("rank", row_number().over(

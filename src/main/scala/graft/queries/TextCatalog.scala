@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.engine.{Graph, Multimodal, Quality, Relational, Text, Vector}
+import graft.engine.{Graph, Multimodal, Quality, Relational, Text, TxTable, Vector}
 
 /** LLM-data-pipeline operators over the `documents`/`embeddings` fixtures
   * (BASELINE.json north_star): dedup (exact, MinHash-LSH, SimHash, n-gram
@@ -1201,6 +1201,75 @@ object TextCatalog {
       Some(s"""WITH $ivfSql
          SELECT q_id, CAST(rank AS INT) AS rank, c_id, cos FROM r
          WHERE rank <= 3 ORDER BY q_id, rank""")),
+
+    // THE PERSISTED IVF INDEX: ivfTopK's scaladoc says "at 100 TB the
+    // inverted lists ARE the partitioning" — this query realizes it
+    // through the lakehouse layer.  The corpus commits into a TxTable
+    // tagged with its coarse list, OPTIMIZE ZORDER BY list_id clusters
+    // segments by list with [min,max] list stats in the manifest, and each
+    // probe becomes a MANIFEST-PRUNED segment read (readWhere) — the ANN
+    // query never scans unprobed lists, no resident index structure, and
+    // the require pins that pruning actually engaged.  4 queries × top-2
+    // probes over 16 lists / 16 clustered segments; the oracle is the
+    // plain IVF ranking (persistence must be invisible to results).
+    QueryDef("q_tx_ann_lists",
+      (s, dir) => {
+        val root = java.nio.file.Files.createTempDirectory("graft_txann")
+          .toString + "/tbl"
+        val e = t(s, dir, "embeddings")
+        val tbl = Vector.coarseAssign(e, nlist = 16)
+          .select(col("c_id").as("vec_id"), col("list_id").cast("long").as("list_id"),
+            col("cv"))
+        TxTable.commitOverwrite(s, root, tbl, statsCols = Seq("list_id"))
+        TxTable.compactZOrderN(s, root, Seq("list_id"), numSegments = 16)
+        val probes = Vector.coarseProbes(e.filter(col("vec_id") < 4), e,
+          nlist = 16, nprobe = 2)
+        val lids = probes.select("list_id").distinct().collect()
+          .map(_.getInt(0)).sorted
+        val cand = lids.map(l => TxTable.readWhere(s, root, "list_id",
+          new java.math.BigDecimal(l), new java.math.BigDecimal(l)))
+          .reduce(_.unionByName(_))
+        def segsOf(df: org.apache.spark.sql.DataFrame) =
+          df.inputFiles.map(_.replaceAll("/[^/]*$", "")).toSet
+        val scanned = segsOf(cand).size
+        val total = segsOf(TxTable.read(s, root)).size
+        require(scanned < total,
+          s"q_tx_ann_lists: probing ${lids.length} of 16 lists must prune " +
+            s"the clustered table — scanned $scanned of $total segments")
+        broadcast(probes).join(cand, Seq("list_id"))
+          .filter(col("q_id") =!= col("vec_id"))
+          .withColumn("cos", Vector.cosineNative(col("qv"), col("cv")))
+          .withColumn("rank", row_number().over(
+            Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))))
+          .filter(col("rank") <= 3)
+          .select(col("q_id"), col("rank"), col("vec_id").as("c_id"), col("cos"))
+          .orderBy("q_id", "rank")
+      },
+      Some {
+        val cosQC = cosSql("qq.qv", "cents.cw", 64)
+        val cosCC = cosSql("c.cv", "cents.cw", 64)
+        s"""WITH cents AS (SELECT vec_id AS cent_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cw
+           FROM embeddings WHERE vec_id < 16),
+         c AS (SELECT vec_id AS c_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv FROM embeddings),
+         asg AS (SELECT c_id, cv, cent_id,
+             row_number() OVER (PARTITION BY c_id ORDER BY $cosCC DESC, cent_id) AS rn
+           FROM c, cents),
+         lists AS (SELECT c_id, cv, cent_id AS list_id FROM asg WHERE rn = 1),
+         qq AS (SELECT vec_id AS q_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+           FROM embeddings WHERE vec_id < 4),
+         qp AS (SELECT q_id, qv, cent_id,
+             row_number() OVER (PARTITION BY q_id ORDER BY $cosQC DESC, cent_id) AS rn
+           FROM qq, cents),
+         probes AS (SELECT q_id, qv, cent_id AS list_id FROM qp WHERE rn <= 2),
+         sc AS (SELECT q_id, c_id, ${cosSql("qv", "cv", 64)} AS cos
+           FROM probes JOIN lists USING (list_id) WHERE q_id <> c_id),
+         r AS (SELECT q_id, c_id, cos,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rank FROM sc)
+         SELECT q_id, CAST(rank AS INT) AS rank, c_id, cos FROM r
+         WHERE rank <= 3 ORDER BY q_id, rank"""
+      }),
 
     // Lloyd k-means training for the IVF quantizer (one re-estimation
     // round): assign → decimal-exact per-dim means → re-assign.  Both
