@@ -181,6 +181,10 @@ class PlansSpec extends SparkFunSuite {
       "q_lsh_topk_multiprobe" -> ("ANN query side must broadcast", hasBroadcast _),
       "q_ivf_topk" -> ("ANN query side must broadcast", hasBroadcast _),
       "q_ann_filtered" -> ("ANN query side must broadcast", hasBroadcast _),
+      "q_pq_topk" -> ("ANN query side must broadcast", hasBroadcast _),
+      "q_pq_topk_trained" -> ("ANN query side must broadcast", hasBroadcast _),
+      "q_ivf_pq_topk" -> ("ANN query side must broadcast", hasBroadcast _),
+      "q_binary_topk" -> ("ANN query side must broadcast", hasBroadcast _),
       "q_bm25_topk" -> ("query terms must broadcast", hasBroadcast _))
     // q_aqe_skew's in-body gate asserts a RUNTIME AQE re-plan (skew-join
     // engagement), which depends on the session's partition sizing — it is
