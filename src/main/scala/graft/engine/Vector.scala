@@ -185,18 +185,39 @@ object Vector {
     * corpus clustered by `list_id` (e.g. a TxTable OPTIMIZE ZORDER BY
     * list_id) and ANN probes become manifest-pruned segment reads. */
   def coarseAssign(corpus: DataFrame, nlist: Int = 16): DataFrame =
-    withNearest(
-      corpus.select(col("vec_id").as("c_id"), asDouble(col("embedding")).as("cv")),
-      collectCents(corpus, nlist), 1)
-      .withColumn("list_id", element_at(col("__lists"), 1)).drop("__lists")
+    coarseAssignWith(corpus, collectCents(corpus, nlist))
 
   /** Per-query probe lists (`q_id, qv, list_id` — one row per probed list):
     * [[ivfTopK]]'s query side exposed for persisted index layouts. */
   def coarseProbes(queries: DataFrame, corpus: DataFrame,
                    nlist: Int = 16, nprobe: Int = 4): DataFrame =
+    coarseProbesWith(queries, collectCents(corpus, nlist), nprobe)
+
+  /** The collected coarse quantizer ([[ivfTopK]]'s first-`nlist`-by-id
+    * convention) exposed so a PERSISTED index can FREEZE it: once an index
+    * is built, every later delta batch must assign against the centroids
+    * the index was built with — re-deriving centroids from the evolved
+    * corpus would silently shift list boundaries and desynchronize probes
+    * from lists.  `nlist × dims` doubles of driver state. */
+  def coarseCentroids(corpus: DataFrame, nlist: Int = 16): Seq[(Int, Seq[Double])] =
+    collectCents(corpus, nlist)
+
+  /** [[coarseAssign]] under an explicit (frozen) quantizer — the
+    * incremental-maintenance form: assign ONLY the delta batch, same
+    * zero-exchange per-row argmax, bit-identical to a full rebuild's
+    * assignment of the same rows. */
+  def coarseAssignWith(corpus: DataFrame, cents: Seq[(Int, Seq[Double])]): DataFrame =
+    withNearest(
+      corpus.select(col("vec_id").as("c_id"), asDouble(col("embedding")).as("cv")),
+      cents, 1)
+      .withColumn("list_id", element_at(col("__lists"), 1)).drop("__lists")
+
+  /** [[coarseProbes]] under an explicit (frozen) quantizer. */
+  def coarseProbesWith(queries: DataFrame, cents: Seq[(Int, Seq[Double])],
+                       nprobe: Int = 4): DataFrame =
     withNearest(
       queries.select(col("vec_id").as("q_id"), asDouble(col("embedding")).as("qv")),
-      collectCents(corpus, nlist), nprobe)
+      cents, nprobe)
       .withColumn("list_id", explode(col("__lists"))).drop("__lists")
 
   /** Literal-term budget for the unrolled centroid-argmax expression —

@@ -1271,6 +1271,117 @@ object TextCatalog {
          WHERE rank <= 3 ORDER BY q_id, rank"""
       }),
 
+    // INCREMENTAL maintenance of the persisted IVF index — the piece that
+    // makes q_tx_ann_lists honest at 100 TB, where "rebuild the index per
+    // ingest" is not a plan.  The quantizer FREEZES at build time
+    // (Vector.coarseCentroids); the source corpus is a CDF-enabled TxTable
+    // that then evolves (a late batch appends, a takedown deletes); the
+    // index applies ONLY the delta: readChanges → inserts assign under the
+    // frozen centroids and append as one stats-tracked delta segment,
+    // deletes become a DELETION VECTOR so the clustered layout survives
+    // untouched.  Probes stay manifest-pruned through both phases
+    // (require-pinned), OPTIMIZE ZORDER then folds delta + DV back into
+    // tight clustering as pure layout maintenance — assignments are never
+    // recomputed.  The oracle is the plain IVF ranking over the FINAL
+    // membership: incremental ≡ rebuild, bit for bit.
+    QueryDef("q_tx_ann_incremental",
+      (s, dir) => {
+        val base = java.nio.file.Files.createTempDirectory("graft_txann_inc")
+          .toString
+        val srcRoot = base + "/src"; val idxRoot = base + "/idx"
+        val e = t(s, dir, "embeddings")
+        val cents = Vector.coarseCentroids(e, nlist = 16)
+        TxTable.commitOverwrite(s, srcRoot,
+          e.filter(col("vec_id") >= 12).select("vec_id", "embedding"))
+        val v0 = TxTable.latestVersion(s, srcRoot).get
+        def toIdx(rows: org.apache.spark.sql.DataFrame) =
+          Vector.coarseAssignWith(rows, cents)
+            .select(col("c_id").as("vec_id"),
+              col("list_id").cast("long").as("list_id"), col("cv"))
+        TxTable.commitOverwrite(s, idxRoot, toIdx(TxTable.read(s, srcRoot)),
+          statsCols = Seq("list_id"))
+        TxTable.compactZOrderN(s, idxRoot, Seq("list_id"), numSegments = 16)
+        // the corpus evolves AFTER the index exists
+        TxTable.commitAppend(s, srcRoot,
+          e.filter(col("vec_id") < 12).select("vec_id", "embedding"))
+        TxTable.commitDelete(s, srcRoot,
+          e.filter(col("vec_id") % 17 === 3).select("vec_id"),
+          keys = Seq("vec_id"), cdf = true)
+        val head = TxTable.latestVersion(s, srcRoot).get
+        // incremental refresh: only the CDF delta moves
+        val ch = TxTable.readChanges(s, srcRoot, v0, head)
+        TxTable.commitAppend(s, idxRoot,
+          toIdx(ch.filter(col("_change_type") === "insert")
+            .select("vec_id", "embedding")),
+          statsCols = Seq("list_id"))
+        TxTable.commitDeleteVectors(s, idxRoot,
+          ch.filter(col("_change_type") === "delete").select("vec_id"),
+          keys = Seq("vec_id"))
+        val probes = Vector.coarseProbesWith(e.filter(col("vec_id") < 4),
+          cents, nprobe = 2)
+        val lids = probes.select("list_id").distinct().collect()
+          .map(_.getInt(0)).sorted
+        def cand() = lids.map(l => TxTable.readWhere(s, idxRoot, "list_id",
+          new java.math.BigDecimal(l), new java.math.BigDecimal(l)))
+          .reduce(_.unionByName(_))
+        // scanned DATA segments (dv/ sidecars the DV join reads don't count)
+        def dataSegs(df: org.apache.spark.sql.DataFrame) =
+          df.inputFiles.filter(_.contains("/data/"))
+            .map(_.replaceAll("/[^/]*$", "")).toSet
+        val candPre = cand()
+        val scannedPre = dataSegs(candPre).size
+        val totalPre = dataSegs(TxTable.read(s, idxRoot)).size
+        require(scannedPre < totalPre,
+          s"q_tx_ann_incremental: probes must still prune with the delta " +
+            s"segment live — scanned $scannedPre of $totalPre segments")
+        require(candPre.filter(col("vec_id") % 17 === 3).count() == 0,
+          "q_tx_ann_incremental: taken-down rows must not surface through " +
+            "the pruned read (deletion vector not applied)")
+        // OPTIMIZE folds the delta in and materializes the DV — layout
+        // only, no assignment recomputed
+        TxTable.compactZOrderN(s, idxRoot, Seq("list_id"), numSegments = 16)
+        val c2 = cand()
+        val scannedPost = dataSegs(c2).size
+        val totalPost = dataSegs(TxTable.read(s, idxRoot)).size
+        require(scannedPost < totalPost,
+          s"q_tx_ann_incremental: probes must prune the re-clustered " +
+            s"table — scanned $scannedPost of $totalPost segments")
+        broadcast(probes).join(c2, Seq("list_id"))
+          .filter(col("q_id") =!= col("vec_id"))
+          .withColumn("cos", Vector.cosineNative(col("qv"), col("cv")))
+          .withColumn("rank", row_number().over(
+            Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))))
+          .filter(col("rank") <= 3)
+          .select(col("q_id"), col("rank"), col("vec_id").as("c_id"), col("cos"))
+          .orderBy("q_id", "rank")
+      },
+      Some {
+        val cosQC = cosSql("qq.qv", "cents.cw", 64)
+        val cosCC = cosSql("c.cv", "cents.cw", 64)
+        s"""WITH cents AS (SELECT vec_id AS cent_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cw
+           FROM embeddings WHERE vec_id < 16),
+         c AS (SELECT vec_id AS c_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+           FROM embeddings WHERE vec_id % 17 <> 3),
+         asg AS (SELECT c_id, cv, cent_id,
+             row_number() OVER (PARTITION BY c_id ORDER BY $cosCC DESC, cent_id) AS rn
+           FROM c, cents),
+         lists AS (SELECT c_id, cv, cent_id AS list_id FROM asg WHERE rn = 1),
+         qq AS (SELECT vec_id AS q_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+           FROM embeddings WHERE vec_id < 4),
+         qp AS (SELECT q_id, qv, cent_id,
+             row_number() OVER (PARTITION BY q_id ORDER BY $cosQC DESC, cent_id) AS rn
+           FROM qq, cents),
+         probes AS (SELECT q_id, qv, cent_id AS list_id FROM qp WHERE rn <= 2),
+         sc AS (SELECT q_id, c_id, ${cosSql("qv", "cv", 64)} AS cos
+           FROM probes JOIN lists USING (list_id) WHERE q_id <> c_id),
+         r AS (SELECT q_id, c_id, cos,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rank FROM sc)
+         SELECT q_id, CAST(rank AS INT) AS rank, c_id, cos FROM r
+         WHERE rank <= 3 ORDER BY q_id, rank"""
+      }),
+
     // Lloyd k-means training for the IVF quantizer (one re-estimation
     // round): assign → decimal-exact per-dim means → re-assign.  Both
     // engines compute bit-identical centroids, so the 500 final

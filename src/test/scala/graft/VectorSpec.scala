@@ -249,4 +249,53 @@ class VectorSpec extends SparkFunSuite {
     assert(got.filter(_._2).keySet === Set(2L, 3L),
       s"exactly the within-cluster near-dups drop, got $got")
   }
+
+  test("incremental IVF index maintenance ≡ full rebuild (frozen quantizer)") {
+    import graft.engine.TxTable
+    val root = java.nio.file.Files.createTempDirectory("vec_inc").toString
+    val srcRoot = root + "/src"; val idxRoot = root + "/idx"
+    def mk(ids: Seq[Long]) = ids.map { i =>
+      (i, Seq.tabulate(8)(j => (((i * 31 + j * 17) % 97 - 48) / 7.0).toFloat))
+    }.toDF("vec_id", "embedding")
+    val all = mk(0L until 40L)
+    // quantizer freezes over the FULL id range (first 4 by id), before any
+    // membership churn
+    val cents = Vector.coarseCentroids(all, nlist = 4)
+    def toIdx(rows: org.apache.spark.sql.DataFrame) =
+      Vector.coarseAssignWith(rows, cents)
+        .select($"c_id".as("vec_id"), $"list_id".cast("long").as("list_id"), $"cv")
+    // build from the initial membership (ids 8..39)
+    TxTable.commitOverwrite(spark, srcRoot, mk(8L until 40L))
+    val v0 = TxTable.latestVersion(spark, srcRoot).get
+    TxTable.commitOverwrite(spark, idxRoot, toIdx(TxTable.read(spark, srcRoot)),
+      statsCols = Seq("list_id"))
+    // source churn: late batch 0..7 appends, ids ≡ 1 (mod 5) are taken down
+    TxTable.commitAppend(spark, srcRoot, mk(0L until 8L))
+    TxTable.commitDelete(spark, srcRoot,
+      all.filter($"vec_id" % 5 === 1).select("vec_id"),
+      keys = Seq("vec_id"), cdf = true)
+    val head = TxTable.latestVersion(spark, srcRoot).get
+    // apply ONLY the delta to the index
+    val ch = TxTable.readChanges(spark, srcRoot, v0, head)
+    TxTable.commitAppend(spark, idxRoot,
+      toIdx(ch.filter($"_change_type" === "insert").select("vec_id", "embedding")),
+      statsCols = Seq("list_id"))
+    TxTable.commitDeleteVectors(spark, idxRoot,
+      ch.filter($"_change_type" === "delete").select("vec_id"), keys = Seq("vec_id"))
+    def asgSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "list_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rebuilt = asgSet(toIdx(all.filter($"vec_id" % 5 =!= 1)))
+    assert(asgSet(TxTable.read(spark, idxRoot)) === rebuilt,
+      "incremental delta apply must equal a full rebuild of the final membership")
+    // the pruned per-list read sees the same world (DV applied there too)
+    val byList = (0L until 4L).map { l =>
+      asgSet(TxTable.readWhere(spark, idxRoot, "list_id",
+        new java.math.BigDecimal(l), new java.math.BigDecimal(l)))
+    }.reduce(_ ++ _)
+    assert(byList === rebuilt)
+    // OPTIMIZE is layout-only: contents identical after re-clustering
+    TxTable.compactZOrderN(spark, idxRoot, Seq("list_id"), numSegments = 4)
+    assert(asgSet(TxTable.read(spark, idxRoot)) === rebuilt)
+  }
 }
