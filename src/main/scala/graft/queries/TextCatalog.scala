@@ -45,6 +45,71 @@ object TextCatalog {
   private def cosSql(a: String, b: String, dims: Int): String =
     s"round(${dotSql(a, b, dims)} / (sqrt(${dotSql(a, a, dims)}) * sqrt(${dotSql(b, b, dims)})), 6)"
 
+  /** BM25-scored corpus against the min-doc_id query document —
+    * `(doc_id, n_terms, score)`, shared by q_bm25_topk and the RRF hybrid.
+    * The explicit isNotNull matches the join-inferred null filter on the
+    * tf/dl branches, so all three corpus subtrees canonicalize identically
+    * and AQE reuses ONE shuffle stage for them.  The query doc itself
+    * stays in the scoring (the standard self-retrieval sanity row) —
+    * excluding it would push a doc_id filter into one branch's scan and
+    * break exchange reuse; callers that need it gone filter the
+    * 20-row result, not the corpus. */
+  private def bm25Scored(s: org.apache.spark.sql.SparkSession,
+                         dir: String): org.apache.spark.sql.DataFrame = {
+    val d = Fixtures.table(s, dir, "documents")
+    val rel = d.filter(col("doc_id").isNotNull)
+      .select(col("doc_id"), Text.tokens(col("text")).as("__t"))
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), explode(col("__t")).as("term"))
+    val tf = rel.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = broadcast(dl.agg(count(lit(1)).as("__n"),
+      sum(col("dl")).as("__toks")))
+    val qdoc = d.agg(min("doc_id")).collect().head.getLong(0)
+    val qterms = broadcast(d.filter(col("doc_id") === qdoc)
+      .select(explode(Text.tokens(col("text"))).as("term")).distinct())
+    tf.join(qterms, "term")
+      .join(broadcast(dfreq.join(qterms, "term")), "term")
+      .join(dl, "doc_id")
+      .crossJoin(stats)
+      .withColumn("avgdl", col("__toks").cast("double") / col("__n"))
+      .withColumn("idf",
+        (col("__n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+      .withColumn("tfn",
+        col("tf").cast("double") * (lit(1.2) + lit(1.0)) /
+          (col("tf").cast("double") + lit(1.2) *
+            (lit(1.0) - lit(0.75) +
+              lit(0.75) * col("dl").cast("double") / col("avgdl"))))
+      .withColumn("sc",
+        round(col("idf") * col("tfn"), 6).cast(DecimalType(38, 6)))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("sc")).cast("double").as("score"))
+  }
+
+  /** [[bm25Scored]]'s DuckDB mirror as a CTE chain ending in
+    * `scored(doc_id, n_terms, score)` (with `qd(qdoc)` still in scope for
+    * downstream fragments). */
+  private val bm25Sql: String =
+    s"""rel AS (SELECT doc_id, unnest($toks) AS term FROM documents),
+         tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM rel GROUP BY 1, 2),
+         dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY 1),
+         stats AS (SELECT COUNT(*) AS n, SUM(dl) AS toks FROM dl),
+         qd AS (SELECT MIN(doc_id) AS qdoc FROM documents),
+         qterms AS (SELECT DISTINCT term FROM tf, qd WHERE doc_id = qdoc),
+         dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+         pt AS (SELECT t.doc_id,
+             round(((n - df + 0.5) / (df + 0.5)) *
+               (CAST(tf AS DOUBLE) * (1.2 + 1.0) /
+                (CAST(tf AS DOUBLE) + 1.2 * (1.0 - 0.75 +
+                 0.75 * CAST(dl AS DOUBLE) / (CAST(toks AS DOUBLE) / n)))), 6) AS sc
+           FROM tf t JOIN qterms USING (term) JOIN dfreq USING (term)
+             JOIN dl USING (doc_id), stats),
+         scored AS (SELECT doc_id, COUNT(*) AS n_terms,
+             CAST(SUM(CAST(sc AS DECIMAL(38, 6))) AS DOUBLE) AS score
+           FROM pt GROUP BY 1)"""
+
   /** 4-dim cosine over COLUMN quadruples named `${p}1..${p}4` — the
     * explicit-term mirror of `graft_cos` on the quadrant feature vectors
     * (left-associated sum = the expression's index-order fold, so the
@@ -399,61 +464,91 @@ object TextCatalog {
     // sanity row) — excluding it would push a doc_id filter into one
     // branch's scan and break exchange reuse for no semantic gain.
     QueryDef("q_bm25_topk",
+      (s, dir) => bm25Scored(s, dir)
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(20),
+      Some(s"""WITH $bm25Sql
+         SELECT doc_id, n_terms, score FROM scored
+         ORDER BY score DESC, doc_id LIMIT 20""")),
+
+    // HYBRID RETRIEVAL — Reciprocal Rank Fusion (Cormack et al., SIGIR'09)
+    // of the two retrievers above: BM25's lexical top-20 and the
+    // embedding-cosine top-20, fused by Σ 1/(60 + rank).  RRF is the
+    // rank-space fusion production retrieval stacks default to precisely
+    // because it needs NO score calibration between modalities — which is
+    // also what makes it oracle-exact here: ranks are integers, so the
+    // fused score is a sum of two reciprocals both engines compute
+    // bit-identically in IEEE doubles (no rounding step needed).  Plan
+    // shape: each leg's top-k is TakeOrderedAndProject (never a global
+    // sort); the fusion is a full outer join of two ≤k-row frames — at
+    // 100 TB the legs do all the distributed work and the fusion is
+    // driver-trivial by construction.
+    QueryDef("q_hybrid_rrf",
       (s, dir) => {
         val d = t(s, dir, "documents")
-        // the explicit isNotNull matches the join-inferred null filter on
-        // the tf/dl branches, so all three corpus subtrees canonicalize
-        // identically and AQE reuses ONE shuffle stage for them
-        val rel = d.filter(col("doc_id").isNotNull)
-          .select(col("doc_id"), Text.tokens(col("text")).as("__t"))
-          .repartition(col("doc_id"))
-          .select(col("doc_id"), explode(col("__t")).as("term"))
-        val tf = rel.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-        val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
-        val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-        val stats = broadcast(dl.agg(count(lit(1)).as("__n"),
-          sum(col("dl")).as("__toks")))
+        val e = t(s, dir, "embeddings")
         val qdoc = d.agg(min("doc_id")).collect().head.getLong(0)
-        val qterms = broadcast(d.filter(col("doc_id") === qdoc)
-          .select(explode(Text.tokens(col("text"))).as("term")).distinct())
-        tf.join(qterms, "term")
-          .join(broadcast(dfreq.join(qterms, "term")), "term")
-          .join(dl, "doc_id")
-          .crossJoin(stats)
-          .withColumn("avgdl", col("__toks").cast("double") / col("__n"))
-          .withColumn("idf",
-            (col("__n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
-          .withColumn("tfn",
-            col("tf").cast("double") * (lit(1.2) + lit(1.0)) /
-              (col("tf").cast("double") + lit(1.2) *
-                (lit(1.0) - lit(0.75) +
-                  lit(0.75) * col("dl").cast("double") / col("avgdl"))))
-          .withColumn("sc",
-            round(col("idf") * col("tfn"), 6).cast(DecimalType(38, 6)))
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_terms"),
-            sum(col("sc")).cast("double").as("score"))
-          .orderBy(col("score").desc, col("doc_id"))
-          .limit(20)
+        // Global rank WITHOUT a partition-less window (the guardrail's
+        // ban is load-bearing here): top-k first via TakeOrdered, then
+        // rank-within-k = 1 + count of strictly-better rows, a broadcast
+        // non-equi self-join whose BOTH sides are k-bounded — k² work
+        // independent of corpus size.
+        def rankTopK(top: org.apache.spark.sql.DataFrame, scoreCol: String,
+                     rankAs: String) = {
+          val better =
+            col(s"b.$scoreCol") > col(s"a.$scoreCol") ||
+              (col(s"b.$scoreCol") === col(s"a.$scoreCol") &&
+                col("b.doc_id") < col("a.doc_id"))
+          top.as("a").join(broadcast(top.as("b")), better, "left")
+            .groupBy(top.columns.map(c => col(s"a.$c").as(c)): _*)
+            .agg((count(col("b.doc_id")) + 1).cast("int").as(rankAs))
+        }
+        // lexical leg: the BM25 ranking minus the query doc's self-hit
+        // (the vector leg excludes self, the fusion must compare like
+        // with like)
+        val lexTop = bm25Scored(s, dir).filter(col("doc_id") =!= qdoc)
+          .orderBy(col("score").desc, col("doc_id")).limit(20)
+          .select("doc_id", "score")
+        val lex = rankTopK(lexTop, "score", "lex_rank")
+          .select(col("doc_id"), col("lex_rank"))
+        val vecTop = Vector.bruteForceTopK(e.filter(col("vec_id") === qdoc), e, 20)
+          .select(col("c_id").as("doc_id"), col("rank").as("vec_rank"))
+        val fused = lex.join(vecTop, Seq("doc_id"), "full_outer")
+          .withColumn("rrf",
+            coalesce(lit(1.0) / (lit(60) + col("lex_rank")), lit(0.0)) +
+              coalesce(lit(1.0) / (lit(60) + col("vec_rank")), lit(0.0)))
+          .orderBy(col("rrf").desc, col("doc_id")).limit(10)
+        rankTopK(fused, "rrf", "rank")
+          .select(col("doc_id"), col("lex_rank"), col("vec_rank"),
+            col("rrf"), col("rank"))
+          .orderBy("rank")
       },
-      Some(s"""WITH rel AS (SELECT doc_id, unnest($toks) AS term FROM documents),
-         tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM rel GROUP BY 1, 2),
-         dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY 1),
-         stats AS (SELECT COUNT(*) AS n, SUM(dl) AS toks FROM dl),
-         qd AS (SELECT MIN(doc_id) AS qdoc FROM documents),
-         qterms AS (SELECT DISTINCT term FROM tf, qd WHERE doc_id = qdoc),
-         dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
-         pt AS (SELECT t.doc_id,
-             round(((n - df + 0.5) / (df + 0.5)) *
-               (CAST(tf AS DOUBLE) * (1.2 + 1.0) /
-                (CAST(tf AS DOUBLE) + 1.2 * (1.0 - 0.75 +
-                 0.75 * CAST(dl AS DOUBLE) / (CAST(toks AS DOUBLE) / n)))), 6) AS sc
-           FROM tf t JOIN qterms USING (term) JOIN dfreq USING (term)
-             JOIN dl USING (doc_id), stats)
-         SELECT doc_id, COUNT(*) AS n_terms,
-             CAST(SUM(CAST(sc AS DECIMAL(38, 6))) AS DOUBLE) AS score
-           FROM pt GROUP BY 1
-         ORDER BY score DESC, doc_id LIMIT 20""")),
+      Some(s"""WITH $bm25Sql,
+         lexr AS (SELECT doc_id, lex_rank FROM (
+             SELECT scored.doc_id,
+                 row_number() OVER (ORDER BY score DESC, scored.doc_id) AS lex_rank
+               FROM scored, qd WHERE scored.doc_id <> qdoc)
+           WHERE lex_rank <= 20),
+         qv AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+           FROM embeddings, qd WHERE vec_id = qdoc),
+         cc AS (SELECT vec_id AS c_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+           FROM embeddings, qd WHERE vec_id <> qdoc),
+         vs AS (SELECT c_id, ${cosSql("qv", "cv", 64)} AS cos FROM cc, qv),
+         vecr AS (SELECT c_id AS doc_id, vec_rank FROM (
+             SELECT c_id, row_number() OVER (ORDER BY cos DESC, c_id) AS vec_rank
+               FROM vs)
+           WHERE vec_rank <= 20),
+         fused AS (SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+             l.lex_rank, v.vec_rank,
+             COALESCE(CAST(1 AS DOUBLE) / (60 + l.lex_rank), CAST(0 AS DOUBLE)) +
+             COALESCE(CAST(1 AS DOUBLE) / (60 + v.vec_rank), CAST(0 AS DOUBLE)) AS rrf
+           FROM lexr l FULL OUTER JOIN vecr v ON l.doc_id = v.doc_id)
+         SELECT doc_id, CAST(lex_rank AS INT) AS lex_rank,
+             CAST(vec_rank AS INT) AS vec_rank, rrf, CAST(rnk AS INT) AS rank
+           FROM (SELECT *, row_number() OVER (ORDER BY rrf DESC, doc_id) AS rnk
+             FROM fused)
+           WHERE rnk <= 10 ORDER BY rank""")),
 
     // PII scrubbing: deterministic synthetic PII appended per doc_id mod,
     // scrubbed by the regexp_replace chain; the full scrubbed string is
