@@ -1477,6 +1477,101 @@ object TextCatalog {
          WHERE rank <= 3 ORDER BY q_id, rank"""
       }),
 
+    // STREAMING ANN index ingest — the third leg of the persisted-index
+    // story (batch build = q_tx_ann_lists, incremental batch refresh =
+    // q_tx_ann_incremental, streaming ingest = here).  Embedding batches
+    // arrive as a file stream; each micro-batch assigns under the FROZEN
+    // quantizer and commits through TxTable.streamingAppend with list_id
+    // stats — exactly-once (the second, fresh-checkpoint run must fully
+    // no-op on batch ids: one replayed batch duplicates candidate rows and
+    // the oracle hash catches it, and the row-count require names it
+    // first).  OPTIMIZE ZORDER then clusters the landed micro-batch
+    // segments by list — the maintenance cadence a 100 TB streaming index
+    // actually runs — after which probes are manifest-pruned reads,
+    // require-pinned.  Oracle: the plain IVF ranking (ingest path must be
+    // invisible to results).
+    QueryDef("q_st16_stream_ann",
+      (s, dir) => {
+        val base = java.nio.file.Files.createTempDirectory("graft_st16")
+          .toString
+        val root = s"$base/idx"
+        val e = t(s, dir, "embeddings")
+        val cents = Vector.coarseCentroids(e, nlist = 16)
+        (0 until 3).foreach(i =>
+          e.filter(pmod(col("vec_id"), lit(3)) === i)
+            .write.parquet(s"$base/src/f$i"))
+        val schema = s.read.parquet(s"$base/src/f0").schema
+        def ingest(df: org.apache.spark.sql.DataFrame, id: Long): Unit =
+          TxTable.streamingAppend(root, statsCols = Seq("list_id"))(
+            Vector.coarseAssignWith(df, cents)
+              .select(col("c_id").as("vec_id"),
+                col("list_id").cast("long").as("list_id"), col("cv")), id)
+        def runOnce(cp: String): Unit = {
+          val q = s.readStream.schema(schema).parquet(s"$base/src/f*")
+            .writeStream.foreachBatch(ingest _)
+            .option("checkpointLocation", cp)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        runOnce(s"$base/cp1")
+        runOnce(s"$base/cp2") // fresh checkpoint: replay must no-op
+        val n = TxTable.read(s, root).count()
+        val nCorpus = e.count()
+        require(n == nCorpus,
+          s"q_st16_stream_ann: exactly-once violated — index has $n rows " +
+            s"for a $nCorpus-vector corpus (a replayed batch re-committed)")
+        TxTable.compactZOrderN(s, root, Seq("list_id"), numSegments = 16)
+        val probes = Vector.coarseProbesWith(e.filter(col("vec_id") < 4),
+          cents, nprobe = 2)
+        val lids = probes.select("list_id").distinct().collect()
+          .map(_.getInt(0)).sorted
+        val cand = lids.map(l => TxTable.readWhere(s, root, "list_id",
+          new java.math.BigDecimal(l), new java.math.BigDecimal(l)))
+          .reduce(_.unionByName(_))
+        def dataSegs(df: org.apache.spark.sql.DataFrame) =
+          df.inputFiles.filter(_.contains("/data/"))
+            .map(_.replaceAll("/[^/]*$", "")).toSet
+        val scanned = dataSegs(cand).size
+        val total = dataSegs(TxTable.read(s, root)).size
+        require(scanned < total,
+          s"q_st16_stream_ann: probing ${lids.length} of 16 lists must " +
+            s"prune the clustered table — scanned $scanned of $total segments")
+        broadcast(probes).join(cand, Seq("list_id"))
+          .filter(col("q_id") =!= col("vec_id"))
+          .withColumn("cos", Vector.cosineNative(col("qv"), col("cv")))
+          .withColumn("rank", row_number().over(
+            Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))))
+          .filter(col("rank") <= 3)
+          .select(col("q_id"), col("rank"), col("vec_id").as("c_id"), col("cos"))
+          .orderBy("q_id", "rank")
+      },
+      Some {
+        val cosQC = cosSql("qq.qv", "cents.cw", 64)
+        val cosCC = cosSql("c.cv", "cents.cw", 64)
+        s"""WITH cents AS (SELECT vec_id AS cent_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cw
+           FROM embeddings WHERE vec_id < 16),
+         c AS (SELECT vec_id AS c_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv FROM embeddings),
+         asg AS (SELECT c_id, cv, cent_id,
+             row_number() OVER (PARTITION BY c_id ORDER BY $cosCC DESC, cent_id) AS rn
+           FROM c, cents),
+         lists AS (SELECT c_id, cv, cent_id AS list_id FROM asg WHERE rn = 1),
+         qq AS (SELECT vec_id AS q_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+           FROM embeddings WHERE vec_id < 4),
+         qp AS (SELECT q_id, qv, cent_id,
+             row_number() OVER (PARTITION BY q_id ORDER BY $cosQC DESC, cent_id) AS rn
+           FROM qq, cents),
+         probes AS (SELECT q_id, qv, cent_id AS list_id FROM qp WHERE rn <= 2),
+         sc AS (SELECT q_id, c_id, ${cosSql("qv", "cv", 64)} AS cos
+           FROM probes JOIN lists USING (list_id) WHERE q_id <> c_id),
+         r AS (SELECT q_id, c_id, cos,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rank FROM sc)
+         SELECT q_id, CAST(rank AS INT) AS rank, c_id, cos FROM r
+         WHERE rank <= 3 ORDER BY q_id, rank"""
+      }),
+
     // Lloyd k-means training for the IVF quantizer (one re-estimation
     // round): assign → decimal-exact per-dim means → re-assign.  Both
     // engines compute bit-identical centroids, so the 500 final
