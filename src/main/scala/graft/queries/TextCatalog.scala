@@ -1477,6 +1477,82 @@ object TextCatalog {
          WHERE rank <= 3 ORDER BY q_id, rank"""
       }),
 
+    // MMR — maximal marginal relevance (Carbonell & Goldstein, SIGIR'98):
+    // greedy diverse top-k.  Pick argmax λ·rel(c) − (1−λ)·max_{s∈S}
+    // cos(c, s) five times — the selection every dedup-aware retrieval /
+    // diverse-sampling stage runs so the k results aren't five copies of
+    // the same document.  Scale shape: candidate generation (cosine
+    // top-20) is the distributed part — TakeOrdered over the corpus with
+    // the query broadcast; the greedy loop then touches ONLY the k-bounded
+    // candidate set (20 rel values + 20×19 pairwise cosines, computed as a
+    // broadcast self-join and collected — bounded by k², never by the
+    // corpus, the same bounded-collect discipline as the gated
+    // aggregates).  Both engines run the identical greedy recursion on
+    // identical 6-dp cosines, so every pick, score and tie-break
+    // hash-matches; the oracle is a recursive CTE carrying the pick set.
+    QueryDef("q_mmr_topk",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val qdoc = e.agg(min("vec_id")).collect().head.getLong(0)
+        val topk = Vector.bruteForceTopK(e.filter(col("vec_id") === qdoc), e, 20)
+          .select(col("c_id"), col("cos").as("rel"))
+        val cands = topk.join(
+            e.select(col("vec_id").as("c_id"),
+              Vector.asDouble(col("embedding")).as("cv")), Seq("c_id"))
+        val pairs = cands.select(col("c_id").as("a"), col("cv").as("av"))
+          .join(broadcast(cands.select(col("c_id").as("b"), col("cv").as("bv"))),
+            col("a") =!= col("b"))
+          .select(col("a"), col("b"),
+            Vector.cosineNative(col("av"), col("bv")).as("cos"))
+        val relM = topk.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+        val simM = pairs.collect()
+          .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+        // literal 0.3, NOT (1 − 0.7): the latter is 0.30000000000000004 in
+        // doubles while the oracle's parsed 0.3 literal is not — 1 ulp of
+        // drift the hash would catch
+        var chosen = scala.Vector.empty[(Int, Long, Double)]
+        var in = Set.empty[Long]
+        for (step <- 1 to 5) {
+          val (cid, mmr) = relM.keysIterator.filterNot(in).map { c =>
+            val m =
+              if (in.isEmpty) 0.7 * relM(c)
+              else 0.7 * relM(c) - 0.3 * in.iterator.map(p => simM((c, p))).max
+            (c, m)
+          }.minBy { case (c, m) => (-m, c) }
+          chosen :+= ((step, cid, mmr)); in += cid
+        }
+        import s.implicits._
+        chosen.toDF("rank", "c_id", "mmr").orderBy("rank")
+      },
+      Some {
+        val relCos = cosSql("cv", "qv", 64)
+        s"""WITH RECURSIVE
+         qd AS (SELECT MIN(vec_id) AS qdoc FROM embeddings),
+         c AS (SELECT vec_id AS c_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv FROM embeddings),
+         qvv AS (SELECT cv AS qv FROM c, qd WHERE c_id = qdoc),
+         scored AS (SELECT c_id, cv, $relCos AS rel FROM c, qvv, qd WHERE c_id <> qdoc),
+         cand AS (SELECT c_id, cv, rel FROM (
+             SELECT *, row_number() OVER (ORDER BY rel DESC, c_id) AS rn FROM scored)
+           WHERE rn <= 20),
+         p AS (SELECT a.c_id AS a, b.c_id AS b, ${cosSql("a.cv", "b.cv", 64)} AS cos
+           FROM cand a JOIN cand b ON a.c_id <> b.c_id),
+         sel(step, pick, mmr, picks) AS (
+           (SELECT 1, c_id, CAST(0.7 AS DOUBLE) * rel, [c_id]
+             FROM cand ORDER BY rel DESC, c_id LIMIT 1)
+           UNION ALL
+           (SELECT step + 1, nxt.c_id, nxt.mmr, list_append(picks, nxt.c_id)
+            FROM sel, LATERAL (
+              SELECT c.c_id,
+                  CAST(0.7 AS DOUBLE) * c.rel - CAST(0.3 AS DOUBLE) * MAX(p.cos) AS mmr
+              FROM cand c JOIN p ON p.a = c.c_id AND list_contains(sel.picks, p.b)
+              WHERE NOT list_contains(sel.picks, c.c_id)
+              GROUP BY c.c_id, c.rel
+              ORDER BY mmr DESC, c.c_id LIMIT 1) nxt
+            WHERE step < 5))
+         SELECT CAST(step AS INT) AS rank, pick AS c_id, mmr FROM sel ORDER BY rank"""
+      }),
+
     // STREAMING ANN index ingest — the third leg of the persisted-index
     // story (batch build = q_tx_ann_lists, incremental batch refresh =
     // q_tx_ann_incremental, streaming ingest = here).  Embedding batches
