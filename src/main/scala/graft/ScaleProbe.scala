@@ -33,8 +33,9 @@ object ScaleProbe {
             col("id") - col("id") % 10).otherwise(col("id")).cast("string"),
           lit("_"), i.cast("string"))), 1, 6))).as("text"))
 
-  private def genEmbeddings(spark: SparkSession, n: Long): DataFrame =
-    spark.range(n).select(col("id").as("vec_id"),
+  private def genEmbeddings(spark: SparkSession, n: Long,
+                            from: Long = 0L): DataFrame =
+    spark.range(from, from + n).select(col("id").as("vec_id"),
       transform(sequence(lit(0), lit(63)), i =>
         (pmod(hash(col("id"), i), lit(2001)) - 1000).cast("double") / 1000.0)
         .as("embedding"))
@@ -114,6 +115,41 @@ object ScaleProbe {
         TxTable.commitMerge(spark, root,
           fact.filter(col("k") % 10 === 0).select(col("k"), (col("v") + 1.0).as("v")),
           Seq("k"), Seq("v"), Nil)
+      }
+      // 6) ANN index maintenance: the incremental delta apply
+      //    (q_tx_ann_incremental's shape — assign a FIXED 200-vector batch
+      //    under the frozen quantizer, append one stats-tracked segment,
+      //    deletion-vector a FIXED 100-key takedown) must cost O(delta),
+      //    while a rebuild (re-assign + overwrite + re-cluster) costs
+      //    O(corpus).  The CONTRAST of the two exponents is the 100 TB
+      //    argument: at a growing corpus the incremental curve stays flat.
+      //    The takedown key list is generated directly (a real takedown
+      //    arrives as a list, not a corpus scan).
+      val cents = Vector.coarseCentroids(emb, 16)
+      def toIdx(rows: DataFrame) = Vector.coarseAssignWith(rows, cents)
+        .select(col("c_id").as("vec_id"),
+          col("list_id").cast("long").as("list_id"), col("cv"))
+      val idxRoot = s"$base/annidx"
+      TxTable.commitOverwrite(spark, idxRoot, toIdx(emb),
+        statsCols = Seq("list_id"))
+      TxTable.compactZOrderN(spark, idxRoot, Seq("list_id"), numSegments = 16)
+      genEmbeddings(spark, 200, from = baseVecs * m)
+        .write.parquet(s"$base/delta")
+      val delta = spark.read.parquet(s"$base/delta")
+      val tombs = spark.range(100)
+        .select((col("id") * 20 + 7).as("vec_id"))
+      time("ann_incremental", m) {
+        TxTable.commitAppend(spark, idxRoot, toIdx(delta),
+          statsCols = Seq("list_id"))
+        TxTable.commitDeleteVectors(spark, idxRoot, tombs, Seq("vec_id"))
+        200L
+      }
+      time("ann_rebuild", m) {
+        val all = emb.unionByName(delta)
+        TxTable.commitOverwrite(spark, idxRoot, toIdx(all),
+          statsCols = Seq("list_id"))
+        TxTable.compactZOrderN(spark, idxRoot, Seq("list_id"), numSegments = 16)
+        baseVecs * m + 200L
       }
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
       warmup = false
