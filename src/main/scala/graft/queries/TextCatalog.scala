@@ -163,6 +163,55 @@ object TextCatalog {
 
   val textAnalysis: Seq[QueryDef] = Seq(
 
+    // CCNet-style LINE-LEVEL dedup (Wenzek et al. '19; the RefinedWeb /
+    // CCNet preprocessing step BEFORE any document-level dedup): split
+    // every document into lines, keep only the globally FIRST occurrence
+    // of each duplicated line — boilerplate (headers, nav bars, cookie
+    // banners) repeats across documents line-for-line, and dropping
+    // repeats line-wise removes it without killing the documents.  The
+    // fixture text has no newlines, so a "line" is a deterministic
+    // 10-token chunk.  Scale shape: ONE shuffle on the line key (the
+    // partitioned first-occurrence window), one aggregation back to doc
+    // grain — no pairwise comparison anywhere; at 100 TB the line-hash
+    // key-space dwarfs executor memory no differently than any other
+    // groupBy key.  Reassembly keeps surviving lines in document order
+    // (sorted struct collect, the ordered-reconstruction discipline).
+    QueryDef("q_line_dedup",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+          .select(col("doc_id"), split(trim(col("text")), " ").as("t"))
+        val lines = d.select(col("doc_id"),
+          posexplode(transform(
+            sequence(lit(0),
+              ((size(col("t")) + lit(9)) / lit(10)).cast("int") - 1),
+            i => array_join(slice(col("t"), i * 10 + 1, lit(10)), " "))))
+          .toDF("doc_id", "pos", "line")
+        lines
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("line").orderBy("doc_id", "pos")))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_lines"),
+            sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+            array_join(transform(
+              array_sort(collect_list(when(col("rn") === 1,
+                struct(col("pos"), col("line"))))),
+              st => st.getField("line")), " ").as("cleaned"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH d AS (SELECT doc_id, $toks AS t FROM documents),
+         lines AS (SELECT doc_id, CAST(u.l AS INT) AS pos,
+             array_to_string(t[u.l*10+1 : u.l*10+10], ' ') AS line
+           FROM d, LATERAL unnest(range(0, (len(t)+9)//10)) AS u(l)),
+         ranked AS (SELECT doc_id, pos, line,
+             row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+           FROM lines)
+         SELECT doc_id, COUNT(*) AS n_lines,
+             CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             COALESCE(array_to_string(
+                 list(line ORDER BY pos) FILTER (WHERE rn = 1), ' '), '')
+               AS cleaned
+           FROM ranked GROUP BY 1 ORDER BY doc_id""")),
+
     // Shannon char entropy — the compression-proxy gibberish gate.  Terms
     // rounded to 9 dp before a decimal-exact sum, so both engines land on
     // the identical double (see Text.charEntropy).
