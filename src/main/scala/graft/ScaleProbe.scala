@@ -130,9 +130,8 @@ object ScaleProbe {
         .select(col("c_id").as("vec_id"),
           col("list_id").cast("long").as("list_id"), col("cv"))
       val idxRoot = s"$base/annidx"
-      TxTable.commitOverwrite(spark, idxRoot, toIdx(emb),
-        statsCols = Seq("list_id"))
-      TxTable.compactZOrderN(spark, idxRoot, Seq("list_id"), numSegments = 16)
+      TxTable.commitOverwriteClustered(spark, idxRoot, toIdx(emb),
+        Seq("list_id"), numSegments = 16)
       genEmbeddings(spark, 200, from = baseVecs * m)
         .write.parquet(s"$base/delta")
       val delta = spark.read.parquet(s"$base/delta")
@@ -146,9 +145,8 @@ object ScaleProbe {
       }
       time("ann_rebuild", m) {
         val all = emb.unionByName(delta)
-        TxTable.commitOverwrite(spark, idxRoot, toIdx(all),
-          statsCols = Seq("list_id"))
-        TxTable.compactZOrderN(spark, idxRoot, Seq("list_id"), numSegments = 16)
+        TxTable.commitOverwriteClustered(spark, idxRoot, toIdx(all),
+          Seq("list_id"), numSegments = 16)
         baseVecs * m + 200L
       }
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))

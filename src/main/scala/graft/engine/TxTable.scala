@@ -385,6 +385,51 @@ object TxTable {
       bloomKeys.map(k => k -> segBloom(spark, root, seg, k.stripSuffix("#bloom")))
   }
 
+  /** [[segStatsWithBlooms]] for MANY just-written segments in ONE job:
+    * a column-pruned scan of all of them grouped by the segment tag.  A
+    * clustered write adopts `numSegments` segments at once — per-segment
+    * stat jobs would cost `numSegments` driver round-trips per commit
+    * (the planning overhead dominates at high segment counts; the data
+    * read is one narrow column either way).  Blooms, when tracked, still
+    * build per segment (a Bloom union cannot be grouped in a row
+    * aggregate). */
+  private def segStatsBatch(spark: SparkSession, root: String,
+                            segs: Seq[String], cols: Seq[String])
+      : Map[String, Map[String, ColStat]] = {
+    import org.apache.spark.sql.functions.{col, max, min}
+    val (bloomKeys, plain) = cols.distinct.partition(_.endsWith("#bloom"))
+    val safe = "^[\\x20-\\x21\\x23-\\x5B\\x5D-\\x7E]*$"
+    val plainStats: Map[String, Map[String, ColStat]] =
+      if (plain.isEmpty || segs.isEmpty) Map.empty
+      else {
+        val paths = segs.map(s0 => s"${root.stripSuffix("/")}/$s0")
+        val aggs = plain.flatMap(c =>
+          Seq(min(col(c)).as(s"__lo_$c"), max(col(c)).as(s"__hi_$c")))
+        spark.read.parquet(paths: _*)
+          .select((plain.map(col) :+ segTag.as("__seg")): _*)
+          .groupBy("__seg").agg(aggs.head, aggs.tail: _*)
+          .collect().map { r =>
+            r.getString(0) -> plain.flatMap { c =>
+              val lo = r.getAs[Any](s"__lo_$c"); val hi = r.getAs[Any](s"__hi_$c")
+              (lo, hi) match {
+                case (null, _) | (_, null) => None
+                case (l: String, h: String) =>
+                  if (l.matches(safe) && h.matches(safe))
+                    Some(c -> ColStat(l, h, "s"))
+                  else None
+                case _ => Some(c -> ColStat(
+                  new java.math.BigDecimal(lo.toString).toPlainString,
+                  new java.math.BigDecimal(hi.toString).toPlainString, "n"))
+              }
+            }.toMap
+          }.toMap
+      }
+    segs.map { s0 =>
+      s0 -> (plainStats.getOrElse(s0, Map.empty) ++
+        bloomKeys.map(k => k -> segBloom(spark, root, s0, k.stripSuffix("#bloom"))))
+    }.toMap
+  }
+
   /** Create-exclusive claim on version slot `v` — the commit CAS.  Local
     * filesystems go through nio `Files.createFile` = `O_CREAT|O_EXCL`
     * (kernel-atomic refuse-on-exist); other filesystems use
@@ -1050,33 +1095,10 @@ object TxTable {
     * already tracked. */
   def compactZOrderN(spark: SparkSession, root: String, cols: Seq[String],
                      numSegments: Int = 8, bits: Int = 16): Long = {
-    import org.apache.spark.sql.functions.{col, spark_partition_id}
-    require(numSegments >= 1, s"TxTable.compactZOrder: numSegments $numSegments < 1")
     val cur = latestVersion(spark, root).getOrElse(
       throw new IllegalArgumentException(s"TxTable.compactZOrder: no commits under $root"))
     val snap = readVersion(spark, root, cur)
-    val staged = snap
-      .withColumn("__z", ZOrder.zColumnN(snap, cols, bits))
-      .repartitionByRange(numSegments, col("__z"))
-      .withColumn("__slice", spark_partition_id())
-      .drop("__z")
-    val f = fs(spark, root)
-    val staging = s"${root.stripSuffix("/")}/.zorder-${java.util.UUID.randomUUID()}"
-    staged.write.partitionBy("__slice").parquet(staging)
-    // adopt each written slice dir as a segment (metadata renames, no
-    // second data pass; empty slices simply never materialized a dir)
-    val segs = f.listStatus(new Path(staging)).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("__slice="))
-      .sortBy(_.getPath.getName.stripPrefix("__slice=").toInt)
-      .map { st =>
-        val seg = "data/" + java.util.UUID.randomUUID().toString
-        val dest = new Path(s"${root.stripSuffix("/")}/$seg")
-        f.mkdirs(dest.getParent)
-        require(f.rename(st.getPath, dest),
-          s"TxTable.compactZOrder: could not adopt slice ${st.getPath}")
-        seg
-      }
-    f.delete(new Path(staging), true)
+    val segs = writeClusteredSegments(spark, root, snap, cols, numSegments, bits)
     require(segs.nonEmpty, s"TxTable.compactZOrder: empty table under $root — " +
       "compact an explicit empty state with commitOverwrite instead")
     // same invariant as carryStats: every column (and Bloom) the head
@@ -1086,10 +1108,63 @@ object TxTable {
     val head = readManifest(spark, root, cur)
     val tracked =
       (head.stats.values.flatMap(_.keys).toSeq ++ cols).distinct
-    val stats = segs.map(s0 => s0 -> segStatsWithBlooms(spark, root, s0, tracked))
-      .filter(_._2.nonEmpty).toMap
+    val stats = segStatsBatch(spark, root, segs, tracked)
+      .filter(_._2.nonEmpty)
     commit(spark, root, "compact", segs, maxRetries = 0,
       stats = stats, expectVersion = Some(cur + 1))
+  }
+
+  /** CLUSTERED CTAS — `OPTIMIZE ZORDER` fused into the initial
+    * (over)write: the incoming frame lands ALREADY Morton-clustered over
+    * `cols`, each segment manifest-carrying min/max stats on every
+    * clustering column (plus `statsCols`), so the very first read can
+    * prune.  One range shuffle + ONE write pass, where
+    * `commitOverwrite` + [[compactZOrderN]] would write the table twice
+    * (the Delta `CREATE TABLE ... AS SELECT` + ZORDER fusion).  Note the
+    * clustering bounds probe evaluates `df` once before the write scan —
+    * persist upstream frames that are expensive to recompute. */
+  def commitOverwriteClustered(spark: SparkSession, root: String, df: DataFrame,
+                               cols: Seq[String], numSegments: Int = 8,
+                               bits: Int = 16,
+                               statsCols: Seq[String] = Nil): Long = {
+    val segs = writeClusteredSegments(spark, root, df, cols, numSegments, bits)
+    require(segs.nonEmpty, s"TxTable.commitOverwriteClustered: empty input for " +
+      s"$root — commit an explicit empty state with commitOverwrite instead")
+    val tracked = (cols ++ statsCols).distinct
+    val stats = segStatsBatch(spark, root, segs, tracked)
+      .filter(_._2.nonEmpty)
+    commit(spark, root, "overwrite", segs, stats = stats)
+  }
+
+  /** Shared clustered write pass: Morton-key range shuffle, one
+    * `partitionBy` write, each slice dir adopted as a segment by metadata
+    * rename (no second data pass; empty slices never materialize). */
+  private def writeClusteredSegments(spark: SparkSession, root: String,
+                                     df: DataFrame, cols: Seq[String],
+                                     numSegments: Int, bits: Int): Seq[String] = {
+    import org.apache.spark.sql.functions.{col, spark_partition_id}
+    require(numSegments >= 1, s"TxTable: numSegments $numSegments < 1")
+    val staged = df
+      .withColumn("__z", ZOrder.zColumnN(df, cols, bits))
+      .repartitionByRange(numSegments, col("__z"))
+      .withColumn("__slice", spark_partition_id())
+      .drop("__z")
+    val f = fs(spark, root)
+    val staging = s"${root.stripSuffix("/")}/.zorder-${java.util.UUID.randomUUID()}"
+    staged.write.partitionBy("__slice").parquet(staging)
+    val segs = f.listStatus(new Path(staging)).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("__slice="))
+      .sortBy(_.getPath.getName.stripPrefix("__slice=").toInt)
+      .map { st =>
+        val seg = "data/" + java.util.UUID.randomUUID().toString
+        val dest = new Path(s"${root.stripSuffix("/")}/$seg")
+        f.mkdirs(dest.getParent)
+        require(f.rename(st.getPath, dest),
+          s"TxTable: could not adopt slice ${st.getPath}")
+        seg
+      }
+    f.delete(new Path(staging), true)
+    segs
   }
 
   /** The latest snapshot as a DataFrame. */

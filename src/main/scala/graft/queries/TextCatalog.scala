@@ -1364,8 +1364,10 @@ object TextCatalog {
         val tbl = Vector.coarseAssign(e, nlist = 16)
           .select(col("c_id").as("vec_id"), col("list_id").cast("long").as("list_id"),
             col("cv"))
-        TxTable.commitOverwrite(s, root, tbl, statsCols = Seq("list_id"))
-        TxTable.compactZOrderN(s, root, Seq("list_id"), numSegments = 16)
+        // clustered CTAS: the index lands Morton-clustered in ONE write
+        // pass (commitOverwrite + OPTIMIZE would write it twice)
+        TxTable.commitOverwriteClustered(s, root, tbl, Seq("list_id"),
+          numSegments = 16)
         val probes = Vector.coarseProbes(e.filter(col("vec_id") < 4), e,
           nlist = 16, nprobe = 2)
         val lids = probes.select("list_id").distinct().collect()
@@ -1442,9 +1444,8 @@ object TextCatalog {
           Vector.coarseAssignWith(rows, cents)
             .select(col("c_id").as("vec_id"),
               col("list_id").cast("long").as("list_id"), col("cv"))
-        TxTable.commitOverwrite(s, idxRoot, toIdx(TxTable.read(s, srcRoot)),
-          statsCols = Seq("list_id"))
-        TxTable.compactZOrderN(s, idxRoot, Seq("list_id"), numSegments = 16)
+        TxTable.commitOverwriteClustered(s, idxRoot,
+          toIdx(TxTable.read(s, srcRoot)), Seq("list_id"), numSegments = 16)
         // the corpus evolves AFTER the index exists
         TxTable.commitAppend(s, srcRoot,
           e.filter(col("vec_id") < 12).select("vec_id", "embedding"))

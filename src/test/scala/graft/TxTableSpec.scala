@@ -504,6 +504,38 @@ class TxTableSpec extends SparkFunSuite {
       "Bloom point-lookup pruning must survive OPTIMIZE ZORDER")
   }
 
+  test("commitOverwriteClustered: one-pass clustered CTAS prunes like OPTIMIZE") {
+    val root = newRoot()
+    val df = (1L to 400L).toDF("k")
+      .withColumn("a", (col("k") % 19).cast("long"))
+      .withColumn("b", (col("k") / 20).cast("long"))
+    val v = TxTable.commitOverwriteClustered(spark, root, df, Seq("a", "b"),
+      numSegments = 8, statsCols = Seq("k"))
+    assert(v === 1L)
+    // contents identical to a plain overwrite
+    assert(TxTable.read(spark, root).select("k").as[Long].collect().sorted
+      === (1L to 400L).toArray)
+    // a narrow predicate on EITHER clustering dimension prunes segments
+    // on the VERY FIRST version — no OPTIMIZE pass ever ran
+    def scanned(c: String, lo: Long, hi: Long) =
+      TxTable.readWhere(spark, root, c,
+        new java.math.BigDecimal(lo), new java.math.BigDecimal(hi))
+        .inputFiles.map(_.replaceAll("/[^/]*$", "")).toSet.size
+    val total = TxTable.read(spark, root)
+      .inputFiles.map(_.replaceAll("/[^/]*$", "")).toSet.size
+    assert(total > 1, "clustered CTAS must produce multiple segments")
+    assert(scanned("a", 2, 3) < total, "dimension a must prune")
+    assert(scanned("b", 2, 3) < total, "dimension b must prune")
+    // extra statsCols tracked too, and overwrite semantics hold: a second
+    // clustered CTAS replaces the table as version 2
+    assert(scanned("k", 1, 40) < total, "statsCols k must prune")
+    val v2 = TxTable.commitOverwriteClustered(spark, root,
+      df.filter(col("k") <= 100), Seq("a", "b"), numSegments = 4)
+    assert(v2 === 2L && TxTable.read(spark, root).count() === 100)
+    assert(TxTable.readVersion(spark, root, 1L).count() === 400,
+      "snapshot isolation across clustered overwrites")
+  }
+
   test("an orphaned claim above head is honored while fresh, reaped once stale") {
     val root = newRoot()
     TxTable.commitOverwrite(spark, root, Seq(1L).toDF("k"))
