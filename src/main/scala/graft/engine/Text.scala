@@ -882,4 +882,38 @@ object Text {
     * (merge order matters and is the training order, per the algorithm). */
   def bpeApply(word: Column, merges: Seq[(String, String)]): Column =
     merges.foldLeft(split(word, ""))((s, m) => bpeMerge(s, m._1, m._2))
+
+  /** CCNet-style LINE-LEVEL dedup (Wenzek et al. '19): split every
+    * document into fixed `lineTokens`-token lines, keep only the globally
+    * FIRST occurrence (by `(doc_id, pos)`) of each duplicated line, and
+    * reassemble — boilerplate repeats across documents line-for-line, so
+    * dropping repeats line-wise removes it without killing documents.
+    * Returns `(doc_id, n_lines, n_kept, cleaned)`.
+    *
+    * Scale shape: ONE shuffle on the line key (the partitioned
+    * first-occurrence window), one aggregation back to doc grain with an
+    * ordered struct-sort reassembly — no pairwise comparison anywhere. */
+  def lineDedup(docs: DataFrame, textCol: String, idCol: String,
+                lineTokens: Int = 10): DataFrame = {
+    require(lineTokens >= 1, s"lineDedup: lineTokens $lineTokens < 1")
+    val d = docs.select(col(idCol).as("doc_id"),
+      split(trim(col(textCol)), " ").as("t"))
+    val lines = d.select(col("doc_id"),
+      posexplode(transform(
+        sequence(lit(0),
+          ((size(col("t")) + lit(lineTokens - 1)) / lit(lineTokens))
+            .cast("int") - 1),
+        i => array_join(slice(col("t"), i * lineTokens + 1, lit(lineTokens)), " "))))
+      .toDF("doc_id", "pos", "line")
+    lines
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("line").orderBy("doc_id", "pos")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(when(col("rn") === 1,
+            struct(col("pos"), col("line"))))),
+          st => st.getField("line")), " ").as("cleaned"))
+  }
 }

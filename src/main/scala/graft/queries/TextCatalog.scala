@@ -177,27 +177,9 @@ object TextCatalog {
     // groupBy key.  Reassembly keeps surviving lines in document order
     // (sorted struct collect, the ordered-reconstruction discipline).
     QueryDef("q_line_dedup",
-      (s, dir) => {
-        val d = t(s, dir, "documents")
-          .select(col("doc_id"), split(trim(col("text")), " ").as("t"))
-        val lines = d.select(col("doc_id"),
-          posexplode(transform(
-            sequence(lit(0),
-              ((size(col("t")) + lit(9)) / lit(10)).cast("int") - 1),
-            i => array_join(slice(col("t"), i * 10 + 1, lit(10)), " "))))
-          .toDF("doc_id", "pos", "line")
-        lines
-          .withColumn("rn", row_number().over(
-            Window.partitionBy("line").orderBy("doc_id", "pos")))
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_lines"),
-            sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
-            array_join(transform(
-              array_sort(collect_list(when(col("rn") === 1,
-                struct(col("pos"), col("line"))))),
-              st => st.getField("line")), " ").as("cleaned"))
-          .orderBy("doc_id")
-      },
+      (s, dir) => Text.lineDedup(t(s, dir, "documents"), "text", "doc_id",
+          lineTokens = 10)
+        .orderBy("doc_id"),
       Some(s"""WITH d AS (SELECT doc_id, $toks AS t FROM documents),
          lines AS (SELECT doc_id, CAST(u.l AS INT) AS pos,
              array_to_string(t[u.l*10+1 : u.l*10+10], ' ') AS line

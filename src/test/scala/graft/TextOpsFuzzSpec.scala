@@ -125,5 +125,37 @@ class TextOpsFuzzSpec extends SparkFunSuite {
       assert(got == want, s"seed $seed window=$window stride=$stride: " +
         s"chunks diverged (missing ${want -- got}, extra ${got -- want})")
     }
+
+    test(s"lineDedup (seed $seed): first-occurrence keep matches the model " +
+      "including empty docs and exact-multiple lengths") {
+      val rng = new scala.util.Random(seed)
+      // tiny vocab → heavy cross-doc line collisions; lengths cover empty,
+      // shorter-than-line, and exact multiples of the line width
+      val vocab = Seq("a", "b", "c")
+      val lineTokens = 2 + rng.nextInt(4)
+      val docs = (1L to 25L).map { id =>
+        val n =
+          if (rng.nextInt(6) == 0) 0
+          else if (rng.nextInt(4) == 0) lineTokens * (1 + rng.nextInt(3))
+          else rng.nextInt(4 * lineTokens) + 1
+        id -> Seq.fill(n)(vocab(rng.nextInt(vocab.size)))
+      }
+      val got = Text.lineDedup(
+          docs.map { case (id, t) => (id, t.mkString(" ")) }.toDF("id", "text"),
+          "text", "id", lineTokens)
+        .select("doc_id", "n_lines", "n_kept", "cleaned")
+        .as[(Long, Long, Long, String)].collect().toSet
+      // model mirrors Spark's split semantics: split("", " ") = [""], so an
+      // empty doc has exactly one (empty) line
+      val seen = scala.collection.mutable.Set.empty[String]
+      val want = docs.sortBy(_._1).map { case (id, t) =>
+        val toks = if (t.isEmpty) Seq("") else t
+        val ls = toks.grouped(lineTokens).map(_.mkString(" ")).toSeq
+        val kept = ls.filter(l => seen.add(l))
+        (id, ls.size.toLong, kept.size.toLong, kept.mkString(" "))
+      }.toSet
+      assert(got == want, s"seed $seed lineTokens=$lineTokens: dedup " +
+        s"diverged (missing ${want -- got}, extra ${got -- want})")
+    }
   }
 }
