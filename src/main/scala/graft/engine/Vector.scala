@@ -220,6 +220,54 @@ object Vector {
       cents, nprobe)
       .withColumn("list_id", explode(col("__lists"))).drop("__lists")
 
+  /** ADAPTIVE-nprobe IVF (the FAISS dynamic-probing recall knob, made
+    * deterministic): instead of a fixed `nprobe`, each query probes the
+    * MINIMAL prefix of its affinity-ranked centroid list covering a `tau`
+    * fraction of its total centroid-affinity mass — concentrated queries
+    * probe few lists, diffuse queries probe many, so the recall/cost
+    * trade is set per query by the data, not globally by a constant.
+    * Affinity = (cos + 1) / 2 (non-negative); a list is probed iff the
+    * running mass BEFORE it is `< tau × total`.  All sums accumulate in
+    * (cos desc, cent_id) rank order on 6-dp cosines, so both engines walk
+    * identical doubles — the probe SET itself is oracle-exact.
+    *
+    * Output: `(q_id, n_probed, rank, c_id, cos)` — `n_probed` makes the
+    * adaptivity auditable.  Scale shape: the scored-centroid explode is
+    * nlist rows per query (bounded, broadcast side); the corpus still
+    * shuffles ONCE on the rank window, exactly like [[ivfTopK]]. */
+  def ivfTopKAdaptive(queries: DataFrame, corpus: DataFrame, k: Int,
+                      nlist: Int = 16, tau: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.ensureRegistered(corpus.sparkSession)
+    val cents = collectCents(corpus, nlist)
+    val lists = coarseAssignWith(corpus, cents)
+    val q = queries.select(col("vec_id").as("q_id"),
+      asDouble(col("embedding")).as("qv"))
+    val rankW = Window.partitionBy("q_id")
+      .orderBy(col("ccos").desc, col("cent_id"))
+    val totalW = Window.partitionBy("q_id")
+    val scoredQ = q
+      .withColumn("__st", explode(scoredCentArray(col("qv"), cents)))
+      .select(col("q_id"), col("qv"),
+        col("__st").getField("cos").as("ccos"),
+        (-col("__st").getField("nid")).as("cent_id"))
+      .withColumn("w", (col("ccos") + lit(1.0)) / lit(2.0))
+      .withColumn("cum", sum(col("w")).over(rankW))
+      .withColumn("prev", lag(col("cum"), 1, 0.0).over(rankW))
+      .withColumn("total", sum(col("w")).over(totalW))
+    val probes = scoredQ.filter(col("prev") < lit(tau) * col("total"))
+      .withColumn("n_probed", count(lit(1)).over(totalW).cast("long"))
+      .select(col("q_id"), col("qv"), col("cent_id").as("list_id"),
+        col("n_probed"))
+    broadcast(probes).join(lists, Seq("list_id"))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("cos", cosineNative(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_probed"), col("rank"), col("c_id"), col("cos"))
+  }
+
   /** Literal-term budget for the unrolled centroid-argmax expression —
     * beyond this the generated code leaves whole-stage codegen and the
     * expression evaluates interpreted (see [[ivfTopK]]). */

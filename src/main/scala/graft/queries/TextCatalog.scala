@@ -1328,6 +1328,61 @@ object TextCatalog {
          SELECT q_id, CAST(rank AS INT) AS rank, c_id, cos FROM r
          WHERE rank <= 3 ORDER BY q_id, rank""")),
 
+    // ADAPTIVE-nprobe IVF: the fixed-nprobe knob above trades recall for
+    // cost GLOBALLY; this probes per query until τ=0.5 of its
+    // centroid-affinity mass is covered — concentrated queries touch few
+    // lists, diffuse ones more, and n_probed in the output makes the
+    // adaptivity itself oracle-checked (running sums accumulate in rank
+    // order on 6-dp cosines, so the probe SET is bit-exact cross-engine).
+    QueryDef("q_ivf_adaptive",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val out = Vector.ivfTopKAdaptive(e.filter(col("vec_id") < 6), e,
+          k = 3, nlist = 16, tau = 0.5)
+        Catalog.gateOnce(s, out.orderBy("q_id", "rank")) { rows =>
+          val probed = rows.map(_.getAs[Long]("n_probed")).distinct
+          require(probed.forall(p => p >= 1 && p < 16),
+            s"q_ivf_adaptive: per-query probe counts must stay a strict " +
+              s"subset of the 16 lists — got $probed")
+        }
+      },
+      Some {
+        val cosQC = cosSql("qq.qv", "cents.cw", 64)
+        val cosCC = cosSql("c.cv", "cents.cw", 64)
+        s"""WITH cents AS (SELECT vec_id AS cent_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cw
+           FROM embeddings WHERE vec_id < 16),
+         c AS (SELECT vec_id AS c_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv FROM embeddings),
+         asg AS (SELECT c_id, cv, cent_id,
+             row_number() OVER (PARTITION BY c_id ORDER BY $cosCC DESC, cent_id) AS rn
+           FROM c, cents),
+         lists AS (SELECT c_id, cv, cent_id AS list_id FROM asg WHERE rn = 1),
+         qq AS (SELECT vec_id AS q_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+           FROM embeddings WHERE vec_id < 6),
+         sq AS (SELECT q_id, qv, cent_id, $cosQC AS ccos FROM qq, cents),
+         cw0 AS (SELECT q_id, qv, cent_id, ccos,
+             (ccos + CAST(1 AS DOUBLE)) / CAST(2 AS DOUBLE) AS w FROM sq),
+         cw1 AS (SELECT *,
+             SUM(w) OVER (PARTITION BY q_id ORDER BY ccos DESC, cent_id) AS cum,
+             SUM(w) OVER (PARTITION BY q_id) AS total FROM cw0),
+         cw2 AS (SELECT *,
+             lag(cum, 1, CAST(0 AS DOUBLE))
+               OVER (PARTITION BY q_id ORDER BY ccos DESC, cent_id) AS prev
+           FROM cw1),
+         probes AS (SELECT q_id, qv, cent_id AS list_id FROM cw2
+           WHERE prev < CAST(0.5 AS DOUBLE) * total),
+         np AS (SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n_probed
+           FROM probes GROUP BY 1),
+         sc AS (SELECT p.q_id, c_id, ${cosSql("qv", "cv", 64)} AS cos
+           FROM probes p JOIN lists USING (list_id) WHERE p.q_id <> c_id),
+         r AS (SELECT q_id, c_id, cos,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rank FROM sc)
+         SELECT r.q_id, np.n_probed, CAST(rank AS INT) AS rank, c_id, cos
+           FROM r JOIN np ON np.q_id = r.q_id
+           WHERE rank <= 3 ORDER BY r.q_id, rank"""
+      }),
+
     // THE PERSISTED IVF INDEX: ivfTopK's scaladoc says "at 100 TB the
     // inverted lists ARE the partitioning" — this query realizes it
     // through the lakehouse layer.  The corpus commits into a TxTable

@@ -250,6 +250,31 @@ class VectorSpec extends SparkFunSuite {
       s"exactly the within-cluster near-dups drop, got $got")
   }
 
+  test("ivfTopKAdaptive: probe count monotone in tau; tau→1 recovers full probe") {
+    val vecs = (0L until 60L).map { i =>
+      (i, Seq.tabulate(8)(j => ((((i * 31 + j * 17) % 97) - 48) / 7.0).toFloat))
+    }.toDF("vec_id", "embedding")
+    val q = vecs.filter($"vec_id" < 5)
+    def probed(tau: Double) =
+      Vector.ivfTopKAdaptive(q, vecs, 3, nlist = 4, tau = tau)
+        .select("q_id", "n_probed").distinct().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lo = probed(0.3); val hi = probed(0.8)
+    assert(lo.keySet === hi.keySet)
+    lo.foreach { case (qid, n) =>
+      assert(n <= hi(qid), s"query $qid: probe count must grow with tau") }
+    assert(hi.values.exists(_ < 4) || lo.values.exists(_ < 4),
+      "adaptivity must actually prune somewhere below full probe")
+    // tau ~ 1 probes every list → ranking ≡ fixed full-probe IVF
+    val full = Vector.ivfTopK(q, vecs, 3, nlist = 4, nprobe = 4)
+      .select("q_id", "rank", "c_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val ad = Vector.ivfTopKAdaptive(q, vecs, 3, nlist = 4, tau = 0.999999)
+      .select("q_id", "rank", "c_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(ad === full, "tau→1 adaptive probing must equal full-probe IVF")
+  }
+
   test("incremental IVF index maintenance ≡ full rebuild (frozen quantizer)") {
     import graft.engine.TxTable
     val root = java.nio.file.Files.createTempDirectory("vec_inc").toString
