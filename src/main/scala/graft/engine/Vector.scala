@@ -91,6 +91,46 @@ object Vector {
     }.reduce(_ + _)
   }
 
+  /** Johnson–Lindenstrauss-style random projection: `dims` → `outDims`
+    * doubles, `out[j] = ⟨v, w_j⟩` with the deterministic [[planeWeight]]
+    * matrix (every weight an exact k/1024 double, so the DuckDB oracle
+    * reproduces projections bit-for-bit).  The weights are a low-discrepancy
+    * LCG sweep, not i.i.d. Gaussian — the JL distortion CONSTANT differs,
+    * but what actually matters for retrieval (do nearest neighbors stay
+    * nearest?) is measured end-to-end by the recall audit query rather
+    * than assumed from the lemma.
+    *
+    * Scale shape: a NARROW map — zero shuffle, zero state.  At 100 TB this
+    * is the pre-pass in front of any index build: 64→16 dims cuts every
+    * downstream dot product, index row, and shuffle byte to a quarter, and
+    * composes with the rest of the ladder (project → IVF/LSH bucket →
+    * int8/PQ/binary encode). */
+  def randomProject(v: Column, outDims: Int, dims: Int): Column =
+    array((0 until outDims).map { p =>
+      val w = typedlit((0 until dims).map(i => planeWeight(p, i)))
+      dotNative(v, w)
+    }: _*)
+
+  /** Exact top-k in the PROJECTED space — [[bruteForceTopK]] run after
+    * [[randomProject]] on both sides.  Output `(q_id, rank, c_id, pcos)`;
+    * `pcos` is cosine between projections, not original vectors.  The
+    * recall audit against full-dimension truth is the registered query's
+    * job — this operator is the measured half of that comparison. */
+  def projectedTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                    outDims: Int = 16, dims: Int = 64): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(corpus.sparkSession)
+    val q = broadcast(queries.select(col("vec_id").as("q_id"),
+      randomProject(asDouble(col("embedding")), outDims, dims).as("qp")))
+    val c = corpus.select(col("vec_id").as("c_id"),
+      randomProject(asDouble(col("embedding")), outDims, dims).as("cp"))
+    c.join(q, col("q_id") =!= col("c_id"))
+      .withColumn("pcos", cosineNative(col("qp"), col("cp")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("pcos").desc, col("c_id"))))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "c_id", "pcos")
+  }
+
   /** Embedding-cosine near-duplicate pairs: candidates share an LSH bucket
     * (equi-join — near-identical vectors land in the same half-space for
     * every hyperplane), exact cosine filters within buckets.  The all-pairs

@@ -142,6 +142,22 @@ object TextCatalog {
 
   private val bandsSql: String = bandsSqlPred("")
 
+  /** Random-projection CTE fragment (`v(vec_id, dv)`, `p(vec_id, pv)`) —
+    * ≡ Vector.randomProject: pv[j] = ⟨dv, w_j⟩ with the exact k/1024
+    * planeWeight matrix inlined as decimal literals. */
+  private def projSql(outDims: Int, dims: Int): String = {
+    val ws = (0 until outDims).map { p =>
+      (0 until dims)
+        .map(i => new java.math.BigDecimal(Vector.planeWeight(p, i)).toPlainString)
+        .mkString("CAST([", ", ", s"] AS DOUBLE[]) AS w$p")
+    }.mkString(",\n           ")
+    val pv = (0 until outDims).map(p => dotSql("dv", s"w$p", dims))
+      .mkString("[", ",\n             ", "]")
+    s"""w AS (SELECT $ws),
+       v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv FROM embeddings),
+       p AS (SELECT vec_id, $pv AS pv FROM v, w)"""
+  }
+
   /** Hyperplane-LSH bucket CTE fragment (`b(vec_id, dv, bucket)`) for
     * `planes` hyperplanes over 64-dim embeddings, ≡ Vector.lshBucket. */
   private def lshSql(planes: Int, dims: Int): String = {
@@ -1140,6 +1156,59 @@ object TextCatalog {
          FROM approx SEMI JOIN exact USING (q_id, c_id)
          GROUP BY 1 ORDER BY 1"""
       }),
+
+    // JL random projection 64→16: the dim-reduction pre-pass of the index
+    // ladder (project → bucket → encode).  Ranking in the PROJECTED space,
+    // every projected coordinate pinned through the cosines.
+    QueryDef("q_rand_proj_topk",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        Vector.projectedTopK(e.filter(col("vec_id") < 6), e, 3, 16, 64)
+          .orderBy("q_id", "rank")
+      },
+      Some(s"""WITH ${projSql(16, 64)},
+         q AS (SELECT vec_id AS q_id, pv AS qpv FROM p WHERE vec_id < 6),
+         sc AS (SELECT q_id, c.vec_id AS c_id, ${cosSql("qpv", "c.pv", 16)} AS pcos
+           FROM q JOIN p c ON q_id <> c.vec_id),
+         r AS (SELECT q_id, c_id, pcos,
+             row_number() OVER (PARTITION BY q_id ORDER BY pcos DESC, c_id) AS rank
+           FROM sc)
+         SELECT q_id, CAST(rank AS INT) AS rank, c_id, pcos
+         FROM r WHERE rank <= 3 ORDER BY q_id, rank""")),
+
+    // Does 64→16 projection keep true neighbors?  The recall audit that
+    // turns the JL lemma from an assumption into a measurement (same shape
+    // as q_ann_recall: projected top-5 vs full-dimension truth).
+    QueryDef("q_rand_proj_recall",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val qs = e.filter(col("vec_id") < 30)
+        val approx = Vector.projectedTopK(qs, e, 5, 16, 64)
+          .select(col("q_id"), col("c_id"))
+        val exact = Vector.bruteForceTopK(qs, e, 5)
+          .select(col("q_id").as("eq_id"), col("c_id").as("ec_id"))
+        approx.join(exact,
+            col("q_id") === col("eq_id") && col("c_id") === col("ec_id"),
+            "left_semi")
+          .groupBy("q_id").agg(count(lit(1)).as("n_hit"))
+          .withColumn("recall", col("n_hit") / lit(5))
+          .orderBy("q_id")
+      },
+      Some(s"""WITH ${projSql(16, 64)},
+         q AS (SELECT vec_id AS q_id, pv AS qpv FROM p WHERE vec_id < 30),
+         ap AS (SELECT q_id, c.vec_id AS c_id,
+             row_number() OVER (PARTITION BY q_id
+               ORDER BY ${cosSql("qpv", "c.pv", 16)} DESC, c.vec_id) AS rank
+           FROM q JOIN p c ON q_id <> c.vec_id),
+         approx AS (SELECT q_id, c_id FROM ap WHERE rank <= 5),
+         ex AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+             row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY ${cosSql("q.dv", "c.dv", 64)} DESC, c.vec_id) AS rank
+           FROM v q JOIN v c ON q.vec_id < 30 AND q.vec_id <> c.vec_id),
+         exact AS (SELECT q_id, c_id FROM ex WHERE rank <= 5)
+         SELECT q_id, COUNT(*) AS n_hit, COUNT(*) / 5 AS recall
+         FROM approx SEMI JOIN exact USING (q_id, c_id)
+         GROUP BY 1 ORDER BY 1""")),
 
     // LSH bucket assignment (the ANN scale path's partitioning key).
     QueryDef("q_lsh_buckets",

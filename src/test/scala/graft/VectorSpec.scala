@@ -250,6 +250,39 @@ class VectorSpec extends SparkFunSuite {
       s"exactly the within-cluster near-dups drop, got $got")
   }
 
+  test("randomProject: basis vector e_i recovers planeWeight column i exactly") {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val dims = 8; val outDims = 4
+    val basis = (0 until dims).map { i =>
+      (i.toLong, Seq.tabulate(dims)(j => if (j == i) 1.0f else 0.0f))
+    }.toDF("vec_id", "embedding")
+    val got = basis.select($"vec_id",
+        Vector.randomProject(Vector.asDouble($"embedding"), outDims, dims).as("pv"))
+      .collect().map(r => r.getLong(0).toInt -> r.getSeq[Double](1)).toMap
+    (0 until dims).foreach { i =>
+      (0 until outDims).foreach { p =>
+        assert(got(i)(p) === Vector.planeWeight(p, i),
+          s"projection of e_$i must read out weight column ($p, $i) exactly")
+      }
+    }
+  }
+
+  test("projectedTopK ranks by projected cosine and excludes self") {
+    val vecs = (0L until 40L).map { i =>
+      (i, Seq.tabulate(16)(j => ((((i * 13 + j * 7) % 31) - 15) / 5.0).toFloat))
+    }.toDF("vec_id", "embedding")
+    val got = Vector.projectedTopK(vecs.filter($"vec_id" < 3), vecs, 4,
+      outDims = 6, dims = 16).collect()
+    assert(got.length === 12)
+    got.groupBy(_.getAs[Long]("q_id")).foreach { case (qid, rows) =>
+      assert(rows.map(_.getAs[Int]("rank")).sorted.toSeq === Seq(1, 2, 3, 4))
+      assert(!rows.map(_.getAs[Long]("c_id")).contains(qid))
+      val byRank = rows.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("pcos"))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b },
+        "pcos must be non-increasing in rank")
+    }
+  }
+
   test("ivfTopKAdaptive: probe count monotone in tau; tau→1 recovers full probe") {
     val vecs = (0L until 60L).map { i =>
       (i, Seq.tabulate(8)(j => ((((i * 31 + j * 17) % 97) - 48) / 7.0).toFloat))
