@@ -472,6 +472,53 @@ object Text {
           .cast("double").as("log_weight_bits"))
   }
 
+  /** Bigram character-LM scoring — the CCNet perplexity filter (Wenzek et
+    * al., "CCNet: Extracting High Quality Monolingual Datasets from Web
+    * Crawl Data", LREC'20 §4.3) with a char-bigram model standing in for
+    * KenLM: train add-1-smoothed P(c₂|c₁) on the documents matching
+    * `targetPred`, score EVERY document by total −log₂ P over its char
+    * bigrams.  Low bits ≈ target-like (CCNet's "head" bucket), high ≈
+    * gibberish/noise; complements [[unigramSurprisal]] (word-order-blind)
+    * by scoring character TRANSITIONS, so shuffled characters score worse
+    * even when the unigram bag is identical.
+    *
+    * Returns `(doc_id, n_bigrams, nll_bits)` where `nll_bits` is the SUM
+    * (not mean — consumers divide by `n_bigrams`; final-division rounding
+    * is the one step the two engines resolve differently, the
+    * [[charEntropy]] discipline).  Docs shorter than 2 chars have no
+    * bigrams and drop out, like empty docs under tokenization.
+    *
+    * Scale shape: the model is |alphabet|²-bounded (a few KB regardless of
+    * corpus size) — the bigram→pair-count join is co-partitioned on the
+    * key it was just aggregated on, the context table and the vocab scalar
+    * ride in broadcast.  Determinism: counts are exact BIGINTs, each term
+    * rounds to 9 dp BEFORE the decimal-accumulated sum. */
+  def bigramLmScore(df: DataFrame, idCol: String, textCol: String,
+                    targetPred: Column): DataFrame = {
+    val t = col(textCol)
+    val grams = df.select(col(idCol), targetPred.as("__tgt"),
+        explode(when(length(t) >= 2,
+            transform(sequence(lit(1), length(t) - 1), i => t.substr(i, lit(2))))
+          .otherwise(array())).as("big"))
+    val tgt = grams.filter(col("__tgt"))
+    val pairs = tgt.groupBy("big").agg(count(lit(1)).as("n2"))
+    val ctx = tgt.groupBy(substring(col("big"), 1, 1).as("c1"))
+      .agg(count(lit(1)).as("n1"))
+    val vocab = tgt.agg(
+      countDistinct(substring(col("big"), 2, 1)).as("__v"))
+    grams
+      .join(pairs, Seq("big"), "left")
+      .join(broadcast(ctx), substring(col("big"), 1, 1) === col("c1"), "left")
+      .crossJoin(broadcast(vocab))
+      .withColumn("__term", round(-log2(
+        (coalesce(col("n2"), lit(0L)) + 1) /
+          (coalesce(col("n1"), lit(0L)) + col("__v"))), 9))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("__term").cast(DecimalType(38, 9)))
+          .cast("double").as("nll_bits"))
+  }
+
   /** Registrable host of a URL-ish string — the web-curation group key
     * (per-domain quotas, blocklists, crawl-politeness accounting all key on
     * it).  Pure regex capture, shuffle-free; yields "" for non-URLs, which

@@ -2555,6 +2555,30 @@ object TextCatalog {
            CAST(SUM(CAST(term AS DECIMAL(38,9))) AS DOUBLE) AS log_weight_bits
          FROM terms WHERE doc_id < 200 GROUP BY 1 ORDER BY 1""")),
 
+    // CCNet perplexity filter: add-1-smoothed char-bigram LM trained on
+    // the English rows, every doc scored by total −log2 P(c2|c1).  The
+    // character-TRANSITION complement to the unigram models above.
+    QueryDef("q_lm_bigram_score",
+      (s, dir) => Text.bigramLmScore(t(s, dir, "documents"), "doc_id", "text",
+          col("lang") === "en")
+        .filter(col("doc_id") < 200).orderBy("doc_id"),
+      Some("""WITH d AS (SELECT doc_id, text AS t, (lang = 'en') AS tgt FROM documents),
+         g AS (SELECT doc_id, tgt,
+             unnest(list_transform(range(1, length(t)),
+               i -> substring(t, CAST(i AS INT), 2))) AS big
+           FROM d),
+         pm AS (SELECT big, COUNT(*) AS n2 FROM g WHERE tgt GROUP BY 1),
+         cm AS (SELECT substring(big, 1, 1) AS c1, COUNT(*) AS n1
+           FROM g WHERE tgt GROUP BY 1),
+         vv AS (SELECT COUNT(DISTINCT substring(big, 2, 1)) AS v FROM g WHERE tgt),
+         terms AS (SELECT doc_id,
+             round(-log2((COALESCE(n2, 0) + 1) / (COALESCE(n1, 0) + v)), 9) AS term
+           FROM g LEFT JOIN pm USING (big)
+             LEFT JOIN cm ON cm.c1 = substring(g.big, 1, 1), vv)
+         SELECT doc_id, COUNT(*) AS n_bigrams,
+           CAST(SUM(CAST(term AS DECIMAL(38,9))) AS DOUBLE) AS nll_bits
+         FROM terms WHERE doc_id < 200 GROUP BY 1 ORDER BY 1""")),
+
     // BPE pair statistics (tokenizer induction, round-0 argmax table):
     // adjacent-character pair frequencies weighted by word frequency — the
     // statistic every `Text.bpeTrain` round takes its merge decision from.

@@ -302,6 +302,25 @@ class TextSpec extends SparkFunSuite {
       "weight equals the hand-computed smoothed log-ratio sum")
   }
 
+  test("bigramLmScore: hand-computed smoothed NLL; unseen transitions cost more") {
+    // target model from doc 1 "abab": n2(ab)=2, n2(ba)=1; n1(a)=2, n1(b)=1; V=2
+    val docs = Seq((1L, "abab", "en"), (2L, "zz", "fr"), (3L, "aabb", "fr"),
+      (4L, "x", "fr")).toDF("doc_id", "text", "lang")
+    val got = Text.bigramLmScore(docs, "doc_id", "text", col("lang") === "en")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.keySet === Set(1L, 2L, 3L), "a 1-char doc has no bigrams and drops")
+    assert(got(1L)._1 === 3L && got(2L)._1 === 1L && got(3L)._1 === 3L)
+    // ab: -log2(3/4); ba: -log2(2/3); terms rounded to 9dp before the sum
+    assert(math.abs(got(1L)._2 - (2 * 0.415037499 + 0.584962501)) < 1e-8,
+      "doc 1 NLL must equal the hand-computed smoothed sum")
+    // "zz": pair AND context unseen -> add-1 floor = -log2(1/V) = 1 bit
+    assert(math.abs(got(2L)._2 - 1.0) < 1e-9)
+    // doc 3 has the same char bag as the model corpus, but transitions
+    // aa/bb were never observed: per-bigram cost must exceed doc 1's
+    assert(got(3L)._2 > got(1L)._2,
+      "scrambled transitions must score worse than in-model ones")
+  }
+
   test("urlCanonicalize property: rule-based reference agrees on generated URLs") {
     import org.scalacheck.Gen
     // independent reference implementing the RULES (not the regexes):
