@@ -943,16 +943,7 @@ object Text {
   def lineDedup(docs: DataFrame, textCol: String, idCol: String,
                 lineTokens: Int = 10): DataFrame = {
     require(lineTokens >= 1, s"lineDedup: lineTokens $lineTokens < 1")
-    val d = docs.select(col(idCol).as("doc_id"),
-      split(trim(col(textCol)), " ").as("t"))
-    val lines = d.select(col("doc_id"),
-      posexplode(transform(
-        sequence(lit(0),
-          ((size(col("t")) + lit(lineTokens - 1)) / lit(lineTokens))
-            .cast("int") - 1),
-        i => array_join(slice(col("t"), i * lineTokens + 1, lit(lineTokens)), " "))))
-      .toDF("doc_id", "pos", "line")
-    lines
+    fixedWidthLines(docs, textCol, idCol, lineTokens)
       .withColumn("rn", row_number().over(
         Window.partitionBy("line").orderBy("doc_id", "pos")))
       .groupBy("doc_id")
@@ -960,6 +951,53 @@ object Text {
         sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
         array_join(transform(
           array_sort(collect_list(when(col("rn") === 1,
+            struct(col("pos"), col("line"))))),
+          st => st.getField("line")), " ").as("cleaned"))
+  }
+
+  /** `(doc_id, pos, line)` fixed-width token lines — the shared explode
+    * under [[lineDedup]] and [[lineBoilerplate]]. */
+  private def fixedWidthLines(docs: DataFrame, textCol: String,
+                              idCol: String, lineTokens: Int): DataFrame = {
+    val d = docs.select(col(idCol).as("doc_id"),
+      split(trim(col(textCol)), " ").as("t"))
+    d.select(col("doc_id"),
+      posexplode(transform(
+        sequence(lit(0),
+          ((size(col("t")) + lit(lineTokens - 1)) / lit(lineTokens))
+            .cast("int") - 1),
+        i => array_join(slice(col("t"), i * lineTokens + 1, lit(lineTokens)), " "))))
+      .toDF("doc_id", "pos", "line")
+  }
+
+  /** Boilerplate-line REMOVAL — the other half of CCNet's line pass:
+    * where [[lineDedup]] keeps each line's FIRST occurrence, a line that
+    * recurs across more than `maxDocs` DISTINCT documents is template
+    * furniture (cookie banners, nav bars, license footers) and is dropped
+    * from EVERY document, first occurrence included.  Lines at or under
+    * the threshold keep all their occurrences — within-doc repetition is
+    * repetition, not boilerplate, and [[lineDedup]] or the Gopher
+    * repetition rules own that axis.  Returns the [[lineDedup]] shape
+    * `(doc_id, n_lines, n_kept, cleaned)` so the two passes compose.
+    *
+    * Scale shape: ONE shuffle on the line key (count of distinct docs per
+    * line — a groupBy, cheaper than lineDedup's ordered window), the
+    * line→frequency join co-partitioned on the key it was just aggregated
+    * on, one aggregation back to doc grain.  No pairwise comparison. */
+  def lineBoilerplate(docs: DataFrame, textCol: String, idCol: String,
+                      lineTokens: Int = 10, maxDocs: Int = 2): DataFrame = {
+    require(lineTokens >= 1, s"lineBoilerplate: lineTokens $lineTokens < 1")
+    require(maxDocs >= 1, s"lineBoilerplate: maxDocs $maxDocs < 1")
+    val lines = fixedWidthLines(docs, textCol, idCol, lineTokens)
+    val freq = lines.groupBy("line")
+      .agg(countDistinct(col("doc_id")).as("__df"))
+    lines.join(freq, "line")
+      .withColumn("__keep", col("__df") <= maxDocs)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(when(col("__keep"),
             struct(col("pos"), col("line"))))),
           st => st.getField("line")), " ").as("cleaned"))
   }

@@ -210,6 +210,25 @@ object TextCatalog {
                AS cleaned
            FROM ranked GROUP BY 1 ORDER BY doc_id""")),
 
+    // The OTHER line pass: boilerplate removal.  A line recurring across
+    // >2 distinct docs is template furniture and drops everywhere (first
+    // occurrence included) — complements q_line_dedup's first-keep.
+    QueryDef("q_line_boilerplate",
+      (s, dir) => Text.lineBoilerplate(t(s, dir, "documents"), "text", "doc_id",
+          lineTokens = 10, maxDocs = 2)
+        .orderBy("doc_id"),
+      Some(s"""WITH d AS (SELECT doc_id, $toks AS t FROM documents),
+         lines AS (SELECT doc_id, CAST(u.l AS INT) AS pos,
+             array_to_string(t[u.l*10+1 : u.l*10+10], ' ') AS line
+           FROM d, LATERAL unnest(range(0, (len(t)+9)//10)) AS u(l)),
+         f AS (SELECT line, COUNT(DISTINCT doc_id) AS df FROM lines GROUP BY 1)
+         SELECT doc_id, COUNT(*) AS n_lines,
+             CAST(SUM(CASE WHEN df <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             COALESCE(array_to_string(
+                 list(line ORDER BY pos) FILTER (WHERE df <= 2), ' '), '')
+               AS cleaned
+           FROM lines JOIN f USING (line) GROUP BY 1 ORDER BY doc_id""")),
+
     // Shannon char entropy — the compression-proxy gibberish gate.  Terms
     // rounded to 9 dp before a decimal-exact sum, so both engines land on
     // the identical double (see Text.charEntropy).

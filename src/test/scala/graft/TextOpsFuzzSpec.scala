@@ -157,5 +157,37 @@ class TextOpsFuzzSpec extends SparkFunSuite {
       assert(got == want, s"seed $seed lineTokens=$lineTokens: dedup " +
         s"diverged (missing ${want -- got}, extra ${got -- want})")
     }
+
+    test(s"lineBoilerplate (seed $seed): distinct-doc frequency cut matches " +
+      "the model; within-doc repeats survive") {
+      val rng = new scala.util.Random(seed ^ 0x5eed)
+      val vocab = Seq("a", "b", "c")
+      val lineTokens = 2 + rng.nextInt(4)
+      val maxDocs = 1 + rng.nextInt(3)
+      val docs = (1L to 25L).map { id =>
+        val n =
+          if (rng.nextInt(6) == 0) 0
+          else if (rng.nextInt(4) == 0) lineTokens * (1 + rng.nextInt(3))
+          else rng.nextInt(4 * lineTokens) + 1
+        id -> Seq.fill(n)(vocab(rng.nextInt(vocab.size)))
+      }
+      val got = Text.lineBoilerplate(
+          docs.map { case (id, t) => (id, t.mkString(" ")) }.toDF("id", "text"),
+          "text", "id", lineTokens, maxDocs)
+        .select("doc_id", "n_lines", "n_kept", "cleaned")
+        .as[(Long, Long, Long, String)].collect().toSet
+      val allLines = docs.map { case (id, t) =>
+        val toks = if (t.isEmpty) Seq("") else t
+        id -> toks.grouped(lineTokens).map(_.mkString(" ")).toSeq
+      }
+      val df = allLines.flatMap { case (id, ls) => ls.distinct.map(_ -> id) }
+        .groupBy(_._1).map { case (l, xs) => l -> xs.size }
+      val want = allLines.map { case (id, ls) =>
+        val kept = ls.filter(l => df(l) <= maxDocs)
+        (id, ls.size.toLong, kept.size.toLong, kept.mkString(" "))
+      }.toSet
+      assert(got == want, s"seed $seed lineTokens=$lineTokens maxDocs=$maxDocs: " +
+        s"boilerplate cut diverged (missing ${want -- got}, extra ${got -- want})")
+    }
   }
 }
