@@ -970,6 +970,42 @@ object Text {
       .toDF("doc_id", "pos", "line")
   }
 
+  /** Deterministic proportional source interleaving — stride scheduling
+    * (Waldspurger & Weihl, OSDI'94) applied to training-data epoch order:
+    * doc with hash-order rank r of a source holding n docs gets key
+    * `(2r−1)/(2n)` ∈ (0,1), so sorting by the key spreads EVERY source
+    * evenly across the whole epoch (source i appears at exact fractional
+    * positions 1/2n, 3/2n, …) — no source exhausts early and no clump
+    * exceeds the proportional share, the guarantee a hash shuffle
+    * ([[hashOrderKey]]) only delivers statistically.  Complements
+    * [[mixtureKeep]]/[[sampleWeighted]] (which docs) by fixing the ORDER.
+    *
+    * Scale shape: the within-source rank comes from the two-stage offset
+    * operator with page = (source, first hash hex char) — the page prefix
+    * is part of the hash order itself, so page-major concatenation IS
+    * hash order within each source; driver state is one count per page
+    * (16 × sources), never per-row.  Key arithmetic is two exact integer
+    * scalings and one IEEE divide — bit-identical cross-engine.  Returns
+    * `(doc_id, source, rank_in_source, stride_key)`; consumers sort by
+    * `(stride_key, source)` for the epoch sequence. */
+  def strideInterleave(df: DataFrame, idCol: String, srcCol: String): DataFrame = {
+    val keyed = df.select(col(idCol), col(srcCol).as("source"),
+        hashOrderKey(col(idCol)).as("__h"))
+      .withColumn("__page", struct(col("source"),
+        substring(col("__h"), 1, 1).as("hx")))
+      .withColumn("__k", concat_ws("#", col("__h"),
+        lpad(col(idCol).cast("string"), 12, "0")))
+    val g = Relational.withGlobalRowOffsets(keyed, "__page", "__k")
+    val bounds = g.groupBy("source").agg(min("global_row").as("__base"),
+      count(lit(1)).as("__sz"))
+    g.join(broadcast(bounds), "source")
+      .withColumn("rank_in_source", col("global_row") - col("__base") + 1L)
+      .withColumn("stride_key",
+        (lit(2.0) * col("rank_in_source") - lit(1.0)) /
+          (lit(2.0) * col("__sz")))
+      .select(col(idCol), col("source"), col("rank_in_source"), col("stride_key"))
+  }
+
   /** Boilerplate-line REMOVAL — the other half of CCNet's line pass:
     * where [[lineDedup]] keeps each line's FIRST occurrence, a line that
     * recurs across more than `maxDocs` DISTINCT documents is template

@@ -2895,6 +2895,22 @@ object TextCatalog {
            row_number() OVER (ORDER BY hv % 8, hv, doc_id) AS global_row
          FROM h ORDER BY global_row""")),
 
+    // Stride-scheduled epoch order: every source spread EXACTLY evenly
+    // across the epoch (key (2r-1)/2n), the deterministic upgrade over the
+    // statistical mixing of q_shuffle_order.
+    QueryDef("q_stride_interleave",
+      (s, dir) => Text.strideInterleave(t(s, dir, "documents"), "doc_id", "source")
+        .orderBy("stride_key", "source"),
+      Some("""WITH h AS (SELECT doc_id, source,
+             substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS hv FROM documents),
+         r AS (SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source ORDER BY hv, doc_id) AS rank_in_source,
+             COUNT(*) OVER (PARTITION BY source) AS sz
+           FROM h)
+         SELECT doc_id, source, rank_in_source,
+           (2.0 * rank_in_source - 1.0) / (2.0 * sz) AS stride_key
+         FROM r ORDER BY stride_key, source""")),
+
     // Incremental dedup: a NEW batch (doc_id ≡ 0 mod 3) deduped against the
     // EXISTING corpus (the rest) — the production shape for growing corpora:
     // exact drop via anti-join on the text hash, near-dup drop via the

@@ -321,6 +321,31 @@ class TextSpec extends SparkFunSuite {
       "scrambled transitions must score worse than in-model ones")
   }
 
+  test("strideInterleave: keys are (2r-1)/2n and the epoch order spreads sources evenly") {
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = ((1L to 4L).map(i => (i, "big")) ++ Seq((5L, "small"), (6L, "small")))
+      .toDF("doc_id", "source")
+    val got = Text.strideInterleave(docs, "doc_id", "source")
+      .orderBy("stride_key", "source")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    // rank within source follows the md5 hash order (the model, independently)
+    val wantRanks = Seq("big", "small").flatMap { src =>
+      val ids = if (src == "big") (1L to 4L) else (5L to 6L)
+      ids.sortBy(i => md5hex(i.toString).take(15)).zipWithIndex
+        .map { case (id, r) => (id, src) -> (r + 1L) }
+    }.toMap
+    got.foreach { case (id, src, rank, key) =>
+      assert(rank === wantRanks((id, src)), s"rank of ($id,$src)")
+      val n = if (src == "big") 4 else 2
+      assert(key === (2.0 * rank - 1.0) / (2 * n), s"key of ($id,$src)")
+    }
+    // sizes 4 and 2: keys 1/8,3/8,5/8,7/8 and 1/4,3/4 -> exact alternation
+    assert(got.map(_._2).toSeq ===
+      Seq("big", "small", "big", "big", "small", "big"),
+      "the 4/2 mix must interleave small at exact proportional positions")
+  }
+
   test("urlCanonicalize property: rule-based reference agrees on generated URLs") {
     import org.scalacheck.Gen
     // independent reference implementing the RULES (not the regexes):
