@@ -85,6 +85,16 @@ object ScaleProbe {
           Text.minhashCandidates(Text.minhashBands(docs, "text", "doc_id")), 0.5)
           .count()
       }
+      // 1b) the CCNet line layer + perplexity filter: one line-key shuffle
+      //     (boilerplate cut) and a char-bigram model join whose model side
+      //     is |alphabet|²-bounded — both must stay ~linear in the corpus
+      time("line_boilerplate", m) {
+        Text.lineBoilerplate(docs, "text", "doc_id", 10, 2).count()
+      }
+      time("bigram_lm", m) {
+        Text.bigramLmScore(docs, "doc_id", "text", col("doc_id") % 2 === 0)
+          .count()
+      }
       // 2) connected components over the candidate edges (pre-materialized,
       //    untimed, so the probe times the graph iteration alone)
       Text.minhashCandidates(Text.minhashBands(docs, "text", "doc_id"))
