@@ -157,6 +157,40 @@ object Quality {
       .drop("__n", "__s", "__ss")
   }
 
+  /** Population Stability Index between two corpus slices over a shared
+    * bucketing — the standard drift monitor for a pipeline that re-ingests
+    * continuously: PSI = Σᵢ (pᵢ − qᵢ)·ln(pᵢ/qᵢ) over histogram buckets,
+    * add-1-smoothed so buckets present in only one slice stay finite.
+    * Every term is ≥ 0 (x·ln of the same ratio), so per-bucket terms
+    * localize WHERE the distribution moved as well as how much.  Rule of
+    * thumb: Σ < 0.1 stable, 0.1–0.25 drifting, > 0.25 shifted.
+    *
+    * Returns per-bucket rows `(bucket, n_a, n_b, p_a, p_b, psi_term)`;
+    * the headline PSI is the consumer's decimal-exact sum of the
+    * 9-dp-rounded terms (sums, not pre-divided scalars — the cross-engine
+    * discipline used by every scoring op here).
+    *
+    * Scale shape: ONE groupBy on the bucket id with conditional partial
+    * aggregates (map-side combine), totals crossed back in as a broadcast
+    * 1-row frame.  Bucket cardinality is the histogram width — bounded by
+    * construction, never by the data. */
+  def psiDrift(df: DataFrame, bucketCol: org.apache.spark.sql.Column,
+               inA: org.apache.spark.sql.Column): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val b = df.select(bucketCol.as("bucket"), inA.as("__a"))
+    val counts = b.groupBy("bucket").agg(
+      sum(when(col("__a"), 1L).otherwise(0L)).as("n_a"),
+      sum(when(!col("__a"), 1L).otherwise(0L)).as("n_b"))
+    val totals = counts.agg(sum("n_a").as("__ta"), sum("n_b").as("__tb"),
+      count(lit(1)).as("__k"))
+    counts.crossJoin(broadcast(totals))
+      .withColumn("p_a", (col("n_a") + 1) / (col("__ta") + col("__k")))
+      .withColumn("p_b", (col("n_b") + 1) / (col("__tb") + col("__k")))
+      .withColumn("psi_term",
+        round((col("p_a") - col("p_b")) * log(col("p_a") / col("p_b")), 9))
+      .select("bucket", "n_a", "n_b", "p_a", "p_b", "psi_term")
+  }
+
   /** Expectation suite — declarative data-quality rules evaluated in ONE
     * pass (the Deequ/dbt-test shape): each rule is a (name, boolean
     * predicate Column); the result is one row per rule with total / pass /

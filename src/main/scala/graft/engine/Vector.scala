@@ -308,6 +308,47 @@ object Vector {
       .select(col("q_id"), col("n_probed"), col("rank"), col("c_id"), col("cos"))
   }
 
+  /** Margin-based alignment scoring (Artetxe & Schwenk, "Margin-based
+    * Parallel Corpus Mining with Multilingual Sentence Embeddings",
+    * ACL'19): raw cosine over-selects HUB vectors (points near everything
+    * in a high-density region); the ratio margin
+    * `m(x,y) = 2·cos(x,y) / (μₖ(x) + μₖ(y))` divides each pair score by
+    * the two sides' local cosine levels — μₖ(s) is the mean cosine of s's
+    * k best candidates on the other side — so hubs are discounted and
+    * genuine mutual matches surface.  The bitext-mining scorer for
+    * parallel-corpus extraction, and equally the hub-corrected re-ranker
+    * for any cross-set matching (dedup across snapshots, caption↔image).
+    *
+    * Operates on the CANDIDATE pair graph `(x_id, y_id, cos)` — whatever
+    * generated it (at 100 TB: the IVF/LSH equi-join, never an x×y cross):
+    * both normalizers are rank-windows + aggregations over the pairs
+    * themselves, partitioned on the two id columns the pair graph is
+    * already keyed by.  Returns every pair with `mu_x`, `mu_y`, `margin`,
+    * and `mrank` (margin rank per x; callers cut at their k).
+    *
+    * Determinism: cosines arrive 6-dp ([[cosineNative]]); each μ sums
+    * them in DECIMAL(38,6) and divides by the exact candidate count, so
+    * both engines produce the identical double, and the margin is pure
+    * IEEE arithmetic on those. */
+  def marginRank(pairs: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"marginRank: k $k < 1")
+    def mu(idCol: String, out: String) = pairs
+      .withColumn("__r", row_number().over(
+        Window.partitionBy(idCol).orderBy(col("cos").desc,
+          col(if (idCol == "x_id") "y_id" else "x_id"))))
+      .filter(col("__r") <= k)
+      .groupBy(idCol)
+      .agg((sum(col("cos").cast(org.apache.spark.sql.types.DecimalType(38, 6)))
+        .cast("double") / count(lit(1))).as(out))
+    pairs
+      .join(mu("x_id", "mu_x"), "x_id")
+      .join(mu("y_id", "mu_y"), "y_id")
+      .withColumn("margin", lit(2.0) * col("cos") / (col("mu_x") + col("mu_y")))
+      .withColumn("mrank", row_number().over(
+        Window.partitionBy("x_id").orderBy(col("margin").desc, col("y_id"))))
+      .select("x_id", "y_id", "cos", "mu_x", "mu_y", "margin", "mrank")
+  }
+
   /** Literal-term budget for the unrolled centroid-argmax expression —
     * beyond this the generated code leaves whole-stage codegen and the
     * expression evaluates interpreted (see [[ivfTopK]]). */

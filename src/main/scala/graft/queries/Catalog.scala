@@ -1184,6 +1184,29 @@ object Catalog {
            CAST(SUM(CAST(zv AS DECIMAL(38,6))) AS DOUBLE) AS z_sum
          FROM z GROUP BY 1 ORDER BY 1""")),
 
+    // PSI drift between the English and non-English slices over doc-length
+    // centile buckets: Σ(p−q)·ln(p/q), add-1-smoothed, per-bucket terms so
+    // the drift LOCATION is visible (every term ≥ 0; headline = Σ terms).
+    QueryDef("q_psi_drift",
+      (s, dir) => Quality.psiDrift(t(s, dir, "documents"),
+          least(expr("n_chars div 100"), lit(9L)),
+          col("lang") === "en")
+        .orderBy("bucket"),
+      Some("""WITH b AS (SELECT LEAST(n_chars // 100, 9) AS bucket,
+             (lang = 'en') AS a FROM documents),
+         c AS (SELECT bucket,
+             CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(SUM(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+           FROM b GROUP BY 1),
+         t AS (SELECT CAST(SUM(n_a) AS BIGINT) AS ta,
+             CAST(SUM(n_b) AS BIGINT) AS tb, COUNT(*) AS k FROM c)
+         SELECT bucket, n_a, n_b,
+           (n_a + 1) / (ta + k) AS p_a,
+           (n_b + 1) / (tb + k) AS p_b,
+           round(((n_a + 1) / (ta + k) - (n_b + 1) / (tb + k)) *
+             ln(((n_a + 1) / (ta + k)) / ((n_b + 1) / (tb + k))), 9) AS psi_term
+         FROM c, t ORDER BY bucket""")),
+
     // Ordered string aggregation (LISTAGG/STRING_AGG surface): top-3
     // customer names per segment by balance, comma-joined in rank order.
     // collect_list order is partition-dependent — determinism comes from

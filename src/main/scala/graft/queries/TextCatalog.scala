@@ -1229,6 +1229,53 @@ object TextCatalog {
          FROM approx SEMI JOIN exact USING (q_id, c_id)
          GROUP BY 1 ORDER BY 1""")),
 
+    // Margin-based cross-set mining (Artetxe & Schwenk '19): the even-id
+    // half matched against the odd-id half, pair scores hub-corrected by
+    // the ratio margin 2cos/(μₖ(x)+μₖ(y)) before ranking.
+    QueryDef("q_margin_mining",
+      (s, dir) => {
+        graft.functions.GraftFunctions.ensureRegistered(s)
+        val e = t(s, dir, "embeddings")
+        val x = broadcast(e
+          .filter(col("vec_id") % 2 === 0 && col("vec_id") < 80)
+          .select(col("vec_id").as("x_id"),
+            Vector.asDouble(col("embedding")).as("xv")))
+        val y = e.filter(col("vec_id") % 2 === 1)
+          .select(col("vec_id").as("y_id"),
+            Vector.asDouble(col("embedding")).as("yv"))
+        val pairs = y.join(x)
+          .withColumn("cos", Vector.cosineNative(col("xv"), col("yv")))
+          .select("x_id", "y_id", "cos")
+        Vector.marginRank(pairs, 4).filter(col("mrank") <= 3)
+          .select(col("x_id"), col("mrank"), col("y_id"), col("cos"),
+            col("margin"))
+          .orderBy("x_id", "mrank")
+      },
+      Some(s"""WITH v AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv FROM embeddings),
+         x AS (SELECT vec_id AS x_id, dv AS xv FROM v
+           WHERE vec_id % 2 = 0 AND vec_id < 80),
+         y AS (SELECT vec_id AS y_id, dv AS yv FROM v WHERE vec_id % 2 = 1),
+         pr AS (SELECT x_id, y_id, ${cosSql("xv", "yv", 64)} AS cos FROM x, y),
+         rx AS (SELECT x_id, y_id, cos,
+             row_number() OVER (PARTITION BY x_id ORDER BY cos DESC, y_id) AS r FROM pr),
+         mx AS (SELECT x_id,
+             CAST(SUM(CAST(cos AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS mu_x
+           FROM rx WHERE r <= 4 GROUP BY 1),
+         ry AS (SELECT x_id, y_id, cos,
+             row_number() OVER (PARTITION BY y_id ORDER BY cos DESC, x_id) AS r FROM pr),
+         my AS (SELECT y_id,
+             CAST(SUM(CAST(cos AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS mu_y
+           FROM ry WHERE r <= 4 GROUP BY 1),
+         sc AS (SELECT pr.x_id, pr.y_id, pr.cos,
+             2.0 * pr.cos / (mu_x + mu_y) AS margin
+           FROM pr JOIN mx USING (x_id) JOIN my USING (y_id)),
+         rr AS (SELECT x_id, y_id, cos, margin,
+             row_number() OVER (PARTITION BY x_id ORDER BY margin DESC, y_id) AS mrank
+           FROM sc)
+         SELECT x_id, CAST(mrank AS INT) AS mrank, y_id, cos, margin
+         FROM rr WHERE mrank <= 3 ORDER BY x_id, mrank""")),
+
     // LSH bucket assignment (the ANN scale path's partitioning key).
     QueryDef("q_lsh_buckets",
       (s, dir) => {

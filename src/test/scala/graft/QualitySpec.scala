@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.col
+
 import graft.engine.{Multimodal, Quality}
 
 class QualitySpec extends SparkFunSuite {
@@ -118,5 +120,21 @@ class QualitySpec extends SparkFunSuite {
     assert(got(1) === (("g's domain", 3L, 2L, 1L)))
     assert(got(2) === (("v_small", 3L, 1L, 2L)), "NULL comparison counts as failed")
     intercept[IllegalArgumentException](Quality.expectations(df, Seq.empty))
+  }
+
+  test("psiDrift: zero on identical slices, hand value on a swap, terms >= 0") {
+    val same = Seq((1, true), (1, false), (2, true), (2, false)).toDF("bkt", "a")
+    val z = Quality.psiDrift(same, col("bkt"), col("a")).collect()
+    assert(z.forall(_.getAs[Double]("psi_term") === 0.0),
+      "equal per-bucket counts must give exactly zero drift")
+    // buckets (a=3,b=1) and (a=1,b=3): smoothed p=4/6 vs 2/6 both ways
+    val shifted = (Seq.fill(3)((1, true)) ++ Seq((1, false)) ++
+      Seq((2, true)) ++ Seq.fill(3)((2, false))).toDF("bkt", "a")
+    val got = Quality.psiDrift(shifted, col("bkt"), col("a"))
+      .collect().map(r => r.getAs[Int]("bucket") -> r.getAs[Double]("psi_term")).toMap
+    val want = (4.0 / 6 - 2.0 / 6) * math.log((4.0 / 6) / (2.0 / 6))
+    assert(math.abs(got(1) - want) < 1e-8 && math.abs(got(2) - want) < 1e-8,
+      s"per-bucket terms must match the hand-computed smoothed value ($got vs $want)")
+    assert(got.values.forall(_ >= 0), "every PSI term is nonnegative")
   }
 }

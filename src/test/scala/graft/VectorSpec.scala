@@ -283,6 +283,23 @@ class VectorSpec extends SparkFunSuite {
     }
   }
 
+  test("marginRank: hub-corrected margins demote the universally-close hub") {
+    // y1 is a HUB (close to both x's); y2 matches only x1.  Raw cosine
+    // ranks y1 first for x1; the ratio margin must flip that.
+    val pairs = Seq(
+      (1L, 10L, 0.9), (1L, 20L, 0.8),
+      (2L, 10L, 0.85), (2L, 20L, 0.2)
+    ).toDF("x_id", "y_id", "cos")
+    val got = Vector.marginRank(pairs, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(5), r.getInt(6))).toMap
+    // mu_x1=0.85, mu_x2=0.525, mu_y1=0.875, mu_y2=0.5 (hand-computed)
+    assert(math.abs(got((1L, 10L))._1 - 1.8 / 1.725) < 1e-12)
+    assert(math.abs(got((1L, 20L))._1 - 1.6 / 1.35) < 1e-12)
+    assert(got((1L, 20L))._2 === 1 && got((1L, 10L))._2 === 2,
+      "the exclusive match must outrank the hub despite lower cosine")
+  }
+
   test("ivfTopKAdaptive: probe count monotone in tau; tau→1 recovers full probe") {
     val vecs = (0L until 60L).map { i =>
       (i, Seq.tabulate(8)(j => ((((i * 31 + j * 17) % 97) - 48) / 7.0).toFloat))
