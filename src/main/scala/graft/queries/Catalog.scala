@@ -2432,6 +2432,47 @@ object Catalog {
          FROM orders, b
          WHERE o_orderkey >= c1 + 1 AND o_orderkey <= c2""")),
 
+    // DYNAMIC file pruning (the Databricks DFP / Delta dynamic-pruning
+    // shape): the JOIN's dim side is filtered first, its key ENVELOPE —
+    // one metadata-sized aggregate — becomes the fact table's manifest
+    // range filter, and whole fact segments drop before any fact byte or
+    // footer is read.  q_dpp does this at the parquet-partition level;
+    // this is the lakehouse-manifest analog, require-pinned to exactly
+    // one surviving segment of three.
+    QueryDef("q_tx_dfp",
+      (s, dir) => {
+        val root = Files.createTempDirectory("graft_txdfp").toString + "/tbl"
+        val l = t(s, dir, "lineitem").select("l_orderkey", "l_extendedprice")
+        val mx = l.agg(max("l_orderkey")).collect().head.getLong(0)
+        val (c1, c2) = (mx / 3, 2 * mx / 3)
+        TxTable.commitOverwrite(s, root,
+          l.filter(col("l_orderkey") <= c1), statsCols = Seq("l_orderkey"))
+        TxTable.commitAppend(s, root,
+          l.filter(col("l_orderkey") > c1 && col("l_orderkey") <= c2),
+          statsCols = Seq("l_orderkey"))
+        TxTable.commitAppend(s, root,
+          l.filter(col("l_orderkey") > c2), statsCols = Seq("l_orderkey"))
+        val dim = t(s, dir, "orders").select("o_orderkey")
+          .filter(col("o_orderkey") > c1 && col("o_orderkey") <= c2)
+        val b = dim.agg(min("o_orderkey").as("lo"), max("o_orderkey").as("hi"))
+          .collect().head
+        val pruned = TxTable.readWhere(s, root, "l_orderkey",
+          new java.math.BigDecimal(b.getLong(0)),
+          new java.math.BigDecimal(b.getLong(1)))
+        val scanned = pruned.inputFiles.map(_.replaceAll("/[^/]*$", "")).toSet
+        require(scanned.size == 1,
+          s"q_tx_dfp: the dim envelope must leave ONE fact segment, got $scanned")
+        pruned.join(dim, col("l_orderkey") === col("o_orderkey"))
+          .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("rev_sum"))
+      },
+      Some("""WITH b AS (SELECT MAX(l_orderkey) // 3 AS c1,
+             (2 * MAX(l_orderkey)) // 3 AS c2 FROM lineitem),
+         d AS (SELECT o_orderkey FROM orders, b
+           WHERE o_orderkey > c1 AND o_orderkey <= c2)
+         SELECT COUNT(*) AS n,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS rev_sum
+         FROM lineitem JOIN d ON l_orderkey = o_orderkey""")),
+
     // The manifest-list metadata path under the SAME oracle as q_tx_prune:
     // with the inline budget forced to zero every commit shards its stats
     // into a per-commit sidecar (`_txlog/s-<uuid>.json`) and the manifest
