@@ -181,9 +181,26 @@ object Quality {
     val counts = b.groupBy("bucket").agg(
       sum(when(col("__a"), 1L).otherwise(0L)).as("n_a"),
       sum(when(!col("__a"), 1L).otherwise(0L)).as("n_b"))
-    val totals = counts.agg(sum("n_a").as("__ta"), sum("n_b").as("__tb"),
+    psiFromCounts(counts.select("bucket", "n_a"),
+      counts.select("bucket", "n_b"))
+  }
+
+  /** [[psiDrift]] from PRE-AGGREGATED histograms `(bucket, n_a)` /
+    * `(bucket, n_b)` — the form a streaming monitor needs, where the
+    * current distribution arrives as exactly-once-committed per-batch
+    * histogram shards and the reference was frozen long ago.  Buckets
+    * missing on one side full-outer-join in as zero (then add-1 smoothing
+    * keeps them finite); bucket universe = the union, so a NOVEL bucket
+    * appearing in production registers as drift instead of vanishing. */
+  def psiFromCounts(a: DataFrame, b: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val j = a.join(b, Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+    val totals = j.agg(sum("n_a").as("__ta"), sum("n_b").as("__tb"),
       count(lit(1)).as("__k"))
-    counts.crossJoin(broadcast(totals))
+    j.crossJoin(broadcast(totals))
       .withColumn("p_a", (col("n_a") + 1) / (col("__ta") + col("__k")))
       .withColumn("p_b", (col("n_b") + 1) / (col("__tb") + col("__k")))
       .withColumn("psi_term",

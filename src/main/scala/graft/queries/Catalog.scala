@@ -3048,6 +3048,64 @@ object Catalog {
          SELECT k AS user_id, n_exact, n_est FROM est
          ORDER BY n_exact DESC, k""")),
 
+    // ST17 — STREAMING DRIFT MONITOR: each micro-batch commits its
+    // doc-length histogram shard exactly-once (TxTable batch-id guard; the
+    // fresh-checkpoint replay must no-op), the merged shards become the
+    // CURRENT distribution, and PSI is computed against the frozen
+    // English-slice reference — the production shape for "is what we are
+    // ingesting still the distribution we trained on".  The require pins
+    // streamed-histogram ≡ single-pass BEFORE the drift math sees it.
+    QueryDef("q_st17_stream_psi",
+      (s, dir) => {
+        val base = Files.createTempDirectory("graft_st17").toString
+        val root = s"$base/tbl"
+        val docs = t(s, dir, "documents").select(col("doc_id"),
+          least(expr("n_chars div 100"), lit(9L)).as("bucket"), col("lang"))
+        (0 until 3).foreach(i => docs.filter(pmod(col("doc_id"), lit(3)) === i)
+          .write.parquet(s"$base/src/f$i"))
+        val schema = s.read.parquet(s"$base/src/f0").schema
+        def histBatch(df: DataFrame, id: Long): Unit =
+          TxTable.streamingAppend(root)(
+            df.groupBy("bucket").agg(count(lit(1)).as("n_a")), id)
+        def runOnce(cp: String): Unit = {
+          val q = s.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1").parquet(s"$base/src/*")
+            .writeStream.foreachBatch(histBatch _)
+            .option("checkpointLocation", cp)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        runOnce(s"$base/cp1")
+        runOnce(s"$base/cp2") // full replay — the batch-id guard must no-op
+        val current = TxTable.read(s, root)
+          .groupBy("bucket").agg(sum("n_a").as("n_a"))
+        val single = docs.groupBy("bucket").agg(count(lit(1)).as("n_a"))
+        require(current.except(single).isEmpty &&
+            single.except(current).isEmpty,
+          "q_st17_stream_psi: merged micro-batch histograms != single-pass " +
+            "histogram — exactly-once or shard additivity broke")
+        val ref = docs.filter(col("lang") === "en")
+          .groupBy("bucket").agg(count(lit(1)).as("n_b"))
+        Quality.psiFromCounts(current, ref).orderBy("bucket")
+      },
+      Some("""WITH d AS (SELECT LEAST(n_chars // 100, 9) AS bucket, lang
+             FROM documents),
+         a AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_a FROM d GROUP BY 1),
+         b AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_b FROM d
+           WHERE lang = 'en' GROUP BY 1),
+         j AS (SELECT COALESCE(a.bucket, b.bucket) AS bucket,
+             COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b
+           FROM a FULL JOIN b ON a.bucket = b.bucket),
+         t AS (SELECT CAST(SUM(n_a) AS BIGINT) AS ta,
+             CAST(SUM(n_b) AS BIGINT) AS tb, COUNT(*) AS k FROM j)
+         SELECT bucket, n_a, n_b,
+           (n_a + 1) / (ta + k) AS p_a,
+           (n_b + 1) / (tb + k) AS p_b,
+           round(((n_a + 1) / (ta + k) - (n_b + 1) / (tb + k)) *
+             ln(((n_a + 1) / (ta + k)) / ((n_b + 1) / (tb + k))), 9) AS psi_term
+         FROM j, t ORDER BY bucket""")),
+
     // ST15 — STREAMING MULTIMODAL INGEST: each micro-batch renders real
     // PNGs (javax.imageio), REALLY decodes them back, and appends the
     // decoded raster statistics to a TxTable exactly-once — the ingest
