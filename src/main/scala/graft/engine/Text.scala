@@ -970,6 +970,47 @@ object Text {
       .toDF("doc_id", "pos", "line")
   }
 
+  /** Duplicated-span profile — the distributed stand-in for suffix-array
+    * exact-substring dedup (Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better", ACL'22): every `w`-token window (stride 1)
+    * is fingerprinted; a window whose text occurs ≥ 2 times ANYWHERE in
+    * the corpus (other docs or a within-doc repeat — both are the
+    * memorization hazard) marks its `w` token positions as duplicated,
+    * and each document reports how much of it is covered by duplicated
+    * spans.  The `dup_frac` column is the drop/trim signal: ≈1 means the
+    * doc is substantially a copy even when no single fingerprint matches
+    * doc-level dedup.
+    *
+    * Returns `(doc_id, n_tok, n_dup_tok, dup_frac)` for EVERY doc (short
+    * docs with no window report 0).  Scale shape: the window explode is
+    * ~len rows/doc (the price of stride-1 sensitivity — the suffix-array
+    * equivalent pays the same), the frequency cut is one groupBy on the
+    * window key, the cover join is co-partitioned on that key, and the
+    * position union is a distinct on (doc, position) — never a pairwise
+    * comparison, never driver state. */
+  def dupSpanProfile(docs: DataFrame, textCol: String, idCol: String,
+                     w: Int = 8): DataFrame = {
+    require(w >= 2, s"dupSpanProfile: window $w < 2")
+    val d = docs
+      .select(col(idCol).as("doc_id"), split(trim(col(textCol)), " ").as("t"))
+      .withColumn("n_tok", size(col("t")).cast(LongType))
+    val wins = d.filter(col("n_tok") >= w)
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), (col("n_tok") - w).cast("int")),
+        i => array_join(slice(col("t"), i + 1, lit(w)), " "))))
+      .toDF("doc_id", "pos", "win")
+    val dup = wins.groupBy("win").agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= 2)
+    val covered = wins.join(dup, "win")
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(w - 1))).as("ti"))
+      .distinct()
+      .groupBy("doc_id").agg(count(lit(1)).as("n_dup_tok"))
+    d.select("doc_id", "n_tok").join(covered, Seq("doc_id"), "left")
+      .withColumn("n_dup_tok", coalesce(col("n_dup_tok"), lit(0L)))
+      .withColumn("dup_frac", col("n_dup_tok") / col("n_tok"))
+  }
+
   /** Deterministic proportional source interleaving — stride scheduling
     * (Waldspurger & Weihl, OSDI'94) applied to training-data epoch order:
     * doc with hash-order rank r of a source holding n docs gets key

@@ -210,6 +210,29 @@ object TextCatalog {
                AS cleaned
            FROM ranked GROUP BY 1 ORDER BY doc_id""")),
 
+    // Duplicated-span profile: stride-1 8-token windows, frequency-cut at
+    // ≥2 corpus-wide occurrences, positions unioned per doc — the
+    // suffix-array-dedup signal (Lee et al. '22) as relational operators.
+    QueryDef("q_dup_span",
+      (s, dir) => Text.dupSpanProfile(t(s, dir, "documents"), "text", "doc_id",
+          w = 8)
+        .orderBy("doc_id"),
+      Some(s"""WITH d AS (SELECT doc_id, $toks AS t FROM documents),
+         dd AS (SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n_tok FROM d),
+         wins AS (SELECT doc_id, CAST(u.i AS INT) AS pos,
+             array_to_string(t[u.i+1 : u.i+8], ' ') AS win
+           FROM dd, LATERAL unnest(range(0, n_tok - 7)) AS u(i)
+           WHERE n_tok >= 8),
+         dup AS (SELECT win FROM wins GROUP BY 1 HAVING COUNT(*) >= 2),
+         cov AS (SELECT DISTINCT doc_id, pos + CAST(u.k AS INT) AS ti
+           FROM wins SEMI JOIN dup USING (win),
+             LATERAL unnest(range(0, 8)) AS u(k)),
+         agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_tok
+           FROM cov GROUP BY 1)
+         SELECT dd.doc_id, n_tok, COALESCE(n_dup_tok, 0) AS n_dup_tok,
+           COALESCE(n_dup_tok, 0) / n_tok AS dup_frac
+         FROM dd LEFT JOIN agg USING (doc_id) ORDER BY doc_id""")),
+
     // The OTHER line pass: boilerplate removal.  A line recurring across
     // >2 distinct docs is template furniture and drops everywhere (first
     // occurrence included) — complements q_line_dedup's first-keep.

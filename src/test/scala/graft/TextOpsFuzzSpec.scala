@@ -189,5 +189,37 @@ class TextOpsFuzzSpec extends SparkFunSuite {
       assert(got == want, s"seed $seed lineTokens=$lineTokens maxDocs=$maxDocs: " +
         s"boilerplate cut diverged (missing ${want -- got}, extra ${got -- want})")
     }
+
+    test(s"dupSpanProfile (seed $seed): covered-position union matches the " +
+      "sliding-window model including within-doc repeats") {
+      val rng = new scala.util.Random(seed ^ 0xd0b)
+      val vocab = Seq("a", "b", "c")
+      val w = 3 + rng.nextInt(3)
+      val docs = (1L to 20L).map { id =>
+        val n = if (rng.nextInt(6) == 0) rng.nextInt(w) // below-window docs
+                else rng.nextInt(4 * w) + 1
+        id -> Seq.fill(n)(vocab(rng.nextInt(vocab.size)))
+      }
+      val got = Text.dupSpanProfile(
+          docs.map { case (id, t) => (id, t.mkString(" ")) }.toDF("id", "text"),
+          "text", "id", w)
+        .select("doc_id", "n_tok", "n_dup_tok")
+        .as[(Long, Long, Long)].collect().toSet
+      val winCount = scala.collection.mutable.Map.empty[String, Int]
+      val winsByDoc = docs.map { case (id, t) =>
+        val toks = if (t.isEmpty) Seq("") else t
+        val ws = if (toks.size < w) Seq.empty
+          else (0 to toks.size - w).map(i => i -> toks.slice(i, i + w).mkString(" "))
+        ws.foreach { case (_, s0) => winCount(s0) = winCount.getOrElse(s0, 0) + 1 }
+        (id, toks.size.toLong, ws)
+      }
+      val want = winsByDoc.map { case (id, n, ws) =>
+        val cov = ws.filter { case (_, s0) => winCount(s0) >= 2 }
+          .flatMap { case (i, _) => i until i + w }.toSet
+        (id, n, cov.size.toLong)
+      }.toSet
+      assert(got == want, s"seed $seed w=$w: dup-span profile diverged " +
+        s"(missing ${want -- got}, extra ${got -- want})")
+    }
   }
 }
