@@ -29,6 +29,49 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Synchronous label propagation (Raghavan et al. '07), made
+    * DETERMINISTIC: every vertex starts as its own label; each round it
+    * adopts the most frequent label among its neighbors, ties broken by
+    * the SMALLEST label (classic LPA breaks ties randomly — useless for an
+    * oracle-checked engine).  A FIXED round count rather than a
+    * convergence test: sync LPA can 2-cycle on bipartite-ish structure, so
+    * "run R rounds" is the semantics, not an approximation of it.  Where
+    * [[connectedComponents]] merges everything reachable, LPA splits a
+    * weakly-bridged blob into dense COMMUNITIES — the right grain when one
+    * stray near-dup pair would otherwise chain two unrelated clusters.
+    *
+    * Returns `(node, label)` per endpoint.  Scale shape identical to CC:
+    * each round is one edges⋈labels join (co-partitioned on the vertex
+    * key after round 1), one (vertex, label) count aggregation, one
+    * argmax window partitioned by vertex; `localCheckpoint` truncates the
+    * per-round lineage. */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+                       rounds: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(rounds >= 1, s"labelPropagation: rounds $rounds < 1")
+    val sym = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .union(edges.select(col(dstCol).as("u"), col(srcCol).as("v")))
+      .distinct()
+      .localCheckpoint()
+    var labels = sym.select(col("u").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+      .localCheckpoint()
+    (1 to rounds).foreach { _ =>
+      val freq = sym.join(labels.withColumnRenamed("node", "v"), "v")
+        .groupBy(col("u"), col("label")).agg(count(lit(1)).as("__c"))
+      val best = freq.withColumn("__rk", row_number().over(
+          Window.partitionBy("u").orderBy(col("__c").desc, col("label"))))
+        .filter(col("__rk") === 1)
+        .select(col("u").as("node"), col("label").as("__new"))
+      // every node has ≥1 neighbor (it came from an edge) — but keep the
+      // defensive coalesce so a future filtered-edges caller can't NULL it
+      labels = labels.join(best, Seq("node"), "left")
+        .select(col("node"), coalesce(col("__new"), col("label")).as("label"))
+        .localCheckpoint()
+    }
+    labels
+  }
+
   /** Label every vertex of the undirected graph `edges` with the MINIMUM
     * vertex id reachable from it (its connected component's canonical id).
     *

@@ -2777,7 +2777,54 @@ object TextCatalog {
          UNION SELECT reach.id, e.dst FROM reach JOIN e ON reach.r = e.src),
        lab AS (SELECT id, LEAST(id, MIN(r)) AS label FROM reach GROUP BY id)"""
 
+  /** Unrolled synchronous-LPA rounds over the `e(u, v)` edge CTE —
+    * ≡ Graph.labelPropagation (most-frequent neighbor label, min
+    * tie-break), `l$rounds(node, label)` as the final relation. */
+  private def lpaSql(rounds: Int): String =
+    (1 to rounds).map { r =>
+      s"""r$r AS (SELECT e.u, l.label, COUNT(*) AS c
+           FROM e JOIN l${r - 1} l ON l.node = e.v GROUP BY 1, 2),
+         b$r AS (SELECT u AS node, label FROM (SELECT u, label,
+             row_number() OVER (PARTITION BY u ORDER BY c DESC, label) AS rk
+           FROM r$r) WHERE rk = 1),
+         l$r AS (SELECT l${r - 1}.node, COALESCE(b$r.label, l${r - 1}.label) AS label
+           FROM l${r - 1} LEFT JOIN b$r USING (node))"""
+    }.mkString(",\n         ")
+
   val corpus: Seq[QueryDef] = Seq(
+
+    // COMMUNITIES, not components: deterministic sync LPA over the same
+    // verified near-dup pair graph — where one stray bridge pair would
+    // make CC chain two unrelated dense clusters into one, LPA keeps the
+    // dense cores apart (GraphSpec pins exactly that contrast).
+    QueryDef("q_lpa_communities",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val pairs = Text.verifiedPairs(d, "text", "doc_id",
+            Text.minhashCandidates(Text.minhashBands(d, "text", "doc_id")), 0.2)
+          .select("doc_a", "doc_b")
+        val lab = Graph.labelPropagation(pairs, "doc_a", "doc_b", rounds = 3)
+        val sizes = lab.groupBy("label").agg(count(lit(1)).as("community_size"))
+        lab.join(sizes, "label")
+          .select(col("node").as("doc_id"), col("label").as("community"),
+            col("community_size"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $bandsSql,
+         cand AS (SELECT DISTINCT a.doc AS doc_a, b2.doc AS doc_b
+           FROM bk a JOIN bk b2 ON a.band = b2.band AND a.band_key = b2.band_key AND a.doc < b2.doc),
+         tk AS (SELECT doc, list_distinct(sh) AS tk FROM shd),
+         pairs AS (SELECT c.doc_a, c.doc_b
+           FROM cand c JOIN tk ta ON ta.doc = c.doc_a JOIN tk tb ON tb.doc = c.doc_b
+           WHERE round(CAST(len(list_intersect(ta.tk, tb.tk)) AS DOUBLE)
+               / (len(ta.tk) + len(tb.tk) - len(list_intersect(ta.tk, tb.tk))), 6) >= 0.2),
+         e AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+           UNION SELECT doc_b, doc_a FROM pairs),
+         l0 AS (SELECT DISTINCT u AS node, u AS label FROM e),
+         ${lpaSql(3)},
+         sz AS (SELECT label, COUNT(*) AS community_size FROM l3 GROUP BY 1)
+         SELECT l3.node AS doc_id, l3.label AS community, sz.community_size
+         FROM l3 JOIN sz USING (label) ORDER BY doc_id""")),
 
     // Near-dup CLUSTERS: connected components over the verified pair graph
     // (min-label propagation; Graph.connectedComponents) — the transitive-

@@ -186,4 +186,24 @@ class GraphSpec extends SparkFunSuite {
     assert(total > 0 && total <= 1.0 + 1e-9,
       s"rank mass bounded by 1 (dangling nodes leak, never create): $total")
   }
+
+  test("labelPropagation splits two triangles across a bridge that CC merges") {
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), // triangle A
+      (4L, 5L), (5L, 6L), (4L, 6L),               // triangle B
+      (3L, 4L)                                    // the stray bridge pair
+    ).toDF("a", "b")
+    val lpa = Graph.labelPropagation(edges, "a", "b", rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lpa(1L) === lpa(2L) && lpa(2L) === lpa(3L), "triangle A is one community")
+    assert(lpa(4L) === lpa(5L) && lpa(5L) === lpa(6L), "triangle B is one community")
+    assert(lpa(1L) !== lpa(4L),
+      "the bridge must NOT merge the dense cores (that is CC's behavior, not LPA's)")
+    val cc = Graph.connectedComponents(edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc.values.toSet.size === 1, "contrast: CC merges everything reachable")
+    // determinism under re-run (classic LPA is randomized; this one must not be)
+    val again = Graph.labelPropagation(edges, "a", "b", rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again === lpa, "fixed rounds + min tie-break = bit-stable labels")
+  }
 }
