@@ -349,6 +349,40 @@ object Vector {
       .select("x_id", "y_id", "cos", "mu_x", "mu_y", "margin", "mrank")
   }
 
+  /** Graded retrieval quality of an APPROXIMATE top-k list against exact
+    * truth: nDCG@k with linear gain `rel(c) = k+1 − exact_rank(c)` (0 for
+    * candidates outside the exact top-k).  Recall counts hits; nDCG also
+    * charges the index for returning the right neighbors in the WRONG
+    * order — the metric an index-tuning sweep (planes / nprobe / τ)
+    * actually optimizes.  Inputs are two ranked lists
+    * `(q_id, c_id, rank)`; output `(q_id, dcg, idcg, ndcg)`.
+    *
+    * Determinism: each position's gain/log₂-discount term is rounded to
+    * 9 dp then DECIMAL-summed (the scoring-op discipline — absorbs libm
+    * log ulp differences), and `ndcg` is one IEEE divide of those two
+    * reproducible doubles.  Scale shape: both lists are k-bounded per
+    * query; one co-partitioned left join on (q_id, c_id), two grouped
+    * sums. */
+  def ndcgAtK(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val ex = exact.select(col("q_id"), col("c_id"), col("rank").as("erank"))
+    val gains = approx.select(col("q_id"), col("c_id"), col("rank").as("apos"))
+      .join(ex, Seq("q_id", "c_id"), "left")
+      .withColumn("__t", round(
+        coalesce(lit(k + 1) - col("erank"), lit(0)).cast("double") /
+          log2(col("apos") + 1), 9))
+      .groupBy("q_id")
+      .agg(sum(col("__t").cast(DecimalType(38, 9))).cast("double").as("dcg"))
+    val ideal = ex
+      .withColumn("__t", round(
+        (lit(k + 1) - col("erank")).cast("double") / log2(col("erank") + 1), 9))
+      .groupBy("q_id")
+      .agg(sum(col("__t").cast(DecimalType(38, 9))).cast("double").as("idcg"))
+    gains.join(ideal, "q_id")
+      .withColumn("ndcg", col("dcg") / col("idcg"))
+      .select("q_id", "dcg", "idcg", "ndcg")
+  }
+
   /** Literal-term budget for the unrolled centroid-argmax expression —
     * beyond this the generated code leaves whole-stage codegen and the
     * expression evaluates interpreted (see [[ivfTopK]]). */

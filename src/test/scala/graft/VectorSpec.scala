@@ -283,6 +283,21 @@ class VectorSpec extends SparkFunSuite {
     }
   }
 
+  test("ndcgAtK: perfect list scores 1, reversed list less, misses score 0") {
+    val exact = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3))
+      .toDF("q_id", "c_id", "rank")
+    def ndcg(approx: Seq[(Long, Long, Int)]): Double =
+      Vector.ndcgAtK(approx.toDF("q_id", "c_id", "rank"), exact, k = 3)
+        .collect().head.getAs[Double]("ndcg")
+    val perfect = ndcg(Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3)))
+    assert(math.abs(perfect - 1.0) < 1e-9, s"perfect ranking must score 1 ($perfect)")
+    val reversed = ndcg(Seq((1L, 12L, 1), (1L, 11L, 2), (1L, 10L, 3)))
+    assert(reversed < perfect && reversed > 0,
+      "right neighbors in the wrong order must cost something")
+    val misses = ndcg(Seq((1L, 97L, 1), (1L, 98L, 2), (1L, 99L, 3)))
+    assert(misses === 0.0, "a list with zero true neighbors scores exactly 0")
+  }
+
   test("marginRank: hub-corrected margins demote the universally-close hub") {
     // y1 is a HUB (close to both x's); y2 matches only x1.  Raw cosine
     // ranks y1 first for x1; the ratio margin must flip that.
