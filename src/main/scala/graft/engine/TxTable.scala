@@ -246,6 +246,41 @@ object TxTable {
       .reduceOption(_ max _)
   }
 
+  /** `DESCRIBE HISTORY` — one metadata row per retained commit:
+    * `(version, op, n_segments, n_cdc, n_dvs, batch)`.  Reads every
+    * manifest THIN (never a stats sidecar, never a data footer), so the
+    * driver cost is O(retained versions) small JSON reads — bounded by
+    * [[vacuum]] retention, the same bound every time-travel path already
+    * lives under.  The audit surface an operator reaches for first:
+    * what happened to this table, in what order, and did any streaming
+    * batch land twice (the carried `batch` watermark answers that without
+    * opening a single segment). */
+  def history(spark: SparkSession, root: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val dir = new Path(s"${root.stripSuffix("/")}/$LogDir")
+    val f = fs(spark, root)
+    val versions =
+      if (!f.exists(dir)) Seq.empty[Long]
+      else f.listStatus(dir).map(_.getPath.getName)
+        .collect { case n if n.startsWith("v") && n.endsWith(".json") =>
+          n.stripPrefix("v").stripSuffix(".json").toLong }.toSeq.sorted
+    val rows = versions.map { v =>
+      val m = readManifest(spark, root, v, withStats = false)
+      Row(m.version, m.op, m.segments.size.toLong, m.cdc.size.toLong,
+        m.dvs.size.toLong, m.batch.map(java.lang.Long.valueOf).orNull)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        StructField("version", LongType, false),
+        StructField("op", StringType, false),
+        StructField("n_segments", LongType, false),
+        StructField("n_cdc", LongType, false),
+        StructField("n_dvs", LongType, false),
+        StructField("batch", LongType, true))))
+  }
+
   /** Read version `v`'s manifest.  `withStats = false` is the THIN read
     * for paths that never consume stats (head probes for batch/schema,
     * snapshot opens, CDF, vacuum's liveness sweep): when the stats live in

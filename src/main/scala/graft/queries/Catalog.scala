@@ -2473,6 +2473,35 @@ object Catalog {
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS rev_sum
          FROM lineitem JOIN d ON l_orderkey = o_orderkey""")),
 
+    // DESCRIBE HISTORY: the commit audit trail as a queryable relation —
+    // thin manifest reads only, every op/segment-count/batch watermark of
+    // a deterministic overwrite→append→append→compact→delete life pinned
+    // against a literal table.
+    QueryDef("q_tx_history",
+      (s, dir) => {
+        val root = Files.createTempDirectory("graft_txh").toString + "/tbl"
+        val o = t(s, dir, "orders").select("o_orderkey", "o_totalprice")
+        val mx = o.agg(max("o_orderkey")).collect().head.getLong(0)
+        val (c1, c2) = (mx / 3, 2 * mx / 3)
+        TxTable.commitOverwrite(s, root, o.filter(col("o_orderkey") <= c1))
+        TxTable.commitAppend(s, root,
+          o.filter(col("o_orderkey") > c1 && col("o_orderkey") <= c2))
+        TxTable.commitAppend(s, root, o.filter(col("o_orderkey") > c2))
+        TxTable.compactSmall(s, root, minBytes = Long.MaxValue)
+        TxTable.commitDelete(s, root,
+          o.filter(col("o_orderkey") <= c1).select("o_orderkey"),
+          Seq("o_orderkey"))
+        TxTable.history(s, root).orderBy("version")
+      },
+      Some("""SELECT * FROM (VALUES
+           (CAST(1 AS BIGINT), 'overwrite', CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(NULL AS BIGINT)),
+           (CAST(2 AS BIGINT), 'append',    CAST(2 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(NULL AS BIGINT)),
+           (CAST(3 AS BIGINT), 'append',    CAST(3 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(NULL AS BIGINT)),
+           (CAST(4 AS BIGINT), 'compact',   CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(NULL AS BIGINT)),
+           (CAST(5 AS BIGINT), 'delete',    CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(NULL AS BIGINT))
+         ) AS t(version, op, n_segments, n_cdc, n_dvs, batch)
+         ORDER BY version""")),
+
     // The manifest-list metadata path under the SAME oracle as q_tx_prune:
     // with the inline budget forced to zero every commit shards its stats
     // into a per-commit sidecar (`_txlog/s-<uuid>.json`) and the manifest

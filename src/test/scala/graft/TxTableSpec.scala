@@ -26,6 +26,20 @@ class TxTableSpec extends SparkFunSuite {
     assert(TxTable.readVersion(spark, root, 2L).count() === 3)
   }
 
+  test("history: thin audit trail tracks ops, segment counts, batch watermark") {
+    val root = newRoot()
+    TxTable.commitOverwrite(spark, root, Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    TxTable.streamingAppend(root)(Seq((3L, "c")).toDF("k", "v"), 7L)
+    TxTable.commitAppend(spark, root, Seq((4L, "d")).toDF("k", "v"))
+    val h = TxTable.history(spark, root).orderBy("version").collect()
+    assert(h.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+    assert(h.map(_.getString(1)).toSeq === Seq("overwrite", "append", "append"))
+    assert(h.map(_.getLong(2)).toSeq === Seq(1L, 2L, 3L), "segment counts grow per append")
+    assert(h.head.isNullAt(5), "pre-streaming commits carry no batch watermark")
+    assert(h(1).getLong(5) === 7L && h(2).getLong(5) === 7L,
+      "the batch watermark latches and carries forward through later commits")
+  }
+
   test("compactTx merges segments as a commit; prior snapshots undisturbed") {
     val root = newRoot()
     TxTable.commitOverwrite(spark, root, (1L to 10L).toDF("k"))
