@@ -676,10 +676,34 @@ object TxTable {
                    bloomCols: Seq[String] = Nil): Long =
     appendWith(spark, root, df, None, statsCols, bloomCols)
 
+  /** WRITE–AUDIT–PUBLISH append (the Iceberg WAP pattern): the batch is
+    * STAGED as a segment first, `audit` runs against exactly the staged
+    * files (read back from disk — so it also catches serialization/codec
+    * drift the input plan can't show), and only a clean audit publishes
+    * the manifest.  An audit that throws leaves the table at its prior
+    * version, removes the staged segment, and rethrows — readers never
+    * see unaudited rows, and there is no window where they could (the
+    * manifest IS visibility).  This is [[Quality.expectations]]' natural
+    * commit-side home: `audit = staged => require(violations == 0)`. */
+  def commitAppendAudited(spark: SparkSession, root: String, df: DataFrame,
+                          statsCols: Seq[String] = Nil,
+                          bloomCols: Seq[String] = Nil)
+                         (audit: DataFrame => Unit): Long =
+    appendWith(spark, root, df, None, statsCols, bloomCols, Some(audit))
+
   private def appendWith(spark: SparkSession, root: String, df: DataFrame,
                          batch: Option[Long], statsCols: Seq[String] = Nil,
-                         bloomCols: Seq[String] = Nil): Long = {
+                         bloomCols: Seq[String] = Nil,
+                         audit: Option[DataFrame => Unit] = None): Long = {
     val seg = writeSegment(df, root)
+    audit.foreach { a =>
+      val segPath = new Path(s"${root.stripSuffix("/")}/$seg")
+      try a(spark.read.parquet(segPath.toString))
+      catch { case e: Throwable =>
+        fs(spark, root).delete(segPath, true) // staged only — never referenced
+        throw e
+      }
+    }
     val segSt = segStatsWithBlooms(spark, root, seg,
       statsCols ++ bloomCols.map(bloomKey))
     // the SEGMENT is ours alone; only the base list can go stale — rebuild

@@ -2502,6 +2502,42 @@ object Catalog {
          ) AS t(version, op, n_segments, n_cdc, n_dvs, batch)
          ORDER BY version""")),
 
+    // WRITE–AUDIT–PUBLISH: a staged batch publishes only after its audit
+    // passes against the staged FILES; the poisoned batch's audit throws,
+    // the segment is removed, the table stays at its prior version, and
+    // the oracle sees exactly the two audited commits.
+    QueryDef("q_tx_wap",
+      (s, dir) => {
+        val root = Files.createTempDirectory("graft_txwap").toString + "/tbl"
+        val o = t(s, dir, "orders").select("o_orderkey", "o_totalprice")
+        val mx = o.agg(max("o_orderkey")).collect().head.getLong(0)
+        val (c1, c2) = (mx / 3, 2 * mx / 3)
+        TxTable.commitOverwrite(s, root, o.filter(col("o_orderkey") <= c1))
+        TxTable.commitAppendAudited(s, root,
+            o.filter(col("o_orderkey") > c1 && col("o_orderkey") <= c2)) {
+          staged =>
+            require(staged.filter(col("o_totalprice") < 0).isEmpty,
+              "q_tx_wap: negative price in staged batch")
+        }
+        val poisoned = o.filter(col("o_orderkey") > c2)
+          .withColumn("o_totalprice", -abs(col("o_totalprice")))
+        val failed = scala.util.Try(
+          TxTable.commitAppendAudited(s, root, poisoned) { staged =>
+            require(staged.filter(col("o_totalprice") < 0).isEmpty,
+              "audit must reject the poisoned batch")
+          })
+        require(failed.isFailure,
+          "q_tx_wap: the failing audit must refuse to publish")
+        require(TxTable.latestVersion(s, root).contains(2L),
+          "q_tx_wap: a failed audit must leave the table at its prior version")
+        TxTable.read(s, root)
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("price_sum"))
+      },
+      Some("""WITH b AS (SELECT (2 * MAX(o_orderkey)) // 3 AS c2 FROM orders)
+         SELECT COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS price_sum
+         FROM orders, b WHERE o_orderkey <= c2""")),
+
     // The manifest-list metadata path under the SAME oracle as q_tx_prune:
     // with the inline budget forced to zero every commit shards its stats
     // into a per-commit sidecar (`_txlog/s-<uuid>.json`) and the manifest

@@ -40,6 +40,32 @@ class TxTableSpec extends SparkFunSuite {
       "the batch watermark latches and carries forward through later commits")
   }
 
+  test("commitAppendAudited: failed audit unwinds the staged segment entirely") {
+    val root = newRoot()
+    TxTable.commitOverwrite(spark, root, Seq((1L, 10.0)).toDF("k", "v"))
+    def dataDirs() = {
+      val d = new java.io.File(s"$root/data")
+      if (d.exists()) d.listFiles().count(_.isDirectory) else 0
+    }
+    val before = dataDirs()
+    val ex = intercept[IllegalArgumentException] {
+      TxTable.commitAppendAudited(spark, root,
+          Seq((2L, -5.0)).toDF("k", "v")) { staged =>
+        require(staged.filter($"v" < 0).isEmpty, "negative v staged")
+      }
+    }
+    assert(ex.getMessage.contains("negative v staged"))
+    assert(TxTable.latestVersion(spark, root).contains(1L),
+      "a failed audit publishes nothing")
+    assert(dataDirs() === before,
+      "the staged segment must be deleted, not left as an orphan")
+    // the audit sees the STAGED files, not the input plan
+    var seen = -1L
+    TxTable.commitAppendAudited(spark, root,
+        Seq((3L, 7.0)).toDF("k", "v")) { staged => seen = staged.count() }
+    assert(seen === 1L && TxTable.read(spark, root).count() === 2)
+  }
+
   test("compactTx merges segments as a commit; prior snapshots undisturbed") {
     val root = newRoot()
     TxTable.commitOverwrite(spark, root, (1L to 10L).toDF("k"))
