@@ -970,6 +970,50 @@ object Text {
       .toDF("doc_id", "pos", "line")
   }
 
+  /** Zipf-law fit over the corpus token frequencies: least-squares slope
+    * and intercept of log₂ freq on log₂ rank.  Natural language sits near
+    * slope −1 (Zipf's law); a corpus drowning in boilerplate bends the
+    * head flat, machine-generated text steepens the tail — so the slope
+    * is a one-number corpus-health gauge to trend across ingests (pair
+    * with [[Quality.psiDrift]] for the where-did-it-move view).
+    *
+    * Returns ONE row `(n_types, n_tokens, slope, intercept)`.  The
+    * regression runs entirely on the VOCAB-sized frequency table: one
+    * corpus explode (shared shape with [[wordFreqs]]), then the global
+    * frequency rank comes from the two-stage offset operator paged by
+    * FREQUENCY OCTAVE (⌊log₂ f⌋ — a prefix of the `(f desc, word)` order,
+    * ≤ 64 pages, so driver state is 64 counts and no window ever sees
+    * more than one octave) — the guardrail-clean global numbering —
+    * then four decimal-summed moments and a closed-form solve.
+    * Determinism: each log term (and each product of two such terms)
+    * rounds to 9 dp before its DECIMAL(38,9) sum; the final solve is a
+    * handful of IEEE ops on those reproducible doubles. */
+  def zipfFit(df: DataFrame, textCol: String): DataFrame = {
+    val freqs = wordFreqs(df, textCol)
+    val keyed = freqs
+      .withColumn("__page", -floor(log2(col("f"))).cast(LongType))
+      .withColumn("__k", struct((-col("f")).as("nf"), col("word")))
+    val ranked = Relational.withGlobalRowOffsets(keyed, "__page", "__k")
+      .withColumn("rnk", col("global_row"))
+    val terms = ranked.select(
+      col("f"),
+      round(log2(col("rnk")), 9).as("x"),
+      round(log2(col("f")), 9).as("y"))
+      .withColumn("xy", round(col("x") * col("y"), 9))
+      .withColumn("xx", round(col("x") * col("x"), 9))
+    def dsum9(c: Column) =
+      sum(c.cast(DecimalType(38, 9))).cast("double")
+    terms.agg(count(lit(1)).as("n_types"), sum("f").cast(LongType).as("n_tokens"),
+        dsum9(col("x")).as("__sx"), dsum9(col("y")).as("__sy"),
+        dsum9(col("xy")).as("__sxy"), dsum9(col("xx")).as("__sxx"))
+      .withColumn("slope",
+        (col("n_types") * col("__sxy") - col("__sx") * col("__sy")) /
+          (col("n_types") * col("__sxx") - col("__sx") * col("__sx")))
+      .withColumn("intercept",
+        (col("__sy") - col("slope") * col("__sx")) / col("n_types"))
+      .select("n_types", "n_tokens", "slope", "intercept")
+  }
+
   /** Duplicated-span profile — the distributed stand-in for suffix-array
     * exact-substring dedup (Lee et al., "Deduplicating Training Data Makes
     * Language Models Better", ACL'22): every `w`-token window (stride 1)

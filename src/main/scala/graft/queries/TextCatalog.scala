@@ -210,6 +210,29 @@ object TextCatalog {
                AS cleaned
            FROM ranked GROUP BY 1 ORDER BY doc_id""")),
 
+    // Zipf fit: least-squares slope of log2 freq on log2 rank — the
+    // one-number corpus-health gauge (natural text ≈ −1; boilerplate
+    // flattens the head, synthetic text steepens the tail).
+    QueryDef("q_zipf_fit",
+      (s, dir) => Text.zipfFit(t(s, dir, "documents"), "text"),
+      Some("""WITH w AS (SELECT unnest(str_split(trim(text), ' ')) AS word FROM documents),
+         wf AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS f FROM w
+           WHERE length(word) > 0 GROUP BY word),
+         r AS (SELECT f, row_number() OVER (ORDER BY f DESC, word) AS rnk FROM wf),
+         tm AS (SELECT f, round(log2(rnk), 9) AS x, round(log2(f), 9) AS y FROM r),
+         t2 AS (SELECT f, x, y, round(x * y, 9) AS xy, round(x * x, 9) AS xx FROM tm),
+         m AS (SELECT COUNT(*) AS n_types, CAST(SUM(f) AS BIGINT) AS n_tokens,
+             CAST(SUM(CAST(x AS DECIMAL(38,9))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(38,9))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(xy AS DECIMAL(38,9))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(xx AS DECIMAL(38,9))) AS DOUBLE) AS sxx
+           FROM t2)
+         SELECT n_types, n_tokens,
+           (n_types * sxy - sx * sy) / (n_types * sxx - sx * sx) AS slope,
+           (sy - ((n_types * sxy - sx * sy) / (n_types * sxx - sx * sx)) * sx)
+             / n_types AS intercept
+         FROM m""")),
+
     // Duplicated-span profile: stride-1 8-token windows, frequency-cut at
     // ≥2 corpus-wide occurrences, positions unioned per doc — the
     // suffix-array-dedup signal (Lee et al. '22) as relational operators.

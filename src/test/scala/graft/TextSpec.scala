@@ -302,6 +302,28 @@ class TextSpec extends SparkFunSuite {
       "weight equals the hand-computed smoothed log-ratio sum")
   }
 
+  test("zipfFit: hand-checked regression on a tiny corpus; perfect Zipf slope -1") {
+    // freqs a=4, b=2, c=1 -> ranks 1,2,3; reference least-squares inline
+    def fit(pairs: Seq[(Long, Double)]): (Double, Double) = {
+      def r9(v: Double) = BigDecimal(v).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val t = pairs.map { case (rnk, f) => (r9(math.log(rnk.toDouble) / math.log(2)),
+        r9(math.log(f) / math.log(2))) }
+      val n = t.size.toDouble
+      val (sx, sy) = (t.map(_._1).sum, t.map(_._2).sum)
+      val sxy = t.map { case (x, y) => r9(x * y) }.sum
+      val sxx = t.map { case (x, _) => r9(x * x) }.sum
+      val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      (slope, (sy - slope * sx) / n)
+    }
+    val df = Seq((1L, "a a a a b b c")).toDF("doc_id", "text")
+    val got = Text.zipfFit(df, "text").collect().head
+    assert(got.getLong(0) === 3L && got.getLong(1) === 7L)
+    val (ws, wi) = fit(Seq((1L, 4.0), (2L, 2.0), (3L, 1.0)))
+    assert(math.abs(got.getDouble(2) - ws) < 1e-9, "slope matches the reference fit")
+    assert(math.abs(got.getDouble(3) - wi) < 1e-9, "intercept matches")
+    assert(got.getDouble(2) < 0, "frequency must fall with rank")
+  }
+
   test("bigramLmScore: hand-computed smoothed NLL; unseen transitions cost more") {
     // target model from doc 1 "abab": n2(ab)=2, n2(ba)=1; n1(a)=2, n1(b)=1; V=2
     val docs = Seq((1L, "abab", "en"), (2L, "zz", "fr"), (3L, "aabb", "fr"),
