@@ -383,6 +383,27 @@ object Vector {
       .select("q_id", "dcg", "idcg", "ndcg")
   }
 
+  /** Reciprocal rank of the FIRST true neighbor in an approximate list —
+    * the third leg of the eval trio (recall@k counts hits, [[ndcgAtK]]
+    * grades order over the whole list, MRR asks only "how far down is
+    * the first right answer", the metric for lookup-style retrieval
+    * where one hit suffices).  Inputs as in [[ndcgAtK]]; output
+    * `(q_id, first_hit, rr)` with `first_hit = 0` and `rr = 0.0` for
+    * queries whose approximate list contains no true neighbor — emitted,
+    * not dropped, so the mean over queries is computable downstream.
+    * `rr = 1/first_hit` is one IEEE divide of exact small ints. */
+  def mrrAtK(approx: DataFrame, exact: DataFrame): DataFrame = {
+    val ex = exact.select(col("q_id"), col("c_id"), lit(1).as("__hit"))
+    approx.select(col("q_id"), col("c_id"), col("rank").as("apos"))
+      .join(ex, Seq("q_id", "c_id"), "left")
+      .groupBy("q_id")
+      .agg(coalesce(min(when(col("__hit") === 1, col("apos"))), lit(0))
+        .as("first_hit"))
+      .withColumn("rr", when(col("first_hit") > 0,
+        lit(1.0) / col("first_hit")).otherwise(lit(0.0)))
+      .select("q_id", "first_hit", "rr")
+  }
+
   /** Literal-term budget for the unrolled centroid-argmax expression —
     * beyond this the generated code leaves whole-stage codegen and the
     * expression evaluates interpreted (see [[ivfTopK]]). */

@@ -1314,6 +1314,42 @@ object TextCatalog {
          SELECT d2.q_id, dcg, idcg, dcg / idcg AS ndcg
          FROM d2 JOIN i2 USING (q_id) ORDER BY q_id""")),
 
+    // MRR: how far down the approximate list is the FIRST true neighbor —
+    // the lookup-retrieval metric completing the recall/nDCG/MRR trio.
+    QueryDef("q_ann_mrr",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val qs = e.filter(col("vec_id") < 30)
+        Vector.mrrAtK(
+            Vector.lshTopKMultiProbe(qs, e, 5, 4, 64),
+            Vector.bruteForceTopK(qs, e, 5))
+          .orderBy("q_id")
+      },
+      Some(s"""WITH ${lshSql(4, 64)},
+         q AS (SELECT vec_id AS q_id, dv AS qv, bucket FROM b WHERE vec_id < 30),
+         pr AS (SELECT q_id, qv, unnest([bucket,
+             xor(bucket, CAST(1 AS BIGINT)), xor(bucket, CAST(2 AS BIGINT)),
+             xor(bucket, CAST(4 AS BIGINT)), xor(bucket, CAST(8 AS BIGINT))]) AS pb FROM q),
+         c AS (SELECT vec_id AS c_id, dv AS cv, bucket FROM b),
+         asc_ AS (SELECT q_id, c_id,
+             row_number() OVER (PARTITION BY q_id ORDER BY ${cosSql("qv", "cv", 64)} DESC, c_id) AS rank
+           FROM pr JOIN c ON pr.pb = c.bucket AND q_id <> c_id),
+         approx AS (SELECT q_id, c_id, rank AS apos FROM asc_ WHERE rank <= 5),
+         ex AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+             row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY ${cosSql("q.dv", "c.dv", 64)} DESC, c.vec_id) AS rank
+           FROM b q JOIN b c ON q.vec_id < 30 AND q.vec_id <> c.vec_id),
+         exact AS (SELECT q_id, c_id FROM ex WHERE rank <= 5),
+         fh AS (SELECT a.q_id,
+             CAST(COALESCE(MIN(CASE WHEN e2.c_id IS NOT NULL THEN apos END), 0) AS INT) AS first_hit
+           FROM approx a LEFT JOIN exact e2
+             ON a.q_id = e2.q_id AND a.c_id = e2.c_id
+           GROUP BY 1)
+         SELECT q_id, first_hit,
+           CASE WHEN first_hit > 0 THEN CAST(1.0 AS DOUBLE) / first_hit
+             ELSE CAST(0.0 AS DOUBLE) END AS rr
+         FROM fh ORDER BY q_id""")),
+
     // Margin-based cross-set mining (Artetxe & Schwenk '19): the even-id
     // half matched against the odd-id half, pair scores hub-corrected by
     // the ratio margin 2cos/(μₖ(x)+μₖ(y)) before ranking.

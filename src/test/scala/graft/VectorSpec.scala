@@ -298,6 +298,19 @@ class VectorSpec extends SparkFunSuite {
     assert(misses === 0.0, "a list with zero true neighbors scores exactly 0")
   }
 
+  test("mrrAtK: reciprocal of the first true hit; all-miss queries emit 0") {
+    val exact = Seq((1L, 10L, 1), (1L, 11L, 2), (2L, 20L, 1))
+      .toDF("q_id", "c_id", "rank")
+    val approx = Seq(
+      (1L, 99L, 1), (1L, 11L, 2), (1L, 10L, 3), // first hit at position 2
+      (2L, 98L, 1), (2L, 97L, 2)                // no hit at all
+    ).toDF("q_id", "c_id", "rank")
+    val got = Vector.mrrAtK(approx, exact).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2))).toMap
+    assert(got(1L) === ((2, 0.5)), "first relevant at rank 2 -> rr 1/2")
+    assert(got(2L) === ((0, 0.0)), "a hitless query is emitted with rr 0, not dropped")
+  }
+
   test("marginRank: hub-corrected margins demote the universally-close hub") {
     // y1 is a HUB (close to both x's); y2 matches only x1.  Raw cosine
     // ranks y1 first for x1; the ratio margin must flip that.
