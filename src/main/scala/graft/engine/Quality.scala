@@ -208,6 +208,65 @@ object Quality {
       .select("bucket", "n_a", "n_b", "p_a", "p_b", "psi_term")
   }
 
+  /** Two-sample Kolmogorov–Smirnov distance between the `valueCol`
+    * distributions of the `inA` and !`inA` halves — the binless
+    * complement to [[psiDrift]]: PSI sees WHERE mass moved between chosen
+    * buckets, KS is the sup-norm ECDF gap D = max |F_a(v) − F_b(v)|,
+    * sensitive to any location/shape shift with zero binning decisions.
+    * Returns ONE row `(n_a, n_b, ks, at_v)` — the distance and the value
+    * where the gap peaks (ties broken toward the smallest value).
+    *
+    * Exact D needs the pooled ECDF, i.e. a global cumulative sum — done
+    * guardrail-clean with the two-stage-offset shape ([[Relational
+    * .withGlobalRowOffsets]] generalized to WEIGHTED prefixes): values
+    * page by sign-aware octave (⌊log₂|v|⌋ — a prefix of the value order,
+    * ≤ one page per double exponent and sign, so ≤ ~4200 pages for ANY
+    * finite input), per-page count totals collect driver-side (metadata,
+    * never data), and each page's interior cumulates under a PARTITIONED
+    * window.  Determinism: D terms are two BIGINT/BIGINT IEEE divisions
+    * and a subtraction; the peak row is totally ordered by (d desc, v). */
+  def ksDrift(df: DataFrame, valueCol: org.apache.spark.sql.Column,
+              inA: org.apache.spark.sql.Column): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.LongType
+    val spark = df.sparkSession
+    val counts = df.select(valueCol.cast("double").as("v"), inA.as("__a"))
+      .groupBy("v").agg(
+        sum(when(col("__a"), 1L).otherwise(0L)).as("ca"),
+        sum(when(!col("__a"), 1L).otherwise(0L)).as("cb"))
+    val oct = (floor(log2(abs(col("v")))) + lit(1075L)).cast(LongType)
+    val page = when(col("v") === 0d, 0L)
+      .when(col("v") > 0d, oct).otherwise(-oct)
+    val paged = counts.withColumn("__page", page)
+    val pageTotals = paged.groupBy("__page")
+      .agg(sum("ca").cast(LongType).as("ta"), sum("cb").cast(LongType).as("tb"))
+      .orderBy("__page").collect()
+    var accA = 0L; var accB = 0L
+    val offRows = pageTotals.map { r =>
+      val (oa, ob) = (accA, accB)
+      accA += r.getLong(1); accB += r.getLong(2)
+      Row(r.getLong(0), oa, ob)
+    }.toIndexedSeq
+    val (na, nb) = (accA, accB)
+    require(na > 0 && nb > 0, "ksDrift: both samples must be non-empty")
+    val offsets = spark.createDataFrame(
+      spark.sparkContext.parallelize(offRows, 1),
+      StructType(Seq(StructField("__pg", LongType, false),
+        StructField("__offa", LongType, false),
+        StructField("__offb", LongType, false))))
+    val w = Window.partitionBy("__page").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    paged.join(broadcast(offsets), col("__page") === col("__pg"))
+      .withColumn("__cuma", col("__offa") + sum("ca").over(w))
+      .withColumn("__cumb", col("__offb") + sum("cb").over(w))
+      .withColumn("d", abs(col("__cuma") / lit(na) - col("__cumb") / lit(nb)))
+      .orderBy(desc("d"), col("v"))
+      .limit(1)
+      .select(lit(na).as("n_a"), lit(nb).as("n_b"),
+        col("d").as("ks"), col("v").as("at_v"))
+  }
+
   /** Expectation suite — declarative data-quality rules evaluated in ONE
     * pass (the Deequ/dbt-test shape): each rule is a (name, boolean
     * predicate Column); the result is one row per rule with total / pass /

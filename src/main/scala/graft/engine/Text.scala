@@ -1014,6 +1014,43 @@ object Text {
       .select("n_types", "n_tokens", "slope", "intercept")
   }
 
+  /** Term burstiness — the index of dispersion (variance-to-mean ratio,
+    * Church & Gale "Poisson mixtures" '95) of each term's per-document
+    * count, zero-docs included: a Poisson (uninteresting, function-word)
+    * term sits near 1, a CONTENTFUL term that clumps into few documents
+    * disperses far above it, and a templated term stamped once per page
+    * collapses below — so the top of this ranking is the corpus's
+    * keyword/topic lexicon and a drift gauge to trend across ingests.
+    *
+    * Closed form over the doc-term table: with N docs, tf = Σc and
+    * tf² = Σc², population var/mean = tf²/tf − tf/N — two integer sums,
+    * never a per-doc vector.  Returns the `topK` most bursty terms with
+    * df ≥ `minDf` as `(word, df, tf, dispersion)`, totally ordered by
+    * (dispersion desc, word).  Scale shape: one explode, a map-side-
+    * combined (doc, word) count, one vocab-sized reduce, a broadcast
+    * 1-row doc count, and a TakeOrderedAndProject top-k — no window, no
+    * pairwise anything.  Determinism: dispersion is two IEEE divisions
+    * and one subtraction on exact BIGINTs, identical in both engines. */
+  def burstiness(docs: DataFrame, textCol: String, idCol: String,
+                 minDf: Long = 3, topK: Int = 40): DataFrame = {
+    val perDoc = docs
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("c"))
+    val nDocs = docs.agg(count(lit(1)).cast(LongType).as("__nd"))
+    perDoc.groupBy("word").agg(
+        count(lit(1)).as("df"),
+        sum("c").cast(LongType).as("tf"),
+        sum(col("c") * col("c")).cast(LongType).as("tf2"))
+      .filter(col("df") >= minDf)
+      .crossJoin(broadcast(nDocs))
+      .withColumn("dispersion",
+        col("tf2") / col("tf") - col("tf") / col("__nd"))
+      .select("word", "df", "tf", "dispersion")
+      .orderBy(desc("dispersion"), col("word"))
+      .limit(topK)
+  }
+
   /** Duplicated-span profile — the distributed stand-in for suffix-array
     * exact-substring dedup (Lee et al., "Deduplicating Training Data Makes
     * Language Models Better", ACL'22): every `w`-token window (stride 1)

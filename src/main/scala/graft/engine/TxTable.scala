@@ -1581,11 +1581,90 @@ object TxTable {
     * boundary for snapshot isolation: readers older than it lose their
     * snapshot.  The head manifest carries the max committed batch id, so
     * vacuum can never drop the streaming replay horizon. */
+  // ------------------------------------------------------------------ tags
+
+  private val TagPrefix = "tag-"
+
+  private def tagPath(root: String, name: String): Path =
+    new Path(s"${root.stripSuffix("/")}/$LogDir/$TagPrefix$name.json")
+
+  /** Create the named tag pinning version `v` — an immutable ref (the
+    * Iceberg tag / git-tag idea): [[readTag]] resolves it forever, and
+    * [[vacuum]] RETAINS a tagged manifest and every artifact it references
+    * (segments, deletion vectors, change segments, stats sidecars) even
+    * past the keep-window, so a release cut as a tag stays readable while
+    * untagged history ages out.  Creation is exclusive via the same
+    * [[publishExclusive]] arbitration commits use — a racing duplicate tag
+    * loses loudly; retagging requires [[deleteTag]] first. */
+  def tag(spark: SparkSession, root: String, name: String, v: Long): Unit = {
+    require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || "._-".contains(c)),
+      s"TxTable.tag: tag name must be [A-Za-z0-9._-]+, got '$name'")
+    readManifest(spark, root, v, withStats = false) // fail loudly on a bad version
+    val f = fs(spark, root)
+    val target = tagPath(root, name)
+    val tmp = new Path(target.getParent, s".tmp-${java.util.UUID.randomUUID()}")
+    val os = f.create(tmp, false)
+    try os.write(s"""{"version":$v}"""
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally os.close()
+    if (!publishExclusive(f, tmp, target)) {
+      f.delete(tmp, false)
+      throw new IllegalArgumentException(
+        s"TxTable.tag: tag '$name' already exists under $root " +
+          "(tags are immutable; deleteTag first)")
+    }
+  }
+
+  /** All tags of the table, name → pinned version (one log listing). */
+  def tags(spark: SparkSession, root: String): Map[String, Long] = {
+    val f = fs(spark, root)
+    val dir = new Path(s"${root.stripSuffix("/")}/$LogDir")
+    if (!f.exists(dir)) Map.empty
+    else f.listStatus(dir).iterator.map(_.getPath.getName)
+      .filter(n => n.startsWith(TagPrefix) && n.endsWith(".json"))
+      .map { n =>
+        val name = n.stripPrefix(TagPrefix).stripSuffix(".json")
+        val body = slurp(f, new Path(dir, n))
+        val v = "\"version\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(body)
+          .getOrElse(throw new IllegalStateException(
+            s"TxTable.tags: malformed tag file '$n' under $root")).group(1).toLong
+        name -> v
+      }.toMap
+  }
+
+  /** The version the named tag pins; absent tags fail loudly. */
+  def tagVersion(spark: SparkSession, root: String, name: String): Long =
+    tags(spark, root).getOrElse(name, throw new NoSuchElementException(
+      s"TxTable: no tag '$name' under $root"))
+
+  /** Snapshot read of the tagged version (see [[tag]] for retention). */
+  def readTag(spark: SparkSession, root: String, name: String): DataFrame =
+    readVersion(spark, root, tagVersion(spark, root, name))
+
+  /** Drop the tag ref; the pinned version re-enters normal [[vacuum]]
+    * retention on the next run (nothing is deleted here). */
+  def deleteTag(spark: SparkSession, root: String, name: String): Unit = {
+    val f = fs(spark, root)
+    require(f.delete(tagPath(root, name), false),
+      s"TxTable.deleteTag: no tag '$name' under $root")
+  }
+
   def vacuum(spark: SparkSession, root: String, keepVersions: Int = 2): Unit = {
     val f = fs(spark, root)
     val head = latestVersion(spark, root).getOrElse(return)
     val keepFrom = math.max(1L, head - keepVersions + 1)
-    val kept = (keepFrom to head).map(readManifest(spark, root, _, withStats = false))
+    // tagged versions outside the keep window stay fully live: their
+    // manifest survives below, and their segments/cdc/dvs/sidecars join
+    // the retained set here.  A dangling tag (manifest vacuumed by a
+    // pre-tag-era run) pins nothing and is left for the owner to delete.
+    val taggedVs = tags(spark, root).values.toSet
+      .filter(v => v >= 1L && v < keepFrom)
+    val pinned = taggedVs.toSeq.sorted.flatMap { v =>
+      try Some(readManifest(spark, root, v, withStats = false))
+      catch { case _: java.io.FileNotFoundException => None }
+    }
+    val kept = pinned ++
+      (keepFrom to head).map(readManifest(spark, root, _, withStats = false))
     val live = kept.flatMap(_.segments).toSet
     val dataDir = new Path(s"${root.stripSuffix("/")}/data")
     if (f.exists(dataDir)) f.listStatus(dataDir).foreach { st =>
@@ -1608,7 +1687,8 @@ object TxTable {
       if (!liveDvs.contains("dv/" + st.getPath.getName))
         f.delete(st.getPath, true)
     }
-    (1L until keepFrom).foreach(v => f.delete(manifestPath(root, v), false))
+    (1L until keepFrom).filterNot(taggedVs)
+      .foreach(v => f.delete(manifestPath(root, v), false))
     // one listing, not one probe per version slot; claims above head with
     // no manifest are orphans of dead committers — reap once stale, the
     // same threshold the commit retry path uses

@@ -1207,6 +1207,32 @@ object Catalog {
              ln(((n_a + 1) / (ta + k)) / ((n_b + 1) / (tb + k))), 9) AS psi_term
          FROM c, t ORDER BY bucket""")),
 
+    // The binless drift gauge beside PSI: exact two-sample KS distance
+    // between the price distributions of a deterministic hash split —
+    // pooled ECDF via the weighted two-stage-offset shape (sign-aware
+    // octave pages, partitioned interior windows, driver state = page
+    // totals).  The hash halves are exchangeable draws from one
+    // distribution, so the oracle's D doubles as a sanity anchor (small,
+    // never 0 at finite n).  Single-row result: (n_a, n_b, ks, at_v).
+    QueryDef("q_ks_drift",
+      (s, dir) => Quality.ksDrift(t(s, dir, "orders"),
+        col("o_totalprice"),
+        Text.tokenHash(col("o_orderkey").cast("string")) % 1000 < 500),
+      Some("""WITH s AS (SELECT o_totalprice AS v,
+             CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15) AS BIGINT)
+               % 1000 < 500 AS in_a
+           FROM orders),
+         c AS (SELECT v, CAST(SUM(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+             CAST(SUM(CASE WHEN NOT in_a THEN 1 ELSE 0 END) AS BIGINT) AS cb
+           FROM s GROUP BY 1),
+         n AS (SELECT CAST(SUM(ca) AS BIGINT) AS na,
+             CAST(SUM(cb) AS BIGINT) AS nb FROM c),
+         e AS (SELECT v, CAST(SUM(ca) OVER (ORDER BY v) AS BIGINT) AS cuma,
+             CAST(SUM(cb) OVER (ORDER BY v) AS BIGINT) AS cumb FROM c),
+         d AS (SELECT v, abs(cuma / na - cumb / nb) AS dt FROM e, n)
+         SELECT na AS n_a, nb AS n_b, dt AS ks, v AS at_v
+         FROM d, n ORDER BY dt DESC, v LIMIT 1""")),
+
     // Ordered string aggregation (LISTAGG/STRING_AGG surface): top-3
     // customer names per segment by balance, comma-joined in rank order.
     // collect_list order is partition-dependent — determinism comes from
@@ -2537,6 +2563,77 @@ object Catalog {
          SELECT COUNT(*) AS n,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS price_sum
          FROM orders, b WHERE o_orderkey <= c2""")),
+
+    // SCHEMA EVOLUTION end-to-end: an append carrying a NEW column widens
+    // the recorded table schema (base order + additions), pre-evolution
+    // segments null-fill on read with ZERO footer I/O, time travel to the
+    // pre-evolution version still sees the narrow schema, and a TYPE
+    // CHANGE is refused at commit time without advancing the version.
+    // The oracle states the whole contract relationally: every row, with
+    // the evolved column null exactly where the writing commit predates it.
+    QueryDef("q_tx_schema_evolve",
+      (s, dir) => {
+        val root = Files.createTempDirectory("graft_txse").toString + "/tbl"
+        val o = t(s, dir, "orders")
+        val mx = o.agg(max("o_orderkey")).collect().head.getLong(0)
+        val c1 = mx / 2
+        TxTable.commitOverwrite(s, root,
+          o.filter(col("o_orderkey") <= c1).select("o_orderkey", "o_totalprice"))
+        TxTable.commitAppend(s, root,
+          o.filter(col("o_orderkey") > c1)
+            .select("o_orderkey", "o_totalprice", "o_orderstatus"))
+        require(TxTable.tableSchema(s, root).exists(_.fieldNames.sameElements(
+            Array("o_orderkey", "o_totalprice", "o_orderstatus"))),
+          "q_tx_schema_evolve: head schema must be base order + appended column")
+        require(TxTable.readVersion(s, root, 1L).schema.fields.length == 2,
+          "q_tx_schema_evolve: time travel to v1 must see the pre-evolution schema")
+        val typeChange = scala.util.Try(TxTable.commitAppend(s, root,
+          o.limit(1).select(col("o_orderkey"),
+            col("o_totalprice").cast("string").as("o_totalprice"))))
+        require(typeChange.isFailure,
+          "q_tx_schema_evolve: a type change must be refused at commit time")
+        require(TxTable.latestVersion(s, root).contains(2L),
+          "q_tx_schema_evolve: the refused commit must not advance the version")
+        TxTable.read(s, root).orderBy("o_orderkey")
+      },
+      Some("""WITH b AS (SELECT MAX(o_orderkey) // 2 AS c1 FROM orders)
+         SELECT o_orderkey, o_totalprice,
+           CASE WHEN o_orderkey <= b.c1 THEN NULL ELSE o_orderstatus END AS o_orderstatus
+         FROM orders, b ORDER BY o_orderkey""")),
+
+    // TAGS: a named immutable ref (Iceberg tag) cut at the release
+    // version PINS that snapshot against vacuum — after a keepVersions=1
+    // vacuum the untagged v3 manifest is gone (time travel to it fails
+    // loudly) while the tagged v2 stays fully readable through the ref.
+    // Duplicate tag creation must lose via the exclusive-publish path.
+    // The oracle is the tagged snapshot's state: rows ≤ c2, before the
+    // v4 delete that happened after the tag was cut.
+    QueryDef("q_tx_tag",
+      (s, dir) => {
+        val root = Files.createTempDirectory("graft_txtag").toString + "/tbl"
+        val o = t(s, dir, "orders").select("o_orderkey", "o_totalprice")
+        val mx = o.agg(max("o_orderkey")).collect().head.getLong(0)
+        val (c1, c2) = (mx / 3, 2 * mx / 3)
+        TxTable.commitOverwrite(s, root, o.filter(col("o_orderkey") <= c1))
+        TxTable.commitAppend(s, root,
+          o.filter(col("o_orderkey") > c1 && col("o_orderkey") <= c2))
+        TxTable.tag(s, root, "release", 2L)
+        require(scala.util.Try(TxTable.tag(s, root, "release", 1L)).isFailure,
+          "q_tx_tag: duplicate tag creation must be refused")
+        TxTable.commitAppend(s, root, o.filter(col("o_orderkey") > c2))
+        TxTable.commitDelete(s, root,
+          o.filter(col("o_orderkey") <= c1).select("o_orderkey"),
+          Seq("o_orderkey"))
+        TxTable.vacuum(s, root, keepVersions = 1)
+        require(scala.util.Try(TxTable.readVersion(s, root, 3L)).isFailure,
+          "q_tx_tag: the untagged v3 must age out under keepVersions=1")
+        require(TxTable.tagVersion(s, root, "release") == 2L,
+          "q_tx_tag: the tag must still resolve to the pinned version")
+        TxTable.readTag(s, root, "release").orderBy("o_orderkey")
+      },
+      Some("""WITH b AS (SELECT (2 * MAX(o_orderkey)) // 3 AS c2 FROM orders)
+         SELECT o_orderkey, o_totalprice FROM orders, b
+         WHERE o_orderkey <= c2 ORDER BY o_orderkey""")),
 
     // The manifest-list metadata path under the SAME oracle as q_tx_prune:
     // with the inline budget forced to zero every commit shards its stats

@@ -233,6 +233,24 @@ object TextCatalog {
              / n_types AS intercept
          FROM m""")),
 
+    // Term burstiness (variance-to-mean of per-doc counts, zero-docs
+    // included): the corpus keyword lexicon by dispersion — the closed
+    // form tf²/tf − tf/N needs only two integer sums per term, so the
+    // oracle is the same arithmetic stated relationally.
+    QueryDef("q_burstiness",
+      (s, dir) => Text.burstiness(t(s, dir, "documents"), "text", "doc_id",
+        minDf = 3, topK = 40),
+      Some("""WITH w AS (SELECT doc_id, unnest(str_split(trim(text), ' ')) AS word
+           FROM documents),
+         pc AS (SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS c FROM w
+           WHERE length(word) > 0 GROUP BY 1, 2),
+         nd AS (SELECT COUNT(*) AS n FROM documents),
+         ag AS (SELECT word, COUNT(*) AS df, CAST(SUM(c) AS BIGINT) AS tf,
+             CAST(SUM(c * c) AS BIGINT) AS tf2
+           FROM pc GROUP BY 1 HAVING COUNT(*) >= 3)
+         SELECT word, df, tf, tf2 / tf - tf / n AS dispersion
+         FROM ag, nd ORDER BY dispersion DESC, word LIMIT 40""")),
+
     // Duplicated-span profile: stride-1 8-token windows, frequency-cut at
     // ≥2 corpus-wide occurrences, positions unioned per doc — the
     // suffix-array-dedup signal (Lee et al. '22) as relational operators.

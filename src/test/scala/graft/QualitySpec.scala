@@ -137,4 +137,40 @@ class QualitySpec extends SparkFunSuite {
       s"per-bucket terms must match the hand-computed smoothed value ($got vs $want)")
     assert(got.values.forall(_ >= 0), "every PSI term is nonnegative")
   }
+
+  test("ksDrift: hand values, sign/zero octave paging, brute-force parity") {
+    // A={1,2,3}, B={2,3,4}: pooled ECDF gaps are 1/3,1/3,1/3,0 — all "1/3",
+    // but in IEEE doubles 1.0 − 2/3 is one ulp ABOVE 1/3 − 0, so the peak
+    // is uniquely at v=3 (DuckDB computes the identical doubles, so this
+    // is also what the oracle sees — not a tie)
+    val simple = Seq((1.0, true), (2.0, true), (3.0, true),
+      (2.0, false), (3.0, false), (4.0, false)).toDF("v", "a")
+    val r1 = Quality.ksDrift(simple, col("v"), col("a")).collect().head
+    assert(r1.getLong(0) === 3L && r1.getLong(1) === 3L)
+    assert(math.abs(r1.getDouble(2) - 1.0 / 3) < 1e-12 && r1.getDouble(3) === 3.0,
+      s"D≈1/3, peaking at v=3 by the 1.0−2/3 ulp, got $r1")
+
+    // negative / zero values cross octave-page signs, and quarters are
+    // dyadic so the two d=0.5 gaps are EXACT ties → smallest value wins:
+    // A={-4,-2,0,2}, B={-1,0,8,9} → gaps 1/4,1/2,1/4,1/4,1/2,1/4,0
+    val signed = Seq((-4.0, true), (-2.0, true), (0.0, true), (2.0, true),
+      (-1.0, false), (0.0, false), (8.0, false), (9.0, false)).toDF("v", "a")
+    val r2 = Quality.ksDrift(signed, col("v"), col("a")).collect().head
+    assert(r2.getDouble(2) === 0.5 && r2.getDouble(3) === -2.0,
+      s"exact-tied D=1/2 must break toward the smallest value -2, got $r2")
+
+    // brute-force parity on a seeded sample with duplicates across octaves
+    val rnd = new scala.util.Random(42)
+    val rows = Seq.tabulate(400) { i =>
+      val v = math.round(rnd.nextGaussian() * 8) / 2.0 // duplicates, ±, zeros
+      (if (rnd.nextBoolean()) v + (if (i % 5 == 0) 1.5 else 0) else v, i % 2 == 0)
+    }
+    val got = Quality.ksDrift(rows.toDF("v", "a"), col("v"), col("a"))
+      .collect().head.getDouble(2)
+    val (as, bs) = (rows.filter(_._2).map(_._1).sorted, rows.filterNot(_._2).map(_._1).sorted)
+    val brute = (as ++ bs).distinct.map { v =>
+      math.abs(as.count(_ <= v).toDouble / as.size - bs.count(_ <= v).toDouble / bs.size)
+    }.max
+    assert(math.abs(got - brute) < 1e-12, s"engine D=$got must equal brute D=$brute")
+  }
 }

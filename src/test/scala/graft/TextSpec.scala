@@ -421,4 +421,25 @@ class TextSpec extends SparkFunSuite {
       assert(c === ref(u), s"urlCanonicalize disagrees with the rules on: $u")
     }
   }
+
+  test("burstiness: closed form matches per-doc hand counts, ordered by dispersion") {
+    val docs = Seq((1L, "a a b"), (2L, "a c b"), (3L, "c c c c"), (4L, "b b"))
+      .toDF("doc_id", "text")
+    val got = Text.burstiness(docs, "text", "doc_id", minDf = 1, topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // N=4; a: counts(2,1) tf=3 tf2=5; b: (1,1,2) tf=4 tf2=6; c: (1,4) tf=5 tf2=17
+    val want = Seq(
+      ("c", 2L, 5L, 17.0 / 5 - 5.0 / 4),  // 2.15 — clumped → most bursty
+      ("a", 2L, 3L, 5.0 / 3 - 3.0 / 4),   // 0.9166…
+      ("b", 3L, 4L, 6.0 / 4 - 4.0 / 4))   // 0.5 — spread evenly → least
+    assert(got.length === 3)
+    got.zip(want).foreach { case ((w, df, tf, d), (ww, wdf, wtf, wd)) =>
+      assert(w === ww && df === wdf && tf === wtf && math.abs(d - wd) < 1e-12,
+        s"burstiness row mismatch: got ${(w, df, tf, d)} want ${(ww, wdf, wtf, wd)}")
+    }
+    // minDf cuts: only b appears in ≥3 docs
+    val cut = Text.burstiness(docs, "text", "doc_id", minDf = 3, topK = 10)
+      .collect().map(_.getString(0)).toSeq
+    assert(cut === Seq("b"), "df cutoff must keep only terms in ≥ minDf docs")
+  }
 }

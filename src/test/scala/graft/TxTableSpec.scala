@@ -923,4 +923,36 @@ class TxTableSpec extends SparkFunSuite {
       spark.conf.unset("spark.graft.tx.staleClaimMs")
     }
   }
+
+  test("tags: immutable named refs that pin their snapshot against vacuum") {
+    val root = newRoot()
+    TxTable.commitOverwrite(spark, root, Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    TxTable.commitAppend(spark, root, Seq((3L, "c")).toDF("k", "v"))
+    TxTable.commitOverwrite(spark, root, Seq((9L, "z")).toDF("k", "v"))
+
+    intercept[Exception](TxTable.tag(spark, root, "ghost", 99L))
+    intercept[IllegalArgumentException](TxTable.tag(spark, root, "bad/name", 1L))
+    TxTable.tag(spark, root, "v1-cut", 1L)
+    val dup = intercept[IllegalArgumentException](TxTable.tag(spark, root, "v1-cut", 2L))
+    assert(dup.getMessage.contains("immutable"), "duplicate tag must lose loudly")
+    assert(TxTable.tags(spark, root) === Map("v1-cut" -> 1L))
+    assert(TxTable.tagVersion(spark, root, "v1-cut") === 1L)
+    assert(TxTable.readTag(spark, root, "v1-cut").orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq === Seq((1L, "a"), (2L, "b")))
+
+    // keepVersions=1 retains only the head — EXCEPT the tagged v1, whose
+    // manifest AND data segments must survive (v3 overwrote, so v1's
+    // segment is live only through the tag)
+    TxTable.vacuum(spark, root, keepVersions = 1)
+    assert(TxTable.readTag(spark, root, "v1-cut").count() === 2,
+      "the tagged snapshot must stay fully readable past the keep window")
+    intercept[Exception](TxTable.readVersion(spark, root, 2L).count())
+
+    // dropping the tag re-enters normal retention: the next vacuum reaps
+    TxTable.deleteTag(spark, root, "v1-cut")
+    intercept[IllegalArgumentException](TxTable.deleteTag(spark, root, "v1-cut"))
+    TxTable.vacuum(spark, root, keepVersions = 1)
+    intercept[Exception](TxTable.readVersion(spark, root, 1L).count())
+    assert(TxTable.read(spark, root).count() === 1, "head unaffected throughout")
+  }
 }
