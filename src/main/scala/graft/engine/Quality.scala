@@ -267,6 +267,90 @@ object Quality {
         col("d").as("ks"), col("v").as("at_v"))
   }
 
+  /** Pearson chi-squared test of homogeneity between the `catCol`
+    * distributions of the `inA` and !`inA` halves — the CATEGORICAL
+    * member of the drift trio ([[psiDrift]] scores binned mass movement,
+    * [[ksDrift]] the continuous ECDF gap; chi² asks whether two slices
+    * draw category labels from one distribution).  Per category k with
+    * row total r=n_a+n_b and grand totals (ta, tb, n): expected counts
+    * e_a = r·ta/n, e_b = r·tb/n, and the category's contribution is
+    * (n_a−e_a)²/e_a + (n_b−e_b)²/e_b.  Returns one row per category
+    * `(cat, n_a, n_b, e_a, e_b, chi2_term)` ordered by cat; the headline
+    * statistic is the consumer's decimal-exact sum of the 9-dp-rounded
+    * terms against dof = k−1 (sums of rounded terms, not pre-divided
+    * scalars — the cross-engine discipline used by every scoring op
+    * here).  Large per-category terms localize WHICH label drifted.
+    *
+    * Scale shape: ONE groupBy on the category with conditional partial
+    * aggregates (map-side combine) and a broadcast 1-row totals frame —
+    * bounded by label cardinality, never by the data.  Determinism:
+    * every term is IEEE arithmetic on exact BIGINTs, identical in both
+    * engines; rounding is HALF_UP at 9 dp on both sides. */
+  def chi2Drift(df: DataFrame, catCol: org.apache.spark.sql.Column,
+                inA: org.apache.spark.sql.Column): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val counts = df.select(catCol.as("cat"), inA.as("__a"))
+      .groupBy("cat").agg(
+        sum(when(col("__a"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(!col("__a"), 1L).otherwise(0L)).as("n_b"))
+    val totals = counts.agg(sum("n_a").as("__ta"), sum("n_b").as("__tb"))
+    counts.crossJoin(broadcast(totals))
+      .withColumn("__n", col("__ta") + col("__tb"))
+      // r·ta in DOUBLE, not BIGINT: exact up to 2⁵³ and can never overflow
+      // at lake scale (BIGINT·BIGINT would past ~3e9 rows a side)
+      .withColumn("e_a",
+        (col("n_a") + col("n_b")).cast("double") * col("__ta") / col("__n"))
+      .withColumn("e_b",
+        (col("n_a") + col("n_b")).cast("double") * col("__tb") / col("__n"))
+      .withColumn("chi2_term", round(
+        (col("n_a") - col("e_a")) * (col("n_a") - col("e_a")) / col("e_a") +
+          (col("n_b") - col("e_b")) * (col("n_b") - col("e_b")) / col("e_b"), 9))
+      .select("cat", "n_a", "n_b", "e_a", "e_b", "chi2_term")
+      .orderBy("cat")
+  }
+
+  /** Benford first-significant-digit audit of a positive numeric column —
+    * the forensic data-quality screen for amounts/counts that SHOULD span
+    * magnitudes: naturally-occurring multiplicative data leads with digit
+    * d at p(d) = log₁₀(1+1/d) (~30% ones), while fabricated, truncated,
+    * or unit-capped values flatten the curve.  Returns exactly nine rows
+    * `(digit, n, expected_p, chi2_term)` — observed count, Benford mass,
+    * and the goodness-of-fit contribution (n − N·p)²/(N·p) — with absent
+    * digits present at n=0 (a missing leading digit is itself the
+    * strongest possible signal, so the digit spine is unconditional).
+    *
+    * Semantics: rows with value < 1 are excluded (their leading digit
+    * lives in fractional precision, a different regime); the digit is the
+    * first character of the integer part, extracted through exact
+    * floor→BIGINT→string steps rather than log₁₀ so a value like 1000
+    * can never misclassify by one ulp of a libm log.  expected_p is
+    * 9-dp-rounded BEFORE the term so both engines compute the term from
+    * the identical double (Math.log10 and libm log10 agree only to 1
+    * ulp).  Scale shape: one projection, one 9-ary groupBy with map-side
+    * combine, a broadcast digit spine and 1-row total. */
+  def benford(df: DataFrame, valueCol: org.apache.spark.sql.Column): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val spark = df.sparkSession
+    import spark.implicits._
+    val digits = (1 to 9).map(_.toLong).toDF("digit")
+    val obs = df.select(valueCol.cast("double").as("v"))
+      .filter(col("v") >= 1d)
+      .select(substring(floor(col("v")).cast("long").cast("string"), 1, 1)
+        .cast("long").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val total = obs.agg(sum("n").as("__t"))
+    digits.join(obs, Seq("digit"), "left")
+      .na.fill(0L, Seq("n"))
+      .crossJoin(broadcast(total))
+      .withColumn("expected_p", round(log10(lit(1d) + lit(1d) / col("digit")), 9))
+      .withColumn("chi2_term", round(
+        (col("n") - col("__t") * col("expected_p")) *
+          (col("n") - col("__t") * col("expected_p")) /
+          (col("__t") * col("expected_p")), 9))
+      .select("digit", "n", "expected_p", "chi2_term")
+      .orderBy("digit")
+  }
+
   /** Expectation suite — declarative data-quality rules evaluated in ONE
     * pass (the Deequ/dbt-test shape): each rule is a (name, boolean
     * predicate Column); the result is one row per rule with total / pass /

@@ -1233,6 +1233,51 @@ object Catalog {
          SELECT na AS n_a, nb AS n_b, dt AS ks, v AS at_v
          FROM d, n ORDER BY dt DESC, v LIMIT 1""")),
 
+    // The CATEGORICAL member of the drift trio (PSI = binned mass, KS =
+    // continuous ECDF, chi² = label homogeneity): order-priority counts
+    // across the same deterministic hash split, per-category expected
+    // counts and goodness-of-fit terms; the headline chi² is the
+    // consumer's sum of the 9-dp-rounded terms against dof = k−1.
+    QueryDef("q_chi2_drift",
+      (s, dir) => Quality.chi2Drift(t(s, dir, "orders"),
+        col("o_orderpriority"),
+        Text.tokenHash(col("o_orderkey").cast("string")) % 1000 < 500),
+      Some("""WITH s AS (SELECT o_orderpriority AS cat,
+             CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15) AS BIGINT)
+               % 1000 < 500 AS in_a
+           FROM orders),
+         c AS (SELECT cat, CAST(SUM(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(SUM(CASE WHEN NOT in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+           FROM s GROUP BY 1),
+         t AS (SELECT CAST(SUM(n_a) AS BIGINT) AS ta,
+             CAST(SUM(n_b) AS BIGINT) AS tb FROM c)
+         SELECT cat, n_a, n_b,
+           CAST(n_a + n_b AS DOUBLE) * ta / (ta + tb) AS e_a,
+           CAST(n_a + n_b AS DOUBLE) * tb / (ta + tb) AS e_b,
+           round((n_a - e_a) * (n_a - e_a) / e_a
+             + (n_b - e_b) * (n_b - e_b) / e_b, 9) AS chi2_term
+         FROM c, t ORDER BY cat""")),
+
+    // Benford first-digit audit over order prices: nine unconditional
+    // digit rows with observed counts, 9-dp Benford mass, and χ² terms —
+    // the digit extraction goes floor→BIGINT→string (never log₁₀ of the
+    // value) so a power of ten can't misclassify by a libm ulp, and the
+    // term is computed from the ROUNDED expected_p on both engines.
+    QueryDef("q_benford",
+      (s, dir) => Quality.benford(t(s, dir, "orders"), col("o_totalprice")),
+      Some("""WITH v AS (SELECT o_totalprice AS v FROM orders WHERE o_totalprice >= 1),
+         o AS (SELECT CAST(substr(CAST(CAST(floor(v) AS BIGINT) AS VARCHAR), 1, 1)
+               AS BIGINT) AS digit,
+             CAST(COUNT(*) AS BIGINT) AS n FROM v GROUP BY 1),
+         d AS (SELECT CAST(range AS BIGINT) AS digit FROM range(1, 10)),
+         t AS (SELECT CAST(SUM(n) AS BIGINT) AS tt FROM o),
+         j AS (SELECT d.digit, COALESCE(o.n, 0) AS n
+           FROM d LEFT JOIN o ON d.digit = o.digit)
+         SELECT digit, n, round(log10(1 + 1.0 / digit), 9) AS expected_p,
+           round((n - tt * expected_p) * (n - tt * expected_p)
+             / (tt * expected_p), 9) AS chi2_term
+         FROM j, t ORDER BY digit""")),
+
     // Ordered string aggregation (LISTAGG/STRING_AGG surface): top-3
     // customer names per segment by balance, comma-joined in rank order.
     // collect_list order is partition-dependent — determinism comes from

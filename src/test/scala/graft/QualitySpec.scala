@@ -173,4 +173,51 @@ class QualitySpec extends SparkFunSuite {
     }.max
     assert(math.abs(got - brute) < 1e-12, s"engine D=$got must equal brute D=$brute")
   }
+
+  test("chi2Drift: hand-computed contingency terms, identical halves score 0") {
+    // A: x×3 y×1, B: x×1 y×3 → totals ta=tb=4, n=8; per cat r=4, e=2
+    val df = (Seq.fill(3)(("x", true)) ++ Seq(("y", true)) ++
+      Seq(("x", false)) ++ Seq.fill(3)(("y", false))).toDF("c", "a")
+    val got = Quality.chi2Drift(df, col("c"), col("a")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    // each cat: (3-2)²/2 + (1-2)²/2 = 1.0
+    assert(got.toSeq === Seq(("x", 3L, 1L, 2.0, 2.0, 1.0),
+      ("y", 1L, 3L, 2.0, 2.0, 1.0)),
+      s"hand contingency mismatch: ${got.toSeq}")
+    // perfectly homogeneous halves → every term 0; a category absent from
+    // one half still yields a finite term (expected counts never 0 when
+    // the row total is > 0 on a non-degenerate split)
+    val same = Seq(("x", true), ("x", false), ("y", true), ("y", false))
+      .toDF("c", "a")
+    assert(Quality.chi2Drift(same, col("c"), col("a")).collect()
+      .forall(_.getDouble(5) === 0.0), "identical halves must score 0")
+    val lop = Seq(("x", true), ("x", false), ("y", true)).toDF("c", "a")
+    val yRow = Quality.chi2Drift(lop, col("c"), col("a")).collect()
+      .find(_.getString(0) == "y").get
+    assert(yRow.getDouble(5) > 0 && !yRow.getDouble(5).isNaN,
+      "a one-sided category must contribute a finite positive term")
+  }
+
+  test("benford: digit spine, exact extraction, term arithmetic") {
+    // 30 values: first digits 1×10, 2×6, 9×2, rest spread; includes exact
+    // powers of ten (the log-free extraction's hard case) and v<1 excluded
+    val vals = Seq.fill(10)(1000.0) ++ Seq.fill(6)(25.5) ++ Seq.fill(2)(9.99) ++
+      Seq(3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 10.0, 100.0, 0.5, 0.01, 37.2, 42.0)
+    val got = Quality.benford(vals.toDF("v"), col("v")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.map(_._1).toSeq === (1L to 9L), "all nine digits, in order")
+    val n = got.map(_._2)
+    // 1: 1000×10 + 10 + 100 = 12; 2: 25.5×6 = 6; 3: 3.0, 37.2 = 2;
+    // 4: 4.0, 42.0 = 2; 9: 9.99×2 = 2; 5-8: one each; 0.5/0.01 excluded
+    assert(n.toSeq === Seq(12L, 6L, 2L, 2L, 1L, 1L, 1L, 1L, 2L), s"counts: ${n.toSeq}")
+    assert(n.sum === 28, "the two sub-1 values are excluded")
+    got.foreach { case (d, nn, p, term) =>
+      assert(math.abs(p - math.log10(1.0 + 1.0 / d)) < 1e-9)
+      val e = 28L * p
+      assert(math.abs(term - BigDecimal((nn - e) * (nn - e) / e)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-15,
+        s"digit $d term must be the 9-dp-rounded χ² contribution")
+    }
+  }
 }
