@@ -663,6 +663,7 @@ object TxTable {
   def commitOverwrite(spark: SparkSession, root: String, df: DataFrame,
                       statsCols: Seq[String] = Nil,
                       bloomCols: Seq[String] = Nil): Long = {
+    enforceChecks(spark, root, df, "commitOverwrite")
     val seg = writeSegment(df, root)
     commit(spark, root, "overwrite", Seq(seg),
       stats = Map(seg -> segStatsWithBlooms(spark, root, seg,
@@ -695,6 +696,7 @@ object TxTable {
                          batch: Option[Long], statsCols: Seq[String] = Nil,
                          bloomCols: Seq[String] = Nil,
                          audit: Option[DataFrame => Unit] = None): Long = {
+    enforceChecks(spark, root, df, "commitAppend")
     val seg = writeSegment(df, root)
     audit.foreach { a =>
       val segPath = new Path(s"${root.stripSuffix("/")}/$seg")
@@ -799,6 +801,7 @@ object TxTable {
                   statsCols: Seq[String] = Nil, cdf: Boolean = false): Long = {
     import org.apache.spark.sql.functions._
     val cols = keys ++ updateCols ++ preserveCols
+    enforceChecks(spark, root, incoming, "commitMerge")
     latestVersion(spark, root) match {
       case None => // bootstrap: the incoming batch IS the table
         val staged = incoming.select(cols.map(col): _*)
@@ -1186,6 +1189,7 @@ object TxTable {
                                cols: Seq[String], numSegments: Int = 8,
                                bits: Int = 16,
                                statsCols: Seq[String] = Nil): Long = {
+    enforceChecks(spark, root, df, "commitOverwriteClustered")
     val segs = writeClusteredSegments(spark, root, df, cols, numSegments, bits)
     require(segs.nonEmpty, s"TxTable.commitOverwriteClustered: empty input for " +
       s"$root — commit an explicit empty state with commitOverwrite instead")
@@ -1647,6 +1651,109 @@ object TxTable {
     val f = fs(spark, root)
     require(f.delete(tagPath(root, name), false),
       s"TxTable.deleteTag: no tag '$name' under $root")
+  }
+
+  // ------------------------------------------------------------- checks
+
+  private val CheckPrefix = "check-"
+
+  private def checkPath(root: String, name: String): Path =
+    new Path(s"${root.stripSuffix("/")}/$LogDir/$CheckPrefix$name.json")
+
+  /** Register a table-level CHECK constraint (the Delta `ALTER TABLE ADD
+    * CONSTRAINT` idea): `exprSql` is a boolean SQL expression over the
+    * table's columns, and from this call on every row-ingesting commit
+    * ([[commitAppend]]/[[commitOverwrite]]/[[commitMerge]]/
+    * [[commitOverwriteClustered]] and the streaming append path) REFUSES
+    * to publish when any incoming row violates it — the table can never
+    * transition from all-valid to invalid.  SQL CHECK semantics: a row
+    * violates only when the predicate is FALSE; NULL passes (constrain
+    * nullability explicitly with `x IS NOT NULL`).  Adding a constraint
+    * to a non-empty table first proves the EXISTING snapshot satisfies it
+    * (one counting scan), so registration itself can't leave the table in
+    * a state it forbids.  Creation is exclusive via the same
+    * [[publishExclusive]] arbitration commits use; re-defining requires
+    * [[dropCheck]] first.  Scale: enforcement is one extra map-side-
+    * combined counting pass over the INCOMING batch (never the table);
+    * callers with an expensive input plan should persist it. */
+  def addCheck(spark: SparkSession, root: String, name: String,
+               exprSql: String): Unit = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit}
+    require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || "._-".contains(c)),
+      s"TxTable.addCheck: check name must be [A-Za-z0-9._-]+, got '$name'")
+    require(!exprSql.exists(c => c == '"' || c == '\\'),
+      s"TxTable.addCheck: expression must not contain '\"' or '\\\\' " +
+        "(the dependency-free log format stores it as a JSON string)")
+    val pred = expr(exprSql) // parse errors surface here, before any I/O
+    if (latestVersion(spark, root).nonEmpty) {
+      val bad = read(spark, root)
+        .filter(coalesce(pred, lit(true)) === false).count()
+      require(bad == 0L, s"TxTable.addCheck: $bad existing rows violate " +
+        s"'$name' ($exprSql) under $root — fix the data first")
+    }
+    val f = fs(spark, root)
+    val target = checkPath(root, name)
+    val tmp = new Path(target.getParent, s".tmp-${java.util.UUID.randomUUID()}")
+    val os = f.create(tmp, false)
+    try os.write(s"""{"expr":"$exprSql"}"""
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally os.close()
+    if (!publishExclusive(f, tmp, target)) {
+      f.delete(tmp, false)
+      throw new IllegalArgumentException(
+        s"TxTable.addCheck: check '$name' already exists under $root " +
+          "(dropCheck first)")
+    }
+  }
+
+  /** All CHECK constraints of the table, name → expression (one listing). */
+  def checks(spark: SparkSession, root: String): Map[String, String] = {
+    val f = fs(spark, root)
+    val dir = new Path(s"${root.stripSuffix("/")}/$LogDir")
+    if (!f.exists(dir)) Map.empty
+    else f.listStatus(dir).iterator.map(_.getPath.getName)
+      .filter(n => n.startsWith(CheckPrefix) && n.endsWith(".json"))
+      .map { n =>
+        val name = n.stripPrefix(CheckPrefix).stripSuffix(".json")
+        val body = slurp(f, new Path(dir, n))
+        val e = "\"expr\"\\s*:\\s*\"([^\"]*)\"".r.findFirstMatchIn(body)
+          .getOrElse(throw new IllegalStateException(
+            s"TxTable.checks: malformed check file '$n' under $root")).group(1)
+        name -> e
+      }.toMap
+  }
+
+  /** Remove the named constraint; future commits stop enforcing it
+    * (already-committed data is untouched — it was valid when written). */
+  def dropCheck(spark: SparkSession, root: String, name: String): Unit = {
+    val f = fs(spark, root)
+    require(f.delete(checkPath(root, name), false),
+      s"TxTable.dropCheck: no check '$name' under $root")
+  }
+
+  /** One counting pass over the incoming batch against every registered
+    * constraint; any violation refuses the commit BEFORE a segment is
+    * staged, naming the constraint and the violation count.  Zero cost
+    * for unconstrained tables (one log listing, no data pass). */
+  private def enforceChecks(spark: SparkSession, root: String,
+                            df: DataFrame, op: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val cs = checks(spark, root).toSeq.sortBy(_._1)
+    if (cs.isEmpty) return
+    val aggs = cs.map { case (n, e) =>
+      sum(when(coalesce(expr(e), lit(true)) === false, 1L).otherwise(0L)).as(n) }
+    val row = try df.agg(aggs.head, aggs.tail: _*).collect().head
+    catch { case e: org.apache.spark.sql.AnalysisException =>
+      throw new IllegalArgumentException(
+        s"TxTable.$op: a CHECK constraint (${cs.map(_._1).mkString(", ")}) " +
+          s"does not resolve against the incoming batch's columns " +
+          s"[${df.columns.mkString(", ")}] under $root: ${e.getMessage}")
+    }
+    cs.zipWithIndex.foreach { case ((n, e), i) =>
+      val bad = if (row.isNullAt(i)) 0L else row.getLong(i)
+      require(bad == 0L, s"TxTable.$op: $bad incoming rows violate CHECK " +
+        s"'$n' ($e) under $root — nothing was staged or published")
+    }
   }
 
   def vacuum(spark: SparkSession, root: String, keepVersions: Int = 2): Unit = {

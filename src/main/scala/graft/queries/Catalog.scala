@@ -2680,6 +2680,39 @@ object Catalog {
          SELECT o_orderkey, o_totalprice FROM orders, b
          WHERE o_orderkey <= c2 ORDER BY o_orderkey""")),
 
+    // CHECK CONSTRAINTS end-to-end: a table-level invariant registered
+    // after proving the existing snapshot satisfies it gates every
+    // subsequent commit — a clean append publishes, a violating append is
+    // refused WITHOUT advancing the version (the table can never go
+    // invalid), and an already-violated registration is itself refused.
+    // The oracle is the final state: all rows ≤ c2 — the base plus the
+    // one clean append, the poisoned batch nowhere.
+    QueryDef("q_tx_constraint",
+      (s, dir) => {
+        val root = Files.createTempDirectory("graft_txck").toString + "/tbl"
+        val o = t(s, dir, "orders").select("o_orderkey", "o_totalprice")
+        val mx = o.agg(max("o_orderkey")).collect().head.getLong(0)
+        val (c1, c2) = (mx / 3, 2 * mx / 3)
+        TxTable.commitOverwrite(s, root, o.filter(col("o_orderkey") <= c1))
+        require(scala.util.Try(TxTable.addCheck(s, root, "early",
+          s"o_orderkey < ${c1 / 2}")).isFailure,
+          "q_tx_constraint: registering an already-violated rule must refuse")
+        TxTable.addCheck(s, root, "pos_price", "o_totalprice > 0")
+        TxTable.commitAppend(s, root,
+          o.filter(col("o_orderkey") > c1 && col("o_orderkey") <= c2))
+        val v = TxTable.latestVersion(s, root)
+        val poisoned = o.filter(col("o_orderkey") > c2)
+          .withColumn("o_totalprice", -col("o_totalprice"))
+        require(scala.util.Try(TxTable.commitAppend(s, root, poisoned)).isFailure,
+          "q_tx_constraint: a violating batch must be refused")
+        require(TxTable.latestVersion(s, root) == v,
+          "q_tx_constraint: the refused commit must not advance the version")
+        TxTable.read(s, root).orderBy("o_orderkey")
+      },
+      Some("""WITH b AS (SELECT (2 * MAX(o_orderkey)) // 3 AS c2 FROM orders)
+         SELECT o_orderkey, o_totalprice FROM orders, b
+         WHERE o_orderkey <= c2 ORDER BY o_orderkey""")),
+
     // The manifest-list metadata path under the SAME oracle as q_tx_prune:
     // with the inline budget forced to zero every commit shards its stats
     // into a per-commit sidecar (`_txlog/s-<uuid>.json`) and the manifest

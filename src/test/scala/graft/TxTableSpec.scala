@@ -955,4 +955,51 @@ class TxTableSpec extends SparkFunSuite {
     intercept[Exception](TxTable.readVersion(spark, root, 1L).count())
     assert(TxTable.read(spark, root).count() === 1, "head unaffected throughout")
   }
+
+  test("checks: CHECK constraints gate every row-ingesting commit path") {
+    val root = newRoot()
+    TxTable.commitOverwrite(spark, root, Seq((1L, 10.0), (2L, 20.0)).toDF("k", "p"))
+
+    // registration contract: bad names/expressions and already-violated
+    // data are refused; a syntactically-broken expression never lands
+    intercept[IllegalArgumentException](TxTable.addCheck(spark, root, "bad name", "p > 0"))
+    intercept[IllegalArgumentException](TxTable.addCheck(spark, root, "q", "p > \"0\""))
+    intercept[Exception](TxTable.addCheck(spark, root, "broken", "p >>> 0"))
+    intercept[IllegalArgumentException](TxTable.addCheck(spark, root, "small", "k < 2"))
+    TxTable.addCheck(spark, root, "pos_price", "p > 0")
+    intercept[IllegalArgumentException](TxTable.addCheck(spark, root, "pos_price", "p > 1"))
+    assert(TxTable.checks(spark, root) === Map("pos_price" -> "p > 0"))
+
+    // append/overwrite/merge/clustered all refuse violating batches, and a
+    // refused commit never advances the version
+    val v0 = TxTable.latestVersion(spark, root).get
+    val bad = Seq((3L, -1.0)).toDF("k", "p")
+    val e = intercept[IllegalArgumentException](TxTable.commitAppend(spark, root, bad))
+    assert(e.getMessage.contains("pos_price"), "refusal must name the constraint")
+    intercept[IllegalArgumentException](TxTable.commitOverwrite(spark, root, bad))
+    intercept[IllegalArgumentException](
+      TxTable.commitMerge(spark, root, bad, Seq("k"), Seq("p"), Nil))
+    intercept[IllegalArgumentException](
+      TxTable.commitOverwriteClustered(spark, root, bad, Seq("k")))
+    assert(TxTable.latestVersion(spark, root).contains(v0),
+      "a refused commit must not advance the version")
+    assert(TxTable.read(spark, root).count() === 2)
+
+    // SQL CHECK semantics: NULL passes; clean batches flow through
+    TxTable.commitAppend(spark, root,
+      Seq((3L, Some(30.0)), (4L, None)).toDF("k", "p"))
+    assert(TxTable.read(spark, root).count() === 4,
+      "a NULL predicate must pass (constrain nullability explicitly)")
+
+    // a batch that can't resolve the constraint's column fails loudly
+    val noCol = intercept[IllegalArgumentException](
+      TxTable.commitAppend(spark, root, Seq((5L, "x")).toDF("k", "other")))
+    assert(noCol.getMessage.contains("pos_price"))
+
+    // dropping re-opens the gate; double-drop is loud
+    TxTable.dropCheck(spark, root, "pos_price")
+    intercept[IllegalArgumentException](TxTable.dropCheck(spark, root, "pos_price"))
+    TxTable.commitAppend(spark, root, Seq((6L, -5.0)).toDF("k", "p"))
+    assert(TxTable.read(spark, root).count() === 5)
+  }
 }
