@@ -440,4 +440,43 @@ object Relational {
       }
     }.toDF(keyCol, "n_events", "ewma")
   }
+
+  /** Sample autocorrelation of an INTEGER-valued regular series at lags
+    * 1..`maxLag` — the seasonality probe for a monitoring/ingest-volume
+    * series (a weekly cycle spikes acf at lag 7): for global mean μ over
+    * all n points, acf(k) = Σ(xₜ−μ)(xₜ₊ₖ−μ) / Σ(xₜ−μ)², expanded to
+    * moment form so every sum is an exact BIGINT and the division order
+    * is fixed — numerator sxy − μ·sx₁ − μ·sx₂ + n_k·μ·μ, denominator
+    * svv − 2μ·sv + n·μ·μ (the [[Text.burstiness]]/corr-moments
+    * discipline: never sum floats, derive them from integer moments).
+    * Gaps in `tCol` simply drop pairs (n_pairs reports how many remain).
+    * Input: `(tCol, vCol)` both integral.  Returns `(lag, n_pairs, sxy,
+    * acf)` ordered by lag, acf 9-dp-rounded.
+    *
+    * Scale shape: the series is an AGGREGATE (one point per time bucket
+    * — bounded by the time axis, not the data), so the lag self-join is
+    * lags×|series| rows through a broadcast of the lag spine; global
+    * moments cross in as a broadcast 1-row frame. */
+  def acf(df: DataFrame, tCol: Column, vCol: Column, maxLag: Int): DataFrame = {
+    require(maxLag >= 1, s"Relational.acf: maxLag $maxLag < 1")
+    val spark = df.sparkSession
+    val s = df.select(tCol.cast("long").as("t"), vCol.cast("long").as("v"))
+    val g = s.agg(count(lit(1)).as("__n"), sum("v").as("__sv"),
+      sum(col("v") * col("v")).as("__svv"))
+    val lags = spark.range(1, maxLag + 1).toDF("lag")
+    val p = s.crossJoin(broadcast(lags))
+      .withColumn("__t2", col("t") + col("lag"))
+      .join(s.select(col("t").as("__t2"), col("v").as("__v2")), Seq("__t2"))
+      .groupBy("lag").agg(count(lit(1)).as("n_pairs"),
+        sum(col("v") * col("__v2")).as("sxy"),
+        sum("v").as("__sx1"), sum("__v2").as("__sx2"))
+    val mu = col("__sv") / col("__n")
+    p.crossJoin(broadcast(g))
+      .withColumn("acf", round(
+        (col("sxy") - mu * col("__sx1") - mu * col("__sx2")
+          + col("n_pairs") * mu * mu) /
+          (col("__svv") - lit(2) * mu * col("__sv") + col("__n") * mu * mu), 9))
+      .select("lag", "n_pairs", "sxy", "acf")
+      .orderBy("lag")
+  }
 }

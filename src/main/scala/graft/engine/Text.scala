@@ -847,6 +847,45 @@ object Text {
       .groupBy("bigram").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("bigram")).limit(k)
 
+  /** PMI-ranked collocations (Church & Hanks '90): bigrams whose observed
+    * rate beats the independence prediction of their parts — PMI =
+    * ln[(c(xy)/B) / ((c(x)/T)·(c(y)/T))] with B total bigrams, T total
+    * tokens.  Raw frequency (see [[topBigrams]]) surfaces boilerplate
+    * ("of the"); PMI surfaces the corpus's multiword TERMS ("machine
+    * learning"), which is what a tokenizer-vocab or phrase-mining pass
+    * wants.  `minCount` guards the classic PMI pathology (hapax pairs
+    * score highest); returns the `topK` rows `(bigram, n_xy, c_x, c_y,
+    * pmi)` ordered by (pmi desc, bigram).
+    *
+    * Scale shape: one pipelined explode per stat (bigrams, unigrams),
+    * map-side-combined counts, and the ≥`minCount` bigram table — small
+    * by construction — joins the vocab-sized unigram counts (AQE
+    * broadcasts the filtered side); totals cross in as broadcast 1-row
+    * frames.  Determinism: PMI is IEEE arithmetic on exact BIGINTs in a
+    * fixed parenthesization, 9-dp-rounded to absorb the ≤1-ulp libm ln
+    * spread; ties break on the bigram string. */
+  def pmiCollocations(df: DataFrame, textCol: String,
+                      minCount: Long = 5, topK: Int = 30): DataFrame = {
+    val toks = tokens(col(textCol))
+    val bc = df.select(explode(bigramsOf(toks)).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("n_xy"))
+    val bt = bc.agg(sum("n_xy").as("__t_bi"))
+    val uc = df.select(explode(toks).as("__w"))
+      .groupBy("__w").agg(count(lit(1)).as("__c"))
+    val ut = uc.agg(sum("__c").as("__t_tok"))
+    bc.filter(col("n_xy") >= minCount)
+      .withColumn("__x", split(col("bigram"), " ").getItem(0))
+      .withColumn("__y", split(col("bigram"), " ").getItem(1))
+      .join(uc.select(col("__w").as("__x"), col("__c").as("c_x")), Seq("__x"))
+      .join(uc.select(col("__w").as("__y"), col("__c").as("c_y")), Seq("__y"))
+      .crossJoin(broadcast(bt)).crossJoin(broadcast(ut))
+      .withColumn("pmi", round(log((col("n_xy") / col("__t_bi")) /
+        ((col("c_x") / col("__t_tok")) * (col("c_y") / col("__t_tok")))), 9))
+      .select("bigram", "n_xy", "c_x", "c_y", "pmi")
+      .orderBy(desc("pmi"), col("bigram"))
+      .limit(topK)
+  }
+
   // ----------------------------------------------------------- BPE induction
   /** Corpus word-frequency table — the input to BPE training.  One
     * corpus-sized explode, vocab-sized output: everything downstream of

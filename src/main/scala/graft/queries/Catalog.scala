@@ -1123,6 +1123,35 @@ object Catalog {
          FROM g LEFT JOIN b ON g.user_id = b.user_id AND g.bucket = b.bucket
          ORDER BY 1, 2""")),
 
+    // Sample autocorrelation of the daily order-count series at lags 1–7
+    // (the seasonality probe: a weekly ingest cycle spikes lag 7).  The
+    // series is integer-valued, so both engines compute acf from exact
+    // BIGINT moments under one fixed parenthesization — no float sums.
+    QueryDef("q_acf",
+      (s, dir) => {
+        val daily = t(s, dir, "orders")
+          .groupBy(to_date(col("o_orderdate")).as("day"))
+          .agg(count(lit(1)).as("v"))
+        Relational.acf(daily,
+          datediff(col("day"), lit(java.sql.Date.valueOf("1992-01-01"))),
+          col("v"), maxLag = 7)
+      },
+      Some("""WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS v FROM orders GROUP BY 1),
+         s AS (SELECT CAST(datediff('day', DATE '1992-01-01', day) AS BIGINT) AS t, v
+           FROM d),
+         g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(v) AS BIGINT) AS sv,
+             CAST(SUM(v * v) AS BIGINT) AS svv FROM s),
+         l AS (SELECT CAST(range AS BIGINT) AS lag FROM range(1, 8)),
+         p AS (SELECT lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(SUM(a.v * b.v) AS BIGINT) AS sxy,
+             CAST(SUM(a.v) AS BIGINT) AS sx1, CAST(SUM(b.v) AS BIGINT) AS sx2
+           FROM l, s a, s b WHERE b.t = a.t + l.lag GROUP BY 1)
+         SELECT lag, n_pairs, sxy,
+           round((sxy - sv / n * sx1 - sv / n * sx2 + n_pairs * (sv / n) * (sv / n))
+             / (svv - 2 * (sv / n) * sv + n * (sv / n) * (sv / n)), 9) AS acf
+         FROM p, g ORDER BY lag""")),
+
     // Incremental-rollup maintenance — mergeable partial aggregates: reduce
     // each monthly shard to constant-size state (n/sum/min/max), then merge
     // states to the serving rollup.  Equal by algebra to aggregating the

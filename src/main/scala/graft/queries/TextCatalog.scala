@@ -2719,6 +2719,28 @@ object TextCatalog {
          SELECT bigram, COUNT(*) AS n FROM b GROUP BY 1
          ORDER BY n DESC, bigram LIMIT 20""")),
 
+    // PMI collocations: bigrams beating their independence prediction —
+    // the multiword-term miner beside raw-frequency q_top_bigrams.  Both
+    // totals (bigrams B, tokens T) and all counts are exact BIGINTs; the
+    // ln is 9-dp-rounded under a fixed parenthesization on both engines.
+    QueryDef("q_pmi_bigrams",
+      (s, dir) => Text.pmiCollocations(t(s, dir, "documents"), "text",
+        minCount = 5, topK = 30),
+      Some("""WITH w AS (SELECT string_split(trim(text), ' ') AS wds FROM documents),
+         b AS (SELECT unnest(list_transform(range(1, len(wds)),
+             i -> wds[i] || ' ' || wds[i+1])) AS bigram FROM w),
+         bc AS (SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n_xy FROM b GROUP BY 1),
+         bt AS (SELECT CAST(SUM(n_xy) AS BIGINT) AS t_bi FROM bc),
+         u AS (SELECT unnest(wds) AS wrd FROM w),
+         uc AS (SELECT wrd, CAST(COUNT(*) AS BIGINT) AS c FROM u GROUP BY 1),
+         ut AS (SELECT CAST(SUM(c) AS BIGINT) AS t_tok FROM uc),
+         f AS (SELECT bigram, n_xy, string_split(bigram, ' ')[1] AS x,
+             string_split(bigram, ' ')[2] AS y FROM bc WHERE n_xy >= 5)
+         SELECT bigram, n_xy, ux.c AS c_x, uy.c AS c_y,
+           round(ln((n_xy / t_bi) / ((ux.c / t_tok) * (uy.c / t_tok))), 9) AS pmi
+         FROM f JOIN uc ux ON f.x = ux.wrd JOIN uc uy ON f.y = uy.wrd, bt, ut
+         ORDER BY pmi DESC, bigram LIMIT 30""")),
+
     // Unigram surprisal (corpus-conditional LM quality proxy): mean
     // −log2 P(w) against the corpus unigram model — boilerplate low,
     // gibberish high; the perplexity-filter stand-in.  Per-term 9 dp

@@ -492,4 +492,24 @@ class RelationalSpec extends SparkFunSuite {
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
     assert(got === Map(1L -> (3L, 4.25), 2L -> (1L, 7.5)))
   }
+
+  test("acf: alternating series hand values, gaps drop pairs") {
+    // v = 1,2,1,2,1,2 at t = 0..5: mean 1.5, deviations ±0.5
+    // acf(1) = 5·(−0.25)/(6·0.25) = −5/6; acf(2) = 4·(0.25)/1.5 = 2/3
+    val pts = Seq((0L, 1L), (1L, 2L), (2L, 1L), (3L, 2L), (4L, 1L), (5L, 2L))
+    val s = pts.toDF("t", "v")
+    val got = graft.engine.Relational.acf(s, col("t"), col("v"), maxLag = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    def r9(x: Double) = BigDecimal(x)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // sxy at lag 1: 1·2+2·1+1·2+2·1+1·2 = 10; lag 2: 1+4+1+4 = 10
+    assert(got.toSeq === Seq((1L, 5L, 10L, r9(-5.0 / 6)), (2L, 4L, 10L, r9(2.0 / 3))),
+      s"hand ACF mismatch: ${got.toSeq}")
+
+    // a gap at t=3 drops exactly the pairs that straddle it
+    val gappy = pts.filterNot(_._1 == 3L).toDF("t", "v")
+    val g1 = graft.engine.Relational.acf(gappy, col("t"), col("v"), maxLag = 1)
+      .collect().head
+    assert(g1.getLong(1) === 3L, "lag-1 pairs must drop (2,3) and (3,4)")
+  }
 }

@@ -442,4 +442,25 @@ class TextSpec extends SparkFunSuite {
       .collect().map(_.getString(0)).toSeq
     assert(cut === Seq("b"), "df cutoff must keep only terms in ≥ minDf docs")
   }
+
+  test("pmiCollocations: hand-computed PMI ranks the bound pair above chance") {
+    // "x y" always adjacent (bound pair); "a b" co-occur at chance rate.
+    // tokens: x y a b x y | a x y b a b → T=12; bigrams: B=10
+    val docs = Seq((1L, "x y a b x y"), (2L, "a x y b a b")).toDF("doc_id", "text")
+    val got = Text.pmiCollocations(docs, "text", minCount = 2, topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    // c: x=3 y=3 a=3 b=3; bigram counts: "x y"=3, "a b"=2, others 1
+    def pmi(nxy: Long, cx: Long, cy: Long): Double =
+      BigDecimal(math.log((nxy.toDouble / 10) / ((cx.toDouble / 12) * (cy.toDouble / 12))))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.toSeq === Seq(
+      ("x y", 3L, 3L, 3L, pmi(3, 3, 3)),
+      ("a b", 2L, 3L, 3L, pmi(2, 3, 3))),
+      s"bound pair must out-PMI the chance pair: ${got.toSeq}")
+    assert(got(0)._5 > got(1)._5)
+    // minCount guards the hapax pathology: at 1, singletons flood in
+    assert(Text.pmiCollocations(docs, "text", minCount = 1, topK = 100)
+      .count() > 2)
+  }
 }
