@@ -402,6 +402,31 @@ object Quality {
         coalesce(sum(when(col("__n") < k, col("__n"))), lit(0L)).as("n_risky_rows"))
   }
 
+  /** l-diversity audit (Machanavajjhala et al., "l-diversity: privacy
+    * beyond k-anonymity", 2007) — the attack [[kAnonymity]] misses: a
+    * group of 50 rows is k-safe, but if all 50 share ONE sensitive value
+    * the attacker learns it without re-identifying anybody (homogeneity
+    * attack).  A group is risky when its sensitive attribute takes fewer
+    * than l distinct values.  Returns the one-row audit `(n_groups,
+    * n_risky_groups, n_risky_rows, min_diversity)`; release requires
+    * BOTH gates.  Scale shape: two chained hash aggregations — (quasi ×
+    * sensitive) then quasi — both map-side combined, then a bounded
+    * one-row reduce; the distinct count per group falls out of the first
+    * aggregation's row count, so no countDistinct expansion. */
+  def lDiversity(df: DataFrame, quasiCols: Seq[String],
+                 sensitiveCol: org.apache.spark.sql.Column, l: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(l >= 2, s"lDiversity: l must be >= 2, got $l")
+    df.groupBy((quasiCols.map(col) :+ sensitiveCol.as("__s")): _*)
+      .agg(count(lit(1)).as("__n"))
+      .groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("__d"), sum("__n").as("__rows"))
+      .agg(count(lit(1)).as("n_groups"),
+        count(when(col("__d") < l, 1)).as("n_risky_groups"),
+        coalesce(sum(when(col("__d") < l, col("__rows"))), lit(0L)).as("n_risky_rows"),
+        min("__d").as("min_diversity"))
+  }
+
   /** Q2 — error-tolerant runner (ref `load_duckdb_data.py:42-46`): apply each
     * step, log-and-continue on failure, return successes. */
   def runTolerant[A](steps: Seq[(String, () => A)]): (List[(String, A)], List[(String, Throwable)]) = {

@@ -3846,6 +3846,26 @@ object Catalog {
            CAST(COALESCE(SUM(CASE WHEN n < 10 THEN n END), 0) AS BIGINT) AS n_risky_rows
          FROM g""")),
 
+    // l-diversity — the homogeneity attack k-anonymity misses: a
+    // quasi-identifier group whose SENSITIVE attribute (account-balance
+    // band) takes < l distinct values leaks it without re-identification.
+    // Same quasi set as q_k_anonymity, so the pair forms the release gate.
+    QueryDef("q_l_diversity",
+      (s, dir) => Quality.lDiversity(t(s, dir, "customer"),
+        Seq("c_nationkey", "c_mktsegment"),
+        floor(col("c_acctbal") / 1000).cast("long"), l = 8),
+      Some("""WITH gs AS (SELECT c_nationkey, c_mktsegment,
+             CAST(floor(c_acctbal / 1000) AS BIGINT) AS band, COUNT(*) AS n
+           FROM customer GROUP BY 1, 2, 3),
+         g AS (SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS d,
+             CAST(SUM(n) AS BIGINT) AS rows_in FROM gs GROUP BY 1, 2)
+         SELECT COUNT(*) AS n_groups,
+           COUNT(CASE WHEN d < 8 THEN 1 END) AS n_risky_groups,
+           CAST(COALESCE(SUM(CASE WHEN d < 8 THEN rows_in END), 0) AS BIGINT)
+             AS n_risky_rows,
+           MIN(d) AS min_diversity
+         FROM g""")),
+
     QueryDef("q_expectations",
       (s, dir) => Quality.expectations(t(s, dir, "lineitem"), Seq(
           "discount_bounds" -> col("l_discount").between(0.0, 0.1),

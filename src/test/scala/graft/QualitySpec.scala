@@ -199,6 +199,25 @@ class QualitySpec extends SparkFunSuite {
       "a one-sided category must contribute a finite positive term")
   }
 
+  test("lDiversity: homogeneous groups flagged that kAnonymity passes") {
+    // group (1): 4 rows, all sensitive "s1" → k=3-safe but 1-diverse
+    // group (2): 3 rows, sensitive s1/s2/s3 → 3-diverse
+    val df = Seq((1, "s1"), (1, "s1"), (1, "s1"), (1, "s1"),
+      (2, "s1"), (2, "s2"), (2, "s3")).toDF("qi", "s")
+    val ld = Quality.lDiversity(df, Seq("qi"), col("s"), l = 2).collect().head
+    assert((ld.getLong(0), ld.getLong(1), ld.getLong(2), ld.getLong(3))
+      === ((2L, 1L, 4L, 1L)),
+      s"group 1 must be risky (1-diverse, 4 rows), got $ld")
+    // the SAME data passes k-anonymity at k=3: the homogeneity blind spot
+    val ka = Quality.kAnonymity(df, Seq("qi"), k = 3).collect().head
+    assert(ka.getLong(1) === 0L, "k-anonymity alone must miss the leak")
+    // at l=4 both groups are risky; all 7 rows counted
+    val strict = Quality.lDiversity(df, Seq("qi"), col("s"), l = 4).collect().head
+    assert((strict.getLong(1), strict.getLong(2)) === ((2L, 7L)))
+    intercept[IllegalArgumentException](
+      Quality.lDiversity(df, Seq("qi"), col("s"), l = 1))
+  }
+
   test("benford: digit spine, exact extraction, term arithmetic") {
     // 30 values: first digits 1×10, 2×6, 9×2, rest spread; includes exact
     // powers of ten (the log-free extraction's hard case) and v<1 excluded
