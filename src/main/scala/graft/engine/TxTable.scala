@@ -772,6 +772,51 @@ object TxTable {
     appendWith(spark, root, df, Some(batchId), statsCols, bloomCols)
   }
 
+  /** EXACTLY-ONCE streaming ingest with a DEAD-LETTER QUEUE: each
+    * micro-batch splits against the MAIN table's registered CHECK
+    * constraints ([[addCheck]]) — passing rows append to `root`,
+    * violating rows append to `dlqRoot` tagged with a `dlq_checks`
+    * column naming every violated constraint (comma-joined, sorted) —
+    * so a poisoned record can never stall the stream (the plain
+    * [[streamingAppend]] + constraint combination would refuse the whole
+    * batch forever) and never silently vanishes either: it lands
+    * queryable, replayable, and attributable in the DLQ table.
+    *
+    * Exactly-once holds PER TABLE via the same batch-id watermark as
+    * [[streamingAppend]]: both commits carry the micro-batch id, so a
+    * crash between the two commits (they cannot be atomic across tables)
+    * merely replays the batch and the already-committed side no-ops —
+    * delivery converges to exactly-once on both tables in every
+    * interleaving.  Batches with no violations skip the DLQ commit
+    * entirely (the `>=` watermark guard makes the gap replay-safe).
+    * With no constraints registered this IS [[streamingAppend]].
+    *
+    * SQL CHECK semantics as everywhere: NULL passes.  The batch is
+    * persisted for its two-way split + the enforcement pass, then
+    * released. */
+  def streamingAppendDlq(root: String, dlqRoot: String,
+                         statsCols: Seq[String] = Nil)
+                        (df: DataFrame, batchId: Long): Unit = {
+    import org.apache.spark.sql.functions._
+    val spark = df.sparkSession
+    val cs = checks(spark, root).toSeq.sortBy(_._1)
+    if (cs.isEmpty) { streamingAppend(root, statsCols)(df, batchId); return }
+    val violated = array_compact(array(cs.map { case (n, e) =>
+      when(coalesce(expr(e), lit(true)) === false, lit(n)) }: _*))
+    val tagged = df.withColumn("__viol", violated)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val bad = tagged.filter(size(col("__viol")) > 0)
+        .withColumn("dlq_checks", array_join(col("__viol"), ","))
+        .drop("__viol")
+      if (!lastCommittedBatch(spark, dlqRoot).exists(_ >= batchId) && !bad.isEmpty)
+        appendWith(spark, dlqRoot, bad, Some(batchId))
+      val good = tagged.filter(size(col("__viol")) === 0).drop("__viol")
+      if (!lastCommittedBatch(spark, root).exists(_ >= batchId))
+        appendWith(spark, root, good, Some(batchId), statsCols)
+    } finally tagged.unpersist()
+  }
+
   /** SEGMENT-PRUNED ACID upsert (the Delta-style MERGE shape): only the
     * segments that CONTAIN a hit key are rewritten — every other segment
     * carries over into the new manifest by reference, so a merge touching

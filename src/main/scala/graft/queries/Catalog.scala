@@ -3248,6 +3248,55 @@ object Catalog {
       },
       Some("""SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1 ORDER BY 1""")),
 
+    // ST18 — streaming ingest with a DEAD-LETTER QUEUE: micro-batches
+    // split against the main table's CHECK constraints — passing rows
+    // land in the curated table, violators land in the DLQ tagged with
+    // every violated constraint (so a poisoned record can't stall the
+    // stream and can't vanish).  A fresh-checkpoint full replay must
+    // no-op BOTH tables via their independent batch-id watermarks.  The
+    // oracle restates the routing + tagging relationally over events.
+    QueryDef("q_st18_stream_dlq",
+      (s, dir) => {
+        val schema = t(s, dir, "events").schema
+        val root = Files.createTempDirectory("graft_st18").toString + "/tbl"
+        val dlq = Files.createTempDirectory("graft_st18d").toString + "/dlq"
+        val base = Files.createTempDirectory("graft_st18cp").toString
+        TxTable.addCheck(s, root, "no_raw_clicks", "event_type <> 'click'")
+        TxTable.addCheck(s, root, "value_cap", "value <= 100")
+        def runOnce(cp: String): Unit = {
+          val q = s.readStream.schema(schema).parquet(s"$dir/events*.parquet")
+            .writeStream.foreachBatch(TxTable.streamingAppendDlq(root, dlq) _)
+            .option("checkpointLocation", cp)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        runOnce(s"$base/cp1")
+        runOnce(s"$base/cp2") // fresh-checkpoint replay: both tables no-op
+        val main = TxTable.read(s, root).groupBy("event_type")
+          .agg(count(lit(1)).as("n"))
+          .select(lit("main").as("src"), col("event_type"),
+            lit("").as("dlq_checks"), col("n"))
+        val dl = TxTable.read(s, dlq).groupBy("event_type", "dlq_checks")
+          .agg(count(lit(1)).as("n"))
+          .select(lit("dlq").as("src"), col("event_type"),
+            col("dlq_checks"), col("n"))
+        main.unionByName(dl).orderBy("src", "event_type", "dlq_checks")
+      },
+      Some("""WITH t AS (SELECT event_type, value,
+             concat_ws(',',
+               CASE WHEN NOT coalesce(event_type <> 'click', TRUE)
+                 THEN 'no_raw_clicks' END,
+               CASE WHEN NOT coalesce(value <= 100, TRUE)
+                 THEN 'value_cap' END) AS dlq_checks
+           FROM events)
+         SELECT 'main' AS src, event_type, '' AS dlq_checks,
+           COUNT(*) AS n FROM t WHERE dlq_checks = '' GROUP BY 1, 2, 3
+         UNION ALL
+         SELECT 'dlq', event_type, dlq_checks, COUNT(*) FROM t
+         WHERE dlq_checks <> '' GROUP BY 1, 2, 3
+         ORDER BY 1, 2, 3""")),
+
     // ST13 — STREAMING sketch maintenance: each micro-batch is collapsed to
     // a Count-Min cell shard (≤ d×w rows however large the batch) and the
     // shard appended to a TxTable exactly-once.  The CMS counter matrix is

@@ -1002,4 +1002,46 @@ class TxTableSpec extends SparkFunSuite {
     TxTable.commitAppend(spark, root, Seq((6L, -5.0)).toDF("k", "p"))
     assert(TxTable.read(spark, root).count() === 5)
   }
+
+  test("streamingAppendDlq: constraint routing, multi-violation tags, per-table replay") {
+    val root = newRoot(); val dlq = newRoot()
+    TxTable.addCheck(spark, root, "a_pos", "v > 0")
+    TxTable.addCheck(spark, root, "b_cap", "v <= 10")
+    val sink = TxTable.streamingAppendDlq(root, dlq) _
+
+    // batch 0: 2 good, 1 single-violation, 1 double?? (v>0 false and v<=10
+    // true for -3 — single; nothing violates both, NULL passes both)
+    sink(Seq((1L, Some(5.0)), (2L, Some(7.0)), (3L, Some(-3.0)),
+      (4L, Option.empty[Double])).toDF("k", "v"), 0L)
+    assert(TxTable.read(spark, root).orderBy("k").collect().map(_.getLong(0)).toSeq
+      === Seq(1L, 2L, 4L), "NULL passes; -3 routes to the DLQ")
+    val d0 = TxTable.read(spark, dlq).collect()
+    assert(d0.length === 1 && d0.head.getAs[String]("dlq_checks") === "a_pos")
+
+    // batch 1: a row violating BOTH constraints?? impossible here — use 0
+    // for a_pos and 99 for b_cap; tags stay per-violation and sorted
+    sink(Seq((5L, Some(0.0)), (6L, Some(99.0)), (7L, Some(1.0))).toDF("k", "v"), 1L)
+    val d1 = TxTable.read(spark, dlq).collect()
+      .map(r => r.getLong(0) -> r.getAs[String]("dlq_checks")).toMap
+    assert(d1 === Map(3L -> "a_pos", 5L -> "a_pos", 6L -> "b_cap"))
+
+    // batch 2: all good — DLQ commit skipped, but its watermark gap is
+    // replay-safe because the guard is >= (batch 3 then writes the DLQ)
+    sink(Seq((8L, Some(2.0))).toDF("k", "v"), 2L)
+    val dlqV2 = TxTable.latestVersion(spark, dlq).get
+    sink(Seq((9L, Some(-9.0))).toDF("k", "v"), 3L)
+    assert(TxTable.latestVersion(spark, dlq).get === dlqV2 + 1)
+
+    // full replay of every batch with the same ids: BOTH tables no-op
+    val (mv, dv) = (TxTable.latestVersion(spark, root).get,
+      TxTable.latestVersion(spark, dlq).get)
+    sink(Seq((1L, Some(5.0)), (3L, Some(-3.0))).toDF("k", "v"), 0L)
+    sink(Seq((5L, Some(0.0))).toDF("k", "v"), 1L)
+    sink(Seq((9L, Some(-9.0))).toDF("k", "v"), 3L)
+    assert(TxTable.latestVersion(spark, root).contains(mv) &&
+      TxTable.latestVersion(spark, dlq).contains(dv),
+      "replayed batch ids must no-op both tables")
+    assert(TxTable.read(spark, root).count() === 5 &&
+      TxTable.read(spark, dlq).count() === 4)
+  }
 }
