@@ -402,6 +402,40 @@ object Quality {
         coalesce(sum(when(col("__n") < k, col("__n"))), lit(0L)).as("n_risky_rows"))
   }
 
+  /** Mutual information between two categorical columns — the
+    * association profiler beside [[chi2Drift]]'s homogeneity test: MI =
+    * Σ_cells p(x,y)·ln[p(x,y)/(p(x)p(y))] in nats, 0 iff independent,
+    * and unlike chi² it is an EFFECT SIZE (doesn't grow with n at fixed
+    * association), so it ranks column pairs comparably — the signal a
+    * feature-redundancy or leakage audit wants ("does the split column
+    * predict the label?").  Returns one row per observed cell `(x, y,
+    * n_xy, n_x, n_y, mi_term)` ordered by (x, y); the headline MI is the
+    * consumer's decimal-exact sum of the 9-dp-rounded terms.  Every term
+    * is ≥ 0 would be FALSE here (cells under independence go negative) —
+    * the sum, not the terms, is nonnegative.
+    *
+    * Determinism: the probability ratio is computed as
+    * (n_xy/n_x)/(n_y/n) — three BIGINT/BIGINT IEEE divisions, never the
+    * BIGINT product n_xy·n (which overflows at lake-scale counts) — and
+    * the ln is 9-dp-rounded inside the term.  Scale shape: ONE groupBy
+    * on the cell; both marginals re-aggregate from the cell table
+    * (bounded by label-cardinality², never the data), totals broadcast. */
+  def mutualInfo(df: DataFrame, xCol: org.apache.spark.sql.Column,
+                 yCol: org.apache.spark.sql.Column): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val cells = df.select(xCol.as("x"), yCol.as("y"))
+      .groupBy("x", "y").agg(count(lit(1)).as("n_xy"))
+    val mx = cells.groupBy("x").agg(sum("n_xy").as("n_x"))
+    val my = cells.groupBy("y").agg(sum("n_xy").as("n_y"))
+    val tot = cells.agg(sum("n_xy").as("__n"))
+    cells.join(mx, Seq("x")).join(my, Seq("y"))
+      .crossJoin(broadcast(tot))
+      .withColumn("mi_term", round((col("n_xy") / col("__n")) *
+        log((col("n_xy") / col("n_x")) / (col("n_y") / col("__n"))), 9))
+      .select("x", "y", "n_xy", "n_x", "n_y", "mi_term")
+      .orderBy("x", "y")
+  }
+
   /** l-diversity audit (Machanavajjhala et al., "l-diversity: privacy
     * beyond k-anonymity", 2007) — the attack [[kAnonymity]] misses: a
     * group of 50 rows is k-safe, but if all 50 share ONE sensitive value

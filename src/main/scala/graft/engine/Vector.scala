@@ -404,6 +404,48 @@ object Vector {
       .select("q_id", "first_hit", "rr")
   }
 
+  /** Rank-biased overlap (Webber et al., "A similarity measure for
+    * indefinite rankings", TOIS 2010), truncated at depth k: RBO =
+    * Σ_{d=1..k} (1−p)·p^{d−1}·|A₁..d ∩ B₁..d|/d — the fourth leg of the
+    * eval family (recall counts hits, nDCG grades order by relevance,
+    * MRR finds the first hit; RBO compares the two RANKINGS themselves,
+    * top-weighted by the persistence p, no relevance model needed).
+    * Inputs as in [[ndcgAtK]] — two ranked lists `(q_id, c_id, rank)`;
+    * output `(q_id, n_common, rbo)`, 0/0.0 for disjoint lists.
+    *
+    * The sum is regrouped per ITEM: a common item first enters the
+    * prefix intersection at depth m = max(rank_A, rank_B) and then
+    * contributes w_d = (1−p)p^{d−1}/d for every d ≥ m, so its total
+    * contribution is the suffix weight W_m — k driver-side decimals
+    * (exact BigDecimal suffix sums of 12-dp-rounded w_d), broadcast as a
+    * k-row spine.  Determinism: per-item terms are the spine doubles
+    * re-rounded at 9 dp and DECIMAL-summed (the scoring-op discipline);
+    * the oracle rebuilds the identical spine with decimal window sums. */
+  def rboAtK(approx: DataFrame, exact: DataFrame, k: Int,
+             p: Double = 0.9): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(k >= 1, s"rboAtK: k $k < 1")
+    require(p > 0 && p < 1, s"rboAtK: persistence p must be in (0,1), got $p")
+    val spark = approx.sparkSession
+    import spark.implicits._
+    val w = (1 to k).map(d => BigDecimal((1 - p) * math.pow(p, d - 1) / d)
+      .setScale(12, BigDecimal.RoundingMode.HALF_UP))
+    val spine = (1 to k).map(m => (m.toLong, w.drop(m - 1).sum.toDouble))
+      .toDF("__m", "__wm")
+    val common = approx.select(col("q_id"), col("c_id"), col("rank").as("apos"))
+      .join(exact.select(col("q_id"), col("c_id"), col("rank").as("erank")),
+        Seq("q_id", "c_id"))
+      .withColumn("__m", greatest(col("apos"), col("erank")).cast("long"))
+      .join(broadcast(spine), Seq("__m"))
+      .withColumn("__t", round(col("__wm"), 9))
+      .groupBy("q_id").agg(count(lit(1)).as("n_common"),
+        sum(col("__t").cast(DecimalType(38, 9))).cast("double").as("rbo"))
+    approx.select("q_id").distinct()
+      .join(common, Seq("q_id"), "left")
+      .na.fill(0L, Seq("n_common")).na.fill(0.0, Seq("rbo"))
+      .select("q_id", "n_common", "rbo")
+  }
+
   /** Literal-term budget for the unrolled centroid-argmax expression —
     * beyond this the generated code leaves whole-stage codegen and the
     * expression evaluates interpreted (see [[ivfTopK]]). */

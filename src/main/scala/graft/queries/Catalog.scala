@@ -1287,6 +1287,24 @@ object Catalog {
              + (n_b - e_b) * (n_b - e_b) / e_b, 9) AS chi2_term
          FROM c, t ORDER BY cat""")),
 
+    // Mutual information between order priority and status — the
+    // effect-size association profiler beside chi²'s test: per-cell
+    // contribution rows; the headline MI (nats) is the consumer's sum of
+    // the 9-dp terms.  The probability ratio is three BIGINT/BIGINT IEEE
+    // divisions, never an overflowable BIGINT product.
+    QueryDef("q_mutual_info",
+      (s, dir) => Quality.mutualInfo(t(s, dir, "orders"),
+        col("o_orderpriority"), col("o_orderstatus")),
+      Some("""WITH c AS (SELECT o_orderpriority AS x, o_orderstatus AS y,
+             CAST(COUNT(*) AS BIGINT) AS n_xy FROM orders GROUP BY 1, 2),
+         mx AS (SELECT x, CAST(SUM(n_xy) AS BIGINT) AS n_x FROM c GROUP BY 1),
+         my AS (SELECT y, CAST(SUM(n_xy) AS BIGINT) AS n_y FROM c GROUP BY 1),
+         t AS (SELECT CAST(SUM(n_xy) AS BIGINT) AS n FROM c)
+         SELECT x, y, n_xy, n_x, n_y,
+           round((n_xy / n) * ln((n_xy / n_x) / (n_y / n)), 9) AS mi_term
+         FROM c JOIN mx USING (x) JOIN my USING (y), t
+         ORDER BY x, y""")),
+
     // Benford first-digit audit over order prices: nine unconditional
     // digit rows with observed counts, 9-dp Benford mass, and χ² terms —
     // the digit extraction goes floor→BIGINT→string (never log₁₀ of the

@@ -1368,6 +1368,51 @@ object TextCatalog {
              ELSE CAST(0.0 AS DOUBLE) END AS rr
          FROM fh ORDER BY q_id""")),
 
+    // RBO@5 (p=0.9): top-weighted agreement between the approximate and
+    // exact RANKINGS themselves — no relevance model, the pure
+    // list-similarity lens completing recall/nDCG/MRR.  Each common item
+    // contributes the suffix weight of its entry depth max(rank_A,
+    // rank_B); both engines build the identical 5-row weight spine from
+    // 12-dp-rounded terms under exact decimal suffix summation.
+    QueryDef("q_ann_rbo",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val qs = e.filter(col("vec_id") < 30)
+        Vector.rboAtK(
+            Vector.lshTopKMultiProbe(qs, e, 5, 4, 64),
+            Vector.bruteForceTopK(qs, e, 5), k = 5, p = 0.9)
+          .orderBy("q_id")
+      },
+      Some(s"""WITH ${lshSql(4, 64)},
+         q AS (SELECT vec_id AS q_id, dv AS qv, bucket FROM b WHERE vec_id < 30),
+         pr AS (SELECT q_id, qv, unnest([bucket,
+             xor(bucket, CAST(1 AS BIGINT)), xor(bucket, CAST(2 AS BIGINT)),
+             xor(bucket, CAST(4 AS BIGINT)), xor(bucket, CAST(8 AS BIGINT))]) AS pb FROM q),
+         c AS (SELECT vec_id AS c_id, dv AS cv, bucket FROM b),
+         asc_ AS (SELECT q_id, c_id,
+             row_number() OVER (PARTITION BY q_id ORDER BY ${cosSql("qv", "cv", 64)} DESC, c_id) AS rank
+           FROM pr JOIN c ON pr.pb = c.bucket AND q_id <> c_id),
+         approx AS (SELECT q_id, c_id, rank AS apos FROM asc_ WHERE rank <= 5),
+         ex AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+             row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY ${cosSql("q.dv", "c.dv", 64)} DESC, c.vec_id) AS rank
+           FROM b q JOIN b c ON q.vec_id < 30 AND q.vec_id <> c.vec_id),
+         exact AS (SELECT q_id, c_id, rank AS erank FROM ex WHERE rank <= 5),
+         sp AS (SELECT CAST(range AS BIGINT) AS d,
+             round((1 - 0.9) * pow(0.9, range - 1) / range, 12) AS w
+           FROM range(1, 6)),
+         ws AS (SELECT d, CAST(SUM(CAST(w AS DECIMAL(38,12)))
+             OVER (ORDER BY d DESC) AS DOUBLE) AS wm FROM sp),
+         cm AS (SELECT a.q_id, greatest(apos, erank) AS m
+           FROM approx a JOIN exact e2 ON a.q_id = e2.q_id AND a.c_id = e2.c_id),
+         tt AS (SELECT q_id, round(wm, 9) AS t FROM cm JOIN ws ON m = d),
+         g AS (SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n_common,
+             CAST(SUM(CAST(t AS DECIMAL(38,9))) AS DOUBLE) AS rbo FROM tt GROUP BY 1),
+         qq AS (SELECT DISTINCT q_id FROM approx)
+         SELECT q_id, COALESCE(n_common, 0) AS n_common,
+           COALESCE(rbo, CAST(0.0 AS DOUBLE)) AS rbo
+         FROM qq LEFT JOIN g USING (q_id) ORDER BY q_id""")),
+
     // Margin-based cross-set mining (Artetxe & Schwenk '19): the even-id
     // half matched against the odd-id half, pair scores hub-corrected by
     // the ratio margin 2cos/(μₖ(x)+μₖ(y)) before ranking.

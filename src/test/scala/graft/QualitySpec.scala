@@ -199,6 +199,31 @@ class QualitySpec extends SparkFunSuite {
       "a one-sided category must contribute a finite positive term")
   }
 
+  test("mutualInfo: independence scores 0, perfect dependence ln(2), terms signed") {
+    // perfectly dependent: y = x over {a,b} × 4 rows each → MI = ln 2
+    val dep = Seq(("a", "a"), ("a", "a"), ("b", "b"), ("b", "b")).toDF("u", "v")
+    val dterms = Quality.mutualInfo(dep, col("u"), col("v")).collect()
+      .map(_.getDouble(5))
+    def r9(x: Double) = BigDecimal(x)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(dterms.toSeq === Seq.fill(2)(r9(0.5 * math.log((2.0 / 2) / (2.0 / 4)))),
+      "each diagonal cell contributes p·ln(1/p(y)) = ½·ln 2")
+
+    // independent: uniform 2×2 → every term exactly 0
+    val ind = Seq(("a", "a"), ("a", "b"), ("b", "a"), ("b", "b")).toDF("u", "v")
+    assert(Quality.mutualInfo(ind, col("u"), col("v")).collect()
+      .forall(_.getDouble(5) === 0.0), "independent columns must score 0")
+
+    // skewed 3-cell table: terms are SIGNED but their sum is positive
+    val sk = Seq(("a", "x"), ("a", "x"), ("a", "y"), ("b", "y")).toDF("u", "v")
+    val terms = Quality.mutualInfo(sk, col("u"), col("v")).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getDouble(5))).toMap
+    assert(terms(("a", "y")) < 0, "an under-independence cell contributes negatively")
+    assert(terms.values.sum > 0, "total MI is nonnegative")
+    // hand value of one cell: p(a,x)=1/2, p(a)=3/4, p(x)=1/2
+    assert(terms(("a", "x")) === r9((2.0 / 4) * math.log((2.0 / 3) / (2.0 / 4))))
+  }
+
   test("lDiversity: homogeneous groups flagged that kAnonymity passes") {
     // group (1): 4 rows, all sensitive "s1" → k=3-safe but 1-diverse
     // group (2): 3 rows, sensitive s1/s2/s3 → 3-diverse

@@ -401,4 +401,27 @@ class VectorSpec extends SparkFunSuite {
     TxTable.compactZOrderN(spark, idxRoot, Seq("list_id"), numSegments = 4)
     assert(asgSet(TxTable.read(spark, idxRoot)) === rebuilt)
   }
+
+  test("rboAtK: identical, partial, and disjoint rankings at p=0.5") {
+    def rk(rows: (Long, Long, Int)*) = rows.toDF("q_id", "c_id", "rank")
+    // identical 3-item lists: RBO = Σ (1−p)p^{d−1} = .5+.25+.125 = 0.875
+    // (engine value is the 9-dp-term sum: 0.875000001 by discipline)
+    val a = rk((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3))
+    val same = Vector.rboAtK(a, a, k = 3, p = 0.5).collect().head
+    assert(same.getLong(1) === 3L && math.abs(same.getDouble(2) - 0.875) < 1e-8,
+      s"identical rankings must score ~0.875, got $same")
+
+    // partial: A=[x,y], B=[y,z] → only y common at m=max(2,1)=2 → 0.125
+    val pa = rk((1L, 10L, 1), (1L, 11L, 2))
+    val pb = rk((1L, 11L, 1), (1L, 12L, 2))
+    val part = Vector.rboAtK(pa, pb, k = 2, p = 0.5).collect().head
+    assert(part.getLong(1) === 1L && math.abs(part.getDouble(2) - 0.125) < 1e-9,
+      s"single common item at depth 2 must score 0.125, got $part")
+
+    // disjoint lists emit the query with 0/0.0 (not dropped)
+    val dis = Vector.rboAtK(pa, rk((1L, 20L, 1), (1L, 21L, 2)), 2, 0.5)
+      .collect().head
+    assert(dis.getLong(1) === 0L && dis.getDouble(2) === 0.0)
+    intercept[IllegalArgumentException](Vector.rboAtK(pa, pb, 2, 1.0))
+  }
 }
