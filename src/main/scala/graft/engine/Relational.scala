@@ -165,6 +165,39 @@ object Relational {
       .drop("__bin")
   }
 
+  /** INTERVAL × INTERVAL overlap join — matched pairs on the same key with
+    * `[lStart, lEnd] ∩ [prefix+rStart, prefix+rEnd] ≠ ∅` (closed
+    * intervals): the attribution/coverage shape ([[rangeJoin]] is its
+    * point-in-window special case).  Each interval explodes to the time
+    * bins it covers (fanout = ⌈len/binWidth⌉ — pick binWidth near the
+    * typical interval length), candidates equi-join on (key, bin), the
+    * exact predicate filters, and each surviving pair is ATTRIBUTED to
+    * exactly one bin — the bin of `greatest(lStart, rStart)`, which lies
+    * in both intervals whenever they overlap — so no distinct-shuffle
+    * dedup pass exists in the plan.  Shuffles once on (key, bin); linear
+    * in candidates, never quadratic in rows.  Malformed intervals
+    * (end < start) are dropped before exploding — Spark's `sequence`
+    * REVERSES on a negative span instead of failing, which would
+    * fabricate bins.  Right columns arrive `prefix`-renamed. */
+  def intervalJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                   lStart: String, lEnd: String, rStart: String, rEnd: String,
+                   binWidthMicros: Long, prefix: String = "r_"): DataFrame = {
+    require(binWidthMicros > 0, s"intervalJoin: binWidth $binWidthMicros <= 0")
+    def binOf(us: Column): Column =
+      ((us - pmod(us, lit(binWidthMicros))) / binWidthMicros).cast("long")
+    val (ls, le) = (unix_micros(col(lStart)), unix_micros(col(lEnd)))
+    val l = left.filter(ls <= le)
+      .withColumn("__bin", explode(sequence(binOf(ls), binOf(le))))
+    val rCols = right.columns.filterNot(keys.contains).toSeq
+    val rr = rCols.foldLeft(right)((d, c) => d.withColumnRenamed(c, prefix + c))
+    val (rs, re) = (unix_micros(col(prefix + rStart)), unix_micros(col(prefix + rEnd)))
+    val r = rr.filter(rs <= re)
+      .withColumn("__bin", explode(sequence(binOf(rs), binOf(re))))
+    l.join(r, keys :+ "__bin")
+      .filter(ls <= re && rs <= le && col("__bin") === binOf(greatest(ls, rs)))
+      .drop("__bin")
+  }
+
   /** Two-stage global row numbering — the scale-safe replacement for a
     * partition-less `row_number().over(Window.orderBy(page, row))` (which
     * funnels every row through ONE task):

@@ -916,6 +916,39 @@ object Catalog {
          FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
          ORDER BY l.event_id""")),
 
+    // Interval OVERLAP join — 4h view windows × 2h purchase windows per
+    // user (views span 5 one-hour bins, purchases 3, so the bin fanout +
+    // single-bin pair attribution are genuinely exercised).  Overlap
+    // micros are exact BIGINT arithmetic.
+    QueryDef("q_interval_join",
+      (s, dir) => {
+        val ev = events(s, dir)
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("user_id"), col("ts").as("vs"),
+            (col("ts") + expr("INTERVAL 4 HOURS")).as("ve"))
+        val buys = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts").as("ps"),
+            (col("ts") + expr("INTERVAL 2 HOURS")).as("pe"))
+        Relational.intervalJoin(views, buys, Seq("user_id"),
+            "vs", "ve", "ps", "pe", 3600L * 1000000L)
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(least(unix_micros(col("ve")), unix_micros(col("r_pe")))
+              - greatest(unix_micros(col("vs")), unix_micros(col("r_ps"))))
+              .as("overlap_us"))
+          .orderBy("user_id")
+      },
+      Some("""WITH v AS (SELECT user_id, ts AS vs, ts + INTERVAL 4 HOUR AS ve
+           FROM events WHERE event_type = 'view'),
+         p AS (SELECT user_id, ts AS ps, ts + INTERVAL 2 HOUR AS pe
+           FROM events WHERE event_type = 'purchase'),
+         j AS (SELECT v.user_id,
+             epoch_us(least(ve, pe)) - epoch_us(greatest(vs, ps)) AS ov
+           FROM v JOIN p ON v.user_id = p.user_id AND vs <= pe AND ps <= ve)
+         SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(ov) AS BIGINT) AS overlap_us
+         FROM j GROUP BY 1 ORDER BY 1""")),
+
     // Range join — purchases within the hour BEFORE each click, per user:
     // the binned equi-join form of a non-equi time predicate (bin = 1h of
     // event time; left probes 2 bins; exact BETWEEN filters candidates).

@@ -493,6 +493,31 @@ class RelationalSpec extends SparkFunSuite {
     assert(got === Map(1L -> (3L, 4.25), 2L -> (1L, 7.5)))
   }
 
+  test("intervalJoin: overlap semantics, single attribution, malformed drop") {
+    import java.sql.Timestamp
+    def ts(min: Long) = new Timestamp(min * 60000L)
+    val binW = 10L * 60 * 1000000L // 10-minute bins
+    // key 1: L=[0,25] overlaps R=[20,40] (touching R=[25,..] inclusive) and
+    // R=[25,30]; misses R=[26,30]... boundaries are CLOSED: [0,25]∩[25,30]≠∅
+    val left = Seq((1L, ts(0), ts(25), "a"), (1L, ts(50), ts(55), "b"),
+      (2L, ts(0), ts(100), "c"), (3L, ts(10), ts(5), "bad"))
+      .toDF("k", "s", "e", "lid")
+    val right = Seq((1L, ts(20), ts(40), "x"), (1L, ts(25), ts(30), "y"),
+      (1L, ts(56), ts(60), "z"), (2L, ts(30), ts(35), "w"),
+      (3L, ts(0), ts(20), "v"), (2L, ts(99), ts(90), "bad2"))
+      .toDF("k", "s", "e", "rid")
+    val got = graft.engine.Relational
+      .intervalJoin(left, right, Seq("k"), "s", "e", "s", "e", binW)
+      .select("lid", "r_rid").collect()
+      .map(r => (r.getString(0), r.getString(1))).sorted
+    // brute force over well-formed intervals: pairs with ls<=re && rs<=le
+    assert(got.toSeq === Seq(("a", "x"), ("a", "y"), ("c", "w")),
+      s"overlap pairs mismatch: ${got.toSeq}")
+    // single attribution: spans covering MANY shared bins still emit one
+    // row per pair — (c,w) shares bins 3 (30-40) despite L covering 0..10
+    assert(got.count(_ == (("c", "w"))) === 1, "no duplicate attribution")
+  }
+
   test("acf: alternating series hand values, gaps drop pairs") {
     // v = 1,2,1,2,1,2 at t = 0..5: mean 1.5, deviations ±0.5
     // acf(1) = 5·(−0.25)/(6·0.25) = −5/6; acf(2) = 4·(0.25)/1.5 = 2/3
