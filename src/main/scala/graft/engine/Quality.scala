@@ -402,6 +402,29 @@ object Quality {
         coalesce(sum(when(col("__n") < k, col("__n"))), lit(0L)).as("n_risky_rows"))
   }
 
+  /** Herfindahl–Hirschman concentration of a categorical mix — HHI =
+    * Σ shareᵢ², the measurement twin of the domain-quota CAP: a training
+    * mix dominated by one source scores toward 1, a uniform mix over g
+    * groups scores 1/g, so trending this one number across ingests
+    * catches "the crawl quietly became 60% one domain" before a quota
+    * fires.  Returns ONE row `(n_groups, n_rows, hhi, top_share)`.
+    * Scale shape: one map-side-combined groupBy (bounded by group
+    * cardinality) + a broadcast 1-row total; shares are BIGINT/BIGINT
+    * IEEE divisions, per-group terms 9-dp-rounded and DECIMAL-summed. */
+  def hhi(df: DataFrame, groupCol: org.apache.spark.sql.Column): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DecimalType
+    val counts = df.select(groupCol.as("g")).groupBy("g")
+      .agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum("n").as("__nn"))
+    val share = col("n") / col("__nn")
+    counts.crossJoin(broadcast(tot))
+      .agg(count(lit(1)).as("n_groups"), first("__nn").as("n_rows"),
+        sum(round(share * share, 9).cast(DecimalType(38, 9)))
+          .cast("double").as("hhi"),
+        max(share).as("top_share"))
+  }
+
   /** Mutual information between two categorical columns — the
     * association profiler beside [[chi2Drift]]'s homogeneity test: MI =
     * Σ_cells p(x,y)·ln[p(x,y)/(p(x)p(y))] in nats, 0 iff independent,

@@ -415,6 +415,20 @@ object TextCatalog {
     // synthesized URL column (source-derived, so domains are dense at every
     // SF, plus an un-parseable bucket) and aggregate docs/chars per host —
     // the quota/blocklist grouping of web-corpus curation.
+    // Mix-concentration gauge: HHI of the corpus over its source column —
+    // the measurement twin of q_domain_quota's cap (uniform over g
+    // sources → 1/g; one dominant source → toward 1).
+    QueryDef("q_hhi",
+      (s, dir) => Quality.hhi(t(s, dir, "documents"), col("source")),
+      Some("""WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+           FROM documents GROUP BY 1),
+         t AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM c)
+         SELECT CAST(COUNT(*) AS BIGINT) AS n_groups, nn AS n_rows,
+           CAST(SUM(CAST(round((n / nn) * (n / nn), 9) AS DECIMAL(38,9)))
+             AS DOUBLE) AS hhi,
+           MAX(n / nn) AS top_share
+         FROM c, t GROUP BY nn""")),
+
     QueryDef("q_url_domains",
       (s, dir) => {
         val url = when(col("doc_id") % 11 === 0, lit("not a url"))

@@ -199,6 +199,21 @@ class QualitySpec extends SparkFunSuite {
       "a one-sided category must contribute a finite positive term")
   }
 
+  test("hhi: uniform mix scores 1/g, monopoly scores 1, top_share tracks max") {
+    val uni = Seq("a", "b", "c", "d").flatMap(g => Seq.fill(5)(g)).toDF("g")
+    val u = Quality.hhi(uni, col("g")).collect().head
+    assert((u.getLong(0), u.getLong(1)) === ((4L, 20L)))
+    assert(u.getDouble(2) === 0.25 && u.getDouble(3) === 0.25,
+      s"uniform over 4 groups must score 1/4, got $u")
+    val mono = Seq.fill(7)("only").toDF("g")
+    val m = Quality.hhi(mono, col("g")).collect().head
+    assert(m.getDouble(2) === 1.0 && m.getDouble(3) === 1.0)
+    // skew: 8/10 + 1/10 + 1/10 → 0.64 + 0.01 + 0.01 = 0.66, top 0.8
+    val sk = (Seq.fill(8)("big") ++ Seq("s1", "s2")).toDF("g")
+    val k = Quality.hhi(sk, col("g")).collect().head
+    assert(math.abs(k.getDouble(2) - 0.66) < 1e-9 && k.getDouble(3) === 0.8)
+  }
+
   test("mutualInfo: independence scores 0, perfect dependence ln(2), terms signed") {
     // perfectly dependent: y = x over {a,b} × 4 rows each → MI = ln 2
     val dep = Seq(("a", "a"), ("a", "a"), ("b", "b"), ("b", "b")).toDF("u", "v")
