@@ -512,4 +512,43 @@ object Relational {
       .select("lag", "n_pairs", "sxy", "acf")
       .orderBy("lag")
   }
+
+  /** Cross-correlation between two INTEGER-valued regular series sharing
+    * one time axis, at lags −`maxLag`..`maxLag` — the lead/lag probe
+    * ([[acf]]'s two-series sibling): a peak at lag k>0 means x LEADS y by
+    * k steps (ccf(k) correlates xₜ with yₜ₊ₖ), the causality-direction
+    * hint an ingest/monitoring investigation wants ("do error spikes
+    * follow deploy spikes, and by how long?").  Same integer-moment
+    * discipline as [[acf]]: normalized by the full-series central moments
+    * √(Σ(x−μx)²·Σ(y−μy)²), every sum an exact BIGINT, the two divisions
+    * and the IEEE-exact sqrt in fixed order, 9-dp-rounded.  Input
+    * `(tCol, xCol, yCol)` all integral; gaps drop pairs.  Returns
+    * `(lag, n_pairs, sxy, ccf)` ordered by lag. */
+  def ccf(df: DataFrame, tCol: Column, xCol: Column, yCol: Column,
+          maxLag: Int): DataFrame = {
+    require(maxLag >= 0, s"Relational.ccf: maxLag $maxLag < 0")
+    val spark = df.sparkSession
+    val s = df.select(tCol.cast("long").as("t"), xCol.cast("long").as("x"),
+      yCol.cast("long").as("y"))
+    val g = s.agg(count(lit(1)).as("__n"),
+      sum("x").as("__sx"), sum(col("x") * col("x")).as("__sxx"),
+      sum("y").as("__sy"), sum(col("y") * col("y")).as("__syy"))
+    val lags = spark.range(-maxLag, maxLag + 1).toDF("lag")
+    val p = s.select(col("t"), col("x")).crossJoin(broadcast(lags))
+      .withColumn("__t2", col("t") + col("lag"))
+      .join(s.select(col("t").as("__t2"), col("y").as("__y2")), Seq("__t2"))
+      .groupBy("lag").agg(count(lit(1)).as("n_pairs"),
+        sum(col("x") * col("__y2")).as("sxy"),
+        sum("x").as("__px"), sum("__y2").as("__py"))
+    val mx = col("__sx") / col("__n")
+    val my = col("__sy") / col("__n")
+    p.crossJoin(broadcast(g))
+      .withColumn("ccf", round(
+        (col("sxy") - my * col("__px") - mx * col("__py")
+          + col("n_pairs") * mx * my) /
+          sqrt((col("__sxx") - lit(2) * mx * col("__sx") + col("__n") * mx * mx) *
+            (col("__syy") - lit(2) * my * col("__sy") + col("__n") * my * my)), 9))
+      .select("lag", "n_pairs", "sxy", "ccf")
+      .orderBy("lag")
+  }
 }

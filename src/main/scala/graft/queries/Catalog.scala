@@ -1185,6 +1185,39 @@ object Catalog {
              / (svv - 2 * (sv / n) * sv + n * (sv / n) * (sv / n)), 9) AS acf
          FROM p, g ORDER BY lag""")),
 
+    // Cross-correlation of daily click vs purchase counts at lags −5..5 —
+    // the lead/lag probe beside q_acf (a positive-lag peak means clicks
+    // LEAD purchases).  Same integer-moment discipline; the sqrt is
+    // IEEE-correctly-rounded so both engines agree bit for bit.
+    QueryDef("q_ccf",
+      (s, dir) => {
+        val daily = events(s, dir).groupBy(to_date(col("ts")).as("day"))
+          .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("x"),
+            sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+        Relational.ccf(daily,
+          datediff(col("day"), lit(java.sql.Date.valueOf("2020-01-01"))),
+          col("x"), col("y"), maxLag = 5)
+      },
+      Some("""WITH d AS (SELECT CAST(ts AS DATE) AS day,
+             CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS y
+           FROM events GROUP BY 1),
+         s AS (SELECT CAST(datediff('day', DATE '2020-01-01', day) AS BIGINT) AS t,
+             x, y FROM d),
+         g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(y * y) AS BIGINT) AS syy FROM s),
+         l AS (SELECT CAST(range AS BIGINT) AS lag FROM range(-5, 6)),
+         p AS (SELECT lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(SUM(a.x * b.y) AS BIGINT) AS sxy,
+             CAST(SUM(a.x) AS BIGINT) AS px, CAST(SUM(b.y) AS BIGINT) AS py
+           FROM l, s a, s b WHERE b.t = a.t + l.lag GROUP BY 1)
+         SELECT lag, n_pairs, sxy,
+           round((sxy - sy / n * px - sx / n * py + n_pairs * (sx / n) * (sy / n))
+             / sqrt((sxx - 2 * (sx / n) * sx + n * (sx / n) * (sx / n))
+               * (syy - 2 * (sy / n) * sy + n * (sy / n) * (sy / n))), 9) AS ccf
+         FROM p, g ORDER BY lag""")),
+
     // Incremental-rollup maintenance — mergeable partial aggregates: reduce
     // each monthly shard to constant-size state (n/sum/min/max), then merge
     // states to the serving rollup.  Equal by algebra to aggregating the

@@ -516,6 +516,15 @@ class RelationalSpec extends SparkFunSuite {
     // single attribution: spans covering MANY shared bins still emit one
     // row per pair — (c,w) shares bins 3 (30-40) despite L covering 0..10
     assert(got.count(_ == (("c", "w"))) === 1, "no duplicate attribution")
+
+    // plan shape: the non-equi predicate must ride an EQUI join on
+    // (key, bin) — never a nested-loop/cartesian candidate generator
+    val plan = graft.engine.Relational
+      .intervalJoin(left, right, Seq("k"), "s", "e", "s", "e", binW)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"intervalJoin must plan as an equi-join on (key, bin):\n$plan")
   }
 
   test("acf: alternating series hand values, gaps drop pairs") {
@@ -536,5 +545,20 @@ class RelationalSpec extends SparkFunSuite {
     val g1 = graft.engine.Relational.acf(gappy, col("t"), col("v"), maxLag = 1)
       .collect().head
     assert(g1.getLong(1) === 3L, "lag-1 pairs must drop (2,3) and (3,4)")
+  }
+
+  test("ccf: x leading y by one step peaks at positive lag, antiphase at 0") {
+    // x=[1,0,1,0], y=[0,1,0,1]: μ=0.5 both, full central moments 1 and 1.
+    // lag 0: Σxy=0 → num = 0−1−1+4·.25 = −1 → ccf −1 (perfect antiphase)
+    // lag 1 (x leads): pairs (1,1),(0,0),(1,1) → num = 2−1−1+3·.25 = 0.75
+    val s = Seq((0L, 1L, 0L), (1L, 0L, 1L), (2L, 1L, 0L), (3L, 0L, 1L))
+      .toDF("t", "x", "y")
+    val got = graft.engine.Relational
+      .ccf(s, col("t"), col("x"), col("y"), maxLag = 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    assert(got(0L) === ((4L, -1.0)), s"lag 0 must be perfect antiphase: $got")
+    assert(got(1L) === ((3L, 0.75)), s"lag 1 (x leads y) must peak: $got")
+    assert(got(-1L)._2 === 0.75, "the alternating series is lag-symmetric")
+    assert(got.keySet === Set(-1L, 0L, 1L))
   }
 }
