@@ -978,6 +978,42 @@ object Vector {
       .agg((sum(col("v").cast("decimal(38,6)")).cast("double") /
         count(lit(1))).as("v"))
 
+  /** Per-group cluster-separation audit — the "retrain the index?" gauge
+    * beside [[centroidCosines]]' centroid-to-centroid view: for every
+    * member, cosine to its OWN group centroid vs the best cosine to any
+    * OTHER centroid; per group, the means of both and their margin.  A
+    * healthy clustering holds margin ≫ 0; a collapsing one (drifted
+    * corpus, stale centroids) sees members closer to foreign prototypes.
+    * Returns `(label, n, mean_self, mean_other, margin)` ordered by label.
+    *
+    * Scale shape: centroids rebuild from the DECIMAL-quantized
+    * [[centroidRelation]] (bit-reproducible means), collapse to g arrays,
+    * and BROADCAST against the members — fanout g per member, one pass,
+    * no dim-exploded member join.  Per-member cosines are the fused
+    * native expression (round 6); group means are decimal-quantized sums
+    * over those reproducible doubles. */
+  def clusterSeparation(df: DataFrame, idCol: String, groupCol: String,
+                        vecCol: String): DataFrame = {
+    def dsum(c: Column) = sum(c.cast("decimal(38,6)")).cast("double")
+    val cents = centroidRelation(df, groupCol, vecCol)
+      .groupBy("grp")
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("v")))),
+        s => s.getField("v")).as("__cv"))
+    df.select(col(idCol).as("__id"), col(groupCol).as("label"),
+        asDouble(col(vecCol)).as("__mv"))
+      .crossJoin(broadcast(cents))
+      .withColumn("__cos", cosineNative(col("__mv"), col("__cv")))
+      .groupBy("__id", "label")
+      .agg(max(when(col("grp") === col("label"), col("__cos"))).as("__self"),
+        max(when(col("grp") =!= col("label"), col("__cos"))).as("__other"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        (dsum(col("__self")) / count(lit(1))).as("mean_self"),
+        (dsum(col("__other")) / count(lit(1))).as("mean_other"))
+      .withColumn("margin", col("mean_self") - col("mean_other"))
+      .orderBy("label")
+  }
+
   /** Pairwise cosine similarity between group centroids (drift / coverage
     * diagnostic: how far apart do sources or label clusters sit in
     * embedding space?).  The centroid relation self-joins on `dim` — the

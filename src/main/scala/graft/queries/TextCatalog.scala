@@ -3367,6 +3367,41 @@ object TextCatalog {
              ELSE 'unchanged' END AS status, COUNT(*) AS n
          FROM j GROUP BY 1 ORDER BY 1""")),
 
+    // Cluster-separation audit: per label, members' mean cosine to their
+    // OWN centroid vs the best foreign centroid — the margin that says
+    // when an embedding clustering (or IVF coarse quantizer) went stale.
+    QueryDef("q_cluster_separation",
+      (s, dir) => {
+        graft.functions.GraftFunctions.ensureRegistered(s)
+        Vector.clusterSeparation(t(s, dir, "embeddings"),
+          "vec_id", "label", "embedding")
+      },
+      Some(s"""WITH ex AS (SELECT label AS grp, i - 1 AS dim,
+             CAST(embedding[i] AS DOUBLE) AS v
+           FROM embeddings, unnest(range(1, 65)) AS t(i)),
+         c AS (SELECT grp, dim,
+             CAST(SUM(CAST(v AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS v
+           FROM ex GROUP BY 1, 2),
+         ca AS (SELECT grp, array_agg(v ORDER BY dim) AS cv FROM c GROUP BY 1),
+         m AS (SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS mv
+           FROM embeddings),
+         p AS (SELECT m.vec_id, m.label, ca.grp,
+             ${cosSql("mv", "cv", 64)} AS cos FROM m, ca),
+         s AS (SELECT vec_id, label,
+             MAX(CASE WHEN grp = label THEN cos END) AS self_cos,
+             MAX(CASE WHEN grp <> label THEN cos END) AS best_other
+           FROM p GROUP BY 1, 2),
+         g AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(self_cos AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)
+               AS mean_self,
+             CAST(SUM(CAST(best_other AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)
+               AS mean_other
+           FROM s GROUP BY 1)
+         SELECT label, n, mean_self, mean_other,
+           mean_self - mean_other AS margin
+         FROM g ORDER BY label""")),
+
     // Label-centroid pairwise cosines (embedding-space drift/coverage
     // diagnostic).  Decimal-quantized sums make the statistic independent
     // of accumulation order — bit-reproducible across engines and runs.

@@ -402,6 +402,32 @@ class VectorSpec extends SparkFunSuite {
     assert(asgSet(TxTable.read(spark, idxRoot)) === rebuilt)
   }
 
+  test("clusterSeparation: tight separated clusters score a positive margin") {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    // two orthogonal-ish clusters in 4-dim: A along e1, B along e3
+    val rows = Seq(
+      (1L, "A", Seq(1.0f, 0.1f, 0.0f, 0.0f)), (2L, "A", Seq(1.0f, -0.1f, 0.0f, 0.0f)),
+      (3L, "B", Seq(0.0f, 0.0f, 1.0f, 0.1f)), (4L, "B", Seq(0.0f, 0.0f, 1.0f, -0.1f)),
+      (5L, "B", Seq(0.1f, 0.0f, 1.0f, 0.0f)))
+      .toDF("vec_id", "label", "embedding")
+    val got = Vector.clusterSeparation(rows, "vec_id", "label", "embedding")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(got.map(x => (x._1, x._2)).toSeq === Seq(("A", 2L), ("B", 3L)))
+    got.foreach { case (l, _, self, other, margin) =>
+      assert(self > 0.9, s"$l members must hug their own centroid ($self)")
+      assert(other < 0.2, s"$l members must sit far from the foreign centroid ($other)")
+      assert(math.abs(margin - (self - other)) < 1e-12)
+    }
+    // a member planted ON the foreign centroid drags its group's margin
+    val drifted = rows.union(
+      Seq((6L, "A", Seq(0.0f, 0.0f, 1.0f, 0.0f))).toDF("vec_id", "label", "embedding"))
+    val a2 = Vector.clusterSeparation(drifted, "vec_id", "label", "embedding")
+      .collect().find(_.getString(0) == "A").get
+    assert(a2.getDouble(4) < got.find(_._1 == "A").get._5,
+      "a drifted member must shrink its group's separation margin")
+  }
+
   test("rboAtK: identical, partial, and disjoint rankings at p=0.5") {
     def rk(rows: (Long, Long, Int)*) = rows.toDF("q_id", "c_id", "rank")
     // identical 3-item lists: RBO = Σ (1−p)p^{d−1} = .5+.25+.125 = 0.875
