@@ -402,6 +402,40 @@ object Quality {
         coalesce(sum(when(col("__n") < k, col("__n"))), lit(0L)).as("n_risky_rows"))
   }
 
+  /** Gini coefficient of a positive numeric column — the inequality lens
+    * beside [[hhi]]'s categorical concentration: G = 2·Σrᵢxᵢ/(n·Σx) −
+    * (n+1)/n over the ascending-sorted values (0 = perfectly equal,
+    * →1 = one row holds everything).  The rank-weighted form needs a
+    * GLOBAL ordering — done guardrail-clean with [[Relational
+    * .withGlobalRowOffsets]] paged by value octave (⌊log₂x⌋, a prefix of
+    * the ascending order, ≤ 64 pages for any positive doubles), so no
+    * partition-less window exists and driver state is page counts only.
+    * Rows with x ≤ 0 are excluded (outside the measure's domain and the
+    * log paging).  Returns ONE row `(n, sum_x, gini)`.
+    *
+    * Determinism: tie ranks permute freely within equal x but Σrᵢxᵢ is
+    * invariant under that permutation; each rᵢxᵢ is an exact double for
+    * 2-dp values up to ~10¹³ (past that, quantization — not order —
+    * bounds error), summed in DECIMAL(38,6); the final expression is
+    * fixed-order IEEE on those reproducible terms. */
+  def gini(df: DataFrame, valueCol: org.apache.spark.sql.Column,
+           idCol: org.apache.spark.sql.Column): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{DecimalType, LongType}
+    val keyed = df.select(valueCol.cast("double").as("__x"), idCol.as("__id"))
+      .filter(col("__x") > 0)
+      .withColumn("__page", floor(log2(col("__x"))).cast(LongType))
+      .withColumn("__k", struct(col("__x"), col("__id")))
+    Relational.withGlobalRowOffsets(keyed, "__page", "__k")
+      .agg(count(lit(1)).as("n"),
+        sum(col("__x").cast(DecimalType(38, 6))).cast("double").as("sum_x"),
+        sum((col("global_row") * col("__x")).cast(DecimalType(38, 6)))
+          .cast("double").as("__srx"))
+      .withColumn("gini", lit(2) * col("__srx") / (col("n") * col("sum_x"))
+        - (col("n") + 1) / col("n"))
+      .select("n", "sum_x", "gini")
+  }
+
   /** Herfindahl–Hirschman concentration of a categorical mix — HHI =
     * Σ shareᵢ², the measurement twin of the domain-quota CAP: a training
     * mix dominated by one source scores toward 1, a uniform mix over g

@@ -1353,6 +1353,21 @@ object Catalog {
              + (n_b - e_b) * (n_b - e_b) / e_b, 9) AS chi2_term
          FROM c, t ORDER BY cat""")),
 
+    // Gini inequality of order prices — the numeric-inequality twin of
+    // q_hhi's categorical concentration, and the third registered user of
+    // the octave-paged two-stage global ranking (no partition-less
+    // window; driver state = page counts).
+    QueryDef("q_gini",
+      (s, dir) => Quality.gini(t(s, dir, "orders"),
+        col("o_totalprice"), col("o_orderkey")),
+      Some("""WITH v AS (SELECT o_totalprice AS x, o_orderkey AS id
+           FROM orders WHERE o_totalprice > 0),
+         r AS (SELECT x, row_number() OVER (ORDER BY x, id) AS rnk FROM v),
+         m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sum_x,
+             CAST(SUM(CAST(rnk * x AS DECIMAL(38,6))) AS DOUBLE) AS srx FROM r)
+         SELECT n, sum_x, 2 * srx / (n * sum_x) - (n + 1) / n AS gini FROM m""")),
+
     // Mutual information between order priority and status — the
     // effect-size association profiler beside chi²'s test: per-cell
     // contribution rows; the headline MI (nats) is the consumer's sum of

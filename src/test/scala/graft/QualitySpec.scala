@@ -199,6 +199,31 @@ class QualitySpec extends SparkFunSuite {
       "a one-sided category must contribute a finite positive term")
   }
 
+  test("gini: equality scores 0, concentration approaches 1, ties rank-invariant") {
+    // perfectly equal: G = 2·Σr·x/(n·n·x) − (n+1)/n = (n+1)/n − (n+1)/n = 0
+    val eq = (1L to 8L).map(i => (i, 5.0)).toDF("id", "x")
+    val e = Quality.gini(eq, col("x"), col("id")).collect().head
+    assert(e.getLong(0) === 8L && e.getDouble(1) === 40.0 && e.getDouble(2) === 0.0,
+      s"perfect equality must score exactly 0, got $e")
+
+    // one holder: x = [0-excluded, tiny..., 1000]: hand value
+    // values 1,1,1,998 (n=4, Σ=1001): Σr·x = 1+2+3+4·998 = 3998
+    // G = 2·3998/(4·1001) − 5/4 = 7996/4004 − 1.25
+    val sk = Seq((1L, 1.0), (2L, 1.0), (3L, 1.0), (4L, 998.0), (5L, -7.0), (6L, 0.0))
+      .toDF("id", "x")
+    val g = Quality.gini(sk, col("x"), col("id")).collect().head
+    assert(g.getLong(0) === 4L, "non-positive values are excluded")
+    assert(math.abs(g.getDouble(2) - (2.0 * 3998 / (4 * 1001) - 5.0 / 4)) < 1e-12,
+      s"hand Gini mismatch: $g")
+
+    // tie invariance: equal values spanning a page boundary permute ranks
+    // freely but Σr·x — and so G — is unchanged vs the exact formula
+    val ties = Seq((1L, 2.0), (2L, 2.0), (3L, 2.0), (4L, 6.0)).toDF("id", "x")
+    val t = Quality.gini(ties, col("x"), col("id")).collect().head
+    // Σr·x = 2(1+2+3) + 6·4 = 36; G = 72/(4·12) − 5/4 = 1.5 − 1.25 = 0.25
+    assert(t.getDouble(2) === 0.25, s"tie-permutation-invariant Gini, got $t")
+  }
+
   test("hhi: uniform mix scores 1/g, monopoly scores 1, top_share tracks max") {
     val uni = Seq("a", "b", "c", "d").flatMap(g => Seq.fill(5)(g)).toDF("g")
     val u = Quality.hhi(uni, col("g")).collect().head
