@@ -402,6 +402,49 @@ object Quality {
         coalesce(sum(when(col("__n") < k, col("__n"))), lit(0L)).as("n_risky_rows"))
   }
 
+  /** Welch's two-sample t statistic between the `valueCol` means of the
+    * `inA` and !`inA` halves — the parametric LOCATION test completing
+    * the drift family (PSI/KS/chi² detect shape and label shifts; Welch
+    * answers the narrower, more sensitive "did the MEAN move, given
+    * unequal variances?").  t = (μa−μb)/√(va/na + vb/nb) with sample
+    * variances v = (sxx − sx²/n)/(n−1).  Returns ONE row `(n_a, n_b,
+    * mean_a, mean_b, t)`; |t| ≳ 3 on large n flags a real shift.
+    *
+    * Determinism: the conditional Σx and Σx² accumulate in
+    * DECIMAL(38,6) (exact for ≤3-dp inputs at any scale, quantized
+    * otherwise — the [[psiDrift]] family's discipline), and everything
+    * after is fixed-order IEEE on those two reproducible doubles per
+    * side.  Scale shape: ONE map-side-combined aggregation, no shuffle
+    * beyond it.  Both sides need n ≥ 2. */
+  def welchT(df: DataFrame, valueCol: org.apache.spark.sql.Column,
+             inA: org.apache.spark.sql.Column): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DecimalType
+    def dsum(c: org.apache.spark.sql.Column) =
+      sum(c.cast(DecimalType(38, 6))).cast("double")
+    val v = df.select(valueCol.cast("double").as("__x"), inA.as("__a"))
+    val g = v.agg(
+      sum(when(col("__a"), 1L).otherwise(0L)).as("n_a"),
+      sum(when(!col("__a"), 1L).otherwise(0L)).as("n_b"),
+      dsum(when(col("__a"), col("__x"))).as("__sa"),
+      dsum(when(!col("__a"), col("__x"))).as("__sb"),
+      dsum(when(col("__a"), col("__x") * col("__x"))).as("__saa"),
+      dsum(when(!col("__a"), col("__x") * col("__x"))).as("__sbb"))
+    val ma = col("__sa") / col("n_a")
+    val mb = col("__sb") / col("n_b")
+    val va = (col("__saa") - col("__sa") * col("__sa") / col("n_a")) /
+      (col("n_a") - 1)
+    val vb = (col("__sbb") - col("__sb") * col("__sb") / col("n_b")) /
+      (col("n_b") - 1)
+    // the div/sqrt chain can diverge by one ulp across engines (empirical:
+    // DuckDB vs JVM differ in the last bit on this exact shape) — the
+    // 9-dp rounding both sides is the family's standard absorber
+    g.withColumn("mean_a", ma).withColumn("mean_b", mb)
+      .withColumn("t",
+        round((ma - mb) / sqrt(va / col("n_a") + vb / col("n_b")), 9))
+      .select("n_a", "n_b", "mean_a", "mean_b", "t")
+  }
+
   /** Gini coefficient of a positive numeric column — the inequality lens
     * beside [[hhi]]'s categorical concentration: G = 2·Σrᵢxᵢ/(n·Σx) −
     * (n+1)/n over the ascending-sorted values (0 = perfectly equal,

@@ -1328,6 +1328,31 @@ object Catalog {
          SELECT na AS n_a, nb AS n_b, dt AS ks, v AS at_v
          FROM d, n ORDER BY dt DESC, v LIMIT 1""")),
 
+    // Welch's t on order prices across the deterministic hash split — the
+    // parametric LOCATION member of the drift family (exchangeable halves,
+    // so the oracle's t is small — the sanity anchor).  Conditional Σx/Σx²
+    // in DECIMAL(38,6), then fixed-order IEEE both engines.
+    QueryDef("q_welch_t",
+      (s, dir) => Quality.welchT(t(s, dir, "orders"),
+        col("o_totalprice"),
+        Text.tokenHash(col("o_orderkey").cast("string")) % 1000 < 500),
+      Some("""WITH s AS (SELECT o_totalprice AS x,
+             CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15) AS BIGINT)
+               % 1000 < 500 AS in_a
+           FROM orders),
+         g AS (SELECT CAST(SUM(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(SUM(CASE WHEN NOT in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+             CAST(SUM(CAST(CASE WHEN in_a THEN x END AS DECIMAL(38,6))) AS DOUBLE) AS sa,
+             CAST(SUM(CAST(CASE WHEN NOT in_a THEN x END AS DECIMAL(38,6))) AS DOUBLE) AS sb,
+             CAST(SUM(CAST(CASE WHEN in_a THEN x * x END AS DECIMAL(38,6))) AS DOUBLE) AS saa,
+             CAST(SUM(CAST(CASE WHEN NOT in_a THEN x * x END AS DECIMAL(38,6))) AS DOUBLE) AS sbb
+           FROM s)
+         SELECT n_a, n_b, sa / n_a AS mean_a, sb / n_b AS mean_b,
+           round((sa / n_a - sb / n_b)
+             / sqrt((saa - sa * sa / n_a) / (n_a - 1) / n_a
+               + (sbb - sb * sb / n_b) / (n_b - 1) / n_b), 9) AS t
+         FROM g""")),
+
     // The CATEGORICAL member of the drift trio (PSI = binned mass, KS =
     // continuous ECDF, chi² = label homogeneity): order-priority counts
     // across the same deterministic hash split, per-category expected

@@ -199,6 +199,23 @@ class QualitySpec extends SparkFunSuite {
       "a one-sided category must contribute a finite positive term")
   }
 
+  test("welchT: hand-computed statistic, identical halves score ~0") {
+    // A={1,2,3}: mean 2, var 1; B={4,6}: mean 5, var 2
+    // t = (2−5)/√(1/3 + 2/2) = −3/√(4/3)
+    val df = Seq((1.0, true), (2.0, true), (3.0, true),
+      (4.0, false), (6.0, false)).toDF("x", "a")
+    val r = Quality.welchT(df, col("x"), col("a")).collect().head
+    assert((r.getLong(0), r.getLong(1)) === ((3L, 2L)))
+    assert(r.getDouble(2) === 2.0 && r.getDouble(3) === 5.0)
+    val want = BigDecimal((2.0 - 5.0) / math.sqrt(1.0 / 3 + 2.0 / 2))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(4) === want, s"hand Welch t mismatch: $r vs $want")
+    // mirrored halves: identical distributions → t exactly 0
+    val same = Seq((1.0, true), (9.0, true), (1.0, false), (9.0, false))
+      .toDF("x", "a")
+    assert(Quality.welchT(same, col("x"), col("a")).collect().head.getDouble(4) === 0.0)
+  }
+
   test("gini: equality scores 0, concentration approaches 1, ties rank-invariant") {
     // perfectly equal: G = 2·Σr·x/(n·n·x) − (n+1)/n = (n+1)/n − (n+1)/n = 0
     val eq = (1L to 8L).map(i => (i, 5.0)).toDF("id", "x")
