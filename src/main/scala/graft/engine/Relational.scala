@@ -513,6 +513,59 @@ object Relational {
       .orderBy("lag")
   }
 
+  /** Sub-octave page of a positive double — a finer bounded prefix of
+    * numeric order than the bare octave: exponent ⌊log₂x⌋ splits into 16
+    * sub-bins by the top mantissa bits (x/2^(e−4) ∈ [16,32), computed
+    * with EXACT power-of-two scaling), so a value distribution that dumps
+    * half its mass into one octave still pages into window partitions of
+    * ≤ 1/16 octave.  ≤ ~2100 pages for any positive finite doubles —
+    * still driver-safe metadata for [[withGlobalRowOffsets]]. */
+  private def subOctavePage(x: Column): Column = {
+    val e = floor(log2(x))
+    (e * 32 + floor(x / pow(lit(2.0), e - 4))).cast("long")
+  }
+
+  /** Spearman rank correlation between two positive numeric columns — the
+    * monotone-association lens beside the Pearson-from-moments query
+    * (outlier-robust, captures any monotone link, not just linear): rank
+    * both columns globally, Pearson on the ranks.  TIES take distinct
+    * ranks by the `idCol` tie-break (mirrored exactly in the oracle), not
+    * fractional average ranks — deterministic, and equal to textbook
+    * Spearman in the tie-free case.  Rows where either value ≤ 0 are
+    * excluded (the log paging's domain).  Returns ONE row `(n, rho)`.
+    *
+    * Scale shape: TWO [[withGlobalRowOffsets]] passes paged by
+    * [[subOctavePage]] (bounded pages even under octave-skewed mass), an
+    * id-keyed self-join of the two rank columns, then one aggregation of
+    * five rank moments — rank products computed in double (exact to
+    * n ≈ 6.7·10⁷) and summed in DECIMAL(38,6), so the statistic is
+    * order-independent and engine-identical; ρ is 9-dp-rounded. */
+  def spearman(df: DataFrame, xCol: Column, yCol: Column,
+               idCol: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val base = df.select(xCol.cast("double").as("__x"),
+        yCol.cast("double").as("__y"), idCol.as("__id"))
+      .filter(col("__x") > 0 && col("__y") > 0)
+    def ranked(v: String, out: String) = withGlobalRowOffsets(
+        base.select(col(v), col("__id"))
+          .withColumn("__page", subOctavePage(col(v)))
+          .withColumn("__k", struct(col(v), col("__id"))),
+        "__page", "__k")
+      .select(col("__id"), col("global_row").cast("double").as(out))
+    def dsum(c: Column) = sum(c.cast(DecimalType(38, 6))).cast("double")
+    ranked("__x", "__rx").join(ranked("__y", "__ry"), Seq("__id"))
+      .agg(count(lit(1)).as("n"),
+        dsum(col("__rx")).as("__sx"), dsum(col("__ry")).as("__sy"),
+        dsum(col("__rx") * col("__rx")).as("__sxx"),
+        dsum(col("__ry") * col("__ry")).as("__syy"),
+        dsum(col("__rx") * col("__ry")).as("__sxy"))
+      .withColumn("rho", round(
+        (col("__sxy") - col("__sx") * col("__sy") / col("n")) /
+          sqrt((col("__sxx") - col("__sx") * col("__sx") / col("n")) *
+            (col("__syy") - col("__sy") * col("__sy") / col("n"))), 9))
+      .select("n", "rho")
+  }
+
   /** Cross-correlation between two INTEGER-valued regular series sharing
     * one time axis, at lags −`maxLag`..`maxLag` — the lead/lag probe
     * ([[acf]]'s two-series sibling): a peak at lag k>0 means x LEADS y by

@@ -1328,6 +1328,41 @@ object Catalog {
          SELECT na AS n_a, nb AS n_b, dt AS ks, v AS at_v
          FROM d, n ORDER BY dt DESC, v LIMIT 1""")),
 
+    // Spearman rank correlation of order price vs its lineitem count —
+    // the monotone-association lens beside Pearson-from-moments, and the
+    // fourth user of the two-stage global ranking (sub-octave pages keep
+    // window partitions bounded even when one octave holds most rows).
+    // Ties take distinct ranks by the o_orderkey tie-break, mirrored
+    // exactly in the oracle.  (The synthetic lineitem fixture's
+    // (orderkey, linenumber) is NOT unique — o_orderkey is.)
+    QueryDef("q_spearman",
+      (s, dir) => {
+        val perOrder = t(s, dir, "lineitem")
+          .groupBy(col("l_orderkey").as("okey"))
+          .agg(count(lit(1)).as("nl"))
+        val j = t(s, dir, "orders")
+          .select(col("o_orderkey").as("okey"), col("o_totalprice"))
+          .join(perOrder, Seq("okey"))
+        Relational.spearman(j, col("o_totalprice"), col("nl"), col("okey"))
+      },
+      Some("""WITH po AS (SELECT l_orderkey AS okey, CAST(COUNT(*) AS BIGINT) AS nl
+           FROM lineitem GROUP BY 1),
+         v AS (SELECT o_totalprice AS x, nl AS y, o_orderkey AS k
+           FROM orders JOIN po ON o_orderkey = po.okey
+           WHERE o_totalprice > 0 AND nl > 0),
+         r AS (SELECT CAST(row_number() OVER (ORDER BY x, k) AS DOUBLE) AS rx,
+             CAST(row_number() OVER (ORDER BY y, k) AS DOUBLE) AS ry FROM v),
+         m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(rx AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(ry AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(rx * rx AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(ry * ry AS DECIMAL(38,6))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(rx * ry AS DECIMAL(38,6))) AS DOUBLE) AS sxy
+           FROM r)
+         SELECT n, round((sxy - sx * sy / n)
+           / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), 9) AS rho
+         FROM m""")),
+
     // Welch's t on order prices across the deterministic hash split — the
     // parametric LOCATION member of the drift family (exchangeable halves,
     // so the oracle's t is small — the sanity anchor).  Conditional Σx/Σx²

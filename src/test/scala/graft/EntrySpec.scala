@@ -32,7 +32,7 @@ class EntrySpec extends SparkFunSuite {
       "q_st11_tx_stream_merge", "q_csv_corrupt_records", "q_k_anonymity",
       "q_tx_prune_str", "q_runtime_bloom", "q_tx_stats_sidecar", "q_tx_dfp",
       "q_tx_wap", "q_zipf_fit", "q_l_diversity", "q_hhi", "q_gini",
-      "q_welch_t")
+      "q_welch_t", "q_spearman")
     SparkEntry.oracleSql.filterNot(kv => singleRow(kv._1)).foreach { case (name, sql) =>
       assert(sql.toUpperCase.contains("ORDER BY"), s"$name oracle lacks ORDER BY")
     }

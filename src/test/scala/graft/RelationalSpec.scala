@@ -547,6 +547,34 @@ class RelationalSpec extends SparkFunSuite {
     assert(g1.getLong(1) === 3L, "lag-1 pairs must drop (2,3) and (3,4)")
   }
 
+  test("spearman: monotone link scores 1, reversal -1, brute-force parity") {
+    def sp(rows: Seq[(Double, Double)]) = graft.engine.Relational.spearman(
+      rows.zipWithIndex.map { case ((x, y), i) => (x, y, i.toLong) }
+        .toDF("x", "y", "id"),
+      col("x"), col("y"), col("id")).collect().head
+    // any monotone (even wildly nonlinear) link → exactly 1 after rounding
+    val mono = sp(Seq((1.0, 2.0), (2.0, 9.0), (3.0, 9.5), (100.0, 2000.0)))
+    assert(mono.getLong(0) === 4L && mono.getDouble(1) === 1.0, s"got $mono")
+    assert(sp(Seq((1.0, 8.0), (2.0, 4.0), (3.0, 2.0), (4.0, 1.0))).getDouble(1) === -1.0)
+
+    // brute-force parity on a seeded positive sample spanning octaves
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.fill(300)((math.exp(rnd.nextGaussian() * 3) + 0.01,
+      math.exp(rnd.nextGaussian() * 3) + 0.01))
+    val got = sp(rows).getDouble(1)
+    // reference: rank by (value, index), Pearson on ranks
+    def ranks(vs: Seq[Double]) = vs.zipWithIndex.sortBy(identity)
+      .zipWithIndex.map { case ((_, i), r) => i -> (r + 1).toDouble }.toMap
+    val (rx, ry) = (ranks(rows.map(_._1)), ranks(rows.map(_._2)))
+    val n = rows.size
+    val pairs = rows.indices.map(i => (rx(i), ry(i)))
+    val (sx, sy) = (pairs.map(_._1).sum, pairs.map(_._2).sum)
+    val brute = (pairs.map(p => p._1 * p._2).sum - sx * sy / n) /
+      math.sqrt((pairs.map(p => p._1 * p._1).sum - sx * sx / n) *
+        (pairs.map(p => p._2 * p._2).sum - sy * sy / n))
+    assert(math.abs(got - brute) < 1e-8, s"engine rho=$got vs brute=$brute")
+  }
+
   test("ccf: x leading y by one step peaks at positive lag, antiphase at 0") {
     // x=[1,0,1,0], y=[0,1,0,1]: μ=0.5 both, full central moments 1 and 1.
     // lag 0: Σxy=0 → num = 0−1−1+4·.25 = −1 → ccf −1 (perfect antiphase)
