@@ -351,6 +351,46 @@ object Quality {
       .orderBy("digit")
   }
 
+  /** Jensen–Shannon divergence between the same two smoothed histograms
+    * [[psiFromCounts]] compares — the BOUNDED drift metric of the family:
+    * JSD = ½Σ[pᵢlog₂(pᵢ/mᵢ) + qᵢlog₂(qᵢ/mᵢ)] with m = (p+q)/2, always in
+    * [0, 1] (bits), symmetric, and finite even without smoothing — so
+    * thresholds transfer across features of different bucket counts,
+    * which raw PSI's unbounded scale does not.  Same add-1 smoothing and
+    * per-bucket-term output shape `(bucket, n_a, n_b, p_a, p_b,
+    * jsd_term)` as PSI; the headline JSD is the consumer's decimal-exact
+    * sum of the 9-dp-rounded terms.  Same one-groupBy scale shape. */
+  def jsdFromCounts(a: DataFrame, b: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val j = a.join(b, Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+    val totals = j.agg(sum("n_a").as("__ta"), sum("n_b").as("__tb"),
+      count(lit(1)).as("__k"))
+    val m = (col("p_a") + col("p_b")) / 2
+    j.crossJoin(broadcast(totals))
+      .withColumn("p_a", (col("n_a") + 1) / (col("__ta") + col("__k")))
+      .withColumn("p_b", (col("n_b") + 1) / (col("__tb") + col("__k")))
+      .withColumn("jsd_term", round(
+        (col("p_a") * log2(col("p_a") / m) + col("p_b") * log2(col("p_b") / m))
+          / 2, 9))
+      .select("bucket", "n_a", "n_b", "p_a", "p_b", "jsd_term")
+  }
+
+  /** [[jsdFromCounts]] on raw rows: bucket and split in one pass (the
+    * batch twin, mirroring [[psiDrift]] over [[psiFromCounts]]). */
+  def jsdDrift(df: DataFrame, bucketCol: org.apache.spark.sql.Column,
+               inA: org.apache.spark.sql.Column): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val counts = df.select(bucketCol.as("bucket"), inA.as("__a"))
+      .groupBy("bucket").agg(
+        sum(when(col("__a"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(!col("__a"), 1L).otherwise(0L)).as("n_b"))
+    jsdFromCounts(counts.select("bucket", "n_a"),
+      counts.select("bucket", "n_b"))
+  }
+
   /** Expectation suite — declarative data-quality rules evaluated in ONE
     * pass (the Deequ/dbt-test shape): each rule is a (name, boolean
     * predicate Column); the result is one row per rule with total / pass /

@@ -1302,6 +1302,31 @@ object Catalog {
              ln(((n_a + 1) / (ta + k)) / ((n_b + 1) / (tb + k))), 9) AS psi_term
          FROM c, t ORDER BY bucket""")),
 
+    // The BOUNDED drift metric over the same buckets as q_psi_drift:
+    // JSD ∈ [0,1] bits, symmetric — thresholds transfer across features
+    // where raw PSI's unbounded scale does not.  Same smoothing, same
+    // per-bucket-term discipline.
+    QueryDef("q_jsd_drift",
+      (s, dir) => Quality.jsdDrift(t(s, dir, "documents"),
+          least(expr("n_chars div 100"), lit(9L)),
+          col("lang") === "en")
+        .orderBy("bucket"),
+      Some("""WITH b AS (SELECT LEAST(n_chars // 100, 9) AS bucket,
+             (lang = 'en') AS a FROM documents),
+         c AS (SELECT bucket,
+             CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(SUM(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+           FROM b GROUP BY 1),
+         t AS (SELECT CAST(SUM(n_a) AS BIGINT) AS ta,
+             CAST(SUM(n_b) AS BIGINT) AS tb, COUNT(*) AS k FROM c),
+         p AS (SELECT bucket, n_a, n_b,
+             (n_a + 1) / (ta + k) AS p_a, (n_b + 1) / (tb + k) AS p_b
+           FROM c, t)
+         SELECT bucket, n_a, n_b, p_a, p_b,
+           round((p_a * log2(p_a / ((p_a + p_b) / 2))
+             + p_b * log2(p_b / ((p_a + p_b) / 2))) / 2, 9) AS jsd_term
+         FROM p ORDER BY bucket""")),
+
     // The binless drift gauge beside PSI: exact two-sample KS distance
     // between the price distributions of a deterministic hash split —
     // pooled ECDF via the weighted two-stage-offset shape (sign-aware

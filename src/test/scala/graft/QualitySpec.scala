@@ -199,6 +199,31 @@ class QualitySpec extends SparkFunSuite {
       "a one-sided category must contribute a finite positive term")
   }
 
+  test("jsdDrift: identical halves score 0, disjoint buckets approach 1 bit") {
+    def r9(x: Double) = BigDecimal(x)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // identical smoothed distributions → p = q = m → every term exactly 0
+    val same = Seq((1L, true), (1L, false), (2L, true), (2L, false))
+      .toDF("bucket", "a")
+    assert(Quality.jsdDrift(same, col("bucket"), col("a")).collect()
+      .forall(_.getDouble(5) === 0.0), "identical halves must score 0")
+
+    // fully disjoint: A in bucket 1 ×9, B in bucket 2 ×9, k=2, add-1:
+    // bucket 1: p=10/11, q=1/11; JSD sum < 1 by smoothing, each term > 0
+    val dis = (Seq.fill(9)((1L, true)) ++ Seq.fill(9)((2L, false)))
+      .toDF("bucket", "a")
+    val terms = Quality.jsdDrift(dis, col("bucket"), col("a")).collect()
+      .map(r => (r.getLong(0), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(terms.forall(_._4 > 0))
+    val total = terms.map(t => BigDecimal(t._4)).sum.toDouble
+    assert(total > 0.5 && total <= 1.0, s"disjoint JSD must approach 1 bit: $total")
+    // hand value of bucket 1's term: p=10/11, q=1/11, m=(p+q)/2
+    val (p, q) = (10.0 / 11, 1.0 / 11)
+    val m = (p + q) / 2
+    assert(terms.find(_._1 == 1L).get._4 ===
+      r9((p * (math.log(p / m) / math.log(2)) + q * (math.log(q / m) / math.log(2))) / 2))
+  }
+
   test("welchT: hand-computed statistic, identical halves score ~0") {
     // A={1,2,3}: mean 2, var 1; B={4,6}: mean 5, var 2
     // t = (2−5)/√(1/3 + 2/2) = −3/√(4/3)
