@@ -282,8 +282,11 @@ object Quality {
     * here).  Large per-category terms localize WHICH label drifted.
     *
     * Scale shape: ONE groupBy on the category with conditional partial
-    * aggregates (map-side combine) and a broadcast 1-row totals frame —
-    * bounded by label cardinality, never by the data.  Determinism:
+    * aggregates (map-side combine); the two grand totals collect as
+    * literals — bounded by label cardinality, never by the data.
+    * An EMPTY slice throws (the [[ksDrift]] discipline) instead of
+    * producing silent NaN terms through zero expected counts.
+    * Determinism:
     * every term is IEEE arithmetic on exact BIGINTs, identical in both
     * engines; rounding is HALF_UP at 9 dp on both sides. */
   def chi2Drift(df: DataFrame, catCol: org.apache.spark.sql.Column,
@@ -293,8 +296,18 @@ object Quality {
       .groupBy("cat").agg(
         sum(when(col("__a"), 1L).otherwise(0L)).as("n_a"),
         sum(when(!col("__a"), 1L).otherwise(0L)).as("n_b"))
-    val totals = counts.agg(sum("n_a").as("__ta"), sum("n_b").as("__tb"))
-    counts.crossJoin(broadcast(totals))
+    // totals collect (two scalars) so an empty slice refuses loudly — the
+    // ksDrift discipline — instead of feeding e_a = 0 denominators into
+    // silent NaN terms; the literals then replace the broadcast total
+    // frame (one crossJoin fewer, same values, same IEEE sequence)
+    val tRow = counts.agg(sum("n_a").as("__ta"), sum("n_b").as("__tb"))
+      .collect().head
+    require(!tRow.isNullAt(0) && tRow.getLong(0) > 0 &&
+        !tRow.isNullAt(1) && tRow.getLong(1) > 0,
+      "chi2Drift: both slices must be non-empty")
+    counts
+      .withColumn("__ta", lit(tRow.getLong(0)))
+      .withColumn("__tb", lit(tRow.getLong(1)))
       .withColumn("__n", col("__ta") + col("__tb"))
       // r·ta in DOUBLE, not BIGINT: exact up to 2⁵³ and can never overflow
       // at lake scale (BIGINT·BIGINT would past ~3e9 rows a side)
@@ -320,7 +333,12 @@ object Quality {
     * strongest possible signal, so the digit spine is unconditional).
     *
     * Semantics: rows with value < 1 are excluded (their leading digit
-    * lives in fractional precision, a different regime); the digit is the
+    * lives in fractional precision, a different regime), and so are rows
+    * at or above 2⁶³ (~9.22e18) — the exact floor→BIGINT extraction's
+    * domain boundary, where the long cast would saturate and silently
+    * misclassify every such value as digit 9; amounts/counts live far
+    * inside the domain, and excluding the boundary beats lying about it.
+    * Within the domain the digit is the
     * first character of the integer part, extracted through exact
     * floor→BIGINT→string steps rather than log₁₀ so a value like 1000
     * can never misclassify by one ulp of a libm log.  expected_p is
@@ -334,7 +352,7 @@ object Quality {
     import spark.implicits._
     val digits = (1 to 9).map(_.toLong).toDF("digit")
     val obs = df.select(valueCol.cast("double").as("v"))
-      .filter(col("v") >= 1d)
+      .filter(col("v") >= 1d && col("v") < lit(9.223372036854776e18))
       .select(substring(floor(col("v")).cast("long").cast("string"), 1, 1)
         .cast("long").as("digit"))
       .groupBy("digit").agg(count(lit(1)).as("n"))
@@ -449,6 +467,9 @@ object Quality {
     * unequal variances?").  t = (μa−μb)/√(va/na + vb/nb) with sample
     * variances v = (sxx − sx²/n)/(n−1).  Returns ONE row `(n_a, n_b,
     * mean_a, mean_b, t)`; |t| ≳ 3 on large n flags a real shift.
+    * Degenerate inputs fail LOUDLY (the [[ksDrift]] discipline): a side
+    * with n < 2, or whose values are all NULL, throws naming the side —
+    * never a silent null/NaN statistic feeding a gate decision.
     *
     * Determinism: the conditional Σx and Σx² accumulate in
     * DECIMAL(38,6) (exact for ≤3-dp inputs at any scale, quantized
@@ -463,13 +484,29 @@ object Quality {
     def dsum(c: org.apache.spark.sql.Column) =
       sum(c.cast(DecimalType(38, 6))).cast("double")
     val v = df.select(valueCol.cast("double").as("__x"), inA.as("__a"))
-    val g = v.agg(
+    // the moments collect (ONE map-side-combined job, six scalars) so the
+    // degenerate shapes can refuse loudly before any statistic is built;
+    // the result frame rebuilds from the collected literals under the
+    // SAME column expressions, so the IEEE op sequence is unchanged
+    val row = v.agg(
       sum(when(col("__a"), 1L).otherwise(0L)).as("n_a"),
       sum(when(!col("__a"), 1L).otherwise(0L)).as("n_b"),
       dsum(when(col("__a"), col("__x"))).as("__sa"),
       dsum(when(!col("__a"), col("__x"))).as("__sb"),
       dsum(when(col("__a"), col("__x") * col("__x"))).as("__saa"),
       dsum(when(!col("__a"), col("__x") * col("__x"))).as("__sbb"))
+      .collect().head
+    val (na, nb) = (row.getLong(0), row.getLong(1))
+    require(na >= 2 && nb >= 2,
+      s"welchT: both sides need n >= 2 (n_a = $na, n_b = $nb)")
+    require(!row.isNullAt(2) && !row.isNullAt(4),
+      s"welchT: side A's $na values are all NULL after the double cast")
+    require(!row.isNullAt(3) && !row.isNullAt(5),
+      s"welchT: side B's $nb values are all NULL after the double cast")
+    val g = df.sparkSession.range(1).select(
+      lit(na).as("n_a"), lit(nb).as("n_b"),
+      lit(row.getDouble(2)).as("__sa"), lit(row.getDouble(3)).as("__sb"),
+      lit(row.getDouble(4)).as("__saa"), lit(row.getDouble(5)).as("__sbb"))
     val ma = col("__sa") / col("n_a")
     val mb = col("__sb") / col("n_b")
     val va = (col("__saa") - col("__sa") * col("__sa") / col("n_a")) /

@@ -964,6 +964,83 @@ object Text {
     merges.toList
   }
 
+  /** BATCHED [[bpeTrain]] — identical merge table, ~K× fewer driver
+    * round-trips: a 32k-merge production vocabulary under the sequential
+    * trainer launches 32k argmax jobs back to back (the one
+    * driver-sequential loop left in the engine); this variant collects the
+    * TOP-K candidate pairs per round and accepts the longest prefix that
+    * is provably what sequential BPE would have picked, applying the whole
+    * prefix in ONE distributed pass.
+    *
+    * Why the prefix is exact (not approximate): a merge (x, y) only
+    * changes counts of pairs SHARING a symbol with it — disjoint pairs'
+    * counts are invariant — and every pair it CREATES occurs at most as
+    * often as some existing pair sharing x or y (each "c·xy" was a
+    * "c·x·y").  So accept ranked candidates c1, c2, … while (a) pairwise
+    * symbol-disjoint INCLUDING each merged string a+b (stop at the first
+    * conflict), then (b) shrink the prefix until its last member's count
+    * strictly exceeds the best non-accepted candidate's (the collected
+    * boundary bounds every uncollected pair too, ranking is total) — then
+    * no created or surviving pair can reach any accepted count, ties
+    * included, and sequential BPE picks exactly this prefix in exactly
+    * this order.  Worst case the prefix is c1 alone and a round degrades
+    * to the sequential step; rounds never exceed numMerges.
+    *
+    * Returns (merges, rounds) — rounds is the measured driver round-trip
+    * count, the quantity batching exists to cut.  [[bpeTrain]] stays the
+    * reference oracle; TextSpec pins batched ≡ sequential. */
+  def bpeTrainBatched(df: DataFrame, textCol: String, numMerges: Int,
+                      batchK: Int = 24): (Seq[(String, String)], Int) = {
+    require(batchK >= 1, s"bpeTrainBatched: batchK $batchK < 1")
+    var words = wordFreqs(df, textCol)
+      .select(split(col("word"), "").as("syms"), col("f"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ListBuffer.empty[(String, String)]
+    var rounds = 0
+    var done = false
+    while (merges.length < numMerges && !done) {
+      val remaining = numMerges - merges.length
+      val k = math.min(batchK, remaining)
+      // k+1: the boundary candidate that certifies the strict margin
+      val top = bpePairCounts(words)
+        .orderBy(col("freq").desc, col("pair")).limit(k + 1).collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+        .filter(_._2 >= 2)
+      rounds += 1
+      if (top.isEmpty) done = true
+      else {
+        // (a) maximal pairwise-disjoint prefix, first conflict terminates
+        val taken = scala.collection.mutable.Set.empty[String]
+        val prefix = scala.collection.mutable.ListBuffer.empty[(String, String, Long)]
+        var stop = false
+        for ((p, fq) <- top.take(k) if !stop) {
+          val Array(a, b) = p.split(" ", 2)
+          if (prefix.isEmpty ||
+              (!taken(a) && !taken(b) && !taken(a + b))) {
+            prefix += ((a, b, fq)); taken ++= Seq(a, b, a + b)
+          } else stop = true
+        }
+        // (b) strict-margin shrink: the last accepted count must EXCEED
+        // every non-accepted candidate (a dropped member joins the bound)
+        var bound = top.lift(prefix.length).map(_._2).getOrElse(0L)
+        while (prefix.length > 1 && prefix.last._3 <= bound) {
+          bound = prefix.last._3
+          prefix.remove(prefix.length - 1)
+        }
+        merges ++= prefix.map(m => (m._1, m._2))
+        val batchedSyms = prefix.foldLeft(col("syms")) { (s, m) =>
+          bpeMerge(s, m._1, m._2)
+        }
+        val next = words.select(batchedSyms.as("syms"), col("f"))
+          .localCheckpoint()
+        Graph.freeCheckpoint(words)
+        words = next
+      }
+    }
+    Graph.freeCheckpoint(words)
+    (merges.toList, rounds)
+  }
+
   /** Apply a trained merge table to a word column → its subword segments
     * (merge order matters and is the training order, per the algorithm). */
   def bpeApply(word: Column, merges: Seq[(String, String)]): Column =

@@ -346,6 +346,23 @@ object TxTable {
             "reach past the retention boundary")
     }
 
+  /** Footer-recorded row total of a staged segment directory — emptiness
+    * (and size) decided on the driver from parquet metadata alone, no
+    * Spark job; staged segments are delta-sized, so this is a handful of
+    * footer reads at most. */
+  private def segRecordCount(spark: SparkSession, f: FileSystem, root: String,
+                             seg: String): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    f.listStatus(new Path(s"${root.stripSuffix("/")}/$seg"))
+      .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+      .map { st =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(st.getPath, conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRecordCount finally r.close()
+      }.sum
+  }
+
   /** Write `df` as a fresh segment directory; returns the segment name. */
   private def writeSegment(df: DataFrame, root: String): String = {
     val seg = "data/" + java.util.UUID.randomUUID().toString
@@ -465,28 +482,14 @@ object TxTable {
     }.toMap
   }
 
-  /** Create-exclusive claim on version slot `v` — the commit CAS.  Local
-    * filesystems go through nio `Files.createFile` = `O_CREAT|O_EXCL`
-    * (kernel-atomic refuse-on-exist); other filesystems use
-    * `FileSystem.create(path, overwrite = false)`, which HDFS and
-    * consistent object stores arbitrate atomically. */
-  private def claimSlot(f: FileSystem, root: String, v: Long): Boolean = {
-    val claim = claimPath(root, v)
-    f match {
-      case _: org.apache.hadoop.fs.LocalFileSystem | _: org.apache.hadoop.fs.RawLocalFileSystem =>
-        try { java.nio.file.Files.createFile(java.nio.file.Paths.get(claim.toUri.getPath)); true }
-        catch { case _: java.nio.file.FileAlreadyExistsException => false }
-      case _ =>
-        try { f.create(claim, false).close(); true }
-        catch {
-          // ONLY refuse-on-exist is a lost race; any other IOException is a
-          // real failure (permissions, network, quota) that must surface —
-          // conflating them would mask infrastructure errors as contention
-          case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-          case _: java.nio.file.FileAlreadyExistsException => false
-        }
-    }
-  }
+  /** Create-exclusive claim on version slot `v` — the commit CAS, routed
+    * through the session's [[PublishArbiter]] (default: the filesystem
+    * arbitrates — `O_CREAT|O_EXCL` locally, the Hadoop create contract
+    * elsewhere; an S3 deployment selects an external conditional-put
+    * arbiter via `spark.graft.tx.arbiter`). */
+  private def claimSlot(spark: SparkSession, f: FileSystem, root: String,
+                        v: Long): Boolean =
+    PublishArbiter.resolve(spark).claimExclusive(f, claimPath(root, v))
 
   /** Reap an ORPHANED claim: a committer that died between claiming slot
     * `v` and renaming its manifest in leaves a claim file that would
@@ -507,54 +510,27 @@ object TxTable {
       val st = f.getFileStatus(claim)
       if (!f.exists(manifestPath(root, v)) &&
           System.currentTimeMillis() - st.getModificationTime > staleMs)
-        f.delete(claim, false)
+        PublishArbiter.resolve(spark).releaseClaim(f, claim)
     } catch { case _: java.io.FileNotFoundException => () }
   }
 
   /** Atomically publish the fully-written temp manifest at the target path,
-    * refusing if the target already exists.  Local filesystems: hard link
-    * (`link(2)`) — atomic, complete-content-only, EEXIST on an occupied
-    * slot; POSIX `rename(2)` would silently OVERWRITE, which is exactly the
-    * lost-commit hole when a reaped-but-live committer publishes after a
-    * new winner (the claim CAS alone cannot arbitrate that, because the
-    * stalled committer holds a path, not a lease).  Other filesystems:
-    * `FileSystem.rename`, whose Hadoop contract (HDFS, consistent object
-    * stores) is refuse-on-existing-destination.  Returns false iff the
-    * slot was already published; the caller surfaces that as a loud loser
-    * error, never a retry (its claim was stolen — semantics demand the
-    * failure be visible).
-    *
-    * OBJECT-STORE BOUNDARY (the one piece no filesystem API can give us):
-    * on local filesystems this arbitration is airtight (link(2) is
-    * kernel-atomic) and on HDFS the rename contract refuses an existing
-    * destination atomically in the NameNode — but S3A's `rename` is
-    * implemented as check-then-copy-then-delete, so two racing publishers
-    * can BOTH pass the existence check and the second silently overwrites
-    * the first.  Every production lakehouse on S3 solves this with an
-    * EXTERNAL arbiter: Delta's S3DynamoDBLogStore routes the "create this
-    * log entry exclusively" decision through a DynamoDB conditional put,
-    * and Iceberg requires a catalog (Glue/Hive/REST) whose compare-and-swap
-    * commits the snapshot pointer.  The hook here would be the same shape:
-    * an interface `publish(tmp, target): Boolean` resolved from session
-    * conf (say `spark.graft.tx.logStore`), whose S3 implementation does a
-    * conditional put on an external strongly-consistent store keyed by the
-    * manifest path — claimSlot and this method are the only two call
-    * sites that would route through it, everything else in the commit
-    * protocol is already plain writes of uniquely-named files.  Not
-    * buildable or testable in this sandbox (no object store); documented
-    * here as the integration boundary. */
-  private[graft] def publishExclusive(f: FileSystem, tmp: Path, target: Path): Boolean =
-    f match {
-      case _: org.apache.hadoop.fs.LocalFileSystem | _: org.apache.hadoop.fs.RawLocalFileSystem =>
-        try {
-          java.nio.file.Files.createLink(
-            java.nio.file.Paths.get(target.toUri.getPath),
-            java.nio.file.Paths.get(tmp.toUri.getPath))
-          f.delete(tmp, false)
-          true
-        } catch { case _: java.nio.file.FileAlreadyExistsException => false }
-      case _ => f.rename(tmp, target)
-    }
+    * refusing if the target already exists — the visibility flip of every
+    * commit, routed through the session's [[PublishArbiter]].  The default
+    * filesystem arbiter hard-links locally (`link(2)`: atomic,
+    * complete-content-only, EEXIST on an occupied slot — POSIX `rename(2)`
+    * would silently OVERWRITE, exactly the lost-commit hole when a
+    * reaped-but-live committer publishes after a new winner) and uses the
+    * Hadoop rename contract elsewhere.  Returns false iff the slot was
+    * already published; the caller surfaces that as a loud loser error,
+    * never a retry (its claim was stolen — semantics demand the failure be
+    * visible).  The object-store boundary (why S3A needs an EXTERNAL
+    * conditional-put arbiter, the Delta-S3DynamoDBLogStore / Iceberg-catalog
+    * shape) lives in [[PublishArbiter]]'s scaladoc; claimSlot and this
+    * method are the only two arbitrated decisions in the whole protocol. */
+  private[graft] def publishExclusive(spark: SparkSession, f: FileSystem,
+                                      tmp: Path, target: Path): Boolean =
+    PublishArbiter.resolve(spark).publishExclusive(f, tmp, target)
 
   /** Publish `segments` as the next version.  Per attempt: re-read the
     * head, re-verify the batch-id replay guard (so check-and-commit is one
@@ -604,7 +580,7 @@ object TxTable {
       f.mkdirs(target.getParent)
       // exists-check first: a manifest published without a claim (e.g. an
       // external writer) still blocks the slot
-      if (!f.exists(target) && claimSlot(f, root, next)) {
+      if (!f.exists(target) && claimSlot(spark, f, root, next)) {
         // stats placement: inline while small; past the cell budget, into a
         // per-commit sidecar the manifest references by name — written
         // UNIQUELY NAMED and BEFORE the manifest publishes, so a published
@@ -630,7 +606,7 @@ object TxTable {
           inline, cdc, dvs, carriedSchema, ref))
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
         finally os.close()
-        if (!publishExclusive(f, tmp, target)) {
+        if (!publishExclusive(spark, f, tmp, target)) {
           f.delete(tmp, false)
           throw new IllegalStateException(
             s"TxTable.commit: exclusive publish into claimed slot v$next " +
@@ -846,10 +822,10 @@ object TxTable {
                   statsCols: Seq[String] = Nil, cdf: Boolean = false): Long = {
     import org.apache.spark.sql.functions._
     val cols = keys ++ updateCols ++ preserveCols
-    enforceChecks(spark, root, incoming, "commitMerge")
     latestVersion(spark, root) match {
       case None => // bootstrap: the incoming batch IS the table
         val staged = incoming.select(cols.map(col): _*)
+        enforceChecks(spark, root, staged, "commitMerge")
         val seg = writeSegment(staged, root)
         // an insert-only commit's change set IS its data segment — record
         // a reference instead of writing the same rows twice (the trick
@@ -891,6 +867,22 @@ object TxTable {
         try {
           val merged = Upsert.upsert(touched, incoming, keys, updateCols, preserveCols)
           val newSeg = writeSegment(merged, root)
+          // CHECK constraints hold on the rows this commit PUBLISHES — the
+          // MERGED output, not the raw incoming batch: a check spanning an
+          // updated column and a preserved one (`amount <= cap` with amount
+          // updated, cap preserved) can be violated by the combination even
+          // when the batch alone looks fine, and a batch that omits a
+          // preserved column the check references is still mergeable.
+          // Enforced on the staged segment read back from disk (delta-sized
+          // columnar re-read, also catching codec drift); a violation
+          // removes the staged segment — nothing was published.
+          lazy val mergedBack = spark.read.parquet(s"${root.stripSuffix("/")}/$newSeg")
+          if (checks(spark, root).nonEmpty)
+            try enforceChecks(spark, root, mergedBack, "commitMerge")
+            catch { case e: Throwable =>
+              fs(spark, root).delete(new Path(s"${root.stripSuffix("/")}/$newSeg"), true)
+              throw e
+            }
           val cdc = if (!cdf) Nil else {
             // matched keys = incoming ∩ existing; every existing match lives
             // in a hit segment BY DEFINITION of hitSegs, so `touched` sees
@@ -899,10 +891,9 @@ object TxTable {
             // result is ≤ the incoming batch: broadcast for the probes below.
             def on(a: DataFrame, b: DataFrame) =
               keys.map(k => a(k) <=> b(k)).reduce(_ && _)
-            // post-state probes re-read the JUST-WRITTEN segment: a
-            // columnar re-read of delta-sized output beats re-running the
-            // merge join once per change class
-            val mergedBack = spark.read.parquet(s"${root.stripSuffix("/")}/$newSeg")
+            // post-state probes reuse mergedBack (the just-written segment
+            // read columnar): cheaper than re-running the merge join once
+            // per change class
             // preimages = touched rows whose key the batch brings (their
             // values get overwritten) — a direct semi-join against the
             // already-broadcast incoming key set
@@ -1089,6 +1080,19 @@ object TxTable {
     require(carried.nonEmpty || newSegs.nonEmpty,
       s"TxTable.commitRewriteHit: rewrite would empty the table under $root — " +
         "commitOverwrite an explicit empty state instead")
+    // the rewrite callback may introduce or alter rows per its contract, so
+    // CHECK constraints are enforced on ITS output (the staged segment read
+    // back, delta-sized) exactly like every other row-ingesting commit; a
+    // violation removes the staged segment — nothing was published.  Zero
+    // cost for unconstrained tables (one log listing).
+    if (checks(spark, root).nonEmpty) newSegs.foreach { s0 =>
+      val back = spark.read.parquet(s"${root.stripSuffix("/")}/$s0")
+      try enforceChecks(spark, root, back, "commitRewriteHit")
+      catch { case e: Throwable =>
+        f.delete(new Path(s"${root.stripSuffix("/")}/$s0"), true)
+        throw e
+      }
+    }
     val stats = newSegs.headOption
       .map(s0 => carryStats(spark, root, head, s0)).getOrElse(head.stats)
     commit(spark, root, "rewrite", carried ++ newSegs, maxRetries = 0,
@@ -1323,6 +1327,28 @@ object TxTable {
     }.filter(col(colName) >= lo && col(colName) <= hi)
   }
 
+  /** MULTI-POINT [[readWhere]] — `read(...).filter(col IN values)` with
+    * manifest-level skipping, as ONE pruned scan: a segment survives when
+    * its recorded `[min, max]` contains ANY of the values.  This is the
+    * IVF-probe shape (read lists 3, 7, 11 of a list_id-clustered index):
+    * per-value `readWhere` calls would build N plans, apply the table's
+    * deletion vectors N times, and union — all driver overhead; one call
+    * prunes once, applies DVs once, and plans once.  Same conservative
+    * contract as readWhere: stat-less or wrong-typed segments are kept and
+    * the residual IN filter still applies. */
+  def readWhereIn(spark: SparkSession, root: String, colName: String,
+                  values: Seq[java.math.BigDecimal]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    require(values.nonEmpty, "TxTable.readWhereIn: empty value set")
+    prunedRead(spark, root, colName) { st =>
+      st.tag != "n" || {
+        val lo = new java.math.BigDecimal(st.lo)
+        val hi = new java.math.BigDecimal(st.hi)
+        values.exists(v => hi.compareTo(v) >= 0 && lo.compareTo(v) <= 0)
+      }
+    }.filter(col(colName).isin(values: _*))
+  }
+
   /** [[readWhere]] for STRING columns: segment [min, max] bounds are
     * compared lexicographically (exact for the printable-ASCII bounds
     * segStats records — Spark's UTF8String binary order coincides with
@@ -1540,6 +1566,106 @@ object TxTable {
       dvs = head.dvs :+ entry)
   }
 
+  /** ONE-COMMIT incremental apply — the [[commitAppend]] +
+    * [[commitDeleteVectors]] pair fused into a single manifest publish:
+    * `inserts` stage as one new stats-tracked segment AND `tombstones`
+    * publish as a deletion vector scoped to EVERY data segment of the new
+    * snapshot (including the fresh one, so a key that is both inserted and
+    * tombstoned in the same delta ends up deleted — apply order is
+    * append-then-delete, matching the two-commit sequence bit for bit).
+    * This is the maintained-index refresh primitive: a CDF delta lands as
+    * ONE version, ONE CAS, with no window where readers see the inserts
+    * without the takedowns (the two-commit dance had one), and half the
+    * commit-protocol overhead — the same fix [[commitRewriteHit]] gave the
+    * IVM apply.
+    *
+    * `batch` makes it an exactly-once streaming apply (replay no-ops).
+    * Degenerate shapes fold away: empty tombstones publish a plain append
+    * manifest; empty inserts publish a pure dvdelete-shaped one; both
+    * empty returns the head unchanged.  `cdf = true` records the change
+    * feed (inserts by segment reference, delete rows via one snapshot
+    * probe).  CHECK constraints are enforced on `inserts` (the only rows
+    * this commit introduces). */
+  def commitDelta(spark: SparkSession, root: String, inserts: DataFrame,
+                  tombstones: DataFrame, keys: Seq[String],
+                  statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil,
+                  cdf: Boolean = false, batch: Option[Long] = None): Long = {
+    import org.apache.spark.sql.functions.{broadcast, col, lit}
+    if (batch.exists(b => lastCommittedBatch(spark, root).exists(_ >= b)))
+      return ReplayNoOp // fast path; commit re-verifies per attempt
+    val headV = latestVersion(spark, root).getOrElse(
+      throw new IllegalArgumentException(
+        s"TxTable.commitDelta: no commits under $root — bootstrap with " +
+          "commitOverwrite first"))
+    enforceChecks(spark, root, inserts, "commitDelta")
+    val f = fs(spark, root)
+    // stage the insert segment (ours alone); emptiness decided driver-side
+    // from the written parquet FOOTERS (an empty write can still leave a
+    // footer-only part file) — no extra isEmpty job
+    val seg = writeSegment(inserts, root)
+    val segHasFiles = segRecordCount(spark, f, root, seg) > 0
+    if (!segHasFiles) f.delete(new Path(s"${root.stripSuffix("/")}/$seg"), true)
+    val newSegs = if (segHasFiles) Seq(seg) else Seq.empty[String]
+    val segSt =
+      if (segHasFiles) segStatsWithBlooms(spark, root, seg,
+        statsCols ++ bloomCols.map(bloomKey))
+      else Map.empty[String, ColStat]
+    // stage the tombstone key set, same footer-decided emptiness
+    val dvSeg = "dv/" + java.util.UUID.randomUUID().toString
+    tombstones.select(keys.map(col): _*).distinct()
+      .write.parquet(s"${root.stripSuffix("/")}/$dvSeg")
+    val dvHasKeys = segRecordCount(spark, f, root, dvSeg) > 0
+    if (!dvHasKeys) f.delete(new Path(s"${root.stripSuffix("/")}/$dvSeg"), true)
+    if (!segHasFiles && !dvHasKeys) return headV // nothing moved
+    var attempt = 0
+    while (true) {
+      val curV = latestVersion(spark, root).getOrElse(headV)
+      val base = readManifest(spark, root, curV)
+      val stats = base.stats ++
+        (if (segSt.nonEmpty) Map(seg -> segSt) else Map.empty)
+      val allSegs = base.segments ++ newSegs
+      // the DV scopes the WHOLE new snapshot — base segments and the fresh
+      // delta segment alike (append-then-delete order)
+      val dvs = base.dvs ++
+        (if (dvHasKeys) Seq((dvSeg +: allSegs).mkString("|")) else Nil)
+      val baseSchema = base.schema.map(decodeSchema).getOrElse(inserts.schema)
+      val evolved =
+        if (segHasFiles) mergeEvolve(baseSchema, inserts.schema, root)
+        else baseSchema
+      val cdc = if (!cdf) Nil else {
+        val insRefs = if (segHasFiles) Seq("insert:" + seg) else Nil
+        val delRows = if (!dvHasKeys) Nil else {
+          val tomb = broadcast(
+            spark.read.parquet(s"${root.stripSuffix("/")}/$dvSeg"))
+          // post-append snapshot = base snapshot + the staged delta segment
+          val cur = (Seq(readVersion(spark, root, curV)) ++
+            (if (segHasFiles)
+              Seq(spark.read.parquet(s"${root.stripSuffix("/")}/$seg"))
+            else Nil))
+            .reduce(_.unionByName(_, allowMissingColumns = true))
+          Seq(writeChangeSegment(
+            cur.join(tomb, keys.map(k => cur(k) <=> tomb(k)).reduce(_ && _),
+              "left_semi").withColumn("_change_type", lit("delete")), root))
+        }
+        insRefs ++ delRows
+      }
+      // no takedowns ⇒ the manifest IS a plain append (keeps readChanges'
+      // structural insert derivation); any DV makes it a delta commit
+      val op = if (dvHasKeys) "delta" else "append"
+      try return commit(spark, root, op, allSegs, maxRetries = 0,
+        batch = batch, stats = stats, expectVersion = Some(curV + 1),
+        cdc = cdc, dvs = dvs, schema = Some(encodeSchema(evolved)))
+      catch {
+        case e: IllegalArgumentException
+          if attempt < 10 && !e.getMessage.contains("schema evolution") =>
+            attempt += 1
+            Thread.sleep(math.min(50L * attempt, 1000L) +
+              java.util.concurrent.ThreadLocalRandom.current().nextLong(50L))
+      }
+    }
+    -1L // unreachable
+  }
+
   /** CHANGE DATA FEED (the Delta CDF idea): every row-level change the
     * table went through in versions `(fromVersion, toVersion]`, as table
     * columns + `_change_type` ('insert' | 'update_preimage' |
@@ -1593,7 +1719,7 @@ object TxTable {
           if (fresh.isEmpty) Nil
           else Seq(readSegs(m, fresh, withChangeType = false)
             .withColumn("_change_type", lit("insert")))
-        case "merge" | "delete" | "dvdelete" =>
+        case "merge" | "delete" | "dvdelete" | "delta" =>
           if (m.cdc.nonEmpty) {
             // `insert:`-prefixed entries reference a DATA segment whose
             // rows are all inserts (insert-only commits record no separate
@@ -1656,7 +1782,7 @@ object TxTable {
     try os.write(s"""{"version":$v}"""
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally os.close()
-    if (!publishExclusive(f, tmp, target)) {
+    if (!publishExclusive(spark, f, tmp, target)) {
       f.delete(tmp, false)
       throw new IllegalArgumentException(
         s"TxTable.tag: tag '$name' already exists under $root " +
@@ -1708,10 +1834,16 @@ object TxTable {
   /** Register a table-level CHECK constraint (the Delta `ALTER TABLE ADD
     * CONSTRAINT` idea): `exprSql` is a boolean SQL expression over the
     * table's columns, and from this call on every row-ingesting commit
-    * ([[commitAppend]]/[[commitOverwrite]]/[[commitMerge]]/
+    * ([[commitAppend]]/[[commitOverwrite]]/[[commitDelta]]/
     * [[commitOverwriteClustered]] and the streaming append path) REFUSES
     * to publish when any incoming row violates it — the table can never
-    * transition from all-valid to invalid.  SQL CHECK semantics: a row
+    * transition from all-valid to invalid.  Commits whose published rows
+    * are DERIVED rather than the raw batch enforce on what they publish:
+    * [[commitMerge]] checks the MERGED output (a check spanning an updated
+    * and a preserved column holds on the combination, not the batch) and
+    * [[commitRewriteHit]] checks the rewrite callback's output — both via
+    * a delta-sized columnar read-back of the staged segment, removed on
+    * refusal.  SQL CHECK semantics: a row
     * violates only when the predicate is FALSE; NULL passes (constrain
     * nullability explicitly with `x IS NOT NULL`).  Adding a constraint
     * to a non-empty table first proves the EXISTING snapshot satisfies it
@@ -1743,7 +1875,7 @@ object TxTable {
     try os.write(s"""{"expr":"$exprSql"}"""
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally os.close()
-    if (!publishExclusive(f, tmp, target)) {
+    if (!publishExclusive(spark, f, tmp, target)) {
       f.delete(tmp, false)
       throw new IllegalArgumentException(
         s"TxTable.addCheck: check '$name' already exists under $root " +
@@ -1776,10 +1908,12 @@ object TxTable {
       s"TxTable.dropCheck: no check '$name' under $root")
   }
 
-  /** One counting pass over the incoming batch against every registered
-    * constraint; any violation refuses the commit BEFORE a segment is
-    * staged, naming the constraint and the violation count.  Zero cost
-    * for unconstrained tables (one log listing, no data pass). */
+  /** One counting pass over the frame this commit would publish, against
+    * every registered constraint; any violation refuses the commit before
+    * a manifest is published (callers checking a staged segment's
+    * read-back remove the segment), naming the constraint and the
+    * violation count.  Zero cost for unconstrained tables (one log
+    * listing, no data pass). */
   private def enforceChecks(spark: SparkSession, root: String,
                             df: DataFrame, op: String): Unit = {
     import org.apache.spark.sql.functions._
@@ -1797,7 +1931,8 @@ object TxTable {
     cs.zipWithIndex.foreach { case ((n, e), i) =>
       val bad = if (row.isNullAt(i)) 0L else row.getLong(i)
       require(bad == 0L, s"TxTable.$op: $bad incoming rows violate CHECK " +
-        s"'$n' ($e) under $root — nothing was staged or published")
+        s"'$n' ($e) under $root — nothing was published (any staged " +
+        "segment was removed)")
     }
   }
 
@@ -1857,10 +1992,12 @@ object TxTable {
       val n = st.getPath.getName
       if (n.startsWith("v") && n.endsWith(".claim")) {
         val v = n.stripPrefix("v").stripSuffix(".claim").toLong
-        if (v <= head) f.delete(st.getPath, false)
+        // claims release through the session arbiter so an external-store
+        // implementation can clear its conditional-put entry too
+        if (v <= head) PublishArbiter.resolve(spark).releaseClaim(f, st.getPath)
         else if (!f.exists(manifestPath(root, v)) &&
                  now - st.getModificationTime > staleMs)
-          f.delete(st.getPath, false)
+          PublishArbiter.resolve(spark).releaseClaim(f, st.getPath)
       } else if (n.startsWith("s-") && n.endsWith(".json") &&
                  !liveRefs.contains(n) &&
                  now - st.getModificationTime > staleMs)

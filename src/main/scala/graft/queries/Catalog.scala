@@ -1478,7 +1478,8 @@ object Catalog {
     // term is computed from the ROUNDED expected_p on both engines.
     QueryDef("q_benford",
       (s, dir) => Quality.benford(t(s, dir, "orders"), col("o_totalprice")),
-      Some("""WITH v AS (SELECT o_totalprice AS v FROM orders WHERE o_totalprice >= 1),
+      Some("""WITH v AS (SELECT o_totalprice AS v FROM orders
+             WHERE o_totalprice >= 1 AND o_totalprice < 9.223372036854776e18),
          o AS (SELECT CAST(substr(CAST(CAST(floor(v) AS BIGINT) AS VARCHAR), 1, 1)
                AS BIGINT) AS digit,
              CAST(COUNT(*) AS BIGINT) AS n FROM v GROUP BY 1),

@@ -1742,9 +1742,8 @@ object TextCatalog {
           nlist = 16, nprobe = 2)
         val lids = probes.select("list_id").distinct().collect()
           .map(_.getInt(0)).sorted
-        val cand = lids.map(l => TxTable.readWhere(s, root, "list_id",
-          new java.math.BigDecimal(l), new java.math.BigDecimal(l)))
-          .reduce(_.unionByName(_))
+        val cand = TxTable.readWhereIn(s, root, "list_id",
+          lids.toSeq.map(l => new java.math.BigDecimal(l)))
         def segsOf(df: org.apache.spark.sql.DataFrame) =
           df.inputFiles.map(_.replaceAll("/[^/]*$", "")).toSet
         val scanned = segsOf(cand).size
@@ -1823,22 +1822,25 @@ object TextCatalog {
           e.filter(col("vec_id") % 17 === 3).select("vec_id"),
           keys = Seq("vec_id"), cdf = true)
         val head = TxTable.latestVersion(s, srcRoot).get
-        // incremental refresh: only the CDF delta moves
+        // incremental refresh: only the CDF delta moves — and it lands as
+        // ONE commit (insert segment + takedown DV in the same manifest
+        // publish, TxTable.commitDelta), so readers never see the inserts
+        // without the takedowns and the apply pays ONE version of
+        // commit-protocol overhead instead of two
         val ch = TxTable.readChanges(s, srcRoot, v0, head)
-        TxTable.commitAppend(s, idxRoot,
+        TxTable.commitDelta(s, idxRoot,
           toIdx(ch.filter(col("_change_type") === "insert")
             .select("vec_id", "embedding")),
-          statsCols = Seq("list_id"))
-        TxTable.commitDeleteVectors(s, idxRoot,
           ch.filter(col("_change_type") === "delete").select("vec_id"),
-          keys = Seq("vec_id"))
+          keys = Seq("vec_id"), statsCols = Seq("list_id"))
         val probes = Vector.coarseProbesWith(e.filter(col("vec_id") < 4),
           cents, nprobe = 2)
         val lids = probes.select("list_id").distinct().collect()
           .map(_.getInt(0)).sorted
-        def cand() = lids.map(l => TxTable.readWhere(s, idxRoot, "list_id",
-          new java.math.BigDecimal(l), new java.math.BigDecimal(l)))
-          .reduce(_.unionByName(_))
+        // all probed lists in ONE pruned scan: per-list readWhere calls
+        // would build |lids| plans and apply the table's DVs |lids| times
+        def cand() = TxTable.readWhereIn(s, idxRoot, "list_id",
+          lids.toSeq.map(l => new java.math.BigDecimal(l)))
         // scanned DATA segments (dv/ sidecars the DV join reads don't count)
         def dataSegs(df: org.apache.spark.sql.DataFrame) =
           df.inputFiles.filter(_.contains("/data/"))
@@ -2022,9 +2024,8 @@ object TextCatalog {
           cents, nprobe = 2)
         val lids = probes.select("list_id").distinct().collect()
           .map(_.getInt(0)).sorted
-        val cand = lids.map(l => TxTable.readWhere(s, root, "list_id",
-          new java.math.BigDecimal(l), new java.math.BigDecimal(l)))
-          .reduce(_.unionByName(_))
+        val cand = TxTable.readWhereIn(s, root, "list_id",
+          lids.toSeq.map(l => new java.math.BigDecimal(l)))
         def dataSegs(df: org.apache.spark.sql.DataFrame) =
           df.inputFiles.filter(_.contains("/data/"))
             .map(_.replaceAll("/[^/]*$", "")).toSet

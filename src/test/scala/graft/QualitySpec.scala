@@ -197,6 +197,12 @@ class QualitySpec extends SparkFunSuite {
       .find(_.getString(0) == "y").get
     assert(yRow.getDouble(5) > 0 && !yRow.getDouble(5).isNaN,
       "a one-sided category must contribute a finite positive term")
+
+    // an EMPTY slice refuses loudly instead of NaN-ing every term
+    val oneSided = Seq(("x", true), ("y", true)).toDF("c", "a")
+    val e = intercept[IllegalArgumentException](
+      Quality.chi2Drift(oneSided, col("c"), col("a")))
+    assert(e.getMessage.contains("non-empty"), s"must name the slice rule: $e")
   }
 
   test("jsdDrift: identical halves score 0, disjoint buckets approach 1 bit") {
@@ -239,6 +245,19 @@ class QualitySpec extends SparkFunSuite {
     val same = Seq((1.0, true), (9.0, true), (1.0, false), (9.0, false))
       .toDF("x", "a")
     assert(Quality.welchT(same, col("x"), col("a")).collect().head.getDouble(4) === 0.0)
+
+    // degenerate inputs refuse LOUDLY (the ksDrift discipline), never a
+    // silent null/NaN statistic: a side with n < 2, and a side whose
+    // values are all NULL after the double cast
+    val tiny = Seq((1.0, true), (4.0, false), (6.0, false)).toDF("x", "a")
+    val e1 = intercept[IllegalArgumentException](
+      Quality.welchT(tiny, col("x"), col("a")))
+    assert(e1.getMessage.contains("n >= 2"), s"must name the bound: $e1")
+    val allNull = Seq((Option.empty[Double], true), (Option.empty[Double], true),
+      (Some(1.0), false), (Some(2.0), false)).toDF("x", "a")
+    val e2 = intercept[IllegalArgumentException](
+      Quality.welchT(allNull, col("x"), col("a")))
+    assert(e2.getMessage.contains("NULL"), s"must name the null side: $e2")
   }
 
   test("gini: equality scores 0, concentration approaches 1, ties rank-invariant") {
@@ -338,6 +357,13 @@ class QualitySpec extends SparkFunSuite {
     // 4: 4.0, 42.0 = 2; 9: 9.99×2 = 2; 5-8: one each; 0.5/0.01 excluded
     assert(n.toSeq === Seq(12L, 6L, 2L, 2L, 1L, 1L, 1L, 1L, 2L), s"counts: ${n.toSeq}")
     assert(n.sum === 28, "the two sub-1 values are excluded")
+    // values at/above 2^63 sit outside the exact floor→BIGINT domain and
+    // are EXCLUDED (documented), never saturated into digit 9
+    val big = Seq(1.0e19, 9.3e18, 2.0, 9.223372036854776e18).toDF("v")
+    val bigN = Quality.benford(big, col("v")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(bigN(9L) === 0L && bigN(2L) === 1L && bigN.values.sum === 1L,
+      s"out-of-domain magnitudes must be excluded, got $bigN")
     got.foreach { case (d, nn, p, term) =>
       assert(math.abs(p - math.log10(1.0 + 1.0 / d)) < 1e-9)
       val e = 28L * p

@@ -64,6 +64,56 @@ class TextSpec extends SparkFunSuite {
     assert(seg.exists(_.length > 1), "at least one learned merge must apply")
   }
 
+  test("bpeTrainBatched: identical merge table to the sequential trainer, " +
+    "measurably fewer driver rounds") {
+    val corpus = Seq("low low low lower lowest", "new newer newest low",
+      "wide wider widest new new", "deep deeper deepest wide",
+      "fast faster fastest deep deep slow slower slowest fast")
+    val df = corpus.toDF("text")
+    for (k <- Seq(4, 8, 16)) {
+      val seq = Text.bpeTrain(df, "text", k)
+      val (bat, rounds) = Text.bpeTrainBatched(df, "text", k)
+      assert(bat === seq,
+        s"numMerges=$k: batched merges must equal sequential BPE exactly")
+      assert(rounds <= seq.length,
+        s"numMerges=$k: rounds ($rounds) must never exceed merges (${seq.length})")
+    }
+    // the round cut is real where merges are symbol-disjoint (the shape a
+    // diversifying vocabulary reaches; ubiquitous-letter corpora conflict
+    // early and legitimately degrade toward one merge per round): five
+    // disjoint bigram families at strictly decreasing frequencies must
+    // land in ONE round
+    val disj = Seq.tabulate(5)(i =>
+      Seq.fill(10 - i)("ab cd ef gh ij".split(" ")(i)).mkString(" "))
+      .mkString(" ")
+    val ddf = Seq(disj).toDF("text")
+    val (m5, r5) = Text.bpeTrainBatched(ddf, "text", 5)
+    assert(m5 === Text.bpeTrain(ddf, "text", 5), "disjoint corpus equality")
+    assert(m5.length === 5 && r5 === 1,
+      s"five disjoint merges must batch into one round (took $r5)")
+    // batchK = 1 degrades to the sequential step count, same table
+    val (m1, r1) = Text.bpeTrainBatched(df, "text", 6, batchK = 1)
+    assert(m1 === Text.bpeTrain(df, "text", 6) && r1 === 6)
+  }
+
+  test("bpeTrainBatched ≡ bpeTrain across random corpora (the batching " +
+    "proof's adversarial cases: ties, shared symbols, merged-string collisions)") {
+    val vocabChars = "abcd" // tiny alphabet maximizes symbol collisions/ties
+    for (seed <- FuzzSeeds.seeds(31L, 5L)) {
+      val rng = new scala.util.Random(seed)
+      val words = (1 to 40).map(_ =>
+        (1 to (2 + rng.nextInt(6))).map(_ =>
+          vocabChars(rng.nextInt(vocabChars.length))).mkString)
+      val doc = (1 to 120).map(_ => words(rng.nextInt(words.length))).mkString(" ")
+      val df = Seq(doc).toDF("text")
+      val seq = Text.bpeTrain(df, "text", 12)
+      val (bat, rounds) = Text.bpeTrainBatched(df, "text", 12, batchK = 6)
+      assert(bat === seq, s"seed $seed: batched diverged from sequential " +
+        s"(batched $bat vs sequential $seq)")
+      assert(rounds <= math.max(1, seq.length), s"seed $seed: rounds $rounds")
+    }
+  }
+
   test("shingles: short docs yield empty arrays, not descending sequences") {
     val df = Seq("one two", "", "a b c d").toDF("text")
     val got = df.select(Text.shingles($"text").as("sh")).collect().map(_.getSeq[String](0))

@@ -3,12 +3,14 @@ package graft
 import graft.engine.TxTable
 
 /** Randomized PRUNE-EQUIVALENCE fuzz for the filtered-read family:
-  * `readWhere` / `readWhereString` / `readWhereEquals` each promise to be
+  * `readWhere` / `readWhereString` / `readWhereEquals` / `readWhereIn`
+  * each promise to be
   * semantically identical to `read().filter(...)` — manifest-stat range
   * skipping, Bloom point skipping, and deletion-vector application are
   * pure optimizations.  The targeted TxTableSpec cases pin that contract
   * on hand-built layouts; this suite drives it across seeded RANDOM
-  * histories (append / merge / copy-on-write delete / DV delete / compact
+  * histories (append / merge / copy-on-write delete / DV delete /
+  * one-commit delta (insert+takedown in one manifest) / compact
   * / N-dim Z-order / restore, with min-max stats AND key Blooms tracked on
   * every commit) and random predicates, checked after every op against an
   * in-memory reference model.
@@ -83,6 +85,19 @@ class TxPruneFuzzSpec extends SparkFunSuite {
         assert(gotS == wantS,
           s"seed $seed op #$op ($desc): readWhereString s in [$sLo,$sHi] diverged")
 
+        // multi-point IN probe (readWhereIn): a mixed bag of live, dead,
+        // and never-seen keys in ONE pruned scan must equal the model's
+        // membership filter exactly — any-value segment survival must
+        // never over-prune, and the single DV application must hold
+        val inSet = (rng.shuffle((0L until (nextKey + 8)).toVector)
+          .take(1 + rng.nextInt(6))).distinct
+        val gotIn = asSet(TxTable.readWhereIn(spark, root, "k",
+          inSet.map(java.math.BigDecimal.valueOf)))
+        val wantIn = modelRows.filter(r => inSet.contains(r._1))
+        assert(gotIn == wantIn,
+          s"seed $seed op #$op ($desc): readWhereIn k in $inSet diverged " +
+            s"(missing ${wantIn -- gotIn}, extra ${gotIn -- wantIn})")
+
         // point probe on a live key: exactly its row (Bloom + range + DV)
         if (model.nonEmpty) {
           val k0 = rng.shuffle(model.keys.toSeq).head
@@ -137,9 +152,26 @@ class TxPruneFuzzSpec extends SparkFunSuite {
               model = model -- victims
             }
             s"dv-delete ${victims.size}"
-          case 7 => // compaction: stats + Blooms must survive the rewrite
-            head = TxTable.compactTx(spark, root, targetBytes = 1L << 20)
-            "compact"
+          case 7 =>
+            if (rng.nextBoolean()) { // compaction: stats+Blooms must survive
+              head = TxTable.compactTx(spark, root, targetBytes = 1L << 20)
+              "compact"
+            } else { // ONE-COMMIT delta: fresh inserts + takedowns together;
+              // sometimes a just-inserted key is also tombstoned — the DV
+              // must reach into the delta segment (append-then-delete)
+              val rows = freshRows(2 + rng.nextInt(6))
+              val fromLive = rng.shuffle(model.keys.toSeq)
+                .take(rng.nextInt(1 + (model.size - 1) / 3))
+              val fromFresh =
+                if (rng.nextBoolean()) rng.shuffle(rows.keys.toSeq).take(1)
+                else Nil
+              val victims = fromLive ++ fromFresh
+              head = TxTable.commitDelta(spark, root, rowsDf(rows),
+                victims.toDF("k"), Seq("k"),
+                statsCols = Seq("k", "s"), bloomCols = Seq("k"))
+              model = (model ++ rows) -- victims
+              s"delta +${rows.size}-${victims.size}"
+            }
           case 8 => // N-dim Z-order: ditto, plus fresh stats on both dims
             head = TxTable.compactZOrderN(spark, root, Seq("k", "v"),
               numSegments = 2, bits = 8)

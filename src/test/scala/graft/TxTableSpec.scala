@@ -624,7 +624,7 @@ class TxTableSpec extends SparkFunSuite {
       // refuse and leave the winner byte-identical
       val f = org.apache.hadoop.fs.FileSystem.get(
         new java.net.URI("file:///"), spark.sparkContext.hadoopConfiguration)
-      val ok = TxTable.publishExclusive(f,
+      val ok = TxTable.publishExclusive(spark, f,
         new org.apache.hadoop.fs.Path(stalledTmp.getAbsolutePath),
         new org.apache.hadoop.fs.Path(target.getAbsolutePath))
       assert(!ok, "the late publisher must lose the slot, not silently win")
@@ -632,8 +632,9 @@ class TxTableSpec extends SparkFunSuite {
         "the acknowledged winner manifest must survive the late publish")
       // This local-FS guarantee (and HDFS's rename contract) is as far as
       // filesystem APIs go: S3A rename is check-then-copy, NOT atomic —
-      // publishExclusive's scaladoc documents the external-arbiter
-      // (LogStore-style conditional-put) boundary an S3 deployment needs.
+      // PublishArbiter is the pluggable boundary an S3 deployment fills
+      // with an external conditional-put arbiter (PublishArbiterSpec pins
+      // the racing-publisher contract against a simulated store).
       assert(TxTable.read(spark, root).as[Long].collect().sorted.toSeq === Seq(1L, 2L))
     } finally spark.conf.unset("spark.graft.tx.staleClaimMs")
   }
@@ -1043,5 +1044,104 @@ class TxTableSpec extends SparkFunSuite {
       "replayed batch ids must no-op both tables")
     assert(TxTable.read(spark, root).count() === 5 &&
       TxTable.read(spark, dlq).count() === 4)
+  }
+
+  test("commitDelta: insert segment + takedown DV publish as ONE version, " +
+    "bit-identical to the append-then-dvdelete pair") {
+    val rootA = newRoot(); val rootB = newRoot()
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "s")
+    TxTable.commitOverwrite(spark, rootA, base, statsCols = Seq("k"))
+    TxTable.commitOverwrite(spark, rootB, base, statsCols = Seq("k"))
+    // the delta inserts 4,5 and tombstones 2 AND 5 — the takedown of a
+    // key introduced by the SAME delta must land (append-then-delete)
+    val ins = Seq((4L, "d"), (5L, "e")).toDF("k", "s")
+    val dels = Seq(2L, 5L).toDF("k")
+    val vA0 = TxTable.latestVersion(spark, rootA).get
+    val vA = TxTable.commitDelta(spark, rootA, ins, dels, Seq("k"),
+      statsCols = Seq("k"))
+    assert(vA === vA0 + 1, "the fused apply must publish exactly ONE version")
+    TxTable.commitAppend(spark, rootB, ins, statsCols = Seq("k"))
+    TxTable.commitDeleteVectors(spark, rootB, dels, Seq("k"))
+    def snap(r: String) = TxTable.read(spark, r).as[(Long, String)].collect().toSet
+    assert(snap(rootA) === snap(rootB), "delta must equal the two-commit pair")
+    assert(snap(rootA) === Set((1L, "a"), (3L, "c"), (4L, "d")))
+    // the DV reaches into the delta segment: key 5 was inserted AND
+    // tombstoned in the same commit, and must be invisible to pruned reads
+    assert(TxTable.readWhereEquals(spark, rootA, "k", 5L).isEmpty)
+    assert(TxTable.readWhereIn(spark, rootA, "k",
+      Seq(2L, 4L, 5L).map(java.math.BigDecimal.valueOf))
+      .as[(Long, String)].collect().toSet === Set((4L, "d")))
+
+    // degenerate shapes: empty tombstones publish a plain append manifest
+    // (readChanges derives its inserts structurally, no cdf needed);
+    // both-empty is a no-op that returns the head unchanged
+    val vApp = TxTable.commitDelta(spark, rootA, Seq((6L, "f")).toDF("k", "s"),
+      spark.emptyDataset[Long].toDF("k"), Seq("k"))
+    val ch = TxTable.readChanges(spark, rootA, vApp - 1, vApp)
+    assert(ch.select("k", "_change_type").as[(Long, String)].collect().toSet
+      === Set((6L, "insert")), "tombstone-less delta must read as an append")
+    val vNoop = TxTable.commitDelta(spark, rootA,
+      spark.emptyDataset[(Long, String)].toDF("k", "s"),
+      spark.emptyDataset[Long].toDF("k"), Seq("k"))
+    assert(vNoop === vApp, "an all-empty delta must not publish")
+
+    // exactly-once: a batch id replays as a no-op
+    val vB1 = TxTable.commitDelta(spark, rootA, Seq((7L, "g")).toDF("k", "s"),
+      Seq(1L).toDF("k"), Seq("k"), batch = Some(42L))
+    val replay = TxTable.commitDelta(spark, rootA, Seq((8L, "h")).toDF("k", "s"),
+      Seq(3L).toDF("k"), Seq("k"), batch = Some(42L))
+    assert(replay === -1L && TxTable.latestVersion(spark, rootA).contains(vB1),
+      "a replayed batch id must publish nothing")
+    assert(snap(rootA) === Set((3L, "c"), (4L, "d"), (6L, "f"), (7L, "g")))
+
+    // cdf: the fused commit's change feed records the inserts (by segment
+    // reference) AND the takedown rows, like the two-commit pair would
+    val rootC = newRoot()
+    TxTable.commitOverwrite(spark, rootC, base)
+    val vC = TxTable.commitDelta(spark, rootC, Seq((4L, "d")).toDF("k", "s"),
+      Seq(2L, 4L).toDF("k"), Seq("k"), cdf = true)
+    val chC = TxTable.readChanges(spark, rootC, vC - 1, vC)
+      .select("k", "_change_type").as[(Long, String)].collect().toSet
+    assert(chC === Set((4L, "insert"), (2L, "delete"), (4L, "delete")),
+      "cdf delta must record inserts and takedowns (incl. same-commit kills)")
+  }
+
+  test("checks: commitMerge enforces on the MERGED output (updated + " +
+    "preserved columns combined), not the raw batch") {
+    val root = newRoot()
+    TxTable.commitOverwrite(spark, root,
+      Seq((1L, 5.0, 10.0), (2L, 8.0, 9.0)).toDF("k", "amount", "cap"))
+    TxTable.addCheck(spark, root, "under_cap", "amount <= cap")
+    val v0 = TxTable.latestVersion(spark, root).get
+    // the batch updates amount; its OWN cap values (ignored on conflict —
+    // cap is preserved) pass the check, but the merged row 2 combines
+    // amount 9.5 with the PRESERVED cap 9 — only the merged output shows it
+    val bad = Seq((2L, 9.5, 100.0), (1L, 9.5, 100.0)).toDF("k", "amount", "cap")
+    val e = intercept[IllegalArgumentException](
+      TxTable.commitMerge(spark, root, bad, Seq("k"), Seq("amount"), Seq("cap")))
+    assert(e.getMessage.contains("under_cap"), "refusal must name the check")
+    assert(TxTable.latestVersion(spark, root).contains(v0) &&
+      TxTable.read(spark, root).count() === 2,
+      "a refused merge publishes nothing and removes its staged segment")
+    // a batch that satisfies the check against the PRESERVED caps lands
+    TxTable.commitMerge(spark, root,
+      Seq((2L, 8.5, 100.0), (1L, 9.5, 100.0)).toDF("k", "amount", "cap"),
+      Seq("k"), Seq("amount"), Seq("cap"))
+    assert(TxTable.read(spark, root).filter(col("amount") > col("cap")).count() === 0)
+
+    // commitRewriteHit enforces on the rewrite callback's output too
+    val v1 = TxTable.latestVersion(spark, root).get
+    val e2 = intercept[IllegalArgumentException](
+      TxTable.commitRewriteHit(spark, root, Seq(1L).toDF("k"), Seq("k")) { touched =>
+        touched.withColumn("amount", col("cap") + 1)
+      })
+    assert(e2.getMessage.contains("under_cap"))
+    assert(TxTable.latestVersion(spark, root).contains(v1),
+      "a refused rewrite publishes nothing")
+    // commitDelta's insert side is gated like any append
+    intercept[IllegalArgumentException](
+      TxTable.commitDelta(spark, root, Seq((9L, 99.0, 1.0)).toDF("k", "amount", "cap"),
+        spark.emptyDataset[Long].toDF("k"), Seq("k")))
+    assert(TxTable.latestVersion(spark, root).contains(v1))
   }
 }
