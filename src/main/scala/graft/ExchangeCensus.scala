@@ -13,6 +13,10 @@ object ExchangeCensus {
     import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val spark = GraftSession.builder("local[8]", 8)
+      // exchanges are INSERTED by EnsureRequirements (an executedPlan
+      // preparation) and AQE wraps the tree at runtime — count on the
+      // static executedPlan with AQE off, exactly like Explain
+      .config("spark.sql.adaptive.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -21,7 +25,7 @@ object ExchangeCensus {
       else graft.queries.Catalog.all.map(_.name)
     for (n <- names) {
       try {
-        val plan = SparkEntry.queries(n)(spark, sfDir).queryExecution.sparkPlan
+        val plan = SparkEntry.queries(n)(spark, sfDir).queryExecution.executedPlan
         val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
         val bcasts = plan.collect { case e: BroadcastExchangeExec => e }
         println(s"[census] $n shuffles=${shuffles.size} broadcasts=${bcasts.size}")

@@ -22,7 +22,15 @@ import graft.engine.{Graph, Text, TxTable, Vector}
   * ANN probes are a FIXED batch (the production shape: corpus grows, a
   * query batch does not).
   *
-  * Usage: `runMain graft.ScaleProbe [multipliers...]` (default 1 3 10). */
+  * Usage: `runMain graft.ScaleProbe [multipliers...]` (default 1 3 10).
+  * Two extra modes probe the resources the batch passes cannot see:
+  * `runMain graft.ScaleProbe streaming [mults...]` scales the
+  * stream-stream-join and session-window shapes (q_st6/q_st8), measuring
+  * per-batch latency AND state-store rows/bytes — state bytes per retained
+  * key growing super-linearly is a bug report; `runMain graft.ScaleProbe
+  * txlog [counts...]` synthesizes tables with 100/1k/10k retained versions
+  * and measures head resolution, snapshot open and DESCRIBE HISTORY —
+  * the listing-vs-pointer decision for the `_last_checkpoint` question. */
 object ScaleProbe {
 
   private def genDocs(spark: SparkSession, n: Long): DataFrame =
@@ -40,14 +48,202 @@ object ScaleProbe {
         (pmod(hash(col("id"), i), lit(2001)) - 1000).cast("double") / 1000.0)
         .as("embedding"))
 
+  /** Scaled synthetic events: ~100 events/user (user count grows with the
+    * corpus — the production shape), event time spread over one day, value
+    * and type hash-derived so rates are scale-invariant. */
+  private def genEvents(spark: SparkSession, n: Long): DataFrame = {
+    val users = math.max(50L, n / 100)
+    spark.range(n).select(
+      pmod(hash(col("id")), lit(users)).cast("long").as("user_id"),
+      timestamp_seconds(lit(1700000000L) + pmod(hash(col("id"), lit(7)), lit(86400)))
+        .as("ts"),
+      col("id").as("event_id"),
+      (pmod(hash(col("id"), lit(13)), lit(1000)).cast("double") / 10).as("value"),
+      when(pmod(hash(col("id"), lit(3)), lit(4)) === 0, "purchase")
+        .otherwise("click").as("event_type"))
+  }
+
+  /** Write `df` as `parts` time-ordered files with ascending mtimes, so a
+    * maxFilesPerTrigger=1 file source replays them as `parts` micro-batches
+    * whose watermark advances monotonically (the q_st8 discipline). */
+  private def writeBatches(spark: SparkSession, df: DataFrame, dir: String,
+                           parts: Int): Unit = {
+    df.repartitionByRange(parts, col("ts"))
+      .sortWithinPartitions("ts")
+      .withColumn("__b", org.apache.spark.sql.functions.spark_partition_id())
+      .write.partitionBy("__b").parquet(dir)
+    val now = System.currentTimeMillis()
+    val subs = new java.io.File(dir).listFiles().filter(_.getName.startsWith("__b="))
+      .sortBy(_.getName.stripPrefix("__b=").toInt)
+    subs.zipWithIndex.foreach { case (d, i) =>
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .foreach(_.setLastModified(now - (subs.length - i) * 60000L))
+    }
+  }
+
+  /** Streaming-state probe (q_st6 / q_st8 shapes): per-batch latency and
+    * state-store growth at 1×/10×/30×.  The batch count is FIXED (4), so
+    * rows per batch grow with scale — per-batch latency tracks throughput
+    * and stateRows/stateBytes track the one resource the batch probes
+    * can't see.  Keys (users) grow with scale; bytes per retained key must
+    * stay ~flat. */
+  private def streamingProbe(spark: SparkSession, mults: Seq[Int]): Unit = {
+    val baseEvents = 20000L
+    val out = scala.collection.mutable.Map
+      .empty[String, scala.collection.mutable.ArrayBuffer[(Int, Double, Double)]]
+    var warmup = true
+    for (m <- mults.min +: mults) {
+      val base = java.nio.file.Files.createTempDirectory(s"scaleprobe_st_$m").toString
+      val n = baseEvents * m
+      val ev = genEvents(spark, n)
+      writeBatches(spark, ev.filter(col("event_type") === "click")
+        .select("user_id", "ts", "event_id"), s"$base/clicks", 4)
+      writeBatches(spark, ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user_id"), col("ts").as("p_ts"),
+          col("value")), s"$base/purchases", 4)
+      writeBatches(spark, ev.select("user_id", "ts", "event_id"),
+        s"$base/sess", 4)
+
+      def runStream(name: String)(start: org.apache.spark.sql.SparkSession
+          => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+        val ss = graft.streaming.Streaming.stateSession(spark, 8)
+        val t0 = System.nanoTime()
+        val q = start(ss)
+        q.awaitTermination()
+        val dt = (System.nanoTime() - t0) / 1e9
+        val progs = q.recentProgress.filter(_.stateOperators.nonEmpty)
+        val batches = q.recentProgress.length
+        val rows = progs.lastOption.map(_.stateOperators.map(_.numRowsTotal).sum)
+          .getOrElse(0L)
+        val bytes = progs.lastOption.map(_.stateOperators.map(_.memoryUsedBytes).sum)
+          .getOrElse(0L)
+        if (!warmup) {
+          out.getOrElseUpdate(name, scala.collection.mutable.ArrayBuffer.empty)
+            .append((m, dt, bytes.toDouble))
+          println(f"""{"probe":"$name","scale":$m,"events":$n,"sec":$dt%.2f,""" +
+            f""""batches":$batches,"stateRows":$rows,"stateBytes":$bytes,""" +
+            f""""secPerBatch":${dt / math.max(1, batches)}%.3f}""")
+        }
+      }
+
+      runStream("stream_stream_join") { ss =>
+        val cSchema = spark.read.parquet(s"$base/clicks").schema
+        val pSchema = spark.read.parquet(s"$base/purchases").schema
+        val clicks = ss.readStream.schema(cSchema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$base/clicks/*")
+          .withWatermark("ts", "2 hours")
+        val purchases = ss.readStream.schema(pSchema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$base/purchases/*")
+          .withWatermark("p_ts", "2 hours")
+        clicks.join(purchases, expr(
+          "user_id = p_user_id AND p_ts BETWEEN ts - INTERVAL 1 HOUR AND ts"))
+          .writeStream.format("parquet")
+          .option("path", s"$base/out_join")
+          .option("checkpointLocation", s"$base/cp_join")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      }
+      runStream("stream_sessions") { ss =>
+        val schema = spark.read.parquet(s"$base/sess").schema
+        ss.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$base/sess/*")
+          .withWatermark("ts", "1 second")
+          .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("user_id"), col("session_window.start").as("s"), col("n"))
+          .writeStream.format("parquet")
+          .option("path", s"$base/out_sess")
+          .option("checkpointLocation", s"$base/cp_sess")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      }
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+      warmup = false
+    }
+    for ((probe, ts) <- out.toSeq.sortBy(_._1); if ts.size >= 2) {
+      val lo = ts.minBy(_._1); val hi = ts.maxBy(_._1)
+      val expSec = math.log(hi._2 / lo._2) / math.log(hi._1.toDouble / lo._1)
+      val expBytes =
+        if (lo._3 > 0 && hi._3 > 0)
+          math.log(hi._3 / lo._3) / math.log(hi._1.toDouble / lo._1)
+        else Double.NaN
+      println(f"""{"probe":"$probe","secExponent":$expSec%.2f,""" +
+        f""""stateBytesExponent":$expBytes%.2f}""")
+    }
+  }
+
+  /** `_txlog` scale probe: synthesize tables with N retained versions (one
+    * real commit, then N templated manifests — the on-disk format is ours)
+    * and measure what every read and commit pays: head resolution (one
+    * directory listing today), snapshot open, and DESCRIBE HISTORY
+    * (O(N) by design).  Head resolution growing with N while manifests
+    * stay O(1)-readable is the case for a `_last_checkpoint`-style head
+    * pointer (the Delta precedent). */
+  private def txlogProbe(spark: SparkSession, counts: Seq[Int]): Unit = {
+    import spark.implicits._
+    for (n <- counts) {
+      val base = java.nio.file.Files.createTempDirectory(s"scaleprobe_log_$n").toString
+      val root = s"$base/tbl"
+      TxTable.commitOverwrite(spark, root, Seq((1L, "a")).toDF("k", "s"))
+      val logDir = java.nio.file.Paths.get(s"$root/_txlog")
+      val v1 = java.nio.file.Files.readString(logDir.resolve("v0000000001.json"))
+      for (v <- 2 to n)
+        java.nio.file.Files.writeString(
+          logDir.resolve(f"v$v%010d.json"),
+          v1.replace("\"version\":1,", s""""version":$v,"""))
+      def bestOf(reps: Int)(body: => Unit): Double = {
+        var best = Double.MaxValue
+        for (_ <- 1 to reps) {
+          val t0 = System.nanoTime(); body
+          best = math.min(best, (System.nanoTime() - t0) / 1e6)
+        }
+        best
+      }
+      // synthesized manifests bypassed commit, so the hint still says 1 —
+      // set it to the true head (what maintained commits would have done).
+      // Write through the Hadoop fs: the commit wrote _head via the
+      // checksum LocalFileSystem, and a raw-nio overwrite would leave a
+      // stale .crc that turns every hinted read into a ChecksumException
+      // fallback (measured: the fallback is exactly the listing cost)
+      val hfs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val hp = new org.apache.hadoop.fs.Path(s"$root/_txlog/_head")
+      val os = hfs.create(hp, true)
+      try os.write(n.toString.getBytes("UTF-8")) finally os.close()
+      val tHead = bestOf(20)(TxTable.latestVersion(spark, root))
+      val tOpen = bestOf(5)(TxTable.read(spark, root).count())
+      val tHist = bestOf(3)(TxTable.history(spark, root).count())
+      // the pre-pointer cost: every resolution lists the whole _txlog
+      hfs.delete(hp, false)
+      val tHeadList = bestOf(20)(TxTable.latestVersion(spark, root))
+      println(f"""{"probe":"txlog","versions":$n,"headMs":$tHead%.2f,""" +
+        f""""headListingMs":$tHeadList%.2f,"openMs":$tOpen%.2f,""" +
+        f""""historyMs":$tHist%.2f}""")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+    }
+  }
+
   def main(args: Array[String]): Unit = {
-    val mults = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1, 3, 10)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    args.headOption match {
+      case Some("streaming") =>
+        val mults = if (args.length > 1) args.drop(1).map(_.toInt).toSeq
+          else Seq(1, 10, 30)
+        streamingProbe(spark, mults)
+        spark.stop(); return
+      case Some("txlog") =>
+        val counts = if (args.length > 1) args.drop(1).map(_.toInt).toSeq
+          else Seq(100, 1000, 10000)
+        txlogProbe(spark, counts)
+        spark.stop(); return
+      case _ => ()
+    }
+    val mults = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1, 3, 10)
     val baseDocs = 5000L // the sf0.1 documents row count
     val baseVecs = 2000L // the sf0.1 embeddings row count
     val out = scala.collection.mutable.Map
@@ -148,9 +344,10 @@ object ScaleProbe {
       val tombs = spark.range(100)
         .select((col("id") * 20 + 7).as("vec_id"))
       time("ann_incremental", m) {
-        TxTable.commitAppend(spark, idxRoot, toIdx(delta),
-          statsCols = Seq("list_id"))
-        TxTable.commitDeleteVectors(spark, idxRoot, tombs, Seq("vec_id"))
+        // ONE fused commit (insert segment + takedown DV in one manifest),
+        // the q_tx_ann_incremental shape after the round-12 fold
+        TxTable.commitDelta(spark, idxRoot, toIdx(delta), tombs,
+          Seq("vec_id"), statsCols = Seq("list_id"))
         200L
       }
       time("ann_rebuild", m) {

@@ -235,15 +235,51 @@ object TxTable {
     latestVersion(spark, root)
       .flatMap(v => readManifest(spark, root, v, withStats = false).schema.map(decodeSchema))
 
-  /** Latest committed version, or None for an uninitialized table. */
+  private def headPointerPath(root: String): Path =
+    new Path(s"${root.stripSuffix("/")}/$LogDir/_head")
+
+  /** Best-effort head HINT, written after every successful publish — the
+    * Delta `_last_checkpoint` idea: without it every head resolution lists
+    * the whole `_txlog` directory, an O(retained versions) driver sweep
+    * paid by EVERY read and EVERY commit attempt (and on object stores a
+    * paged LIST per 1,000 entries).  The pointer is a pure hint, never a
+    * correctness input: [[latestVersion]] probes FORWARD from it (a lagging
+    * hint from a crash between publish and pointer write, or a lost
+    * pointer-write race, costs O(lag) existence checks and still resolves
+    * the true head), verifies the hinted manifest exists (an ancient or
+    * damaged hint falls back to the listing), and commit exclusivity still
+    * comes entirely from the claim/publish arbitration. */
+  private def writeHeadHint(f: FileSystem, root: String, v: Long): Unit =
+    try {
+      val os = f.create(headPointerPath(root), true)
+      try os.write(v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally os.close()
+    } catch { case _: Exception => () } // a hint may fail silently
+
+  /** Latest committed version, or None for an uninitialized table —
+    * resolved through the `_head` hint (O(1 + lag), see
+    * [[writeHeadHint]]) with the directory listing as the fallback for
+    * pre-hint tables, damaged hints, and bootstrap. */
   def latestVersion(spark: SparkSession, root: String): Option[Long] = {
     val dir = new Path(s"${root.stripSuffix("/")}/$LogDir")
     val f = fs(spark, root)
-    if (!f.exists(dir)) None
-    else f.listStatus(dir).map(_.getPath.getName)
-      .collect { case n if n.startsWith("v") && n.endsWith(".json") =>
-        n.stripPrefix("v").stripSuffix(".json").toLong }
-      .reduceOption(_ max _)
+    val hinted =
+      try {
+        val h = slurp(f, headPointerPath(root)).trim.toLong
+        if (h < 1 || !f.exists(manifestPath(root, h))) None
+        else {
+          var v = h
+          while (f.exists(manifestPath(root, v + 1))) v += 1
+          Some(v)
+        }
+      } catch { case _: Exception => None }
+    hinted.orElse {
+      if (!f.exists(dir)) None
+      else f.listStatus(dir).map(_.getPath.getName)
+        .collect { case n if n.startsWith("v") && n.endsWith(".json") =>
+          n.stripPrefix("v").stripSuffix(".json").toLong }
+        .reduceOption(_ max _)
+    }
   }
 
   /** `DESCRIBE HISTORY` — one metadata row per retained commit:
@@ -614,6 +650,7 @@ object TxTable {
               "writer (possibly after this committer's claim was reaped as " +
               "stale); the winning manifest is preserved")
         }
+        writeHeadHint(f, root, next)
         return next
       }
       // lost the race: either a live racer holds the slot (their manifest

@@ -2509,6 +2509,56 @@ object Catalog {
            FROM kept GROUP BY 1
          ORDER BY bucket""")),
 
+    // ONE-COMMIT DELTA APPLY (TxTable.commitDelta): an insert segment AND
+    // a takedown deletion vector published in the SAME manifest — the
+    // append-then-dvdelete pair fused into one CAS, the maintained-index
+    // refresh primitive q_tx_ann_incremental rides.  The in-query requires
+    // pin the protocol shape: exactly ONE version advance, existing
+    // segments carried by reference (data/ grows by exactly the one delta
+    // segment), and append-then-delete semantics — a key inserted and
+    // tombstoned in the SAME delta must come out deleted.  The oracle
+    // restates the final state relationally.
+    QueryDef("q_tx_delta",
+      (s, dir) => {
+        val root = Files.createTempDirectory("graft_txdelta").toString + "/tbl"
+        val o = t(s, dir, "orders").select("o_orderkey", "o_totalprice")
+        TxTable.commitAppend(s, root, o.filter(col("o_orderkey") % 2 === 0))
+        TxTable.commitAppend(s, root, o.filter(col("o_orderkey") % 2 =!= 0))
+        val inserts = o.filter(col("o_orderkey") % 10 === 1)
+          .select((col("o_orderkey") + 1000000).as("o_orderkey"),
+            (col("o_totalprice") + 50.0).as("o_totalprice"))
+        val tombs = o.filter(col("o_orderkey") % 3 === 0).select("o_orderkey")
+          .unionByName(o.filter(col("o_orderkey") % 20 === 1)
+            .select((col("o_orderkey") + 1000000).as("o_orderkey")))
+        val v0 = TxTable.latestVersion(s, root).get
+        def dataSegs() = new java.io.File(root + "/data").listFiles.count(_.isDirectory)
+        val before = dataSegs()
+        val v1 = TxTable.commitDelta(s, root, inserts, tombs, Seq("o_orderkey"))
+        require(v1 == v0 + 1,
+          s"q_tx_delta: the fused apply must publish ONE version (v$v0 -> v$v1)")
+        require(dataSegs() == before + 1,
+          "q_tx_delta: existing segments must carry by reference — only the " +
+            "delta segment may be written")
+        TxTable.read(s, root)
+          .groupBy((col("o_orderkey") % 10).as("bucket"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("price_sum"))
+          .orderBy("bucket")
+      },
+      Some("""WITH base AS (SELECT o_orderkey, o_totalprice FROM orders),
+         ins AS (SELECT o_orderkey + 1000000 AS o_orderkey,
+               o_totalprice + 50.0 AS o_totalprice
+             FROM base WHERE o_orderkey % 10 = 1),
+         dead AS (SELECT o_orderkey FROM base WHERE o_orderkey % 3 = 0
+           UNION ALL SELECT o_orderkey + 1000000 FROM base
+             WHERE o_orderkey % 20 = 1),
+         fin AS (SELECT * FROM (SELECT * FROM base UNION ALL SELECT * FROM ins) u
+             WHERE o_orderkey NOT IN (SELECT o_orderkey FROM dead))
+         SELECT o_orderkey % 10 AS bucket, COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+               AS price_sum
+           FROM fin GROUP BY 1
+         ORDER BY bucket""")),
+
     // BOUNDED small-segment compaction (TxTable.compactSmall ≡ Delta
     // OPTIMIZE's small-file pass): after one right-sized append and four
     // small ones (plus merge-on-read deletes spanning both size classes),

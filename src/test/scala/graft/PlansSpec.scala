@@ -212,6 +212,114 @@ class PlansSpec extends SparkFunSuite {
       s"shape map names unregistered queries: ${shape.keySet -- covered}")
   }
 
+  test("exchange budgets: the most expensive plans carry EXACTLY the " +
+    "recorded number of shuffle/broadcast exchanges") {
+    // An accidental extra shuffle never changes answers, so until a bench
+    // regresses it is invisible — this pins the exchange count of the
+    // bench's most expensive / most exchange-heavy final plans as CI.
+    // Recorded once via `runMain graft.ExchangeCensus /root/testdata/sf0.001`
+    // (AQE off, static executedPlan — exchanges are inserted by
+    // EnsureRequirements, and AQE would wrap the tree); asserted exactly
+    // thereafter.  A legitimate plan change re-records by re-running the
+    // census and updating the pair, with the comment explaining the move.
+    // (shuffles, broadcasts) per query; the comment names what they are.
+    val budget: Map[String, (Int, Int)] = Map(
+      // dims broadcast (nation + customer + date-filter DPP side); the
+      // lineitem⋈orders co-partition pair + the final group agg
+      "q_flagship_revenue" -> ((3, 3)),
+      // PQ codebook train (sampled k-means repartition + agg) and the
+      // code-space top-k rank; query batch broadcasts
+      "q_pq_topk_trained" -> ((2, 1)),
+      // large/small-star rounds: per-round edge re-key + component agg
+      "q_cc_contraction" -> ((3, 0)),
+      // probed-list candidate read: rank window partition + final order;
+      // the probe batch broadcasts against the pruned candidate scan
+      "q_tx_ann_incremental" -> ((2, 1)),
+      // IVM view read-back: one final group agg over the view table
+      "q_tx_ivm" -> ((1, 0)),
+      "q_tx_ivm_join" -> ((1, 0)),
+      // change-feed fold: per-key latest-wins window + final order
+      "q_tx_cdf" -> ((2, 0)),
+      // post-OPTIMIZE pruned-read check: range probe agg + final order
+      "q_tx_zorder" -> ((2, 0)),
+      // rare-shingle candidate equi-join pair + verify agg + final order;
+      // DF-cutoff side and shingle dictionary broadcast
+      "q_ngram_jaccard" -> ((4, 3)),
+      // stream output read-back: group agg + order (the streaming work
+      // itself ran through the state store, not this plan)
+      "q_st6_stream_stream_join" -> ((2, 0)),
+      "q_st8_stream_sessions" -> ((1, 0)),
+      // band→bucket candidate join + exact-verify agg + recall join against
+      // brute-force truth (its own rank window); small sides broadcast
+      "q_minhash_recall" -> ((8, 7)),
+      // two retrieval arms (BM25 agg pair + cosine rank) + RRF fuse window;
+      // query terms and query vectors broadcast per arm
+      "q_hybrid_rrf" -> ((8, 7)),
+      // batch-vs-index band joins + survivor agg + incremental union agg
+      "q_dedup_incremental" -> ((8, 4)),
+      // per-shard sketch build aggs + merged-vs-single-pass compare join
+      "q_quantile_merge" -> ((7, 4)),
+      // (x,y) cell agg + two marginal aggs + final order, small marginals
+      // broadcast back onto cells
+      "q_mutual_info" -> ((8, 3)),
+      // edge canonicalization + two-hop join pair + triangle count agg
+      "q_triangles" -> ((6, 4)),
+      // two octave-paged global rank passes (page agg + interior window)
+      // + the moment agg over rank pairs
+      "q_spearman" -> ((6, 4)),
+      // hot-key split: skewed side salted join + residual broadcast join
+      // + union agg
+      "q_skew_split_join" -> ((8, 2)),
+      // per-shard KMV build aggs + merge agg + exact-distinct compare
+      "q_kmv_merge" -> ((9, 1)),
+      "q_kmv_intersect" -> ((7, 3)),
+      // shingle-set containment: candidate join + per-pair verify agg +
+      // keep-decision window; DF bounds broadcast
+      "q_containment_dedup" -> ((5, 5)),
+      "q_containment_pairs" -> ((4, 4)),
+      // benchmark n-gram dictionary broadcast into the corpus scan +
+      // per-doc hit agg + final order
+      "q_contamination" -> ((5, 4)),
+      // query-term broadcast + postings agg + per-doc score agg + top-k
+      "q_bm25_topk" -> ((4, 4)))
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+    val dir = "/root/testdata/sf0.001"
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.adaptive.enabled", "false")
+    val failures = scala.collection.mutable.ArrayBuffer.empty[String]
+    for ((name, (wantS, wantB)) <- budget.toSeq.sortBy(_._1)) {
+      try {
+        // queries that derive their own session inherit AQE from the
+        // SparkConf regardless of this session's override — unwrap the
+        // adaptive wrapper to its INITIAL plan (post-EnsureRequirements,
+        // exchanges inserted, nothing executed yet; inputPlan would be
+        // pre-EnsureRequirements and show zero exchanges)
+        val plan = SparkEntry.queries(name)(ss, dir)
+          .queryExecution.executedPlan match {
+            case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+              a.executedPlan
+            case p => p
+          }
+        // count UNIQUE exchanges (canonicalized): with AQE off the plan
+        // already collapsed duplicates into ReusedExchangeExec; an AQE
+        // initial plan still carries the duplicates it will reuse at
+        // runtime — dedup on exactly the equality ReuseExchange uses
+        val gotS = plan.collect { case e: ShuffleExchangeExec => e }
+          .map(_.canonicalized).distinct.size
+        val gotB = plan.collect { case e: BroadcastExchangeExec => e }
+          .map(_.canonicalized).distinct.size
+        if ((gotS, gotB) != ((wantS, wantB)))
+          failures += s"$name: expected $wantS shuffles/$wantB broadcasts, " +
+            s"planned $gotS/$gotB — an exchange appeared or vanished; " +
+            "re-run ExchangeCensus and either fix the plan or re-record"
+      } catch {
+        case e: Throwable =>
+          failures += s"$name: build failed — ${String.valueOf(e.getMessage).take(160)}"
+      }
+    }
+    assert(failures.isEmpty, s"exchange-budget regressions:\n${failures.mkString("\n")}")
+  }
+
   test("guardrail honors the conf escape hatch for knowingly-bounded inputs") {
     val df = Seq((1L, "a")).toDF("k", "v")
     val bad = df.withColumn("rn", row_number().over(W.orderBy("k")))
