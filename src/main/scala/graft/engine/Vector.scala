@@ -131,6 +131,51 @@ object Vector {
       .select("q_id", "rank", "c_id", "pcos")
   }
 
+  /** MATRYOSHKA (MRL) prefix-dimension top-k — the truncation half of the
+    * dim-reduction story beside [[projectedTopK]]'s projection half: an
+    * MRL-trained embedding front-loads information so its first
+    * `prefixDims` coordinates are themselves a usable embedding, and
+    * truncation costs NOTHING (an array slice — no projection matrix, no
+    * dot products), which is why serving stacks quantize storage this way.
+    * Output `(q_id, rank, c_id, mcos)`; `mcos` is cosine between prefixes.
+    * Whether the fixture embeddings actually front-load is measured by the
+    * recall audit query, never assumed.  Scale shape: a narrow map + the
+    * standard broadcast-query rank — zero extra exchange; at 100 TB the
+    * prefix read can even skip trailing bytes at the storage layer. */
+  def prefixTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                 prefixDims: Int = 16): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(corpus.sparkSession)
+    val q = broadcast(queries.select(col("vec_id").as("q_id"),
+      slice(asDouble(col("embedding")), 1, prefixDims).as("qm")))
+    val c = corpus.select(col("vec_id").as("c_id"),
+      slice(asDouble(col("embedding")), 1, prefixDims).as("cm"))
+    c.join(q, col("q_id") =!= col("c_id"))
+      .withColumn("mcos", cosineNative(col("qm"), col("cm")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("mcos").desc, col("c_id"))))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "c_id", "mcos")
+  }
+
+  /** MUTUAL k-NN pairs — the bitext-mining / hard-negative-filter
+    * primitive (the reciprocal test beside [[marginRank]]'s hub
+    * correction): keep (a, b) iff b is in a's top-k AND a is in b's —
+    * one-directional neighbors are dominated by hubs and near-duplicates,
+    * mutual ones are the high-precision matches worth keeping.  Input is
+    * ANY `(q_id, c_id, cos)` retrieval result where every id was also
+    * queried (brute force here, IVF/LSH lists at scale — the operator
+    * composes with every tier of the index ladder); output one canonical
+    * `(a, b, cos)` row per mutual pair with a < b.
+    *
+    * Scale shape: ONE self equi-join on the reversed pair key — no new
+    * exchange class beyond what produced the top-k itself. */
+  def mutualPairs(topk: DataFrame): DataFrame = {
+    val fw = topk.select(col("q_id").as("a"), col("c_id").as("b"), col("cos"))
+    fw.join(fw.select(col("b").as("a"), col("a").as("b")), Seq("a", "b"),
+        "left_semi")
+      .filter(col("a") < col("b"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: candidates share an LSH bucket
     * (equi-join — near-identical vectors land in the same half-space for
     * every hyperplane), exact cosine filters within buckets.  The all-pairs
@@ -768,7 +813,16 @@ object Vector {
     val cb = pqInitialCodebook(corpus, kCode)
     val dims = cb.head.length
     val sub = dims / m
-    val enc = pqEncodePath(corpus, m, kCode, rowPath = None).select("cv", "codes")
+    // row-path encode: the trainer feeds `codes` into a posexplode chain,
+    // and generator/projection collapse can re-evaluate the unrolled
+    // argmin expression per EXPLODED row (the same hazard pqTopK documents
+    // for the broadcast join) — in the composed q_pq_topk_trained plan
+    // this projection measured 12.9 s of a 14 s floor (~6 ms/corpus row).
+    // The typed mapPartitions path materializes codes once per row behind
+    // a Dataset boundary no collapse crosses; measured 14 s → 0.9 s
+    // jobs-sum, bit-identical by VectorFuzzSpec's path pin.
+    val enc = pqEncodePath(corpus, m, kCode, rowPath = Some(true))
+      .select("cv", "codes")
     val rel = enc
       .select(posexplode(col("codes")).as(Seq("s", "j")), col("cv"))
       .select(col("s"), col("j"),

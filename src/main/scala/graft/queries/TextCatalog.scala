@@ -1307,6 +1307,92 @@ object TextCatalog {
          FROM approx SEMI JOIN exact USING (q_id, c_id)
          GROUP BY 1 ORDER BY 1""")),
 
+    // Matryoshka truncation 64→16: the FREE dim-reduction beside random
+    // projection — an array slice, no projection matrix — ranking in the
+    // prefix space with every prefix cosine pinned.  Whether the fixture
+    // embeddings front-load information is the recall query's job.
+    QueryDef("q_matryoshka_topk",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        Vector.prefixTopK(e.filter(col("vec_id") < 6), e, 3, 16)
+          .orderBy("q_id", "rank")
+      },
+      Some(s"""WITH v AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+           FROM embeddings),
+         p AS (SELECT vec_id, dv[1:16] AS mv FROM v),
+         q AS (SELECT vec_id AS q_id, mv AS qm FROM p WHERE vec_id < 6),
+         sc AS (SELECT q_id, c.vec_id AS c_id, ${cosSql("qm", "c.mv", 16)} AS mcos
+           FROM q JOIN p c ON q_id <> c.vec_id),
+         r AS (SELECT q_id, c_id, mcos,
+             row_number() OVER (PARTITION BY q_id ORDER BY mcos DESC, c_id) AS rank
+           FROM sc)
+         SELECT q_id, CAST(rank AS INT) AS rank, c_id, mcos
+         FROM r WHERE rank <= 3 ORDER BY q_id, rank""")),
+
+    // Does the 16-dim PREFIX keep true neighbors?  The audit that decides
+    // whether these embeddings may be served truncated (same shape as
+    // q_rand_proj_recall: prefix top-5 vs full-dimension truth) — and the
+    // measured comparison point between truncation and projection.
+    QueryDef("q_matryoshka_recall",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val qs = e.filter(col("vec_id") < 30)
+        val approx = Vector.prefixTopK(qs, e, 5, 16)
+          .select(col("q_id"), col("c_id"))
+        val exact = Vector.bruteForceTopK(qs, e, 5)
+          .select(col("q_id").as("eq_id"), col("c_id").as("ec_id"))
+        approx.join(exact,
+            col("q_id") === col("eq_id") && col("c_id") === col("ec_id"),
+            "left_semi")
+          .groupBy("q_id").agg(count(lit(1)).as("n_hit"))
+          .withColumn("recall", col("n_hit") / lit(5))
+          .orderBy("q_id")
+      },
+      Some(s"""WITH v AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+           FROM embeddings),
+         p AS (SELECT vec_id, dv[1:16] AS mv, dv FROM v),
+         q AS (SELECT vec_id AS q_id, mv AS qm FROM p WHERE vec_id < 30),
+         ap AS (SELECT q_id, c.vec_id AS c_id,
+             row_number() OVER (PARTITION BY q_id
+               ORDER BY ${cosSql("qm", "c.mv", 16)} DESC, c.vec_id) AS rank
+           FROM q JOIN p c ON q_id <> c.vec_id),
+         approx AS (SELECT q_id, c_id FROM ap WHERE rank <= 5),
+         ex AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+             row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY ${cosSql("q.dv", "c.dv", 64)} DESC, c.vec_id) AS rank
+           FROM v q JOIN v c ON q.vec_id < 30 AND q.vec_id <> c.vec_id),
+         exact AS (SELECT q_id, c_id FROM ex WHERE rank <= 5)
+         SELECT q_id, COUNT(*) AS n_hit, COUNT(*) / 5 AS recall
+         FROM approx SEMI JOIN exact USING (q_id, c_id)
+         GROUP BY 1 ORDER BY 1""")),
+
+    // Mutual k-NN mining (the bitext / hard-negative reciprocity filter):
+    // (a, b) survives iff each is in the other's top-5 — hub-dominated
+    // one-directional neighbors drop.  Composes with any retrieval tier;
+    // here over brute-force truth so the oracle pins the mutuality logic
+    // itself, not an index's recall.
+    QueryDef("q_mutual_knn",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        Vector.mutualPairs(Vector.bruteForceTopK(e, e, 5))
+          .orderBy("a", "b")
+      },
+      Some(s"""WITH v AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+           FROM embeddings),
+         sc AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+             ${cosSql("q.dv", "c.dv", 64)} AS cos,
+             row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY ${cosSql("q.dv", "c.dv", 64)} DESC, c.vec_id) AS rank
+           FROM v q JOIN v c ON q.vec_id <> c.vec_id),
+         tk AS (SELECT q_id, c_id, cos FROM sc WHERE rank <= 5),
+         m AS (SELECT f.q_id AS a, f.c_id AS b, f.cos
+           FROM tk f SEMI JOIN tk r ON f.q_id = r.c_id AND f.c_id = r.q_id
+           WHERE f.q_id < f.c_id)
+         SELECT a, b, cos FROM m ORDER BY a, b""")),
+
     // Graded retrieval quality: nDCG@5 of the multi-probe LSH list vs
     // exact truth — recall counts hits, nDCG also charges wrong ORDER;
     // the metric an index-parameter sweep actually optimizes.

@@ -283,6 +283,57 @@ class VectorSpec extends SparkFunSuite {
     }
   }
 
+  test("prefixTopK: full-width prefix ≡ brute force; truncation ranks by " +
+    "prefix cosine only") {
+    val vecs = (0L until 40L).map { i =>
+      (i, Seq.tabulate(16)(j => ((((i * 13 + j * 7) % 31) - 15) / 5.0).toFloat))
+    }.toDF("vec_id", "embedding")
+    val qs = vecs.filter($"vec_id" < 3)
+    // prefixDims = dims: the slice is the whole vector — must equal brute
+    val full = Vector.prefixTopK(qs, vecs, 4, prefixDims = 16)
+      .select($"q_id", $"rank", $"c_id", $"mcos".as("cos"))
+      .collect().map(_.toString).toSet
+    val brute = Vector.bruteForceTopK(qs, vecs, 4)
+      .collect().map(_.toString).toSet
+    assert(full === brute, "a dims-wide prefix must reproduce brute force")
+    // a real truncation ranks by the prefix alone: recompute one query's
+    // ordering by hand over the first 4 dims
+    val got = Vector.prefixTopK(qs, vecs, 4, prefixDims = 4).collect()
+    got.groupBy(_.getAs[Long]("q_id")).foreach { case (qid, rows) =>
+      assert(rows.map(_.getAs[Int]("rank")).sorted.toSeq === Seq(1, 2, 3, 4))
+      assert(!rows.map(_.getAs[Long]("c_id")).contains(qid))
+      val byRank = rows.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("mcos"))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("mutualPairs: keeps exactly the reciprocal pairs, canonically a < b") {
+    // hand-built top-k relation: 1↔2 mutual, 3→1 one-directional,
+    // 4↔5 mutual, 5→1 one-directional
+    val topk = Seq(
+      (1L, 2L, 0.9), (1L, 3L, 0.2),
+      (2L, 1L, 0.9),
+      (3L, 2L, 0.8),
+      (4L, 5L, 0.7),
+      (5L, 4L, 0.7), (5L, 1L, 0.3)).toDF("q_id", "c_id", "cos")
+    val got = Vector.mutualPairs(topk)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === Set((1L, 2L, 0.9), (4L, 5L, 0.7)),
+      s"only reciprocal pairs survive, canonical a < b: $got")
+    // property on real vectors: every output pair appears in BOTH
+    // directions of the input top-k
+    val vecs = (0L until 30L).map { i =>
+      (i, Seq.tabulate(8)(j => ((((i * 11 + j * 5) % 23) - 11) / 4.0).toFloat))
+    }.toDF("vec_id", "embedding")
+    val tk = Vector.bruteForceTopK(vecs, vecs, 3)
+    val dir = tk.select($"q_id", $"c_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pairs = Vector.mutualPairs(tk)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.forall { case (a, b) => a < b && dir(a -> b) && dir(b -> a) },
+      "every mutual pair must be reciprocal in the source top-k")
+  }
+
   test("ndcgAtK: perfect list scores 1, reversed list less, misses score 0") {
     val exact = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3))
       .toDF("q_id", "c_id", "rank")
