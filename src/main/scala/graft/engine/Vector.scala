@@ -157,6 +157,38 @@ object Vector {
       .select("q_id", "rank", "c_id", "mcos")
   }
 
+  /** ALL-PAIRS exact top-k — [[bruteForceTopK]] when EVERY corpus row is
+    * also a query (the mutual-kNN / SemDeDup-verification shape), with the
+    * two plan fixes that regime needs: the probe side repartitions first
+    * (a one-file fixture scan would otherwise compute all |corpus|² Ă— k
+    * cosines in a single task — measured 7.3 s single-threaded vs ~1 s
+    * spread), and the per-query cut is the bounded-heap [[graft.plans
+    * .TopKPerKey]] operator instead of a window rank (O(n) heap, no
+    * full sort of the pair fan-out, no rank column to block the rewrite).
+    * Output `(q_id, c_id, cos)`.  Still O(|corpus|²) work by definition —
+    * the exact-truth tier; at scale feed [[mutualPairs]] from IVF/LSH
+    * lists instead. */
+  def allPairsTopK(corpus: DataFrame, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(corpus.sparkSession)
+    val q = broadcast(corpus.select(col("vec_id").as("q_id"),
+      asDouble(col("embedding")).as("qv")))
+    // both repartitions pin an explicit COUNT: the inputs are tiny and the
+    // pair fan-out compresses well, so AQE's byte-based coalescing would
+    // fold either exchange into ONE partition and run the |corpus|²-cosine
+    // join (measured 3.4 s) or the heap cut (measured 3.2 s)
+    // single-threaded; a user-pinned count spreads both stages and still
+    // satisfies the heap's clustered-distribution requirement with no
+    // extra exchange
+    val np = math.max(corpus.sparkSession.sparkContext.defaultParallelism, 8)
+    val c = corpus.repartition(np, col("vec_id"))
+      .select(col("vec_id").as("c_id"), asDouble(col("embedding")).as("cv"))
+    val scored = c.join(q, col("q_id") =!= col("c_id"))
+      .withColumn("cos", cosineNative(col("qv"), col("cv")))
+      .select("q_id", "c_id", "cos")
+    graft.plans.TopKPerKey(scored.repartition(np, col("q_id")), Seq("q_id"),
+      Seq(col("cos").desc, col("c_id").asc), k)
+  }
+
   /** MUTUAL k-NN pairs — the bitext-mining / hard-negative-filter
     * primitive (the reciprocal test beside [[marginRank]]'s hub
     * correction): keep (a, b) iff b is in a's top-k AND a is in b's —

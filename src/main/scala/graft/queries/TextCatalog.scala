@@ -1376,7 +1376,11 @@ object TextCatalog {
     QueryDef("q_mutual_knn",
       (s, dir) => {
         val e = t(s, dir, "embeddings")
-        Vector.mutualPairs(Vector.bruteForceTopK(e, e, 5))
+        // allPairsTopK carries the all-queries plan shape (repartitioned
+        // probe side, heap top-k); the checkpoint materializes the
+        // |corpus|·k-row result ONCE so the mutuality self-join does not
+        // recompute the full pair fan-out for its second side
+        Vector.mutualPairs(Vector.allPairsTopK(e, 5).localCheckpoint())
           .orderBy("a", "b")
       },
       Some(s"""WITH v AS (SELECT vec_id,

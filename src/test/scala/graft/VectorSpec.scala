@@ -325,7 +325,14 @@ class VectorSpec extends SparkFunSuite {
     val vecs = (0L until 30L).map { i =>
       (i, Seq.tabulate(8)(j => ((((i * 11 + j * 5) % 23) - 11) / 4.0).toFloat))
     }.toDF("vec_id", "embedding")
-    val tk = Vector.bruteForceTopK(vecs, vecs, 3)
+    // the all-queries heap-cut form must equal brute force row for row
+    // (same ties, same cosines — only the plan differs)
+    val tk = Vector.allPairsTopK(vecs, 3)
+    assert(tk.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet ===
+      Vector.bruteForceTopK(vecs, vecs, 3).select($"q_id", $"c_id", $"cos")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet,
+      "allPairsTopK must reproduce bruteForceTopK exactly")
     val dir = tk.select($"q_id", $"c_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val pairs = Vector.mutualPairs(tk)
