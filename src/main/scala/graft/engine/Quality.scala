@@ -434,6 +434,35 @@ object Quality {
       .withColumn("n_violations", col("n_rows") - col("n_pass"))
   }
 
+  /** [[expectations]] with WILSON SCORE bounds on each rule's pass rate —
+    * the statistically honest release gate: a raw pass rate of 99.5% means
+    * something different on 200 rows than on 2 billion, and a gate that
+    * compares p̂ against a threshold treats them the same.  The Wilson
+    * interval (Wilson 1927; the recommended small-/skewed-sample binomial
+    * interval) is
+    * `(p̂ + z²/2n ± z·√(p̂(1−p̂)/n + z²/4n²)) / (1 + z²/n)`;
+    * gate on `wilson_lo ≥ threshold` and the decision carries its own
+    * sample-size skepticism.  Adds `(pass_rate, wilson_lo, wilson_hi)` to
+    * the expectations row, all 9-dp-rounded; every operation is fixed-order
+    * IEEE on the two counts (sqrt is exact cross-engine; z enters as a
+    * literal), so the oracle mirrors bit for bit.  Same ONE-scan cost as
+    * expectations; defined for n ≥ 1. */
+  def expectationsWilson(df: DataFrame,
+                         rules: Seq[(String, org.apache.spark.sql.Column)],
+                         z: Double = 1.96): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val base = expectations(df, rules)
+    val n = col("n_rows").cast("double")
+    val p = col("n_pass") / col("n_rows")
+    val z2 = lit(z) * lit(z)
+    val denom = lit(1.0) + z2 / n
+    val center = p + z2 / (n * 2)
+    val rad = lit(z) * sqrt(p * (lit(1.0) - p) / n + z2 / (n * n * 4))
+    base.withColumn("pass_rate", round(p, 9))
+      .withColumn("wilson_lo", round((center - rad) / denom, 9))
+      .withColumn("wilson_hi", round((center + rad) / denom, 9))
+  }
+
   /** Q3 — missing-column validation (ref `ingest_harvest_data.py:264-265`,
     * `ingest_population_data.py:241,259-261`): warnings, not failures. */
   def validateColumns(df: DataFrame, required: Seq[String]): Either[List[String], DataFrame] = {

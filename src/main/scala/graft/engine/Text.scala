@@ -1,6 +1,6 @@
 package graft.engine
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, LongType}
@@ -94,6 +94,36 @@ object Text {
       (0 until BandRows).map(r => col(s"__s${b * BandRows + r}").cast("string")): _*)
     sig.select(col("doc"), posexplode(array((0 until nBands).map(bandKey): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
+  }
+
+  /** MinHash-LSH BANDING PLANNER — the analytic collision curve that
+    * decides (bands b, rows r) BEFORE an index is built: a pair at
+    * Jaccard similarity s becomes a candidate with probability
+    * `p(s) = 1 − (1 − s^r)^b` (the S-curve whose threshold sits near
+    * `(1/b)^(1/r)`).  One row per `(b, r, s)` over the configured band
+    * shapes and `steps` similarity points — read the curve, pick the knee
+    * that matches the dedup threshold, and the candidate-join fanout at
+    * 100 TB is a design decision instead of folklore.  The engine's own
+    * default ([[MinhashK]]=16 as 4×4) is one of the rows.
+    *
+    * Determinism: `s = i/steps` is one exact double division and both
+    * integer powers evaluate by REPEATED MULTIPLICATION in index order —
+    * `pow`/libm (not cross-engine exact) never enters; the 9-dp round is
+    * the family's standard absorber.  Pure math over a `range`, no data. */
+  def lshBandingPlan(spark: SparkSession, configs: Seq[(Int, Int)],
+                     steps: Int = 20): DataFrame = {
+    require(configs.nonEmpty, "lshBandingPlan: need at least one (b, r)")
+    require(steps >= 2, s"lshBandingPlan: steps $steps < 2")
+    require(configs.forall { case (b, r) => b >= 1 && r >= 1 },
+      "lshBandingPlan: bands and rows must be >= 1")
+    def intPow(c: Column, k: Int): Column = Seq.fill(k)(c).reduce(_ * _)
+    val grid = spark.range(1, steps + 1)
+      .select((col("id").cast("double") / steps).as("s"))
+    configs.map { case (b, r) =>
+      grid.select(lit(b).as("b"), lit(r).as("r"), col("s"),
+        round(lit(1.0) - intPow(lit(1.0) - intPow(col("s"), r), b), 9)
+          .as("p_candidate"))
+    }.reduce(_.unionByName(_)).orderBy("b", "r", "s")
   }
 
   /** Estimated Jaccard of a candidate pair from signature agreement —

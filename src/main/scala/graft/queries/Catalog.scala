@@ -4173,6 +4173,37 @@ object Catalog {
            UNION ALL SELECT 'shipdate_not_null', n, p4, n - p4 FROM a)
          ORDER BY rule""")),
 
+    // Expectations with WILSON bounds: the statistically honest release
+    // gate — 99.5% pass on 200 rows and on 2 billion rows are different
+    // evidence, and gating on wilson_lo ≥ threshold carries that
+    // skepticism.  All arithmetic is fixed-order IEEE on the two counts
+    // (sqrt exact cross-engine; z = 1.96 a shared literal), mirrored
+    // parenthesis-for-parenthesis in the oracle.
+    QueryDef("q_expectations_wilson",
+      (s, dir) => Quality.expectationsWilson(t(s, dir, "lineitem"), Seq(
+          "discount_bounds" -> col("l_discount").between(0.0, 0.1),
+          "price_positive" -> (col("l_extendedprice") > 0),
+          "qty_in_range" -> col("l_quantity").between(1, 50)))
+        .orderBy("rule"),
+      Some("""WITH a AS (SELECT COUNT(*) AS n,
+             CAST(SUM(CASE WHEN l_discount BETWEEN 0.0 AND 0.1 THEN 1 ELSE 0 END) AS BIGINT) AS p0,
+             CAST(SUM(CASE WHEN l_extendedprice > 0 THEN 1 ELSE 0 END) AS BIGINT) AS p1,
+             CAST(SUM(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 1 ELSE 0 END) AS BIGINT) AS p2
+           FROM lineitem),
+         e AS (SELECT 'discount_bounds' AS rule, n, p0 AS np FROM a
+           UNION ALL SELECT 'price_positive', n, p1 FROM a
+           UNION ALL SELECT 'qty_in_range', n, p2 FROM a),
+         w AS (SELECT rule, n AS n_rows, np AS n_pass, n - np AS n_violations,
+             (np / n) AS p, (1.96 * 1.96) AS z2, CAST(n AS DOUBLE) AS nd
+           FROM e)
+         SELECT rule, n_rows, n_pass, n_violations,
+           round(p, 9) AS pass_rate,
+           round((p + z2 / (nd * 2) - 1.96 * sqrt(p * (1.0 - p) / nd
+             + z2 / (nd * nd * 4))) / (1.0 + z2 / nd), 9) AS wilson_lo,
+           round((p + z2 / (nd * 2) + 1.96 * sqrt(p * (1.0 - p) / nd
+             + z2 / (nd * nd * 4))) / (1.0 + z2 / nd), 9) AS wilson_hi
+         FROM w ORDER BY rule""")),
+
     // Fixed-iteration PageRank over a deterministic link graph derived from
     // lineitem (order-node → part-node, deduped).  Decimal-accumulated
     // contribution sums + element-wise IEEE updates ⇒ bit-identical ranks

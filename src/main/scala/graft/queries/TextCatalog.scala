@@ -1017,6 +1017,25 @@ object TextCatalog {
          SELECT doc_id, array_to_string(list_sort(list(bw)), ',') AS vec
          FROM nz GROUP BY doc_id ORDER BY doc_id""")),
 
+    // The banding PLANNER: the analytic S-curve p(s) = 1−(1−s^r)^b per
+    // (bands, rows) shape — pick the knee matching the dedup threshold
+    // before building an index.  Integer powers by repeated multiplication
+    // (pow/libm never enters), so both engines fold identical doubles.
+    QueryDef("q_lsh_banding_plan",
+      (s, dir) => Text.lshBandingPlan(s,
+        Seq((4, 4), (8, 2), (2, 8), (16, 4)), steps = 20),
+      Some {
+        def pw(t: String, k: Int) = Seq.fill(k)(t).mkString("(", " * ", ")")
+        val rows = Seq((4, 4), (8, 2), (2, 8), (16, 4)).map { case (b, r) =>
+          s"""SELECT $b AS b, $r AS r, s,
+             round(1.0 - ${pw(s"(1.0 - ${pw("s", r)})", b)}, 9) AS p_candidate
+           FROM g"""
+        }.mkString("\n           UNION ALL ")
+        s"""WITH g AS (SELECT CAST(range AS DOUBLE) / 20 AS s FROM range(1, 21))
+         SELECT * FROM ($rows)
+         ORDER BY b, r, s"""
+      }),
+
     QueryDef("q_minhash_bands",
       (s, dir) => Text.minhashBands(t(s, dir, "documents"), "text", "doc_id")
         .orderBy("doc", "band"),

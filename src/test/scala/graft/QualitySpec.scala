@@ -260,6 +260,35 @@ class QualitySpec extends SparkFunSuite {
     assert(e2.getMessage.contains("NULL"), s"must name the null side: $e2")
   }
 
+  test("expectationsWilson: hand-computed interval, bounds bracket the " +
+    "rate, more rows tighten the interval") {
+    def wilson(pass: Long, n: Long, z: Double = 1.96): (Double, Double) = {
+      val p = pass.toDouble / n
+      val z2 = z * z
+      val denom = 1.0 + z2 / n
+      val center = p + z2 / (n * 2.0)
+      val rad = z * math.sqrt(p * (1.0 - p) / n + z2 / (n.toDouble * n * 4))
+      def r9(x: Double) = BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (r9((center - rad) / denom), r9((center + rad) / denom))
+    }
+    val small = (1L to 200L).map(i => (i, i % 200 != 0)).toDF("id", "ok")
+    val r = Quality.expectationsWilson(small, Seq("ok" -> col("ok")))
+      .collect().head
+    val (lo, hi) = wilson(199L, 200L)
+    assert(r.getAs[Double]("wilson_lo") === lo &&
+      r.getAs[Double]("wilson_hi") === hi,
+      s"hand Wilson mismatch: $r vs ($lo, $hi)")
+    assert(lo < 199.0 / 200 && 199.0 / 200 < hi, "bounds bracket the rate")
+    // same 99.5% rate on 20 000 rows: the interval must TIGHTEN — the
+    // whole point of gating on wilson_lo instead of the raw rate
+    val big = (1L to 20000L).map(i => (i, i % 200 != 0)).toDF("id", "ok")
+    val rb = Quality.expectationsWilson(big, Seq("ok" -> col("ok")))
+      .collect().head
+    assert(rb.getAs[Double]("wilson_lo") > r.getAs[Double]("wilson_lo") &&
+      rb.getAs[Double]("wilson_hi") < r.getAs[Double]("wilson_hi"),
+      "20k rows at the same rate must give a strictly tighter interval")
+  }
+
   test("gini: equality scores 0, concentration approaches 1, ties rank-invariant") {
     // perfectly equal: G = 2·Σr·x/(n·n·x) − (n+1)/n = (n+1)/n − (n+1)/n = 0
     val eq = (1L to 8L).map(i => (i, 5.0)).toDF("id", "x")

@@ -114,6 +114,26 @@ class TextSpec extends SparkFunSuite {
     }
   }
 
+  test("lshBandingPlan: identity at b=r=1, monotone S-curve, knee near " +
+    "(1/b)^(1/r), s=1 always collides") {
+    val plan = Text.lshBandingPlan(spark, Seq((1, 1), (4, 4)), steps = 20)
+      .collect().map(r => ((r.getInt(0), r.getInt(1)),
+        (r.getDouble(2), r.getDouble(3))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_._1)).toMap
+    // b = r = 1: p(s) = s exactly (the curve degenerates to identity)
+    plan((1, 1)).foreach { case (s, p) =>
+      assert(math.abs(p - s) < 1e-9, s"b=r=1 must give p=s, got $p at $s") }
+    // 4×4 (the engine's own MinhashK=16 banding): monotone, p(1) = 1,
+    // and the 50% crossing sits near (1/4)^(1/4) ≈ 0.707
+    val c44 = plan((4, 4))
+    assert(c44.map(_._2).zip(c44.map(_._2).tail).forall { case (a, b) => a <= b },
+      "p(s) must be non-decreasing in s")
+    assert(c44.last._2 === 1.0, "identical sets always collide")
+    val knee = c44.minBy { case (_, p) => math.abs(p - 0.5) }._1
+    assert(math.abs(knee - math.pow(0.25, 0.25)) < 0.06,
+      s"the 4x4 knee must sit near (1/4)^(1/4) ~ 0.707, got $knee")
+  }
+
   test("shingles: short docs yield empty arrays, not descending sequences") {
     val df = Seq("one two", "", "a b c d").toDF("text")
     val got = df.select(Text.shingles($"text").as("sh")).collect().map(_.getSeq[String](0))
