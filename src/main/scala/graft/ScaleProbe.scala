@@ -213,12 +213,14 @@ object ScaleProbe {
       val tHead = bestOf(20)(TxTable.latestVersion(spark, root))
       val tOpen = bestOf(5)(TxTable.read(spark, root).count())
       val tHist = bestOf(3)(TxTable.history(spark, root).count())
+      // the capped audit read: newest 20 through the head hint, no listing
+      val tHist20 = bestOf(3)(TxTable.history(spark, root, limit = 20).count())
       // the pre-pointer cost: every resolution lists the whole _txlog
       hfs.delete(hp, false)
       val tHeadList = bestOf(20)(TxTable.latestVersion(spark, root))
       println(f"""{"probe":"txlog","versions":$n,"headMs":$tHead%.2f,""" +
         f""""headListingMs":$tHeadList%.2f,"openMs":$tOpen%.2f,""" +
-        f""""historyMs":$tHist%.2f}""")
+        f""""historyMs":$tHist%.2f,"historyLimit20Ms":$tHist20%.2f}""")
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
     }
   }

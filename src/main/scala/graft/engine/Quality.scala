@@ -285,7 +285,11 @@ object Quality {
     * aggregates (map-side combine); the two grand totals collect as
     * literals — bounded by label cardinality, never by the data.
     * An EMPTY slice throws (the [[ksDrift]] discipline) instead of
-    * producing silent NaN terms through zero expected counts.
+    * producing silent NaN terms through zero expected counts — which means
+    * CONSTRUCTION IS AN ACTION: the grand-total collect runs a Spark job
+    * when the frame is BUILT, so plan-only consumers (explain, a census
+    * sweep, lazy composition) trigger execution here and an empty slice
+    * throws at build time, not first collect.
     * Determinism:
     * every term is IEEE arithmetic on exact BIGINTs, identical in both
     * engines; rounding is HALF_UP at 9 dp on both sides. */
@@ -498,7 +502,11 @@ object Quality {
     * mean_a, mean_b, t)`; |t| ≳ 3 on large n flags a real shift.
     * Degenerate inputs fail LOUDLY (the [[ksDrift]] discipline): a side
     * with n < 2, or whose values are all NULL, throws naming the side —
-    * never a silent null/NaN statistic feeding a gate decision.
+    * never a silent null/NaN statistic feeding a gate decision.  That
+    * check makes CONSTRUCTION AN ACTION: the moment collect runs a Spark
+    * job when the frame is BUILT, so plan-only consumers (explain, a
+    * census sweep, lazy composition) trigger execution here and a
+    * degenerate slice throws at build time, not first collect.
     *
     * Determinism: the conditional Σx and Σx² accumulate in
     * DECIMAL(38,6) (exact for ≤3-dp inputs at any scale, quantized

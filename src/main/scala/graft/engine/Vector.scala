@@ -144,6 +144,9 @@ object Vector {
     * prefix read can even skip trailing bytes at the storage layer. */
   def prefixTopK(queries: DataFrame, corpus: DataFrame, k: Int,
                  prefixDims: Int = 16): DataFrame = {
+    // an empty prefix would slice to [] and cosine 0/0 = NaN — every rank
+    // arbitrary instead of loudly wrong (the lshBandingPlan discipline)
+    require(prefixDims >= 1, s"prefixTopK: prefixDims must be >= 1, got $prefixDims")
     graft.functions.GraftFunctions.ensureRegistered(corpus.sparkSession)
     val q = broadcast(queries.select(col("vec_id").as("q_id"),
       slice(asDouble(col("embedding")), 1, prefixDims).as("qm")))

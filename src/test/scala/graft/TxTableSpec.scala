@@ -40,6 +40,40 @@ class TxTableSpec extends SparkFunSuite {
       "the batch watermark latches and carries forward through later commits")
   }
 
+  test("history(limit): the newest-N suffix via the head hint, full sweep unchanged") {
+    val root = newRoot()
+    TxTable.commitOverwrite(spark, root, Seq((1L, "a")).toDF("k", "v"))
+    for (i <- 2 to 6)
+      TxTable.commitAppend(spark, root, Seq((i.toLong, "x")).toDF("k", "v"))
+    val full = TxTable.history(spark, root).orderBy("version")
+      .collect().map(_.toString).toSeq
+    val capped = TxTable.history(spark, root, limit = 3).orderBy("version")
+      .collect().map(_.toString).toSeq
+    assert(capped === full.takeRight(3),
+      "limit must return exactly the newest-N rows the full audit ends with")
+    assert(TxTable.history(spark, root, limit = 100).count() === 6,
+      "a limit past the log start returns every retained commit")
+    intercept[IllegalArgumentException](TxTable.history(spark, root, limit = 0))
+  }
+
+  test("commitDelta: a non-retryable commit failure surfaces immediately, " +
+    "never through the CAS-miss backoff") {
+    val root = newRoot()
+    TxTable.commitOverwrite(spark, root, Seq((1L, "a")).toDF("k", "s"))
+    val ss = spark.newSession()
+    ss.conf.set(graft.engine.PublishArbiter.ConfKey, "no_such_arbiter")
+    val t0 = System.nanoTime()
+    val e = intercept[IllegalArgumentException](
+      TxTable.commitDelta(ss, root, Seq((2L, "b")).toDF("k", "s"),
+        spark.emptyDataset[Long].toDF("k"), Seq("k")))
+    val elapsedMs = (System.nanoTime() - t0) / 1e6
+    assert(e.getMessage.contains("unregistered arbiter"),
+      "the genuine failure must surface with its own message")
+    // the old catch-all retry burned >= 2.75 s of sleeps before surfacing
+    assert(elapsedMs < 2500,
+      f"must fail fast, not retry through backoff (took $elapsedMs%.0f ms)")
+  }
+
   test("commitAppendAudited: failed audit unwinds the staged segment entirely") {
     val root = newRoot()
     TxTable.commitOverwrite(spark, root, Seq((1L, 10.0)).toDF("k", "v"))
