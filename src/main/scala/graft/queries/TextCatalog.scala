@@ -1721,6 +1721,32 @@ object TextCatalog {
            row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rank FROM sc)"""
   }
 
+  /** ALL-QUERIES IVF CTE fragment (`tki(q_id, c_id, cos)` — the top-5
+    * IVF lists when every corpus row is also a query), ≡
+    * Vector.allPairsTopKIvf(e, 5, 16, 4): because corpus rows ARE the
+    * queries, the probe set is just the assignment ranking cut at
+    * rn <= nprobe instead of a second centroid scan; the UNION mirrors
+    * the operator's symmetrized candidates (cos is exactly symmetric, so
+    * row-level UNION DISTINCT ≡ the operator's max-dedup). */
+  private val ivfAllSql: String = {
+    val cosCC = cosSql("c.cv", "cents.cw", 64)
+    s"""cents AS (SELECT vec_id AS cent_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cw
+         FROM embeddings WHERE vec_id < 16),
+       c AS (SELECT vec_id AS c_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv FROM embeddings),
+       asg AS (SELECT c_id, cv, cent_id,
+           row_number() OVER (PARTITION BY c_id ORDER BY $cosCC DESC, cent_id) AS rn
+         FROM c, cents),
+       lists AS (SELECT c_id, cv, cent_id AS list_id FROM asg WHERE rn = 1),
+       probes AS (SELECT c_id AS q_id, cv AS qv, cent_id AS list_id FROM asg WHERE rn <= 4),
+       sc0 AS (SELECT q_id, c_id, ${cosSql("qv", "cv", 64)} AS cos
+         FROM probes JOIN lists USING (list_id) WHERE q_id <> c_id),
+       sc_i AS (SELECT q_id, c_id, cos FROM sc0
+         UNION SELECT c_id AS q_id, q_id AS c_id, cos FROM sc0),
+       r_i AS (SELECT q_id, c_id, cos,
+           row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rank FROM sc_i),
+       tki AS (SELECT q_id, c_id, cos FROM r_i WHERE rank <= 5)"""
+  }
+
   /** PQ encode CTE fragment (`codes(c_id, s, j, dist)`), ≡ Vector.pqEncode
     * with m=8 subspaces × 8 dims over the 64-dim fixture and the first 16
     * vectors as codebook: per-(vector, subspace, codeword) 6-dp-rounded
@@ -1824,6 +1850,81 @@ object TextCatalog {
            FROM r JOIN np ON np.q_id = r.q_id
            WHERE rank <= 3 ORDER BY r.q_id, rank"""
       }),
+
+    // Mutual k-NN over IVF lists — the SCALE tier of q_mutual_knn:
+    // allPairsTopK's scaladoc says "at scale feed mutualPairs from IVF/LSH
+    // lists instead"; this query IS that composition.  Candidates come
+    // from a shuffle equi-join on list_id (neither side broadcasts — both
+    // sides are the corpus), SYMMETRIZED so reciprocity never compounds
+    // two probe misses, the per-query cut is the bounded heap, and
+    // mutuality is the same one self semi-join.  The oracle pins the
+    // whole chain: assignment, probing, symmetrization, ranking, mutuality.
+    QueryDef("q_mutual_knn_ivf",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        // the checkpoint materializes the |corpus|·k IVF lists ONCE so the
+        // mutuality self-join does not recompute candidate generation
+        Vector.mutualPairs(Vector.allPairsTopKIvf(e, 5, 16, 4).localCheckpoint())
+          .orderBy("a", "b")
+      },
+      Some(s"""WITH $ivfAllSql,
+         m AS (SELECT f.q_id AS a, f.c_id AS b, f.cos
+           FROM tki f SEMI JOIN tki r2 ON f.q_id = r2.c_id AND f.c_id = r2.q_id
+           WHERE f.q_id < f.c_id)
+         SELECT a, b, cos FROM m ORDER BY a, b""")),
+
+    // The audit that makes q_mutual_knn_ivf's scale claim honest: how many
+    // exact top-5 EDGES does the IVF tier recover, and how many exact
+    // MUTUAL pairs survive the composition?  Both tiers in one frame so
+    // the comparison the verdict asks for ("mutual recall vs the IVF
+    // tier's own recall") is a row diff, not a cross-artifact hunt —
+    // mutuality requires BOTH endpoints, so errors could compound; the
+    // measurement, not the assumption, decides.
+    QueryDef("q_mutual_knn_ivf_recall",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val ivf = Vector.allPairsTopKIvf(e, 5, 16, 4).localCheckpoint()
+        val brute = Vector.allPairsTopK(e, 5).localCheckpoint()
+        def recallRow(tier: String, approx: org.apache.spark.sql.DataFrame,
+                      truth: org.apache.spark.sql.DataFrame,
+                      cols: Seq[String]) =
+          truth.join(approx, cols, "left_semi")
+            .agg(count(lit(1)).as("n_hit"))
+            // two 1-row aggregates — a broadcast-bounded stat frame
+            .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
+            .select(lit(tier).as("tier"), col("n_hit"), col("n_truth"),
+              (col("n_hit") / col("n_truth")).as("recall"))
+        recallRow("ivf_topk", ivf.select("q_id", "c_id"),
+            brute.select("q_id", "c_id"), Seq("q_id", "c_id"))
+          .unionByName(recallRow("mutual_pairs",
+            Vector.mutualPairs(ivf).select("a", "b"),
+            Vector.mutualPairs(brute).select("a", "b"), Seq("a", "b")))
+          .orderBy("tier")
+      },
+      Some(s"""WITH $ivfAllSql,
+         sc_b AS (SELECT q.c_id AS q_id, t.c_id AS c_id,
+             ${cosSql("q.cv", "t.cv", 64)} AS cos
+           FROM c q JOIN c t ON q.c_id <> t.c_id),
+         r_b AS (SELECT q_id, c_id, cos,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rank
+           FROM sc_b),
+         tkb AS (SELECT q_id, c_id, cos FROM r_b WHERE rank <= 5),
+         mi AS (SELECT f.q_id AS a, f.c_id AS b
+           FROM tki f SEMI JOIN tki r2 ON f.q_id = r2.c_id AND f.c_id = r2.q_id
+           WHERE f.q_id < f.c_id),
+         mb AS (SELECT f.q_id AS a, f.c_id AS b
+           FROM tkb f SEMI JOIN tkb r2 ON f.q_id = r2.c_id AND f.c_id = r2.q_id
+           WHERE f.q_id < f.c_id),
+         hit_e AS (SELECT COUNT(*) AS n_hit FROM tkb SEMI JOIN tki USING (q_id, c_id)),
+         tot_e AS (SELECT COUNT(*) AS n_truth FROM tkb),
+         hit_m AS (SELECT COUNT(*) AS n_hit FROM mb SEMI JOIN mi USING (a, b)),
+         tot_m AS (SELECT COUNT(*) AS n_truth FROM mb)
+         SELECT 'ivf_topk' AS tier, n_hit, n_truth, n_hit / n_truth AS recall
+           FROM hit_e, tot_e
+         UNION ALL
+         SELECT 'mutual_pairs' AS tier, n_hit, n_truth, n_hit / n_truth AS recall
+           FROM hit_m, tot_m
+         ORDER BY tier""")),
 
     // THE PERSISTED IVF INDEX: ivfTopK's scaladoc says "at 100 TB the
     // inverted lists ARE the partitioning" — this query realizes it

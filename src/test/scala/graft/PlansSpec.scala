@@ -281,7 +281,15 @@ class PlansSpec extends SparkFunSuite {
       // per-doc hit agg + final order
       "q_contamination" -> ((5, 4)),
       // query-term broadcast + postings agg + per-doc score agg + top-k
-      "q_bm25_topk" -> ((4, 4)))
+      "q_bm25_topk" -> ((4, 4)),
+      // IVF-list mutual pairs: post-checkpoint mutuality plan — pair
+      // self semi-join + final order (candidate generation materialized
+      // by the checkpoint, exactly like q_mutual_knn's shape)
+      "q_mutual_knn_ivf" -> ((3, 0)),
+      // two-tier recall audit: per-tier hit/total aggregate pairs +
+      // mutual self semi-joins over the two checkpointed list frames;
+      // the 1-row totals broadcast
+      "q_mutual_knn_ivf_recall" -> ((12, 2)))
     import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
     val dir = "/root/testdata/sf0.001"
     val ss = spark.newSession()
