@@ -3532,6 +3532,69 @@ object Catalog {
          WHERE dlq_checks <> '' GROUP BY 1, 2, 3
          ORDER BY 1, 2, 3""")),
 
+    // ST19 — the WILSON-GATED DLQ: q_st18 routes rows on raw CHECK
+    // outcomes; this composes expectationsWilson over each micro-batch, so
+    // the per-batch release decision carries its own sample-size
+    // skepticism (wilson_lo ≥ 0.8, not p̂ ≥ 0.8 — a 83% pass rate on 333
+    // rows has a lower bound near 0.78 and must NOT release).  Each batch
+    // commits its 2-rule gate frame exactly-once (TxTable batch-id guard;
+    // the fresh-checkpoint replay must no-op).  Batch composition is
+    // pinned for the oracle by one-file slices + maxFilesPerTrigger=1,
+    // and each gate row carries a DATA-derived slice label (min of
+    // event_id mod 3 — constant within a batch by construction), so the
+    // oracle restates the whole thing relationally without batch ids.
+    QueryDef("q_st19_stream_wilson_gate",
+      (s, dir) => {
+        val base = Files.createTempDirectory("graft_st19").toString
+        val root = s"$base/tbl"
+        val ev = t(s, dir, "events")
+        (0 until 3).foreach(i => ev.filter(pmod(col("event_id"), lit(3)) === i)
+          .coalesce(1).write.parquet(s"$base/src/f$i"))
+        val schema = s.read.parquet(s"$base/src/f0").schema
+        def gateBatch(df: DataFrame, id: Long): Unit =
+          TxTable.streamingAppend(root)(
+            Quality.expectationsWilson(df, Seq(
+                "no_raw_clicks" -> (col("event_type") =!= "click"),
+                "value_cap" -> (col("value") <= 100)))
+              .crossJoin(df.select(
+                min(pmod(col("event_id"), lit(3))).as("slice"))), id)
+        def runOnce(cp: String): Unit = {
+          val q = s.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1").parquet(s"$base/src/*")
+            .writeStream.foreachBatch(gateBatch _)
+            .option("checkpointLocation", cp)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        runOnce(s"$base/cp1")
+        runOnce(s"$base/cp2") // fresh-checkpoint replay: batch-id guard no-ops
+        TxTable.read(s, root)
+          .withColumn("release", col("wilson_lo") >= 0.8)
+          .select("slice", "rule", "n_rows", "n_pass", "n_violations",
+            "pass_rate", "wilson_lo", "wilson_hi", "release")
+          .orderBy("slice", "rule")
+      },
+      Some("""WITH a AS (SELECT event_id % 3 AS slice, COUNT(*) AS n,
+             CAST(SUM(CASE WHEN event_type <> 'click' THEN 1 ELSE 0 END) AS BIGINT) AS p0,
+             CAST(SUM(CASE WHEN value <= 100 THEN 1 ELSE 0 END) AS BIGINT) AS p1
+           FROM events GROUP BY 1),
+         e AS (SELECT slice, 'no_raw_clicks' AS rule, n, p0 AS np FROM a
+           UNION ALL SELECT slice, 'value_cap', n, p1 FROM a),
+         w AS (SELECT slice, rule, n AS n_rows, np AS n_pass, n - np AS n_violations,
+             (np / n) AS p, (1.96 * 1.96) AS z2, CAST(n AS DOUBLE) AS nd
+           FROM e),
+         o AS (SELECT slice, rule, n_rows, n_pass, n_violations,
+             round(p, 9) AS pass_rate,
+             round((p + z2 / (nd * 2) - 1.96 * sqrt(p * (1.0 - p) / nd
+               + z2 / (nd * nd * 4))) / (1.0 + z2 / nd), 9) AS wilson_lo,
+             round((p + z2 / (nd * 2) + 1.96 * sqrt(p * (1.0 - p) / nd
+               + z2 / (nd * nd * 4))) / (1.0 + z2 / nd), 9) AS wilson_hi
+           FROM w)
+         SELECT slice, rule, n_rows, n_pass, n_violations, pass_rate,
+           wilson_lo, wilson_hi, wilson_lo >= 0.8 AS release
+         FROM o ORDER BY slice, rule""")),
+
     // ST13 — STREAMING sketch maintenance: each micro-batch is collapsed to
     // a Count-Min cell shard (≤ d×w rows however large the batch) and the
     // shard appended to a TxTable exactly-once.  The CMS counter matrix is
