@@ -142,29 +142,37 @@ object Graph {
     * Both emit only (v, m) with v > m, so the edge set stays canonically
     * directed high→low.  Fixpoint = star forest:
     * every edge is (member, component-min) — detected exactly, the round
-    * it forms, by a one-aggregate structural test (see isStarForest
-    * below), so no round is spent producing an identical edge set just to
-    * observe equality.  Same contract as
+    * it forms, by a structural test fused into the round's own
+    * neighborhood aggregate (see the round loop below), so no round is
+    * spent producing an identical edge set just to observe equality and
+    * the test pays no shuffle of its own.  Same contract as
     * [[connectedComponents]]: one `(id, label)` row per distinct endpoint,
     * label = min reachable id, deterministic unique fixpoint. */
   def connectedComponentsContraction(edges: DataFrame, srcCol: String,
                                      dstCol: String, maxIter: Int = 40): DataFrame = {
+    // nodes is consumed exactly once (the final labeling join), so it
+    // stays LAZY and chains into that action's plan — a checkpoint here
+    // would buy nothing back for its extra driver round-trip; the input
+    // does get scanned once more at the end, the same one-pass cost the
+    // checkpoint itself would have paid.  Built from the RAW edges, not
+    // the canonical e: self-loop-only vertices must still label themselves
     val nodes = edges.select(col(srcCol).as("id"))
       .union(edges.select(col(dstCol).as("id"))).distinct()
-      .localCheckpoint()
     // canonical high→low, self-loops dropped
     var e = edges.select(greatest(col(srcCol), col(dstCol)).as("hi"),
         least(col(srcCol), col(dstCol)).as("lo"))
       .filter(col("hi") =!= col("lo")).distinct()
       .localCheckpoint()
-    // one star operation: from each node's symmetric neighborhood min m,
-    // emit (v, m) for the chosen side of the neighborhood.  No per-round
-    // dedup anywhere: the star algebra tolerates duplicate input edges
-    // (neighborhood MIN is duplicate-blind), each input copy yields at most
-    // one output row per star, and the small star adds ≤ one row per
-    // DISTINCT node — so multiplicity grows at most linearly in rounds and
-    // the groupBy's partial aggregation absorbs it.  Canonicalization
-    // happens ONCE, on the converged forest.
+    // the small-star operation: from each node's symmetric neighborhood
+    // min m, connect the smaller-or-equal neighbors and the node itself to
+    // m (the large star runs inline in the round loop, off the shared
+    // check aggregate).  No per-round dedup anywhere: the star algebra
+    // tolerates duplicate input edges (neighborhood MIN is
+    // duplicate-blind), each input copy yields at most one output row per
+    // star, and the small star adds ≤ one row per DISTINCT node — so
+    // multiplicity grows at most linearly in rounds and the groupBy's
+    // partial aggregation absorbs it.  Canonicalization happens ONCE, on
+    // the converged forest.
     def star(cur: DataFrame, large: Boolean): DataFrame = {
       val sym = cur.select(col("hi").as("u"), col("lo").as("v"))
         .union(cur.select(col("lo").as("u"), col("hi").as("v")))
@@ -179,43 +187,68 @@ object Graph {
       picked.filter(col("hi") =!= col("lo"))
     }
     // Convergence = the edge set IS a star forest rooted at component
-    // minima, tested EXACTLY with one shuffle-light job over the
-    // checkpointed frame (no hashes, no nomination-then-confirm, no extra
-    // identical round):
+    // minima, tested EXACTLY:
     //   (a) every hi maps to exactly one distinct lo
     //   (b) no node appears as both a hi and a lo (stars don't chain)
     // (a) ∧ (b) ⇒ components are stars whose root (the lo) is less than
     // every member (hi > lo by canonical direction), i.e. the component
     // minimum — and a min-rooted star forest is verifiably a fixpoint of
-    // both star operations.  Per-node encoding over a two-role union frame
-    // (hi-role rows carry their lo, lo-role rows carry null) keeps every
-    // aggregate partial-aggregable — min/max/count only, deliberately NOT
-    // countDistinct, whose multi-distinct form plans an Expand that
-    // multiplies the probe ×4:
-    //   (a) violated at k ⇔ min(pl) ≠ max(pl)        (nulls ignored)
-    //   (b) violated at k ⇔ 0 < count(pl) < count(*) (both roles present)
-    def isStarForest(df: DataFrame): Boolean = {
-      val probe = df.select(col("hi").as("k"), col("lo").as("pl"))
-        .union(df.select(col("lo").as("k"),
-          lit(null).cast(df.schema("lo").dataType).as("pl")))
-      probe.groupBy("k")
-        .agg(min("pl").as("mn"), max("pl").as("mx"),
-          count("pl").as("np"), count(lit(1)).as("n"))
-        .filter((col("np") > 0 && col("np") < col("n")) ||
-          col("mn") =!= col("mx"))
-        .isEmpty
-    }
-    var converged = isStarForest(e) // an already-flat input needs 0 rounds
+    // both star operations.
+    //
+    // THE CHECK PAYS NO SHUFFLE OF ITS OWN (the r12 profile found the
+    // round count × per-job fixed cost IS this query's floor): both the
+    // test and the LARGE-STAR MIN are per-node aggregates over the same
+    // role-tagged symmetric neighborhood, so ONE groupBy serves both —
+    // checkpoint that aggregate, decide convergence with a narrow filter
+    // over the materialized blocks, and feed the very same frame's min
+    // into the large-star join.  Per node u over sym rows (u, v, __uhi =
+    // "u is the hi end of this pair"):
+    //   __mv  = min(v)                      — the large-star m (pre-least)
+    //   (a) violated ⇔ min(v | __uhi) ≠ max(v | __uhi)   (nulls ignored)
+    //   (b) violated ⇔ max(__uhi) ∧ max(¬__uhi)          (both roles)
+    // min/max only, deliberately NOT countDistinct, whose multi-distinct
+    // form plans an Expand that multiplies the probe ×4.
+    var converged = false
     var i = 0
-    while (!converged && i < maxIter) {
-      val next = star(star(e, large = true), large = false).localCheckpoint()
-      converged = isStarForest(next)
-      freeCheckpoint(e)
-      e = next
-      i += 1
+    while (!converged) {
+      val sym = e.select(col("hi").as("u"), col("lo").as("v"),
+          lit(true).as("__uhi"))
+        .union(e.select(col("lo").as("u"), col("hi").as("v"),
+          lit(false).as("__uhi")))
+      val ag = sym.groupBy("u").agg(
+          min("v").as("__mv"),
+          min(when(col("__uhi"), col("v"))).as("__mnl"),
+          max(when(col("__uhi"), col("v"))).as("__mxl"),
+          max(col("__uhi")).as("__hashi"),
+          max(!col("__uhi")).as("__haslo"))
+        .localCheckpoint()
+      converged = ag.filter((col("__hashi") && col("__haslo")) ||
+        col("__mnl") =!= col("__mxl")).isEmpty
+      if (!converged) {
+        require(i < maxIter, "connectedComponentsContraction: no fixpoint " +
+          s"after $maxIter alternating rounds — raise maxIter (bound is " +
+          "O(log² n))")
+        // large star straight off the shared aggregate (ag is in memory,
+        // hash(u)-partitioned — only the sym side shuffles), then the
+        // small star as before
+        val m = ag.select(col("u"), least(col("u"), col("__mv")).as("m"))
+        val large = sym.select(col("u"), col("v")).join(m, "u")
+          .filter(col("v") > col("u"))
+          .select(col("v").as("hi"), col("m").as("lo"))
+          .filter(col("hi") =!= col("lo"))
+        // one checkpoint per round, shallow plans: fusing TWO star rounds
+        // into one lazy chain was measured WORSE (13.1 s vs 7.9 s warm at
+        // sf0.1 — the deeper per-action plan costs more in optimizer/AQE
+        // replanning than the saved driver round-trips), so the loop keeps
+        // single-round cycles and takes its savings from the shared
+        // check/min aggregate above
+        val next = star(large, large = false).localCheckpoint()
+        freeCheckpoint(e)
+        e = next
+        i += 1
+      }
+      freeCheckpoint(ag)
     }
-    require(converged, s"connectedComponentsContraction: no fixpoint after " +
-      s"$maxIter alternating rounds — raise maxIter (bound is O(log² n))")
     // star forest: edges are (member, root); roots and edge-less singletons
     // label themselves.  The ONE distinct canonicalizes whatever
     // multiplicity the dedup-free rounds accumulated ((a) guarantees a
@@ -224,7 +257,7 @@ object Graph {
         .distinct(), Seq("id"), "left")
       .select(col("id"), coalesce(col("__root"), col("id")).as("label"))
       .localCheckpoint()
-    freeCheckpoint(e); freeCheckpoint(nodes)
+    freeCheckpoint(e)
     out
   }
 
