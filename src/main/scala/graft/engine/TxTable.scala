@@ -1263,6 +1263,62 @@ object TxTable {
     * as dimensions are added (`bits × n ≤ 62`).  Stats are recorded on
     * every original clustering column plus everything the head manifest
     * already tracked. */
+  /** INCREMENTAL OPTIMIZE — fold ONLY what arrived since `sinceVersion`
+    * into the clustered layout.  Segments present in the head manifest but
+    * not in `sinceVersion`'s are re-clustered over `cols` (reading them
+    * THROUGH the head's deletion vectors, so the rewritten rows
+    * materialize their DV hits); every other segment carries over
+    * untouched with its manifest stats, and outstanding DV entries are
+    * RESCOPED to the carried segment list — they still guard the segments
+    * this pass did not touch, because materializing them everywhere would
+    * mean rewriting the whole table, exactly the cost this primitive
+    * exists to avoid.  Work is O(delta), not O(table):
+    * [[compactZOrderN]] re-writes every byte per maintenance pass, which
+    * at 100 TB turns a 1 GB delta batch into a 100 TB write; run the full
+    * pass only when accumulated DVs / small segments cross a threshold
+    * (the standard lakehouse compaction ladder).  Layout-only: the
+    * visible row set is bit-identical before and after (TxTableSpec pins
+    * it), so CDF treats it like any compact.  Returns the new head, or
+    * the current head unchanged when nothing arrived since
+    * `sinceVersion`. */
+  def compactDeltaN(spark: SparkSession, root: String, cols: Seq[String],
+                    sinceVersion: Long, numSegments: Int = 4,
+                    bits: Int = 16): Long = {
+    val cur = latestVersion(spark, root).getOrElse(
+      throw new IllegalArgumentException(
+        s"TxTable.compactDeltaN: no commits under $root"))
+    val head = readManifest(spark, root, cur)
+    val baseSegs = retainedManifest(spark, root, sinceVersion,
+      withStats = false).segments.toSet
+    val dirty = head.segments.filterNot(baseSegs)
+    if (dirty.isEmpty) return cur
+    val kept = head.segments.filter(baseSegs)
+    val keptSet = kept.toSet
+    // only the dirty segments are read — through the head's DVs, so their
+    // tombstoned rows die here instead of being re-clustered
+    val raw = readSegments(spark, root, head, dirty)
+    val live =
+      if (head.dvs.isEmpty) raw
+      else applyDvs(spark, root, head.dvs,
+        raw.withColumn("__seg", segTag)).drop("__seg")
+    val newSegs = writeClusteredSegments(spark, root, live, cols,
+      numSegments, bits)
+    // DV entries rescope to the carried segments; an entry whose whole
+    // scope was rewritten has been fully materialized and drops
+    val dvs = head.dvs.flatMap { entry =>
+      val parts = entry.split("\\|").toSeq
+      val scoped = parts.tail.filter(keptSet)
+      if (scoped.isEmpty) None
+      else Some((parts.head +: scoped).mkString("|"))
+    }
+    val tracked = (head.stats.values.flatMap(_.keys).toSeq ++ cols).distinct
+    val stats = head.stats.view.filterKeys(keptSet).toMap ++
+      segStatsBatch(spark, root, newSegs, tracked).filter(_._2.nonEmpty)
+    commit(spark, root, "compact", kept ++ newSegs, maxRetries = 0,
+      stats = stats, expectVersion = Some(cur + 1), dvs = dvs,
+      schema = head.schema)
+  }
+
   def compactZOrderN(spark: SparkSession, root: String, cols: Seq[String],
                      numSegments: Int = 8, bits: Int = 16): Long = {
     val cur = latestVersion(spark, root).getOrElse(

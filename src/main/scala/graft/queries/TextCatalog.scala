@@ -2025,6 +2025,7 @@ object TextCatalog {
               col("list_id").cast("long").as("list_id"), col("cv"))
         TxTable.commitOverwriteClustered(s, idxRoot,
           toIdx(TxTable.read(s, srcRoot)), Seq("list_id"), numSegments = 16)
+        val idxV0 = TxTable.latestVersion(s, idxRoot).get
         // the corpus evolves AFTER the index exists
         TxTable.commitAppend(s, srcRoot,
           e.filter(col("vec_id") < 12).select("vec_id", "embedding"))
@@ -2064,9 +2065,14 @@ object TextCatalog {
         require(candPre.filter(col("vec_id") % 17 === 3).count() == 0,
           "q_tx_ann_incremental: taken-down rows must not surface through " +
             "the pruned read (deletion vector not applied)")
-        // OPTIMIZE folds the delta in and materializes the DV — layout
-        // only, no assignment recomputed
-        TxTable.compactZOrderN(s, idxRoot, Seq("list_id"), numSegments = 16)
+        // INCREMENTAL OPTIMIZE folds in ONLY what arrived since the CTAS:
+        // the delta segment re-clusters (reading through the DV, so its
+        // tombstoned rows materialize away), the 16 base segments carry
+        // over untouched, and the DV rescopes to keep guarding them —
+        // O(delta) layout maintenance where the old full compactZOrderN
+        // re-wrote all 16 segments to fold a 12-row delta
+        TxTable.compactDeltaN(s, idxRoot, Seq("list_id"), sinceVersion = idxV0,
+          numSegments = 2)
         val c2 = cand()
         val scannedPost = dataSegs(c2).size
         val totalPost = dataSegs(TxTable.read(s, idxRoot)).size

@@ -233,8 +233,11 @@ class PlansSpec extends SparkFunSuite {
       // large/small-star rounds: per-round edge re-key + component agg
       "q_cc_contraction" -> ((3, 0)),
       // probed-list candidate read: rank window partition + final order;
-      // the probe batch broadcasts against the pruned candidate scan
-      "q_tx_ann_incremental" -> ((2, 1)),
+      // the probe batch broadcasts against the pruned candidate scan, and
+      // since the r13 INCREMENTAL optimize the deletion vector stays live
+      // (only the delta segment is rewritten), so its tiny key set
+      // broadcasts into the read as an anti-join — the second broadcast
+      "q_tx_ann_incremental" -> ((2, 2)),
       // IVM view read-back: one final group agg over the view table
       "q_tx_ivm" -> ((1, 0)),
       "q_tx_ivm_join" -> ((1, 0)),

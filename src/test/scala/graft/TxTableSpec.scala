@@ -1140,6 +1140,43 @@ class TxTableSpec extends SparkFunSuite {
       "cdf delta must record inserts and takedowns (incl. same-commit kills)")
   }
 
+  test("compactDeltaN: O(delta) layout fold — carries clean segments, " +
+    "rescopes DVs, visible rows identical") {
+    val root = newRoot()
+    TxTable.commitOverwriteClustered(spark, root,
+      (1L to 64L).map(k => (k, k % 8, s"v$k")).toDF("k", "g", "s"),
+      Seq("g"), numSegments = 8)
+    val v0 = TxTable.latestVersion(spark, root).get
+    // delta: inserts + takedowns hitting base segments (7, 14) AND a key
+    // the same delta introduced (102 — insert-then-delete)
+    TxTable.commitDelta(spark, root,
+      Seq((100L, 3L, "n1"), (101L, 5L, "n2"), (102L, 7L, "dead"))
+        .toDF("k", "g", "s"),
+      Seq(7L, 14L, 102L).toDF("k"), Seq("k"), statsCols = Seq("g"))
+    val before = TxTable.read(spark, root)
+      .as[(Long, Long, String)].collect().toSet
+    assert(before.exists(_._1 == 100L) && !before.exists(_._1 == 7L))
+    def segsOf() = TxTable.read(spark, root).inputFiles
+      .filter(_.contains("/data/")).map(_.replaceAll("/[^/]*$", "")).toSet
+    val segsBefore = segsOf()
+    val v2 = TxTable.compactDeltaN(spark, root, Seq("g"),
+      sinceVersion = v0, numSegments = 2)
+    assert(TxTable.latestVersion(spark, root).contains(v2))
+    assert(TxTable.read(spark, root).as[(Long, Long, String)].collect().toSet
+      === before, "incremental optimize must be layout-only")
+    val segsAfter = segsOf()
+    assert((segsBefore intersect segsAfter).size === 8,
+      "all 8 clean base segments must carry over byte-identical")
+    assert((segsAfter diff segsBefore).nonEmpty &&
+      (segsBefore diff segsAfter).size === 1,
+      "exactly the delta segment is rewritten into clustered segments")
+    // the rescoped DV still guards the carried base segments (7, 14 dead)
+    assert(TxTable.readWhereEquals(spark, root, "k", 7L).isEmpty)
+    // nothing dirty ⇒ no-op, head unchanged
+    assert(TxTable.compactDeltaN(spark, root, Seq("g"),
+      sinceVersion = v2) === v2)
+  }
+
   test("checks: commitMerge enforces on the MERGED output (updated + " +
     "preserved columns combined), not the raw batch") {
     val root = newRoot()
