@@ -223,76 +223,7 @@ class PlansSpec extends SparkFunSuite {
     // thereafter.  A legitimate plan change re-records by re-running the
     // census and updating the pair, with the comment explaining the move.
     // (shuffles, broadcasts) per query; the comment names what they are.
-    val budget: Map[String, (Int, Int)] = Map(
-      // dims broadcast (nation + customer + date-filter DPP side); the
-      // lineitem⋈orders co-partition pair + the final group agg
-      "q_flagship_revenue" -> ((3, 3)),
-      // PQ codebook train (sampled k-means repartition + agg) and the
-      // code-space top-k rank; query batch broadcasts
-      "q_pq_topk_trained" -> ((2, 1)),
-      // large/small-star rounds: per-round edge re-key + component agg
-      "q_cc_contraction" -> ((3, 0)),
-      // probed-list candidate read: rank window partition + final order;
-      // the probe batch broadcasts against the pruned candidate scan, and
-      // since the r13 INCREMENTAL optimize the deletion vector stays live
-      // (only the delta segment is rewritten), so its tiny key set
-      // broadcasts into the read as an anti-join — the second broadcast
-      "q_tx_ann_incremental" -> ((2, 2)),
-      // IVM view read-back: one final group agg over the view table
-      "q_tx_ivm" -> ((1, 0)),
-      "q_tx_ivm_join" -> ((1, 0)),
-      // change-feed fold: per-key latest-wins window + final order
-      "q_tx_cdf" -> ((2, 0)),
-      // post-OPTIMIZE pruned-read check: range probe agg + final order
-      "q_tx_zorder" -> ((2, 0)),
-      // rare-shingle candidate equi-join pair + verify agg + final order;
-      // DF-cutoff side and shingle dictionary broadcast
-      "q_ngram_jaccard" -> ((4, 3)),
-      // stream output read-back: group agg + order (the streaming work
-      // itself ran through the state store, not this plan)
-      "q_st6_stream_stream_join" -> ((2, 0)),
-      "q_st8_stream_sessions" -> ((1, 0)),
-      // band→bucket candidate join + exact-verify agg + recall join against
-      // brute-force truth (its own rank window); small sides broadcast
-      "q_minhash_recall" -> ((8, 7)),
-      // two retrieval arms (BM25 agg pair + cosine rank) + RRF fuse window;
-      // query terms and query vectors broadcast per arm
-      "q_hybrid_rrf" -> ((8, 7)),
-      // batch-vs-index band joins + survivor agg + incremental union agg
-      "q_dedup_incremental" -> ((8, 4)),
-      // per-shard sketch build aggs + merged-vs-single-pass compare join
-      "q_quantile_merge" -> ((7, 4)),
-      // (x,y) cell agg + two marginal aggs + final order, small marginals
-      // broadcast back onto cells
-      "q_mutual_info" -> ((8, 3)),
-      // edge canonicalization + two-hop join pair + triangle count agg
-      "q_triangles" -> ((6, 4)),
-      // two octave-paged global rank passes (page agg + interior window)
-      // + the moment agg over rank pairs
-      "q_spearman" -> ((6, 4)),
-      // hot-key split: skewed side salted join + residual broadcast join
-      // + union agg
-      "q_skew_split_join" -> ((8, 2)),
-      // per-shard KMV build aggs + merge agg + exact-distinct compare
-      "q_kmv_merge" -> ((9, 1)),
-      "q_kmv_intersect" -> ((7, 3)),
-      // shingle-set containment: candidate join + per-pair verify agg +
-      // keep-decision window; DF bounds broadcast
-      "q_containment_dedup" -> ((5, 5)),
-      "q_containment_pairs" -> ((4, 4)),
-      // benchmark n-gram dictionary broadcast into the corpus scan +
-      // per-doc hit agg + final order
-      "q_contamination" -> ((5, 4)),
-      // query-term broadcast + postings agg + per-doc score agg + top-k
-      "q_bm25_topk" -> ((4, 4)),
-      // IVF-list mutual pairs: post-checkpoint mutuality plan — pair
-      // self semi-join + final order (candidate generation materialized
-      // by the checkpoint, exactly like q_mutual_knn's shape)
-      "q_mutual_knn_ivf" -> ((3, 0)),
-      // two-tier recall audit: per-tier hit/total aggregate pairs +
-      // mutual self semi-joins over the two checkpointed list frames;
-      // the 1-row totals broadcast
-      "q_mutual_knn_ivf_recall" -> ((12, 2)))
+    val budget = PlansSpec.ExactBudget
     import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
     val dir = "/root/testdata/sf0.001"
     val ss = spark.newSession()
@@ -331,6 +262,62 @@ class PlansSpec extends SparkFunSuite {
     assert(failures.isEmpty, s"exchange-budget regressions:\n${failures.mkString("\n")}")
   }
 
+  test("exchange census: no registered query GROWS a shuffle or broadcast " +
+    "past the recorded full-catalog snapshot") {
+    // The exact pins above cover the ~27 most expensive plans; this guard
+    // covers the other ~250 — a silent extra exchange anywhere in the
+    // catalog fails here, naming the query.  Grow-only: decreases pass
+    // (re-record to ratchet them in); a query missing from the snapshot,
+    // or a stale snapshot entry, fails asking for a re-record via
+    // `sbt "runMain graft.ExchangeCensus --record"`.
+    val snapFile = new java.io.File(graft.ExchangeCensus.SnapshotPath)
+    assert(snapFile.isFile,
+      s"missing ${graft.ExchangeCensus.SnapshotPath} — record it with " +
+        """`sbt "runMain graft.ExchangeCensus --record"`""")
+    val snap: Map[String, (Int, Int)] =
+      scala.io.Source.fromFile(snapFile, "UTF-8").getLines()
+        .filterNot(l => l.startsWith("#") || l.isBlank)
+        .map { l =>
+          val Array(n, s, b) = l.split("\t")
+          n -> ((s.toInt, b.toInt))
+        }.toMap
+    val dir = "/root/testdata/sf0.001"
+    // the snapshot is recorded under GraftSession, whose extensions inject
+    // the rank→heap rewrite + heap strategy — plans (and so exchange
+    // counts) differ without them, so the measuring session carries the
+    // same extras
+    val ss = spark.newSession()
+      .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    ss.experimental.extraOptimizations = Seq(graft.plans.RewriteRankFilterToTopK)
+    ss.experimental.extraStrategies = Seq(graft.plans.TopKPerKeyStrategy)
+    ss.conf.set("spark.sql.adaptive.enabled", "false")
+    val registered = graft.queries.Catalog.all.map(_.name).toSet
+    val failures = scala.collection.mutable.ArrayBuffer.empty[String]
+    (snap.keySet -- registered).toSeq.sorted.foreach(n =>
+      failures += s"$n: stale snapshot entry (query no longer registered) — re-record")
+    for (q <- graft.queries.Catalog.all
+         if !graft.ExchangeCensus.Skip(q.name) &&
+           !PlansSpec.ExactBudget.contains(q.name)) {
+      snap.get(q.name) match {
+        case None =>
+          failures += s"${q.name}: not in the census snapshot — re-record"
+        case Some((ws, wb)) =>
+          try {
+            val (gs, gb) = graft.ExchangeCensus.countExchanges(q.fn(ss, dir))
+            if (gs > ws || gb > wb)
+              failures += s"${q.name}: exchanges grew to $gs shuffles/" +
+                s"$gb broadcasts (snapshot: $ws/$wb) — an exchange " +
+                "appeared; fix the plan or re-record with a comment"
+          } catch {
+            case e: Throwable => failures += s"${q.name}: build failed — " +
+              String.valueOf(e.getMessage).take(160)
+          }
+      }
+    }
+    assert(failures.isEmpty,
+      s"exchange-census drift:\n${failures.mkString("\n")}")
+  }
+
   test("guardrail honors the conf escape hatch for knowingly-bounded inputs") {
     val df = Seq((1L, "a")).toDF("k", "v")
     val bad = df.withColumn("rn", row_number().over(W.orderBy("k")))
@@ -338,4 +325,84 @@ class PlansSpec extends SparkFunSuite {
     ss.conf.set(PlanGuardrails.ConfKey, "false")
     PlanGuardrails.check(ss)(bad.queryExecution.analyzed) // must not throw
   }
+}
+
+/** Shared plan-budget data for the exchange tests. */
+object PlansSpec {
+  /** EXACT (shuffles, broadcasts) pins for the bench's most expensive /
+    * most exchange-heavy final plans — recorded via
+    * `runMain graft.ExchangeCensus /root/testdata/sf0.001 <names>` and
+    * asserted exactly; a legitimate plan change re-records and updates the
+    * pair with a comment explaining the move.  Everything NOT named here
+    * is covered by the full-catalog census snapshot (grow-only guard). */
+  val ExactBudget: Map[String, (Int, Int)] = Map(
+    // dims broadcast (nation + customer + date-filter DPP side); the
+    // lineitem⋈orders co-partition pair + the final group agg
+    "q_flagship_revenue" -> ((3, 3)),
+    // PQ codebook train (sampled k-means repartition + agg) and the
+    // code-space top-k rank; query batch broadcasts
+    "q_pq_topk_trained" -> ((2, 1)),
+    // large/small-star rounds: per-round edge re-key + component agg
+    "q_cc_contraction" -> ((3, 0)),
+    // probed-list candidate read: rank window partition + final order;
+    // the probe batch broadcasts against the pruned candidate scan, and
+    // since the r13 INCREMENTAL optimize the deletion vector stays live
+    // (only the delta segment is rewritten), so its tiny key set
+    // broadcasts into the read as an anti-join — the second broadcast
+    "q_tx_ann_incremental" -> ((2, 2)),
+    // IVM view read-back: one final group agg over the view table
+    "q_tx_ivm" -> ((1, 0)),
+    "q_tx_ivm_join" -> ((1, 0)),
+    // change-feed fold: per-key latest-wins window + final order
+    "q_tx_cdf" -> ((2, 0)),
+    // post-OPTIMIZE pruned-read check: range probe agg + final order
+    "q_tx_zorder" -> ((2, 0)),
+    // rare-shingle candidate equi-join pair + verify agg + final order;
+    // DF-cutoff side and shingle dictionary broadcast
+    "q_ngram_jaccard" -> ((4, 3)),
+    // stream output read-back: group agg + order (the streaming work
+    // itself ran through the state store, not this plan)
+    "q_st6_stream_stream_join" -> ((2, 0)),
+    "q_st8_stream_sessions" -> ((1, 0)),
+    // band→bucket candidate join + exact-verify agg + recall join against
+    // brute-force truth (its own rank window); small sides broadcast
+    "q_minhash_recall" -> ((8, 7)),
+    // two retrieval arms (BM25 agg pair + cosine rank) + RRF fuse window;
+    // query terms and query vectors broadcast per arm
+    "q_hybrid_rrf" -> ((8, 7)),
+    // batch-vs-index band joins + survivor agg + incremental union agg
+    "q_dedup_incremental" -> ((8, 4)),
+    // per-shard sketch build aggs + merged-vs-single-pass compare join
+    "q_quantile_merge" -> ((7, 4)),
+    // (x,y) cell agg + two marginal aggs + final order, small marginals
+    // broadcast back onto cells
+    "q_mutual_info" -> ((8, 3)),
+    // edge canonicalization + two-hop join pair + triangle count agg
+    "q_triangles" -> ((6, 4)),
+    // two octave-paged global rank passes (page agg + interior window)
+    // + the moment agg over rank pairs
+    "q_spearman" -> ((6, 4)),
+    // hot-key split: skewed side salted join + residual broadcast join
+    // + union agg
+    "q_skew_split_join" -> ((8, 2)),
+    // per-shard KMV build aggs + merge agg + exact-distinct compare
+    "q_kmv_merge" -> ((9, 1)),
+    "q_kmv_intersect" -> ((7, 3)),
+    // shingle-set containment: candidate join + per-pair verify agg +
+    // keep-decision window; DF bounds broadcast
+    "q_containment_dedup" -> ((5, 5)),
+    "q_containment_pairs" -> ((4, 4)),
+    // benchmark n-gram dictionary broadcast into the corpus scan +
+    // per-doc hit agg + final order
+    "q_contamination" -> ((5, 4)),
+    // query-term broadcast + postings agg + per-doc score agg + top-k
+    "q_bm25_topk" -> ((4, 4)),
+    // IVF-list mutual pairs: post-checkpoint mutuality plan — pair
+    // self semi-join + final order (candidate generation materialized
+    // by the checkpoint, exactly like q_mutual_knn's shape)
+    "q_mutual_knn_ivf" -> ((3, 0)),
+    // two-tier recall audit: per-tier hit/total aggregate pairs +
+    // mutual self semi-joins over the two checkpointed list frames;
+    // the 1-row totals broadcast
+    "q_mutual_knn_ivf_recall" -> ((12, 2)))
 }
