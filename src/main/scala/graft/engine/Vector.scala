@@ -325,6 +325,50 @@ object Vector {
       .select("q_id", "rank", "c_id", "cos")
   }
 
+  /** MATRYOSHKA-IVF adaptive retrieval — the MRL serving pattern
+    * (Kusupati et al. '22: shortlist cheap, rerank exact): coarse
+    * quantization and list PROBING run in the `prefixDims`-dimensional
+    * PREFIX space (both the vectors and the centroids just slice — an
+    * MRL-trained embedding's prefix is itself a valid embedding, so the
+    * sliced quantizer IS the prefix-space quantizer), while the re-rank
+    * inside probed lists uses the FULL vector.  Routing cost per row
+    * drops by dims/prefixDims (64→16 = 4×) — at 100 TB that is the
+    * difference between reading 16 doubles and 64 per routing decision,
+    * and the storage layer can even serve the prefix bytes alone —
+    * while the final scores stay exact full-dimension cosines.  Whether
+    * prefix ROUTING costs recall vs full-dimension routing is the
+    * registered audit query's job, never assumed.  Plan shape identical
+    * to [[ivfTopK]]: zero-exchange argmax assignment, bounded broadcast
+    * query side, one rank shuffle.  (The registered shape keeps
+    * nlist × prefixDims ≪ the codegen literal budget; a large quantizer
+    * would route through the [[ivfTopK]] row path.) */
+  def ivfTopKPrefix(queries: DataFrame, corpus: DataFrame, k: Int,
+                    nlist: Int = 16, nprobe: Int = 4,
+                    prefixDims: Int = 16): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(corpus.sparkSession)
+    require(prefixDims >= 1,
+      s"ivfTopKPrefix: prefixDims must be >= 1, got $prefixDims")
+    val pcents = collectCents(corpus, nlist)
+      .map { case (i, w) => (i, w.take(prefixDims)) }
+    def nearestPrefix(v: Column, take: Int): Column =
+      transform(slice(reverse(array_sort(
+          scoredCentArray(slice(v, 1, prefixDims), pcents))), 1, take),
+        st => -st.getField("nid"))
+    val lists = corpus.select(col("vec_id").as("c_id"),
+        asDouble(col("embedding")).as("cv"))
+      .withColumn("list_id", element_at(nearestPrefix(col("cv"), 1), 1))
+    val probes = queries.select(col("vec_id").as("q_id"),
+        asDouble(col("embedding")).as("qv"))
+      .withColumn("list_id", explode(nearestPrefix(col("qv"), nprobe)))
+    broadcast(probes).join(lists, Seq("list_id"))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("cos", cosineNative(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "c_id", "cos")
+  }
+
   /** Collected coarse quantizer: the first `nlist` corpus vectors by id
     * (nlist × dims doubles of driver state — the bounded-quantizer
     * discipline every IVF path shares). */

@@ -2837,6 +2837,31 @@ object Catalog {
          ) AS t(version, op, n_segments, n_cdc, n_dvs, batch)
          ORDER BY version""")),
 
+    // DESCRIBE HISTORY with a LIMIT: the newest-N audit rows resolve
+    // through the O(1) _head hint and walk DOWN — no directory listing,
+    // O(limit) manifest reads (measured flat ~0.1 s at 100/1k/10k retained
+    // versions where the full sweep grows to 1.5 s; COVERAGE.md txlog
+    // table).  The oracle pins that limit=2 is exactly the newest-2
+    // suffix of the full audit.
+    QueryDef("q_tx_history_limit",
+      (s, dir) => {
+        val root = Files.createTempDirectory("graft_txhl").toString + "/tbl"
+        val o = t(s, dir, "orders").select("o_orderkey", "o_totalprice")
+        val mx = o.agg(max("o_orderkey")).collect().head.getLong(0)
+        val c1 = mx / 2
+        TxTable.commitOverwrite(s, root, o.filter(col("o_orderkey") <= c1))
+        TxTable.commitAppend(s, root, o.filter(col("o_orderkey") > c1))
+        TxTable.commitDelete(s, root,
+          o.filter(col("o_orderkey") <= c1).select("o_orderkey"),
+          Seq("o_orderkey"))
+        TxTable.history(s, root, limit = 2).orderBy("version")
+      },
+      Some("""SELECT * FROM (VALUES
+           (CAST(2 AS BIGINT), 'append', CAST(2 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(NULL AS BIGINT)),
+           (CAST(3 AS BIGINT), 'delete', CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(NULL AS BIGINT))
+         ) AS t(version, op, n_segments, n_cdc, n_dvs, batch)
+         ORDER BY version""")),
+
     // WRITE–AUDIT–PUBLISH: a staged batch publishes only after its audit
     // passes against the staged FILES; the poisoned batch's audit throws,
     // the segment is removed, the table stays at its prior version, and

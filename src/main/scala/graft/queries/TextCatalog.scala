@@ -1926,6 +1926,124 @@ object TextCatalog {
            FROM hit_m, tot_m
          ORDER BY tier""")),
 
+    // MATRYOSHKA-IVF adaptive retrieval (MRL serving pattern): coarse
+    // routing in the 16-dim PREFIX space — 4× cheaper per routing
+    // decision, and the quantizer is just the sliced centroids — exact
+    // re-rank in the full 64 dims inside probed lists.  The oracle pins
+    // the whole chain: prefix assignment (cosines over the first 16
+    // coordinates only), prefix probing, full-dimension rerank.
+    QueryDef("q_matryoshka_ivf",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        Vector.ivfTopKPrefix(e.filter(col("vec_id") < 30), e, 3, 16, 4, 16)
+          .orderBy("q_id", "rank")
+      },
+      Some {
+        val cosQC = cosSql("qq.qv", "cents.cw", 16)
+        val cosCC = cosSql("c.cv", "cents.cw", 16)
+        s"""WITH cents AS (SELECT vec_id AS cent_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cw
+           FROM embeddings WHERE vec_id < 16),
+         c AS (SELECT vec_id AS c_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv FROM embeddings),
+         asg AS (SELECT c_id, cv, cent_id,
+             row_number() OVER (PARTITION BY c_id ORDER BY $cosCC DESC, cent_id) AS rn
+           FROM c, cents),
+         lists AS (SELECT c_id, cv, cent_id AS list_id FROM asg WHERE rn = 1),
+         qq AS (SELECT vec_id AS q_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+           FROM embeddings WHERE vec_id < 30),
+         qp AS (SELECT q_id, qv, cent_id,
+             row_number() OVER (PARTITION BY q_id ORDER BY $cosQC DESC, cent_id) AS rn
+           FROM qq, cents),
+         probes AS (SELECT q_id, qv, cent_id AS list_id FROM qp WHERE rn <= 4),
+         sc AS (SELECT q_id, c_id, ${cosSql("qv", "cv", 64)} AS cos
+           FROM probes JOIN lists USING (list_id) WHERE q_id <> c_id),
+         r AS (SELECT q_id, c_id, cos,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rank FROM sc)
+         SELECT q_id, CAST(rank AS INT) AS rank, c_id, cos FROM r
+         WHERE rank <= 3 ORDER BY q_id, rank"""
+      }),
+
+    // What does PREFIX routing cost in recall vs full-dimension routing?
+    // Both IVF routes (same nlist/nprobe/k) against brute-force truth in
+    // one frame — the measured cost-quality trade of the 4× cheaper
+    // routing decision, never assumed from the MRL paper.
+    QueryDef("q_matryoshka_ivf_recall",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val qs = e.filter(col("vec_id") < 30)
+        val truth = Vector.bruteForceTopK(qs, e, 5)
+          .select("q_id", "c_id").localCheckpoint()
+        def recallRow(tier: String, approx: org.apache.spark.sql.DataFrame) =
+          truth.join(approx.select("q_id", "c_id"), Seq("q_id", "c_id"),
+              "left_semi")
+            .agg(count(lit(1)).as("n_hit"))
+            .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
+            .select(lit(tier).as("tier"), col("n_hit"), col("n_truth"),
+              (col("n_hit") / col("n_truth")).as("recall"))
+        recallRow("full_route", Vector.ivfTopK(qs, e, 5, 16, 4))
+          .unionByName(
+            recallRow("prefix_route", Vector.ivfTopKPrefix(qs, e, 5, 16, 4, 16)))
+          .orderBy("tier")
+      },
+      Some {
+        val cosQC16 = cosSql("qq.qv", "cents.cw", 16)
+        val cosCC16 = cosSql("c.cv", "cents.cw", 16)
+        val cosQC64 = cosSql("qq.qv", "cents.cw", 64)
+        val cosCC64 = cosSql("c.cv", "cents.cw", 64)
+        s"""WITH cents AS (SELECT vec_id AS cent_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cw
+           FROM embeddings WHERE vec_id < 16),
+         c AS (SELECT vec_id AS c_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv FROM embeddings),
+         qq AS (SELECT vec_id AS q_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+           FROM embeddings WHERE vec_id < 30),
+         asg_f AS (SELECT c_id, cv, cent_id,
+             row_number() OVER (PARTITION BY c_id ORDER BY $cosCC64 DESC, cent_id) AS rn
+           FROM c, cents),
+         lists_f AS (SELECT c_id, cv, cent_id AS list_id FROM asg_f WHERE rn = 1),
+         qp_f AS (SELECT q_id, qv, cent_id,
+             row_number() OVER (PARTITION BY q_id ORDER BY $cosQC64 DESC, cent_id) AS rn
+           FROM qq, cents),
+         pr_f AS (SELECT q_id, qv, cent_id AS list_id FROM qp_f WHERE rn <= 4),
+         sc_f AS (SELECT q_id, c_id, ${cosSql("qv", "cv", 64)} AS cos
+           FROM pr_f JOIN lists_f USING (list_id) WHERE q_id <> c_id),
+         r_f AS (SELECT q_id, c_id,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rank FROM sc_f),
+         tk_f AS (SELECT q_id, c_id FROM r_f WHERE rank <= 5),
+         asg_p AS (SELECT c_id, cv, cent_id,
+             row_number() OVER (PARTITION BY c_id ORDER BY $cosCC16 DESC, cent_id) AS rn
+           FROM c, cents),
+         lists_p AS (SELECT c_id, cv, cent_id AS list_id FROM asg_p WHERE rn = 1),
+         qp_p AS (SELECT q_id, qv, cent_id,
+             row_number() OVER (PARTITION BY q_id ORDER BY $cosQC16 DESC, cent_id) AS rn
+           FROM qq, cents),
+         pr_p AS (SELECT q_id, qv, cent_id AS list_id FROM qp_p WHERE rn <= 4),
+         sc_p AS (SELECT q_id, c_id, ${cosSql("qv", "cv", 64)} AS cos
+           FROM pr_p JOIN lists_p USING (list_id) WHERE q_id <> c_id),
+         r_p AS (SELECT q_id, c_id,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rank FROM sc_p),
+         tk_p AS (SELECT q_id, c_id FROM r_p WHERE rank <= 5),
+         ex AS (SELECT q.vec_id AS q_id, t.vec_id AS c_id,
+             row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY ${cosSql("q.dv", "t.dv", 64)} DESC, t.vec_id) AS rank
+           FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+                 FROM embeddings) q
+           JOIN (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+                 FROM embeddings) t
+             ON q.vec_id < 30 AND q.vec_id <> t.vec_id),
+         truth AS (SELECT q_id, c_id FROM ex WHERE rank <= 5),
+         hit_f AS (SELECT COUNT(*) AS n_hit FROM truth SEMI JOIN tk_f USING (q_id, c_id)),
+         hit_p AS (SELECT COUNT(*) AS n_hit FROM truth SEMI JOIN tk_p USING (q_id, c_id)),
+         tot AS (SELECT COUNT(*) AS n_truth FROM truth)
+         SELECT 'full_route' AS tier, n_hit, n_truth, n_hit / n_truth AS recall
+           FROM hit_f, tot
+         UNION ALL
+         SELECT 'prefix_route' AS tier, n_hit, n_truth, n_hit / n_truth AS recall
+           FROM hit_p, tot
+         ORDER BY tier"""
+      }),
+
     // THE PERSISTED IVF INDEX: ivfTopK's scaladoc says "at 100 TB the
     // inverted lists ARE the partitioning" — this query realizes it
     // through the lakehouse layer.  The corpus commits into a TxTable
