@@ -236,12 +236,15 @@ object Graph {
           .filter(col("v") > col("u"))
           .select(col("v").as("hi"), col("m").as("lo"))
           .filter(col("hi") =!= col("lo"))
-        // one checkpoint per round, shallow plans: fusing TWO star rounds
-        // into one lazy chain was measured WORSE (13.1 s vs 7.9 s warm at
-        // sf0.1 — the deeper per-action plan costs more in optimizer/AQE
-        // replanning than the saved driver round-trips), so the loop keeps
-        // single-round cycles and takes its savings from the shared
-        // check/min aggregate above
+        // one checkpoint per round, shallow plans: two REJECTED-by-
+        // measurement variants (warm sf0.1 walls vs 6.5-6.8 s for this
+        // form) — fusing TWO star rounds into one lazy chain (13.1 s:
+        // deeper per-action plans cost more in optimizer/AQE replanning
+        // than the saved driver round-trips) and materializing the
+        // repartitioned sym so check/min/join share one exchange (8.3 s:
+        // checkpointing the DOUBLED edge frame costs more than the
+        // exchange it saves) — so the loop keeps single-round cycles and
+        // takes its savings from the shared check/min aggregate above
         val next = star(large, large = false).localCheckpoint()
         freeCheckpoint(e)
         e = next
