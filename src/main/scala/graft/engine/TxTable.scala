@@ -1288,8 +1288,13 @@ object TxTable {
       throw new IllegalArgumentException(
         s"TxTable.compactDeltaN: no commits under $root"))
     val head = readManifest(spark, root, cur)
-    val baseSegs = retainedManifest(spark, root, sinceVersion,
-      withStats = false).segments.toSet
+    // sinceVersion = 0 means "nothing is clustered yet": every segment is
+    // dirty and the pass degenerates to a full clustered rewrite — the
+    // bootstrap rung of the maintenance ladder
+    val baseSegs =
+      if (sinceVersion == 0L) Set.empty[String]
+      else retainedManifest(spark, root, sinceVersion,
+        withStats = false).segments.toSet
     val dirty = head.segments.filterNot(baseSegs)
     if (dirty.isEmpty) return cur
     val kept = head.segments.filter(baseSegs)

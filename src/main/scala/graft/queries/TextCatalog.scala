@@ -2322,6 +2322,110 @@ object TextCatalog {
     // actually runs — after which probes are manifest-pruned reads,
     // require-pinned.  Oracle: the plain IVF ranking (ingest path must be
     // invisible to results).
+    // ST20 — the STREAMING MAINTENANCE LADDER: q_st16 bulk-OPTIMIZEs once
+    // after ingest; this keeps the index query-ready CONTINUOUSLY — every
+    // micro-batch appends its assigned segment exactly-once AND folds
+    // everything since the last layout pass with the INCREMENTAL optimize
+    // (compactDeltaN: clean generations carry over, only the fresh delta
+    // re-clusters — O(batch) maintenance per batch, never O(index)).  The
+    // ladder composes with exactly-once for free: a replayed batch's
+    // append no-ops, so its compact sees nothing dirty and publishes
+    // nothing (the count require would catch either failure).  The last
+    // layout version is re-derived from the capped history read
+    // (history(limit) — O(1) via the _head hint), so a fresh-checkpoint
+    // restart keeps folding incrementally instead of re-clustering the
+    // world.  Oracle: plain IVF ranking — maintenance must be invisible.
+    QueryDef("q_st20_stream_ann_maintain",
+      (s, dir) => {
+        val base = java.nio.file.Files.createTempDirectory("graft_st20")
+          .toString
+        val root = s"$base/idx"
+        val e = t(s, dir, "embeddings")
+        val cents = Vector.coarseCentroids(e, nlist = 16)
+        (0 until 3).foreach(i =>
+          e.filter(pmod(col("vec_id"), lit(3)) === i)
+            .coalesce(1).write.parquet(s"$base/src/f$i"))
+        val schema = s.read.parquet(s"$base/src/f0").schema
+        def ingest(df: org.apache.spark.sql.DataFrame, id: Long): Unit = {
+          TxTable.streamingAppend(root, statsCols = Seq("list_id"))(
+            Vector.coarseAssignWith(df, cents)
+              .select(col("c_id").as("vec_id"),
+                col("list_id").cast("long").as("list_id"), col("cv")), id)
+          val lastOpt = TxTable.history(s, root, limit = 8)
+            .filter(col("op") === "compact")
+            .agg(max("version")).collect().head
+          TxTable.compactDeltaN(s, root, Seq("list_id"),
+            sinceVersion = if (lastOpt.isNullAt(0)) 0L else lastOpt.getLong(0),
+            numSegments = 4)
+        }
+        def runOnce(cp: String): Unit = {
+          val q = s.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1").parquet(s"$base/src/f*")
+            .writeStream.foreachBatch(ingest _)
+            .option("checkpointLocation", cp)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        runOnce(s"$base/cp1")
+        runOnce(s"$base/cp2") // fresh checkpoint: replay must no-op BOTH rungs
+        val n = TxTable.read(s, root).count()
+        val nCorpus = e.count()
+        require(n == nCorpus,
+          s"q_st20_stream_ann_maintain: exactly-once violated — index has " +
+            s"$n rows for a $nCorpus-vector corpus")
+        // continuously-maintained means query-ready NOW: probes must prune
+        // without any closing bulk OPTIMIZE
+        val probes = Vector.coarseProbesWith(e.filter(col("vec_id") < 4),
+          cents, nprobe = 2)
+        val lids = probes.select("list_id").distinct().collect()
+          .map(_.getInt(0)).sorted
+        val cand = TxTable.readWhereIn(s, root, "list_id",
+          lids.toSeq.map(l => new java.math.BigDecimal(l)))
+        def dataSegs(df: org.apache.spark.sql.DataFrame) =
+          df.inputFiles.filter(_.contains("/data/"))
+            .map(_.replaceAll("/[^/]*$", "")).toSet
+        val scanned = dataSegs(cand).size
+        val total = dataSegs(TxTable.read(s, root)).size
+        require(scanned < total,
+          s"q_st20_stream_ann_maintain: probing ${lids.length} of 16 lists " +
+            s"must prune the continuously-maintained index — scanned " +
+            s"$scanned of $total segments")
+        broadcast(probes).join(cand, Seq("list_id"))
+          .filter(col("q_id") =!= col("vec_id"))
+          .withColumn("cos", Vector.cosineNative(col("qv"), col("cv")))
+          .withColumn("rank", row_number().over(
+            Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))))
+          .filter(col("rank") <= 3)
+          .select(col("q_id"), col("rank"), col("vec_id").as("c_id"), col("cos"))
+          .orderBy("q_id", "rank")
+      },
+      Some {
+        val cosQC = cosSql("qq.qv", "cents.cw", 64)
+        val cosCC = cosSql("c.cv", "cents.cw", 64)
+        s"""WITH cents AS (SELECT vec_id AS cent_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cw
+           FROM embeddings WHERE vec_id < 16),
+         c AS (SELECT vec_id AS c_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv FROM embeddings),
+         asg AS (SELECT c_id, cv, cent_id,
+             row_number() OVER (PARTITION BY c_id ORDER BY $cosCC DESC, cent_id) AS rn
+           FROM c, cents),
+         lists AS (SELECT c_id, cv, cent_id AS list_id FROM asg WHERE rn = 1),
+         qq AS (SELECT vec_id AS q_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+           FROM embeddings WHERE vec_id < 4),
+         qp AS (SELECT q_id, qv, cent_id,
+             row_number() OVER (PARTITION BY q_id ORDER BY $cosQC DESC, cent_id) AS rn
+           FROM qq, cents),
+         probes AS (SELECT q_id, qv, cent_id AS list_id FROM qp WHERE rn <= 2),
+         sc AS (SELECT q_id, c_id, ${cosSql("qv", "cv", 64)} AS cos
+           FROM probes JOIN lists USING (list_id) WHERE q_id <> c_id),
+         r AS (SELECT q_id, c_id, cos,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rank FROM sc)
+         SELECT q_id, CAST(rank AS INT) AS rank, c_id, cos FROM r
+         WHERE rank <= 3 ORDER BY q_id, rank"""
+      }),
+
     QueryDef("q_st16_stream_ann",
       (s, dir) => {
         val base = java.nio.file.Files.createTempDirectory("graft_st16")
