@@ -341,6 +341,39 @@ class VectorSpec extends SparkFunSuite {
       "every mutual pair must be reciprocal in the source top-k")
   }
 
+  test("full-probe composition pins: symmetric-IVF mutual ⊇ candidates are " +
+    "recall-only, prefix routing with every list probed ≡ brute force") {
+    val vecs = (0L until 40L).map { i =>
+      (i, Seq.tabulate(8)(j => ((((i * 13 + j * 7) % 29) - 14) / 5.0).toFloat))
+    }.toDF("vec_id", "embedding")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.select("q_id", "c_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // IVF candidate restriction is RECALL-ONLY: every (q, c) the list tier
+    // returns that brute force also top-k's must carry the identical
+    // cosine (subsets re-rank, never re-score) — and with every list
+    // probed the tiers coincide exactly
+    val brute = Vector.allPairsTopK(vecs, 3)
+    val ivfAll = Vector.allPairsTopKIvf(vecs, 3, nlist = 4, nprobe = 4)
+    assert(rows(ivfAll) === rows(brute),
+      "all-lists-probed symmetric IVF must equal the exact tier")
+    val m = Vector.mutualPairs(ivfAll)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mb = Vector.mutualPairs(brute)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(m === mb, "full-probe mutual pairs must equal exact mutual pairs")
+    // prefix ROUTING with every list probed ≡ brute force: routing only
+    // restricts candidates, and the re-rank is full-dimension exact
+    val qs = vecs.filter($"vec_id" < 6)
+    val pre = Vector.ivfTopKPrefix(qs, vecs, 3, nlist = 4, nprobe = 4,
+      prefixDims = 4)
+    val bf = Vector.bruteForceTopK(qs, vecs, 3)
+    assert(pre.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSet ===
+      bf.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSet,
+      "prefix routing must be invisible when every list is probed")
+  }
+
   test("ndcgAtK: perfect list scores 1, reversed list less, misses score 0") {
     val exact = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3))
       .toDF("q_id", "c_id", "rank")
