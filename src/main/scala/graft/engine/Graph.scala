@@ -245,7 +245,15 @@ object Graph {
         // checkpointing the DOUBLED edge frame costs more than the
         // exchange it saves) — so the loop keeps single-round cycles and
         // takes its savings from the shared check/min aggregate above
-        val next = star(large, large = false).localCheckpoint()
+        // round shape LARGE;LARGE;SMALL — measured sweep at sf0.1 (warm
+        // walls): large;small 6.5-6.7 s, large;large;small 5.0-5.6 s
+        // (the second distance-halving large star cuts the ROUND COUNT
+        // by more than its plan depth costs), large;large;large;small
+        // 8.5-9.3 s (depth cost wins again).  Correctness is unaffected
+        // by the alternation pattern: both stars preserve components,
+        // and the exact star-forest check above is the loop condition.
+        val next = star(star(large, large = true), large = false)
+          .localCheckpoint()
         freeCheckpoint(e)
         e = next
         i += 1
