@@ -155,7 +155,15 @@ object Graph {
     // would buy nothing back for its extra driver round-trip; the input
     // does get scanned once more at the end, the same one-pass cost the
     // checkpoint itself would have paid.  Built from the RAW edges, not
-    // the canonical e: self-loop-only vertices must still label themselves
+    // the canonical e: self-loop-only vertices must still label themselves.
+    // ASSUMES DETERMINISTIC INPUT LINEAGE: because `edges` is re-evaluated
+    // here after the rounds ran on the checkpointed canonical copy, an
+    // edge frame with non-deterministic lineage (sample(), uuid(),
+    // monotonically_increasing_id(), a non-idempotent source) could yield
+    // a node set that diverges from the edge set the contraction saw —
+    // missing or spuriously-singleton vertices.  Callers with such inputs
+    // must checkpoint/materialize their edge frame first (every registered
+    // query reads parquet, which is deterministic).
     val nodes = edges.select(col(srcCol).as("id"))
       .union(edges.select(col(dstCol).as("id"))).distinct()
     // canonical high→low, self-loops dropped

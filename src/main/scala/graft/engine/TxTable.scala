@@ -255,11 +255,15 @@ object TxTable {
       try os.write(v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally os.close()
     } catch {
-      // only I/O may fail silently (the hint is best-effort); anything else
-      // — and in particular a thread interrupt, whose status must survive
-      // the swallow — propagates or re-asserts
-      case _: java.io.IOException => ()
+      // The hint is best-effort AND the manifest has already published by
+      // the time this runs — so NOTHING non-fatal may escape (an escaping
+      // exception would make a SUCCEEDED commit look failed to the caller).
+      // Interrupts arrive from Hadoop FS calls as InterruptedIOException
+      // (an IOException subtype), so match it FIRST; either interrupt form
+      // must re-assert the thread's flag before being swallowed.
+      case _: java.io.InterruptedIOException => Thread.currentThread().interrupt()
       case _: InterruptedException => Thread.currentThread().interrupt()
+      case scala.util.control.NonFatal(_) => ()
     }
 
   /** Latest committed version, or None for an uninitialized table —
@@ -294,10 +298,13 @@ object TxTable {
     * driver cost is O(retained versions) small JSON reads — bounded by
     * [[vacuum]] retention, the same bound every time-travel path already
     * lives under.  A bounded `limit` caps that too: the NEWEST `limit`
-    * commits resolve through the O(1) `_head` hint and walk DOWN, never
-    * listing the log directory — measured 1.52 s for the full sweep at
-    * 10k retained versions vs flat ~3 ms for limit=20 at any depth
-    * (ScaleProbe txlog table).  The audit surface an operator reaches for
+    * commits resolve through the `_head` hint and walk DOWN — O(limit)
+    * manifest reads GIVEN A HEALTHY HINT (the steady state: every publish
+    * rewrites it); when the hint is missing or damaged (pre-hint tables,
+    * bootstrap) [[latestVersion]] falls back to one full directory
+    * listing to find the head, and only the walk below it stays O(limit).
+    * Measured 1.52 s for the full sweep at 10k retained versions vs flat
+    * ~3 ms for limit=20 at any depth (ScaleProbe txlog table).  The audit surface an operator reaches for
     * first: what happened to this table, in what order, and did any
     * streaming batch land twice (the carried `batch` watermark answers
     * that without opening a single segment). */

@@ -339,9 +339,10 @@ object Vector {
     * prefix ROUTING costs recall vs full-dimension routing is the
     * registered audit query's job, never assumed.  Plan shape identical
     * to [[ivfTopK]]: zero-exchange argmax assignment, bounded broadcast
-    * query side, one rank shuffle.  (The registered shape keeps
-    * nlist × prefixDims ≪ the codegen literal budget; a large quantizer
-    * would route through the [[ivfTopK]] row path.) */
+    * query side, one rank shuffle.  Assignment routes through the shared
+    * [[withNearest]] guard with the truncated centroids, so past the
+    * nlist × prefixDims codegen budget it takes the mapPartitions row
+    * path like every other IVF form — enforced, not assumed. */
   def ivfTopKPrefix(queries: DataFrame, corpus: DataFrame, k: Int,
                     nlist: Int = 16, nprobe: Int = 4,
                     prefixDims: Int = 16): DataFrame = {
@@ -350,16 +351,17 @@ object Vector {
       s"ivfTopKPrefix: prefixDims must be >= 1, got $prefixDims")
     val pcents = collectCents(corpus, nlist)
       .map { case (i, w) => (i, w.take(prefixDims)) }
-    def nearestPrefix(v: Column, take: Int): Column =
-      transform(slice(reverse(array_sort(
-          scoredCentArray(slice(v, 1, prefixDims), pcents))), 1, take),
-        st => -st.getField("nid"))
-    val lists = corpus.select(col("vec_id").as("c_id"),
-        asDouble(col("embedding")).as("cv"))
-      .withColumn("list_id", element_at(nearestPrefix(col("cv"), 1), 1))
-    val probes = queries.select(col("vec_id").as("q_id"),
-        asDouble(col("embedding")).as("qv"))
-      .withColumn("list_id", explode(nearestPrefix(col("qv"), nprobe)))
+    // prefix assignment goes through withNearest like every other IVF path,
+    // so the UnrolledCentroidTerms codegen-budget guard is ENFORCED, not
+    // assumed: a large nlist × prefixDims quantizer takes the mapPartitions
+    // row path (prefix-sliced fold, bit-identical arithmetic) instead of
+    // silently falling to interpreted expression eval
+    val lists = withNearest(corpus.select(col("vec_id").as("c_id"),
+        asDouble(col("embedding")).as("cv")), pcents, 1, Some(prefixDims))
+      .withColumn("list_id", element_at(col("__lists"), 1)).drop("__lists")
+    val probes = withNearest(queries.select(col("vec_id").as("q_id"),
+        asDouble(col("embedding")).as("qv")), pcents, nprobe, Some(prefixDims))
+      .withColumn("list_id", explode(col("__lists"))).drop("__lists")
     broadcast(probes).join(lists, Seq("list_id"))
       .filter(col("q_id") =!= col("c_id"))
       .withColumn("cos", cosineNative(col("qv"), col("cv")))
@@ -389,13 +391,15 @@ object Vector {
     * (index-order dot folds, HALF_UP 6-dp round, (cos desc, id asc)
     * ordering), pinned full-probe ≡ brute on BOTH paths by VectorFuzzSpec. */
   private def withNearest(df2: DataFrame, centVecs: Seq[(Int, Seq[Double])],
-                          take: Int): DataFrame = {
+                          take: Int, sliceDims: Option[Int] = None): DataFrame = {
     val dims0 = centVecs.headOption.map(_._2.length).getOrElse(0)
-    if (centVecs.size * dims0 > UnrolledCentroidTerms) nearestLists(df2, centVecs, take)
+    if (centVecs.size * dims0 > UnrolledCentroidTerms)
+      nearestLists(df2, centVecs, take, sliceDims)
     else {
       val Seq(_, vecName) = df2.columns.toSeq
+      val v = sliceDims.map(d => slice(col(vecName), 1, d)).getOrElse(col(vecName))
       df2.withColumn("__lists", transform(
-        slice(reverse(array_sort(scoredCentArray(col(vecName), centVecs))), 1, take),
+        slice(reverse(array_sort(scoredCentArray(v, centVecs))), 1, take),
         st => -st.getField("nid")))
     }
   }
@@ -638,17 +642,21 @@ object Vector {
     * `round(_, 6)` bit for bit: index-order dot folds and scala
     * BigDecimal HALF_UP — the same arithmetic the fuzz model uses. */
   private def nearestLists(df: DataFrame, cents: Seq[(Int, Seq[Double])],
-                           take: Int): DataFrame = {
+                           take: Int, sliceDims: Option[Int] = None): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val Seq(idName, vecName) = df.columns.toSeq
     val centArr: Array[(Int, Array[Double])] =
       cents.map { case (i, w) => (i, w.toArray) }.toArray
+    // prefix routing (Matryoshka): score only the first sliceDims entries —
+    // the same slice-then-fold the expression path's slice(v,1,d) performs
+    val pre = sliceDims.getOrElse(Int.MaxValue)
     def round6(x: Double): Double =
       BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     def cosJvm(a: Array[Double], b: Array[Double]): Double = {
       var dab = 0.0; var daa = 0.0; var dbb = 0.0; var i = 0
-      while (i < a.length) {
+      val n = math.min(a.length, pre)
+      while (i < n) {
         dab += a(i) * b(i); daa += a(i) * a(i); dbb += b(i) * b(i); i += 1
       }
       round6(dab / (math.sqrt(daa) * math.sqrt(dbb)))

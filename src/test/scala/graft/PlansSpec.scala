@@ -282,10 +282,12 @@ class PlansSpec extends SparkFunSuite {
           n -> ((s.toInt, b.toInt))
         }.toMap
     val dir = "/root/testdata/sf0.001"
-    // the snapshot is recorded under GraftSession, whose extensions inject
-    // the rank→heap rewrite + heap strategy — plans (and so exchange
-    // counts) differ without them, so the measuring session carries the
-    // same extras
+    // the snapshot is recorded under a REPLICA OF THIS TEST SESSION (plain
+    // builder + experimental extras, local[2]/2 shuffle partitions) — NOT
+    // under GraftSession, which records DIFFERENT counts (extension-injected
+    // rules change exchange reuse, e.g. q_scd2_upsert 3 vs 5; see the
+    // ExchangeCensus --record comment) — so the measuring session here must
+    // carry the same experimental extras the recorder used
     val ss = spark.newSession()
       .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     ss.experimental.extraOptimizations = Seq(graft.plans.RewriteRankFilterToTopK)
