@@ -92,22 +92,34 @@ object Graph {
       .localCheckpoint()
     var converged = false
     var i = 0
+    val tuner = new RoundTuner(sym.sparkSession)
+    try {
+    tuner.retune(labels)
     while (!converged && i < maxIter) {
       val nbrMin = sym.join(labels.withColumnRenamed("id", "dst"), "dst")
         .groupBy(col("src").as("id")).agg(min("label").as("__nbr"))
+      // convergence rides the SAME job that materializes the checkpoint
+      // (an observed metric over the rows as they stream into the blocks)
+      // — the old separate `.filter(__chg).isEmpty` action was a pure
+      // driver round-trip per round, the dominant fixed cost once the
+      // per-round data is small (the r13 JobProfile finding)
+      val obs = org.apache.spark.sql.Observation()
       // every vertex has ≥1 neighbor (it came from an edge) — inner join
       val next = labels.join(nbrMin, "id")
         .select(col("id"), least(col("label"), col("__nbr")).as("label"),
           (col("__nbr") < col("label")).as("__chg"))
+        .observe(obs, coalesce(sum(when(col("__chg"), 1L)), lit(0L)).as("__n"))
         .localCheckpoint()
-      converged = next.filter(col("__chg")).isEmpty
+      converged = obs.get("__n").asInstanceOf[Long] == 0L
       // `next` is self-contained after its checkpoint: free the superseded
       // round's blocks NOW — waiting for GC-driven ContextCleaner would grow
       // storage O(rounds × |V|) on a large graph
       freeCheckpoint(labels)
       labels = next.drop("__chg")
+      tuner.retune(labels)
       i += 1
     }
+    } finally tuner.restore()
     freeCheckpoint(sym)
     if (!converged) {
       // Diameter exceeded the round budget (a path/chain-shaped tail, which
@@ -203,13 +215,13 @@ object Graph {
     // minimum — and a min-rooted star forest is verifiably a fixpoint of
     // both star operations.
     //
-    // THE CHECK PAYS NO SHUFFLE OF ITS OWN (the r12 profile found the
-    // round count × per-job fixed cost IS this query's floor): both the
-    // test and the LARGE-STAR MIN are per-node aggregates over the same
-    // role-tagged symmetric neighborhood, so ONE groupBy serves both —
-    // checkpoint that aggregate, decide convergence with a narrow filter
-    // over the materialized blocks, and feed the very same frame's min
-    // into the large-star join.  Per node u over sym rows (u, v, __uhi =
+    // THE CHECK PAYS NO SHUFFLE — AND NO ACTION — OF ITS OWN (the r12
+    // profile found the round count × per-job fixed cost IS this query's
+    // floor): both the test and the LARGE-STAR MIN are per-node aggregates
+    // over the same role-tagged symmetric neighborhood, so ONE groupBy
+    // serves both, it rides inline in the round's single checkpoint plan,
+    // and convergence is decided from an OBSERVED METRIC on that job.
+    // Per node u over sym rows (u, v, __uhi =
     // "u is the hi end of this pair"):
     //   __mv  = min(v)                      — the large-star m (pre-least)
     //   (a) violated ⇔ min(v | __uhi) ≠ max(v | __uhi)   (nulls ignored)
@@ -218,53 +230,69 @@ object Graph {
     // form plans an Expand that multiplies the probe ×4.
     var converged = false
     var i = 0
+    val tuner = new RoundTuner(e.sparkSession)
+    val out = try {
+    tuner.retune(e)
     while (!converged) {
       val sym = e.select(col("hi").as("u"), col("lo").as("v"),
           lit(true).as("__uhi"))
         .union(e.select(col("lo").as("u"), col("hi").as("v"),
           lit(false).as("__uhi")))
+      // TWO actions per round, ZERO dedicated check actions (r14): the
+      // violation COUNT rides the ag-materializing checkpoint job itself
+      // as an OBSERVED METRIC — the old separate `.filter(...).isEmpty`
+      // over the materialized blocks was a whole extra driver round-trip
+      // per round buying nothing the metric doesn't already know (the
+      // r12/r13 profiles pinned this query's floor to round count ×
+      // per-job fixed cost).  A third variant — folding ag into next's
+      // plan for ONE action per round — was measured WORSE (warm sf0.1
+      // walls 7.5 vs 7.0 session-AQE, 4.6-5.2 vs 4.0-4.7 tuned): the
+      // fixpoint round then recomputes all three stars wastefully and the
+      // inlined aggregate re-materializes per consumer.
+      val obs = org.apache.spark.sql.Observation()
       val ag = sym.groupBy("u").agg(
           min("v").as("__mv"),
           min(when(col("__uhi"), col("v"))).as("__mnl"),
           max(when(col("__uhi"), col("v"))).as("__mxl"),
           max(col("__uhi")).as("__hashi"),
           max(!col("__uhi")).as("__haslo"))
+        .observe(obs, coalesce(sum(when((col("__hashi") && col("__haslo")) ||
+            col("__mnl") =!= col("__mxl"), 1L)), lit(0L)).as("__viol"))
         .localCheckpoint()
-      converged = ag.filter((col("__hashi") && col("__haslo")) ||
-        col("__mnl") =!= col("__mxl")).isEmpty
+      converged = obs.get("__viol").asInstanceOf[Long] == 0L
       if (!converged) {
-        require(i < maxIter, "connectedComponentsContraction: no fixpoint " +
-          s"after $maxIter alternating rounds — raise maxIter (bound is " +
-          "O(log² n))")
-        // large star straight off the shared aggregate (ag is in memory,
-        // hash(u)-partitioned — only the sym side shuffles), then the
-        // small star as before
-        val m = ag.select(col("u"), least(col("u"), col("__mv")).as("m"))
-        val large = sym.select(col("u"), col("v")).join(m, "u")
-          .filter(col("v") > col("u"))
-          .select(col("v").as("hi"), col("m").as("lo"))
-          .filter(col("hi") =!= col("lo"))
-        // one checkpoint per round, shallow plans: two REJECTED-by-
-        // measurement variants (warm sf0.1 walls vs 6.5-6.8 s for this
-        // form) — fusing TWO star rounds into one lazy chain (13.1 s:
-        // deeper per-action plans cost more in optimizer/AQE replanning
-        // than the saved driver round-trips) and materializing the
-        // repartitioned sym so check/min/join share one exchange (8.3 s:
-        // checkpointing the DOUBLED edge frame costs more than the
-        // exchange it saves) — so the loop keeps single-round cycles and
-        // takes its savings from the shared check/min aggregate above
-        // round shape LARGE;LARGE;SMALL — measured sweep at sf0.1 (warm
-        // walls): large;small 6.5-6.7 s, large;large;small 5.0-5.6 s
-        // (the second distance-halving large star cuts the ROUND COUNT
-        // by more than its plan depth costs), large;large;large;small
-        // 8.5-9.3 s (depth cost wins again).  Correctness is unaffected
-        // by the alternation pattern: both stars preserve components,
-        // and the exact star-forest check above is the loop condition.
-        val next = star(star(large, large = true), large = false)
-          .localCheckpoint()
-        freeCheckpoint(e)
-        e = next
-        i += 1
+      // large star straight off the shared aggregate (only the sym side
+      // shuffles on u; ag's groupBy output is already hash(u)-partitioned),
+      // then the second large star and the small star chained lazily into
+      // the SAME action
+      val m = ag.select(col("u"), least(col("u"), col("__mv")).as("m"))
+      val large = sym.select(col("u"), col("v")).join(m, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("hi"), col("m").as("lo"))
+        .filter(col("hi") =!= col("lo"))
+      // one checkpoint for the round's star chain: further REJECTED-by-
+      // measurement variants (warm sf0.1 walls, r13) — fusing TWO star
+      // ROUNDS into one lazy chain (13.1 s: doubling per-action plan depth
+      // costs more in optimizer replanning than the saved driver
+      // round-trips) and materializing the repartitioned sym so
+      // check/min/join share one exchange (8.3 s: checkpointing the
+      // DOUBLED edge frame costs more than the exchange it saves).  Round
+      // shape LARGE;LARGE;SMALL — measured sweep at sf0.1 (warm walls):
+      // large;small 6.5-6.7 s, large;large;small 5.0-5.6 s (the second
+      // distance-halving large star cuts the ROUND COUNT by more than its
+      // plan depth costs), large;large;large;small 8.5-9.3 s (depth cost
+      // wins again).  Correctness is unaffected by the alternation
+      // pattern: both stars preserve components, and the exact star-forest
+      // check above is the loop condition.
+      val next = star(star(large, large = true), large = false)
+        .localCheckpoint()
+      require(i < maxIter, "connectedComponentsContraction: no fixpoint " +
+        s"after $maxIter alternating rounds — raise maxIter (bound is " +
+        "O(log² n))")
+      freeCheckpoint(e)
+      e = next
+      tuner.retune(e)
+      i += 1
       }
       freeCheckpoint(ag)
     }
@@ -272,10 +300,14 @@ object Graph {
     // label themselves.  The ONE distinct canonicalizes whatever
     // multiplicity the dedup-free rounds accumulated ((a) guarantees a
     // single root per member, so distinct pairs ≡ the member→root function).
-    val out = nodes.join(e.select(col("hi").as("id"), col("lo").as("__root"))
+    // Materialized INSIDE the tuned scope: the labeling join is the
+    // operator's own action over the same converged-forest-sized frames
+    // the rounds ran on, so the round tuning is exactly as valid here.
+    nodes.join(e.select(col("hi").as("id"), col("lo").as("__root"))
         .distinct(), Seq("id"), "left")
       .select(col("id"), coalesce(col("__root"), col("id")).as("label"))
       .localCheckpoint()
+    } finally tuner.restore()
     freeCheckpoint(e)
     out
   }
@@ -385,4 +417,66 @@ object Graph {
         l.rdd.unpersist(blocking = false)
       case _ => ()
     }
+
+  /** Measured storage footprint of a localCheckpoint'd frame's persisted
+    * blocks (memory + spilled disk), or None when the storage layer has no
+    * report (not a checkpoint, already freed). */
+  private def checkpointBytes(df: DataFrame): Option[Long] = {
+    val sc = df.sparkSession.sparkContext
+    df.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
+    }.flatMap(id => sc.getRDDStorageInfo.find(_.id == id))
+      .map(i => i.memSize + i.diskSize)
+  }
+
+  /** Rounds at or below this persisted size are FIXED-COST-BOUND: per-job
+    * scheduling, not data, dominates — and skew physically cannot matter
+    * (the whole round fits in one executor's memory many times over). */
+  private val TinyRoundBytes: Long = 256L << 20
+  /** Target per-partition bytes for tiny rounds — small enough to keep a
+    * few-way parallelism on multi-MB rounds, large enough that a round is
+    * a handful of tasks, not `spark.sql.shuffle.partitions` of them. */
+  private val BytesPerRoundPartition: Long = 4L << 20
+  private val MinRoundPartitions = 4
+
+  /** Scoped shuffle tuning for the iterative loops (r14, the q_cc JobProfile
+    * finding: the floor is round count × per-JOB fixed cost, and under AQE
+    * every exchange materializes as its OWN job — ~10 scheduling round-trips
+    * per contraction round over kilobyte-scale frames).
+    *
+    * The loops here materialize EVERY round via localCheckpoint, so the
+    * exact size of a round's input is known at plan time — the one fact
+    * AQE discovers at run time.  So the loop does its own "static AQE":
+    * when the materialized round is tiny it disables adaptive execution
+    * (whole round = ONE job, all stages pipelined) and sizes
+    * `spark.sql.shuffle.partitions` from the measured bytes; rounds past
+    * [[TinyRoundBytes]] keep the session's AQE and partitioning untouched,
+    * preserving runtime skew handling exactly where skew can exist.  On a
+    * 100 TB graph the early rounds run under full AQE and only the
+    * converged tail (edge set collapsed to near the component count)
+    * drops into the tuned regime — the regime change IS the scale story,
+    * not a local-mode hack.  Measured at sf0.1 (warm walls): 6.7-7.5 s
+    * session-AQE → 4.0-4.7 s tuned, machine-matched.
+    *
+    * Conf mutation is SCOPED (set per round, restored in the caller's
+    * `finally`) and session-level: safe for the serial Bench/Verify/test
+    * harnesses; concurrent same-session queries would observe the round
+    * conf, which is why restore is unconditional and immediate. */
+  private final class RoundTuner(spark: org.apache.spark.sql.SparkSession) {
+    private val sp0 = spark.conf.get("spark.sql.shuffle.partitions")
+    private val aqe0 = spark.conf.get("spark.sql.adaptive.enabled")
+    def retune(cur: DataFrame): Unit = checkpointBytes(cur) match {
+      case Some(b) if b <= TinyRoundBytes =>
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.shuffle.partitions",
+          math.min(sp0.toInt,
+            math.max(MinRoundPartitions,
+              (b / BytesPerRoundPartition).toInt + 1)).toString)
+      case _ => restore()
+    }
+    def restore(): Unit = {
+      spark.conf.set("spark.sql.shuffle.partitions", sp0)
+      spark.conf.set("spark.sql.adaptive.enabled", aqe0)
+    }
+  }
 }
