@@ -1309,12 +1309,20 @@ object TxTable {
     // only the dirty segments are read — through the head's DVs, so their
     // tombstoned rows die here instead of being re-clustered
     val raw = readSegments(spark, root, head, dirty)
-    val live =
+    val live0 =
       if (head.dvs.isEmpty) raw
       else applyDvs(spark, root, head.dvs,
         raw.withColumn("__seg", segTag)).drop("__seg")
-    val newSegs = writeClusteredSegments(spark, root, live, cols,
+    // the clustered write evaluates its input THREE times (z-bounds probe,
+    // range-partitioner sampling, write scan) — persist the DV-filtered
+    // delta so the dirty-segment read + DV anti-join run once, not thrice.
+    // Scale-safe by construction: `live` is DELTA-sized (only segments
+    // committed after `sinceVersion`), never table-sized, and
+    // MEMORY_AND_DISK spills rather than OOMs on an oversized batch.
+    val live = live0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val newSegs = try writeClusteredSegments(spark, root, live, cols,
       numSegments, bits)
+    finally live.unpersist(blocking = false)
     // DV entries rescope to the carried segments; an entry whose whole
     // scope was rewritten has been fully materialized and drops
     val dvs = head.dvs.flatMap { entry =>
@@ -1411,6 +1419,20 @@ object TxTable {
     readVersion(spark, root,
       latestVersion(spark, root).getOrElse(
         throw new IllegalArgumentException(s"TxTable.read: no commits under $root")))
+
+  /** Number of live data segments in the head manifest — pure driver-side
+    * metadata (one THIN manifest read, no stats sidecar, no scan plan).
+    * The honest denominator for "scanned X of Y segments" pruning audits:
+    * the scanned side must come from the pruned read's own `inputFiles`
+    * (it proves what the scan actually touches), but the total is a
+    * catalog fact and planning a second full read just to count it costs
+    * a whole plan + file listing per audit. */
+  def liveSegmentCount(spark: SparkSession, root: String): Int = {
+    val v = latestVersion(spark, root).getOrElse(
+      throw new IllegalArgumentException(
+        s"TxTable.liveSegmentCount: no commits under $root"))
+    readManifest(spark, root, v, withStats = false).segments.size
+  }
 
   private def prunedRead(spark: SparkSession, root: String, colName: String)
                         (survives: ColStat => Boolean): DataFrame = {
