@@ -456,14 +456,29 @@ object Quality {
                          z: Double = 1.96): DataFrame = {
     import org.apache.spark.sql.functions._
     val base = expectations(df, rules)
-    val n = col("n_rows").cast("double")
-    val p = col("n_pass") / col("n_rows")
+    withWilson(base.withColumn("pass_rate",
+      round(col("n_pass") / col("n_rows"), 9)), "n_pass", "n_rows", z)
+  }
+
+  /** The Wilson interval over an ARBITRARY (successes, trials) column pair —
+    * [[expectationsWilson]]'s bounds factored out so ANY binomial audit
+    * frame (a recall measurement's `(n_hit, n_truth)`, a gate's
+    * `(n_pass, n_rows)`) can carry its own sample-size skepticism: a 0.68
+    * recall estimated from 30 mutual pairs has a lower bound near 0.50 and
+    * must be gated as such, not as 0.68.  Appends `(wilson_lo, wilson_hi)`,
+    * 9-dp-rounded; same fixed-order IEEE arithmetic on the two counts as
+    * [[expectationsWilson]], so DuckDB oracles mirror bit for bit.
+    * Defined for trials ≥ 1. */
+  def withWilson(df: DataFrame, hitCol: String, nCol: String,
+                 z: Double = 1.96): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val n = col(nCol).cast("double")
+    val p = col(hitCol) / col(nCol)
     val z2 = lit(z) * lit(z)
     val denom = lit(1.0) + z2 / n
     val center = p + z2 / (n * 2)
     val rad = lit(z) * sqrt(p * (lit(1.0) - p) / n + z2 / (n * n * 4))
-    base.withColumn("pass_rate", round(p, 9))
-      .withColumn("wilson_lo", round((center - rad) / denom, 9))
+    df.withColumn("wilson_lo", round((center - rad) / denom, 9))
       .withColumn("wilson_hi", round((center + rad) / denom, 9))
   }
 

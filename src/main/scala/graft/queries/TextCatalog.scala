@@ -1879,7 +1879,11 @@ object TextCatalog {
     // the comparison the verdict asks for ("mutual recall vs the IVF
     // tier's own recall") is a row diff, not a cross-artifact hunt —
     // mutuality requires BOTH endpoints, so errors could compound; the
-    // measurement, not the assumption, decides.
+    // measurement, not the assumption, decides.  The audit is WILSON-GATED
+    // in-query (the expectationsWilson discipline applied to recall: a
+    // point recall estimated from a handful of pairs carries no evidence,
+    // so the gate is on the interval's LOWER bound) — a fixture or routing
+    // regression FAILS the query instead of silently drifting a number.
     QueryDef("q_mutual_knn_ivf_recall",
       (s, dir) => {
         val e = t(s, dir, "embeddings")
@@ -1894,12 +1898,32 @@ object TextCatalog {
             .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
             .select(lit(tier).as("tier"), col("n_hit"), col("n_truth"),
               (col("n_hit") / col("n_truth")).as("recall"))
-        recallRow("ivf_topk", ivf.select("q_id", "c_id"),
-            brute.select("q_id", "c_id"), Seq("q_id", "c_id"))
-          .unionByName(recallRow("mutual_pairs",
-            Vector.mutualPairs(ivf).select("a", "b"),
-            Vector.mutualPairs(brute).select("a", "b"), Seq("a", "b")))
+        val audit = Quality.withWilson(
+          recallRow("ivf_topk", ivf.select("q_id", "c_id"),
+              brute.select("q_id", "c_id"), Seq("q_id", "c_id"))
+            .unionByName(recallRow("mutual_pairs",
+              Vector.mutualPairs(ivf).select("a", "b"),
+              Vector.mutualPairs(brute).select("a", "b"), Seq("a", "b"))),
+          "n_hit", "n_truth")
           .orderBy("tier")
+        // Floors sit ~0.10 under the WEAKEST measured lower bound across
+        // the three fixture SFs (edge wilson_lo 0.648/0.649/0.685, mutual
+        // 0.646/0.654/0.682 at sf0.001/0.01/0.1 — deterministic: exact
+        // arithmetic, fixed tie-breaks) and far ABOVE the known failure
+        // modes: one-directional probing's 0.32 point mutual recall
+        // (Wilson bound lower still) and degraded nprobe routing both
+        // fail loudly here.
+        Catalog.gateOnce(s, audit) { rows =>
+          val lo = rows.map(r =>
+            r.getAs[String]("tier") -> r.getAs[Double]("wilson_lo")).toMap
+          require(lo("ivf_topk") >= 0.55,
+            s"q_mutual_knn_ivf_recall: IVF edge recall wilson_lo " +
+              s"${lo("ivf_topk")} < 0.55 — probe routing regressed")
+          require(lo("mutual_pairs") >= 0.55,
+            s"q_mutual_knn_ivf_recall: mutual-pair recall wilson_lo " +
+              s"${lo("mutual_pairs")} < 0.55 — symmetrization or probe " +
+              "routing regressed (one-directional probing measures ~0.32)")
+        }
       },
       Some(s"""WITH $ivfAllSql,
          sc_b AS (SELECT q.c_id AS q_id, t.c_id AS c_id,
@@ -1918,13 +1942,18 @@ object TextCatalog {
          hit_e AS (SELECT COUNT(*) AS n_hit FROM tkb SEMI JOIN tki USING (q_id, c_id)),
          tot_e AS (SELECT COUNT(*) AS n_truth FROM tkb),
          hit_m AS (SELECT COUNT(*) AS n_hit FROM mb SEMI JOIN mi USING (a, b)),
-         tot_m AS (SELECT COUNT(*) AS n_truth FROM mb)
-         SELECT 'ivf_topk' AS tier, n_hit, n_truth, n_hit / n_truth AS recall
-           FROM hit_e, tot_e
-         UNION ALL
-         SELECT 'mutual_pairs' AS tier, n_hit, n_truth, n_hit / n_truth AS recall
-           FROM hit_m, tot_m
-         ORDER BY tier""")),
+         tot_m AS (SELECT COUNT(*) AS n_truth FROM mb),
+         u AS (SELECT 'ivf_topk' AS tier, n_hit, n_truth FROM hit_e, tot_e
+           UNION ALL
+           SELECT 'mutual_pairs' AS tier, n_hit, n_truth FROM hit_m, tot_m),
+         w AS (SELECT tier, n_hit, n_truth, (n_hit / n_truth) AS p,
+             (1.96 * 1.96) AS z2, CAST(n_truth AS DOUBLE) AS nd FROM u)
+         SELECT tier, n_hit, n_truth, p AS recall,
+           round((p + z2 / (nd * 2) - 1.96 * sqrt(p * (1.0 - p) / nd
+             + z2 / (nd * nd * 4))) / (1.0 + z2 / nd), 9) AS wilson_lo,
+           round((p + z2 / (nd * 2) + 1.96 * sqrt(p * (1.0 - p) / nd
+             + z2 / (nd * nd * 4))) / (1.0 + z2 / nd), 9) AS wilson_hi
+         FROM w ORDER BY tier""")),
 
     // MATRYOSHKA-IVF adaptive retrieval (MRL serving pattern): coarse
     // routing in the 16-dim PREFIX space — 4× cheaper per routing
@@ -1967,7 +1996,11 @@ object TextCatalog {
     // What does PREFIX routing cost in recall vs full-dimension routing?
     // Both IVF routes (same nlist/nprobe/k) against brute-force truth in
     // one frame — the measured cost-quality trade of the 4× cheaper
-    // routing decision, never assumed from the MRL paper.
+    // routing decision, never assumed from the MRL paper.  WILSON-GATED
+    // in-query like q_mutual_knn_ivf_recall: the gate is on the interval's
+    // LOWER bound, so a fixture regeneration that stops front-loading the
+    // embeddings, or a routing regression, fails the query loudly instead
+    // of drifting a point estimate nobody reads.
     QueryDef("q_matryoshka_ivf_recall",
       (s, dir) => {
         val e = t(s, dir, "embeddings")
@@ -1981,10 +2014,31 @@ object TextCatalog {
             .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
             .select(lit(tier).as("tier"), col("n_hit"), col("n_truth"),
               (col("n_hit") / col("n_truth")).as("recall"))
-        recallRow("full_route", Vector.ivfTopK(qs, e, 5, 16, 4))
-          .unionByName(
-            recallRow("prefix_route", Vector.ivfTopKPrefix(qs, e, 5, 16, 4, 16)))
+        val audit = Quality.withWilson(
+          recallRow("full_route", Vector.ivfTopK(qs, e, 5, 16, 4))
+            .unionByName(recallRow("prefix_route",
+              Vector.ivfTopKPrefix(qs, e, 5, 16, 4, 16))),
+          "n_hit", "n_truth")
           .orderBy("tier")
+        // Floors sit under the weakest measured lower bound across the
+        // three fixture SFs (full_route wilson_lo 0.650/0.643/0.686,
+        // prefix_route 0.441/0.454/0.513 at sf0.001/0.01/0.1 — the
+        // measurements are deterministic, so the slim prefix margin is
+        // safe; the bounds also RECORD the prefix's measured recall cost
+        // vs full routing).  A routing regression or a fixture
+        // regeneration without front-loaded coordinates (random 16-dim
+        // routing ≈ 0.25 point recall) lands well below both floors.
+        Catalog.gateOnce(s, audit) { rows =>
+          val lo = rows.map(r =>
+            r.getAs[String]("tier") -> r.getAs[Double]("wilson_lo")).toMap
+          require(lo("full_route") >= 0.55,
+            s"q_matryoshka_ivf_recall: full-dimension route wilson_lo " +
+              s"${lo("full_route")} < 0.55 — IVF routing regressed")
+          require(lo("prefix_route") >= 0.40,
+            s"q_matryoshka_ivf_recall: prefix route wilson_lo " +
+              s"${lo("prefix_route")} < 0.40 — the 16-dim prefix stopped " +
+              "carrying routing signal")
+        }
       },
       Some {
         val cosQC16 = cosSql("qq.qv", "cents.cw", 16)
@@ -2035,13 +2089,18 @@ object TextCatalog {
          truth AS (SELECT q_id, c_id FROM ex WHERE rank <= 5),
          hit_f AS (SELECT COUNT(*) AS n_hit FROM truth SEMI JOIN tk_f USING (q_id, c_id)),
          hit_p AS (SELECT COUNT(*) AS n_hit FROM truth SEMI JOIN tk_p USING (q_id, c_id)),
-         tot AS (SELECT COUNT(*) AS n_truth FROM truth)
-         SELECT 'full_route' AS tier, n_hit, n_truth, n_hit / n_truth AS recall
-           FROM hit_f, tot
-         UNION ALL
-         SELECT 'prefix_route' AS tier, n_hit, n_truth, n_hit / n_truth AS recall
-           FROM hit_p, tot
-         ORDER BY tier"""
+         tot AS (SELECT COUNT(*) AS n_truth FROM truth),
+         u AS (SELECT 'full_route' AS tier, n_hit, n_truth FROM hit_f, tot
+           UNION ALL
+           SELECT 'prefix_route' AS tier, n_hit, n_truth FROM hit_p, tot),
+         w AS (SELECT tier, n_hit, n_truth, (n_hit / n_truth) AS p,
+             (1.96 * 1.96) AS z2, CAST(n_truth AS DOUBLE) AS nd FROM u)
+         SELECT tier, n_hit, n_truth, p AS recall,
+           round((p + z2 / (nd * 2) - 1.96 * sqrt(p * (1.0 - p) / nd
+             + z2 / (nd * nd * 4))) / (1.0 + z2 / nd), 9) AS wilson_lo,
+           round((p + z2 / (nd * 2) + 1.96 * sqrt(p * (1.0 - p) / nd
+             + z2 / (nd * nd * 4))) / (1.0 + z2 / nd), 9) AS wilson_hi
+         FROM w ORDER BY tier"""
       }),
 
     // THE PERSISTED IVF INDEX: ivfTopK's scaladoc says "at 100 TB the
