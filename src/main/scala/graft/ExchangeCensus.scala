@@ -29,6 +29,66 @@ object ExchangeCensus {
     * sizing (Verify/selfcheck validate it under the driver session). */
   val Skip: Set[String] = Set("q_aqe_skew")
 
+  /** The JOB-COUNT census tier: the (shuffles, broadcasts) census sees the
+    * static plan, but the r13 floor misses (q_cc_contraction,
+    * q_tx_ann_incremental) were both DRIVER-SIDE bound — N actions × job
+    * fixed cost, a dimension no exchange count can see.  For these
+    * queries (the catalog's top multi-action plans by the `--jobs` survey:
+    * iterative graph loops, TxTable commit scenarios, streaming ladders),
+    * `--record` also EXECUTES the query under a job listener and snapshots
+    * actions-per-query as a third census column; PlansSpec grow-guards it
+    * like exchanges, so a new per-round action (the exact regression class
+    * round 14 removed from the CC loop) fails CI naming the query instead
+    * of surfacing as an unexplained bench drift.  Counts are measured in
+    * the replica session at sf0.001 and include every job from query
+    * construction through one full materialization (`collect`). */
+  val JobsTracked: Set[String] = Set(
+    // every query the `--jobs` survey measured at ≥15 actions (the top-20
+    // cut lands inside a 5-way tie at 15, so the tie is included whole)
+    "q_st20_stream_ann_maintain", "q_cc_contraction",
+    "q_tx_ann_incremental", "q_tx_ivm_join", "q_tx_zorder", "q_tx_ivm",
+    "q_st16_stream_ann", "q_tx_compact_zorder", "q_st4_streaming_upsert",
+    "q_bpe_train_batched", "q_tx_dv_point", "q_tx_zorder_multi",
+    "q_pagerank", "q_purge_keys", "q_tx_autocompact", "q_st14_stream_ivm",
+    "q_ancestors", "q_tx_ann_lists", "q_tx_cdf", "q_tx_dfp", "q_tx_bloom",
+    "q_st13_stream_cms", "q_st17_stream_psi",
+    // the two Wilson-gated recall audits: gateOnce localizes their
+    // returned frames, so the exchange tiers can no longer see their cost
+    // — the jobs column is their only census guard (q_mutual_knn_ivf_recall
+    // previously carried a 12/2 exact exchange pin)
+    "q_mutual_knn_ivf_recall", "q_matryoshka_ivf_recall")
+
+  /** Count Spark JOBS (actions) launched on `spark`'s context while `body`
+    * runs: the listener bus is asynchronous, so after `body` returns the
+    * count is polled until stable (two consecutive 100 ms reads agree) —
+    * job-START events are posted synchronously with submission, so once
+    * the blocking body has returned and the bus drained, the count is the
+    * query's true action count. */
+  def countJobs(spark: org.apache.spark.sql.SparkSession)(body: => Unit): Int = {
+    val counter = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        counter.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      body
+      var prev = -1
+      var stable = 0
+      var waited = 0
+      while (stable < 2 && waited < 5000) {
+        val v = counter.get
+        if (v == prev) stable += 1 else stable = 0
+        prev = v
+        Thread.sleep(100)
+        waited += 100
+      }
+    } finally spark.sparkContext.removeSparkListener(listener)
+    counter.get
+  }
+
   /** Canonicalized-distinct (shuffles, broadcasts) of a frame's STATIC
     * executed plan.  Exchanges are inserted by EnsureRequirements (an
     * executedPlan preparation); queries that derive their own session
@@ -55,7 +115,8 @@ object ExchangeCensus {
   def main(args: Array[String]): Unit = {
     import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
     val record = args.contains("--record")
-    val rest = args.filterNot(_ == "--record").toSeq
+    val jobsSurvey = args.contains("--jobs")
+    val rest = args.filterNot(a => a == "--record" || a == "--jobs").toSeq
     val sfDir = rest.headOption.getOrElse("/root/testdata/sf0.001")
     // Record mode REPLICATES the consumer's environment (SparkTestBase +
     // the drift test's experimental extras) instead of GraftSession:
@@ -69,7 +130,7 @@ object ExchangeCensus {
     // whole-subtree exchange REUSE (q_scd2_upsert: 3 exchanges under
     // GraftSession, 5 under the test session).
     val spark =
-      if (record) {
+      if (record || jobsSurvey) {
         val base = org.apache.spark.sql.SparkSession.builder()
           .master("local[2]")
           .config("spark.sql.shuffle.partitions", "2")
@@ -88,22 +149,62 @@ object ExchangeCensus {
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // register graft_dot/graft_cos up front: query bodies that reach
+    // cosineNative WITHOUT passing a Vector entry point (TxTable ANN
+    // scenarios, streaming ladders) resolve the function by name and must
+    // not depend on an earlier query having registered it in this session
+    graft.functions.GraftFunctions.ensureRegistered(spark)
     val names =
       if (rest.length > 1) rest.drop(1)
       else graft.queries.Catalog.all.map(_.name).filterNot(Skip)
-    val recorded = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Int)]
+    if (jobsSurvey) {
+      // the selection survey behind JobsTracked: execute EVERY named query
+      // under the job listener and print actions-per-query sorted
+      // descending — re-run after major registration changes to check the
+      // tracked set still covers the catalog's most action-heavy plans
+      val counts = scala.collection.mutable.ArrayBuffer.empty[(String, Int)]
+      for (n <- names) {
+        try {
+          val jobs = countJobs(spark) {
+            SparkEntry.queries(n)(spark, sfDir).collect(); ()
+          }
+          counts += ((n, jobs))
+          println(s"[census] $n jobs=$jobs")
+        } catch {
+          case t: Throwable =>
+            println(s"[census] $n RUN FAILED: ${String.valueOf(t.getMessage).take(120)}")
+        }
+      }
+      println("[census] --jobs survey, descending:")
+      counts.sortBy(-_._2).foreach { case (n, j) => println(s"[census]   $n\t$j") }
+      spark.stop(); return
+    }
+    val recorded = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Int, Option[Int])]
     for (n <- names) {
       try {
-        val df = SparkEntry.queries(n)(spark, sfDir)
-        val (s, b) = countExchanges(df)
-        recorded += ((n, s, b))
-        println(s"[census] $n shuffles=$s broadcasts=$b")
-        if (!record) {
-          val plan = df.queryExecution.executedPlan
-          plan.collect { case e: ShuffleExchangeExec => e }
-            .foreach(e => println(s"[census]   shuffle: ${e.outputPartitioning}"))
-          plan.collect { case e: BroadcastExchangeExec => e }
-            .foreach(e => println(s"[census]   broadcast: ${e.mode.getClass.getSimpleName}"))
+        if (record && JobsTracked(n)) {
+          // jobs tier: the listener window spans query CONSTRUCTION (in-body
+          // scenario commits / gates are jobs too) through one collect
+          var sb = (0, 0)
+          val jobs = countJobs(spark) {
+            val df = SparkEntry.queries(n)(spark, sfDir)
+            sb = countExchanges(df)
+            df.collect(); ()
+          }
+          recorded += ((n, sb._1, sb._2, Some(jobs)))
+          println(s"[census] $n shuffles=${sb._1} broadcasts=${sb._2} jobs=$jobs")
+        } else {
+          val df = SparkEntry.queries(n)(spark, sfDir)
+          val (s, b) = countExchanges(df)
+          recorded += ((n, s, b, None))
+          println(s"[census] $n shuffles=$s broadcasts=$b")
+          if (!record) {
+            val plan = df.queryExecution.executedPlan
+            plan.collect { case e: ShuffleExchangeExec => e }
+              .foreach(e => println(s"[census]   shuffle: ${e.outputPartitioning}"))
+            plan.collect { case e: BroadcastExchangeExec => e }
+              .foreach(e => println(s"[census]   broadcast: ${e.mode.getClass.getSimpleName}"))
+          }
         }
       } catch {
         case t: Throwable =>
@@ -112,10 +213,11 @@ object ExchangeCensus {
     }
     if (record) {
       val lines = recorded.sortBy(_._1)
-        .map { case (n, s, b) => s"$n\t$s\t$b" }
+        .map { case (n, s, b, j) => s"$n\t$s\t$b" + j.map("\t" + _).getOrElse("") }
       java.nio.file.Files.write(java.nio.file.Paths.get(SnapshotPath),
         (("# generated by `sbt \"runMain graft.ExchangeCensus --record\"` — " +
-          "per-query (shuffles, broadcasts) of the static plan at sf0.001; " +
+          "per-query (shuffles, broadcasts) of the static plan at sf0.001, " +
+          "plus actions-per-query (4th column) for the JobsTracked tier; " +
           "PlansSpec fails any query that GROWS past these") +: lines)
           .mkString("", "\n", "\n")
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))

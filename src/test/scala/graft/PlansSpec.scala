@@ -278,8 +278,10 @@ class PlansSpec extends SparkFunSuite {
       scala.io.Source.fromFile(snapFile, "UTF-8").getLines()
         .filterNot(l => l.startsWith("#") || l.isBlank)
         .map { l =>
-          val Array(n, s, b) = l.split("\t")
-          n -> ((s.toInt, b.toInt))
+          // 3 columns, or 4 for the JobsTracked tier (jobs checked by the
+          // job-count census test below)
+          val f = l.split("\t")
+          f(0) -> ((f(1).toInt, f(2).toInt))
         }.toMap
     val dir = "/root/testdata/sf0.001"
     // the snapshot is recorded under a REPLICA OF THIS TEST SESSION (plain
@@ -293,6 +295,9 @@ class PlansSpec extends SparkFunSuite {
     ss.experimental.extraOptimizations = Seq(graft.plans.RewriteRankFilterToTopK)
     ss.experimental.extraStrategies = Seq(graft.plans.TopKPerKeyStrategy)
     ss.conf.set("spark.sql.adaptive.enabled", "false")
+    // order-independence: some query bodies resolve graft_cos by name and
+    // must not rely on an alphabetically-earlier query registering it
+    graft.functions.GraftFunctions.ensureRegistered(ss)
     val registered = graft.queries.Catalog.all.map(_.name).toSet
     val failures = scala.collection.mutable.ArrayBuffer.empty[String]
     (snap.keySet -- registered).toSeq.sorted.foreach(n =>
@@ -318,6 +323,61 @@ class PlansSpec extends SparkFunSuite {
     }
     assert(failures.isEmpty,
       s"exchange-census drift:\n${failures.mkString("\n")}")
+  }
+
+  test("job-count census: no tracked query GROWS its actions past the snapshot") {
+    // The exchange census sees the static plan; this tier sees the
+    // DRIVER: both r13 floor misses (q_cc_contraction,
+    // q_tx_ann_incremental) were N-actions × job-fixed-cost bound, a
+    // regression class invisible to exchange counts.  For the JobsTracked
+    // queries the snapshot carries actions-per-query (4th tsv column,
+    // measured in the replica session from query construction through one
+    // collect); a query that GROWS an action — a new per-round convergence
+    // job, an extra commit round-trip — fails here naming itself.
+    // Grow-only: decreases pass (re-record to ratchet).
+    val snapFile = new java.io.File(graft.ExchangeCensus.SnapshotPath)
+    assert(snapFile.isFile, s"missing ${graft.ExchangeCensus.SnapshotPath}")
+    val snap: Map[String, Int] =
+      scala.io.Source.fromFile(snapFile, "UTF-8").getLines()
+        .filterNot(l => l.startsWith("#") || l.isBlank)
+        .map(_.split("\t")).filter(_.length > 3)
+        .map(f => f(0) -> f(3).toInt).toMap
+    val dir = "/root/testdata/sf0.001"
+    val ss = spark.newSession()
+      .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    ss.experimental.extraOptimizations = Seq(graft.plans.RewriteRankFilterToTopK)
+    ss.experimental.extraStrategies = Seq(graft.plans.TopKPerKeyStrategy)
+    ss.conf.set("spark.sql.adaptive.enabled", "false")
+    // name-resolved graft_cos must not depend on query execution order
+    // (the tracked set alone contains no Vector entry point that would
+    // register it as a side effect)
+    graft.functions.GraftFunctions.ensureRegistered(ss)
+    val failures = scala.collection.mutable.ArrayBuffer.empty[String]
+    (snap.keySet -- graft.ExchangeCensus.JobsTracked).toSeq.sorted.foreach(n =>
+      failures += s"$n: snapshot has a jobs column but the query is not " +
+        "in JobsTracked — re-record")
+    for (q <- graft.queries.Catalog.all
+         if graft.ExchangeCensus.JobsTracked(q.name)) {
+      snap.get(q.name) match {
+        case None =>
+          failures += s"${q.name}: tracked but no jobs column in the " +
+            "snapshot — re-record with `sbt \"runMain graft.ExchangeCensus --record\"`"
+        case Some(want) =>
+          try {
+            val got = graft.ExchangeCensus.countJobs(ss) {
+              q.fn(ss, dir).collect(); ()
+            }
+            if (got > want)
+              failures += s"${q.name}: actions grew to $got jobs " +
+                s"(snapshot: $want) — a driver round-trip appeared; fix " +
+                "the loop/commit path or re-record with a comment"
+          } catch {
+            case e: Throwable => failures += s"${q.name}: run failed — " +
+              String.valueOf(e.getMessage).take(160)
+          }
+      }
+    }
+    assert(failures.isEmpty, s"job-count census drift:\n${failures.mkString("\n")}")
   }
 
   test("guardrail honors the conf escape hatch for knowingly-bounded inputs") {
@@ -402,9 +462,9 @@ object PlansSpec {
     // IVF-list mutual pairs: post-checkpoint mutuality plan — pair
     // self semi-join + final order (candidate generation materialized
     // by the checkpoint, exactly like q_mutual_knn's shape)
-    "q_mutual_knn_ivf" -> ((3, 0)),
-    // two-tier recall audit: per-tier hit/total aggregate pairs +
-    // mutual self semi-joins over the two checkpointed list frames;
-    // the 1-row totals broadcast
-    "q_mutual_knn_ivf_recall" -> ((12, 2)))
+    "q_mutual_knn_ivf" -> ((3, 0)))
+    // q_mutual_knn_ivf_recall's 12/2 pin moved to the JOB-COUNT tier when
+    // the r14 Wilson gate localized its returned frame (gateOnce collects,
+    // so the static plan of the result carries no exchanges to pin); its
+    // cost is grow-guarded as actions-per-query in exchange_census.tsv
 }
