@@ -23,14 +23,17 @@ import graft.engine.{Graph, Text, TxTable, Vector}
   * query batch does not).
   *
   * Usage: `runMain graft.ScaleProbe [multipliers...]` (default 1 3 10).
-  * Two extra modes probe the resources the batch passes cannot see:
+  * Three extra modes probe the resources the batch passes cannot see:
   * `runMain graft.ScaleProbe streaming [mults...]` scales the
   * stream-stream-join and session-window shapes (q_st6/q_st8), measuring
   * per-batch latency AND state-store rows/bytes — state bytes per retained
   * key growing super-linearly is a bug report; `runMain graft.ScaleProbe
   * txlog [counts...]` synthesizes tables with 100/1k/10k retained versions
   * and measures head resolution, snapshot open and DESCRIBE HISTORY —
-  * the listing-vs-pointer decision for the `_last_checkpoint` question. */
+  * the listing-vs-pointer decision for the `_last_checkpoint` question;
+  * `runMain graft.ScaleProbe ladder [mults...]` drives q_st20's per-batch
+  * maintenance ladder and measures index bytes written per batch — the
+  * O(batch)-vs-O(index) distinction wall time alone cannot see. */
 object ScaleProbe {
 
   private def genDocs(spark: SparkSession, n: Long): DataFrame =
@@ -225,6 +228,89 @@ object ScaleProbe {
     }
   }
 
+  /** q_st20's maintenance-ladder resource probe: per-batch INDEX-BYTES
+    * growth.  The ladder's claim is O(batch) maintenance — every batch
+    * appends its assigned segment and `compactDeltaN` re-clusters ONLY the
+    * post-`sinceVersion` delta — so the bytes WRITTEN per batch must track
+    * the batch's rows, not the accumulated index: flat bytes/row across
+    * batch INDEX within a run (batch 4 writing ~4× batch 1 would mean the
+    * fold re-clusters the world) and flat bytes/row across SCALE.  Drives
+    * the ladder's two rungs directly per batch (the stream transport's
+    * exactly-once is q_st20's own require; the resource is the same);
+    * bytes = new files under the table root since the previous batch
+    * (append + compaction write amplification together — the honest
+    * per-batch write cost). */
+  private def ladderProbe(spark: SparkSession, mults: Seq[Int]): Unit = {
+    import org.apache.spark.sql.functions.{col, max}
+    val baseVecs = 2000L
+    val batches = 4
+    val out = scala.collection.mutable.Map
+      .empty[Int, scala.collection.mutable.ArrayBuffer[(Int, Long, Long, Double)]]
+    var warmup = true
+    for (m <- mults.min +: mults) {
+      val base = java.nio.file.Files.createTempDirectory(s"scaleprobe_lad_$m").toString
+      val root = s"$base/idx"
+      val n = baseVecs * m
+      genEmbeddings(spark, n).write.parquet(s"$base/emb")
+      val emb = spark.read.parquet(s"$base/emb")
+      val cents = Vector.coarseCentroids(emb, 16)
+      def seen(): Map[String, Long] = {
+        val b = scala.collection.mutable.Map.empty[String, Long]
+        def walk(f: java.io.File): Unit =
+          if (f.isDirectory) f.listFiles().foreach(walk)
+          else b += (f.getPath -> f.length())
+        val r = new java.io.File(root)
+        if (r.exists()) walk(r)
+        b.toMap
+      }
+      var prev = Map.empty[String, Long]
+      for (i <- 0 until batches) {
+        val batch = emb.filter(pmod(col("vec_id"), lit(batches)) === i)
+        val rows = batch.count()
+        val t0 = System.nanoTime()
+        TxTable.streamingAppend(root, statsCols = Seq("list_id"))(
+          Vector.coarseAssignWith(batch, cents)
+            .select(col("c_id").as("vec_id"),
+              col("list_id").cast("long").as("list_id"), col("cv")), i.toLong)
+        val lastOpt = TxTable.history(spark, root, limit = 8)
+          .filter(col("op") === "compact")
+          .agg(max("version")).collect().head
+        TxTable.compactDeltaN(spark, root, Seq("list_id"),
+          sinceVersion = if (lastOpt.isNullAt(0)) 0L else lastOpt.getLong(0),
+          numSegments = 4)
+        val dt = (System.nanoTime() - t0) / 1e9
+        val cur = seen()
+        val newBytes = cur.iterator
+          .collect { case (p, len) if !prev.contains(p) => len }.sum
+        prev = cur
+        if (!warmup) {
+          out.getOrElseUpdate(m, scala.collection.mutable.ArrayBuffer.empty)
+            .append((i, rows, newBytes, dt))
+          println(f"""{"probe":"ann_ladder","scale":$m,"batch":$i,""" +
+            f""""rows":$rows,"newBytes":$newBytes,""" +
+            f""""bytesPerRow":${newBytes.toDouble / math.max(1, rows)}%.1f,""" +
+            f""""sec":$dt%.2f}""")
+        }
+      }
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+      warmup = false
+    }
+    // two flatness summaries: bytes/row across SCALE (first vs last mult,
+    // batch-summed) and across BATCH INDEX at the largest scale
+    val ms = out.keys.toSeq.sorted
+    if (ms.size >= 2) {
+      def bpr(m: Int) = {
+        val b = out(m); b.map(_._3).sum.toDouble / b.map(_._2).sum
+      }
+      val expScale = math.log(bpr(ms.last) / bpr(ms.head)) /
+        math.log(ms.last.toDouble / ms.head)
+      val big = out(ms.last)
+      val perBatch = big.map(t => t._3.toDouble / math.max(1, t._2))
+      println(f"""{"probe":"ann_ladder","bytesPerRowExponent":$expScale%.2f,""" +
+        f""""batchIndexSpread":${perBatch.max / perBatch.min}%.2f}""")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt)
@@ -242,6 +328,11 @@ object ScaleProbe {
         val counts = if (args.length > 1) args.drop(1).map(_.toInt).toSeq
           else Seq(100, 1000, 10000)
         txlogProbe(spark, counts)
+        spark.stop(); return
+      case Some("ladder") =>
+        val mults = if (args.length > 1) args.drop(1).map(_.toInt).toSeq
+          else Seq(1, 10, 30)
+        ladderProbe(spark, mults)
         spark.stop(); return
       case _ => ()
     }
@@ -305,6 +396,26 @@ object ScaleProbe {
       val queries = emb.filter(col("vec_id") < 50)
       time("lsh_topk", m) { Vector.lshTopK(queries, emb, 10).count() }
       time("ivf_topk", m) { Vector.ivfTopK(queries, emb, 10, 64, 8).count() }
+      // 3b) Matryoshka prefix ROUTING (ivfTopKPrefix): same plan shape as
+      //     ivf_topk with the routing decision in the 16-dim prefix space —
+      //     the claim to verify is "≈ ivf_topk's exponent with a lower
+      //     routing constant", never assumed from the MRL paper
+      time("ivf_prefix_topk", m) {
+        Vector.ivfTopKPrefix(queries, emb, 10, 64, 8, 16).count()
+      }
+      // 3c) ALL-PAIRS IVF top-k (allPairsTopKIvf): every corpus row is a
+      //     query, candidates from symmetrized probe∩list cover — work is
+      //     Σ|list|·probes, NOT |corpus|².  nlist follows the operator's
+      //     own 100 TB discipline (scaladoc: "nlist grows ~√N to keep
+      //     lists bounded"): 16·√m, so lists grow ~√N and both the
+      //     assignment term (n·nlist) and the candidate term
+      //     (n·nprobe·n/nlist) scale ~n^1.5 — the expected exponent is
+      //     ~1.5, and anything approaching 2 means the probe degenerated
+      //     to all-pairs
+      time("all_pairs_topk_ivf", m) {
+        val nlist = math.max(16, math.round(16 * math.sqrt(m.toDouble)).toInt)
+        Vector.allPairsTopKIvf(emb, 5, nlist, 4).count()
+      }
       // IVF-PQ: 64×64 coarse terms AND 64×64 codebook terms — both argmins
       // take the row path past the codegen budget (the ScaleProbe finding
       // that motivated it), so this probes the 100 TB index shape end-to-end
