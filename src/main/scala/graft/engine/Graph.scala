@@ -179,10 +179,9 @@ object Graph {
     val nodes = edges.select(col(srcCol).as("id"))
       .union(edges.select(col(dstCol).as("id"))).distinct()
     // canonical high→low, self-loops dropped
-    var e = edges.select(greatest(col(srcCol), col(dstCol)).as("hi"),
+    val canon = edges.select(greatest(col(srcCol), col(dstCol)).as("hi"),
         least(col(srcCol), col(dstCol)).as("lo"))
       .filter(col("hi") =!= col("lo")).distinct()
-      .localCheckpoint()
     // the small-star operation: from each node's symmetric neighborhood
     // min m, connect the smaller-or-equal neighbors and the node itself to
     // m (the large star runs inline in the round loop, off the shared
@@ -206,6 +205,14 @@ object Graph {
           .union(m.select(col("u").as("hi"), col("m").as("lo")))
       picked.filter(col("hi") =!= col("lo"))
     }
+    // SEEDED start: the first checkpoint materializes one large-star hop
+    // fused into the canonical prep instead of the raw canonical edges —
+    // the distinct's shuffle output flows straight into the star's
+    // neighborhood aggregate inside the SAME action, so the hop costs no
+    // extra driver round-trip, and path-shaped graphs enter round 0
+    // already distance-halved (one fewer full LARGE;LARGE;SMALL round on
+    // the fixture chains).
+    var e = star(canon, large = true).localCheckpoint()
     // Convergence = the edge set IS a star forest rooted at component
     // minima, tested EXACTLY:
     //   (a) every hi maps to exactly one distinct lo
@@ -465,6 +472,7 @@ object Graph {
   private final class RoundTuner(spark: org.apache.spark.sql.SparkSession) {
     private val sp0 = spark.conf.get("spark.sql.shuffle.partitions")
     private val aqe0 = spark.conf.get("spark.sql.adaptive.enabled")
+    private val abt0 = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     def retune(cur: DataFrame): Unit = checkpointBytes(cur) match {
       case Some(b) if b <= TinyRoundBytes =>
         spark.conf.set("spark.sql.adaptive.enabled", "false")
@@ -472,11 +480,22 @@ object Graph {
           math.min(sp0.toInt,
             math.max(MinRoundPartitions,
               (b / BytesPerRoundPartition).toInt + 1)).toString)
+        // Tiny rounds also trade BROADCAST joins for shuffle joins: each
+        // broadcast materializes through its own driver job (a collect
+        // future), and the star/propagation joins run several per round —
+        // the r14 profile measured q_cc_contraction at 41 jobs / 4.26 s
+        // jobs-sum with broadcasts vs 16 jobs / 2.43 s without (warm wall
+        // 5.6 → 4.6 s).  At tiny-round sizes the shuffle the merge join
+        // adds is a few hundred KB through the already-minimized partition
+        // count, while every broadcast saved is a whole driver round-trip
+        // — the exact fixed cost this tuner exists to cut.
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       case _ => restore()
     }
     def restore(): Unit = {
       spark.conf.set("spark.sql.shuffle.partitions", sp0)
       spark.conf.set("spark.sql.adaptive.enabled", aqe0)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", abt0)
     }
   }
 }
