@@ -237,7 +237,7 @@ object Graph {
     // form plans an Expand that multiplies the probe ×4.
     var converged = false
     var i = 0
-    val tuner = new RoundTuner(e.sparkSession)
+    val tuner = new RoundTuner(e.sparkSession, disableBroadcast = true)
     val out = try {
     tuner.retune(e)
     while (!converged) {
@@ -469,7 +469,8 @@ object Graph {
     * `finally`) and session-level: safe for the serial Bench/Verify/test
     * harnesses; concurrent same-session queries would observe the round
     * conf, which is why restore is unconditional and immediate. */
-  private final class RoundTuner(spark: org.apache.spark.sql.SparkSession) {
+  private final class RoundTuner(spark: org.apache.spark.sql.SparkSession,
+                                 disableBroadcast: Boolean = false) {
     private val sp0 = spark.conf.get("spark.sql.shuffle.partitions")
     private val aqe0 = spark.conf.get("spark.sql.adaptive.enabled")
     private val abt0 = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
@@ -480,16 +481,21 @@ object Graph {
           math.min(sp0.toInt,
             math.max(MinRoundPartitions,
               (b / BytesPerRoundPartition).toInt + 1)).toString)
-        // Tiny rounds also trade BROADCAST joins for shuffle joins: each
-        // broadcast materializes through its own driver job (a collect
-        // future), and the star/propagation joins run several per round —
-        // the r14 profile measured q_cc_contraction at 41 jobs / 4.26 s
-        // jobs-sum with broadcasts vs 16 jobs / 2.43 s without (warm wall
-        // 5.6 → 4.6 s).  At tiny-round sizes the shuffle the merge join
-        // adds is a few hundred KB through the already-minimized partition
-        // count, while every broadcast saved is a whole driver round-trip
-        // — the exact fixed cost this tuner exists to cut.
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        // CONTRACTION-only (disableBroadcast): tiny rounds trade BROADCAST
+        // joins for shuffle joins — every broadcast materializes through
+        // its own driver job (a collect future) and the star joins run
+        // several per round; the r14 profile measured q_cc_contraction at
+        // 41 jobs / 4.26 s jobs-sum with broadcasts vs 16 / 2.43 s without
+        // (warm sf0.1 wall 5.6 → 4.6 s).  In contraction BOTH join sides
+        // shrink with the rounds, so the merge join's shuffle is a few
+        // hundred KB through the already-minimized partition count.  The
+        // PROPAGATION loop keeps broadcasts: there the per-round join is
+        // tiny labels × the STATIC edge set, and re-shuffling the edge
+        // side every round costs more than the broadcast job it saves
+        // (measured: q_ccf 0.26 → 0.60 s when broadcasts were disabled
+        // there too — reverted).
+        if (disableBroadcast)
+          spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       case _ => restore()
     }
     def restore(): Unit = {
