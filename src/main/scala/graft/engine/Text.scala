@@ -1305,4 +1305,82 @@ object Text {
             struct(col("pos"), col("line"))))),
           st => st.getField("line")), " ").as("cleaned"))
   }
+
+  /** TRAINED linear quality probe — the missing tier between the
+    * heuristic quality scores ([[gopherRules]], length/ratio features) and
+    * a full learned filter (the fastText classifiers of Joulin et al. '16
+    * that production pipelines train on seed labels — the GPT-3 data
+    * recipe's quality-filter pattern, Brown et al. '20 §A): fit a least-
+    * squares linear model on a SEED SLICE of the corpus, then score EVERY
+    * document with the learned weights.  Features here are exact rationals
+    * of per-doc token aggregates (x1 = token count, x2 = mean token
+    * length) and the target y is the type-token ratio — stand-ins wired
+    * for determinism; swapping richer features changes no plan shape.
+    *
+    * TRAINING IS ONE AGGREGATE: the 3×3 normal-equation Gram matrix and
+    * the target moments are nine sums over the seed slice (map-side
+    * combined, one reduce), the solve is Cramer's rule on the ONE
+    * resulting row — fully declarative, no driver-side math, no
+    * iteration — and scoring is a broadcast of the 1-row weight frame
+    * into one corpus pass.  At 100 TB that is exactly one scan to train
+    * and one to score; an F-feature probe grows the aggregate F²-wide,
+    * never the pass count.
+    *
+    * Cross-engine determinism (the charEntropy discipline): features are
+    * ratios of exact BIGINTs (identical doubles both engines); every Gram
+    * term is rounded to 9 dp BEFORE a DECIMAL(38,9) accumulation (order-
+    * independent exact sums); the Cramer expressions are written in ONE
+    * fixed literal order mirrored verbatim by the oracle (IEEE double
+    * arithmetic is deterministic given the order — only reassociation
+    * could diverge, and neither engine reassociates float math); weights
+    * round to 9 dp, scores to 6.  Output: one row per scoreable document
+    * `(id, x1, x2, y, score, w0, w1, w2)`. */
+  def qualityLinearProbe(docs: DataFrame, idCol: String, textCol: String,
+                         seedPred: Column): DataFrame = {
+    import org.apache.spark.sql.types.DoubleType
+    val tok = docs.select(col(idCol), explode(tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0)
+    val feats = tok.groupBy(idCol).agg(
+        count(lit(1)).as("__n"),
+        sum(length(col("w"))).cast(LongType).as("__len"),
+        countDistinct(col("w")).as("__d"))
+      .select(col(idCol),
+        col("__n").cast(DoubleType).as("x1"),
+        (col("__len") / col("__n")).as("x2"),
+        (col("__d") / col("__n")).as("y"))
+    def d9(c: Column) = round(c, 9).cast(DecimalType(38, 9))
+    val g = feats.filter(seedPred).agg(
+      count(lit(1)).cast(DoubleType).as("g00"),
+      sum(d9(col("x1"))).cast(DoubleType).as("g01"),
+      sum(d9(col("x2"))).cast(DoubleType).as("g02"),
+      sum(d9(col("x1") * col("x1"))).cast(DoubleType).as("g11"),
+      sum(d9(col("x1") * col("x2"))).cast(DoubleType).as("g12"),
+      sum(d9(col("x2") * col("x2"))).cast(DoubleType).as("g22"),
+      sum(d9(col("y"))).cast(DoubleType).as("b0"),
+      sum(d9(col("x1") * col("y"))).cast(DoubleType).as("b1"),
+      sum(d9(col("x2") * col("y"))).cast(DoubleType).as("b2"))
+    // Cramer's rule on the symmetric Gram matrix — ONE fixed literal
+    // order, mirrored character-for-character by the DuckDB oracle
+    val det = col("g00") * (col("g11") * col("g22") - col("g12") * col("g12")) -
+      col("g01") * (col("g01") * col("g22") - col("g12") * col("g02")) +
+      col("g02") * (col("g01") * col("g12") - col("g11") * col("g02"))
+    val det0 = col("b0") * (col("g11") * col("g22") - col("g12") * col("g12")) -
+      col("g01") * (col("b1") * col("g22") - col("g12") * col("b2")) +
+      col("g02") * (col("b1") * col("g12") - col("g11") * col("b2"))
+    val det1 = col("g00") * (col("b1") * col("g22") - col("g12") * col("b2")) -
+      col("b0") * (col("g01") * col("g22") - col("g12") * col("g02")) +
+      col("g02") * (col("g01") * col("b2") - col("b1") * col("g02"))
+    val det2 = col("g00") * (col("g11") * col("b2") - col("g12") * col("b1")) -
+      col("g01") * (col("g01") * col("b2") - col("b1") * col("g02")) +
+      col("b0") * (col("g01") * col("g12") - col("g11") * col("g02"))
+    val w = g.select(
+      round(det0 / det, 9).as("w0"),
+      round(det1 / det, 9).as("w1"),
+      round(det2 / det, 9).as("w2"))
+    feats.crossJoin(broadcast(w))
+      .select(col(idCol), col("x1"), col("x2"), col("y"),
+        round(col("w0") + col("w1") * col("x1") + col("w2") * col("x2"), 6)
+          .as("score"),
+        col("w0"), col("w1"), col("w2"))
+  }
 }

@@ -309,6 +309,53 @@ object TextCatalog {
            CAST(SUM(CAST(term AS DECIMAL(38,9))) AS DOUBLE) AS entropy_bits
          FROM terms GROUP BY 1 ORDER BY 1""")),
 
+    // TRAINED linear quality probe (Text.qualityLinearProbe): least-squares
+    // fit on the doc_id % 5 <> 0 seed slice, score EVERY document — the
+    // fastText-quality-filter serving pattern with the training collapsed
+    // to ONE Gram aggregate + a declarative Cramer solve (no driver math,
+    // no iteration).  The oracle mirrors the Gram sums (9-dp-rounded
+    // DECIMAL(38,9) accumulation) and the Cramer expressions in the same
+    // literal operation order, so weights and scores match bit for bit.
+    // Top 20 by predicted quality, ties broken by doc_id.
+    QueryDef("q_quality_linear_probe",
+      (s, dir) => Text.qualityLinearProbe(t(s, dir, "documents"),
+          "doc_id", "text", col("doc_id") % 5 =!= 0)
+        .orderBy(col("score").desc, col("doc_id")).limit(20),
+      Some(s"""WITH tok AS (SELECT doc_id, unnest($toks) AS w FROM documents),
+         tk AS (SELECT doc_id, w FROM tok WHERE length(w) > 0),
+         feats AS (SELECT doc_id,
+             CAST(COUNT(*) AS DOUBLE) AS x1,
+             (CAST(SUM(length(w)) AS BIGINT) / COUNT(*)) AS x2,
+             (COUNT(DISTINCT w) / COUNT(*)) AS y
+           FROM tk GROUP BY 1),
+         g AS (SELECT CAST(COUNT(*) AS DOUBLE) AS g00,
+             CAST(SUM(CAST(round(x1, 9) AS DECIMAL(38,9))) AS DOUBLE) AS g01,
+             CAST(SUM(CAST(round(x2, 9) AS DECIMAL(38,9))) AS DOUBLE) AS g02,
+             CAST(SUM(CAST(round(x1 * x1, 9) AS DECIMAL(38,9))) AS DOUBLE) AS g11,
+             CAST(SUM(CAST(round(x1 * x2, 9) AS DECIMAL(38,9))) AS DOUBLE) AS g12,
+             CAST(SUM(CAST(round(x2 * x2, 9) AS DECIMAL(38,9))) AS DOUBLE) AS g22,
+             CAST(SUM(CAST(round(y, 9) AS DECIMAL(38,9))) AS DOUBLE) AS b0,
+             CAST(SUM(CAST(round(x1 * y, 9) AS DECIMAL(38,9))) AS DOUBLE) AS b1,
+             CAST(SUM(CAST(round(x2 * y, 9) AS DECIMAL(38,9))) AS DOUBLE) AS b2
+           FROM feats WHERE doc_id % 5 <> 0),
+         w AS (SELECT
+             round((b0 * (g11 * g22 - g12 * g12) - g01 * (b1 * g22 - g12 * b2)
+               + g02 * (b1 * g12 - g11 * b2))
+               / (g00 * (g11 * g22 - g12 * g12) - g01 * (g01 * g22 - g12 * g02)
+               + g02 * (g01 * g12 - g11 * g02)), 9) AS w0,
+             round((g00 * (b1 * g22 - g12 * b2) - b0 * (g01 * g22 - g12 * g02)
+               + g02 * (g01 * b2 - b1 * g02))
+               / (g00 * (g11 * g22 - g12 * g12) - g01 * (g01 * g22 - g12 * g02)
+               + g02 * (g01 * g12 - g11 * g02)), 9) AS w1,
+             round((g00 * (g11 * b2 - g12 * b1) - g01 * (g01 * b2 - b1 * g02)
+               + b0 * (g01 * g12 - g11 * g02))
+               / (g00 * (g11 * g22 - g12 * g12) - g01 * (g01 * g22 - g12 * g02)
+               + g02 * (g01 * g12 - g11 * g02)), 9) AS w2
+           FROM g)
+         SELECT doc_id, x1, x2, y,
+           round(w0 + w1 * x1 + w2 * x2, 6) AS score, w0, w1, w2
+         FROM feats, w ORDER BY score DESC, doc_id LIMIT 20""")),
+
     // The Gopher rule battery (Rae et al. '21 §A1.1): the NAMED quality
     // gates, one boolean per rule + the conjunctive keep, thresholds
     // restated as integer cross-multiplications so boundary cases decide

@@ -533,4 +533,35 @@ class TextSpec extends SparkFunSuite {
     assert(Text.pmiCollocations(docs, "text", minCount = 1, topK = 100)
       .count() > 2)
   }
+
+  test("qualityLinearProbe: weights satisfy the normal equations on the seed") {
+    // 12 docs with varying token counts / word lengths / repetition so
+    // the Gram matrix is well-conditioned
+    val docs = (0L until 12L).map { i =>
+      val words = (0 to (i % 5).toInt + 2).map(j => s"w${(i + j) % 7}" * ((j % 3) + 1))
+      (i, (words ++ words.take((i % 3).toInt)).mkString(" "))
+    }.toDF("doc_id", "text")
+    val out = Text.qualityLinearProbe(docs, "doc_id", "text",
+      col("doc_id") % 5 =!= 0).collect()
+    assert(out.length === 12, "every document scores")
+    val w0 = out.head.getAs[Double]("w0")
+    val w1 = out.head.getAs[Double]("w1")
+    val w2 = out.head.getAs[Double]("w2")
+    assert(out.forall(r => r.getAs[Double]("w0") == w0),
+      "one global weight vector on every row")
+    // least-squares optimality = residual orthogonality on the TRAINING
+    // slice: sum r, sum r*x1, sum r*x2 all ~0 (w rounds to 9 dp, so the
+    // orthogonality holds to ~1e-6 on these magnitudes, not exactly)
+    val seed = out.filter(r => r.getAs[Long]("doc_id") % 5 != 0)
+    def dot(f: org.apache.spark.sql.Row => Double): Double =
+      seed.map(r => (r.getAs[Double]("y") -
+        (w0 + w1 * r.getAs[Double]("x1") + w2 * r.getAs[Double]("x2"))) * f(r)).sum
+    assert(math.abs(dot(_ => 1.0)) < 1e-4, s"sum r = ${dot(_ => 1.0)}")
+    assert(math.abs(dot(_.getAs[Double]("x1"))) < 1e-3,
+      s"sum r*x1 = ${dot(_.getAs[Double]("x1"))}")
+    assert(math.abs(dot(_.getAs[Double]("x2"))) < 1e-3,
+      s"sum r*x2 = ${dot(_.getAs[Double]("x2"))}")
+    // the probe scores HELD-OUT docs too (the serving pattern's point)
+    assert(out.exists(r => r.getAs[Long]("doc_id") % 5 == 0))
+  }
 }
