@@ -73,18 +73,26 @@ object Ivm {
                       nCol: String = "n", sumCol: String = "sum"): Long = {
     if (TxTable.lastCommittedBatch(spark, aggRoot).exists(_ >= toVersion))
       return TxTable.latestVersion(spark, aggRoot).get // replay: already applied
+    // window emptiness from manifest + footer METADATA (zero Spark jobs):
+    // a layout-only window returns here without planning anything, and a
+    // provably non-empty feed lets the apply skip its delta isEmpty probe
+    // (grouping a non-empty feed always yields at least one group)
+    val feedRows = TxTable.changeWindowRows(spark, factRoot, fromVersion, toVersion)
+    if (feedRows.contains(0L))
+      return TxTable.latestVersion(spark, aggRoot).getOrElse(0L)
     withRefreshConf(spark) {
       val ch = TxTable.readChanges(spark, factRoot, fromVersion, toVersion)
       val sign = when(col("_change_type").isin("insert", "update_postimage"), 1L)
         .otherwise(-1L)
-      // persist the CHANGE-SIZED delta: the apply consumes it three times
-      // (empty probe, rewrite key set, the union arm), so without the cache
-      // the feed scan + aggregate would re-run per consumer
+      // persist the CHANGE-SIZED delta: the apply consumes it up to three
+      // times (emptiness fallback, rewrite key set, the union arm), so
+      // without the cache the feed scan + aggregate would re-run per consumer
       val delta = ch.groupBy(key).agg(
         sum(sign).cast(LongType).as("__dn"),
         sum(col(valueCol).cast(Dec) * sign).cast(Dec).as("__dsum"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try applySignedDelta(spark, aggRoot, delta, key, nCol, sumCol, toVersion)
+      try applySignedDelta(spark, aggRoot, delta, key, nCol, sumCol, toVersion,
+        knownNonEmpty = feedRows.exists(_ > 0L))
       finally delta.unpersist(false)
     }
   }
@@ -109,26 +117,38 @@ object Ivm {
   private def applySignedDelta(spark: SparkSession, aggRoot: String,
                                delta: DataFrame, key: String,
                                nCol: String, sumCol: String,
-                               batchId: Long): Long = {
-    // layout-only window: nothing to apply, nothing to publish (one tiny
-    // action on the caller-cached delta; also materializes the cache the
-    // probe + rewrite below reuse)
-    if (delta.isEmpty)
-      return TxTable.latestVersion(spark, aggRoot).getOrElse(0L)
+                               batchId: Long,
+                               knownNonEmpty: Boolean = false): Long = {
+    // An EMPTY delta must publish nothing.  Callers that can PROVE
+    // non-emptiness from window metadata (changeWindowRows > 0 on a
+    // single-table feed) pass knownNonEmpty and no probe runs at all;
+    // otherwise emptiness is decided as cheaply as the path allows:
+    // bootstrap needs a real probe action (there is no write to ride),
+    // while the non-bootstrap path OBSERVES the delta arm's row count on
+    // the rewrite write itself and discards the staged segment pre-publish
+    // when it contributed zero rows — the probe costs no dedicated action.
+    val headOpt = TxTable.latestVersion(spark, aggRoot)
     val asView = delta.select(col(key), col("__dn").as(nCol), col("__dsum").as(sumCol))
-    if (TxTable.latestVersion(spark, aggRoot).isEmpty)
+    if (headOpt.isEmpty) {
+      if (!knownNonEmpty && delta.isEmpty) return 0L
       TxTable.commitMerge(spark, aggRoot, asView.filter(col(nCol) > 0),
         Seq(key), Seq(nCol, sumCol), Nil, batch = Some(batchId))
-    else
+    } else {
+      val obs =
+        if (knownNonEmpty) None
+        else Some(org.apache.spark.sql.Observation(s"ivm_delta_rows_$batchId"))
       TxTable.commitRewriteHit(spark, aggRoot, delta.select(key), Seq(key),
-        batch = Some(batchId)) { touched =>
+        batch = Some(batchId),
+        discardStaged = obs.map(o => () => o.get("rows") == 0L)) { touched =>
         touched.select(col(key), col(nCol), col(sumCol).cast(Dec).as(sumCol))
-          .unionByName(asView)
+          .unionByName(obs.fold(asView)(o =>
+            asView.observe(o, count(lit(1)).as("rows"))))
           .groupBy(key).agg(
             sum(col(nCol)).cast(LongType).as(nCol),
             sum(col(sumCol)).cast(Dec).as(sumCol))
           .filter(col(nCol) > 0)
       }
+    }
   }
 
   /** JOIN-VIEW IVM — maintain a `(groupKey, n, sum)` aggregate of
@@ -176,6 +196,17 @@ object Ivm {
     val packed = (factTo << 20) | dimTo
     if (TxTable.lastCommittedBatch(spark, aggRoot).exists(_ >= packed))
       return TxTable.latestVersion(spark, aggRoot).get // replay: already applied
+    // both windows layout-only (decided from manifest + footer metadata,
+    // zero Spark jobs) ⇒ the joined delta is empty: nothing to plan.  A
+    // non-empty feed does NOT prove a non-empty joined delta (every change
+    // row can miss the join), so the apply's emptiness check below rides
+    // the rewrite write as an observed metric instead of a probe action.
+    val factRows = TxTable.changeWindowRows(spark, factRoot, factFrom, factTo)
+    val dimRows =
+      if (dimFrom >= dimTo) Some(0L)
+      else TxTable.changeWindowRows(spark, dimRoot, dimFrom, dimTo)
+    if (factRows.contains(0L) && dimRows.contains(0L))
+      return TxTable.latestVersion(spark, aggRoot).getOrElse(0L)
     withRefreshConf(spark) {
     val sign = when(col("_change_type").isin("insert", "update_postimage"), 1L)
       .otherwise(-1L)

@@ -1117,7 +1117,8 @@ object TxTable {
     * introduced.  Returns the new head, or [[ReplayNoOp]] when `batch`
     * was already committed. */
   def commitRewriteHit(spark: SparkSession, root: String, keySet: DataFrame,
-                       keys: Seq[String], batch: Option[Long] = None)
+                       keys: Seq[String], batch: Option[Long] = None,
+                       discardStaged: Option[() => Boolean] = None)
                       (rewrite: DataFrame => DataFrame): Long = {
     import org.apache.spark.sql.functions._
     if (batch.exists(b => lastCommittedBatch(spark, root).exists(_ >= b)))
@@ -1136,9 +1137,20 @@ object TxTable {
         .select("__seg").distinct().collect().map(_.getString(0)).toSet
     val touched = cur.filter(col("__seg").isin(hitSegs.toSeq: _*)).drop("__seg")
     val seg = writeSegment(rewrite(touched), root)
+    val f = fs(spark, root)
+    // post-write, pre-publish abort hook: the caller decides from metrics
+    // the write itself materialized (a Dataset.observe count on one arm of
+    // the rewrite) that this commit must NOT publish — e.g. Ivm discards a
+    // rewrite whose delta arm contributed zero rows, so its emptiness
+    // probe rides the write instead of costing a dedicated action.  The
+    // staged segment is removed; the head (and any replay horizon) is
+    // untouched, exactly as if the rewrite had never been attempted.
+    if (discardStaged.exists(_())) {
+      f.delete(new Path(s"${root.stripSuffix("/")}/$seg"), true)
+      return headV
+    }
     // an all-dead rewrite can leave zero part files — an unreadable
     // segment; publish carried-only in that case (metadata listing, cheap)
-    val f = fs(spark, root)
     val segHasFiles = f.listStatus(new Path(s"${root.stripSuffix("/")}/$seg"))
       .exists(st => st.isFile && st.getPath.getName.startsWith("part-"))
     val carried = segs.filterNot(hitSegs.contains)
@@ -1918,6 +1930,50 @@ object TxTable {
       .getOrElse(read(spark, root).limit(0)
         .withColumn("_change_type", lit(null).cast("string"))
         .withColumn("_commit_version", lit(null).cast("long")))
+  }
+
+  /** DRIVER-SIDE row count of the change feed over `(fromVersion,
+    * toVersion]` — the exact number of rows [[readChanges]] would return,
+    * decided from manifests and parquet FOOTER metadata alone (zero Spark
+    * jobs): a cdc/ or referenced data segment's row count is recorded in
+    * its parquet footers, and [[readChanges]] reads those segments raw by
+    * path (deletion vectors never apply to them), so the footer sum is
+    * exact, not an estimate.  Returns `None` when a window commit's
+    * contribution is not footer-decidable (overwrite/restore — their
+    * change rows are snapshot diffs read THROUGH deletion vectors) or not
+    * recorded (`cdf = false` commits — [[readChanges]] raises the loud
+    * error for those).  [[Ivm]] uses this to decide window emptiness
+    * without a probe action: a layout-only window refreshes without
+    * scheduling a single job, and a provably non-empty feed skips the
+    * delta `isEmpty` probe entirely.  Cost: O(window) manifest reads plus
+    * a handful of delta-sized-segment footer opens — metadata, never
+    * data. */
+  def changeWindowRows(spark: SparkSession, root: String, fromVersion: Long,
+                       toVersion: Long): Option[Long] = {
+    require(0 <= fromVersion && fromVersion <= toVersion,
+      s"TxTable.changeWindowRows: bad range ($fromVersion, $toVersion]")
+    val f = fs(spark, root)
+    var total = 0L
+    var v = fromVersion + 1
+    while (v <= toVersion) {
+      val m = retainedManifest(spark, root, v, withStats = false)
+      m.op match {
+        case "compact" => () // layout-only: no logical change
+        case "append" =>
+          val prev = if (v == 1) Set.empty[String]
+            else retainedManifest(spark, root, v - 1, withStats = false)
+              .segments.toSet
+          m.segments.filterNot(prev.contains)
+            .foreach(s0 => total += segRecordCount(spark, f, root, s0))
+        case "merge" | "delete" | "dvdelete" | "delta" =>
+          if (m.cdc.isEmpty) return None // readChanges raises the loud error
+          m.cdc.foreach(e =>
+            total += segRecordCount(spark, f, root, e.stripPrefix("insert:")))
+        case _ => return None // overwrite/restore: DV-dependent snapshot diff
+      }
+      v += 1
+    }
+    Some(total)
   }
 
   /** Drop data segments referenced by NO manifest among the newest

@@ -3658,7 +3658,14 @@ object Catalog {
         val merged = TxTable.read(s, root)
           .groupBy("__i", "__b").agg(sum("__c").as("__c"))
         val single = Sketch.cmsSketch(ev, col("user_id"), depth = 4, width = 256)
-        require(merged.except(single).isEmpty && single.except(merged).isEmpty,
+        // both frames are unique per (__i, __b) cell, so set equality is ONE
+        // full-outer mismatch probe (null-safe on the counts) instead of the
+        // two shuffling except() actions the symmetric-difference phrasing
+        // would cost
+        require(merged.withColumnRenamed("__c", "__cm")
+            .join(single.withColumnRenamed("__c", "__cs"),
+              Seq("__i", "__b"), "full")
+            .filter(!(col("__cm") <=> col("__cs"))).isEmpty,
           "q_st13_stream_cms: merged micro-batch shards != single-pass sketch " +
             "— exactly-once or linearity broke")
         val exact = ev.groupBy("user_id").agg(count(lit(1)).as("n_exact"))
@@ -4070,14 +4077,22 @@ object Catalog {
         import s.implicits._
         val base = Files.createTempDirectory("graft_st10").toString
         val ev = events(s, dir)
+        // the flush sentinel must sit beyond every data timestamp BOTH
+        // streams will see; observe each side's max(ts) on the fixture
+        // write it already performs, so no dedicated scan action computes it
+        val obsC = org.apache.spark.sql.Observation("st10_click_max")
+        val obsP = org.apache.spark.sql.Observation("st10_purchase_max")
         ev.filter(col("event_type") === "click")
           .select("user_id", "ts", "event_id")
+          .observe(obsC, max(col("ts")).as("mx"))
           .coalesce(1).write.parquet(s"$base/clicks/f1")
         ev.filter(col("event_type") === "purchase")
           .select(col("user_id").as("p_user_id"), col("ts").as("p_ts"),
             col("value"))
+          .observe(obsP, max(col("p_ts")).as("mx"))
           .coalesce(1).write.parquet(s"$base/purchases/g1")
-        val maxTs = ev.agg(max("ts")).collect().head.getTimestamp(0)
+        val maxTs = Seq(obsC, obsP)
+          .map(_.get("mx").asInstanceOf[java.sql.Timestamp]).maxBy(_.getTime)
         val flush = new java.sql.Timestamp(maxTs.getTime + 86400L * 1000)
         Seq((-1L, flush, -1L)).toDF("user_id", "ts", "event_id")
           .write.parquet(s"$base/clicks/f2")
