@@ -45,14 +45,33 @@ object JobProfile {
           lines.add((je.jobId, (System.nanoTime() - t0) / 1e9, site))
         }
       }
+      // SPARK_GRAFT_STAGES=1: per-stage wall + summed task run time, so a
+      // slow job can be attributed to task work vs scheduling/driver gaps
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        if (sys.env.contains("SPARK_GRAFT_STAGES")) {
+          val si = sc.stageInfo
+          val wall = (for (a <- si.submissionTime; b <- si.completionTime)
+            yield (b - a) / 1e3).getOrElse(-1.0)
+          System.err.println(f"[stage] #${si.stageId}%-4d wall $wall%7.3f s " +
+            f"taskSum ${si.taskMetrics.executorRunTime / 1e3}%7.3f s " +
+            f"tasks=${si.numTasks} ${si.name.takeWhile(_ != '\n').take(70)}")
+        }
+    }
+    def codegenStats(): (Long, Long) = {
+      val m = org.apache.spark.metrics.source.CodegenMetrics
+      (m.METRIC_SOURCE_CODE_SIZE.getCount, m.METRIC_COMPILATION_TIME.getCount)
     }
     for (r <- 1 to reps) {
       starts.clear(); lines.clear()
+      val (c0, t0c) = codegenStats()
       val t0 = System.nanoTime()
       if (r == reps) spark.sparkContext.addSparkListener(listener)
       fn(spark, sfDir).count()
       val dt = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[profile] $name rep $r total $dt%.2f s")
+      val (c1, t1c) = codegenStats()
+      System.err.println(f"[profile] $name rep $r total $dt%.2f s " +
+        f"codegen(sources=${c1 - c0} compileMs=${t1c - t0c})")
     }
     spark.sparkContext.removeSparkListener(listener)
     Thread.sleep(500) // let the listener bus drain

@@ -32,6 +32,15 @@ object GraftSession {
     "spark.sql.adaptive.skewJoin.enabled" -> "true",
     "spark.sql.files.maxPartitionBytes" -> (128L * 1024 * 1024).toString,
     "spark.sql.session.timeZone" -> "UTC",
+    // Spark 4 keys the generated-class (Janino) cache by each session's
+    // artifact state when artifact isolation is on (the default, built for
+    // Connect's per-session JAR/UDF uploads).  This engine runs classic
+    // sessions with no per-session artifacts, and its iterative graph
+    // loops plan on newSession() children for conf isolation — under
+    // artifact isolation every child would recompile every generated
+    // class (measured 3x on the contraction rounds).  Pre-4.0 behavior:
+    // one shared cache.
+    "spark.sql.artifact.isolation.enabled" -> "false",
     // TIMESTAMP(NANOS) parquet (the events fixture) read as long nanos —
     // set ONCE here, not inside query closures, so no query's result
     // depends on which queries ran before it in the same session.

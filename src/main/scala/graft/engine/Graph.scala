@@ -83,9 +83,12 @@ object Graph {
     * the partitioning or join order. */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
                           maxIter: Int = 25): DataFrame = {
-    val sym = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val parent = edges.sparkSession
+    val loop = borrowLoopSession(parent)
+    try {
+    val sym = reRoot(edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
-      .distinct()
+      .distinct(), loop)
       .localCheckpoint() // reused every round — compute the distinct once
     var labels = sym.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("label"))
@@ -130,7 +133,8 @@ object Graph {
       freeCheckpoint(labels)
       return connectedComponentsContraction(edges, srcCol, dstCol)
     }
-    labels
+    reRoot(labels, parent)
+    } finally returnLoopSession(parent, loop)
   }
 
   /** Connected components by ALTERNATING LARGE-STAR / SMALL-STAR contraction
@@ -176,10 +180,14 @@ object Graph {
     // missing or spuriously-singleton vertices.  Callers with such inputs
     // must checkpoint/materialize their edge frame first (every registered
     // query reads parquet, which is deterministic).
-    val nodes = edges.select(col(srcCol).as("id"))
-      .union(edges.select(col(dstCol).as("id"))).distinct()
+    val parent = edges.sparkSession
+    val loop = borrowLoopSession(parent)
+    try {
+    val base = reRoot(edges.select(col(srcCol), col(dstCol)), loop)
+    val nodes = base.select(col(srcCol).as("id"))
+      .union(base.select(col(dstCol).as("id"))).distinct()
     // canonical high→low, self-loops dropped
-    val canon = edges.select(greatest(col(srcCol), col(dstCol)).as("hi"),
+    val canon = base.select(greatest(col(srcCol), col(dstCol)).as("hi"),
         least(col(srcCol), col(dstCol)).as("lo"))
       .filter(col("hi") =!= col("lo")).distinct()
     // the small-star operation: from each node's symmetric neighborhood
@@ -316,7 +324,8 @@ object Graph {
       .localCheckpoint()
     } finally tuner.restore()
     freeCheckpoint(e)
-    out
+    reRoot(out, parent)
+    } finally returnLoopSession(parent, loop)
   }
 
   /** Transitive ancestor closure of a FOREST (child→parent edges): every
@@ -465,10 +474,13 @@ object Graph {
     * not a local-mode hack.  Measured at sf0.1 (warm walls): 6.7-7.5 s
     * session-AQE → 4.0-4.7 s tuned, machine-matched.
     *
-    * Conf mutation is SCOPED (set per round, restored in the caller's
-    * `finally`) and session-level: safe for the serial Bench/Verify/test
-    * harnesses; concurrent same-session queries would observe the round
-    * conf, which is why restore is unconditional and immediate. */
+    * Conf mutation is SCOPED two ways: per round (set on retune, restored
+    * in the caller's `finally`) and — decisively — to a CHILD SparkSession
+    * borrowed via [[borrowLoopSession]] for exactly this loop: the child shares
+    * the SparkContext (executors, cached blocks, checkpointed RDDs) but
+    * owns an isolated SQLConf, so a concurrent query planning on the
+    * caller's session can NEVER observe round-tuned settings, not even
+    * mid-round.  GraphSpec pins this with a two-thread test. */
   private final class RoundTuner(spark: org.apache.spark.sql.SparkSession,
                                  disableBroadcast: Boolean = false) {
     private val sp0 = spark.conf.get("spark.sql.shuffle.partitions")
@@ -503,5 +515,65 @@ object Graph {
       spark.conf.set("spark.sql.adaptive.enabled", aqe0)
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", abt0)
     }
+  }
+
+  /** The session confs [[RoundTuner]] mutates — the child loop session
+    * seeds exactly these from the caller so its untuned regime matches. */
+  private val TunedConfKeys = Seq("spark.sql.shuffle.partitions",
+    "spark.sql.adaptive.enabled", "spark.sql.autoBroadcastJoinThreshold")
+
+  /** Free loop children per parent session.  Children are POOLED, not
+    * created per call: when artifact isolation is on (Spark 4's default,
+    * built for Connect's per-session artifact uploads) the generated-class
+    * cache is keyed by each session's artifact state, so a throwaway child
+    * would Janino-recompile every loop plan on every invocation — measured
+    * 3× on the contraction rounds.  A reused child keeps that cache warm;
+    * concurrent loops on one parent each borrow their OWN child (a fresh
+    * one when the pool is empty), so tuned conf never crosses loops.
+    * Entries live for the JVM — bounded by distinct parent sessions (one
+    * in every harness). */
+  private val loopPool = new java.util.concurrent.ConcurrentHashMap[
+    org.apache.spark.sql.SparkSession,
+    java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.SparkSession]]()
+
+  /** Borrow a CHILD SparkSession for one iterative loop: same SparkContext
+    * (the loop's checkpointed RDD blocks, executors and broadcast machinery
+    * are shared), ISOLATED SQLConf — [[RoundTuner]] mutates only the child,
+    * so a query running concurrently on the caller's session plans under
+    * the caller's own conf at every instant.  The caller's CURRENT runtime
+    * conf is copied on every borrow (newSession() copies only build-time
+    * conf; a pooled child may predate recent caller conf.set calls), so
+    * the untuned rounds plan exactly as they would have on the caller.
+    * Return the child via [[returnLoopSession]] in a finally. */
+  private def borrowLoopSession(parent: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.SparkSession = {
+    val q = loopPool.computeIfAbsent(parent,
+      _ => new java.util.concurrent.ConcurrentLinkedQueue)
+    val child = Option(q.poll()).getOrElse(parent.newSession())
+    parent.conf.getAll.foreach { case (k, v) =>
+      try child.conf.set(k, v)
+      catch { case _: Exception => () } // static/context keys: not per-session
+    }
+    child
+  }
+
+  private def returnLoopSession(parent: org.apache.spark.sql.SparkSession,
+                                child: org.apache.spark.sql.SparkSession): Unit =
+    if (child ne parent) loopPool.get(parent).add(child)
+
+  /** Re-root `df`'s ANALYZED logical plan onto `target` (a session of the
+    * SAME SparkContext) through a uniquely-named global temp view —
+    * plan-level only, no data moves.  Datasets analyze eagerly, so the
+    * returned frame owns the resolved plan and the transient view is
+    * dropped before returning; actions on the result (and on anything
+    * derived from it) plan under `target`'s SQLConf. */
+  private def reRoot(df: DataFrame,
+                     target: org.apache.spark.sql.SparkSession): DataFrame = {
+    if (df.sparkSession eq target) return df
+    val name = "graft_reroot_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    df.createOrReplaceGlobalTempView(name)
+    try target.table(s"global_temp.$name")
+    finally df.sparkSession.catalog.dropGlobalTempView(name)
   }
 }

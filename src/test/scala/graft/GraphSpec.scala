@@ -32,6 +32,38 @@ class GraphSpec extends SparkFunSuite {
     assert(got === (0L to 9L).map(_ -> 0L).toMap)
   }
 
+  test("round tuning never leaks into the caller's session (two threads, one session)") {
+    // the iterative loops run on a CHILD session with isolated SQLConf;
+    // a query planning CONCURRENTLY on the caller's session must observe
+    // the caller's conf at every instant — sample it continuously while a
+    // contraction (which round-tunes partitions/AQE/broadcast) is running
+    val keys = Seq("spark.sql.shuffle.partitions",
+      "spark.sql.adaptive.enabled", "spark.sql.autoBroadcastJoinThreshold")
+    val before = keys.map(k => k -> spark.conf.get(k)).toMap
+    @volatile var done = false
+    @volatile var drift: Option[String] = None
+    val sampler = new Thread(() => {
+      while (!done && drift.isEmpty) {
+        keys.foreach { k =>
+          val v = spark.conf.get(k)
+          if (v != before(k)) drift = Some(s"$k: ${before(k)} -> $v")
+        }
+        Thread.sleep(1)
+      }
+    })
+    sampler.start()
+    try {
+      val path = (0L until 199L).map(i => (i, i + 1))
+      val got = Graph.connectedComponentsContraction(
+          path.toDF("src", "dst"), "src", "dst")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === (0L to 199L).map(_ -> 0L).toMap)
+    } finally { done = true; sampler.join() }
+    assert(drift.isEmpty,
+      s"caller-session conf drifted during a tuned loop: ${drift.getOrElse("")}")
+    assert(keys.map(k => k -> spark.conf.get(k)).toMap === before)
+  }
+
   test("contraction labels a deep path in far fewer rounds than its diameter") {
     // a 300-node path (diameter 299) + a separate triangle + reversed and
     // duplicate edges; contraction's round bound is O(log² n), so default
