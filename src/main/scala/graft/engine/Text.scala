@@ -1348,8 +1348,23 @@ object Text {
         col("__n").cast(DoubleType).as("x1"),
         (col("__len") / col("__n")).as("x2"),
         (col("__d") / col("__n")).as("y"))
+    val w = solveGram3(gramAggregate(feats.filter(seedPred)), "qualityLinearProbe")
+    feats.crossJoin(broadcast(w))
+      .select(col(idCol), col("x1"), col("x2"), col("y"),
+        round(col("w0") + col("w1") * col("x1") + col("w2") * col("x2"), 6)
+          .as("score"),
+        col("w0"), col("w1"), col("w2"))
+  }
+
+  /** The probes' shared 3×3 normal-equation aggregate over a seed frame
+    * with columns `(x1, x2, y)`: nine map-side-combined sums, each term
+    * rounded to 9 dp BEFORE a DECIMAL(38,9) accumulation so the sum is
+    * exact and order-independent (the cross-engine discipline the probe
+    * scaladoc states). */
+  private def gramAggregate(seed: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DoubleType
     def d9(c: Column) = round(c, 9).cast(DecimalType(38, 9))
-    val g = feats.filter(seedPred).agg(
+    seed.agg(
       count(lit(1)).cast(DoubleType).as("g00"),
       sum(d9(col("x1"))).cast(DoubleType).as("g01"),
       sum(d9(col("x2"))).cast(DoubleType).as("g02"),
@@ -1359,8 +1374,16 @@ object Text {
       sum(d9(col("y"))).cast(DoubleType).as("b0"),
       sum(d9(col("x1") * col("y"))).cast(DoubleType).as("b1"),
       sum(d9(col("x2") * col("y"))).cast(DoubleType).as("b2"))
-    // Cramer's rule on the symmetric Gram matrix — ONE fixed literal
-    // order, mirrored character-for-character by the DuckDB oracle
+  }
+
+  /** Cramer's rule on the 1-row symmetric Gram frame — ONE fixed literal
+    * order, mirrored character-for-character by the DuckDB oracles.
+    * LOUD on degeneracy: an empty seed slice (null sums) or a singular
+    * Gram matrix (det 0 → null/NaN/∞ weights) raises naming `who` instead
+    * of silently scoring every document null — the same fail-loud
+    * contract as the engine's other gates.  The check is a codegen'd
+    * conditional on the 1-row weight frame: zero cost when healthy. */
+  private def solveGram3(g: DataFrame, who: String): DataFrame = {
     val det = col("g00") * (col("g11") * col("g22") - col("g12") * col("g12")) -
       col("g01") * (col("g01") * col("g22") - col("g12") * col("g02")) +
       col("g02") * (col("g01") * col("g12") - col("g11") * col("g02"))
@@ -1373,14 +1396,70 @@ object Text {
     val det2 = col("g00") * (col("g11") * col("b2") - col("g12") * col("b1")) -
       col("g01") * (col("g01") * col("b2") - col("b1") * col("g02")) +
       col("b0") * (col("g01") * col("g12") - col("g11") * col("g02"))
-    val w = g.select(
-      round(det0 / det, 9).as("w0"),
-      round(det1 / det, 9).as("w1"),
-      round(det2 / det, 9).as("w2"))
-    feats.crossJoin(broadcast(w))
+    def guarded(c: Column, name: String) =
+      when(col("g00").isNull || col("g00") === 0d || isnan(c) || c.isNull ||
+          abs(c) === Double.PositiveInfinity,
+        raise_error(concat(lit(s"$who: degenerate seed slice — empty or " +
+          s"singular Gram system, no unique least-squares solution ($name="),
+          coalesce(c.cast("string"), lit("null")), lit(", n_seed="),
+          coalesce(col("g00").cast("string"), lit("0")), lit(")"))))
+        .otherwise(c).as(name)
+    g.select(
+      guarded(round(det0 / det, 9), "w0"),
+      guarded(round(det1 / det, 9), "w1"),
+      guarded(round(det2 / det, 9), "w2"))
+  }
+
+  /** Gopher-LABEL-trained linear probe — the actual production
+    * quality-filter serving pattern (heuristic labels → learned scorer →
+    * corpus pass; the fastText-classifier recipe of Joulin et al. '16 as
+    * used by the GPT-3 data pipeline, Brown et al. '20 §A): where
+    * [[qualityLinearProbe]] fits a self-supervised proxy target, this fits
+    * the SAME oracle-exact Gram pipeline against the conjunctive
+    * [[gopherRules]] keep as the label (y ∈ {0, 1}), i.e. a linear
+    * probability model distilling the rule battery into a smooth score —
+    * and reports HELD-OUT AGREEMENT (the fraction of non-seed documents
+    * whose thresholded score reproduces their Gopher label) so the
+    * distillation quality is measured inside the query, not assumed.
+    *
+    * Plan shape: feature extraction is per-document array aggregates (no
+    * explode, no shuffle before the Gram reduce), training is the one
+    * 9-sum [[gramAggregate]], the solve is [[solveGram3]] on its single
+    * row, and scoring + the agreement reduce are one corpus pass each with
+    * the 1-row weight/agreement frames broadcast — three scans total at
+    * any scale, none quadratic.  Determinism: the [[qualityLinearProbe]]
+    * discipline (exact-rational features, 9 dp → DECIMAL(38,9) Gram terms,
+    * one Cramer literal order, 6 dp scores; the agreement is an integer
+    * ratio rounded to 6 dp). */
+  def qualityProbeGopher(docs: DataFrame, idCol: String, textCol: String,
+                         seedPred: Column): DataFrame = {
+    import org.apache.spark.sql.types.DoubleType
+    val t = tokens(col(textCol))
+    val n = size(t).cast(LongType)
+    val sumLen = aggregate(t, lit(0L), (acc, x) => acc + length(x))
+    val nSymbol = size(filter(t, x => x.contains("#") || x.contains("..."))).cast(LongType)
+    val nAlpha = size(filter(t, x => x.rlike("[A-Za-z]"))).cast(LongType)
+    val nStopKinds = size(array_intersect(array_distinct(t),
+      array(EnStopwords.map(lit): _*))).cast(LongType)
+    val keep = n >= 50 && n <= 100000 && sumLen >= n * 3 && sumLen <= n * 10 &&
+      nSymbol * 10 <= n && nAlpha * 5 >= n * 4 && nStopKinds >= 2
+    val feats = docs
+      .select(col(idCol), n.as("__n"), sumLen.as("__sl"), keep.as("__keep"))
+      .filter(col("__n") > 0)
+      .select(col(idCol),
+        col("__n").cast(DoubleType).as("x1"),
+        (col("__sl") / col("__n")).as("x2"),
+        when(col("__keep"), 1d).otherwise(0d).as("y"))
+    val w = solveGram3(gramAggregate(feats.filter(seedPred)), "qualityProbeGopher")
+    val scored = feats.crossJoin(broadcast(w))
       .select(col(idCol), col("x1"), col("x2"), col("y"),
         round(col("w0") + col("w1") * col("x1") + col("w2") * col("x2"), 6)
           .as("score"),
         col("w0"), col("w1"), col("w2"))
+    val agree = scored.filter(!seedPred).agg(
+      round(sum(when((col("score") >= 0.5) === (col("y") >= 0.5), 1L)
+          .otherwise(0L)).cast(DoubleType) / count(lit(1)), 6)
+        .as("holdout_agree"))
+    scored.crossJoin(broadcast(agree))
   }
 }

@@ -356,6 +356,65 @@ object TextCatalog {
            round(w0 + w1 * x1 + w2 * x2, 6) AS score, w0, w1, w2
          FROM feats, w ORDER BY score DESC, doc_id LIMIT 20""")),
 
+    // Gopher-LABEL-trained probe (Text.qualityProbeGopher): the same
+    // oracle-exact Gram/Cramer pipeline as q_quality_linear_probe, but the
+    // target is the conjunctive Gopher keep (a linear probability model
+    // distilling the rule battery) and the result carries the HELD-OUT
+    // agreement — the fraction of non-seed docs whose thresholded score
+    // reproduces their label — measured in-query.  Learned weights AND the
+    // agreement must hash-match DuckDB at every SF.
+    QueryDef("q_quality_probe_gopher",
+      (s, dir) => Text.qualityProbeGopher(t(s, dir, "documents"),
+          "doc_id", "text", col("doc_id") % 5 =!= 0)
+        .orderBy(col("score").desc, col("doc_id")).limit(20),
+      Some(s"""WITH q AS (SELECT doc_id, $toks AS t FROM documents),
+         m AS (SELECT doc_id, len(t) AS n,
+             COALESCE(list_sum(list_transform(t, x -> length(x))), 0) AS sl,
+             len(list_filter(t, x -> contains(x, '#') OR contains(x, '...'))) AS ns,
+             len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]'))) AS na,
+             len(list_intersect(list_distinct(t), ['the','a','of','and','to','in'])) AS nk
+           FROM q),
+         feats AS (SELECT doc_id,
+             CAST(n AS DOUBLE) AS x1,
+             (CAST(sl AS BIGINT) / n) AS x2,
+             CASE WHEN (n >= 50 AND n <= 100000 AND sl >= n*3 AND sl <= n*10
+               AND ns*10 <= n AND na*5 >= n*4 AND nk >= 2)
+               THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS y
+           FROM m WHERE n > 0),
+         g AS (SELECT CAST(COUNT(*) AS DOUBLE) AS g00,
+             CAST(SUM(CAST(round(x1, 9) AS DECIMAL(38,9))) AS DOUBLE) AS g01,
+             CAST(SUM(CAST(round(x2, 9) AS DECIMAL(38,9))) AS DOUBLE) AS g02,
+             CAST(SUM(CAST(round(x1 * x1, 9) AS DECIMAL(38,9))) AS DOUBLE) AS g11,
+             CAST(SUM(CAST(round(x1 * x2, 9) AS DECIMAL(38,9))) AS DOUBLE) AS g12,
+             CAST(SUM(CAST(round(x2 * x2, 9) AS DECIMAL(38,9))) AS DOUBLE) AS g22,
+             CAST(SUM(CAST(round(y, 9) AS DECIMAL(38,9))) AS DOUBLE) AS b0,
+             CAST(SUM(CAST(round(x1 * y, 9) AS DECIMAL(38,9))) AS DOUBLE) AS b1,
+             CAST(SUM(CAST(round(x2 * y, 9) AS DECIMAL(38,9))) AS DOUBLE) AS b2
+           FROM feats WHERE doc_id % 5 <> 0),
+         w AS (SELECT
+             round((b0 * (g11 * g22 - g12 * g12) - g01 * (b1 * g22 - g12 * b2)
+               + g02 * (b1 * g12 - g11 * b2))
+               / (g00 * (g11 * g22 - g12 * g12) - g01 * (g01 * g22 - g12 * g02)
+               + g02 * (g01 * g12 - g11 * g02)), 9) AS w0,
+             round((g00 * (b1 * g22 - g12 * b2) - b0 * (g01 * g22 - g12 * g02)
+               + g02 * (g01 * b2 - b1 * g02))
+               / (g00 * (g11 * g22 - g12 * g12) - g01 * (g01 * g22 - g12 * g02)
+               + g02 * (g01 * g12 - g11 * g02)), 9) AS w1,
+             round((g00 * (g11 * b2 - g12 * b1) - g01 * (g01 * b2 - b1 * g02)
+               + b0 * (g01 * g12 - g11 * g02))
+               / (g00 * (g11 * g22 - g12 * g12) - g01 * (g01 * g22 - g12 * g02)
+               + g02 * (g01 * g12 - g11 * g02)), 9) AS w2
+           FROM g),
+         scored AS (SELECT doc_id, x1, x2, y,
+             round(w0 + w1 * x1 + w2 * x2, 6) AS score, w0, w1, w2
+           FROM feats, w),
+         agree AS (SELECT
+             round(CAST(SUM(CASE WHEN (score >= 0.5) = (y >= 0.5)
+                 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS holdout_agree
+           FROM scored WHERE doc_id % 5 = 0)
+         SELECT doc_id, x1, x2, y, score, w0, w1, w2, holdout_agree
+         FROM scored, agree ORDER BY score DESC, doc_id LIMIT 20""")),
+
     // The Gopher rule battery (Rae et al. '21 §A1.1): the NAMED quality
     // gates, one boolean per rule + the conjunctive keep, thresholds
     // restated as integer cross-multiplications so boundary cases decide

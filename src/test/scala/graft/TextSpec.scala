@@ -564,4 +564,38 @@ class TextSpec extends SparkFunSuite {
     // the probe scores HELD-OUT docs too (the serving pattern's point)
     assert(out.exists(r => r.getAs[Long]("doc_id") % 5 == 0))
   }
+
+  test("qualityProbeGopher: labels are the Gopher keep, agreement is the " +
+    "held-out thresholded match rate, degenerate seeds fail loudly") {
+    // a separable fixture: "good" docs clear every Gopher gate (60 plain
+    // stopword-bearing words), "bad" docs fail the word-count gate hard
+    // (5 words) — a linear model on token count separates them exactly
+    val good = (("the a of and to in " * 10).trim + " " +
+      (1 to 54).map(i => s"word$i").mkString(" "))
+    val docs = (0L until 20L)
+      .map(i => (i, if (i % 2 == 0) good else "just five tiny the words"))
+      .toDF("doc_id", "text")
+    val out = Text.qualityProbeGopher(docs, "doc_id", "text",
+      col("doc_id") % 5 =!= 0).collect()
+    assert(out.length === 20, "every document scores")
+    out.foreach { r =>
+      val want = if (r.getAs[Long]("doc_id") % 2 == 0) 1.0 else 0.0
+      assert(r.getAs[Double]("y") === want,
+        s"label must equal the Gopher keep for doc ${r.getAs[Long]("doc_id")}")
+      // perfectly separable classes: the fitted scores reproduce the
+      // labels on BOTH slices once thresholded
+      assert((r.getAs[Double]("score") >= 0.5) === (want >= 0.5))
+    }
+    assert(out.head.getAs[Double]("holdout_agree") === 1.0,
+      "held-out agreement on a separable fixture is exactly 1")
+    // degenerate seed slice (empty): the solve must raise naming the probe
+    val e = intercept[Exception] {
+      Text.qualityProbeGopher(docs, "doc_id", "text", lit(false))
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("degenerate seed slice")),
+      s"want a loud degenerate-seed error, got: ${messages(e).mkString(" | ")}")
+  }
 }
