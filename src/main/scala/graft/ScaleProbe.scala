@@ -416,6 +416,14 @@ object ScaleProbe {
         val nlist = math.max(16, math.round(16 * math.sqrt(m.toDouble)).toInt)
         Vector.allPairsTopKIvf(emb, 5, nlist, 4).count()
       }
+      // 3d) PREFIX-ROUTED all-pairs (allPairsTopKIvfPrefix): same n^1.5
+      //     model with the dominant assignment term (n·nlist) run in the
+      //     16-dim prefix space — the claim to verify is "same exponent,
+      //     lower constant than all_pairs_topk_ivf", never assumed
+      time("all_pairs_prefix", m) {
+        val nlist = math.max(16, math.round(16 * math.sqrt(m.toDouble)).toInt)
+        Vector.allPairsTopKIvfPrefix(emb, 5, nlist, 4, 16).count()
+      }
       // IVF-PQ: 64×64 coarse terms AND 64×64 codebook terms — both argmins
       // take the row path past the codegen budget (the ScaleProbe finding
       // that motivated it), so this probes the 100 TB index shape end-to-end

@@ -248,13 +248,22 @@ object Vector {
     val lists = coarseAssignWith(corpus, cents).repartition(np, col("list_id"))
     val probes = coarseProbesWith(corpus, cents, nprobe)
       .repartition(np, col("list_id"))
+    symmetricListTopK(lists, probes, k, np)
+  }
+
+  /** The all-pairs tail shared by the full- and prefix-routed forms:
+    * score probed (q, c) pairs full-dimension, SYMMETRIZE, dedup, cut.
+    * cos is exactly symmetric (IEEE multiplies commute; the index-order
+    * sums walk the same doubles), so a pair covered in both directions
+    * duplicates identical rows and max() is pure dedup; symmetrize +
+    * dedup + per-query bounded-heap cut all ride ONE hash(q_id)
+    * exchange. */
+  private def symmetricListTopK(lists: DataFrame, probes: DataFrame,
+                                k: Int, np: Int): DataFrame = {
     val scored = probes.join(lists, Seq("list_id"))
       .filter(col("q_id") =!= col("c_id"))
       .withColumn("cos", cosineNative(col("qv"), col("cv")))
       .select("q_id", "c_id", "cos")
-    // cos is exactly symmetric (IEEE multiplies commute; the index-order
-    // sums walk the same doubles), so a pair covered in both directions
-    // duplicates identical rows and max() is pure dedup
     val sym = scored.select(explode(array(
         struct(col("q_id"), col("c_id"), col("cos")),
         struct(col("c_id").as("q_id"), col("q_id").as("c_id"), col("cos"))))
@@ -265,6 +274,42 @@ object Vector {
       .groupBy("q_id", "c_id").agg(max("cos").as("cos"))
     graft.plans.TopKPerKey(sym, Seq("q_id"),
       Seq(col("cos").desc, col("c_id").asc), k)
+  }
+
+  /** PREFIX-ROUTED all-pairs IVF top-k — [[allPairsTopKIvf]] with its
+    * dominant cost term routed in the `prefixDims` PREFIX space, exactly
+    * as [[ivfTopKPrefix]] routes single queries: the measured n^1.5 scale
+    * model's assignment term (n · nlist centroid cosines) runs over
+    * sliced vectors and sliced centroids (an MRL-trained embedding's
+    * prefix is itself a valid embedding, so the sliced quantizer IS the
+    * prefix-space quantizer), cutting the per-decision cost by
+    * dims/prefixDims (64→16 = 4×) at ANY corpus size — while candidate
+    * scoring inside probed lists stays exact full-dimension cosine, so
+    * the emitted cos values are identical to the full route's for every
+    * covered pair.  Plan shape and exchange budget are IDENTICAL to
+    * [[allPairsTopKIvf]] (same shuffle equi-join on list_id, same
+    * symmetrized single-exchange dedup + bounded-heap cut — the shared
+    * [[symmetricListTopK]] tail); prefix assignment goes through the
+    * [[withNearest]] codegen-budget guard like every other IVF form.
+    * What prefix routing costs in RECALL is the registered Wilson-gated
+    * audit's job (q_mutual_knn_prefix_recall), never assumed. */
+  def allPairsTopKIvfPrefix(corpus: DataFrame, k: Int, nlist: Int = 16,
+                            nprobe: Int = 4, prefixDims: Int = 16): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(corpus.sparkSession)
+    require(prefixDims >= 1,
+      s"allPairsTopKIvfPrefix: prefixDims must be >= 1, got $prefixDims")
+    val pcents = collectCents(corpus, nlist)
+      .map { case (i, w) => (i, w.take(prefixDims)) }
+    val np = math.max(corpus.sparkSession.sparkContext.defaultParallelism, 8)
+    val lists = withNearest(corpus.select(col("vec_id").as("c_id"),
+        asDouble(col("embedding")).as("cv")), pcents, 1, Some(prefixDims))
+      .withColumn("list_id", element_at(col("__lists"), 1)).drop("__lists")
+      .repartition(np, col("list_id"))
+    val probes = withNearest(corpus.select(col("vec_id").as("q_id"),
+        asDouble(col("embedding")).as("qv")), pcents, nprobe, Some(prefixDims))
+      .withColumn("list_id", explode(col("__lists"))).drop("__lists")
+      .repartition(np, col("list_id"))
+    symmetricListTopK(lists, probes, k, np)
   }
 
   /** Embedding-cosine near-duplicate pairs: candidates share an LSH bucket

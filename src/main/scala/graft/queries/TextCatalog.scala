@@ -1853,6 +1853,29 @@ object TextCatalog {
        tki AS (SELECT q_id, c_id, cos FROM r_i WHERE rank <= 5)"""
   }
 
+  /** [[ivfAllSql]] with PREFIX routing (Vector.allPairsTopKIvfPrefix):
+    * assignment AND probing rank centroids by the 16-dim prefix cosine,
+    * candidate scoring stays full 64-dim — same CTE names so the
+    * downstream mutual/recall SQL is shared verbatim. */
+  private val ivfAllPrefixSql: String = {
+    val cosCC16 = cosSql("c.cv", "cents.cw", 16)
+    s"""cents AS (SELECT vec_id AS cent_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cw
+         FROM embeddings WHERE vec_id < 16),
+       c AS (SELECT vec_id AS c_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv FROM embeddings),
+       asg AS (SELECT c_id, cv, cent_id,
+           row_number() OVER (PARTITION BY c_id ORDER BY $cosCC16 DESC, cent_id) AS rn
+         FROM c, cents),
+       lists AS (SELECT c_id, cv, cent_id AS list_id FROM asg WHERE rn = 1),
+       probes AS (SELECT c_id AS q_id, cv AS qv, cent_id AS list_id FROM asg WHERE rn <= 4),
+       sc0 AS (SELECT q_id, c_id, ${cosSql("qv", "cv", 64)} AS cos
+         FROM probes JOIN lists USING (list_id) WHERE q_id <> c_id),
+       sc_i AS (SELECT q_id, c_id, cos FROM sc0
+         UNION SELECT c_id AS q_id, q_id AS c_id, cos FROM sc0),
+       r_i AS (SELECT q_id, c_id, cos,
+           row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rank FROM sc_i),
+       tki AS (SELECT q_id, c_id, cos FROM r_i WHERE rank <= 5)"""
+  }
+
   /** PQ encode CTE fragment (`codes(c_id, s, j, dist)`), ≡ Vector.pqEncode
     * with m=8 subspaces × 8 dims over the 64-dim fixture and the first 16
     * vectors as codebook: per-(vector, subspace, codeword) 6-dp-rounded
@@ -2061,6 +2084,108 @@ object TextCatalog {
              + z2 / (nd * nd * 4))) / (1.0 + z2 / nd), 9) AS wilson_hi
          FROM w ORDER BY tier""")),
 
+    // PREFIX-ROUTED all-pairs mutual k-NN (Vector.allPairsTopKIvfPrefix ∘
+    // mutualPairs): the n^1.5 scale model's dominant ASSIGNMENT term
+    // (n · nlist centroid cosines) runs in the 16-dim prefix space — the
+    // 4× constant cut at corpus scale — while candidate scoring and the
+    // emitted cos stay exact full-dimension.  The oracle pins the whole
+    // chain: prefix assignment/probing ranks, full rerank, symmetrize,
+    // top-k, mutuality.
+    QueryDef("q_mutual_knn_prefix",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        Vector.mutualPairs(
+            Vector.allPairsTopKIvfPrefix(e, 5, 16, 4, 16).localCheckpoint())
+          .orderBy("a", "b")
+      },
+      Some(s"""WITH $ivfAllPrefixSql,
+         m AS (SELECT f.q_id AS a, f.c_id AS b, f.cos
+           FROM tki f SEMI JOIN tki r2 ON f.q_id = r2.c_id AND f.c_id = r2.q_id
+           WHERE f.q_id < f.c_id)
+         SELECT a, b, cos FROM m ORDER BY a, b""")),
+
+    // The audit that keeps q_mutual_knn_prefix honest — same two-tier
+    // Wilson-gated frame as q_mutual_knn_ivf_recall (edge recall of the
+    // prefix-routed IVF lists, mutual-pair recall of the composition,
+    // both against brute-force truth): the 4× cheaper routing decision's
+    // recall cost is MEASURED per fixture and gated on the interval's
+    // LOWER bound, so a routing regression or a fixture regeneration
+    // without front-loaded prefix signal fails the query loudly.
+    QueryDef("q_mutual_knn_prefix_recall",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val ivf = Vector.allPairsTopKIvfPrefix(e, 5, 16, 4, 16).localCheckpoint()
+        val brute = Vector.allPairsTopK(e, 5).localCheckpoint()
+        def recallRow(tier: String, approx: org.apache.spark.sql.DataFrame,
+                      truth: org.apache.spark.sql.DataFrame,
+                      cols: Seq[String]) =
+          truth.join(approx, cols, "left_semi")
+            .agg(count(lit(1)).as("n_hit"))
+            .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
+            .select(lit(tier).as("tier"), col("n_hit"), col("n_truth"),
+              (col("n_hit") / col("n_truth")).as("recall"))
+        val audit = Quality.withWilson(
+          recallRow("prefix_ivf_topk", ivf.select("q_id", "c_id"),
+              brute.select("q_id", "c_id"), Seq("q_id", "c_id"))
+            .unionByName(recallRow("prefix_mutual_pairs",
+              Vector.mutualPairs(ivf).select("a", "b"),
+              Vector.mutualPairs(brute).select("a", "b"), Seq("a", "b"))),
+          "n_hit", "n_truth")
+          .orderBy("tier")
+        // Floors sit ~0.10 under the WEAKEST measured lower bound across
+        // the three fixture SFs (edge wilson_lo 0.633/0.631/0.654, mutual
+        // 0.639/0.627/0.659 at sf0.001/0.01/0.1 — deterministic: exact
+        // arithmetic, fixed tie-breaks; within ~0.02 of the full-route
+        // bounds in q_mutual_knn_ivf_recall, so the 4× routing cut costs
+        // almost no recall on the front-loaded fixture) and far above the
+        // failure modes (random 16-dim routing and one-directional probing
+        // both land near 0.25-0.32 point recall).  Re-record procedure on
+        // a LEGITIMATE fixture/routing change: run this query at all three
+        // SFs, take the weakest wilson_lo per tier, set each floor ~0.10
+        // below it, and update this comment with the new measurements.
+        Catalog.gateOnce(s, audit) { rows =>
+          val lo = rows.map(r =>
+            r.getAs[String]("tier") -> r.getAs[Double]("wilson_lo")).toMap
+          require(lo("prefix_ivf_topk") >= 0.53,
+            s"q_mutual_knn_prefix_recall: prefix-routed edge recall " +
+              s"wilson_lo ${lo("prefix_ivf_topk")} < 0.53 — prefix " +
+              "routing regressed")
+          require(lo("prefix_mutual_pairs") >= 0.52,
+            s"q_mutual_knn_prefix_recall: prefix-routed mutual-pair " +
+              s"recall wilson_lo ${lo("prefix_mutual_pairs")} < 0.52 — " +
+              "symmetrization or prefix routing regressed")
+        }
+      },
+      Some(s"""WITH $ivfAllPrefixSql,
+         sc_b AS (SELECT q.c_id AS q_id, t.c_id AS c_id,
+             ${cosSql("q.cv", "t.cv", 64)} AS cos
+           FROM c q JOIN c t ON q.c_id <> t.c_id),
+         r_b AS (SELECT q_id, c_id, cos,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rank
+           FROM sc_b),
+         tkb AS (SELECT q_id, c_id, cos FROM r_b WHERE rank <= 5),
+         mi AS (SELECT f.q_id AS a, f.c_id AS b
+           FROM tki f SEMI JOIN tki r2 ON f.q_id = r2.c_id AND f.c_id = r2.q_id
+           WHERE f.q_id < f.c_id),
+         mb AS (SELECT f.q_id AS a, f.c_id AS b
+           FROM tkb f SEMI JOIN tkb r2 ON f.q_id = r2.c_id AND f.c_id = r2.q_id
+           WHERE f.q_id < f.c_id),
+         hit_e AS (SELECT COUNT(*) AS n_hit FROM tkb SEMI JOIN tki USING (q_id, c_id)),
+         tot_e AS (SELECT COUNT(*) AS n_truth FROM tkb),
+         hit_m AS (SELECT COUNT(*) AS n_hit FROM mb SEMI JOIN mi USING (a, b)),
+         tot_m AS (SELECT COUNT(*) AS n_truth FROM mb),
+         u AS (SELECT 'prefix_ivf_topk' AS tier, n_hit, n_truth FROM hit_e, tot_e
+           UNION ALL
+           SELECT 'prefix_mutual_pairs' AS tier, n_hit, n_truth FROM hit_m, tot_m),
+         w AS (SELECT tier, n_hit, n_truth, (n_hit / n_truth) AS p,
+             (1.96 * 1.96) AS z2, CAST(n_truth AS DOUBLE) AS nd FROM u)
+         SELECT tier, n_hit, n_truth, p AS recall,
+           round((p + z2 / (nd * 2) - 1.96 * sqrt(p * (1.0 - p) / nd
+             + z2 / (nd * nd * 4))) / (1.0 + z2 / nd), 9) AS wilson_lo,
+           round((p + z2 / (nd * 2) + 1.96 * sqrt(p * (1.0 - p) / nd
+             + z2 / (nd * nd * 4))) / (1.0 + z2 / nd), 9) AS wilson_hi
+         FROM w ORDER BY tier""")),
+
     // MATRYOSHKA-IVF adaptive retrieval (MRL serving pattern): coarse
     // routing in the 16-dim PREFIX space — 4× cheaper per routing
     // decision, and the quantizer is just the sliced centroids — exact
@@ -2126,24 +2251,27 @@ object TextCatalog {
               Vector.ivfTopKPrefix(qs, e, 5, 16, 4, 16))),
           "n_hit", "n_truth")
           .orderBy("tier")
-        // Floors sit under the weakest measured lower bound across the
-        // three fixture SFs (full_route wilson_lo 0.650/0.643/0.686,
+        // Floors sit ~0.10 under the weakest measured lower bound across
+        // the three fixture SFs (full_route wilson_lo 0.650/0.643/0.686,
         // prefix_route 0.441/0.454/0.513 at sf0.001/0.01/0.1 — the
-        // measurements are deterministic, so the slim prefix margin is
-        // safe; the bounds also RECORD the prefix's measured recall cost
-        // vs full routing).  A routing regression or a fixture
-        // regeneration without front-loaded coordinates (random 16-dim
-        // routing ≈ 0.25 point recall) lands well below both floors.
+        // measurements are deterministic, so the margin absorbs only
+        // LEGITIMATE drift: a benign fixture regeneration or small routing
+        // tweak shifts the bound a few points, while the failure mode this
+        // gate exists for (random 16-dim routing ≈ 0.25 point recall)
+        // lands far below).  Re-record procedure on a legitimate
+        // fixture/routing change: run this query at all three SFs, take
+        // the weakest wilson_lo per tier, set each floor ~0.10 below it,
+        // and update this comment with the new measurements.
         Catalog.gateOnce(s, audit) { rows =>
           val lo = rows.map(r =>
             r.getAs[String]("tier") -> r.getAs[Double]("wilson_lo")).toMap
           require(lo("full_route") >= 0.55,
             s"q_matryoshka_ivf_recall: full-dimension route wilson_lo " +
               s"${lo("full_route")} < 0.55 — IVF routing regressed")
-          require(lo("prefix_route") >= 0.40,
+          require(lo("prefix_route") >= 0.35,
             s"q_matryoshka_ivf_recall: prefix route wilson_lo " +
-              s"${lo("prefix_route")} < 0.40 — the 16-dim prefix stopped " +
-              "carrying routing signal")
+              s"${lo("prefix_route")} < 0.35 — the 16-dim prefix stopped " +
+              "carrying routing signal (random routing measures ~0.25)")
         }
       },
       Some {

@@ -372,6 +372,19 @@ class VectorSpec extends SparkFunSuite {
       bf.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
         r.getDouble(3))).toSet,
       "prefix routing must be invisible when every list is probed")
+    // the PREFIX-routed all-pairs composition inherits both pins: every
+    // list probed ⇒ ≡ the exact tier (routing only restricts candidates;
+    // scoring is full-dimension), and with prefixDims = dims it is the
+    // full-route operator exactly
+    val preAll = Vector.allPairsTopKIvfPrefix(vecs, 3, nlist = 4, nprobe = 4,
+      prefixDims = 4)
+    assert(rows(preAll) === rows(brute),
+      "all-lists-probed prefix-routed symmetric IVF must equal the exact tier")
+    val preFull = Vector.allPairsTopKIvfPrefix(vecs, 3, nlist = 4, nprobe = 2,
+      prefixDims = 8)
+    val full = Vector.allPairsTopKIvf(vecs, 3, nlist = 4, nprobe = 2)
+    assert(rows(preFull) === rows(full),
+      "prefixDims = dims must reproduce the full-dimension route exactly")
   }
 
   test("ndcgAtK: perfect list scores 1, reversed list less, misses score 0") {
