@@ -191,6 +191,33 @@ class GraphSpec extends SparkFunSuite {
     assert(Graph.ancestorClosure(chain, "c", "p", maxDepth = 3).count() === 6)
   }
 
+  test("ancestorClosure bounds live storage on a deep chain (fold accumulator)") {
+    // a 120-deep chain: the closure is exact AND the layers must FOLD into
+    // the accumulator as depth advances — peak persisted-RDD count stays
+    // O(FoldEvery), not O(height) (pre-fold, every layer held its blocks
+    // until the final union: peak tracked ~height frames)
+    val h = 120
+    val edges = (0L until h.toLong).map(i => (i, i + 1)).toDF("c", "p")
+    var peak = 0
+    @volatile var done = false
+    val sampler = new Thread(() => {
+      while (!done) {
+        peak = math.max(peak, spark.sparkContext.getPersistentRDDs.size)
+        Thread.sleep(10)
+      }
+    })
+    sampler.start()
+    val got = try Graph.ancestorClosure(edges, "c", "p", maxDepth = h)
+      .collect()
+    finally { done = true; sampler.join() }
+    info(s"peak persisted RDDs during a $h-deep closure: $peak")
+    assert(got.length === h * (h + 1) / 2, "closure of a chain is h*(h+1)/2 pairs")
+    assert(got.count(_.getInt(2) === h) === 1, "exactly one depth-h pair")
+    assert(peak <= 40,
+      s"peak persisted RDDs $peak — layer frames are not folding into the " +
+        "accumulator (pre-fold behavior held one frame per depth)")
+  }
+
   test("pageRank on a star graph matches the hand-computed fixpoint shape") {
     // 1→0, 2→0, 3→0: every leaf has outdeg 1 and no in-links, so after the
     // first round each leaf sits at base = 0.15/4 and the hub at
