@@ -50,6 +50,13 @@ package graft
   * targeted-run minimum (1.169), then a fourth full run (202.9 s raw /
   * 281 q, rescued 0, a 1.16× machine window) min-merged 11 more and
   * re-floored it at 0.502 (the full-run JVM amortizes its codegen).
+  * Round-15: the IVM/streaming floor block was attacked structurally
+  * (driver-side change-window metadata probe replacing the per-refresh
+  * isEmpty action; one-action sketch equivalence in q_st13; observed
+  * flush sentinel in q_st10 — see COVERAGE.md r15 section), three new
+  * queries registered (q_quality_probe_gopher, q_mutual_knn_prefix,
+  * q_mutual_knn_prefix_recall) and floored from this round's clean
+  * windows, and floors min-merged from full runs as always.
   * A floor is NOT a target -- it is the plan's
   * demonstrated cost on this hardware; a bench minimum far above it (>3x)
   * indicates the environment (CPU stall, concurrent load, codegen thrash),
@@ -71,7 +78,7 @@ object BenchFloors {
     "q_ann_recall" -> 0.317,
     "q_ann_recall_p8" -> 0.313,
     "q_anti_join" -> 0.197,
-    "q_aqe_skew" -> 1.825,
+    "q_aqe_skew" -> 1.593,
     "q_asof_join" -> 0.122,
     "q_benford" -> 0.155,
     "q_binary_topk" -> 0.485,
@@ -188,6 +195,8 @@ object BenchFloors {
     "q_mutual_info" -> 0.208,
     "q_mutual_knn_ivf" -> 1.169,
     "q_mutual_knn_ivf_recall" -> 2.342,
+    "q_mutual_knn_prefix" -> 1.566,
+    "q_mutual_knn_prefix_recall" -> 3.052,
     "q_near_dup_edit" -> 0.865,
     "q_near_dup_jaccard" -> 0.978,
     "q_ngram_jaccard" -> 2.143,
@@ -219,6 +228,7 @@ object BenchFloors {
     "q_quality_linear_probe" -> 0.502,
     "q_q1_schema_audit" -> 0.050,
     "q_q3_validate_columns" -> 0.080,
+    "q_quality_probe_gopher" -> 0.678,
     "q_quantile_merge" -> 0.709,
     "q_quantile_sketch" -> 1.005,
     "q_rand_proj_recall" -> 0.305,
@@ -230,7 +240,7 @@ object BenchFloors {
     "q_retention_cohorts" -> 0.214,
     "q_rolling_sum" -> 0.088,
     "q_rollup" -> 0.235,
-    "q_runtime_bloom" -> 0.553,
+    "q_runtime_bloom" -> 0.500,
     "q_s10_upsert" -> 0.242,
     "q_s10_upsert_partitioned" -> 0.926,
     "q_s4_extract_blocks" -> 0.919,
@@ -257,14 +267,14 @@ object BenchFloors {
     "q_shuffle_order" -> 0.218,
     "q_simhash" -> 0.223,
     "q_simhash_near_dup" -> 0.805,
-    "q_skew_split_join" -> 1.741,
+    "q_skew_split_join" -> 1.565,
     "q_snapshot_diff" -> 0.174,
     "q_spearman" -> 1.310,
     "q_split_leakage_safe" -> 1.467,
     "q_st10_stream_outer_join" -> 3.111,
     "q_st11_tx_stream_merge" -> 1.745,
     "q_st12_session_timeout" -> 1.768,
-    "q_st13_stream_cms" -> 3.285,
+    "q_st13_stream_cms" -> 3.237,
     "q_st14_stream_ivm" -> 3.216,
     "q_st15_stream_decode" -> 2.043,
     "q_st16_stream_ann" -> 2.217,
