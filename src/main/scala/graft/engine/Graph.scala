@@ -367,11 +367,16 @@ object Graph {
       acc = folded
     }
     var d = 1
+    // emptiness is probed ONCE per frame and the boolean carried into the
+    // next loop test — each isEmpty is a job on a checkpointed frame, and
+    // re-asking the question at the loop head used to double the driver
+    // round-trips on deep hierarchies (2 probes/depth → 1)
+    var drained = frontier.isEmpty
     // `d <= maxDepth`: the depth-maxDepth frontier must get ONE more
     // extension attempt before the cycle verdict — a legitimate forest of
     // height exactly maxDepth drains on that attempt; only a frontier still
     // alive PAST it is a cycle (or a genuinely deeper tree)
-    while (!frontier.isEmpty && d <= maxDepth) {
+    while (!drained && d <= maxDepth) {
       val next = frontier
         .join(e.select(col("node").as("anc"), col("anc").as("__up")), "anc")
         .select(col("node"), col("__up").as("anc"),
@@ -381,7 +386,8 @@ object Graph {
       // the accumulator — it IS a result layer; only the working set
       // advances
       frontier = next
-      if (!next.isEmpty) pending ::= next
+      drained = next.isEmpty // the one emptiness job this depth
+      if (!drained) pending ::= next
       if (pending.size >= FoldEvery) {
         // the newest pending layer IS the live frontier — the next round's
         // join still reads its blocks, so it must survive the fold
@@ -390,7 +396,7 @@ object Graph {
       }
       d += 1
     }
-    require(frontier.isEmpty, s"ancestorClosure: frontier alive after $maxDepth " +
+    require(drained, s"ancestorClosure: frontier alive after $maxDepth " +
       "hops — cycle in the 'forest', or raise maxDepth for a deeper tree")
     foldInto(pending) // the frontier is drained: every pending layer is final
     freeCheckpoint(e)
@@ -555,8 +561,10 @@ object Graph {
     * 3× on the contraction rounds.  A reused child keeps that cache warm;
     * concurrent loops on one parent each borrow their OWN child (a fresh
     * one when the pool is empty), so tuned conf never crosses loops.
-    * Entries live for the JVM — bounded by distinct parent sessions (one
-    * in every harness). */
+    * Entries whose SparkContext has STOPPED are evicted on every borrow —
+    * a long-lived JVM that creates sessions over many contexts (test
+    * matrices, notebook servers embedding the library) would otherwise
+    * accumulate dead SessionState keyed by unreachable parents. */
   private val loopPool = new java.util.concurrent.ConcurrentHashMap[
     org.apache.spark.sql.SparkSession,
     java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.SparkSession]]()
@@ -572,6 +580,9 @@ object Graph {
     * Return the child via [[returnLoopSession]] in a finally. */
   private def borrowLoopSession(parent: org.apache.spark.sql.SparkSession)
       : org.apache.spark.sql.SparkSession = {
+    // O(#parents) sweep, trivially small next to a newSession(): drop pool
+    // entries for parents whose context is gone so they can be collected
+    loopPool.keySet.removeIf(p => p.sparkContext.isStopped)
     val q = loopPool.computeIfAbsent(parent,
       _ => new java.util.concurrent.ConcurrentLinkedQueue)
     val child = Option(q.poll()).getOrElse(parent.newSession())

@@ -4091,8 +4091,17 @@ object Catalog {
             col("value"))
           .observe(obsP, max(col("p_ts")).as("mx"))
           .coalesce(1).write.parquet(s"$base/purchases/g1")
-        val maxTs = Seq(obsC, obsP)
-          .map(_.get("mx").asInstanceOf[java.sql.Timestamp]).maxBy(_.getTime)
+        // max over zero rows observes null — map through Option so an empty
+        // side falls back to the other's max instead of NPEing in maxBy;
+        // accept either timestamp rendering (java8API on → Instant)
+        val maxima = Seq(obsC, obsP).flatMap(o => Option(o.get("mx")).map {
+          case t: java.sql.Timestamp => t
+          case i: java.time.Instant  => java.sql.Timestamp.from(i)
+        })
+        require(maxima.nonEmpty,
+          "q_st10_stream_outer_join: both fixture streams are empty — no " +
+            "data timestamp to place the flush sentinel beyond")
+        val maxTs = maxima.maxBy(_.getTime)
         val flush = new java.sql.Timestamp(maxTs.getTime + 86400L * 1000)
         Seq((-1L, flush, -1L)).toDF("user_id", "ts", "event_id")
           .write.parquet(s"$base/clicks/f2")

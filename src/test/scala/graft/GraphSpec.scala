@@ -207,15 +207,25 @@ class GraphSpec extends SparkFunSuite {
       }
     })
     sampler.start()
-    val got = try Graph.ancestorClosure(edges, "c", "p", maxDepth = h)
-      .collect()
-    finally { done = true; sampler.join() }
-    info(s"peak persisted RDDs during a $h-deep closure: $peak")
+    var got: Array[org.apache.spark.sql.Row] = Array.empty
+    val jobs = try ExchangeCensus.countJobs(spark) {
+      got = Graph.ancestorClosure(edges, "c", "p", maxDepth = h).collect()
+    } finally { done = true; sampler.join() }
+    info(s"peak persisted RDDs during a $h-deep closure: $peak; jobs: $jobs")
     assert(got.length === h * (h + 1) / 2, "closure of a chain is h*(h+1)/2 pairs")
     assert(got.count(_.getInt(2) === h) === 1, "exactly one depth-h pair")
     assert(peak <= 40,
       s"peak persisted RDDs $peak — layer frames are not folding into the " +
         "accumulator (pre-fold behavior held one frame per depth)")
+    // ONE emptiness probe per depth: each round measures ~3.2 jobs (the
+    // join's checkpoint materialization runs its AQE shuffle stages as
+    // separate jobs, plus the single isEmpty; measured 382 for h=120).
+    // Re-asking frontier.isEmpty at the loop head added one more job per
+    // depth (~500 total) — the bound sits between the two regimes so that
+    // regression class trips it
+    assert(jobs <= (3.5 * h).toInt,
+      s"$jobs jobs on a $h-deep closure — ~1 extra job per depth means a " +
+        "duplicate per-round driver action crept back in")
   }
 
   test("pageRank on a star graph matches the hand-computed fixpoint shape") {
