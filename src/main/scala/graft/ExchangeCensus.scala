@@ -58,7 +58,8 @@ object ExchangeCensus {
     "q_st16_stream_ann", "q_tx_compact_zorder", "q_st4_streaming_upsert",
     "q_bpe_train_batched", "q_tx_dv_point", "q_tx_zorder_multi",
     "q_pagerank", "q_purge_keys", "q_tx_autocompact", "q_st14_stream_ivm",
-    "q_ancestors", "q_tx_ann_lists", "q_tx_cdf", "q_tx_dfp", "q_tx_bloom",
+    "q_ancestors", "q_ancestors_deep", // the 64-deep fold path: ~3 jobs/depth
+    "q_tx_ann_lists", "q_tx_cdf", "q_tx_dfp", "q_tx_bloom",
     "q_st13_stream_cms", "q_st17_stream_psi",
     // the r15 10-14-action band (survey values at admission)
     "q_skew_split_join", "q_spearman", "q_st19_stream_wilson_gate",

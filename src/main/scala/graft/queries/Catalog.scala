@@ -4482,6 +4482,41 @@ object Catalog {
          SELECT node, anc, CAST(depth AS INT) AS depth FROM anc
          ORDER BY node, depth""")),
 
+    // DEEP hierarchy flatten — q_ancestors' digit tree is height log₁₀ N
+    // (≤ 7 at these SFs), which never reaches ancestorClosure's layer-fold
+    // accumulator (every 8 depths).  This synthesizes a 64-node spine
+    // (child k → parent k-1) with every remaining customer attached as a
+    // leaf of spine node (k % 64) + 1, so the closure is 64+ levels deep at
+    // EVERY SF and the fold path runs ~8 cycles under the same WITH
+    // RECURSIVE oracle — the differential gate for the code GraphSpec's
+    // 120-chain test only storage-bounds.  (node, depth) is unique (each
+    // node's ancestry is a chain), so the ORDER BY is total.
+    QueryDef("q_ancestors_deep",
+      (s, dir) => {
+        val cust = t(s, dir, "customer").select(col("c_custkey"))
+        val spine = cust.filter(col("c_custkey").between(2, 64))
+          .select(col("c_custkey").as("child"),
+            (col("c_custkey") - 1).as("parent"))
+        val leaves = cust.filter(col("c_custkey") >= 65)
+          .select(col("c_custkey").as("child"),
+            ((col("c_custkey") % 64) + 1).as("parent"))
+        Graph.ancestorClosure(spine.unionByName(leaves), "child", "parent",
+            maxDepth = 80)
+          .orderBy("node", "depth")
+      },
+      Some("""WITH RECURSIVE e AS (
+           SELECT c_custkey AS c, c_custkey - 1 AS p FROM customer
+           WHERE c_custkey BETWEEN 2 AND 64
+           UNION ALL
+           SELECT c_custkey AS c, (c_custkey % 64) + 1 AS p FROM customer
+           WHERE c_custkey >= 65),
+         anc AS (
+           SELECT c AS node, p AS anc, 1 AS depth FROM e
+           UNION ALL
+           SELECT a.node, e.p, a.depth + 1 FROM anc a JOIN e ON a.anc = e.c)
+         SELECT node, anc, CAST(depth AS INT) AS depth FROM anc
+         ORDER BY node, depth""")),
+
     // S4 — Textract block→table reconstruction over blocks synthesized from
     // `orders`.  The orderkey→(page,row,col) mapping is injective at EVERY
     // scale factor: (page, row) = (k%2+1, floor(k/2)+1) is a bijection on k,
