@@ -392,6 +392,20 @@ object ScaleProbe {
       time("connected_components", m) {
         Graph.connectedComponents(edges, "doc_a", "doc_b").count()
       }
+      // 2b) ancestor closure over a FIXED-DEPTH forest whose width scales
+      //     (64-node spine, every other node a leaf — the q_ancestors_deep
+      //     shape): work is O(|closure|) = O(n · avg-depth), so with depth
+      //     pinned the expected exponent is ~1; super-linear growth means
+      //     the frontier join or the layer-fold accumulator degenerated
+      spark.range(2, 65)
+        .select(col("id").as("c"), (col("id") - 1).as("p"))
+        .unionByName(spark.range(65, baseDocs * m)
+          .select(col("id").as("c"), (col("id") % 64 + 1).as("p")))
+        .write.parquet(s"$base/forest")
+      val forest = spark.read.parquet(s"$base/forest")
+      time("ancestor_closure", m) {
+        Graph.ancestorClosure(forest, "c", "p", maxDepth = 80).count()
+      }
       // 3/4) ANN over a FIXED 50-query batch as the corpus grows
       val queries = emb.filter(col("vec_id") < 50)
       time("lsh_topk", m) { Vector.lshTopK(queries, emb, 10).count() }
