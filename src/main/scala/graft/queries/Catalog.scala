@@ -4484,32 +4484,37 @@ object Catalog {
 
     // DEEP hierarchy flatten — q_ancestors' digit tree is height log₁₀ N
     // (≤ 7 at these SFs), which never reaches ancestorClosure's layer-fold
-    // accumulator (every 8 depths).  This synthesizes a 64-node spine
+    // accumulator (every 8 depths).  This synthesizes a 24-node spine
     // (child k → parent k-1) with every remaining customer attached as a
-    // leaf of spine node (k % 64) + 1, so the closure is 64+ levels deep at
-    // EVERY SF and the fold path runs ~8 cycles under the same WITH
-    // RECURSIVE oracle — the differential gate for the code GraphSpec's
-    // 120-chain test only storage-bounds.  (node, depth) is unique (each
-    // node's ancestry is a chain), so the ORDER BY is total.
+    // leaf of spine node (k % 24) + 1, so the closure is 24+ levels deep at
+    // EVERY SF and the fold path runs 3 cycles under the same WITH
+    // RECURSIVE oracle — the differential gate the code GraphSpec's
+    // 120-chain test only storage/jobs-bounds.  Depth 24, not deeper: each
+    // level is a sequential driver round (join + checkpoint + emptiness),
+    // so bench cost is depth × round fixed cost, and past the fold
+    // coverage extra depth measures only driver latency — the extreme-
+    // depth stress lives in GraphSpec and the ScaleProbe row.  (node,
+    // depth) is unique (each node's ancestry is a chain), so the ORDER BY
+    // is total.
     QueryDef("q_ancestors_deep",
       (s, dir) => {
         val cust = t(s, dir, "customer").select(col("c_custkey"))
-        val spine = cust.filter(col("c_custkey").between(2, 64))
+        val spine = cust.filter(col("c_custkey").between(2, 24))
           .select(col("c_custkey").as("child"),
             (col("c_custkey") - 1).as("parent"))
-        val leaves = cust.filter(col("c_custkey") >= 65)
+        val leaves = cust.filter(col("c_custkey") >= 25)
           .select(col("c_custkey").as("child"),
-            ((col("c_custkey") % 64) + 1).as("parent"))
+            ((col("c_custkey") % 24) + 1).as("parent"))
         Graph.ancestorClosure(spine.unionByName(leaves), "child", "parent",
-            maxDepth = 80)
+            maxDepth = 40)
           .orderBy("node", "depth")
       },
       Some("""WITH RECURSIVE e AS (
            SELECT c_custkey AS c, c_custkey - 1 AS p FROM customer
-           WHERE c_custkey BETWEEN 2 AND 64
+           WHERE c_custkey BETWEEN 2 AND 24
            UNION ALL
-           SELECT c_custkey AS c, (c_custkey % 64) + 1 AS p FROM customer
-           WHERE c_custkey >= 65),
+           SELECT c_custkey AS c, (c_custkey % 24) + 1 AS p FROM customer
+           WHERE c_custkey >= 25),
          anc AS (
            SELECT c AS node, p AS anc, 1 AS depth FROM e
            UNION ALL
