@@ -97,6 +97,29 @@ object Bench {
     (h.getCount, h.getSnapshot.getMean.round)
   }
 
+  /** Fixed single-thread CPU score: wall ms for a constant FNV-1a integer
+    * loop (2^27 steps).  Floors are only comparable across rounds when the
+    * machine class is — the r16 clean-idle run measured a uniform ~1.3×
+    * min/floor ratio on queries untouched for rounds while the wall-clock-
+    * bound streaming queries sat at 1.0×, the slower-CPU signature (same as
+    * the r15 windows at 1.27/1.39).  This score, emitted per pass, makes
+    * that attribution a direct comparison against the score recorded with
+    * the floors (BenchFloors scaladoc) instead of an inference from ratio
+    * patterns. */
+  private def cpuScoreMs(): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    val t0 = System.nanoTime()
+    while (i < (1 << 27)) {
+      h ^= i
+      h *= 0x100000001b3L
+      i += 1
+    }
+    val ms = (System.nanoTime() - t0) / 1000000
+    if (h == 42L) System.err.println("[bench] fnv sentinel") // keep the loop live
+    ms
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -131,6 +154,7 @@ object Bench {
     }
 
     for (pass <- 1 to Reps) {
+      val cpuMs = cpuScoreMs()
       val (gc0, (cc0, _)) = (gcMillis(), codegenStats())
       val t0 = System.nanoTime()
       names.foreach { case (name, fn) => runOnce(name, fn, s"pass $pass") }
@@ -139,7 +163,7 @@ object Bench {
       // thrash shows as pass-2/3 compile counts ≈ pass-1's
       System.err.println(
         s"""{"pass_telemetry":{"pass":$pass,"wall_s":${f"${(System.nanoTime() - t0) / 1e9}%.1f"},""" +
-          s""""gc_ms":${gc1 - gc0},"codegen_compiles":${cc1 - cc0},"codegen_mean_ms":$meanMs}}""")
+          s""""gc_ms":${gc1 - gc0},"codegen_compiles":${cc1 - cc0},"codegen_mean_ms":$meanMs,"cpu_score_ms":$cpuMs}}""")
     }
 
     // floor-based anomaly rescue: a min still >3× its demonstrated clean

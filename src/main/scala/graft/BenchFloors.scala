@@ -57,6 +57,25 @@ package graft
   * queries registered (q_quality_probe_gopher, q_mutual_knn_prefix,
   * q_mutual_knn_prefix_recall) and floored from this round's clean
   * windows, and floors min-merged from full runs as always.
+  * Round-16: two fresh-boot idle runs (234.4 s then 206.7 s raw / 285 q,
+  * rescued 0 both) settled the r15 regression question — the merged
+  * minima sit at sum-ratio 1.095 / median 1.14 over the floors, with the
+  * wall-clock-bound streaming queries at ~1.0×, confirming r15's broad
+  * slowdown was machine-window noise, not code.  29 floors min-merged,
+  * incl. the three r15 slow-window mints (q_mutual_knn_prefix
+  * 1.539 → 1.303; q_mutual_knn_prefix_recall confirmed at 1.00× and
+  * kept) and the carried q_st1x target HIT clean: q_st13 3.237 → 2.890,
+  * q_st14 3.216 → 2.644 — both under 3.0.  q_ancestors_deep re-floored
+  * 9.158 → 3.295 (the 9.158 mint measured the pre-cap 64-level spine).
+  * SECOND documented floors-never-rise exception: q_quality_probe_gopher
+  * re-based 0.678 → 0.856 — the r16 five-feature widen (6×6 Gram solve,
+  * three more per-doc array aggregates) is a deliberate plan change, so
+  * the 2-feature-era floor no longer describes the shipped plan.
+  * MACHINE FINGERPRINT for these floors: Bench's per-pass cpu_score_ms
+  * (single-thread FNV-1a, 2^27 steps) measured 181–223 ms on the r16
+  * floor-setting machine; a future round whose score is ~1.3× higher
+  * should expect min/floor ratios to match and read them as machine
+  * class, not regression.
   * A floor is NOT a target -- it is the plan's
   * demonstrated cost on this hardware; a bench minimum far above it (>3x)
   * indicates the environment (CPU stall, concurrent load, codegen thrash),
@@ -71,7 +90,7 @@ object BenchFloors {
     "q_agg_distinct" -> 0.103,
     "q_agg_pushdown" -> 0.113,
     "q_ancestors" -> 0.581,
-    "q_ancestors_deep" -> 9.158,
+    "q_ancestors_deep" -> 3.295,
     "q_ann_filtered" -> 0.268,
     "q_ann_mrr" -> 0.238,
     "q_ann_ndcg" -> 0.293,
@@ -118,7 +137,7 @@ object BenchFloors {
     "q_custom_topk" -> 0.114,
     "q_decode_audio" -> 0.386,
     "q_decode_real" -> 0.385,
-    "q_decode_stub" -> 0.108,
+    "q_decode_stub" -> 0.104,
     "q_dedup_best" -> 1.493,
     "q_dedup_clusters" -> 1.477,
     "q_dedup_embed_cosine" -> 0.258,
@@ -175,37 +194,37 @@ object BenchFloors {
     "q_lpa_communities" -> 1.765,
     "q_lsh_buckets" -> 0.095,
     "q_lsh_topk" -> 0.225,
-    "q_lsh_topk_multiprobe" -> 0.261,
-    "q_margin_mining" -> 0.363,
+    "q_lsh_topk_multiprobe" -> 0.259,
+    "q_margin_mining" -> 0.361,
     "q_matryoshka_ivf" -> 0.556,
     "q_matryoshka_ivf_recall" -> 0.951,
     "q_minhash_bands" -> 0.497,
     "q_minhash_candidates" -> 0.879,
     "q_minhash_estimate" -> 0.975,
     "q_minhash_recall" -> 0.818,
-    "q_mixture_sample" -> 0.151,
+    "q_mixture_sample" -> 0.147,
     "q_mixture_temperature" -> 0.130,
     "q_mmr_topk" -> 0.359,
-    "q_mode_per_user" -> 0.160,
+    "q_mode_per_user" -> 0.149,
     "q_multiformat_roundtrip" -> 1.302,
     "q_multimodal_meta" -> 0.089,
     "q_multimodal_pipeline" -> 0.371,
-    "q_multimodal_pipeline_ivf" -> 0.599,
+    "q_multimodal_pipeline_ivf" -> 0.550,
     "q_multimodal_resize" -> 0.624,
     "q_multimodal_resize_bilinear" -> 0.511,
-    "q_mutual_info" -> 0.208,
+    "q_mutual_info" -> 0.188,
     "q_mutual_knn_ivf" -> 1.169,
     "q_mutual_knn_ivf_recall" -> 2.342,
-    "q_mutual_knn_prefix" -> 1.539,
+    "q_mutual_knn_prefix" -> 1.303,
     "q_mutual_knn_prefix_recall" -> 2.801,
     "q_near_dup_edit" -> 0.865,
-    "q_near_dup_jaccard" -> 0.978,
+    "q_near_dup_jaccard" -> 0.968,
     "q_ngram_jaccard" -> 2.143,
     "q_normalize_text" -> 0.091,
     "q_novelty" -> 0.665,
     "q_ntile_shards" -> 0.127,
-    "q_null_safe_join" -> 0.497,
-    "q_orphan_audit" -> 0.290,
+    "q_null_safe_join" -> 0.494,
+    "q_orphan_audit" -> 0.289,
     "q_outlier_mad" -> 0.256,
     "q_p1_footer_filter" -> 0.121,
     "q_p2_p4_project" -> 0.118,
@@ -221,15 +240,15 @@ object BenchFloors {
     "q_pop_harvest_join" -> 0.286,
     "q_pq_codes" -> 0.479,
     "q_pq_topk" -> 0.435,
-    "q_pq_topk_trained" -> 0.993,
+    "q_pq_topk_trained" -> 0.981,
     "q_pq_train" -> 0.290,
     "q_profile_columns" -> 0.196,
     "q_psi_drift" -> 0.182,
     "q_purge_keys" -> 1.289,
-    "q_quality_linear_probe" -> 0.502,
+    "q_quality_linear_probe" -> 0.490,
     "q_q1_schema_audit" -> 0.050,
     "q_q3_validate_columns" -> 0.080,
-    "q_quality_probe_gopher" -> 0.678,
+    "q_quality_probe_gopher" -> 0.856,
     "q_quantile_merge" -> 0.709,
     "q_quantile_sketch" -> 1.005,
     "q_rand_proj_recall" -> 0.305,
@@ -241,9 +260,9 @@ object BenchFloors {
     "q_retention_cohorts" -> 0.214,
     "q_rolling_sum" -> 0.088,
     "q_rollup" -> 0.235,
-    "q_runtime_bloom" -> 0.437,
+    "q_runtime_bloom" -> 0.419,
     "q_s10_upsert" -> 0.242,
-    "q_s10_upsert_partitioned" -> 0.926,
+    "q_s10_upsert_partitioned" -> 0.908,
     "q_s4_extract_blocks" -> 0.919,
     "q_s5_s9_roundtrip" -> 0.519,
     "q_s6_schema_drift" -> 0.382,
@@ -268,15 +287,15 @@ object BenchFloors {
     "q_shuffle_order" -> 0.218,
     "q_simhash" -> 0.223,
     "q_simhash_near_dup" -> 0.805,
-    "q_skew_split_join" -> 1.495,
+    "q_skew_split_join" -> 1.398,
     "q_snapshot_diff" -> 0.174,
-    "q_spearman" -> 1.310,
+    "q_spearman" -> 1.302,
     "q_split_leakage_safe" -> 1.467,
     "q_st10_stream_outer_join" -> 3.111,
     "q_st11_tx_stream_merge" -> 1.745,
-    "q_st12_session_timeout" -> 1.768,
-    "q_st13_stream_cms" -> 3.237,
-    "q_st14_stream_ivm" -> 3.216,
+    "q_st12_session_timeout" -> 1.741,
+    "q_st13_stream_cms" -> 2.890,
+    "q_st14_stream_ivm" -> 2.644,
     "q_st15_stream_decode" -> 2.043,
     "q_st16_stream_ann" -> 2.217,
     "q_st17_stream_psi" -> 2.034,
@@ -284,15 +303,15 @@ object BenchFloors {
     "q_st19_stream_wilson_gate" -> 2.126,
     "q_st1_streaming_catchup" -> 0.521,
     "q_st20_stream_ann_maintain" -> 3.995,
-    "q_st4_streaming_upsert" -> 1.558,
+    "q_st4_streaming_upsert" -> 1.550,
     "q_st5_stream_dedup" -> 1.576,
-    "q_st6_stream_stream_join" -> 2.758,
-    "q_st7_stream_enrich" -> 0.626,
-    "q_st8_stream_sessions" -> 2.224,
+    "q_st6_stream_stream_join" -> 2.684,
+    "q_st7_stream_enrich" -> 0.601,
+    "q_st8_stream_sessions" -> 2.163,
     "q_st9_tx_stream_sink" -> 0.707,
     "q_stateful_sessions" -> 0.186,
     "q_streaks" -> 0.119,
-    "q_stride_interleave" -> 0.324,
+    "q_stride_interleave" -> 0.323,
     "q_string_agg" -> 0.121,
     "q_text_quality" -> 0.090,
     "q_tfidf_top_term" -> 0.425,
@@ -317,7 +336,7 @@ object BenchFloors {
     "q_tx_dv_point" -> 1.537,
     "q_tx_history" -> 1.262,
     "q_tx_history_limit" -> 0.834,
-    "q_tx_ivm" -> 3.137,
+    "q_tx_ivm" -> 3.085,
     "q_tx_ivm_join" -> 3.770,
     "q_tx_merge" -> 0.587,
     "q_tx_prune" -> 0.788,
@@ -351,5 +370,5 @@ object BenchFloors {
     "q_tx_delta" -> 1.062,
     // floored from JobProfile minima (reps 2+), the round-11g convention
     "q_expectations_wilson" -> 0.147,
-    "q_lsh_banding_plan" -> 0.112)
+    "q_lsh_banding_plan" -> 0.076)
 }
