@@ -201,6 +201,7 @@ object BenchFloors {
     "q_minhash_bands" -> 0.497,
     "q_minhash_candidates" -> 0.879,
     "q_minhash_estimate" -> 0.975,
+    "q_minhash_oph" -> 0.462,
     "q_minhash_recall" -> 0.818,
     "q_mixture_sample" -> 0.147,
     "q_mixture_temperature" -> 0.130,
@@ -224,6 +225,8 @@ object BenchFloors {
     "q_novelty" -> 0.665,
     "q_ntile_shards" -> 0.127,
     "q_null_safe_join" -> 0.494,
+    "q_oph_near_dup" -> 1.226,
+    "q_oph_recall" -> 1.573,
     "q_orphan_audit" -> 0.289,
     "q_outlier_mad" -> 0.256,
     "q_p1_footer_filter" -> 0.121,

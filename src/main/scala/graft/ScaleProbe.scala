@@ -240,6 +240,34 @@ object ScaleProbe {
     * bytes = new files under the table root since the previous batch
     * (append + compaction write amplification together — the honest
     * per-batch write cost). */
+  /** Signature-build A/B (`sig` subcommand): [[Text.minhashSignatures]]'s
+    * k multiply-mod-min updates per (doc, shingle) row against
+    * [[Text.ophSignatures]]'s one pmod + one conditional min — signatures
+    * only (no banding tail), so the probe times exactly the term the OPH
+    * swap changes.  Identical plan shape (one exchange on doc, explode
+    * after the shuffle, fused partial+final agg), so any gap is per-row
+    * aggregate-update CPU; at probe widths the scan/shuffle fixed cost
+    * dilutes the asymptotic k×, making the measured ratio a lower bound. */
+  private def sigProbe(spark: SparkSession, mults: Seq[Int]): Unit = {
+    val baseDocs = 5000L
+    var first = true // warmup pass at the smallest scale, untimed
+    for (m <- mults.min +: mults) {
+      val base = java.nio.file.Files.createTempDirectory(s"sigprobe_$m").toString
+      genDocs(spark, baseDocs * m).write.parquet(s"$base/documents")
+      val docs = spark.read.parquet(s"$base/documents")
+      for ((probe, frame) <- Seq(
+        "minhash_signatures" -> (() => Text.minhashSignatures(docs, "text", "doc_id")),
+        "oph_signatures" -> (() => Text.ophSignatures(docs, "text", "doc_id")))) {
+        val t0 = System.nanoTime()
+        val rows = frame().count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        if (!first)
+          println(f"""{"probe":"$probe","scale":$m,"rows":$rows,"sec":$dt%.2f}""")
+      }
+      first = false
+    }
+  }
+
   private def ladderProbe(spark: SparkSession, mults: Seq[Int]): Unit = {
     import org.apache.spark.sql.functions.{col, max}
     val baseVecs = 2000L
@@ -334,6 +362,11 @@ object ScaleProbe {
           else Seq(1, 10, 30)
         ladderProbe(spark, mults)
         spark.stop(); return
+      case Some("sig") =>
+        val mults = if (args.length > 1) args.drop(1).map(_.toInt).toSeq
+          else Seq(1, 3, 10)
+        sigProbe(spark, mults)
+        spark.stop(); return
       case _ => ()
     }
     val mults = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1, 3, 10)
@@ -373,6 +406,18 @@ object ScaleProbe {
         Text.verifiedPairs(docs, "text", "doc_id",
           Text.minhashCandidates(Text.minhashBands(docs, "text", "doc_id")), 0.5)
           .count()
+      }
+      // 1a) OPH signature build vs the k-hash signature build (same
+      //     relational tail excluded: signatures only) — the claim to
+      //     verify is "same exponent, ~k× lower aggregate-update constant
+      //     at shingle-relation scale"; at probe sizes the scan/shuffle
+      //     fixed cost dilutes the k× so the measured gap is a floor on
+      //     the asymptotic one, never assumed from the OPH paper
+      time("minhash_signatures", m) {
+        Text.minhashSignatures(docs, "text", "doc_id").count()
+      }
+      time("oph_signatures", m) {
+        Text.ophSignatures(docs, "text", "doc_id").count()
       }
       // 1b) the CCNet line layer + perplexity filter: one line-key shuffle
       //     (boilerplate cut) and a char-bigram model join whose model side

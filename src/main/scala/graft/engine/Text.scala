@@ -159,6 +159,63 @@ object Text {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  // --------------------------------------- One-permutation hashing (OPH)
+  /** Rotation-densification offset: borrowed components from different
+    * rotation distances must stay distinct across docs, so each step adds
+    * one multiple of a constant larger than any bucket value (values are
+    * `< M / k`). */
+  private val OphC = M
+
+  /** One-permutation MinHash signatures with rotation densification (Li,
+    * Owen & Zhang NIPS'12 one-permutation hashing; Shrivastava & Li
+    * ICML'14 densified variant): ONE hash per shingle lands it in bucket
+    * `h mod k`, the per-bucket MIN of `h div k` is the sketch component,
+    * and an EMPTY bucket borrows the first non-empty bucket clockwise with
+    * `+ j·C` per rotation step (so two docs' borrowed components agree only
+    * when the borrowed-from components and the rotation distance both
+    * agree).  Same estimator (component agreement) and banding shape as
+    * [[minhashSignatures]]; the scale difference is the aggregate UPDATE
+    * cost — [[minhashSignatures]] pays k=16 multiply-mod-min updates per
+    * (doc, shingle) row, this pays one pmod + one conditional min, so the
+    * map-side combine over billions of shingles drops ~k× while shuffle
+    * shape (one exchange on doc) is identical.
+    *
+    * Returns `(doc, __s0..__s{k-1})` — the [[minhashSignatures]] shape, so
+    * banding/candidates/verification reuse the relational tail.  Docs too
+    * short to shingle are excluded (same contract as MinHash: nothing to
+    * sketch).  A doc with ≥ 1 shingle has ≥ 1 non-empty bucket, so the
+    * k-term coalesce always lands. */
+  def ophSignatures(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val k = MinhashK
+    val rel = shingleRows(df, textCol, idCol)
+      .select(col("doc"), (tokenHash(col("__sh")) % M).as("__h"))
+    // integer div/mod split of the single hash: bucket ∈ [0, k), value is
+    // the quotient (exact in either engine: __h is non-negative)
+    val bucketed = rel.select(col("doc"),
+      pmod(col("__h"), lit(k.toLong)).as("__b"),
+      ((col("__h") - pmod(col("__h"), lit(k.toLong))) / k).cast(LongType).as("__v"))
+    val mins = (0 until k).map(i =>
+      min(when(col("__b") === i, col("__v"))).as(s"__m$i"))
+    val agg = bucketed.groupBy("doc").agg(mins.head, mins.tail: _*)
+    val dense = (0 until k).map { i =>
+      coalesce((0 until k).map(j =>
+        col(s"__m${(i + j) % k}") + lit(j * OphC)): _*).as(s"__s$i")
+    }
+    agg.select(col("doc") +: dense: _*)
+  }
+
+  /** (id, band, band_key) over OPH signatures — [[minhashBands]] with the
+    * one-permutation sketch; candidates/verify reuse
+    * [[minhashCandidates]]/[[verifiedPairs]] unchanged. */
+  def ophBands(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val nBands = MinhashK / BandRows
+    val sig = ophSignatures(df, textCol, idCol)
+    val bandKey = (b: Int) => concat_ws("-",
+      (0 until BandRows).map(r => col(s"__s${b * BandRows + r}").cast("string")): _*)
+    sig.select(col("doc"), posexplode(array((0 until nBands).map(bandKey): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
+  }
+
   // ---------------------------------------------------------------- SimHash
   /** 48-bit SimHash over token hashes: bit b of the fingerprint is set iff
     * Σ_tokens (±1 by bit b of tokenHash) > 0.  Hamming-near fingerprints ≈

@@ -142,6 +142,42 @@ object TextCatalog {
 
   private val bandsSql: String = bandsSqlPred("")
 
+  /** OPH CTE fragment (`osig(doc, s0..s{k-1})`, `obk(doc, band, band_key)`),
+    * ≡ Text.ophSignatures/ophBands: one hash per distinct shingle, bucket
+    * `h % k`, per-bucket MIN of `h // k`, empty buckets densified by the
+    * first non-empty bucket clockwise `+ j·C` per rotation step.  The
+    * COALESCE term order IS the rotation scan order — generated once here
+    * and mirrored column-for-column by the Spark side, so the literal
+    * integers agree by construction.  `pred` restricts the audited
+    * universe (the recall audit's sampling contract). */
+  private def ophSqlPred(pred: String): String = {
+    val k = Text.MinhashK
+    val c = M // Text.OphC: one rotation step dominates any bucket value (< M/k)
+    val ms = (0 until k).map(i =>
+      s"MIN(CASE WHEN b = $i THEN hv END) AS m$i").mkString(",\n             ")
+    val ss = (0 until k).map { i =>
+      val terms = (0 until k).map { j =>
+        val idx = (i + j) % k
+        if (j == 0) s"m$idx" else s"m$idx + ${j.toLong * c}"
+      }.mkString(", ")
+      s"COALESCE($terms) AS s$i"
+    }.mkString(",\n             ")
+    val bands = (0 until k / Text.BandRows).map { b =>
+      val keys = (b * Text.BandRows until (b + 1) * Text.BandRows)
+        .map(r => s"CAST(s$r AS VARCHAR)").mkString(" || '-' || ")
+      s"SELECT doc, CAST($b AS INT) AS band, $keys AS band_key FROM osig"
+    }.mkString("\n           UNION ALL ")
+    s"""tokd AS (SELECT doc_id AS doc, $toks AS t FROM documents WHERE ${pred}len($toks) >= 3),
+       shd AS (SELECT doc, t, list_transform(range(1, len(t) - 1),
+           i -> array_to_string(list_slice(t, i, i + 2), ' ')) AS sh
+         FROM tokd),
+       orel AS (SELECT doc, unnest(list_distinct(sh)) AS s1 FROM shd),
+       obm AS (SELECT doc, (${th("s1")} % $M) % $k AS b, (${th("s1")} % $M) // $k AS hv FROM orel),
+       opv AS (SELECT doc, $ms FROM obm GROUP BY doc),
+       osig AS (SELECT doc, $ss FROM opv),
+       obk AS ($bands)"""
+  }
+
   /** Random-projection CTE fragment (`v(vec_id, dv)`, `p(vec_id, pv)`) —
     * ≡ Vector.randomProject: pv[j] = ⟨dv, w_j⟩ with the exact k/1024
     * planeWeight matrix inlined as decimal literals. */
@@ -1197,6 +1233,87 @@ object TextCatalog {
       Some(s"""WITH ${bandsSqlPred("doc_id < 300 AND ")},
          cand AS (SELECT DISTINCT a.doc AS doc_a, b2.doc AS doc_b
            FROM bk a JOIN bk b2 ON a.band = b2.band AND a.band_key = b2.band_key AND a.doc < b2.doc),
+         tk AS (SELECT doc, list_distinct(sh) AS tk FROM shd),
+         banded AS (SELECT c.doc_a, c.doc_b
+           FROM cand c JOIN tk ta ON ta.doc = c.doc_a JOIN tk tb ON tb.doc = c.doc_b
+           WHERE round(CAST(len(list_intersect(ta.tk, tb.tk)) AS DOUBLE)
+             / (len(ta.tk) + len(tb.tk) - len(list_intersect(ta.tk, tb.tk))), 6) >= 0.2),
+         rel AS (SELECT doc, unnest(list_distinct(sh)) AS s FROM shd),
+         sizes AS (SELECT doc, COUNT(*) AS n FROM rel GROUP BY doc),
+         pairs AS (SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS inter
+           FROM rel a JOIN rel b ON a.s = b.s AND a.doc < b.doc GROUP BY 1, 2),
+         truth AS (SELECT doc_a, doc_b
+           FROM pairs JOIN sizes sa ON sa.doc = doc_a JOIN sizes sb ON sb.doc = doc_b
+           WHERE round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) >= 0.2),
+         agg AS (SELECT (SELECT COUNT(*) FROM truth) AS n_true,
+             (SELECT COUNT(*) FROM banded) AS n_banded,
+             (SELECT COUNT(*) FROM banded SEMI JOIN truth USING (doc_a, doc_b)) AS n_hit)
+         SELECT n_true, n_banded, n_hit,
+           CASE WHEN n_true = 0 THEN NULL
+             ELSE round(CAST(n_hit AS DOUBLE) / n_true, 6) END AS recall
+         FROM agg""")),
+
+    // One-permutation hashing: the 16 multiply-mod-min aggregate updates
+    // per (doc, shingle) row become one pmod + one conditional min — the
+    // map-side-combine cost cut that matters when the shingle relation is
+    // billions of rows.  Signature columns are exact integers end-to-end
+    // (hash quotients, plus rotation-densification offsets), so the whole
+    // sketch is under the hash gate, not just its downstream effects.
+    QueryDef("q_minhash_oph",
+      (s, dir) => Text.ophSignatures(t(s, dir, "documents"), "text", "doc_id")
+        .select(col("doc") +: (0 until Text.MinhashK).map(i =>
+          col(s"__s$i").as(s"s$i")): _*)
+        .orderBy("doc"),
+      Some(s"""WITH ${ophSqlPred("")}
+         SELECT * FROM osig ORDER BY doc""")),
+
+    // The OPH near-dup pipeline end-to-end: band the densified sketch
+    // (same 4×4 shape), equi-join candidates, verify with exact shingle
+    // Jaccard — the [[q_near_dup_jaccard]] tail on the one-hash sketch.
+    QueryDef("q_oph_near_dup",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        Text.verifiedPairs(d, "text", "doc_id",
+            Text.minhashCandidates(Text.ophBands(d, "text", "doc_id")), 0.2)
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""WITH ${ophSqlPred("")},
+         cand AS (SELECT DISTINCT a.doc AS doc_a, b2.doc AS doc_b
+           FROM obk a JOIN obk b2 ON a.band = b2.band AND a.band_key = b2.band_key AND a.doc < b2.doc),
+         tk AS (SELECT doc, list_distinct(sh) AS tk FROM shd)
+         SELECT c.doc_a, c.doc_b,
+           round(CAST(len(list_intersect(ta.tk, tb.tk)) AS DOUBLE)
+             / (len(ta.tk) + len(tb.tk) - len(list_intersect(ta.tk, tb.tk))), 6) AS jaccard
+         FROM cand c JOIN tk ta ON ta.doc = c.doc_a JOIN tk tb ON tb.doc = c.doc_b
+         WHERE round(CAST(len(list_intersect(ta.tk, tb.tk)) AS DOUBLE)
+             / (len(ta.tk) + len(tb.tk) - len(list_intersect(ta.tk, tb.tk))), 6) >= 0.2
+         ORDER BY doc_a, doc_b""")),
+
+    // OPH banding recall audit on the fixed doc_id < 300 universe (the
+    // q_minhash_recall sampling contract): the measured recall against
+    // exact τ-Jaccard truth is what justifies swapping the k-hash sketch
+    // for the one-hash sketch at 100 TB — densification keeps the
+    // component-agreement estimator, this measures it.
+    QueryDef("q_oph_recall",
+      (s, dir) => {
+        val d = t(s, dir, "documents").filter(col("doc_id") < 300)
+        val banded = Text.verifiedPairs(d, "text", "doc_id",
+            Text.minhashCandidates(Text.ophBands(d, "text", "doc_id")), 0.2)
+          .select(col("doc_a"), col("doc_b"))
+        val truth = Text.ngramJaccardPairs(d, "text", "doc_id",
+            maxDf = Int.MaxValue, threshold = 0.2)
+          .select(col("doc_a").as("t_a"), col("doc_b").as("t_b"))
+        val hit = banded.join(truth,
+          col("doc_a") === col("t_a") && col("doc_b") === col("t_b"), "left_semi")
+        truth.agg(count(lit(1)).as("n_true"))
+          .crossJoin(broadcast(banded.agg(count(lit(1)).as("n_banded"))))
+          .crossJoin(broadcast(hit.agg(count(lit(1)).as("n_hit"))))
+          .withColumn("recall", when(col("n_true") === 0, lit(null).cast("double"))
+            .otherwise(round(col("n_hit") / col("n_true"), 6)))
+      },
+      Some(s"""WITH ${ophSqlPred("doc_id < 300 AND ")},
+         cand AS (SELECT DISTINCT a.doc AS doc_a, b2.doc AS doc_b
+           FROM obk a JOIN obk b2 ON a.band = b2.band AND a.band_key = b2.band_key AND a.doc < b2.doc),
          tk AS (SELECT doc, list_distinct(sh) AS tk FROM shd),
          banded AS (SELECT c.doc_a, c.doc_b
            FROM cand c JOIN tk ta ON ta.doc = c.doc_a JOIN tk tb ON tb.doc = c.doc_b

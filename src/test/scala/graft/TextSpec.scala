@@ -622,4 +622,48 @@ class TextSpec extends SparkFunSuite {
     assert(messages(eAll).exists(_.contains("zero held-out rows")),
       s"want a loud all-seed error, got: ${messages(eAll).mkString(" | ")}")
   }
+
+  test("ophSignatures: bucket mins + rotation densification match a sequential reference") {
+    // reference hash ≡ Text.tokenHash: first 15 hex chars of md5, base 16
+    def th(s: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15), 16)
+    val M = 1000000007L
+    val k = Text.MinhashK
+    val C = M // rotation-step offset (Text.OphC)
+    def refSig(text: String): Option[Seq[Long]] = {
+      val t = text.trim.split(" ").toSeq
+      if (t.length < 3) None
+      else {
+        val hs = (0 to t.length - 3).map(i => t.slice(i, i + 3).mkString(" "))
+          .distinct.map(s => th(s) % M)
+        val mins = Array.fill[Option[Long]](k)(None)
+        for (h <- hs) {
+          val b = (h % k).toInt; val v = h / k
+          if (mins(b).forall(_ > v)) mins(b) = Some(v)
+        }
+        Some((0 until k).map { i =>
+          (0 until k).iterator
+            .flatMap(j => mins((i + j) % k).map(_ + j * C)).next()
+        })
+      }
+    }
+    val fixtures = Map(
+      1L -> "alpha beta gamma delta epsilon zeta eta theta",
+      2L -> "one two three", // exactly one shingle → 15 empty buckets
+      3L -> "too short",     // below the shingle width → excluded
+      4L -> "alpha beta gamma delta epsilon zeta eta theta") // dup of 1
+    val docs = fixtures.toSeq.toDF("doc_id", "text")
+    val got = Text.ophSignatures(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> (1 to k).map(r.getLong)).toMap
+    assert(!got.contains(3L), "docs too short to shingle are excluded")
+    for (id <- Seq(1L, 2L, 4L))
+      assert(got(id) === refSig(fixtures(id)).get, s"signature mismatch for doc $id")
+    assert(got(1L) === got(4L), "identical text → identical OPH signature")
+    // single-shingle doc: one real bucket; every other component is that
+    // bucket's value plus a DISTINCT rotation offset (the densification
+    // guarantee that borrowed components collide only at equal distance)
+    assert(got(2L).distinct.size === k,
+      "borrowed components must carry distinct rotation offsets")
+  }
 }
