@@ -71,6 +71,8 @@ package graft
   * re-based 0.678 → 0.856 — the r16 five-feature widen (6×6 Gram solve,
   * three more per-doc array aggregates) is a deliberate plan change, so
   * the 2-feature-era floor no longer describes the shipped plan.
+  * q_t_closeness floored at 0.919 from a 3-pass targeted run
+  * (cpu_score_ms 170-172, inside the round's clean band).
   * MACHINE FINGERPRINT for these floors: Bench's per-pass cpu_score_ms
   * (single-thread FNV-1a, 2^27 steps) measured 181–223 ms on the r16
   * floor-setting machine; a future round whose score is ~1.3× higher
@@ -316,6 +318,7 @@ object BenchFloors {
     "q_streaks" -> 0.119,
     "q_stride_interleave" -> 0.323,
     "q_string_agg" -> 0.121,
+    "q_t_closeness" -> 0.919,
     "q_text_quality" -> 0.090,
     "q_tfidf_top_term" -> 0.425,
     "q_time_travel" -> 0.518,

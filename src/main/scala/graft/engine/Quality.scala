@@ -690,6 +690,72 @@ object Quality {
         min("__d").as("min_diversity"))
   }
 
+  /** t-closeness audit (Li, Li & Venkatasubramanian, "t-closeness: privacy
+    * beyond k-anonymity and l-diversity", ICDE'07) — the SKEWNESS attack
+    * [[lDiversity]] misses: a group whose sensitive values are diverse but
+    * distributed far from the corpus-wide distribution still leaks (49 of
+    * 50 rows in the rare band of an attribute that is 1% rare corpus-wide
+    * tells the attacker plenty without re-identifying anybody).  A class
+    * is risky when the Earth-Mover's Distance between its sensitive-value
+    * distribution and the GLOBAL one exceeds t; for an ORDERED attribute
+    * with m distinct values the paper's ground metric gives
+    * `EMD = Σ_i |Σ_{j≤i} (p_j − q_j)| / (m − 1)`.
+    *
+    * Returns one row per equivalence class `(quasi…, n_rows, t_emd,
+    * risky)`, ordered by the quasi columns — the per-class diagnostic the
+    * one-row gates summarize away; compose `.agg(max("t_emd"))` for the
+    * release gate.
+    *
+    * Determinism: the cumulative differences accumulate as exact INTEGERS
+    * on the common denominator n_c·n_g — `cum(cnt_c·n_g − cnt_g·n_c)` —
+    * so per class the EMD is ONE double division of an exact int64 pair;
+    * no float accumulation order exists anywhere.  The int64 bound
+    * (counts×corpus) is enforced loudly at ~3×10⁹ rows (lift both sides
+    * to DECIMAL beyond that); like [[welchT]], CONSTRUCTION IS AN ACTION —
+    * the bound/m checks collect a one-row aggregate at build time so a
+    * degenerate attribute refuses before any statistic is built.
+    *
+    * Scale shape: one (quasi × value) aggregation, a re-aggregation to
+    * class totals, and a classes×m grid from a crossJoin whose broadcast
+    * side is the m-row distinct-value dimension (m is the sensitive
+    * attribute's alphabet — bounded by construction, this is never a
+    * corpus×corpus product); the cumulative sum is a window partitioned
+    * by class — one shuffle on the class key. */
+  def tCloseness(df: DataFrame, quasiCols: Seq[String],
+                 sensitiveCol: org.apache.spark.sql.Column, t: Double): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    require(t > 0 && t < 1, s"tCloseness: t must be in (0, 1), got $t")
+    val q = quasiCols.map(col)
+    val base = df.select((q :+ sensitiveCol.as("__v")): _*)
+      .filter(col("__v").isNotNull)
+    val cls = base.groupBy((q :+ col("__v")): _*).agg(count(lit(1)).as("__cnt"))
+    val vals = cls.groupBy("__v").agg(sum("__cnt").cast("long").as("__g"))
+    val head = vals.agg(count(lit(1)), coalesce(sum("__g"), lit(0L))).collect().head
+    val (m, ng) = (head.getLong(0), head.getLong(1))
+    require(m >= 2,
+      s"tCloseness: sensitive attribute has $m distinct non-null value(s) — " +
+        "the ordered EMD needs an alphabet of ≥ 2")
+    require(ng <= 3000000000L,
+      s"tCloseness: $ng rows — the exact integer EMD accumulates counts×corpus " +
+        "in int64; beyond ~3e9 rows lift the accumulation to DECIMAL")
+    val nc = cls.groupBy(q: _*).agg(sum("__cnt").cast("long").as("__nc"))
+    val grid = nc.crossJoin(broadcast(vals)) // |classes| × m, m alphabet-bounded
+    val full = grid.join(cls, quasiCols :+ "__v", "left")
+      .withColumn("__num",
+        coalesce(col("__cnt"), lit(0L)) * lit(ng) - col("__g") * col("__nc"))
+    val w = Window.partitionBy(q: _*).orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    full.withColumn("__cum", sum("__num").over(w))
+      .groupBy((q :+ col("__nc")): _*)
+      .agg(sum(abs(col("__cum"))).cast("long").as("__emd_num"))
+      .withColumn("t_emd", round(col("__emd_num").cast("double") /
+        (lit((m - 1).toDouble) * col("__nc").cast("double") * lit(ng.toDouble)), 9))
+      .withColumn("risky", col("t_emd") > t)
+      .select((q :+ col("__nc").as("n_rows") :+ col("t_emd") :+ col("risky")): _*)
+      .orderBy(q: _*)
+  }
+
   /** Q2 — error-tolerant runner (ref `load_duckdb_data.py:42-46`): apply each
     * step, log-and-continue on failure, return successes. */
   def runTolerant[A](steps: Seq[(String, () => A)]): (List[(String, A)], List[(String, Throwable)]) = {

@@ -4262,6 +4262,45 @@ object Catalog {
            MIN(d) AS min_diversity
          FROM g""")),
 
+    // t-closeness — the SKEWNESS attack l-diversity misses: a class whose
+    // sensitive values are diverse but distributed far from the corpus
+    // distribution still leaks.  Ordered EMD per class against the global
+    // band distribution, exact-integer accumulation on the common
+    // denominator (one double division per class).  Same quasi set as the
+    // other two, completing the release-gate trio.
+    QueryDef("q_t_closeness",
+      (s, dir) => Quality.tCloseness(t(s, dir, "customer"),
+        Seq("c_nationkey", "c_mktsegment"),
+        floor(col("c_acctbal") / 1000).cast("long"), t = 0.2),
+      Some("""WITH base AS (SELECT c_nationkey, c_mktsegment,
+             CAST(floor(c_acctbal / 1000) AS BIGINT) AS v
+           FROM customer WHERE c_acctbal IS NOT NULL),
+         cls AS (SELECT c_nationkey, c_mktsegment, v, COUNT(*) AS cnt
+           FROM base GROUP BY 1, 2, 3),
+         vals AS (SELECT v, CAST(SUM(cnt) AS BIGINT) AS g FROM cls GROUP BY 1),
+         tot AS (SELECT COUNT(*) AS m, CAST(SUM(g) AS BIGINT) AS ng FROM vals),
+         ncls AS (SELECT c_nationkey, c_mktsegment, CAST(SUM(cnt) AS BIGINT) AS nc
+           FROM cls GROUP BY 1, 2),
+         grid AS (SELECT ncls.c_nationkey, ncls.c_mktsegment, ncls.nc, vals.v, vals.g
+           FROM ncls CROSS JOIN vals),
+         f AS (SELECT grid.c_nationkey, grid.c_mktsegment, grid.nc, grid.v,
+             CAST(COALESCE(cls.cnt, 0) AS BIGINT) * (SELECT ng FROM tot)
+               - grid.g * grid.nc AS num
+           FROM grid LEFT JOIN cls ON grid.c_nationkey = cls.c_nationkey
+             AND grid.c_mktsegment = cls.c_mktsegment AND grid.v = cls.v),
+         cum AS (SELECT c_nationkey, c_mktsegment, nc,
+             SUM(num) OVER (PARTITION BY c_nationkey, c_mktsegment ORDER BY v
+               ROWS UNBOUNDED PRECEDING) AS c
+           FROM f),
+         e AS (SELECT c_nationkey, c_mktsegment, nc, CAST(SUM(ABS(c)) AS BIGINT) AS en
+           FROM cum GROUP BY 1, 2, 3),
+         sel AS (SELECT c_nationkey, c_mktsegment, nc AS n_rows,
+             round(CAST(en AS DOUBLE) / (CAST((SELECT m FROM tot) - 1 AS DOUBLE)
+               * CAST(nc AS DOUBLE) * CAST((SELECT ng FROM tot) AS DOUBLE)), 9) AS t_emd
+           FROM e)
+         SELECT c_nationkey, c_mktsegment, n_rows, t_emd, t_emd > 0.2 AS risky
+         FROM sel ORDER BY 1, 2""")),
+
     QueryDef("q_expectations",
       (s, dir) => Quality.expectations(t(s, dir, "lineitem"), Seq(
           "discount_bounds" -> col("l_discount").between(0.0, 0.1),

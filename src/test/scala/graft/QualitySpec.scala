@@ -401,4 +401,28 @@ class QualitySpec extends SparkFunSuite {
         s"digit $d term must be the 9-dp-rounded χ² contribution")
     }
   }
+
+  test("tCloseness: hand-computed ordered EMD, thresholds, loud degenerates") {
+    // class A holds values (1,1,2), class B (3,3,3); global = (2,1,3)/6.
+    // EMD(A): integer cums on denominator n_c·n_g = cum(cnt·6 − g·3)
+    //   = 6, 9, 0 → Σ|cum| = 15; / ((m−1)·n_c·n_g = 2·3·6) = 15/36 = 5/12.
+    // EMD(B): cums −6, −9, 0 → also 5/12 ≈ 0.416666667.
+    val df = Seq(("A", 1L), ("A", 1L), ("A", 2L), ("B", 3L), ("B", 3L), ("B", 3L))
+      .toDF("grp", "v")
+    val got = Quality.tCloseness(df, Seq("grp"), col("v"), t = 0.3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    assert(got.toSeq === Seq(("A", 3L, 0.416666667, true), ("B", 3L, 0.416666667, true)))
+    val loose = Quality.tCloseness(df, Seq("grp"), col("v"), t = 0.5)
+      .collect().map(_.getBoolean(3))
+    assert(loose.forall(!_), "t = 0.5 must clear both classes")
+    // degenerate alphabet (one distinct value) and out-of-range t are loud
+    val one = Seq(("A", 1L), ("B", 1L)).toDF("grp", "v")
+    val e = intercept[IllegalArgumentException] {
+      Quality.tCloseness(one, Seq("grp"), col("v"), t = 0.3)
+    }
+    assert(e.getMessage.contains("distinct non-null value"))
+    intercept[IllegalArgumentException] {
+      Quality.tCloseness(df, Seq("grp"), col("v"), t = 1.5)
+    }
+  }
 }
