@@ -71,8 +71,9 @@ package graft
   * re-based 0.678 → 0.856 — the r16 five-feature widen (6×6 Gram solve,
   * three more per-doc array aggregates) is a deliberate plan change, so
   * the 2-feature-era floor no longer describes the shipped plan.
-  * q_t_closeness floored at 0.919 from a 3-pass targeted run
-  * (cpu_score_ms 170-172, inside the round's clean band).
+  * q_t_closeness floored at 0.919 and q_kcenter_coreset at 1.685, each
+  * from a 3-pass targeted run (cpu_score_ms 170-172, inside the round's
+  * clean band).
   * MACHINE FINGERPRINT for these floors: Bench's per-pass cpu_score_ms
   * (single-thread FNV-1a, 2^27 steps) measured 181–223 ms on the r16
   * floor-setting machine; a future round whose score is ~1.3× higher
@@ -182,6 +183,7 @@ object BenchFloors {
     "q_ivf_topk" -> 0.528,
     "q_jsd_drift" -> 0.189,
     "q_k_anonymity" -> 0.083,
+    "q_kcenter_coreset" -> 1.685,
     "q_kmeans_refine" -> 0.439,
     "q_kmv_distinct" -> 0.952,
     "q_kmv_intersect" -> 0.767,

@@ -816,6 +816,59 @@ object Vector {
         coalesce(col("__d"), lit(false)).as("dropped"))
   }
 
+  /** Greedy k-center coreset selection — farthest-first traversal
+    * (Gonzalez, "Clustering to minimize the maximum intercluster
+    * distance", TCS'85; the 2-approximation), the coreset seeding recipe
+    * of active-learning / diverse-subset selection at pretraining scale
+    * (Sener & Savarese, "Active learning for convolutional neural
+    * networks: a core-set approach", ICLR'18).  Where [[semDedup]] prunes
+    * REDUNDANCY, this selects for COVERAGE: k points whose max
+    * min-distance to the rest (the covering radius) is within 2× optimal.
+    *
+    * Seed = lowest vec_id (deterministic, the [[kmeansAssign]]
+    * convention); each step picks the unselected point FARTHEST (cosine
+    * distance `1 − cos₆`) from its nearest chosen center, ties → lowest
+    * id.  Returns one row per selection: `(sel_rank, vec_id, radius)`
+    * where `radius` is the covering radius of the first `sel_rank`
+    * centers — the max over unselected points of their min distance —
+    * i.e. exactly the next pick's selection distance (monotone
+    * non-increasing; the rank-k row carries the final coreset radius).
+    *
+    * Scale shape: k corpus scans, each a per-row `least` over ≤ k fused
+    * [[cosineNative]] calls against BROADCAST center literals (k×dims
+    * doubles) followed by `TakeOrderedAndProject` — zero shuffles, zero
+    * corpus-sized collects; driver state is the k×dims center array, the
+    * same bounded-collect discipline as the centroid pulls.  Distances
+    * stay exact across engines: `1.0 − cos₆` and `least` are single IEEE
+    * ops on identical doubles, and the argmax compares them directly (no
+    * summation, no order sensitivity), so every pick, tie-break and
+    * radius hash-matches the oracle's chained-CTE greedy. */
+  def kCenterGreedy(corpus: DataFrame, k: Int): DataFrame = {
+    require(k >= 2, s"kCenterGreedy: k must be >= 2, got $k")
+    graft.functions.GraftFunctions.ensureRegistered(corpus.sparkSession)
+    val e = corpus.select(col("vec_id").as("id"), asDouble(col("embedding")).as("v"))
+    val seed = e.orderBy("id").limit(1).collect()
+    require(seed.nonEmpty, "kCenterGreedy: empty corpus")
+    var centers = scala.Vector[(Long, Seq[Double])](
+      (seed.head.getLong(0), seed.head.getSeq[Double](1)))
+    var out = scala.Vector.empty[(Int, Long, Double)]
+    for (r <- 1 to k) {
+      val dist = centers.map { case (_, cv) =>
+        lit(1.0) - cosineNative(col("v"), typedlit(cv)) }.reduce(least(_, _))
+      val far = e.filter(!col("id").isInCollection(centers.map(_._1)))
+        .select(col("id"), col("v"), dist.as("d"))
+        .orderBy(col("d").desc, col("id").asc).limit(1).collect()
+      require(far.nonEmpty,
+        s"kCenterGreedy: corpus exhausted at rank $r — need more than $k distinct ids")
+      val row = far.head
+      out :+= ((r, centers(r - 1)._1, row.getDouble(2)))
+      if (r < k) centers :+= ((row.getLong(0), row.getSeq[Double](1)))
+    }
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    out.toDF("sel_rank", "vec_id", "radius").orderBy("sel_rank")
+  }
+
   /** Symmetric int8 quantization of an embedding vector — the storage layout
     * that makes a 100 TB float32 embedding lake a 25 TB one: per-vector
     * scale `s = max|x| / 127`, codes `floor(x/s + 0.5)` (explicit half-up —

@@ -2723,6 +2723,48 @@ object TextCatalog {
          SELECT CAST(step AS INT) AS rank, pick AS c_id, mmr FROM sel ORDER BY rank"""
       }),
 
+    // Greedy k-center coreset (Gonzalez '85 farthest-first; Sener &
+    // Savarese ICLR'18) — coverage-driven subset selection, the complement
+    // of SemDeDup's redundancy pruning and q_mmr_topk's k²-bounded
+    // candidate greedy: every pick is a DISTRIBUTED argmax over the whole
+    // corpus (k TakeOrdered scans against broadcast center literals, zero
+    // shuffles), so the loop survives a 100 TB corpus where a candidate
+    // pre-cut would have to guess what "diverse" means before selecting.
+    // Determinism: picks compare `1 − cos₆` doubles directly (single IEEE
+    // ops on identical inputs, no summation), ties → lowest id; the
+    // oracle replays the identical greedy as a generated chained-CTE
+    // program (the gramSolveProgram emit-once discipline).
+    QueryDef("q_kcenter_coreset",
+      (s, dir) => Vector.kCenterGreedy(t(s, dir, "embeddings"), 8),
+      Some {
+        val k = 8
+        def dst(a: String, b: String) =
+          s"CAST(1.0 AS DOUBLE) - ${cosSql(a, b, 64)}"
+        val sb = new StringBuilder
+        // MATERIALIZED: each d_i is referenced by c_{i+1}, d_{i+1} AND the
+        // final projection -- inlined CTEs would re-expand the 64-dim dot
+        // chain once per reference (2^k blowup); materialization keeps the
+        // oracle one linear greedy pass, matching the engine's k scans.
+        sb ++= "WITH e AS MATERIALIZED (SELECT vec_id AS id, " +
+          "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),\n"
+        sb ++= "c1 AS MATERIALIZED (SELECT id, v FROM e ORDER BY id LIMIT 1),\n"
+        sb ++= s"d1 AS MATERIALIZED (SELECT e.id, e.v, ${dst("e.v", "c1.v")} AS dd " +
+          "FROM e, c1 WHERE e.id <> (SELECT id FROM c1)),\n"
+        for (i <- 2 to k) {
+          sb ++= s"c$i AS MATERIALIZED (SELECT id, v, dd FROM d${i - 1} ORDER BY dd DESC, id LIMIT 1),\n"
+          sb ++= s"d$i AS MATERIALIZED (SELECT p.id, p.v, least(p.dd, ${dst("p.v", s"c$i.v")}) AS dd " +
+            s"FROM d${i - 1} p, c$i WHERE p.id <> (SELECT id FROM c$i))"
+          sb ++= (if (i < k) ",\n" else "\n")
+        }
+        sb ++= s"SELECT 1 AS sel_rank, (SELECT id FROM c1) AS vec_id, " +
+          "(SELECT dd FROM c2) AS radius\n"
+        for (r <- 2 until k)
+          sb ++= s"UNION ALL SELECT $r, (SELECT id FROM c$r), (SELECT dd FROM c${r + 1})\n"
+        sb ++= s"UNION ALL SELECT $k, (SELECT id FROM c$k), (SELECT max(dd) FROM d$k)\n"
+        sb ++= "ORDER BY sel_rank"
+        sb.toString
+      }),
+
     // STREAMING ANN index ingest — the third leg of the persisted-index
     // story (batch build = q_tx_ann_lists, incremental batch refresh =
     // q_tx_ann_incremental, streaming ingest = here).  Embedding batches

@@ -554,4 +554,27 @@ class VectorSpec extends SparkFunSuite {
     assert(dis.getLong(1) === 0L && dis.getDouble(2) === 0.0)
     intercept[IllegalArgumentException](Vector.rboAtK(pa, pb, 2, 1.0))
   }
+
+  test("kCenterGreedy: hand-traced farthest-first picks, radii, loud degenerates") {
+    // id0=(1,0) seed (lowest id); id1≈id0; id2⊥id0; id3 at 45°.
+    // pick 2: farthest from id0 is id2 (d=1.0); pick 3: farthest from
+    // {id0,id2} is id3 (d=1−0.707107); final radius over {id1}: 1−0.99995.
+    val e = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(1.0f, 0.01f)),
+      (2L, Seq(0.0f, 1.0f)), (3L, Seq(0.7071f, 0.7071f))
+    ).toDF("vec_id", "embedding")
+    val got = Vector.kCenterGreedy(e, 3).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(got.map(t => (t._1, t._2)).toSeq === Seq((1, 0L), (2, 2L), (3, 3L)),
+      s"pick order must be farthest-first with id tie-break, got ${got.toSeq}")
+    assert(math.abs(got(0)._3 - 1.0) < 1e-9, "radius after seed = 1 − cos₆(e0,e2) = 1.0")
+    assert(math.abs(got(1)._3 - 0.292893) < 1e-9, "radius after 2 = 1 − 0.707107")
+    assert(math.abs(got(2)._3 - 0.00005) < 1e-9, "final radius over id1 = 1 − 0.99995")
+    assert(got.map(_._3).sliding(2).forall(w => w(0) >= w(1) - 1e-12),
+      "covering radius must be monotone non-increasing")
+    intercept[IllegalArgumentException](Vector.kCenterGreedy(e, 1))
+    val boom = intercept[IllegalArgumentException](Vector.kCenterGreedy(e, 4))
+    assert(boom.getMessage.contains("corpus exhausted"),
+      "k = n must fail loudly (no unselected point left to measure the radius)")
+  }
 }
