@@ -28,7 +28,8 @@ class EntrySpec extends SparkFunSuite {
   test("every oracle declares a total ORDER BY (hash compare is order-sensitive)") {
     // single-row global aggregates are inherently ordered
     val singleRow = Set("q_c3_rename_defaults", "q_c4_rename_regex",
-      "q_c6_metadata_lits", "q_tx_merge", "q_minhash_recall", "q_tx_prune",
+      "q_c6_metadata_lits", "q_tx_merge", "q_minhash_recall", "q_oph_recall",
+      "q_tx_prune",
       "q_st11_tx_stream_merge", "q_csv_corrupt_records", "q_k_anonymity",
       "q_tx_prune_str", "q_runtime_bloom", "q_tx_stats_sidecar", "q_tx_dfp",
       "q_tx_wap", "q_zipf_fit", "q_l_diversity", "q_hhi", "q_gini",
