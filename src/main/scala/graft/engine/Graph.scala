@@ -44,18 +44,30 @@ object Graph {
     * each round is one edges⋈labels join (co-partitioned on the vertex
     * key after round 1), one (vertex, label) count aggregation, one
     * argmax window partitioned by vertex; `localCheckpoint` truncates the
-    * per-round lineage. */
+    * per-round lineage.  Rounds run on a borrowed loop-child session under
+    * [[RoundTuner]] (r16, the contraction convention), regime decided once
+    * from the symmetric edge relation: a tiny graph pipelines each round
+    * (join + count agg + rank window + label join) into ONE job instead of
+    * ~5 AQE stage-jobs + a checkpoint job; a graph past [[TinyRoundBytes]]
+    * keeps session AQE and its skew handling for every round. */
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
                        rounds: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(rounds >= 1, s"labelPropagation: rounds $rounds < 1")
-    val sym = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
-      .union(edges.select(col(dstCol).as("u"), col(srcCol).as("v")))
+    val parent = edges.sparkSession
+    val loop = borrowLoopSession(parent)
+    try {
+    val sym = reRoot(
+        edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+          .union(edges.select(col(dstCol).as("u"), col(srcCol).as("v"))), loop)
       .distinct()
       .localCheckpoint()
     var labels = sym.select(col("u").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
       .localCheckpoint()
+    val tuner = new RoundTuner(loop, disableBroadcast = true)
+    try {
+    tuner.retune(sym)
     (1 to rounds).foreach { _ =>
       val freq = sym.join(labels.withColumnRenamed("node", "v"), "v")
         .groupBy(col("u"), col("label")).agg(count(lit(1)).as("__c"))
@@ -65,11 +77,16 @@ object Graph {
         .select(col("u").as("node"), col("label").as("__new"))
       // every node has ≥1 neighbor (it came from an edge) — but keep the
       // defensive coalesce so a future filtered-edges caller can't NULL it
-      labels = labels.join(best, Seq("node"), "left")
+      val next = labels.join(best, Seq("node"), "left")
         .select(col("node"), coalesce(col("__new"), col("label")).as("label"))
         .localCheckpoint()
+      freeCheckpoint(labels)
+      labels = next
     }
-    labels
+    } finally tuner.restore()
+    freeCheckpoint(sym)
+    reRoot(labels, parent)
+    } finally returnLoopSession(parent, loop)
   }
 
   /** Label every vertex of the undirected graph `edges` with the MINIMUM
@@ -339,12 +356,52 @@ object Graph {
     * Results accumulate as a lazy union of per-depth frames, each
     * localCheckpoint'd (same lineage discipline as the other loops here).
     * A cycle would never drain the frontier: `require` fails loudly at
-    * `maxDepth` instead of silently truncating ancestry. */
+    * `maxDepth` instead of silently truncating ancestry.
+    *
+    * Driver-cost discipline (r16 — rounds = height makes this THE most
+    * action-dense loop in the engine, and its floor is rounds × per-job
+    * fixed cost, not data):
+    *  - each depth pays exactly ONE action: a LAZY localCheckpoint
+    *    materialized by `count()`, which truncates lineage, persists the
+    *    layer AND answers the drain question in the same job (the eager
+    *    form's materialization already ran precisely this count and threw
+    *    the value away; the old separate `isEmpty` was a second driver
+    *    round-trip per depth, and under AQE the join's shuffle stage ran
+    *    as a THIRD — measured 83 jobs / 24-deep q_ancestors_deep);
+    *  - rounds run on a borrowed loop-child session under [[RoundTuner]]
+    *    ("static AQE", the contraction convention), with the regime decided
+    *    ONCE from the static edge relation's materialized bytes (a frontier
+    *    is never materially larger than e): a tiny e turns adaptive
+    *    execution off so each whole round — shuffle map, join, checkpoint
+    *    count — pipelines into ONE job; an edge relation past
+    *    [[TinyRoundBytes]] keeps the session's AQE and skew handling for
+    *    every round, so at 100 TB nothing is lost.  Measured (census jobs
+    *    tier, sf0.001): q_ancestors_deep 82 → 33, q_ancestors 13 → 8. */
   def ancestorClosure(edges: DataFrame, childCol: String, parentCol: String,
                       maxDepth: Int = 30): DataFrame = {
-    val e = edges.select(col(childCol).as("node"), col(parentCol).as("anc"))
+    val parent = edges.sparkSession
+    val loop = borrowLoopSession(parent)
+    try {
+    val tuner = new RoundTuner(loop, disableBroadcast = true)
+    val out = try {
+    val e = reRoot(
+        edges.select(col(childCol).as("node"), col(parentCol).as("anc")), loop)
       .distinct().localCheckpoint()
-    var frontier = e.withColumn("depth", lit(1)).localCheckpoint()
+    // ONE action per layer: lazy checkpoint + count — materializes blocks,
+    // truncates lineage, and the count IS the emptiness probe
+    def ckCount(df: DataFrame): (DataFrame, Long) = {
+      val ck = df.localCheckpoint(eager = false)
+      (ck, ck.count())
+    }
+    val (f0, n0) = ckCount(e.withColumn("depth", lit(1)))
+    var frontier = f0
+    var drained = n0 == 0L
+    // The regime is governed by the STATIC edge relation, decided once: a
+    // frontier is never materially larger than e (≤ one row per node, one
+    // extra int column), so tiny e ⇒ every round is fixed-cost-bound; a
+    // large e keeps session AQE (and its skew handling on the per-round
+    // join) for the whole loop.
+    tuner.retune(e)
     // Result layers FOLD into a periodically re-checkpointed accumulator
     // instead of accumulating one live frame per depth: storage held at
     // any instant is ONE closure-so-far checkpoint + at most FoldEvery
@@ -367,26 +424,20 @@ object Graph {
       acc = folded
     }
     var d = 1
-    // emptiness is probed ONCE per frame and the boolean carried into the
-    // next loop test — each isEmpty is a job on a checkpointed frame, and
-    // re-asking the question at the loop head used to double the driver
-    // round-trips on deep hierarchies (2 probes/depth → 1)
-    var drained = frontier.isEmpty
     // `d <= maxDepth`: the depth-maxDepth frontier must get ONE more
     // extension attempt before the cycle verdict — a legitimate forest of
     // height exactly maxDepth drains on that attempt; only a frontier still
     // alive PAST it is a cycle (or a genuinely deeper tree)
     while (!drained && d <= maxDepth) {
-      val next = frontier
+      val (next, n) = ckCount(frontier
         .join(e.select(col("node").as("anc"), col("anc").as("__up")), "anc")
         .select(col("node"), col("__up").as("anc"),
-          (col("depth") + 1).as("depth"))
-        .localCheckpoint()
+          (col("depth") + 1).as("depth")))
       // a superseded frontier stays persisted until its layer folds into
       // the accumulator — it IS a result layer; only the working set
       // advances
       frontier = next
-      drained = next.isEmpty // the one emptiness job this depth
+      drained = n == 0L
       if (!drained) pending ::= next
       if (pending.size >= FoldEvery) {
         // the newest pending layer IS the live frontier — the next round's
@@ -401,6 +452,9 @@ object Graph {
     foldInto(pending) // the frontier is drained: every pending layer is final
     freeCheckpoint(e)
     acc
+    } finally tuner.restore()
+    reRoot(out, parent)
+    } finally returnLoopSession(parent, loop)
   }
 
   /** Fixed-iteration PageRank over a directed edge list — the canonical
@@ -422,11 +476,22 @@ object Graph {
     * Each round: one shuffle join (edges ⋈ ranks on src) + one hash
     * aggregation on dst + one left join back onto the node set — linear in
     * |E| per round, same primitives as [[connectedComponents]], with the
-    * same localCheckpoint lineage discipline. */
+    * same localCheckpoint lineage discipline.  Rounds run on a borrowed
+    * loop-child session under [[RoundTuner]] (r16, the contraction
+    * convention), regime decided once from the static edge relation: a
+    * tiny graph pipelines each round's three exchanges into ONE job
+    * instead of AQE stage-jobs + broadcast builds + a checkpoint job
+    * (census jobs tier at sf0.001: 17 → 11; JobProfile under GraftSession:
+    * 30 → 15); a graph past [[TinyRoundBytes]] keeps session AQE and its
+    * skew handling for every round. */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iters: Int = 3, damping: Double = 0.85): DataFrame = {
     import org.apache.spark.sql.types.{DecimalType, DoubleType}
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val parent = edges.sparkSession
+    val loop = borrowLoopSession(parent)
+    try {
+    val e = reRoot(edges.select(col(srcCol).as("src"), col(dstCol).as("dst")),
+        loop)
       .distinct().localCheckpoint()
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct().localCheckpoint()
@@ -436,6 +501,9 @@ object Graph {
     val base = (1.0 - damping) / n
     var ranks = nodes.select(col("id"), lit(1.0 / n).as("rank"))
       .localCheckpoint()
+    val tuner = new RoundTuner(loop, disableBroadcast = true)
+    try {
+    tuner.retune(e)
     for (_ <- 1 to iters) {
       val contribs = e.join(ranks.withColumnRenamed("id", "src"), "src")
         .join(out.withColumnRenamed("id", "src"), "src")
@@ -450,8 +518,10 @@ object Graph {
       freeCheckpoint(ranks)
       ranks = next
     }
+    } finally tuner.restore()
     freeCheckpoint(e); freeCheckpoint(nodes); freeCheckpoint(out)
-    ranks
+    reRoot(ranks, parent)
+    } finally returnLoopSession(parent, loop)
   }
 
   /** Free the persisted blocks behind a localCheckpoint'd frame (or a
@@ -512,7 +582,7 @@ object Graph {
     * owns an isolated SQLConf, so a concurrent query planning on the
     * caller's session can NEVER observe round-tuned settings, not even
     * mid-round.  GraphSpec pins this with a two-thread test. */
-  private final class RoundTuner(spark: org.apache.spark.sql.SparkSession,
+  private[engine] final class RoundTuner(spark: org.apache.spark.sql.SparkSession,
                                  disableBroadcast: Boolean = false) {
     private val sp0 = spark.conf.get("spark.sql.shuffle.partitions")
     private val aqe0 = spark.conf.get("spark.sql.adaptive.enabled")
@@ -578,7 +648,7 @@ object Graph {
     * conf; a pooled child may predate recent caller conf.set calls), so
     * the untuned rounds plan exactly as they would have on the caller.
     * Return the child via [[returnLoopSession]] in a finally. */
-  private def borrowLoopSession(parent: org.apache.spark.sql.SparkSession)
+  private[engine] def borrowLoopSession(parent: org.apache.spark.sql.SparkSession)
       : org.apache.spark.sql.SparkSession = {
     // O(#parents) sweep, trivially small next to a newSession(): drop pool
     // entries for parents whose context is gone so they can be collected
@@ -593,7 +663,7 @@ object Graph {
     child
   }
 
-  private def returnLoopSession(parent: org.apache.spark.sql.SparkSession,
+  private[engine] def returnLoopSession(parent: org.apache.spark.sql.SparkSession,
                                 child: org.apache.spark.sql.SparkSession): Unit =
     if (child ne parent) loopPool.get(parent).add(child)
 
@@ -603,7 +673,7 @@ object Graph {
     * returned frame owns the resolved plan and the transient view is
     * dropped before returning; actions on the result (and on anything
     * derived from it) plan under `target`'s SQLConf. */
-  private def reRoot(df: DataFrame,
+  private[engine] def reRoot(df: DataFrame,
                      target: org.apache.spark.sql.SparkSession): DataFrame = {
     if (df.sparkSession eq target) return df
     val name = "graft_reroot_" +

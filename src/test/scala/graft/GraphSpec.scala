@@ -217,15 +217,17 @@ class GraphSpec extends SparkFunSuite {
     assert(peak <= 40,
       s"peak persisted RDDs $peak — layer frames are not folding into the " +
         "accumulator (pre-fold behavior held one frame per depth)")
-    // ONE emptiness probe per depth: each round measures ~3.2 jobs (the
-    // join's checkpoint materialization runs its AQE shuffle stages as
-    // separate jobs, plus the single isEmpty; measured 382 for h=120).
-    // Re-asking frontier.isEmpty at the loop head added one more job per
-    // depth (~500 total) — the bound sits between the two regimes so that
-    // regression class trips it
-    assert(jobs <= (3.5 * h).toInt,
-      s"$jobs jobs on a $h-deep closure — ~1 extra job per depth means a " +
-        "duplicate per-round driver action crept back in")
+    // ONE action per depth (r16): the lazy-checkpoint count materializes
+    // the layer AND answers the drain question, and the RoundTuner regime
+    // (AQE off on a tiny edge relation, broadcasts off) pipelines each
+    // round into that single job — measured ~1.2 jobs/depth for h=120
+    // (fold jobs every 8 depths plus setup).  The r15 regime measured
+    // ~3.2/depth (AQE stage job + eager checkpoint + isEmpty); the bound
+    // sits between the regimes so a reintroduced per-depth action (a
+    // second probe, a broadcast build, an un-tuned AQE stage) trips it.
+    assert(jobs <= 2 * h,
+      s"$jobs jobs on a $h-deep closure — an extra per-depth driver action " +
+        "crept back in (two-action regime is ~3.2×h)")
   }
 
   test("pageRank on a star graph matches the hand-computed fixpoint shape") {
