@@ -53,11 +53,18 @@ object Sketch {
                 k: Int): DataFrame = {
     require(k >= 2, s"kmvSketch: k must be >= 2, got $k")
     // NULLs don't count — COUNT(DISTINCT x) semantics (a NULL digest would
-    // otherwise sort first and poison both kk and r_k)
+    // otherwise sort first and poison both kk and r_k).  Dedup rides the
+    // heap itself (distinct mode, r16): the old standalone `.distinct()`
+    // was a full extra shuffle + two HashAggregate layers of the digest
+    // relation before the heap's own exchange; the ordered-set heap keeps
+    // the k smallest DISTINCT digests in one pass, and its map-side
+    // partial bounds the one remaining shuffle at k rows per group per
+    // partition.  (__h determines the whole row within a group, the
+    // distinct-mode contract.)
     val h = df.filter(valCol.isNotNull)
       .select(col(groupCol), md5(valCol.cast("string")).as("__h"))
-      .distinct()
-    graft.plans.TopKPerKey(h, Seq(groupCol), Seq(col("__h").asc), k)
+    graft.plans.TopKPerKey(h, Seq(groupCol), Seq(col("__h").asc), k,
+      distinct = true)
   }
 
   /** Merge independently-built sketch shards — LOSSLESS, the property that
@@ -66,8 +73,10 @@ object Sketch {
     * (any globally-small digest is small in its own shard too), so
     * shard-then-merge equals the single-pass sketch exactly. */
   def kmvMerge(shards: Seq[DataFrame], groupCol: String, k: Int): DataFrame =
-    graft.plans.TopKPerKey(shards.reduce(_ unionByName _).distinct(),
-      Seq(groupCol), Seq(col("__h").asc), k)
+    // cross-shard duplicate digests collapse in the heap's ordered set —
+    // no standalone distinct shuffle (r16)
+    graft.plans.TopKPerKey(shards.reduce(_ unionByName _),
+      Seq(groupCol), Seq(col("__h").asc), k, distinct = true)
 
   /** Finish a sketch into the per-group estimate (see [[kmvDistinct]]). */
   def kmvEstimate(sketch: DataFrame, groupCol: String, k: Int): DataFrame = {
@@ -175,6 +184,15 @@ object Sketch {
     * so shard-then-merge equals the single-pass sketch row for row.  The
     * distinct guards idempotence under overlapping shards. */
   def qsampleMerge(shards: Seq[DataFrame], groupCol: String, k: Int): DataFrame =
+    // The distinct here must stay FULL-ROW (not the heap's ordering-equal
+    // collapse): sample rows carry `__v`, and a caller whose `idCol` is
+    // not perfectly row-unique (the registered fixture has duplicate
+    // (orderkey, linenumber) keys) produces digest TIES with different
+    // values — full-row distinct keeps both tied rows as separate sample
+    // rows, exactly as the rn<=k oracle does, while an ordering-equal
+    // collapse would silently drop one and pull in a different digest
+    // (measured: 127 of 1536 sample rows diverged at sf0.001).  KMV can
+    // use the heap's distinct mode only because its rows ARE the ordering.
     graft.plans.TopKPerKey(shards.reduce(_ unionByName _).distinct(),
       Seq(groupCol), Seq(col("__h").asc), k)
 

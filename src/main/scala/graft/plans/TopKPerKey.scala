@@ -40,20 +40,44 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * `spark.graft.topk.spillRowThreshold` (default 4 194 304), the heap map
   * is dumped to a key-sorted local run file and cleared, and at input end
   * the runs are merge-joined by key with one bounded heap per key at a
-  * time — peak memory is threshold × row size regardless of cardinality. */
+  * time — peak memory is threshold × row size regardless of cardinality.
+  *
+  * PARTIAL AGGREGATION (r16, guide §2.3 "aggregate before you shuffle"):
+  * the strategy plans a MAP-SIDE heap below the exchange and the final
+  * heap above it — exact for any total ordering, because every row of a
+  * key's global top-k is in its own partition's top-k (the same argument
+  * that makes TakeOrderedAndProject's partial correct).  The exchange then
+  * carries at most keys × k rows per map partition instead of every input
+  * row — at corpus scale the difference between shuffling the relation
+  * and shuffling the sketch.
+  *
+  * DISTINCT MODE (`distinct = true`): rows that compare EQUAL under
+  * `ordering` within a key are collapsed to one — per-key state becomes an
+  * ordered set, so the result is the k smallest DISTINCT rows.  Callers
+  * must ensure ordering-equality within a key implies row equality (true
+  * when the ordering covers every non-key column, the sketch layouts
+  * here); this replaces a separate `distinct()` — a full extra
+  * shuffle + hash aggregate of the relation — for the KMV-style sketches. */
 case class TopKPerKeyPlan(groupExprs: Seq[Expression], ordering: Seq[SortOrder],
-                          k: Int, child: LogicalPlan) extends UnaryNode {
+                          k: Int, child: LogicalPlan,
+                          distinct: Boolean = false) extends UnaryNode {
   require(k > 0, s"TopKPerKey: k must be positive, got $k")
   override def output: Seq[Attribute] = child.output
   override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKeyPlan =
     copy(child = newChild)
 }
 
-/** Planner strategy: one-to-one logical→physical mapping. */
+/** Planner strategy: logical → partial (map-side) + final heap pair; the
+  * final's required distribution makes EnsureRequirements insert the one
+  * hash exchange between them (or none when the child is already
+  * co-partitioned, where the stacked partial is a no-op pass over ≤ k
+  * rows per key). */
 object TopKPerKeyStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerKeyPlan(g, o, k, child) =>
-      TopKPerKeyExec(g, o, k, planLater(child)) :: Nil
+    case TopKPerKeyPlan(g, o, k, child, d) =>
+      TopKPerKeyExec(g, o, k,
+        TopKPerKeyExec(g, o, k, planLater(child), partial = true, distinct = d),
+        partial = false, distinct = d) :: Nil
     case _ => Nil
   }
 }
@@ -70,10 +94,16 @@ object TopKPerKeyStrategy extends SparkStrategy {
   * of each key's global top-k, so re-heaping the merged candidates is
   * exact. */
 case class TopKPerKeyExec(groupExprs: Seq[Expression], ordering: Seq[SortOrder],
-                          k: Int, child: SparkPlan) extends UnaryExecNode {
+                          k: Int, child: SparkPlan,
+                          partial: Boolean = false,
+                          distinct: Boolean = false) extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output
+  // the PARTIAL heap runs wherever the rows already are (map side); only
+  // the FINAL heap demands key co-location, so EnsureRequirements inserts
+  // exactly one hash exchange between the pair
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(groupExprs) :: Nil
+    if (partial) super.requiredChildDistribution
+    else ClusteredDistribution(groupExprs) :: Nil
   // rows keep their key co-location: a downstream groupBy/join on the same
   // keys must reuse the heap's exchange, not add a second one
   override def outputPartitioning: org.apache.spark.sql.catalyst.plans.physical.Partitioning =
@@ -86,15 +116,22 @@ case class TopKPerKeyExec(groupExprs: Seq[Expression], ordering: Seq[SortOrder],
     val groupLocal = groupExprs
     val orderLocal = ordering
     val kLocal = k
+    val distinctLocal = distinct
     val spillThreshold =
       conf.getConfString(TopKPerKey.SpillConfKey, "4194304").toLong
     val spillBytes =
       conf.getConfString(TopKPerKey.SpillBytesConfKey, (256L << 20).toString).toLong
     require(spillThreshold >= kLocal,
       s"${TopKPerKey.SpillConfKey} ($spillThreshold) must be >= k ($kLocal)")
+    // a partial heap whose input is ALREADY clustered on the keys feeds a
+    // final heap directly (EnsureRequirements inserted no exchange) — the
+    // map-side pass would buy nothing, so it forwards rows untouched
+    if (partial && child.outputPartitioning.satisfies(
+        ClusteredDistribution(groupExprs)))
+      return child.execute()
     child.execute().mapPartitions { it =>
       new TopKPartitionIterator(it, childOutput, groupLocal, orderLocal,
-        kLocal, spillThreshold, spillBytes)
+        kLocal, distinctLocal, spillThreshold, spillBytes)
     }
   }
 }
@@ -103,13 +140,58 @@ case class TopKPerKeyExec(groupExprs: Seq[Expression], ordering: Seq[SortOrder],
 private final class TopKPartitionIterator(
     input: Iterator[InternalRow], childOutput: Seq[Attribute],
     groupExprs: Seq[Expression], ordering: Seq[SortOrder],
-    k: Int, spillThreshold: Long, spillBytes: Long) extends Iterator[InternalRow] {
+    k: Int, distinct: Boolean,
+    spillThreshold: Long, spillBytes: Long) extends Iterator[InternalRow] {
 
   private val keyProj = UnsafeProjection.create(groupExprs, childOutput)
   private val rowProj = UnsafeProjection.create(childOutput.map(_.asInstanceOf[Expression]), childOutput)
   // best-first total order; the queue's max (head) is the worst retained
   private val rowOrd = RowOrdering.create(ordering, childOutput)
-  private val heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[UnsafeRow]]
+  private val rowOrdUR: Ordering[UnsafeRow] = rowOrd.on[UnsafeRow](identity)
+
+  /** Per-key bounded state: a max-PQ whose head is the worst retained row,
+    * or — in DISTINCT mode — an ordered SET under the same ordering, so
+    * ordering-equal rows collapse (`add` rejects equals) and the retained
+    * set is the k smallest distinct rows. */
+  private final class KeyHeap {
+    val pq: mutable.PriorityQueue[UnsafeRow] =
+      if (distinct) null else mutable.PriorityQueue.empty[UnsafeRow](rowOrdUR)
+    val ts: mutable.TreeSet[UnsafeRow] =
+      if (distinct) mutable.TreeSet.empty[UnsafeRow](rowOrdUR) else null
+    def size: Int = if (distinct) ts.size else pq.size
+    /** Retain `cand` if it belongs in the top-k (copying it); returns the
+      * retained-BYTES delta (0 = rejected or duplicate).  Row-count delta
+      * is observable via [[size]]. */
+    def offer(cand: UnsafeRow, copy: Boolean): Long =
+      if (distinct) {
+        if (ts.size < k) {
+          val r = if (copy) cand.copy() else cand
+          if (ts.add(r)) r.getSizeInBytes.toLong else 0L
+        } else if (rowOrdUR.compare(cand, ts.last) < 0) {
+          val r = if (copy) cand.copy() else cand
+          if (ts.add(r)) {
+            val ev = ts.last
+            ts.remove(ev)
+            r.getSizeInBytes.toLong - ev.getSizeInBytes
+          } else 0L
+        } else 0L
+      } else {
+        if (pq.size < k) {
+          val r = if (copy) cand.copy() else cand
+          pq.enqueue(r); r.getSizeInBytes.toLong
+        } else if (rowOrdUR.compare(cand, pq.head) < 0) {
+          val ev = pq.dequeue()
+          val r = if (copy) cand.copy() else cand
+          pq.enqueue(r)
+          r.getSizeInBytes.toLong - ev.getSizeInBytes
+        } else 0L
+      }
+    /** Emission order is best-first either way.  CONSUMES the PQ form. */
+    def bestFirst: Iterator[UnsafeRow] =
+      if (distinct) ts.iterator else pq.dequeueAll.reverseIterator
+  }
+
+  private val heaps = mutable.LinkedHashMap.empty[UnsafeRow, KeyHeap]
   private var retained = 0L
   private var retainedBytes = 0L
   private val spills = mutable.ArrayBuffer.empty[File]
@@ -119,23 +201,17 @@ private final class TopKPartitionIterator(
 
   private def insert(row: InternalRow): Unit = {
     val key = keyProj(row)
-    heaps.get(key) match {
+    val h = heaps.get(key) match {
+      case Some(h0) => h0
       case None =>
-        val q = mutable.PriorityQueue.empty[UnsafeRow](rowOrd.on[UnsafeRow](identity))
-        val r = rowProj(row).copy()
-        q.enqueue(r)
-        heaps.put(key.copy(), q)
-        retained += 1
-        retainedBytes += r.getSizeInBytes + key.getSizeInBytes
-      case Some(q) =>
-        if (q.size < k) {
-          val r = rowProj(row).copy()
-          q.enqueue(r); retained += 1; retainedBytes += r.getSizeInBytes
-        } else if (rowOrd.compare(row, q.head) < 0) {
-          val ev = q.dequeue(); val r = rowProj(row).copy()
-          q.enqueue(r); retainedBytes += r.getSizeInBytes - ev.getSizeInBytes
-        }
+        val h0 = new KeyHeap
+        heaps.put(key.copy(), h0)
+        retainedBytes += key.getSizeInBytes
+        h0
     }
+    val before = h.size
+    retainedBytes += h.offer(rowProj(row), copy = true)
+    retained += h.size - before
   }
 
   /** Unsigned byte-lexicographic order on serialized UnsafeRow keys — any
@@ -176,11 +252,11 @@ private final class TopKPartitionIterator(
     val f = File.createTempFile("graft-topk-spill", ".run", spillRoot())
     val out = new DataOutputStream(new BufferedOutputStream(new FileOutputStream(f), 1 << 16))
     try {
-      heaps.toArray.map { case (key, q) => (key.getBytes, q) }
+      heaps.toArray.map { case (key, h) => (key.getBytes, h) }
         .sortWith((a, b) => cmpBytes(a._1, b._1) < 0)
-        .foreach { case (kb, q) =>
+        .foreach { case (kb, h) =>
           // best-first within the key so merge output needs no re-sort
-          q.dequeueAll.reverseIterator.foreach { (r: UnsafeRow) =>
+          h.bestFirst.foreach { (r: UnsafeRow) =>
             val rb = r.getBytes
             out.writeInt(kb.length); out.write(kb)
             out.writeInt(rb.length); out.write(rb)
@@ -222,7 +298,7 @@ private final class TopKPartitionIterator(
   private def finish(): Iterator[InternalRow] = {
     if (spills.isEmpty) {
       // pure in-memory path: emit each heap best-first
-      heaps.iterator.flatMap { case (_, q) => q.dequeueAll.reverseIterator }
+      heaps.iterator.flatMap { case (_, h) => h.bestFirst }
     } else {
       spillAll() // the in-memory remainder becomes the last run
       val readers = spills.map(new RunReader(_)).filterNot(_.exhausted)
@@ -234,15 +310,14 @@ private final class TopKPartitionIterator(
           val live = readers.filterNot(_.exhausted)
           if (live.isEmpty) return
           val minKey = live.map(_.keyBytes).reduce((a, b) => if (cmpBytes(a, b) <= 0) a else b)
-          val q = mutable.PriorityQueue.empty[UnsafeRow](rowOrd.on[UnsafeRow](identity))
+          val h = new KeyHeap // distinct mode dedups across runs here too
           live.foreach { r =>
             while (!r.exhausted && cmpBytes(r.keyBytes, minKey) == 0) {
-              if (q.size < k) q.enqueue(r.row)
-              else if (rowOrd.compare(r.row, q.head) < 0) { q.dequeue(); q.enqueue(r.row) }
+              h.offer(r.row, copy = false) // run rows are fresh buffers
               r.advance()
             }
           }
-          pending = q.dequeueAll.reverseIterator
+          pending = h.bestFirst
         }
         override def hasNext: Boolean = {
           while (!pending.hasNext && readers.exists(!_.exhausted)) loadNextKey()
@@ -285,7 +360,8 @@ object TopKPerKey {
       cs.experimental.extraStrategies = cs.experimental.extraStrategies :+ TopKPerKeyStrategy
   }
 
-  def apply(df: DataFrame, keys: Seq[String], order: Seq[Column], k: Int): DataFrame = {
+  def apply(df: DataFrame, keys: Seq[String], order: Seq[Column], k: Int,
+            distinct: Boolean = false): DataFrame = {
     ensureStrategy(df.sparkSession)
     val child = df.queryExecution.analyzed
     val orders = order.map(GraftSqlBridge.expr).map {
@@ -293,6 +369,7 @@ object TopKPerKey {
       case e => SortOrder(e, Ascending)
     }
     GraftSqlBridge.ofRows(df.sparkSession,
-      TopKPerKeyPlan(keys.map(k0 => GraftSqlBridge.expr(df(k0))), orders, k, child))
+      TopKPerKeyPlan(keys.map(k0 => GraftSqlBridge.expr(df(k0))), orders, k,
+        child, distinct))
   }
 }

@@ -46,6 +46,35 @@ class PlansSpec extends SparkFunSuite {
       "no sort anywhere: that is the point of the operator")
   }
 
+  test("TopKPerKey plans a map-side partial heap below the one exchange (r16)") {
+    // guide §2.3: the exchange must carry ≤ keys × k rows per map
+    // partition, so the strategy emits partial(map) + final(reduce) with
+    // EnsureRequirements' single hash exchange between them
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val df = (1L to 500L).map(i => (s"g${i % 3}", i)).toDF("g", "id")
+      .repartition(4)
+    val got = graft.plans.TopKPerKey(df, Seq("g"), Seq($"id".asc), 2)
+    // EnsureRequirements (which inserts the exchange) runs in executedPlan
+    // preparation — sparkPlan has no exchanges yet
+    val plan = got.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val heaps = plan.collect { case e: graft.plans.TopKPerKeyExec => e }
+    assert(heaps.map(_.partial).sorted === Seq(false, true),
+      s"expected one partial + one final heap, got $heaps")
+    val partialBelowExchange = plan.collect {
+      case s: ShuffleExchangeExec =>
+        s.child.collectFirst { case e: graft.plans.TopKPerKeyExec if e.partial => e }
+    }.flatten
+    assert(partialBelowExchange.nonEmpty,
+      "the partial heap must sit below the exchange (map side)")
+    // and the pair must not change the answer
+    assert(got.collect().map(r => (r.getString(0), r.getLong(1))).toSet ===
+      Set(("g0", 3L), ("g0", 6L), ("g1", 1L), ("g1", 4L), ("g2", 2L), ("g2", 5L)))
+  }
+
   test("TopKPerKey spill path: tiny spill threshold yields the same rows as in-memory") {
     // ~1000 distinct keys, 3 rows each, k=2 — retained state (2000 rows)
     // dwarfs the 16-row budget, forcing many key-sorted runs + the merge.
@@ -448,8 +477,10 @@ object PlansSpec {
     // + union agg
     "q_skew_split_join" -> ((8, 2)),
     // per-shard KMV build aggs + merge agg + exact-distinct compare
-    "q_kmv_merge" -> ((9, 1)),
-    "q_kmv_intersect" -> ((7, 3)),
+    // (r16: the standalone distinct shuffles folded into the heap's
+    // distinct mode — 9/1 → 6/1 and 7/3 → 5/3)
+    "q_kmv_merge" -> ((6, 1)),
+    "q_kmv_intersect" -> ((5, 3)),
     // shingle-set containment: candidate join + per-pair verify agg +
     // keep-decision window; DF bounds broadcast
     "q_containment_dedup" -> ((5, 5)),

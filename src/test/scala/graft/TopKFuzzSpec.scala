@@ -55,5 +55,35 @@ class TopKFuzzSpec extends SparkFunSuite {
         case None => conf.unset(TopKPerKey.SpillConfKey)
       }
     }
+
+    test(s"random data (seed $seed): DISTINCT heap equals distinct-sort-take, " +
+      "in-memory and under forced spill") {
+      // distinct-mode contract: the ordering determines the row within a
+      // key, so rows here are exactly (key, a) with heavy duplication —
+      // the KMV layout.  Model = per-key distinct, sort, take k.
+      val rng = new scala.util.Random(seed * 7919L)
+      val data: Seq[(Long, Long)] = (1 to 200).map { _ =>
+        (1L + rng.nextLong(4), rng.nextLong(12))
+      }
+      val df = data.toDF("key", "a").repartition(5) // dups cross partitions
+      val k = 1 + rng.nextInt(5)
+      def model(): Set[(Long, Long)] =
+        data.distinct.groupBy(_._1).values.flatMap(_.sortBy(_._2).take(k)).toSet
+      def run(): Set[(Long, Long)] =
+        TopKPerKey(df, Seq("key"), Seq(col("a").asc), k, distinct = true)
+          .as[(Long, Long)].collect().toSet
+      assert(run() == model(),
+        s"seed $seed: in-memory DISTINCT heap top-k (k=$k) diverged")
+      val conf = spark.conf
+      val prevRows = conf.getOption(TopKPerKey.SpillConfKey)
+      try {
+        conf.set(TopKPerKey.SpillConfKey, math.max(4, k).toString)
+        assert(run() == model(),
+          s"seed $seed: SPILLED distinct heap top-k (k=$k) diverged")
+      } finally prevRows match {
+        case Some(v) => conf.set(TopKPerKey.SpillConfKey, v)
+        case None => conf.unset(TopKPerKey.SpillConfKey)
+      }
+    }
   }
 }
