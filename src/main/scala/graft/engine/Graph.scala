@@ -372,17 +372,28 @@ object Graph {
     *    ("static AQE", the contraction convention), with the regime decided
     *    ONCE from the static edge relation's materialized bytes (a frontier
     *    is never materially larger than e): a tiny e turns adaptive
-    *    execution off so each whole round — shuffle map, join, checkpoint
-    *    count — pipelines into ONE job; an edge relation past
-    *    [[TinyRoundBytes]] keeps the session's AQE and skew handling for
-    *    every round, so at 100 TB nothing is lost.  Measured (census jobs
-    *    tier, sf0.001): q_ancestors_deep 82 → 33, q_ancestors 13 → 8. */
+    *    execution off so each round is the broadcast build of e plus the
+    *    single checkpoint-count job — no AQE stage jobs; an edge relation
+    *    past [[TinyRoundBytes]] keeps the session's AQE and skew handling
+    *    for every round, so at 100 TB nothing is lost.  Measured (census
+    *    jobs tier, sf0.001): q_ancestors_deep 82 → 57, q_ancestors
+    *    13 → 10; warm sf0.1 walls at parity (the depth-sequential driver
+    *    rounds, not data, bound this plan — rounds = height is the
+    *    algorithm). */
   def ancestorClosure(edges: DataFrame, childCol: String, parentCol: String,
                       maxDepth: Int = 30): DataFrame = {
     val parent = edges.sparkSession
     val loop = borrowLoopSession(parent)
     try {
-    val tuner = new RoundTuner(loop, disableBroadcast = true)
+    // broadcasts stay ON here (unlike the contraction tuner): the per-depth
+    // join is tiny-frontier ⋈ STATIC e, and with the checkpoint's origin
+    // stats the tiny e broadcasts — zero shuffle and zero sort per depth,
+    // at one broadcast-build job each.  The disableBroadcast variant was
+    // measured SLOWER at sf0.1 (+0.6 s warm wall): it re-sorts e inside a
+    // sort-merge join every depth to save that one job — the propagation-
+    // loop lesson (static side + shrinking side ⇒ keep broadcasts), not
+    // the contraction one (both sides shrink ⇒ drop them).
+    val tuner = new RoundTuner(loop)
     val out = try {
     val e = reRoot(
         edges.select(col(childCol).as("node"), col(parentCol).as("anc")), loop)
