@@ -29,6 +29,17 @@ object GraftSession {
     "spark.sql.extensions" -> "graft.functions.GraftExtensions",
     "spark.sql.adaptive.enabled" -> "true",
     "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+    // AQE's coalescing floor (default 1 MiB) measures partitions in BYTES,
+    // but the candidate-pair stages of the near-dup family are CPU-dense
+    // and byte-light: a few MB of (doc_a, doc_b) pairs carry seconds of
+    // per-row aggregation work, and the 1 MiB floor coalesced them to 2
+    // tasks on a 32-core box (q_ngram_jaccard's join stage: 2.16 s task
+    // time on 2 tasks, 1.13 s wall).  64 KiB keeps such stages wide
+    // (measured warm wall 2.41 → 1.63 s); at scale this floor is inert —
+    // real shuffles sit at the advisory partition size (64 MiB), three
+    // orders of magnitude above it, so only byte-light stages (where an
+    // extra task is nearly free) are ever split finer.
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "64k",
     "spark.sql.adaptive.skewJoin.enabled" -> "true",
     "spark.sql.files.maxPartitionBytes" -> (128L * 1024 * 1024).toString,
     "spark.sql.session.timeZone" -> "UTC",
