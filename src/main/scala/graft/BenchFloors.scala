@@ -74,6 +74,18 @@ package graft
   * q_t_closeness floored at 0.919 and q_kcenter_coreset at 1.685, each
   * from a 3-pass targeted run (cpu_score_ms 170-172, inside the round's
   * clean band).
+  * Round-16 OPTIMIZATION phase: bracketing full runs on the same machine
+  * (before 211.99 s / 290 q rescued 1, cpu_score 160–223; after
+  * 186.68 s / 290 q rescued 0, cpu_score 161–203) min-merged 70 floors.
+  * The big cuts are the round's plan changes, not window luck:
+  * q_kmv_distinct/merge/intersect 0.952/0.600/0.767 → 0.569/0.370/0.478
+  * (distinct-mode + map-side partial heaps), q_containment_pairs/dedup
+  * 2.421/2.461 → 1.526/1.602 and q_ngram_jaccard 2.143 → 1.241 (the
+  * 64 KiB AQE coalescing floor keeping CPU-dense byte-light stages
+  * wide), q_lpa_communities 1.765 → 1.676 and q_bpe_train_batched
+  * 1.019 → 0.975 (loop-session RoundTuner), q_dedup_incremental
+  * 1.021 → 0.667, q_mutual_knn_prefix_recall 2.801 → 2.371 (partial
+  * heaps under the mutual-knn tails).
   * MACHINE FINGERPRINT for these floors: Bench's per-pass cpu_score_ms
   * (single-thread FNV-1a, 2^27 steps) measured 181–223 ms on the r16
   * floor-setting machine; a future round whose score is ~1.3× higher
@@ -107,7 +119,7 @@ object BenchFloors {
     "q_binary_topk" -> 0.485,
     "q_bm25_topk" -> 0.519,
     "q_bpe_pairs" -> 0.184,
-    "q_bpe_train_batched" -> 1.019,
+    "q_bpe_train_batched" -> 0.975,
     "q_bucketed_join" -> 0.810,
     "q_burstiness" -> 0.337,
     "q_c13_extract_year" -> 0.132,
@@ -117,7 +129,7 @@ object BenchFloors {
     "q_c4_rename_regex" -> 0.107,
     "q_c5_coalesce_variants" -> 0.121,
     "q_c6_metadata_lits" -> 0.111,
-    "q_c7_coerce_numeric" -> 0.206,
+    "q_c7_coerce_numeric" -> 0.203,
     "q_c8_unit_normalize" -> 0.133,
     "q_c9_herd_from_dau" -> 0.129,
     "q_cc_contraction" -> 3.638,
@@ -127,11 +139,11 @@ object BenchFloors {
     "q_char_entropy" -> 0.416,
     "q_chi2_drift" -> 0.342, // r14 re-base, see header NOTE
     "q_chunk_overlap" -> 0.124,
-    "q_cluster_separation" -> 0.235,
+    "q_cluster_separation" -> 0.213,
     "q_cms_heavy_hitters" -> 0.763,
-    "q_containment_dedup" -> 2.461,
-    "q_containment_pairs" -> 2.421,
-    "q_contamination" -> 1.028,
+    "q_containment_dedup" -> 1.602,
+    "q_containment_pairs" -> 1.526,
+    "q_contamination" -> 0.848,
     "q_corpus_pipeline" -> 0.283,
     "q_corr_moments" -> 0.120,
     "q_cosine_brute_topk" -> 0.206,
@@ -141,11 +153,11 @@ object BenchFloors {
     "q_decode_audio" -> 0.386,
     "q_decode_real" -> 0.385,
     "q_decode_stub" -> 0.104,
-    "q_dedup_best" -> 1.493,
-    "q_dedup_clusters" -> 1.477,
+    "q_dedup_best" -> 1.384,
+    "q_dedup_clusters" -> 1.292,
     "q_dedup_embed_cosine" -> 0.258,
     "q_dedup_exact" -> 0.127,
-    "q_dedup_incremental" -> 1.021,
+    "q_dedup_incremental" -> 0.667,
     "q_dedup_keep" -> 0.191,
     "q_doc_length_hist" -> 0.118,
     "q_domain_quota" -> 0.106,
@@ -158,7 +170,7 @@ object BenchFloors {
     "q_events_json_typed" -> 0.107,
     "q_events_sliding" -> 0.164,
     "q_events_tumbling" -> 0.146,
-    "q_ewma" -> 0.195,
+    "q_ewma" -> 0.187,
     "q_expectations" -> 0.167,
     "q_feature_hash" -> 0.435,
     "q_file_provenance" -> 0.366,
@@ -183,11 +195,11 @@ object BenchFloors {
     "q_ivf_topk" -> 0.528,
     "q_jsd_drift" -> 0.189,
     "q_k_anonymity" -> 0.083,
-    "q_kcenter_coreset" -> 1.685,
+    "q_kcenter_coreset" -> 0.783,
     "q_kmeans_refine" -> 0.439,
-    "q_kmv_distinct" -> 0.952,
-    "q_kmv_intersect" -> 0.767,
-    "q_kmv_merge" -> 0.600,
+    "q_kmv_distinct" -> 0.569,
+    "q_kmv_intersect" -> 0.478,
+    "q_kmv_merge" -> 0.370,
     "q_ks_drift" -> 1.058,
     "q_l_diversity" -> 0.095,
     "q_lag_lead" -> 0.120,
@@ -195,49 +207,49 @@ object BenchFloors {
     "q_line_boilerplate" -> 0.448,
     "q_line_dedup" -> 0.213,
     "q_lm_bigram_score" -> 0.933,
-    "q_lpa_communities" -> 1.765,
+    "q_lpa_communities" -> 1.676,
     "q_lsh_buckets" -> 0.095,
     "q_lsh_topk" -> 0.225,
     "q_lsh_topk_multiprobe" -> 0.259,
     "q_margin_mining" -> 0.361,
     "q_matryoshka_ivf" -> 0.556,
     "q_matryoshka_ivf_recall" -> 0.951,
-    "q_minhash_bands" -> 0.497,
-    "q_minhash_candidates" -> 0.879,
-    "q_minhash_estimate" -> 0.975,
-    "q_minhash_oph" -> 0.462,
-    "q_minhash_recall" -> 0.818,
+    "q_minhash_bands" -> 0.340,
+    "q_minhash_candidates" -> 0.724,
+    "q_minhash_estimate" -> 0.854,
+    "q_minhash_oph" -> 0.347,
+    "q_minhash_recall" -> 0.773,
     "q_mixture_sample" -> 0.147,
-    "q_mixture_temperature" -> 0.130,
+    "q_mixture_temperature" -> 0.128,
     "q_mmr_topk" -> 0.359,
     "q_mode_per_user" -> 0.149,
     "q_multiformat_roundtrip" -> 1.302,
     "q_multimodal_meta" -> 0.089,
     "q_multimodal_pipeline" -> 0.371,
     "q_multimodal_pipeline_ivf" -> 0.550,
-    "q_multimodal_resize" -> 0.624,
+    "q_multimodal_resize" -> 0.604,
     "q_multimodal_resize_bilinear" -> 0.511,
     "q_mutual_info" -> 0.188,
     "q_mutual_knn_ivf" -> 1.169,
-    "q_mutual_knn_ivf_recall" -> 2.342,
+    "q_mutual_knn_ivf_recall" -> 2.304,
     "q_mutual_knn_prefix" -> 1.303,
-    "q_mutual_knn_prefix_recall" -> 2.801,
-    "q_near_dup_edit" -> 0.865,
-    "q_near_dup_jaccard" -> 0.968,
-    "q_ngram_jaccard" -> 2.143,
+    "q_mutual_knn_prefix_recall" -> 2.371,
+    "q_near_dup_edit" -> 0.636,
+    "q_near_dup_jaccard" -> 0.788,
+    "q_ngram_jaccard" -> 1.241,
     "q_normalize_text" -> 0.091,
     "q_novelty" -> 0.665,
     "q_ntile_shards" -> 0.127,
     "q_null_safe_join" -> 0.494,
-    "q_oph_near_dup" -> 1.226,
-    "q_oph_recall" -> 1.573,
+    "q_oph_near_dup" -> 0.828,
+    "q_oph_recall" -> 0.961,
     "q_orphan_audit" -> 0.289,
-    "q_outlier_mad" -> 0.256,
+    "q_outlier_mad" -> 0.253,
     "q_p1_footer_filter" -> 0.121,
     "q_p2_p4_project" -> 0.118,
     "q_p3_regex_gate" -> 0.133,
     "q_pack_chunks" -> 0.087,
-    "q_pagerank" -> 0.690,
+    "q_pagerank" -> 0.679,
     "q_partial_agg_merge" -> 0.141,
     "q_percent_rank" -> 0.093,
     "q_percentiles" -> 0.133,
@@ -245,36 +257,36 @@ object BenchFloors {
     "q_pivot" -> 0.143,
     "q_pmi_bigrams" -> 0.444,
     "q_pop_harvest_join" -> 0.286,
-    "q_pq_codes" -> 0.479,
+    "q_pq_codes" -> 0.438,
     "q_pq_topk" -> 0.435,
     "q_pq_topk_trained" -> 0.981,
-    "q_pq_train" -> 0.290,
+    "q_pq_train" -> 0.266,
     "q_profile_columns" -> 0.196,
     "q_psi_drift" -> 0.182,
     "q_purge_keys" -> 1.289,
     "q_quality_linear_probe" -> 0.490,
     "q_q1_schema_audit" -> 0.050,
     "q_q3_validate_columns" -> 0.080,
-    "q_quality_probe_gopher" -> 0.856,
-    "q_quantile_merge" -> 0.709,
-    "q_quantile_sketch" -> 1.005,
+    "q_quality_probe_gopher" -> 0.826,
+    "q_quantile_merge" -> 0.688,
+    "q_quantile_sketch" -> 0.881,
     "q_rand_proj_recall" -> 0.305,
     "q_rand_proj_topk" -> 0.232,
-    "q_range_frame" -> 0.089,
-    "q_range_join" -> 0.221,
+    "q_range_frame" -> 0.088,
+    "q_range_join" -> 0.220,
     "q_repetition" -> 0.110,
-    "q_resample_gapfill" -> 0.157,
+    "q_resample_gapfill" -> 0.155,
     "q_retention_cohorts" -> 0.214,
     "q_rolling_sum" -> 0.088,
     "q_rollup" -> 0.235,
-    "q_runtime_bloom" -> 0.419,
-    "q_s10_upsert" -> 0.242,
+    "q_runtime_bloom" -> 0.373,
+    "q_s10_upsert" -> 0.231,
     "q_s10_upsert_partitioned" -> 0.908,
-    "q_s4_extract_blocks" -> 0.919,
+    "q_s4_extract_blocks" -> 0.911,
     "q_s5_s9_roundtrip" -> 0.519,
     "q_s6_schema_drift" -> 0.382,
     "q_s7_schema_probe" -> 0.079,
-    "q_s8_ddl" -> 0.274,
+    "q_s8_ddl" -> 0.263,
     "q_salted_agg" -> 0.136,
     "q_salted_join" -> 0.158,
     "q_sample_checksum" -> 0.086,
@@ -282,68 +294,68 @@ object BenchFloors {
     "q_sample_stratified" -> 0.113,
     "q_sample_weighted" -> 0.079,
     "q_scd2_pit" -> 0.421,
-    "q_scd2_upsert" -> 0.297,
+    "q_scd2_upsert" -> 0.295,
     "q_segment_dedup" -> 0.333,
     "q_segment_dedup_rewrite" -> 0.518,
     "q_semdedup" -> 0.197,
     "q_semi_join" -> 0.237,
     "q_session_window" -> 0.277,
     "q_sessionize" -> 0.128,
-    "q_sessionize_fold" -> 0.217,
+    "q_sessionize_fold" -> 0.191,
     "q_setops" -> 0.262,
     "q_shuffle_order" -> 0.218,
     "q_simhash" -> 0.223,
     "q_simhash_near_dup" -> 0.805,
-    "q_skew_split_join" -> 1.398,
+    "q_skew_split_join" -> 1.353,
     "q_snapshot_diff" -> 0.174,
     "q_spearman" -> 1.302,
-    "q_split_leakage_safe" -> 1.467,
+    "q_split_leakage_safe" -> 1.272,
     "q_st10_stream_outer_join" -> 3.111,
     "q_st11_tx_stream_merge" -> 1.745,
-    "q_st12_session_timeout" -> 1.741,
-    "q_st13_stream_cms" -> 2.890,
+    "q_st12_session_timeout" -> 1.728,
+    "q_st13_stream_cms" -> 2.765,
     "q_st14_stream_ivm" -> 2.644,
-    "q_st15_stream_decode" -> 2.043,
-    "q_st16_stream_ann" -> 2.217,
-    "q_st17_stream_psi" -> 2.034,
-    "q_st18_stream_dlq" -> 1.364,
-    "q_st19_stream_wilson_gate" -> 2.126,
-    "q_st1_streaming_catchup" -> 0.521,
+    "q_st15_stream_decode" -> 2.014,
+    "q_st16_stream_ann" -> 2.063,
+    "q_st17_stream_psi" -> 1.967,
+    "q_st18_stream_dlq" -> 1.244,
+    "q_st19_stream_wilson_gate" -> 2.052,
+    "q_st1_streaming_catchup" -> 0.484,
     "q_st20_stream_ann_maintain" -> 3.995,
-    "q_st4_streaming_upsert" -> 1.550,
-    "q_st5_stream_dedup" -> 1.576,
+    "q_st4_streaming_upsert" -> 1.504,
+    "q_st5_stream_dedup" -> 1.559,
     "q_st6_stream_stream_join" -> 2.684,
     "q_st7_stream_enrich" -> 0.601,
-    "q_st8_stream_sessions" -> 2.163,
+    "q_st8_stream_sessions" -> 2.113,
     "q_st9_tx_stream_sink" -> 0.707,
     "q_stateful_sessions" -> 0.186,
     "q_streaks" -> 0.119,
     "q_stride_interleave" -> 0.323,
-    "q_string_agg" -> 0.121,
-    "q_t_closeness" -> 0.919,
+    "q_string_agg" -> 0.118,
+    "q_t_closeness" -> 0.329,
     "q_text_quality" -> 0.090,
     "q_tfidf_top_term" -> 0.425,
     "q_time_travel" -> 0.518,
     "q_token_budget" -> 0.152,
     "q_token_counts" -> 0.082,
     "q_top_bigrams" -> 0.288,
-    "q_topk_orders" -> 0.098,
-    "q_train_val_split" -> 0.122,
-    "q_transitions" -> 0.238,
+    "q_topk_orders" -> 0.095,
+    "q_train_val_split" -> 0.114,
+    "q_transitions" -> 0.235,
     "q_triangles" -> 0.212,
-    "q_tx_ann_incremental" -> 3.375,
+    "q_tx_ann_incremental" -> 3.322,
     "q_tx_ann_lists" -> 1.275,
     "q_tx_asof" -> 0.429,
     "q_tx_autocompact" -> 1.542,
     "q_tx_bloom" -> 1.120,
-    "q_tx_cdf" -> 2.030,
+    "q_tx_cdf" -> 2.027,
     "q_tx_compact_zorder" -> 1.547,
     "q_tx_constraint" -> 0.670,
     "q_tx_dfp" -> 1.174,
     "q_tx_dv" -> 1.135,
     "q_tx_dv_point" -> 1.537,
-    "q_tx_history" -> 1.262,
-    "q_tx_history_limit" -> 0.834,
+    "q_tx_history" -> 1.233,
+    "q_tx_history_limit" -> 0.811,
     "q_tx_ivm" -> 3.085,
     "q_tx_ivm_join" -> 3.770,
     "q_tx_merge" -> 0.587,
@@ -361,7 +373,7 @@ object BenchFloors {
     "q_typed_udaf" -> 0.116,
     "q_unigram_surprisal" -> 0.235,
     "q_union_offsets" -> 0.283,
-    "q_unpivot" -> 0.121,
+    "q_unpivot" -> 0.120,
     "q_url_canonical" -> 0.096,
     "q_url_domains" -> 0.120,
     "q_variant_extract" -> 0.114,
@@ -372,9 +384,9 @@ object BenchFloors {
     "q_zipf_fit" -> 0.334,
     "q_winsorize" -> 0.263,
     "q_zscore" -> 0.264,
-    "q_matryoshka_recall" -> 0.304,
+    "q_matryoshka_recall" -> 0.292,
     "q_matryoshka_topk" -> 0.190,
-    "q_mutual_knn" -> 0.831,
+    "q_mutual_knn" -> 0.800,
     "q_tx_delta" -> 1.062,
     // floored from JobProfile minima (reps 2+), the round-11g convention
     "q_expectations_wilson" -> 0.147,
