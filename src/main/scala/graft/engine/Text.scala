@@ -310,12 +310,20 @@ object Text {
     * lambda-captured expressions, so shingling straight off the text column
     * re-splits the string once per shingle index. */
   def shinglesOf(t: Column, w: Int = 3): Column =
-    // guard: sequence(1, n) DESCENDS for n < 1, so short docs need an
-    // explicit empty-array branch, not an empty sequence.
-    when(size(t) >= w,
-      transform(sequence(lit(1), size(t) - (w - 1)),
-        i => array_join(slice(t, i, lit(w)), " ")))
-      .otherwise(array().cast("array<string>"))
+    // Codegen'd native expression (r16, graft.functions.Shingles): the
+    // composable form — `when(size(t) >= w, transform(sequence(1,
+    // size(t)-(w-1)), i => array_join(slice(t, i, w), " ")))
+    // .otherwise(array())` — is byte-identical in output (that form is
+    // still what the DuckDB oracles restate, and TextSpec pins the
+    // equivalence) but stacks three interpreted evaluations per shingle
+    // (HOF lambda + slice copy + join walk); the native loop emits each
+    // joined w-gram straight from the source array inside whole-stage
+    // codegen.  Null/short inputs yield an EMPTY array, exactly like the
+    // `otherwise` branch the old form needed for n < 1 sequences.
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.Shingles(
+        org.apache.spark.sql.GraftSqlBridge.expr(t),
+        org.apache.spark.sql.catalyst.expressions.Literal(w)))
 
   /** w-token shingles (w=3): the unit for near-dup Jaccard. */
   def shingles(textCol: Column, w: Int = 3): Column = shinglesOf(tokens(textCol), w)

@@ -25,6 +25,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_cos"),
       CosineSim.info,
       (children: Seq[Expression]) => CosineSim(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_shingles"),
+      Shingles.info,
+      (children: Seq[Expression]) => Shingles(children(0), children(1))))
     // analysis-time guardrail: ban the partition-less ordered Window
     // engine-wide (graft.plans.PlanGuardrails — conf-gated escape hatch)
     ext.injectCheckRule(spark => graft.plans.PlanGuardrails.check(spark))
@@ -46,6 +50,10 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_cos",
       (children: Seq[Expression]) => CosineSim(children(0), children(1)),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_shingles",
+      (children: Seq[Expression]) => Shingles(children(0), children(1)),
       "built-in")
   }
 }

@@ -20,4 +20,10 @@ object GraftSqlBridge {
     * catalyst expressions the analyzer resolves normally. */
   def expr(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
     classic.ColumnNodeToExpressionConverter(c.node)
+
+  /** Catalyst Expression → Column (the inverse of [[expr]]) — lets engine
+    * code use a custom expression without a function-registry round-trip,
+    * so it works on ANY session (test sessions carry no extensions). */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    classic.ExpressionUtils.column(e)
 }
