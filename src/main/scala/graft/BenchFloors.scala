@@ -85,7 +85,12 @@ package graft
   * wide), q_lpa_communities 1.765 → 1.676 and q_bpe_train_batched
   * 1.019 → 0.975 (loop-session RoundTuner), q_dedup_incremental
   * 1.021 → 0.667, q_mutual_knn_prefix_recall 2.801 → 2.371 (partial
-  * heaps under the mutual-knn tails).
+  * heaps under the mutual-knn tails).  A third full run closing the
+  * round (177.78 s / 290 q rescued 0, cpu_score 159–183 — after the
+  * codegen shingle expression landed) min-merged 72 more, incl.
+  * q_minhash_estimate 0.854 → 0.532, q_near_dup_jaccard 0.968 → 0.530,
+  * q_ngram_jaccard 1.241 → 1.014, q_dedup_incremental 0.667 → 0.565 and
+  * q_ancestors_deep 3.295 → 2.696.
   * MACHINE FINGERPRINT for these floors: Bench's per-pass cpu_score_ms
   * (single-thread FNV-1a, 2^27 steps) measured 181–223 ms on the r16
   * floor-setting machine; a future round whose score is ~1.3× higher
@@ -102,48 +107,48 @@ object BenchFloors {
   val floors: Map[String, Double] = Map(
     "q1_lineitem_agg" -> 0.168,
     "q_acf" -> 0.206,
-    "q_agg_distinct" -> 0.103,
-    "q_agg_pushdown" -> 0.113,
+    "q_agg_distinct" -> 0.102,
+    "q_agg_pushdown" -> 0.100,
     "q_ancestors" -> 0.581,
-    "q_ancestors_deep" -> 3.295,
+    "q_ancestors_deep" -> 2.696,
     "q_ann_filtered" -> 0.268,
     "q_ann_mrr" -> 0.238,
     "q_ann_ndcg" -> 0.293,
     "q_ann_rbo" -> 0.259,
     "q_ann_recall" -> 0.317,
-    "q_ann_recall_p8" -> 0.313,
+    "q_ann_recall_p8" -> 0.299,
     "q_anti_join" -> 0.197,
     "q_aqe_skew" -> 1.376,
     "q_asof_join" -> 0.122,
     "q_benford" -> 0.155,
-    "q_binary_topk" -> 0.485,
+    "q_binary_topk" -> 0.431,
     "q_bm25_topk" -> 0.519,
     "q_bpe_pairs" -> 0.184,
-    "q_bpe_train_batched" -> 0.975,
+    "q_bpe_train_batched" -> 0.838,
     "q_bucketed_join" -> 0.810,
-    "q_burstiness" -> 0.337,
+    "q_burstiness" -> 0.330,
     "q_c13_extract_year" -> 0.132,
     "q_c14_state_map" -> 0.126,
     "q_c1_c2_header_norms" -> 0.109,
-    "q_c3_rename_defaults" -> 0.090,
+    "q_c3_rename_defaults" -> 0.088,
     "q_c4_rename_regex" -> 0.107,
     "q_c5_coalesce_variants" -> 0.121,
     "q_c6_metadata_lits" -> 0.111,
     "q_c7_coerce_numeric" -> 0.203,
-    "q_c8_unit_normalize" -> 0.133,
-    "q_c9_herd_from_dau" -> 0.129,
+    "q_c8_unit_normalize" -> 0.131,
+    "q_c9_herd_from_dau" -> 0.122,
     "q_cc_contraction" -> 3.638,
     "q_ccf" -> 0.212,
     "q_cdc_apply" -> 0.423,
-    "q_centroid_dist" -> 0.234,
-    "q_char_entropy" -> 0.416,
-    "q_chi2_drift" -> 0.342, // r14 re-base, see header NOTE
-    "q_chunk_overlap" -> 0.124,
+    "q_centroid_dist" -> 0.221,
+    "q_char_entropy" -> 0.374,
+    "q_chi2_drift" -> 0.338, // r14 re-base, see header NOTE
+    "q_chunk_overlap" -> 0.122,
     "q_cluster_separation" -> 0.213,
     "q_cms_heavy_hitters" -> 0.763,
-    "q_containment_dedup" -> 1.602,
-    "q_containment_pairs" -> 1.526,
-    "q_contamination" -> 0.848,
+    "q_containment_dedup" -> 1.191,
+    "q_containment_pairs" -> 1.116,
+    "q_contamination" -> 0.630,
     "q_corpus_pipeline" -> 0.283,
     "q_corr_moments" -> 0.120,
     "q_cosine_brute_topk" -> 0.206,
@@ -153,11 +158,11 @@ object BenchFloors {
     "q_decode_audio" -> 0.386,
     "q_decode_real" -> 0.385,
     "q_decode_stub" -> 0.104,
-    "q_dedup_best" -> 1.384,
-    "q_dedup_clusters" -> 1.292,
+    "q_dedup_best" -> 1.056,
+    "q_dedup_clusters" -> 1.023,
     "q_dedup_embed_cosine" -> 0.258,
     "q_dedup_exact" -> 0.127,
-    "q_dedup_incremental" -> 0.667,
+    "q_dedup_incremental" -> 0.565,
     "q_dedup_keep" -> 0.191,
     "q_doc_length_hist" -> 0.118,
     "q_domain_quota" -> 0.106,
@@ -175,50 +180,50 @@ object BenchFloors {
     "q_feature_hash" -> 0.435,
     "q_file_provenance" -> 0.366,
     "q_fingerprint" -> 0.086,
-    "q_flagship_revenue" -> 0.548,
+    "q_flagship_revenue" -> 0.544,
     "q_forward_fill" -> 0.090,
     "q_frame_sample" -> 0.097,
     "q_funnel" -> 0.085,
     "q_g1_explode_production" -> 0.112,
     "q_gini" -> 0.227,
     "q_gopher_rules" -> 0.088,
-    "q_grouping_sets" -> 0.254,
+    "q_grouping_sets" -> 0.226,
     "q_harvest_pipeline" -> 0.168,
     "q_hhi" -> 0.122,
-    "q_hll_distinct" -> 0.653,
-    "q_hybrid_rrf" -> 1.237,
-    "q_incremental_join" -> 0.296,
+    "q_hll_distinct" -> 0.615,
+    "q_hybrid_rrf" -> 1.140,
+    "q_incremental_join" -> 0.295,
     "q_interval_join" -> 0.282,
     "q_inverted_index" -> 0.288,
-    "q_ivf_adaptive" -> 0.663,
-    "q_ivf_pq_topk" -> 0.799,
+    "q_ivf_adaptive" -> 0.657,
+    "q_ivf_pq_topk" -> 0.757,
     "q_ivf_topk" -> 0.528,
-    "q_jsd_drift" -> 0.189,
+    "q_jsd_drift" -> 0.183,
     "q_k_anonymity" -> 0.083,
-    "q_kcenter_coreset" -> 0.783,
+    "q_kcenter_coreset" -> 0.687,
     "q_kmeans_refine" -> 0.439,
-    "q_kmv_distinct" -> 0.569,
-    "q_kmv_intersect" -> 0.478,
-    "q_kmv_merge" -> 0.370,
-    "q_ks_drift" -> 1.058,
+    "q_kmv_distinct" -> 0.444,
+    "q_kmv_intersect" -> 0.377,
+    "q_kmv_merge" -> 0.339,
+    "q_ks_drift" -> 0.792,
     "q_l_diversity" -> 0.095,
     "q_lag_lead" -> 0.120,
     "q_lang_id" -> 0.196,
     "q_line_boilerplate" -> 0.448,
-    "q_line_dedup" -> 0.213,
-    "q_lm_bigram_score" -> 0.933,
-    "q_lpa_communities" -> 1.676,
+    "q_line_dedup" -> 0.205,
+    "q_lm_bigram_score" -> 0.799,
+    "q_lpa_communities" -> 1.123,
     "q_lsh_buckets" -> 0.095,
     "q_lsh_topk" -> 0.225,
     "q_lsh_topk_multiprobe" -> 0.259,
     "q_margin_mining" -> 0.361,
-    "q_matryoshka_ivf" -> 0.556,
+    "q_matryoshka_ivf" -> 0.506,
     "q_matryoshka_ivf_recall" -> 0.951,
-    "q_minhash_bands" -> 0.340,
-    "q_minhash_candidates" -> 0.724,
-    "q_minhash_estimate" -> 0.854,
-    "q_minhash_oph" -> 0.347,
-    "q_minhash_recall" -> 0.773,
+    "q_minhash_bands" -> 0.273,
+    "q_minhash_candidates" -> 0.425,
+    "q_minhash_estimate" -> 0.474,
+    "q_minhash_oph" -> 0.250,
+    "q_minhash_recall" -> 0.657,
     "q_mixture_sample" -> 0.147,
     "q_mixture_temperature" -> 0.128,
     "q_mmr_topk" -> 0.359,
@@ -228,21 +233,21 @@ object BenchFloors {
     "q_multimodal_pipeline" -> 0.371,
     "q_multimodal_pipeline_ivf" -> 0.550,
     "q_multimodal_resize" -> 0.604,
-    "q_multimodal_resize_bilinear" -> 0.511,
-    "q_mutual_info" -> 0.188,
+    "q_multimodal_resize_bilinear" -> 0.475,
+    "q_mutual_info" -> 0.176,
     "q_mutual_knn_ivf" -> 1.169,
     "q_mutual_knn_ivf_recall" -> 2.304,
     "q_mutual_knn_prefix" -> 1.303,
     "q_mutual_knn_prefix_recall" -> 2.371,
-    "q_near_dup_edit" -> 0.636,
-    "q_near_dup_jaccard" -> 0.788,
-    "q_ngram_jaccard" -> 1.241,
+    "q_near_dup_edit" -> 0.459,
+    "q_near_dup_jaccard" -> 0.553,
+    "q_ngram_jaccard" -> 1.014,
     "q_normalize_text" -> 0.091,
-    "q_novelty" -> 0.665,
+    "q_novelty" -> 0.525,
     "q_ntile_shards" -> 0.127,
     "q_null_safe_join" -> 0.494,
-    "q_oph_near_dup" -> 0.828,
-    "q_oph_recall" -> 0.961,
+    "q_oph_near_dup" -> 0.592,
+    "q_oph_recall" -> 0.846,
     "q_orphan_audit" -> 0.289,
     "q_outlier_mad" -> 0.253,
     "q_p1_footer_filter" -> 0.121,
@@ -267,8 +272,8 @@ object BenchFloors {
     "q_quality_linear_probe" -> 0.490,
     "q_q1_schema_audit" -> 0.050,
     "q_q3_validate_columns" -> 0.080,
-    "q_quality_probe_gopher" -> 0.826,
-    "q_quantile_merge" -> 0.688,
+    "q_quality_probe_gopher" -> 0.819,
+    "q_quantile_merge" -> 0.686,
     "q_quantile_sketch" -> 0.881,
     "q_rand_proj_recall" -> 0.305,
     "q_rand_proj_topk" -> 0.232,
@@ -293,38 +298,38 @@ object BenchFloors {
     "q_sample_fixed_k" -> 0.124,
     "q_sample_stratified" -> 0.113,
     "q_sample_weighted" -> 0.079,
-    "q_scd2_pit" -> 0.421,
+    "q_scd2_pit" -> 0.418,
     "q_scd2_upsert" -> 0.295,
     "q_segment_dedup" -> 0.333,
     "q_segment_dedup_rewrite" -> 0.518,
     "q_semdedup" -> 0.197,
     "q_semi_join" -> 0.237,
-    "q_session_window" -> 0.277,
+    "q_session_window" -> 0.269,
     "q_sessionize" -> 0.128,
     "q_sessionize_fold" -> 0.191,
     "q_setops" -> 0.262,
     "q_shuffle_order" -> 0.218,
     "q_simhash" -> 0.223,
-    "q_simhash_near_dup" -> 0.805,
-    "q_skew_split_join" -> 1.353,
+    "q_simhash_near_dup" -> 0.792,
+    "q_skew_split_join" -> 1.315,
     "q_snapshot_diff" -> 0.174,
-    "q_spearman" -> 1.302,
-    "q_split_leakage_safe" -> 1.272,
-    "q_st10_stream_outer_join" -> 3.111,
-    "q_st11_tx_stream_merge" -> 1.745,
-    "q_st12_session_timeout" -> 1.728,
+    "q_spearman" -> 1.190,
+    "q_split_leakage_safe" -> 0.987,
+    "q_st10_stream_outer_join" -> 3.087,
+    "q_st11_tx_stream_merge" -> 1.640,
+    "q_st12_session_timeout" -> 1.558,
     "q_st13_stream_cms" -> 2.765,
     "q_st14_stream_ivm" -> 2.644,
     "q_st15_stream_decode" -> 2.014,
     "q_st16_stream_ann" -> 2.063,
     "q_st17_stream_psi" -> 1.967,
-    "q_st18_stream_dlq" -> 1.244,
-    "q_st19_stream_wilson_gate" -> 2.052,
+    "q_st18_stream_dlq" -> 1.156,
+    "q_st19_stream_wilson_gate" -> 2.030,
     "q_st1_streaming_catchup" -> 0.484,
     "q_st20_stream_ann_maintain" -> 3.995,
     "q_st4_streaming_upsert" -> 1.504,
-    "q_st5_stream_dedup" -> 1.559,
-    "q_st6_stream_stream_join" -> 2.684,
+    "q_st5_stream_dedup" -> 1.547,
+    "q_st6_stream_stream_join" -> 2.637,
     "q_st7_stream_enrich" -> 0.601,
     "q_st8_stream_sessions" -> 2.113,
     "q_st9_tx_stream_sink" -> 0.707,
@@ -332,8 +337,8 @@ object BenchFloors {
     "q_streaks" -> 0.119,
     "q_stride_interleave" -> 0.323,
     "q_string_agg" -> 0.118,
-    "q_t_closeness" -> 0.329,
-    "q_text_quality" -> 0.090,
+    "q_t_closeness" -> 0.308,
+    "q_text_quality" -> 0.089,
     "q_tfidf_top_term" -> 0.425,
     "q_time_travel" -> 0.518,
     "q_token_budget" -> 0.152,
@@ -353,7 +358,7 @@ object BenchFloors {
     "q_tx_constraint" -> 0.670,
     "q_tx_dfp" -> 1.174,
     "q_tx_dv" -> 1.135,
-    "q_tx_dv_point" -> 1.537,
+    "q_tx_dv_point" -> 1.528,
     "q_tx_history" -> 1.233,
     "q_tx_history_limit" -> 0.811,
     "q_tx_ivm" -> 3.085,
@@ -365,7 +370,7 @@ object BenchFloors {
     "q_tx_schema_evolve" -> 0.545,
     "q_tx_stats_sidecar" -> 0.807,
     "q_tx_table" -> 0.543,
-    "q_tx_tag" -> 0.886,
+    "q_tx_tag" -> 0.882,
     "q_tx_vacuum_tt" -> 1.476,
     "q_tx_wap" -> 0.647,
     "q_tx_zorder" -> 2.186,
@@ -376,7 +381,7 @@ object BenchFloors {
     "q_unpivot" -> 0.120,
     "q_url_canonical" -> 0.096,
     "q_url_domains" -> 0.120,
-    "q_variant_extract" -> 0.114,
+    "q_variant_extract" -> 0.113,
     "q_vocab_coverage" -> 0.147,
     "q_vocab_overlap" -> 0.237,
     "q_welch_t" -> 0.430, // r14 re-base, see header NOTE
@@ -384,8 +389,8 @@ object BenchFloors {
     "q_zipf_fit" -> 0.334,
     "q_winsorize" -> 0.263,
     "q_zscore" -> 0.264,
-    "q_matryoshka_recall" -> 0.292,
-    "q_matryoshka_topk" -> 0.190,
+    "q_matryoshka_recall" -> 0.279,
+    "q_matryoshka_topk" -> 0.185,
     "q_mutual_knn" -> 0.800,
     "q_tx_delta" -> 1.062,
     // floored from JobProfile minima (reps 2+), the round-11g convention
