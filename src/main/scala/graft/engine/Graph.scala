@@ -412,7 +412,7 @@ object Graph {
     // extra int column), so tiny e ⇒ every round is fixed-cost-bound; a
     // large e keeps session AQE (and its skew handling on the per-round
     // join) for the whole loop.
-    tuner.retune(e)
+    val tinyRegime = tuner.retune(e)
     // Result layers FOLD into a periodically re-checkpointed accumulator
     // instead of accumulating one live frame per depth: storage held at
     // any instant is ONE closure-so-far checkpoint + at most FoldEvery
@@ -438,25 +438,68 @@ object Graph {
     // `d <= maxDepth`: the depth-maxDepth frontier must get ONE more
     // extension attempt before the cycle verdict — a legitimate forest of
     // height exactly maxDepth drains on that attempt; only a frontier still
-    // alive PAST it is a cycle (or a genuinely deeper tree)
+    // alive PAST it is a cycle (or a genuinely deeper tree).
+    //
+    // TWO hops per round in the tiny regime (r17): fixed-cost-bound rounds
+    // are priced in driver round-trips (plan + one job each), so each round
+    // extends the frontier TWICE inside one action — hop1, then hop1 ⋈ e —
+    // and materializes the two-depth union as ONE lazy checkpoint.  The
+    // drain question for BOTH hops rides the materializing aggregate
+    // itself: (total rows, deep-hop rows) come back from a single
+    // count/sum collect, so hop2-empty-while-hop1-alive ends the loop in
+    // the SAME round (without the deep count, the boundary case "height
+    // exactly maxDepth, reached mid-round" would mis-verdict as a cycle).
+    // The price is hop1's join running twice inside the action (union
+    // branches share no exchange under a broadcast join) — kilobyte-scale
+    // CPU in this regime, which is why the LARGE regime keeps one hop per
+    // round: data-bound rounds must never duplicate a data-path join, and
+    // there AQE stage scheduling (not driver rounds) dominates anyway.
+    // Measured at sf0.1 (warm, same window): q_ancestors_deep 24 rounds →
+    // 13, see OPTIMIZATION_r17.md.
+    val eUp = e.select(col("node").as("anc"), col("anc").as("__up"))
+    def hop(f: DataFrame): DataFrame = f.join(eUp, "anc")
+      .select(col("node"), col("__up").as("anc"),
+        (col("depth") + 1).as("depth"))
     while (!drained && d <= maxDepth) {
-      val (next, n) = ckCount(frontier
-        .join(e.select(col("node").as("anc"), col("anc").as("__up")), "anc")
-        .select(col("node"), col("__up").as("anc"),
-          (col("depth") + 1).as("depth")))
-      // a superseded frontier stays persisted until its layer folds into
-      // the accumulator — it IS a result layer; only the working set
-      // advances
-      frontier = next
+      // the budget counts ATTEMPTS (hops), so a two-hop round needs d+1
+      // within budget too; the last allowed attempt runs single-hop
+      val hops = if (tinyRegime && d < maxDepth) 2 else 1
+      val h1 = hop(frontier)
+      // coalesce the two-depth union back to the frontier's partition
+      // count: union CONCATENATES partitions, so without it the layer's
+      // partition count doubles per round — exponential task growth on
+      // deep trees (narrow dependency: no shuffle, just fewer tasks)
+      val layer = if (hops == 2)
+        h1.unionByName(hop(h1))
+          .coalesce(math.max(1, frontier.queryExecution.toRdd.getNumPartitions))
+      else h1
+      val ck = layer.localCheckpoint(eager = false)
+      // ONE job: materializes the round's layer(s), counts the whole layer
+      // (the drain probe) AND the deepest hop's rows (the next frontier's
+      // emptiness — known now instead of costing next round's join)
+      val probe = ck.agg(count(lit(1)),
+        sum(when(col("depth") === d + hops, 1L))).collect().head
+      val n = probe.getLong(0)
+      val nDeep = if (probe.isNullAt(1)) 0L else probe.getLong(1)
       drained = n == 0L
-      if (!drained) pending ::= next
+      if (!drained) {
+        // a superseded frontier stays persisted until its layer folds into
+        // the accumulator — it IS a result layer; only the working set
+        // advances (the frontier is a filter VIEW over the round's
+        // checkpointed blocks, so it costs no copy)
+        pending ::= ck
+        frontier = ck.filter(col("depth") === lit(d + hops))
+        // hop2 extends hop1: an empty deepest hop means nothing deeper can
+        // exist — the closure is complete this round
+        if (nDeep == 0L) drained = true
+      }
       if (pending.size >= FoldEvery) {
         // the newest pending layer IS the live frontier — the next round's
         // join still reads its blocks, so it must survive the fold
         foldInto(pending.tail)
         pending = List(pending.head)
       }
-      d += 1
+      d += hops
     }
     require(drained, s"ancestorClosure: frontier alive after $maxDepth " +
       "hops — cycle in the 'forest', or raise maxDepth for a deeper tree")
@@ -598,7 +641,12 @@ object Graph {
     private val sp0 = spark.conf.get("spark.sql.shuffle.partitions")
     private val aqe0 = spark.conf.get("spark.sql.adaptive.enabled")
     private val abt0 = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    def retune(cur: DataFrame): Unit = checkpointBytes(cur) match {
+    /** True ⇔ the frame passed to [[retune]] was tiny enough to enter the
+      * fixed-cost regime — the same decision some loops use to pick a
+      * rounds-batching strategy (fixed-cost-bound rounds can afford an
+      * in-action recompute to halve driver round-trips; data-bound rounds
+      * must never duplicate data-path work). */
+    def retune(cur: DataFrame): Boolean = checkpointBytes(cur) match {
       case Some(b) if b <= TinyRoundBytes =>
         spark.conf.set("spark.sql.adaptive.enabled", "false")
         spark.conf.set("spark.sql.shuffle.partitions",
@@ -620,7 +668,8 @@ object Graph {
         // there too — reverted).
         if (disableBroadcast)
           spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      case _ => restore()
+        true
+      case _ => restore(); false
     }
     def restore(): Unit = {
       spark.conf.set("spark.sql.shuffle.partitions", sp0)

@@ -217,18 +217,18 @@ class GraphSpec extends SparkFunSuite {
     assert(peak <= 40,
       s"peak persisted RDDs $peak — layer frames are not folding into the " +
         "accumulator (pre-fold behavior held one frame per depth)")
-    // TWO actions per depth (r16): the lazy-checkpoint count materializes
-    // the layer AND answers the drain question in one job, plus the static
-    // edge side's broadcast build (kept deliberately — dropping broadcasts
-    // re-sorts e in a sort-merge join every depth, measured slower at
-    // sf0.1); measured ~2.2 jobs/depth for h=120 (262 total: 2/depth +
-    // folds every 8 depths + setup).  The r15 regime measured ~3.2/depth
-    // (AQE stage job + eager checkpoint + separate isEmpty); the bound
-    // sits between the regimes so a reintroduced per-depth action trips
-    // it.
-    assert(jobs <= (2.7 * h).toInt,
-      s"$jobs jobs on a $h-deep closure — an extra per-depth driver action " +
-        "crept back in (the r15 three-action regime is ~3.2×h)")
+    // TWO hops per round in the tiny regime (r17): each round materializes
+    // a two-depth layer via ONE lazy-checkpoint probe job (count + deep
+    // count in the same aggregate), plus the static edge side's broadcast
+    // build (kept deliberately — dropping broadcasts re-sorts e in a
+    // sort-merge join every depth, measured slower at sf0.1); measured
+    // ~1.1 jobs/depth for h=120 (134 total: ~2/round over 2 depths +
+    // folds every 8 rounds + setup).  The r16 one-hop regime measured
+    // ~2.2/depth (262), r15 ~3.2/depth; the bound sits between r17 and
+    // r16 so a reintroduced per-depth action trips it.
+    assert(jobs <= (1.8 * h).toInt,
+      s"$jobs jobs on a $h-deep closure — an extra per-round driver action " +
+        "crept back in (the r16 one-hop regime is ~2.2×h, r15 ~3.2×h)")
   }
 
   test("pageRank on a star graph matches the hand-computed fixpoint shape") {
