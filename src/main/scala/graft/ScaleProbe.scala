@@ -300,11 +300,11 @@ object ScaleProbe {
           Vector.coarseAssignWith(batch, cents)
             .select(col("c_id").as("vec_id"),
               col("list_id").cast("long").as("list_id"), col("cv")), i.toLong)
-        val lastOpt = TxTable.history(spark, root, limit = 8)
-          .filter(col("op") === "compact")
-          .agg(max("version")).collect().head
+        val lastCompact = TxTable.history(spark, root, limit = 8)
+          .filter(col("op") === "compact").select("version")
+          .collect().map(_.getLong(0)).reduceOption(_ max _)
         TxTable.compactDeltaN(spark, root, Seq("list_id"),
-          sinceVersion = if (lastOpt.isNullAt(0)) 0L else lastOpt.getLong(0),
+          sinceVersion = lastCompact.getOrElse(0L),
           numSegments = 4)
         val dt = (System.nanoTime() - t0) / 1e9
         val cur = seen()

@@ -335,8 +335,15 @@ object TxTable {
       Row(m.version, m.op, m.segments.size.toLong, m.cdc.size.toLong,
         m.dvs.size.toLong, m.batch.map(java.lang.Long.valueOf).orNull)
     }
+    // LOCAL relation, not a parallelize'd RDD (r17, guide §5): history is
+    // pure driver-held metadata (O(retained versions) rows already in
+    // hand), and a LocalRelation lets metadata consumers — filter/project/
+    // limit + collect, the maintenance-loop shape — fold driver-side via
+    // ConvertToLocalRelation and execute with ZERO scheduled jobs, where
+    // the RDD form paid a task launch per read of a few dozen rows
+    import scala.jdk.CollectionConverters._
     spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, 1),
+      rows.asJava,
       StructType(Seq(
         StructField("version", LongType, false),
         StructField("op", StringType, false),
@@ -455,12 +462,21 @@ object TxTable {
                        cols: Seq[String]): Map[String, ColStat] = {
     import org.apache.spark.sql.functions.{col, max, min}
     if (cols.isEmpty) return Map.empty
+    // FOOTER FAST PATH (r17, guide §5 driver discipline): a just-written
+    // segment's min/max for plain integral columns is already in its
+    // parquet footers — read them driver-side instead of scheduling a
+    // Spark job per commit (the job's agg pushdown answered from the same
+    // footers; the job itself was pure scheduling overhead).  Columns the
+    // footers can't answer exactly fall through to the aggregate below.
+    val footer = footerIntStats(spark, root, seg, cols)
+    val rest = cols.filterNot(footer.contains)
+    if (rest.isEmpty) return footer.collect { case (c, Some(st)) => c -> st }
     // printable ASCII minus '"' (x22) and '\' (x5C): JSON-safe without escapes
     val safe = "^[\\x20-\\x21\\x23-\\x5B\\x5D-\\x7E]*$"
-    val aggs = cols.flatMap(c => Seq(min(col(c)).as(s"__lo_$c"), max(col(c)).as(s"__hi_$c")))
+    val aggs = rest.flatMap(c => Seq(min(col(c)).as(s"__lo_$c"), max(col(c)).as(s"__hi_$c")))
     val row = spark.read.parquet(s"${root.stripSuffix("/")}/$seg")
       .agg(aggs.head, aggs.tail: _*).collect().head
-    cols.flatMap { c =>
+    footer.collect { case (c, Some(st)) => c -> st } ++ rest.flatMap { c =>
       val lo = row.getAs[Any](s"__lo_$c"); val hi = row.getAs[Any](s"__hi_$c")
       (lo, hi) match {
         case (null, _) | (_, null) => None // all-NULL segment: no skipping info
@@ -472,6 +488,92 @@ object TxTable {
           new java.math.BigDecimal(hi.toString).toPlainString, "n"))
       }
     }.toMap
+  }
+
+  /** Driver-side footer min/max for the subset of `cols` that parquet
+    * statistics answer EXACTLY: top-level INT32/INT64 columns with no
+    * logical-type annotation (or a plain signed-integer one).  Strings are
+    * excluded (writers may truncate binary bounds), floats/doubles are
+    * excluded (NaN handling diverges from SQL min/max), and anything
+    * logical (decimal, date, timestamp) is excluded because its Spark
+    * value rendering differs from the raw physical int.  Returned map:
+    * present-with-Some = exact bounds (identical to the aggregate path's
+    * decimal rendering); present-with-None = provably all-NULL (the
+    * aggregate path records nothing); ABSENT = footers can't answer, run
+    * the aggregate.  Any surprise (missing stats, unexpected type, IO
+    * error) falls back to the aggregate path — this is a pure job-count
+    * optimization, never a semantics change. */
+  private def footerIntStats(spark: SparkSession, root: String, seg: String,
+                             cols: Seq[String])
+      : Map[String, Option[ColStat]] = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sparkContext.hadoopConfiguration
+    try {
+      val f = fs(spark, root)
+      val files = f.listStatus(new Path(s"${root.stripSuffix("/")}/$seg"))
+        .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+      if (files.isEmpty) return Map.empty
+      // (lo, hi, sawValue, answerable) per column, folded across all files
+      val acc = scala.collection.mutable.Map.empty[String, (Long, Long, Boolean)]
+      var answerable = cols.toSet
+      files.foreach { st =>
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(st.getPath, conf))
+        try {
+          val schema = r.getFooter.getFileMetaData.getSchema
+          val idx = schema.getFields.asScala.map(_.getName).zipWithIndex.toMap
+          cols.filter(answerable).foreach { c =>
+            idx.get(c) match {
+              case Some(i) if schema.getType(i).isPrimitive =>
+                val pt = schema.getType(i).asPrimitiveType()
+                val ann = pt.getLogicalTypeAnnotation
+                val intOk = (pt.getPrimitiveTypeName == PrimitiveTypeName.INT64 ||
+                  pt.getPrimitiveTypeName == PrimitiveTypeName.INT32) &&
+                  (ann == null || (ann match {
+                    case a: LogicalTypeAnnotation.IntLogicalTypeAnnotation =>
+                      a.isSigned && a.getBitWidth >= 32
+                    case _ => false
+                  }))
+                if (!intOk) answerable -= c
+                else r.getFooter.getBlocks.asScala
+                  .filter(_.getRowCount > 0).foreach { blk =>
+                    blk.getColumns.asScala
+                      .find(_.getPath.toDotString == c) match {
+                      case Some(cc) =>
+                        val s0 = cc.getStatistics
+                        if (s0 == null || s0.isEmpty) answerable -= c
+                        else if (s0.hasNonNullValue) {
+                          val (lo, hi) = s0.genericGetMin match {
+                            case l: java.lang.Long =>
+                              (l.longValue, s0.genericGetMax.asInstanceOf[java.lang.Long].longValue)
+                            case i: java.lang.Integer =>
+                              (i.longValue, s0.genericGetMax.asInstanceOf[java.lang.Integer].longValue)
+                            case _ => answerable -= c; (0L, 0L)
+                          }
+                          if (answerable(c)) acc.get(c) match {
+                            case Some((l0, h0, _)) =>
+                              acc(c) = (math.min(l0, lo), math.max(h0, hi), true)
+                            case None => acc(c) = (lo, hi, true)
+                          }
+                        } else if (s0.getNumNulls != blk.getRowCount)
+                          answerable -= c // rows without stats coverage
+                      case None => answerable -= c
+                    }
+                  }
+              case _ => answerable -= c
+            }
+          }
+        } finally r.close()
+      }
+      cols.filter(answerable).map { c =>
+        c -> acc.get(c).map { case (lo, hi, _) =>
+          ColStat(java.math.BigDecimal.valueOf(lo).toPlainString,
+            java.math.BigDecimal.valueOf(hi).toPlainString, "n")
+        } // None = all-NULL column: record nothing, like the aggregate path
+      }.toMap
+    } catch { case scala.util.control.NonFatal(_) => Map.empty }
   }
 
   /** The synthetic stats key carrying a column's per-segment Bloom filter. */
@@ -514,7 +616,13 @@ object TxTable {
                             segs: Seq[String], cols: Seq[String])
       : Map[String, Map[String, ColStat]] = {
     import org.apache.spark.sql.functions.{col, max, min}
-    val (bloomKeys, plain) = cols.distinct.partition(_.endsWith("#bloom"))
+    val (bloomKeys, plain0) = cols.distinct.partition(_.endsWith("#bloom"))
+    // footer fast path first (see [[footerIntStats]]): integral columns the
+    // footers answer for EVERY segment never reach the batch aggregate —
+    // when they cover the whole request, the commit schedules no stats job
+    val footerBySeg: Map[String, Map[String, Option[ColStat]]] =
+      segs.map(s0 => s0 -> footerIntStats(spark, root, s0, plain0)).toMap
+    val plain = plain0.filter(c => segs.exists(s0 => !footerBySeg(s0).contains(c)))
     val safe = "^[\\x20-\\x21\\x23-\\x5B\\x5D-\\x7E]*$"
     val plainStats: Map[String, Map[String, ColStat]] =
       if (plain.isEmpty || segs.isEmpty) Map.empty
@@ -542,7 +650,8 @@ object TxTable {
           }.toMap
       }
     segs.map { s0 =>
-      s0 -> (plainStats.getOrElse(s0, Map.empty) ++
+      s0 -> (footerBySeg(s0).collect { case (c, Some(st)) => c -> st } ++
+        plainStats.getOrElse(s0, Map.empty) ++
         bloomKeys.map(k => k -> segBloom(spark, root, s0, k.stripSuffix("#bloom"))))
     }.toMap
   }
@@ -1325,15 +1434,37 @@ object TxTable {
       if (head.dvs.isEmpty) raw
       else applyDvs(spark, root, head.dvs,
         raw.withColumn("__seg", segTag)).drop("__seg")
-    // the clustered write evaluates its input THREE times (z-bounds probe,
-    // range-partitioner sampling, write scan) — persist the DV-filtered
-    // delta so the dirty-segment read + DV anti-join run once, not thrice.
+    // Z-BOUNDS FROM MANIFEST STATS (r17, guide §5): when every dirty
+    // segment already carries exact "n"-tagged min/max for every
+    // clustering column (recorded at its own commit) and no DV can have
+    // shrunk the live extremes, the bounds the z scaling needs are a
+    // driver-side fold over stats the head manifest is already holding —
+    // the bounds aggregate job re-derived the same two scalars per column
+    // from the same rows.  Any gap (missing stat, string-tagged stat,
+    // outstanding DVs) falls back to the aggregate: pruning-identical,
+    // byte-identical z values either way (same doubles into scaleToBits).
+    val statBounds: Option[Seq[(String, String)]] =
+      if (head.dvs.nonEmpty) None
+      else {
+        val per = cols.map { c =>
+          val ss = dirty.map(s => head.stats.get(s).flatMap(_.get(c)))
+          if (ss.exists(o => !o.exists(_.tag == "n"))) None
+          else Some((
+            ss.flatten.map(st => new java.math.BigDecimal(st.lo)).min.toPlainString,
+            ss.flatten.map(st => new java.math.BigDecimal(st.hi)).max.toPlainString))
+        }
+        if (per.forall(_.isDefined)) Some(per.flatten) else None
+      }
+    // the clustered write evaluates its input up to three times (z-bounds
+    // probe unless answered from manifest stats, range-partitioner
+    // sampling, write scan) — persist the DV-filtered delta so the
+    // dirty-segment read + DV anti-join run once, not per consumer.
     // Scale-safe by construction: `live` is DELTA-sized (only segments
     // committed after `sinceVersion`), never table-sized, and
     // MEMORY_AND_DISK spills rather than OOMs on an oversized batch.
     val live = live0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val newSegs = try writeClusteredSegments(spark, root, live, cols,
-      numSegments, bits)
+      numSegments, bits, statBounds)
     finally live.unpersist(blocking = false)
     // DV entries rescope to the carried segments; an entry whose whole
     // scope was rewritten has been fully materialized and drops
@@ -1400,11 +1531,14 @@ object TxTable {
     * rename (no second data pass; empty slices never materialize). */
   private def writeClusteredSegments(spark: SparkSession, root: String,
                                      df: DataFrame, cols: Seq[String],
-                                     numSegments: Int, bits: Int): Seq[String] = {
+                                     numSegments: Int, bits: Int,
+                                     bounds: Option[Seq[(String, String)]] = None)
+      : Seq[String] = {
     import org.apache.spark.sql.functions.{col, spark_partition_id}
     require(numSegments >= 1, s"TxTable: numSegments $numSegments < 1")
     val staged = df
-      .withColumn("__z", ZOrder.zColumnN(df, cols, bits))
+      .withColumn("__z", bounds.fold(ZOrder.zColumnN(df, cols, bits))(
+        b => ZOrder.zColumnNFromBounds(cols, b, bits)))
       .repartitionByRange(numSegments, col("__z"))
       .withColumn("__slice", spark_partition_id())
       .drop("__z")

@@ -78,6 +78,24 @@ object ZOrder {
       }, bits)
   }
 
+  /** [[zColumnN]] with CALLER-SUPPLIED bounds (exact decimal strings, the
+    * manifest-stats rendering): when a table format already recorded each
+    * segment's min/max at write time, re-aggregating the same rows just to
+    * learn the same two scalars is a wasted driver job — the caller folds
+    * the recorded stats and passes them here.  `scaleToBits` casts bounds
+    * to double either way, so a decimal-string bound and the aggregate's
+    * boxed value produce the SAME double and therefore identical z values. */
+  def zColumnNFromBounds(colNames: Seq[String], bounds: Seq[(String, String)],
+                         bits: Int = 16): Column = {
+    require(colNames.length == bounds.length,
+      s"ZOrder.zColumnNFromBounds: ${colNames.length} cols vs ${bounds.length} bounds")
+    interleaveBitsN(
+      colNames.zip(bounds).map { case (c, (lo, hi)) =>
+        scaleToBits(col(c), lit(new java.math.BigDecimal(lo)),
+          lit(new java.math.BigDecimal(hi)), bits)
+      }, bits)
+  }
+
   /** `df` clustered into `numSegments` ranges of the Morton order over
     * `(colA, colB)` — one `repartitionByRange` shuffle, partitions become
     * ~square tiles of the 2-D value space.  Write each partition as its

@@ -2807,11 +2807,15 @@ object TextCatalog {
             Vector.coarseAssignWith(df, cents)
               .select(col("c_id").as("vec_id"),
                 col("list_id").cast("long").as("list_id"), col("cv")), id)
-          val lastOpt = TxTable.history(s, root, limit = 8)
-            .filter(col("op") === "compact")
-            .agg(max("version")).collect().head
+          // filter+project over history's LocalRelation fold driver-side
+          // (ConvertToLocalRelation), so this collect schedules no job —
+          // the agg(max) form paid a task launch per micro-batch for a
+          // driver-side max over ≤8 metadata rows
+          val lastCompact = TxTable.history(s, root, limit = 8)
+            .filter(col("op") === "compact").select("version")
+            .collect().map(_.getLong(0)).reduceOption(_ max _)
           TxTable.compactDeltaN(s, root, Seq("list_id"),
-            sinceVersion = if (lastOpt.isNullAt(0)) 0L else lastOpt.getLong(0),
+            sinceVersion = lastCompact.getOrElse(0L),
             numSegments = 4)
         }
         def runOnce(cp: String): Unit = {
