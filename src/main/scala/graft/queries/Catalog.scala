@@ -3936,6 +3936,17 @@ object Catalog {
         // instead of the batch-shuffle default halves wall time here (the
         // commit overhead scales with partitions × stores × batches)
         val ss = Streaming.stateSession(s, 8)
+        // INNER stream-stream joins emit eagerly (the watermark bounds
+        // STATE, never inner-join output), so the trailing no-data
+        // micro-batch exists only to evict expired state — a full pass
+        // over all four stores producing zero rows, here ~40% of the
+        // query's job time (JobProfile r17: 2 batch jobs, 1.6 s + 1.0 s,
+        // the second the eviction batch).  AvailableNow tears the query
+        // down right after, so skip it — scoped to THIS isolated child
+        // session; outer joins / timeout sessions / watermark-flushed
+        // aggregations (q_st8/q_st10/q_st12) NEED no-data batches to emit
+        // and keep them.
+        ss.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
         val clicks = ss.readStream.schema(cSchema).parquet(s"$base/clicks")
           .withWatermark("ts", "2 hours")
         val purchases = ss.readStream.schema(pSchema).parquet(s"$base/purchases")
