@@ -47,12 +47,33 @@ object Ivm {
     * the duration of `body` — refreshes are driver-side maintenance calls,
     * not something to run concurrently with unrelated queries on the same
     * session. */
-  private def withRefreshConf[T](spark: SparkSession)(body: => T): T =
+  private def withRefreshConf[T](spark: SparkSession, feedRows: Option[Long])
+                                (body: => T): T =
     if (spark.conf.getOption("spark.graft.ivm.adaptive").exists(_.toBoolean)) body
     else {
       val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+      val prevSp = spark.conf.get("spark.sql.shuffle.partitions")
       spark.conf.set("spark.sql.adaptive.enabled", "false")
-      try body finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+      // With AQE off the refresh would shuffle at the SESSION width — the
+      // machine's core count — fanning a change-sized delta into dozens of
+      // near-empty partitions and writing the rewritten view segment as
+      // that many near-empty files.  The window's row count is already in
+      // hand from footer metadata (the emptiness probe), so size the
+      // static width from the DATA: ~1M change rows per partition (the
+      // advisory-byte ballpark for these narrow keyed-agg rows), never
+      // wider than the session setting.  A 10M-row window still gets 10
+      // partitions; deployments with windows big enough to want runtime
+      // coalescing/skew handling set spark.graft.ivm.adaptive=true and
+      // keep AQE instead (unchanged escape hatch).  An unknowable count
+      // (no footer metadata) keeps the session width.
+      feedRows.foreach { n =>
+        val w = math.max(1L, math.min(prevSp.toLong, n / 1000000L + 1L))
+        spark.conf.set("spark.sql.shuffle.partitions", w.toString)
+      }
+      try body finally {
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+        spark.conf.set("spark.sql.shuffle.partitions", prevSp)
+      }
     }
 
   /** Refresh the `(key, nCol, sumCol)` view at `aggRoot` with the fact
@@ -80,7 +101,7 @@ object Ivm {
     val feedRows = TxTable.changeWindowRows(spark, factRoot, fromVersion, toVersion)
     if (feedRows.contains(0L))
       return TxTable.latestVersion(spark, aggRoot).getOrElse(0L)
-    withRefreshConf(spark) {
+    withRefreshConf(spark, feedRows) {
       val ch = TxTable.readChanges(spark, factRoot, fromVersion, toVersion)
       val sign = when(col("_change_type").isin("insert", "update_postimage"), 1L)
         .otherwise(-1L)
@@ -207,7 +228,11 @@ object Ivm {
       else TxTable.changeWindowRows(spark, dimRoot, dimFrom, dimTo)
     if (factRows.contains(0L) && dimRows.contains(0L))
       return TxTable.latestVersion(spark, aggRoot).getOrElse(0L)
-    withRefreshConf(spark) {
+    // width hint = both feeds' change rows; part 2's fact-snapshot arm only
+    // ever SCANS (broadcast-joined, partially aggregated before its one
+    // group-sized shuffle), so change rows are the honest width driver
+    withRefreshConf(spark,
+      for (f <- factRows; d <- dimRows) yield f + d) {
     val sign = when(col("_change_type").isin("insert", "update_postimage"), 1L)
       .otherwise(-1L)
     // part 1: fact delta ⋈ dim head — change-sized ⋈ broadcast dim
