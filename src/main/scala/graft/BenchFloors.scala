@@ -95,7 +95,13 @@ package graft
   * (single-thread FNV-1a, 2^27 steps) measured 181–223 ms on the r16
   * floor-setting machine; a future round whose score is ~1.3× higher
   * should expect min/floor ratios to match and read them as machine
-  * class, not regression.
+  * class, not regression.  r17 ran on a ~1.25× slower window (full runs
+  * 212.97 s then 220.13 s raw / 290 q, rescued 0 both, cpu_score 171–211)
+  * yet min-merged 16 floors — every one either a query the round's
+  * driver-discipline changes touched (q_st6 2.637 → 2.390 after the
+  * eviction-batch skip, q_st20 3.995 → 3.950, q_ancestors_deep
+  * 2.696 → 2.672, q_tx_compact_zorder 1.547 → 1.507) or the near-dup
+  * family drifting under its r16 floor.
   * A floor is NOT a target -- it is the plan's
   * demonstrated cost on this hardware; a bench minimum far above it (>3x)
   * indicates the environment (CPU stall, concurrent load, codegen thrash),
@@ -110,7 +116,7 @@ object BenchFloors {
     "q_agg_distinct" -> 0.102,
     "q_agg_pushdown" -> 0.100,
     "q_ancestors" -> 0.581,
-    "q_ancestors_deep" -> 2.696,
+    "q_ancestors_deep" -> 2.672,
     "q_ann_filtered" -> 0.268,
     "q_ann_mrr" -> 0.238,
     "q_ann_ndcg" -> 0.293,
@@ -147,7 +153,7 @@ object BenchFloors {
     "q_cluster_separation" -> 0.213,
     "q_cms_heavy_hitters" -> 0.763,
     "q_containment_dedup" -> 1.191,
-    "q_containment_pairs" -> 1.116,
+    "q_containment_pairs" -> 1.087,
     "q_contamination" -> 0.630,
     "q_corpus_pipeline" -> 0.283,
     "q_corr_moments" -> 0.120,
@@ -204,7 +210,7 @@ object BenchFloors {
     "q_kmeans_refine" -> 0.439,
     "q_kmv_distinct" -> 0.444,
     "q_kmv_intersect" -> 0.377,
-    "q_kmv_merge" -> 0.339,
+    "q_kmv_merge" -> 0.328,
     "q_ks_drift" -> 0.792,
     "q_l_diversity" -> 0.095,
     "q_lag_lead" -> 0.120,
@@ -219,10 +225,10 @@ object BenchFloors {
     "q_margin_mining" -> 0.361,
     "q_matryoshka_ivf" -> 0.506,
     "q_matryoshka_ivf_recall" -> 0.951,
-    "q_minhash_bands" -> 0.273,
-    "q_minhash_candidates" -> 0.425,
-    "q_minhash_estimate" -> 0.474,
-    "q_minhash_oph" -> 0.250,
+    "q_minhash_bands" -> 0.256,
+    "q_minhash_candidates" -> 0.379,
+    "q_minhash_estimate" -> 0.444,
+    "q_minhash_oph" -> 0.223,
     "q_minhash_recall" -> 0.657,
     "q_mixture_sample" -> 0.147,
     "q_mixture_temperature" -> 0.128,
@@ -239,11 +245,11 @@ object BenchFloors {
     "q_mutual_knn_ivf_recall" -> 2.304,
     "q_mutual_knn_prefix" -> 1.303,
     "q_mutual_knn_prefix_recall" -> 2.371,
-    "q_near_dup_edit" -> 0.459,
-    "q_near_dup_jaccard" -> 0.553,
-    "q_ngram_jaccard" -> 1.014,
+    "q_near_dup_edit" -> 0.429,
+    "q_near_dup_jaccard" -> 0.515,
+    "q_ngram_jaccard" -> 0.940,
     "q_normalize_text" -> 0.091,
-    "q_novelty" -> 0.525,
+    "q_novelty" -> 0.436,
     "q_ntile_shards" -> 0.127,
     "q_null_safe_join" -> 0.494,
     "q_oph_near_dup" -> 0.592,
@@ -310,7 +316,7 @@ object BenchFloors {
     "q_setops" -> 0.262,
     "q_shuffle_order" -> 0.218,
     "q_simhash" -> 0.223,
-    "q_simhash_near_dup" -> 0.792,
+    "q_simhash_near_dup" -> 0.744,
     "q_skew_split_join" -> 1.315,
     "q_snapshot_diff" -> 0.174,
     "q_spearman" -> 1.190,
@@ -326,10 +332,10 @@ object BenchFloors {
     "q_st18_stream_dlq" -> 1.156,
     "q_st19_stream_wilson_gate" -> 2.030,
     "q_st1_streaming_catchup" -> 0.484,
-    "q_st20_stream_ann_maintain" -> 3.995,
+    "q_st20_stream_ann_maintain" -> 3.950,
     "q_st4_streaming_upsert" -> 1.504,
     "q_st5_stream_dedup" -> 1.547,
-    "q_st6_stream_stream_join" -> 2.637,
+    "q_st6_stream_stream_join" -> 2.390,
     "q_st7_stream_enrich" -> 0.601,
     "q_st8_stream_sessions" -> 2.113,
     "q_st9_tx_stream_sink" -> 0.707,
@@ -354,7 +360,7 @@ object BenchFloors {
     "q_tx_autocompact" -> 1.542,
     "q_tx_bloom" -> 1.120,
     "q_tx_cdf" -> 2.027,
-    "q_tx_compact_zorder" -> 1.547,
+    "q_tx_compact_zorder" -> 1.507,
     "q_tx_constraint" -> 0.670,
     "q_tx_dfp" -> 1.174,
     "q_tx_dv" -> 1.135,
@@ -389,7 +395,7 @@ object BenchFloors {
     "q_zipf_fit" -> 0.334,
     "q_winsorize" -> 0.263,
     "q_zscore" -> 0.264,
-    "q_matryoshka_recall" -> 0.279,
+    "q_matryoshka_recall" -> 0.275,
     "q_matryoshka_topk" -> 0.185,
     "q_mutual_knn" -> 0.800,
     "q_tx_delta" -> 1.062,
